@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing excludes session startup (paid once), includes full execution to
+a count/collect action. Each query runs twice; best-of-2 is reported so
+JVM warm-up doesn't dominate at small SF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation_month",
+    "shipping_priority",
+    "order_fulfillment_outer",
+    "daily_event_rollup",
+    "duplicate_order_groups",
+    "dedup_events_keep_first",
+    "stratified_sample_events",
+    "word_frequency_topk",
+    "cosine_knn_bruteforce",
+    "exact_dup_docs_by_fingerprint",
+    "profile_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from iceberg_lakehouse_spark.session import get_spark
+    from iceberg_lakehouse_spark.suite import load_all
+
+    spark = get_spark("bench")
+    registry = load_all()
+
+    # warm the JVM + parquet footers once, outside timing
+    from iceberg_lakehouse_spark.session import load_sf_tables
+
+    for df in load_sf_tables(spark, sf_dir).values():
+        df.count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.count()  # full execution; count avoids driver-side collect cost
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

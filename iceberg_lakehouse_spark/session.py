@@ -1,0 +1,101 @@
+"""SparkSession factory.
+
+One place to encode the scale posture: AQE on (runtime re-planning,
+skew-join splitting, coalesced shuffle partitions), Arrow transfer for
+the pandas boundary, UTC session time so timestamp semantics match the
+DuckDB correctness oracle, and shuffle parallelism sized to the test
+host (a real deployment overrides via ``extra_conf``).
+
+The reference builds a DuckDB connection per QueryEngine
+(reference query.py:26-43); our analogue is one shared SparkSession.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Runtime adaptivity: re-plan post-shuffle, split skewed partitions,
+    # coalesce tiny ones. This is the main 100-TB insurance policy.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Broadcast small dimension tables (region/nation/customer class).
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Arrow for any toPandas()/createDataFrame(pandas) edge and Pandas UDFs.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Naive-UTC timestamps to match the DuckDB oracle (SURVEY §1.2:
+    # reference timestamps are microsecond, timezone-naive).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # ANSI off: the reference (DuckDB-permissive casts) never raises on
+    # overflow; keep permissive eval so CASE/cast semantics line up.
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+    # The driver's synthetic parquet stamps TIMESTAMP(NANOS); Spark has no
+    # nanos timestamp type — read as long and convert (see load_sf_tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Local parquet is small-file-heavy at test SF; don't over-split.
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "iceberg_lakehouse_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session. ``SPARK_GRAFT_CPUS`` sizes local mode."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, object]:
+    """Register every test parquet table as a temp view; return name → DataFrame.
+
+    Mirrors the reference's register-all-tables idiom (reference
+    query.py:52-75) — but lazily: Spark defers the scan, so predicate
+    pushdown / column pruning reach the parquet reader, unlike the
+    reference's eager full materialization.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    tables = {}
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf);
+            # truncate to µs exactly like DuckDB does when reading nanos.
+            for col in _NANO_TS_COLUMNS.get(name, ()):
+                if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+                    df = df.withColumn(
+                        col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+                    )
+            df.createOrReplaceTempView(name)
+            tables[name] = df
+    return tables
+
+
+# timestamp-typed columns in the driver's synthetic tables (TESTDATA.md)
+_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}

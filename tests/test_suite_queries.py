@@ -1,0 +1,71 @@
+"""Smoke + shape tests for the oracle-paired suite.
+
+The heavyweight value-level Spark-vs-DuckDB comparison lives in
+``tools/check_oracle.py`` (run separately; the driver repeats it at
+sf0.01). Here: every registered query runs at sf0.001, returns a stable
+schema, and a few hand-checked invariants hold.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_lakehouse_spark.suite import load_all
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+REGISTRY = load_all()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs_and_is_stable(spark, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_SMOKE)
+    schema1 = [f.name for f in df.schema.fields]
+    n = df.count()
+    assert n >= 0
+    df2 = q.fn(spark, SF_SMOKE)
+    assert [f.name for f in df2.schema.fields] == schema1
+    assert df2.count() == n  # deterministic row count
+
+
+def test_every_oracle_has_matching_fn():
+    for name, q in REGISTRY.items():
+        assert callable(q.fn)
+        if q.oracle is not None:
+            assert "SELECT" in q.oracle.upper(), name
+
+
+def test_pricing_summary_invariants(spark):
+    rows = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in REGISTRY["pricing_summary"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(rows) >= 3
+    for r in rows.values():
+        assert r["sum_disc_price"] <= r["sum_base_price"]
+        assert r["sum_charge"] >= r["sum_disc_price"]
+        assert 0 <= r["avg_disc"] <= 0.2
+
+
+def test_dedup_keep_first_unique_keys(spark):
+    df = REGISTRY["dedup_events_keep_first"].fn(spark, SF_SMOKE)
+    assert df.count() == df.select("user_id", "event_type").distinct().count()
+
+
+def test_stratified_sample_covers_all_strata(spark):
+    from iceberg_lakehouse_spark.session import load_sf_tables
+
+    full = load_sf_tables(spark, SF_SMOKE)["events"]
+    sample = REGISTRY["stratified_sample_events"].fn(spark, SF_SMOKE)
+    full_types = {r[0] for r in full.select("event_type").distinct().collect()}
+    samp_types = {r[0] for r in sample.select("event_type").distinct().collect()}
+    assert samp_types == full_types  # ≥1 per stratum guarantee
+
+
+def test_cosine_knn_similarity_bounds(spark):
+    rows = REGISTRY["cosine_knn_bruteforce"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    sims = [r["cosine_sim"] for r in rows]
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert sims == sorted(sims, reverse=True)

@@ -1,0 +1,115 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column
+names, and an order-insensitive value multiset (exact comparison after
+normalization). Use while iterating:
+
+    python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if isinstance(v, (int,)):
+        return int(v)
+    # timestamps/dates/decimals → canonical string
+    return str(v)
+
+
+def _rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(repr(_norm_cell(r[i])) for i in order) for r in rows
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from iceberg_lakehouse_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    failures, n_checked = [], 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"  {name:38s} SPARK-ERR {e}")
+            continue
+        if name not in oracles:
+            print(f"  {name:38s} rows-only  {len(srows):>7} rows  {time.time()-t0:5.1f}s")
+            continue
+        n_checked += 1
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"  {name:38s} ORACLE-ERR {e}")
+            continue
+        status = []
+        if len(srows) != len(orows):
+            status.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            status.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        if not status and _rows_to_multiset(scols, srows) != _rows_to_multiset(
+            ocols, orows
+        ):
+            sm, om = _rows_to_multiset(scols, srows), _rows_to_multiset(ocols, orows)
+            diff = next(
+                (i for i, (a, b) in enumerate(zip(sm, om)) if a != b), None
+            )
+            detail = f" first-diff@{diff}: {sm[diff]} vs {om[diff]}" if diff is not None else ""
+            status.append("value-hash" + detail)
+        if status:
+            failures.append((name, "; ".join(status)))
+            print(f"  {name:38s} FAIL {'; '.join(status)[:220]}")
+        else:
+            print(f"  {name:38s} OK   {len(srows):>7} rows  {time.time()-t0:5.1f}s")
+
+    print(f"\n{n_checked} oracle-checked, {len(failures)} failures")
+    for name, why in failures:
+        print(f"  FAIL {name}: {why[:300]}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
