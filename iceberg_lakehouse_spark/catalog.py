@@ -1,0 +1,681 @@
+"""Snapshot-versioned table format on Parquet, pure PySpark.
+
+The reference delegates table mechanics to PyIceberg (SqlCatalog over
+SQLite, reference catalog.py:31-59); with no Iceberg runtime available
+we implement the same *observable semantics* from scratch:
+
+  warehouse/
+    <namespace>/<table>/
+      data/                    snapshot-addressed parquet files
+      _meta/table.json         schema, partition spec, properties
+      _meta/snapshots.json     append-only snapshot log
+
+A snapshot is an immutable file list. Append = parent files + new
+files; overwrite = new files only. Readers resolve a snapshot (current,
+by id, or by timestamp — reference catalog.py:240-288) and hand Spark
+the exact parquet paths: scans stay lazy, so Catalyst pushes filters
+and prunes columns all the way into the parquet reader — unlike the
+reference, which materializes the full table into Arrow first
+(reference query.py:68).
+
+Scale posture: metadata is O(snapshots × files), data moves only
+through Spark jobs, and the commit path is a single atomic JSON rename
+(single-writer; a real deployment would swap this for a catalog service
+— the read/write paths are unchanged).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_NAMESPACE = "default"
+
+# SURVEY §1.2: creation-time type names → Spark types (flat primitives
+# only, mirroring reference catalog.py:2290-2300; int widens to long,
+# float widens to double, timestamps are µs-naive).
+_TYPE_MAP: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "int": T.LongType(),
+    "integer": T.LongType(),
+    "double": T.DoubleType(),
+    "float": T.DoubleType(),
+    "timestamp": T.TimestampNTZType(),
+    "date": T.DateType(),
+    "boolean": T.BooleanType(),
+}
+
+_TRANSFORM_RE = re.compile(
+    r"^\s*(?:(year|month|day|hour)\s*\(\s*(\w+)\s*\)"
+    r"|bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|truncate\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(\w+))\s*$"
+)
+
+
+@dataclass
+class PartitionField:
+    """One partition transform: identity, year/month/day/hour, bucket(n),
+    truncate(n) — the reference's transform surface (catalog.py:2192-2258)."""
+
+    transform: str
+    column: str
+    param: int | None = None
+
+    @property
+    def name(self) -> str:
+        if self.transform == "identity":
+            return f"_p_{self.column}"
+        if self.param is not None:
+            return f"_p_{self.transform}{self.param}_{self.column}"
+        return f"_p_{self.transform}_{self.column}"
+
+    def expr(self) -> F.Column:
+        c = F.col(self.column)
+        if self.transform == "identity":
+            return c
+        if self.transform == "year":
+            return F.year(c)
+        if self.transform == "month":
+            return F.month(c)
+        if self.transform == "day":
+            return F.dayofmonth(c)
+        if self.transform == "hour":
+            return F.hour(c)
+        if self.transform == "bucket":
+            # xxhash64 is Spark-native, stable, and uniform — the scale
+            # answer to co-located joins on bucketed keys.
+            return F.pmod(F.xxhash64(c), F.lit(self.param))
+        if self.transform == "truncate":
+            return F.substring(c.cast("string"), 1, self.param)
+        raise ValueError(f"unknown transform {self.transform}")
+
+    def to_json(self) -> dict:
+        return {"transform": self.transform, "column": self.column, "param": self.param}
+
+    @staticmethod
+    def parse(spec: str) -> "PartitionField":
+        m = _TRANSFORM_RE.match(spec)
+        if not m:
+            raise ValueError(f"invalid partition spec: {spec!r}")
+        if m.group(1):
+            return PartitionField(m.group(1), m.group(2))
+        if m.group(3):
+            return PartitionField("bucket", m.group(4), int(m.group(3)))
+        if m.group(5):
+            return PartitionField("truncate", m.group(6), int(m.group(5)))
+        return PartitionField("identity", m.group(7))
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    timestamp_ms: int
+    operation: str  # append | overwrite | rollback
+    files: list[str]
+    parent_id: int | None = None
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "files": self.files,
+            "parent_id": self.parent_id,
+            "summary": self.summary,
+        }
+
+
+def _atomic_write_json(path: str, payload: Any) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+def _read_json(path: str, default: Any) -> Any:
+    if not os.path.exists(path):
+        return default
+    with open(path) as f:
+        return json.load(f)
+
+
+class LakehouseCatalog:
+    """Namespace/table catalog over a warehouse directory
+    (reference catalog.py LakehouseCatalog, re-architected for Spark)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # -- namespaces --------------------------------------------------------
+
+    def create_namespace(self, name: str) -> None:
+        os.makedirs(os.path.join(self.warehouse, name), exist_ok=True)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def drop_namespace(self, name: str) -> None:
+        path = os.path.join(self.warehouse, name)
+        if os.path.isdir(path) and os.listdir(path):
+            raise ValueError(f"namespace {name!r} is not empty")
+        shutil.rmtree(path, ignore_errors=True)
+
+    def _split(self, name: str) -> tuple[str, str]:
+        """Short names auto-prefix with 'default.' (reference
+        catalog.py:216-217 normalization idiom)."""
+        if "." in name:
+            ns, t = name.split(".", 1)
+        else:
+            ns, t = DEFAULT_NAMESPACE, name
+        return ns, t
+
+    # -- tables ------------------------------------------------------------
+
+    def create_table(
+        self,
+        name: str,
+        schema: list[tuple[str, str]] | T.StructType,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        ns, t = self._split(name)
+        self.create_namespace(ns)
+        root = os.path.join(self.warehouse, ns, t)
+        if os.path.exists(os.path.join(root, "_meta", "table.json")):
+            raise ValueError(f"table {ns}.{t} already exists")
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
+
+        if isinstance(schema, T.StructType):
+            fields = [
+                {"name": f.name, "type": f.dataType.simpleString()} for f in schema
+            ]
+        else:
+            fields = []
+            for col, typ in schema:
+                if typ not in _TYPE_MAP:
+                    raise ValueError(f"unsupported type {typ!r} for column {col!r}")
+                fields.append({"name": col, "type": _TYPE_MAP[typ].simpleString()})
+
+        spec = [PartitionField.parse(p).to_json() for p in (partition_by or [])]
+        meta = {
+            "name": f"{ns}.{t}",
+            "schema": {"fields": fields, "version": 1},
+            "schema_history": [
+                {"version": 1, "fields": fields, "ts": int(time.time() * 1000)}
+            ],
+            "partition_spec": spec,
+            "properties": properties or {},
+        }
+        _atomic_write_json(os.path.join(root, "_meta", "table.json"), meta)
+        _atomic_write_json(os.path.join(root, "_meta", "snapshots.json"), [])
+        return LakeTable(self, ns, t)
+
+    def load_table(self, name: str) -> "LakeTable":
+        ns, t = self._split(name)
+        if not os.path.exists(
+            os.path.join(self.warehouse, ns, t, "_meta", "table.json")
+        ):
+            raise ValueError(f"table {ns}.{t} does not exist")
+        return LakeTable(self, ns, t)
+
+    def table_exists(self, name: str) -> bool:
+        ns, t = self._split(name)
+        return os.path.exists(
+            os.path.join(self.warehouse, ns, t, "_meta", "table.json")
+        )
+
+    def list_tables(self, namespace: str | None = None) -> list[str]:
+        out = []
+        for ns in [namespace] if namespace else self.list_namespaces():
+            nsdir = os.path.join(self.warehouse, ns)
+            if not os.path.isdir(nsdir):
+                continue
+            for t in sorted(os.listdir(nsdir)):
+                if os.path.exists(os.path.join(nsdir, t, "_meta", "table.json")):
+                    out.append(f"{ns}.{t}")
+        return out
+
+    def drop_table(self, name: str) -> None:
+        ns, t = self._split(name)
+        shutil.rmtree(os.path.join(self.warehouse, ns, t), ignore_errors=True)
+
+
+class LakeTable:
+    """Handle to one snapshot-versioned table."""
+
+    def __init__(self, catalog: LakehouseCatalog, namespace: str, table: str):
+        self.catalog = catalog
+        self.spark = catalog.spark
+        self.namespace = namespace
+        self.table = table
+        self.root = os.path.join(catalog.warehouse, namespace, table)
+
+    # -- metadata ----------------------------------------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_meta", "table.json")
+
+    @property
+    def _snap_path(self) -> str:
+        return os.path.join(self.root, "_meta", "snapshots.json")
+
+    def meta(self) -> dict:
+        return _read_json(self._meta_path, {})
+
+    def _write_meta(self, meta: dict) -> None:
+        _atomic_write_json(self._meta_path, meta)
+
+    def schema(self) -> T.StructType:
+        fields = self.meta()["schema"]["fields"]
+        return T.StructType(
+            [T.StructField(f["name"], _parse_type(f["type"]), True) for f in fields]
+        )
+
+    def partition_fields(self) -> list[PartitionField]:
+        return [
+            PartitionField(p["transform"], p["column"], p.get("param"))
+            for p in self.meta().get("partition_spec", [])
+        ]
+
+    def properties(self) -> dict[str, str]:
+        return dict(self.meta().get("properties", {}))
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        meta = self.meta()
+        meta.setdefault("properties", {}).update(props)
+        self._write_meta(meta)
+
+    def unset_properties(self, keys: list[str]) -> None:
+        meta = self.meta()
+        for k in keys:
+            meta.get("properties", {}).pop(k, None)
+        self._write_meta(meta)
+
+    # -- snapshots ---------------------------------------------------------
+
+    def snapshots(self) -> list[Snapshot]:
+        return [
+            Snapshot(
+                s["snapshot_id"],
+                s["timestamp_ms"],
+                s["operation"],
+                s["files"],
+                s.get("parent_id"),
+                s.get("summary", {}),
+            )
+            for s in _read_json(self._snap_path, [])
+        ]
+
+    def current_snapshot(self) -> Snapshot | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for s in self.snapshots():
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise ValueError(f"snapshot {snapshot_id} not found")
+
+    def snapshot_as_of_timestamp(self, ts_ms: int) -> Snapshot:
+        best = None
+        for s in self.snapshots():
+            if s.timestamp_ms <= ts_ms:
+                best = s
+        if best is None:
+            raise ValueError(f"no snapshot at or before {ts_ms}")
+        return best
+
+    def _commit(self, operation: str, files: list[str], summary: dict) -> Snapshot:
+        snaps = _read_json(self._snap_path, [])
+        parent = snaps[-1]["snapshot_id"] if snaps else None
+        snap = Snapshot(
+            snapshot_id=(snaps[-1]["snapshot_id"] + 1) if snaps else 1,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            files=files,
+            parent_id=parent,
+            summary=summary,
+        )
+        snaps.append(snap.to_json())
+        _atomic_write_json(self._snap_path, snaps)
+        return snap
+
+    # -- write path --------------------------------------------------------
+
+    def _materialize(self, df: DataFrame) -> list[str]:
+        """Run the Spark write job into a snapshot-unique subdir of data/;
+        return the new parquet file paths (relative to table root).
+
+        Partitioned tables write with partitionBy on transform columns —
+        emulating Iceberg hidden partitioning: derived `_p_*` columns
+        exist only on disk layout, never in the logical schema."""
+        sub = f"data/{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.root, sub)
+        pfields = self.partition_fields()
+        writer_df = df
+        pcols = []
+        for pf in pfields:
+            pcols.append(pf.name)
+            writer_df = writer_df.withColumn(pf.name, pf.expr())
+        writer = writer_df.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(out)
+        files = []
+        for dirpath, _dirnames, filenames in os.walk(out):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(dirpath, fn), self.root)
+                    )
+        return sorted(files)
+
+    def _align(self, df: DataFrame) -> DataFrame:
+        """Project df onto the table schema (order + cast), so appends
+        can't drift (reference append-cast, catalog.py:1563-1581)."""
+        schema = self.schema()
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def append(self, df: DataFrame) -> Snapshot:
+        aligned = self._align(df)
+        new_files = self._materialize(aligned)
+        cur = self.current_snapshot()
+        files = (cur.files if cur else []) + new_files
+        return self._commit("append", files, {"added_files": len(new_files)})
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        aligned = self._align(df)
+        new_files = self._materialize(aligned)
+        return self._commit("overwrite", new_files, {"added_files": len(new_files)})
+
+    # -- read path ---------------------------------------------------------
+
+    def scan(
+        self, snapshot_id: int | None = None, as_of: str | int | None = None
+    ) -> DataFrame:
+        """Lazy DataFrame over the resolved snapshot's files.
+
+        ``as_of`` follows the reference's resolution order (catalog.py:
+        240-288): try int snapshot-id first, else ISO timestamp."""
+        snap = self._resolve(snapshot_id, as_of)
+        schema = self.schema()
+        if snap is None or not snap.files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f) for f in snap.files]
+        # recursiveFileLookup skips directory partition-inference: every
+        # logical column is physically present in each file (hidden
+        # partitioning writes *derived* _p_* columns), and because files
+        # are physically split by the transform, parquet min/max footer
+        # stats prune whole files for pushed-down predicates anyway.
+        df = (
+            self.spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*paths)
+        )
+        return df.select(*[f.name for f in schema.fields])
+
+    def _resolve(
+        self, snapshot_id: int | None, as_of: str | int | None
+    ) -> Snapshot | None:
+        if snapshot_id is not None:
+            return self.snapshot_by_id(snapshot_id)
+        if as_of is not None:
+            try:
+                return self.snapshot_by_id(int(as_of))
+            except (ValueError, TypeError):
+                pass
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(str(as_of))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return self.snapshot_as_of_timestamp(int(dt.timestamp() * 1000))
+        return self.current_snapshot()
+
+    # -- history ops -------------------------------------------------------
+
+    def snapshot_diff(
+        self, from_snapshot: int, to_snapshot: int
+    ) -> dict[str, DataFrame]:
+        """added = to EXCEPT from; deleted = from EXCEPT to — distinct
+        semantics, matching SQL EXCEPT (reference catalog.py:349-356)."""
+        df_from = self.scan(snapshot_id=from_snapshot)
+        df_to = self.scan(snapshot_id=to_snapshot)
+        return {
+            "added": df_to.exceptAll(df_from.distinct()).distinct(),
+            "deleted": df_from.exceptAll(df_to.distinct()).distinct(),
+        }
+
+    def rollback(self, snapshot_id: int | None = None, as_of: str | None = None) -> Snapshot:
+        """Reference semantics (catalog.py:834-906): scan at target and
+        overwrite current — a *new* restoring snapshot, not a metadata
+        rewind, so audit history is preserved."""
+        target = self._resolve(snapshot_id, as_of)
+        if target is None:
+            raise ValueError("no snapshot to roll back to")
+        return self._commit(
+            "rollback", target.files, {"restored_snapshot": target.snapshot_id}
+        )
+
+    # -- maintenance (reference catalog.py:909-2189, G10-G16) -------------
+
+    def expire_snapshots(
+        self,
+        older_than_ms: int | None = None,
+        retain_last: int | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        snaps = self.snapshots()
+        if not snaps:
+            return {"expired": [], "kept": []}
+        keep_ids = {snaps[-1].snapshot_id}  # never current
+        if retain_last:
+            keep_ids.update(s.snapshot_id for s in snaps[-retain_last:])
+        expired = [
+            s
+            for s in snaps[:-1]
+            if s.snapshot_id not in keep_ids
+            and (older_than_ms is None or s.timestamp_ms < older_than_ms)
+        ]
+        if older_than_ms is None and retain_last is None:
+            expired = []
+        kept = [s for s in snaps if s not in expired]
+        if not dry_run and expired:
+            _atomic_write_json(self._snap_path, [s.to_json() for s in kept])
+            self._delete_unreferenced()
+        return {
+            "expired": [s.snapshot_id for s in expired],
+            "kept": [s.snapshot_id for s in kept],
+        }
+
+    def _referenced_files(self) -> set[str]:
+        refs: set[str] = set()
+        for s in self.snapshots():
+            refs.update(s.files)
+        return refs
+
+    def _delete_unreferenced(self) -> list[str]:
+        refs = self._referenced_files()
+        removed = []
+        data_dir = os.path.join(self.root, "data")
+        for dirpath, _d, filenames in os.walk(data_dir):
+            for fn in filenames:
+                rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
+                if fn.endswith(".parquet") and rel not in refs:
+                    os.remove(os.path.join(self.root, rel))
+                    removed.append(rel)
+        return removed
+
+    def orphan_files(self) -> list[str]:
+        refs = self._referenced_files()
+        orphans = []
+        data_dir = os.path.join(self.root, "data")
+        for dirpath, _d, filenames in os.walk(data_dir):
+            for fn in filenames:
+                rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
+                if fn.endswith(".parquet") and rel not in refs:
+                    orphans.append(rel)
+        return sorted(orphans)
+
+    def cleanup_orphans(self, dry_run: bool = True) -> list[str]:
+        orphans = self.orphan_files()
+        if not dry_run:
+            for rel in orphans:
+                os.remove(os.path.join(self.root, rel))
+        return orphans
+
+    def compact(self, target_partitions: int | None = None) -> dict:
+        """Small-file compaction: rewrite current snapshot into fewer
+        files (reference catalog.py:2014-2084 reads-all-and-overwrites;
+        we coalesce to a target partition count — on a cluster this is
+        the rewrite_data_files equivalent)."""
+        cur = self.current_snapshot()
+        before = len(cur.files) if cur else 0
+        df = self.scan()
+        pfields = self.partition_fields()
+        if target_partitions:
+            df = df.coalesce(target_partitions)
+        elif pfields:
+            # cluster rows so each partition value lands in one task →
+            # one output file per partition directory
+            df = df.repartition(*[pf.expr() for pf in pfields])
+        else:
+            df = df.coalesce(max(1, min(before, 4)))
+        snap = self.overwrite(df)
+        return {
+            "files_before": before,
+            "files_after": len(snap.files),
+            "snapshot_id": snap.snapshot_id,
+        }
+
+    def file_stats(self) -> dict:
+        cur = self.current_snapshot()
+        files = cur.files if cur else []
+        sizes = [
+            os.path.getsize(os.path.join(self.root, f))
+            for f in files
+            if os.path.exists(os.path.join(self.root, f))
+        ]
+        return {
+            "file_count": len(files),
+            "total_bytes": sum(sizes),
+            "avg_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
+            "snapshot_count": len(self.snapshots()),
+            "orphan_count": len(self.orphan_files()),
+        }
+
+    def partition_stats(self) -> list[dict]:
+        """Per-partition file count + bytes, parsed from partition dirs
+        (reference catalog.py:2415-2486 parses paths after /data/)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return []
+        agg: dict[str, dict] = {}
+        for f in cur.files:
+            parts = [p for p in f.split(os.sep)[2:-1] if "=" in p]
+            key = "/".join(parts) if parts else "<unpartitioned>"
+            e = agg.setdefault(key, {"partition": key, "file_count": 0, "bytes": 0})
+            e["file_count"] += 1
+            p = os.path.join(self.root, f)
+            if os.path.exists(p):
+                e["bytes"] += os.path.getsize(p)
+        return sorted(agg.values(), key=lambda d: d["partition"])
+
+    # -- schema evolution (reference schema_evolution.py, G18) ------------
+
+    def add_column(self, name: str, type_name: str) -> None:
+        if type_name not in _TYPE_MAP:
+            raise ValueError(f"unsupported type {type_name!r}")
+        meta = self.meta()
+        fields = meta["schema"]["fields"]
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        fields.append({"name": name, "type": _TYPE_MAP[type_name].simpleString()})
+        self._bump_schema(meta, fields)
+
+    def drop_column(self, name: str) -> None:
+        meta = self.meta()
+        fields = [f for f in meta["schema"]["fields"] if f["name"] != name]
+        if len(fields) == len(meta["schema"]["fields"]):
+            raise ValueError(f"column {name!r} does not exist")
+        self._bump_schema(meta, fields)
+
+    def rename_column(self, old: str, new: str) -> None:
+        meta = self.meta()
+        fields = meta["schema"]["fields"]
+        if not any(f["name"] == old for f in fields):
+            raise ValueError(f"column {old!r} does not exist")
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        # physical rename: rewrite data so stored names match the schema
+        # (we have no field-ids; documented deviation from Iceberg)
+        df = self.scan().withColumnRenamed(old, new)
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        self._bump_schema(meta, fields)
+        if self.current_snapshot() is not None:
+            self.overwrite(df)
+
+    def _bump_schema(self, meta: dict, fields: list[dict]) -> None:
+        meta["schema"]["fields"] = fields
+        meta["schema"]["version"] = meta["schema"].get("version", 1) + 1
+        meta.setdefault("schema_history", []).append(
+            {
+                "version": meta["schema"]["version"],
+                "fields": [dict(f) for f in fields],
+                "ts": int(time.time() * 1000),
+            }
+        )
+        self._write_meta(meta)
+
+    def schema_history(self) -> list[dict]:
+        return self.meta().get("schema_history", [])
+
+
+def _parse_type(s: str) -> T.DataType:
+    mapping = {
+        "string": T.StringType(),
+        "bigint": T.LongType(),
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+        "timestamp": T.TimestampType(),
+        "date": T.DateType(),
+        "boolean": T.BooleanType(),
+    }
+    if s in mapping:
+        return mapping[s]
+    # array/struct etc. — delegate to Spark's DDL parser
+    return T._parse_datatype_string(s)  # noqa: SLF001
+
+

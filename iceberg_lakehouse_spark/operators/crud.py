@@ -1,0 +1,184 @@
+"""CRUD / merge over snapshot tables (SURVEY §2.3 C1-C7).
+
+The reference's motif is read-all → rewrite in DuckDB → overwrite
+(reference catalog.py:500-1344). Here every rewrite is a Spark job:
+filters are Catalyst expressions (pushed to the scan for the untouched
+side), and upsert is a left-anti join + union — the MERGE INTO shape —
+with the incoming side broadcast when small.
+
+Row-count semantics match the reference: update/delete return the
+number of affected rows (counted before the rewrite); upsert returns
+(updated, inserted).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import LakeTable
+
+
+def insert_rows(table: LakeTable, rows: list[dict[str, Any]]) -> int:
+    """C1: dict rows → typed DataFrame → append (reference
+    catalog.py:500-629; the per-type Python coercion loops collapse into
+    one createDataFrame against the table schema)."""
+    if not rows:
+        return 0
+    schema = table.schema()
+    known = {f.name for f in schema.fields}
+    for r in rows:
+        unknown = set(r) - known
+        if unknown:
+            raise ValueError(f"unknown columns: {sorted(unknown)}")
+    df = table.spark.createDataFrame(
+        [tuple(_coerce(r.get(f.name), f.dataType.simpleString()) for f in schema.fields)
+         for r in rows],
+        schema,
+    )
+    table.append(df)
+    return len(rows)
+
+
+def update_rows(table: LakeTable, filter_expr: str, updates: dict[str, Any]) -> int:
+    """C2: UPDATE … SET … WHERE filter as CASE-projection rewrite
+    (reference catalog.py:632-762). Returns matched-row count."""
+    schema = table.schema()
+    known = {f.name for f in schema.fields}
+    unknown = set(updates) - known
+    if unknown:
+        raise ValueError(f"unknown columns: {sorted(unknown)}")
+    df = table.scan()
+    cond = F.expr(filter_expr)
+    matched = df.where(cond).count()
+    if matched == 0:
+        return 0
+    cols = []
+    for f in schema.fields:
+        if f.name in updates:
+            cols.append(
+                F.when(cond, F.lit(updates[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    table.overwrite(df.select(*cols))
+    return matched
+
+
+def delete_rows(table: LakeTable, filter_expr: str) -> int:
+    """C3: DELETE WHERE filter = keep NOT(filter) (reference
+    catalog.py:765-831). NULL-safe: rows where the predicate is NULL are
+    kept, matching SQL delete semantics."""
+    df = table.scan()
+    cond = F.expr(filter_expr)
+    matched = df.where(cond).count()
+    if matched == 0:
+        return 0
+    table.overwrite(df.where(~F.coalesce(cond, F.lit(False))))
+    return matched
+
+
+def upsert_rows(
+    table: LakeTable, rows: list[dict[str, Any]], key_columns: list[str]
+) -> dict[str, int]:
+    """C4: MERGE semantics — matched rows replaced, new rows appended
+    (reference catalog.py:1180-1344: inner-join count, left-anti keep,
+    UNION ALL incoming, overwrite)."""
+    schema = table.schema()
+    known = {f.name for f in schema.fields}
+    for k in key_columns:
+        if k not in known:
+            raise ValueError(f"key column {k!r} not in schema")
+    if not rows:
+        return {"updated": 0, "inserted": 0}
+    for r in rows:
+        missing = [k for k in key_columns if r.get(k) is None]
+        if missing:
+            raise ValueError(f"row missing key columns: {missing}")
+    incoming = table.spark.createDataFrame(
+        [tuple(_coerce(r.get(f.name), f.dataType.simpleString()) for f in schema.fields)
+         for r in rows],
+        schema,
+    )
+    existing = table.scan()
+    if existing.rdd.isEmpty():
+        table.append(incoming)
+        return {"updated": 0, "inserted": len(rows)}
+    # semi-join gives correct match cardinality (the reference's inner
+    # join over-counts on duplicate keys — SURVEY §2.4 J5 note)
+    updated = existing.join(F.broadcast(incoming), key_columns, "left_semi").count()
+    kept = existing.join(F.broadcast(incoming), key_columns, "left_anti")
+    table.overwrite(kept.unionByName(incoming))
+    return {"updated": updated, "inserted": len(rows) - updated}
+
+
+def execute_batch(table_ops: list[tuple[LakeTable, dict]]) -> list[dict]:
+    """C5: sequential ops, stop-on-first-failure, remainder marked
+    skipped; no cross-op rollback (reference catalog.py:1003-1088)."""
+    results: list[dict] = []
+    failed = False
+    for table, op in table_ops:
+        if failed:
+            results.append({"op": op.get("op"), "status": "skipped"})
+            continue
+        try:
+            kind = op["op"]
+            if kind == "insert":
+                n = insert_rows(table, op["rows"])
+            elif kind == "update":
+                n = update_rows(table, op["filter"], op["updates"])
+            elif kind == "delete":
+                n = delete_rows(table, op["filter"])
+            else:
+                raise ValueError(f"unknown op {kind!r}")
+            results.append({"op": kind, "status": "ok", "rows_affected": n})
+        except Exception as e:  # noqa: BLE001
+            results.append({"op": op.get("op"), "status": "error", "error": str(e)})
+            failed = True
+    return results
+
+
+def merge_into(
+    table: LakeTable,
+    source: DataFrame,
+    key_columns: list[str],
+) -> dict[str, int]:
+    """DataFrame-sourced MERGE (used by pipelines/CDC replay): same
+    semantics as upsert_rows but the incoming side is a DataFrame and
+    may be arbitrarily large — no broadcast hint, AQE decides."""
+    existing = table.scan()
+    incoming = source.select(*[f.name for f in table.schema().fields])
+    if existing.rdd.isEmpty():
+        n = incoming.count()
+        table.append(incoming)
+        return {"updated": 0, "inserted": n}
+    updated = existing.join(incoming, key_columns, "left_semi").count()
+    kept = existing.join(incoming, key_columns, "left_anti")
+    total = incoming.count()
+    table.overwrite(kept.unionByName(incoming))
+    return {"updated": updated, "inserted": total - updated}
+
+
+def _coerce(value: Any, type_name: str) -> Any:
+    """ISO-string convenience coercion for date/timestamp dict inputs
+    (reference catalog.py:565-593); everything else is handled by
+    createDataFrame against the typed schema."""
+    if value is None:
+        return None
+    if type_name == "date" and isinstance(value, str):
+        from datetime import date
+
+        return date.fromisoformat(value)
+    if type_name.startswith("timestamp") and isinstance(value, str):
+        from datetime import datetime
+
+        return datetime.fromisoformat(value)
+    if type_name in ("bigint", "long", "int") and isinstance(value, str):
+        return int(value)
+    if type_name in ("double", "float") and isinstance(value, (str, int)):
+        return float(value)
+    return value

@@ -1,0 +1,258 @@
+"""Catalog + snapshot table format tests (mirrors reference
+tests/test_insert.py, test_time_travel.py, test_snapshot_diff.py,
+test_partitioning.py, test_schema_evolution.py style)."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_lakehouse_spark.catalog import LakehouseCatalog, PartitionField
+from iceberg_lakehouse_spark.operators import crud
+
+SCHEMA = [
+    ("id", "long"),
+    ("date", "date"),
+    ("category", "string"),
+    ("amount", "double"),
+]
+
+ROWS = [
+    {"id": 1, "date": "2025-11-15", "category": "groceries", "amount": 85.5},
+    {"id": 2, "date": "2025-11-20", "category": "transport", "amount": 15.99},
+    {"id": 3, "date": "2025-12-01", "category": "groceries", "amount": 120.0},
+    {"id": 4, "date": "2025-12-05", "category": "utilities", "amount": 60.25},
+]
+
+
+@pytest.fixture()
+def catalog(spark, tmp_warehouse):
+    return LakehouseCatalog(spark, tmp_warehouse)
+
+
+@pytest.fixture()
+def expenses(catalog):
+    t = catalog.create_table("expenses", SCHEMA, partition_by=["month(date)"])
+    crud.insert_rows(t, ROWS)
+    return t
+
+
+def test_create_list_drop(catalog):
+    catalog.create_table("t1", SCHEMA)
+    catalog.create_table("ns2.t2", SCHEMA)
+    assert catalog.list_tables() == ["default.t1", "ns2.t2"]
+    assert catalog.table_exists("t1") and catalog.table_exists("ns2.t2")
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.create_table("t1", SCHEMA)
+    catalog.drop_table("t1")
+    assert not catalog.table_exists("t1")
+    with pytest.raises(ValueError, match="does not exist"):
+        catalog.load_table("t1")
+
+
+def test_insert_and_scan(expenses):
+    df = expenses.scan()
+    assert df.count() == 4
+    row = df.where("id = 1").collect()[0]
+    assert row["category"] == "groceries"
+    assert row["amount"] == 85.5
+    assert str(row["date"]) == "2025-11-15"
+
+
+def test_insert_unknown_column(expenses):
+    with pytest.raises(ValueError, match="unknown columns"):
+        crud.insert_rows(expenses, [{"id": 9, "nope": 1}])
+
+
+def test_append_creates_snapshots(expenses):
+    assert len(expenses.snapshots()) == 1
+    crud.insert_rows(expenses, [{"id": 5, "date": "2025-12-06", "category": "fun", "amount": 9.99}])
+    snaps = expenses.snapshots()
+    assert len(snaps) == 2
+    assert snaps[-1].operation == "append"
+    assert snaps[-1].parent_id == snaps[0].snapshot_id
+    assert expenses.scan().count() == 5
+
+
+def test_time_travel(expenses):
+    first = expenses.current_snapshot().snapshot_id
+    crud.insert_rows(expenses, [{"id": 5, "date": "2025-12-06", "category": "fun", "amount": 9.99}])
+    assert expenses.scan().count() == 5
+    assert expenses.scan(snapshot_id=first).count() == 4
+    # as_of accepts stringified snapshot id first (reference order)
+    assert expenses.scan(as_of=str(first)).count() == 4
+
+
+def test_time_travel_by_timestamp(expenses):
+    import datetime
+
+    crud.insert_rows(expenses, [{"id": 5, "date": "2025-12-06", "category": "fun", "amount": 9.99}])
+    snaps = expenses.snapshots()
+    ts = datetime.datetime.fromtimestamp(
+        snaps[0].timestamp_ms / 1000, tz=datetime.timezone.utc
+    ).isoformat()
+    assert expenses.scan(as_of=ts).count() == 4
+
+
+def test_update_rows(expenses):
+    n = crud.update_rows(expenses, "category = 'groceries'", {"amount": 0.0})
+    assert n == 2
+    df = expenses.scan()
+    assert df.where("category = 'groceries' and amount = 0.0").count() == 2
+    assert df.where("category = 'transport'").collect()[0]["amount"] == 15.99
+    assert expenses.current_snapshot().operation == "overwrite"
+
+
+def test_update_no_match(expenses):
+    assert crud.update_rows(expenses, "category = 'nope'", {"amount": 1.0}) == 0
+    assert len(expenses.snapshots()) == 1  # no-op commits nothing
+
+
+def test_delete_rows(expenses):
+    n = crud.delete_rows(expenses, "amount > 80")
+    assert n == 2
+    assert expenses.scan().count() == 2
+    assert expenses.scan().where("amount > 80").count() == 0
+
+
+def test_upsert(expenses):
+    res = crud.upsert_rows(
+        expenses,
+        [
+            {"id": 1, "date": "2025-11-15", "category": "groceries", "amount": 99.0},
+            {"id": 10, "date": "2025-12-31", "category": "gifts", "amount": 49.5},
+        ],
+        key_columns=["id"],
+    )
+    assert res == {"updated": 1, "inserted": 1}
+    df = expenses.scan()
+    assert df.count() == 5
+    assert df.where("id = 1").collect()[0]["amount"] == 99.0
+    assert df.where("id = 10").collect()[0]["category"] == "gifts"
+
+
+def test_upsert_missing_key(expenses):
+    with pytest.raises(ValueError, match="missing key"):
+        crud.upsert_rows(expenses, [{"date": "2025-01-01"}], key_columns=["id"])
+
+
+def test_upsert_into_empty(catalog):
+    t = catalog.create_table("fresh", SCHEMA)
+    res = crud.upsert_rows(t, ROWS[:2], key_columns=["id"])
+    assert res == {"updated": 0, "inserted": 2}
+
+
+def test_execute_batch_stop_on_error(expenses):
+    results = crud.execute_batch(
+        [
+            (expenses, {"op": "insert", "rows": [{"id": 6, "date": "2025-12-07", "category": "x", "amount": 1.0}]}),
+            (expenses, {"op": "update", "filter": "bad syntax !!!", "updates": {"amount": 0.0}}),
+            (expenses, {"op": "delete", "filter": "id = 6"}),
+        ]
+    )
+    assert [r["status"] for r in results] == ["ok", "error", "skipped"]
+    assert expenses.scan().where("id = 6").count() == 1  # delete skipped
+
+
+def test_snapshot_diff(expenses):
+    first = expenses.current_snapshot().snapshot_id
+    crud.insert_rows(expenses, [{"id": 5, "date": "2025-12-06", "category": "fun", "amount": 9.99}])
+    crud.delete_rows(expenses, "id = 2")
+    cur = expenses.current_snapshot().snapshot_id
+    diff = expenses.snapshot_diff(first, cur)
+    added = [r["id"] for r in diff["added"].collect()]
+    deleted = [r["id"] for r in diff["deleted"].collect()]
+    assert added == [5]
+    assert deleted == [2]
+
+
+def test_rollback(expenses):
+    first = expenses.current_snapshot().snapshot_id
+    crud.delete_rows(expenses, "id > 0")
+    assert expenses.scan().count() == 0
+    expenses.rollback(snapshot_id=first)
+    assert expenses.scan().count() == 4
+    # reference semantics: rollback appends a snapshot, history grows
+    assert len(expenses.snapshots()) == 3
+    assert expenses.current_snapshot().operation == "rollback"
+
+
+def test_expire_snapshots(expenses):
+    for i in range(3):
+        crud.insert_rows(
+            expenses,
+            [{"id": 100 + i, "date": "2025-12-10", "category": "x", "amount": 1.0}],
+        )
+    assert len(expenses.snapshots()) == 4
+    res = expenses.expire_snapshots(retain_last=2)
+    assert len(res["kept"]) == 2
+    assert expenses.scan().count() == 7  # current data intact
+    # expired snapshot ids are gone
+    with pytest.raises(ValueError, match="not found"):
+        expenses.snapshot_by_id(res["expired"][0])
+
+
+def test_compact_and_orphans(expenses):
+    for i in range(3):
+        crud.insert_rows(
+            expenses,
+            [{"id": 200 + i, "date": "2025-12-11", "category": "y", "amount": 2.0}],
+        )
+    before = expenses.file_stats()
+    res = expenses.compact()
+    assert res["files_after"] <= res["files_before"]
+    assert expenses.scan().count() == 7
+    # old files still referenced by old snapshots → not orphans
+    assert expenses.orphan_files() == []
+    # expire all but current → unreferenced files removed
+    expenses.expire_snapshots(retain_last=1)
+    stats = expenses.file_stats()
+    assert stats["snapshot_count"] == 1
+    assert stats["orphan_count"] == 0
+    assert before["file_count"] >= stats["file_count"]
+
+
+def test_partitioned_layout_and_pruning(expenses, spark):
+    stats = expenses.partition_stats()
+    assert len(stats) == 2  # months 11 and 12
+    assert {s["partition"] for s in stats} == {"_p_month_date=11", "_p_month_date=12"}
+    # schema stays clean (hidden partitioning)
+    assert [f.name for f in expenses.scan().schema.fields] == [
+        "id", "date", "category", "amount",
+    ]
+
+
+def test_partition_transform_parsing():
+    assert PartitionField.parse("month(date)").transform == "month"
+    assert PartitionField.parse("bucket(16, id)").param == 16
+    assert PartitionField.parse("truncate(4, name)").param == 4
+    assert PartitionField.parse("category").transform == "identity"
+    with pytest.raises(ValueError, match="invalid partition spec"):
+        PartitionField.parse("exp(id, 2, 3)")
+
+
+def test_properties(expenses):
+    assert expenses.properties() == {}
+    expenses.set_properties({"write.format.default": "parquet", "owner": "me"})
+    assert expenses.properties()["owner"] == "me"
+    expenses.unset_properties(["owner"])
+    assert "owner" not in expenses.properties()
+
+
+def test_schema_evolution(expenses):
+    expenses.add_column("currency", "string")
+    assert "currency" in [f.name for f in expenses.schema().fields]
+    # old data reads as NULL for the new column
+    assert expenses.scan().where("currency is null").count() == 4
+    crud.insert_rows(
+        expenses,
+        [{"id": 7, "date": "2025-12-12", "category": "z", "amount": 3.0, "currency": "USD"}],
+    )
+    assert expenses.scan().where("currency = 'USD'").count() == 1
+    expenses.rename_column("currency", "ccy")
+    assert expenses.scan().where("ccy = 'USD'").count() == 1
+    expenses.drop_column("ccy")
+    assert "ccy" not in [f.name for f in expenses.schema().fields]
+    history = expenses.schema_history()
+    assert [h["version"] for h in history] == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="already exists"):
+        expenses.add_column("amount", "double")
