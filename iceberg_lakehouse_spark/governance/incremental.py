@@ -1,0 +1,144 @@
+"""Incremental processing with snapshot watermarks (SURVEY §2.10 I1-I3,
+reference incremental.py).
+
+"Watermark" = last-processed snapshot id per (pipeline, table). The
+incremental read fast-paths append-only history — if every snapshot
+since the watermark is an append, new rows are exactly the files added
+since then, read directly with zero diffing (the Iceberg
+incremental-scan equivalent; at 100 TB this is the difference between
+reading new files and EXCEPT-ing two full table scans). Overwrite
+history falls back to the reference's EXCEPT diff.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..catalog import LakehouseCatalog, LakeTable
+from .stores import JsonStore
+
+
+class WatermarkStore:
+    """I1 (reference incremental.py:33-139)."""
+
+    def __init__(self, store_path: str):
+        self.store = JsonStore(store_path, {})
+
+    def set(self, pipeline: str, table: str, snapshot_id: int, rows_processed: int = 0) -> dict:
+        data = self.store.load()
+        entry = {
+            "snapshot_id": snapshot_id,
+            "processed_at": datetime.now(timezone.utc).isoformat(),
+            "rows_processed": rows_processed,
+        }
+        data.setdefault(pipeline, {})[table] = entry
+        self.store.save(data)
+        return entry
+
+    def get(self, pipeline: str, table: str) -> dict | None:
+        return self.store.load().get(pipeline, {}).get(table)
+
+    def list(self, pipeline: str | None = None) -> dict:
+        data = self.store.load()
+        return data.get(pipeline, {}) if pipeline else data
+
+    def reset(self, pipeline: str, table: str | None = None) -> None:
+        data = self.store.load()
+        if table:
+            data.get(pipeline, {}).pop(table, None)
+        else:
+            data.pop(pipeline, None)
+        self.store.save(data)
+
+
+def incremental_read(
+    table: LakeTable, watermarks: WatermarkStore, pipeline: str
+) -> tuple[DataFrame, dict]:
+    """I2 (reference incremental.py:142-239): no watermark → full scan;
+    same snapshot → empty; else new-rows-since-watermark."""
+    cur = table.current_snapshot()
+    name = f"{table.namespace}.{table.table}"
+    wm = watermarks.get(pipeline, name)
+    if cur is None:
+        return table.scan(), {"mode": "empty", "from": None, "to": None}
+    if wm is None:
+        return table.scan(), {"mode": "full", "from": None, "to": cur.snapshot_id}
+    if wm["snapshot_id"] == cur.snapshot_id:
+        empty = table.spark.createDataFrame([], table.schema())
+        return empty, {"mode": "none", "from": wm["snapshot_id"], "to": cur.snapshot_id}
+
+    # append-only fast path: scan exactly the files added since the
+    # watermark (no diff job at all)
+    snaps = table.snapshots()
+    try:
+        wm_idx = next(i for i, s in enumerate(snaps) if s.snapshot_id == wm["snapshot_id"])
+    except StopIteration:
+        wm_idx = None
+    if wm_idx is not None and all(
+        s.operation == "append" for s in snaps[wm_idx + 1 :]
+    ):
+        old_files = set(snaps[wm_idx].files)
+        new_files = [f for f in snaps[-1].files if f not in old_files]
+        if not new_files:
+            df = table.spark.createDataFrame([], table.schema())
+        else:
+            schema = table.schema()
+            df = (
+                table.spark.read.schema(schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(*[os.path.join(table.root, f) for f in new_files])
+                .select(*[f.name for f in schema.fields])
+            )
+        return df, {
+            "mode": "append_files",
+            "from": wm["snapshot_id"],
+            "to": cur.snapshot_id,
+            "files": len(new_files),
+        }
+
+    # overwrite somewhere in between → EXCEPT diff (distinct semantics,
+    # reference incremental.py:225-227)
+    try:
+        old = table.scan(snapshot_id=wm["snapshot_id"])
+    except ValueError:  # watermark snapshot expired → full rescan
+        return table.scan(), {"mode": "full", "from": None, "to": cur.snapshot_id}
+    new = table.scan()
+    diff = new.exceptAll(old.distinct()).distinct()
+    return diff, {"mode": "except_diff", "from": wm["snapshot_id"], "to": cur.snapshot_id}
+
+
+def run_incremental_pipeline(
+    catalog: LakehouseCatalog,
+    watermarks: WatermarkStore,
+    pipeline_name: str,
+    steps: list[dict],
+    engine,
+) -> list[dict]:
+    """I3 (reference incremental.py:242-361): per step — incremental
+    source read → register temp view → step SQL → append into target →
+    advance watermark."""
+    results = []
+    for i, step in enumerate(steps):
+        src_name = step["source_table"]
+        table = catalog.load_table(src_name)
+        df, info = incremental_read(table, watermarks, pipeline_name)
+        view = step.get("view_name", src_name.split(".", 1)[-1] + "_increment")
+        df.createOrReplaceTempView(view)
+        out = engine.spark.sql(step["sql"])
+        rows = out.count()
+        target = step.get("target_table")
+        if target and rows:
+            if not catalog.table_exists(target):
+                t = catalog.create_table(target, out.schema)
+            else:
+                t = catalog.load_table(target)
+            t.append(out)
+        cur = table.current_snapshot()
+        if cur:
+            watermarks.set(pipeline_name, src_name, cur.snapshot_id, rows)
+        results.append({"step": i, "source": src_name, "mode": info["mode"], "rows": rows})
+    return results

@@ -1,0 +1,143 @@
+"""Saved queries + query history + query cache (SURVEY G19/G20,
+reference queries.py:31-222, query_cache.py:65-277)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import time
+from datetime import datetime, timezone
+
+from .stores import JsonStore
+
+HISTORY_CAP = 1000
+CACHE_CAP = 100
+DEFAULT_TTL_S = 300
+
+
+def normalize_sql(sql: str) -> str:
+    """Cache key normalization (reference query_cache.py:21-30):
+    uppercase + whitespace-collapse."""
+    return re.sub(r"\s+", " ", sql.strip()).upper()
+
+
+def cache_key(sql: str) -> str:
+    return hashlib.sha256(normalize_sql(sql).encode()).hexdigest()[:16]
+
+
+class SavedQueries:
+    def __init__(self, store_path: str):
+        self.store = JsonStore(store_path, {"saved": {}, "history": []})
+
+    def save(self, name: str, sql: str, description: str | None = None) -> dict:
+        data = self.store.load()
+        data["saved"][name] = {
+            "sql": sql,
+            "description": description,
+            "created": datetime.now(timezone.utc).isoformat(),
+        }
+        self.store.save(data)
+        return data["saved"][name]
+
+    def get(self, name: str) -> dict:
+        data = self.store.load()
+        if name not in data["saved"]:
+            raise ValueError(f"saved query {name!r} does not exist")
+        return data["saved"][name]
+
+    def list(self) -> dict:
+        return self.store.load()["saved"]
+
+    def delete(self, name: str) -> None:
+        data = self.store.load()
+        data["saved"].pop(name, None)
+        self.store.save(data)
+
+    def record_history(self, sql: str, duration_s: float, rows: int) -> None:
+        data = self.store.load()
+        data["history"].append(
+            {
+                "sql": sql,
+                "duration_s": round(duration_s, 4),
+                "rows": rows,
+                "at": datetime.now(timezone.utc).isoformat(),
+            }
+        )
+        data["history"] = data["history"][-HISTORY_CAP:]
+        self.store.save(data)
+
+    def history(self, limit: int = 100) -> list[dict]:
+        return list(reversed(self.store.load()["history"][-limit:]))
+
+
+class QueryCache:
+    """Collected-result cache with TTL + per-table policy + table-based
+    invalidation. Results are row dicts (they were collected anyway at
+    the API edge — caching DataFrames would cache nothing)."""
+
+    def __init__(self, store_path: str, ttl_s: int = DEFAULT_TTL_S):
+        self.store = JsonStore(store_path, {"entries": {}, "policy": {}, "stats": {"hits": 0, "misses": 0}})
+        self.ttl_s = ttl_s
+        self._results: dict[str, list[dict]] = {}
+
+    def enabled_for(self, tables: list[str]) -> bool:
+        policy = self.store.load()["policy"]
+        return all(policy.get(t, True) for t in tables)
+
+    def set_policy(self, table: str, enabled: bool) -> None:
+        data = self.store.load()
+        data["policy"][table] = enabled
+        self.store.save(data)
+
+    def get(self, sql: str) -> list[dict] | None:
+        key = cache_key(sql)
+        data = self.store.load()
+        meta = data["entries"].get(key)
+        hit = (
+            meta is not None
+            and key in self._results
+            and time.time() - meta["cached_at"] <= meta["ttl_s"]
+        )
+        data["stats"]["hits" if hit else "misses"] += 1
+        self.store.save(data)
+        return self._results[key] if hit else None
+
+    def put(self, sql: str, rows: list[dict], tables: list[str]) -> None:
+        key = cache_key(sql)
+        data = self.store.load()
+        data["entries"][key] = {
+            "sql": sql,
+            "tables": tables,
+            "cached_at": time.time(),
+            "ttl_s": self.ttl_s,
+            "rows": len(rows),
+        }
+        # oldest-eviction beyond cap (reference query_cache.py:96-101)
+        if len(data["entries"]) > CACHE_CAP:
+            oldest = sorted(data["entries"], key=lambda k: data["entries"][k]["cached_at"])
+            for k in oldest[: len(data["entries"]) - CACHE_CAP]:
+                data["entries"].pop(k)
+                self._results.pop(k, None)
+        self.store.save(data)
+        self._results[key] = rows
+
+    def invalidate_table(self, table: str) -> int:
+        data = self.store.load()
+        doomed = [k for k, e in data["entries"].items() if table in e.get("tables", [])]
+        for k in doomed:
+            data["entries"].pop(k)
+            self._results.pop(k, None)
+        self.store.save(data)
+        return len(doomed)
+
+    def invalidate_all(self) -> int:
+        data = self.store.load()
+        n = len(data["entries"])
+        data["entries"] = {}
+        self.store.save(data)
+        self._results.clear()
+        return n
+
+    def stats(self) -> dict:
+        data = self.store.load()
+        return {**data["stats"], "entries": len(data["entries"])}

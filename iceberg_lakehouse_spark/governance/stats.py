@@ -1,0 +1,202 @@
+"""Table statistics + cache, quality scoring, anomaly detection
+(SURVEY A1-A4, A9-A11, reference stats.py / quality.py).
+
+Profiling is ONE aggregation pass per table — every per-column metric
+(nulls, distinct, min/max/avg/stddev) partial-aggregates map-side, so
+the 100 TB cost is a single scan, not the reference's
+one-SQL-per-column loop.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import LakeTable
+from .stores import JsonStore
+
+_NUMERIC = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType, T.DecimalType)
+_TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def compute_table_stats(table: LakeTable, top_k: int = 10) -> dict:
+    """A1-A4 + A11 shape (reference stats.py:29-150): rows, files,
+    sizes, snapshots + per-column stats; single-pass aggregation."""
+    df = table.scan()
+    schema = df.schema
+    aggs = [F.count("*").alias("__rows")]
+    for f in schema.fields:
+        c = f.name
+        aggs.append((F.count("*") - F.count(c)).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        if isinstance(f.dataType, _NUMERIC):
+            aggs += [
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+                F.avg(c).alias(f"{c}__avg"),
+                F.stddev(c).alias(f"{c}__stddev"),
+            ]
+        elif isinstance(f.dataType, _TEMPORAL):
+            aggs += [
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = row["__rows"]
+    columns = {}
+    for f in schema.fields:
+        c = f.name
+        col_stats = {
+            "type": f.dataType.simpleString(),
+            "nulls": row[f"{c}__nulls"],
+            "distinct": row[f"{c}__distinct"],
+            "null_pct": round(100.0 * row[f"{c}__nulls"] / n, 4) if n else 0.0,
+        }
+        for suffix in ("min", "max", "avg", "stddev"):
+            if f"{c}__{suffix}" in row:
+                col_stats[suffix] = row[f"{c}__{suffix}"]
+        columns[c] = col_stats
+    fs = table.file_stats()
+    cur = table.current_snapshot()
+    return {
+        "table": f"{table.namespace}.{table.table}",
+        "row_count": n,
+        "snapshot_id": cur.snapshot_id if cur else None,
+        "file_count": fs["file_count"],
+        "total_bytes": fs["total_bytes"],
+        "snapshot_count": fs["snapshot_count"],
+        "columns": columns,
+        "computed_at": datetime.now(timezone.utc).isoformat(),
+    }
+
+
+class StatsCache:
+    """A11: stats keyed by snapshot id; stale when the table moved
+    (reference stats.py:211-237)."""
+
+    def __init__(self, store_path: str):
+        self.store = JsonStore(store_path, {})
+
+    def get(self, table: LakeTable, refresh: bool = False) -> dict:
+        name = f"{table.namespace}.{table.table}"
+        data = self.store.load()
+        cur = table.current_snapshot()
+        cur_id = cur.snapshot_id if cur else None
+        cached = data.get(name)
+        if not refresh and cached and cached.get("snapshot_id") == cur_id:
+            return {**cached, "cached": True}
+        stats = compute_table_stats(table)
+        data[name] = stats
+        self.store.save(data)
+        return {**stats, "cached": False}
+
+    def is_stale(self, table: LakeTable) -> bool:
+        name = f"{table.namespace}.{table.table}"
+        cached = self.store.load().get(name)
+        if not cached:
+            return True
+        cur = table.current_snapshot()
+        return cached.get("snapshot_id") != (cur.snapshot_id if cur else None)
+
+    def peek(self, table_name: str) -> dict | None:
+        return self.store.load().get(table_name)
+
+
+def quality_score(stats: dict, rules_compliance: float = 100.0) -> dict:
+    """A9 (reference quality.py:28-159): completeness 30% + uniqueness
+    25% + freshness 20% + rule-compliance 25%; piecewise freshness
+    decay (≤1h=100; ≤24h linear→50; →0 over 7d)."""
+    cols = stats.get("columns", {})
+    n = stats.get("row_count", 0)
+    if cols and n:
+        completeness = 100.0 - sum(c["null_pct"] for c in cols.values()) / len(cols)
+        key_uniq = []
+        for c in cols.values():
+            if c["distinct"] and n:
+                key_uniq.append(min(100.0, 100.0 * c["distinct"] / n))
+        uniqueness = max(key_uniq) if key_uniq else 0.0
+    else:
+        completeness = uniqueness = 0.0
+
+    computed_at = stats.get("computed_at")
+    age_h = 0.0
+    if computed_at:
+        age_h = (
+            datetime.now(timezone.utc)
+            - datetime.fromisoformat(computed_at)
+        ).total_seconds() / 3600
+    if age_h <= 1:
+        freshness = 100.0
+    elif age_h <= 24:
+        freshness = 100.0 - (age_h - 1) / 23 * 50.0
+    elif age_h <= 24 * 7:
+        freshness = 50.0 - (age_h - 24) / (24 * 6) * 50.0
+    else:
+        freshness = 0.0
+
+    score = (
+        completeness * 0.30 + uniqueness * 0.25 + freshness * 0.20 + rules_compliance * 0.25
+    )
+    return {
+        "score": round(score, 2),
+        "completeness": round(completeness, 2),
+        "uniqueness": round(uniqueness, 2),
+        "freshness": round(freshness, 2),
+        "rules_compliance": round(rules_compliance, 2),
+    }
+
+
+def detect_anomalies(old_stats: dict, new_stats: dict) -> list[dict]:
+    """A10 (reference quality.py:162-273): row-count Δ>50% warn />90%
+    critical; null-rate Δ>10pp warn />30pp critical; numeric min <
+    0.5×old-min / max > 2×old-max."""
+    anomalies = []
+    old_n, new_n = old_stats.get("row_count", 0), new_stats.get("row_count", 0)
+    if old_n:
+        delta = abs(new_n - old_n) / old_n
+        if delta > 0.5:
+            anomalies.append(
+                {
+                    "type": "row_count_change",
+                    "severity": "critical" if delta > 0.9 else "warning",
+                    "detail": f"row count {old_n} → {new_n} ({delta:.0%})",
+                }
+            )
+    for col, new_c in new_stats.get("columns", {}).items():
+        old_c = old_stats.get("columns", {}).get(col)
+        if not old_c:
+            continue
+        dn = new_c["null_pct"] - old_c["null_pct"]
+        if dn > 10:
+            anomalies.append(
+                {
+                    "type": "null_rate_increase",
+                    "column": col,
+                    "severity": "critical" if dn > 30 else "warning",
+                    "detail": f"null% {old_c['null_pct']} → {new_c['null_pct']}",
+                }
+            )
+        if (
+            isinstance(old_c.get("min"), (int, float))
+            and isinstance(new_c.get("min"), (int, float))
+            and old_c["min"] > 0
+            and new_c["min"] < 0.5 * old_c["min"]
+        ):
+            anomalies.append(
+                {"type": "min_drop", "column": col, "severity": "warning",
+                 "detail": f"min {old_c['min']} → {new_c['min']}"}
+            )
+        if (
+            isinstance(old_c.get("max"), (int, float))
+            and isinstance(new_c.get("max"), (int, float))
+            and old_c["max"] > 0
+            and new_c["max"] > 2 * old_c["max"]
+        ):
+            anomalies.append(
+                {"type": "max_spike", "column": col, "severity": "warning",
+                 "detail": f"max {old_c['max']} → {new_c['max']}"}
+            )
+    return anomalies

@@ -1,0 +1,103 @@
+"""QueryEngine — the SQL surface (SURVEY §3.1-§3.2, P1/P2/S3/S14).
+
+Reference lifecycle (query.py:26-197): eagerly materialize every table
+into DuckDB, string-inject LIMIT, execute. Spark-first rebuild:
+
+  * registration is *lazy* — temp views over snapshot scans; nothing is
+    materialized until an action, so Catalyst pushes filters into the
+    parquet scans of exactly the tables a query touches;
+  * auto-LIMIT is ``df.limit(n)`` on the result plan, not string
+    surgery (SURVEY §4.2 — no custom Catalyst rule needed);
+  * time-travel queries register a snapshot-resolved view (a fresh
+    throwaway DuckDB session in the reference, query.py:187-197 — here
+    just a different lazy view, no copy);
+  * ``refresh()`` re-registers views (the reference must rebuild its
+    whole connection because registration copies data; we only need to
+    pick up new snapshots).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from ..catalog import LakehouseCatalog
+
+_SELECT_RE = re.compile(r"^\s*(select|with)\b", re.IGNORECASE)
+_LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
+
+
+class QueryEngine:
+    def __init__(self, catalog: LakehouseCatalog, max_rows: int = 1000):
+        self.catalog = catalog
+        self.spark = catalog.spark
+        self.max_rows = max_rows
+        self._registered = False
+
+    def _register_tables(self) -> None:
+        """Every table under its short name, plus ``ns__table`` alias for
+        namespace-qualified queries (reference query.py:52-75,
+        joins.py:13-41) — views are lazy; re-running is cheap."""
+        for full in self.catalog.list_tables():
+            ns, t = full.split(".", 1)
+            try:
+                df = self.catalog.load_table(full).scan()
+            except Exception:  # noqa: BLE001 — skip-and-continue like reference
+                continue
+            df.createOrReplaceTempView(t)
+            df.createOrReplaceTempView(f"{ns}__{t}")
+        self._registered = True
+
+    def refresh(self) -> None:
+        self._register_tables()
+
+    def execute(self, sql: str, max_rows: int | None = None) -> DataFrame:
+        """P1 passthrough + P2 auto-LIMIT (applied as .limit on the
+        plan — pushes through to TakeOrderedAndProject etc.)."""
+        self._register_tables()
+        df = self.spark.sql(sql)
+        n = max_rows if max_rows is not None else self.max_rows
+        if n and _SELECT_RE.match(sql) and not _LIMIT_RE.search(sql):
+            df = df.limit(n)
+        return df
+
+    def execute_as_of(
+        self, sql: str, table_name: str, as_of: str, max_rows: int | None = None
+    ) -> DataFrame:
+        """S2/§3.2: run sql with ``table_name`` bound to its snapshot at
+        ``as_of`` (int snapshot-id parsed first, then ISO timestamp)."""
+        self._register_tables()
+        table = self.catalog.load_table(table_name)
+        short = table_name.split(".", 1)[-1]
+        hist = table.scan(as_of=as_of)
+        hist.createOrReplaceTempView(short)
+        try:
+            df = self.spark.sql(sql)
+            n = max_rows if max_rows is not None else self.max_rows
+            if n and _SELECT_RE.match(sql) and not _LIMIT_RE.search(sql):
+                df = df.limit(n)
+            # force resolution before restoring the current-view binding
+            df = self.spark.createDataFrame(df.collect(), df.schema)
+        finally:
+            table.scan().createOrReplaceTempView(short)
+        return df
+
+    def query_file(self, path: str, sql: str, view_name: str = "file_view",
+                   max_rows: int | None = None) -> DataFrame:
+        """S14: query a standalone columnar file (parquet/orc/csv/json)
+        registered as a view (reference query.py:103-145)."""
+        if path.endswith(".orc"):
+            df = self.spark.read.orc(path)
+        elif path.endswith(".csv"):
+            df = self.spark.read.option("header", True).option("inferSchema", True).csv(path)
+        elif path.endswith((".json", ".ndjson")):
+            df = self.spark.read.json(path)
+        else:
+            df = self.spark.read.parquet(path)
+        df.createOrReplaceTempView(view_name)
+        out = self.spark.sql(sql)
+        n = max_rows if max_rows is not None else self.max_rows
+        if n and _SELECT_RE.match(sql) and not _LIMIT_RE.search(sql):
+            out = out.limit(n)
+        return out
