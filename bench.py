@@ -33,6 +33,9 @@ HEADLINE = [
     "cosine_knn_bruteforce",
     "exact_dup_docs_by_fingerprint",
     "profile_orders",
+    "minhash_near_dup_pairs",
+    "simhash_fingerprints",
+    "embedding_near_dup_blocked",
 ]
 
 

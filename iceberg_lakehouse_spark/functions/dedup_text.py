@@ -1,0 +1,203 @@
+"""Near-duplicate text detection: shingling, MinHash+LSH, SimHash,
+n-gram Jaccard (LLM-pipeline operators, BASELINE.json north star).
+
+Everything is built-in Column expressions — no Python UDFs — so the
+whole pipeline stays in whole-stage codegen and scales by shuffle:
+
+  * shingles: word n-grams via sequence+slice transform (map-only);
+  * MinHash: explode distinct shingles → k min-aggregations of
+    md5(seed:shingle) — one shuffle on doc_id with map-side partial
+    mins, so the reduce traffic is k hashes per doc, not the shingles;
+  * LSH banding: signature → b band keys; docs sharing any band key
+    are candidates — one shuffle on (band, key), skew-free because
+    band keys are hashes;
+  * verification: exact Jaccard on distinct shingle sets for candidate
+    pairs only (never all-pairs).
+
+Hash choice: md5 hex strings with lexicographic MIN — engine-portable
+(the DuckDB oracle computes the identical signature), uniform, and
+deterministic. A production deployment would swap in xxhash64 for
+speed; the algebra is unchanged.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def tokens_col(text: F.Column | str) -> F.Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def shingles_col(text: F.Column | str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles; a document shorter than n tokens
+    contributes its whole text as one shingle."""
+    t = tokens_col(text)
+    full = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+    return F.when(F.size(t) >= n, full).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3
+) -> DataFrame:
+    """id + h0..h{k-1} MinHash signature columns."""
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature (k/bands rows per band); docs sharing a band
+    key become (left_id, right_id) candidate pairs (left < right)."""
+    rows = k // bands
+    band_frames = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+        )
+        band_frames.append(
+            sigs.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    banded = band_frames[0]
+    for bf in band_frames[1:]:
+        banded = banded.unionByName(bf)
+    left = banded.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("left_id")
+    )
+    right = banded.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("right_id")
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over
+    distinct shingle sets. Join order: pairs ⋈ shingle-sets twice —
+    shingle arrays travel only for candidate docs."""
+    sets = df.select(
+        F.col(id_col), shingles_col(text_col, n).alias("sh")
+    )
+    a = sets.select(F.col(id_col).alias("left_id"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("right_id"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "left_id")
+        .join(b, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full pipeline: shingle → minhash → LSH bucket-join → exact-verify.
+    Returns (left_id, right_id, jaccard) for verified near-duplicates."""
+    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    cands = lsh_candidate_pairs(sigs, id_col, k, bands)
+    verified = jaccard_pairs(df, cands, id_col, text_col, n)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over md5 nibble top-bits: per hex position p, the
+    token votes ±1 by whether md5(token)[p] ≥ '8'; fingerprint is the
+    16-char sign bitstring. Engine-portable (identical in the DuckDB
+    oracle); a production variant widens to xxhash64 bits."""
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", p + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{p}")
+        for p in range(16)
+    ]
+    sums = exploded.groupBy(id_col).agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"b{p}") > 0, F.lit("1")).otherwise("0") for p in range(16)]
+    )
+    return sums.select(F.col(id_col), bits.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    fingerprints: DataFrame, id_col: str, max_distance: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ d over the bit fingerprint.
+    Blocking: split the fingerprint into (d+1) segments — by pigeonhole
+    any pair within distance d agrees on ≥1 whole segment, so the join
+    is segment-equality (hash shuffle), never all-pairs."""
+    segs = max_distance + 1
+    seg_len = 16 // segs
+    frames = []
+    for s in range(segs):
+        frames.append(
+            fingerprints.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(s).alias("seg"),
+                F.substring("simhash", s * seg_len + 1, seg_len).alias("seg_key"),
+            )
+        )
+    banded = frames[0]
+    for fr in frames[1:]:
+        banded = banded.unionByName(fr)
+    left = banded.select(
+        "seg", "seg_key", F.col(id_col).alias("left_id"), F.col("simhash").alias("sh_a")
+    )
+    right = banded.select(
+        "seg", "seg_key", F.col(id_col).alias("right_id"), F.col("simhash").alias("sh_b")
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sh_a"), "(?!$)"),
+                F.split(F.col("sh_b"), "(?!$)"),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    )
+    return (
+        left.join(right, ["seg", "seg_key"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_distance)
+    )

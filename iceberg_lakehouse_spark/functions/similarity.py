@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (LLM-pipeline).
+
+Brute-force cosine is the exactness baseline (map-only against a
+broadcast query + top-k). The scale paths:
+
+  * IVF: coarse quantization — assign every vector to its nearest
+    centroid once (map-only vs broadcast centroids); a query probes
+    only the nprobe nearest cells, turning a 100 TB scan into a
+    cell-pruned scan. Centroids here are deterministically sampled
+    (hash-ordered) — a production build would k-means them; the index
+    structure and probe path are identical.
+  * Hyperplane LSH: sign-bit sketches vs broadcast random hyperplanes →
+    bucket-equality join for near-dup candidate pairs.
+
+All arithmetic is F.aggregate/zip_with over double-cast arrays —
+JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: F.Column) -> F.Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector. The query
+    is a broadcast literal; the scan is map-only; top-k is
+    TakeOrdered (no global sort materialization)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16
+) -> tuple[DataFrame, list[dict]]:
+    """Assign each vector to its nearest of n_cells centroids.
+
+    Centroids: the n_cells vectors with smallest md5(id) — a
+    deterministic pseudo-random sample (stand-in for k-means; the
+    assignment/probe machinery is what matters for the scale path).
+    Returns (assigned_df with 'cell' column, centroids as list of dicts).
+    """
+    cents = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [
+        {"cell": i, "vec": [float(x) for x in r[vec_col]]} for i, r in enumerate(cents)
+    ]
+    assigned = df.withColumn("cell", _nearest_cell(F.col(vec_col), centroids))
+    return assigned, centroids
+
+
+def _nearest_cell(vec: F.Column, centroids: list[dict]) -> F.Column:
+    """argmax-cosine over broadcast centroid literals, as one expression:
+    array of (sim, cell) structs → array_max → .cell"""
+    pairs = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(x) for x in c["vec"]])).alias("sim"),
+                F.lit(c["cell"]).alias("cell"),
+            )
+            for c in centroids
+        ]
+    )
+    return F.array_max(pairs)["cell"]
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[dict],
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the nprobe cells nearest the query; exact cosine within."""
+    import math
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = [
+        c["cell"]
+        for c in sorted(centroids, key=lambda c: -cos_py(c["vec"], query_vec))[:nprobe]
+    ]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        assigned.where(F.col("cell").isin(probe))  # cell pruning = partition pruning
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplane_sketch(
+    df: DataFrame, id_col: str, vec_col: str, hyperplanes: list[list[float]]
+) -> DataFrame:
+    """Sign-bit sketch vs broadcast hyperplanes → bitstring column."""
+    bits = F.concat(
+        *[
+            F.when(
+                dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h])) >= 0,
+                F.lit("1"),
+            ).otherwise("0")
+            for h in hyperplanes
+        ]
+    )
+    return df.select(F.col(id_col), F.col(vec_col), bits.alias("sketch"))
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold.
+    ``block_col`` (e.g. an LSH sketch or cluster label) bounds the join:
+    only same-block pairs are compared — the difference between O(n²)
+    and O(Σ block²) at 100 TB."""
+    a = df.select(
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("va"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("vb"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    joined = a.join(b, ["blk"]) if block_col else a.crossJoin(b)
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        joined.where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", F.round(sim, 6).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,107 @@
+"""Streaming operators for the events stream.
+
+The reference has no true streaming (SURVEY §1.1: "incremental" =
+snapshot-diff batch pulls); this module is the Spark-native extension
+flagged in SURVEY §7 Phase 5: file-source readStream → watermarked
+windowed aggregation / dedup → sink.
+
+Tests drive it with trigger(availableNow=True) against a parquet dir —
+the same topology a Kafka source would feed at production scale. State
+stores are bounded by the watermark; window+watermark is the canonical
+late-data-tolerant rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream: new parquet files in source_dir are new
+    micro-batches (swap for Kafka in production — topology unchanged)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark.
+    State is purged past the watermark — bounded memory at any scale."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("events"),
+            F.sum("value").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def deduped_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exactly-once-per-event_id within the watermark horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory_sink(
+    result: DataFrame, query_name: str, output_mode: str = "append"
+) -> "object":
+    """Drain all available input into an in-memory table (test/dev sink);
+    returns the finished StreamingQuery."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_events_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    target_dir: str,
+    window: str = "5 minutes",
+) -> "object":
+    """End-to-end: stream → windowed rollup → parquet sink with
+    checkpointing (restart-safe exactly-once file sink)."""
+    stream = read_event_stream(spark, source_dir)
+    rollup = windowed_event_counts(stream, window=window)
+    q = (
+        rollup.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

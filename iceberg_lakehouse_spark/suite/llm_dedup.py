@@ -1,0 +1,206 @@
+"""Oracle-paired LLM-dedup queries: MinHash signatures, LSH candidate
+pairs with exact-Jaccard verification, SimHash fingerprints, blocked
+embedding near-dup — the training-data-pipeline operators, each checked
+value-exact against DuckDB.
+
+The corpus has no natural near-duplicates (driver word-soup), so the
+near-dup queries *construct* them deterministically: docs with
+doc_id < 25 re-enter as doc_id+100000 with their first three tokens
+dropped — high-Jaccard pairs the pipeline must find.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import dedup_text as dt
+from ..session import load_sf_tables
+from . import register
+
+_K = 8
+_BANDS = 4
+
+# DuckDB twin of functions.dedup_text.shingles_col (n=3)
+_SQL_SHINGLES = """
+        CASE WHEN len(toks) >= 3
+             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END
+"""
+
+_SQL_CORPUS = """
+    corpus AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               t2[4:len(t2)] AS toks
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t2
+              FROM documents WHERE doc_id < 25)
+    ),
+    sh AS (
+        SELECT doc_id, unnest(""" + _SQL_SHINGLES + """) AS shingle
+        FROM corpus
+    ),
+    sig AS (
+        SELECT doc_id,
+""" + ",\n".join(
+    f"               min(md5('{i}:' || shingle)) AS h{i}" for i in range(_K)
+) + """
+        FROM sh GROUP BY doc_id
+    )
+"""
+
+
+def _corpus_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copies (first 3 tokens dropped, id+100000)."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    t = dt.tokens_col("text")
+    mutated = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(t, 4, F.greatest(F.lit(0), F.size(t) - 3))
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+@register(
+    "minhash_signatures",
+    "WITH " + _SQL_CORPUS + """
+    SELECT doc_id, """ + ", ".join(f"h{i}" for i in range(_K)) + """
+    FROM sig
+    """,
+    survey_ref="LLM-dedup: MinHash signatures (shingle→k×min-hash)",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    return dt.minhash_signatures(corpus, "doc_id", "text", k=_K, n=3)
+
+
+@register(
+    "minhash_near_dup_pairs",
+    "WITH " + _SQL_CORPUS + """,
+    banded AS (
+""" + "\n        UNION ALL\n".join(
+        f"""        SELECT doc_id, {b} AS band,
+               md5(h{2 * b} || '|' || h{2 * b + 1}) AS band_key FROM sig"""
+        for b in range(_BANDS)
+    ) + """
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+        SELECT doc_id, """ + _SQL_SHINGLES + """ AS sh FROM corpus
+    )
+    SELECT c.left_id, c.right_id,
+           ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.left_id
+    JOIN sets sb ON sb.doc_id = c.right_id
+    WHERE ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                / (len(sa.sh) + len(sb.sh)
+                   - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) >= 0.5
+    """,
+    survey_ref="LLM-dedup: MinHash+LSH candidates → exact-Jaccard verify",
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    sigs = dt.minhash_signatures(corpus, "doc_id", "text", k=_K, n=3)
+    cands = dt.lsh_candidate_pairs(sigs, "doc_id", k=_K, bands=_BANDS)
+    verified = dt.jaccard_pairs(corpus, cands, "doc_id", "text", n=3)
+    return verified.select(
+        "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
+    ).where(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "simhash_fingerprints",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    sums AS (
+        SELECT doc_id,
+"""
+    + ",\n".join(
+        f"               SUM(CASE WHEN substr(md5(tok), {p + 1}, 1) >= '8' "
+        f"THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(16)
+    )
+    + """
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           """
+    + " || ".join(
+        f"(CASE WHEN b{p} > 0 THEN '1' ELSE '0' END)" for p in range(16)
+    )
+    + """ AS simhash
+    FROM sums
+    """,
+    survey_ref="LLM-dedup: SimHash fingerprints (frequency-weighted sign bits)",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    return dt.simhash16(docs, "doc_id", "text")
+
+
+@register(
+    "embedding_near_dup_blocked",
+    """
+    SELECT a.vec_id AS left_id, b.vec_id AS right_id, a.label AS label,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
+    """,
+    survey_ref="LLM-dedup: embedding-cosine near-dup with label blocking",
+)
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise cosine: only same-label pairs are compared (the
+    O(Σ block²) scale path vs O(n²) all-pairs)."""
+    from ..functions.similarity import cosine
+
+    emb = load_sf_tables(spark, sf_dir)["embeddings"]
+    a = emb.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").alias("va"),
+        F.col("label").alias("label"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").alias("vb"),
+        F.col("label").alias("label"),
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "label")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "label", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= 0.2)
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # driver-side centroid sampling — rows-only check
+    survey_ref="LLM-similarity: IVF cell-probed ANN (scale path)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import build_ivf_index, ivf_search
+
+    emb = load_sf_tables(spark, sf_dir)["embeddings"]
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0]
+    query = [float(x) for x in qrow["embedding"]]
+    assigned, centroids = build_ivf_index(emb, "vec_id", "embedding", n_cells=8)
+    return ivf_search(assigned, centroids, "vec_id", "embedding", query, k=10, nprobe=3)

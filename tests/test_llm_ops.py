@@ -1,0 +1,166 @@
+"""LLM-pipeline operator tests: MinHash/SimHash dedup, similarity
+search (brute-force vs IVF recall), multimodal plumbing, streaming."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_lakehouse_spark.functions import dedup_text as dt
+from iceberg_lakehouse_spark.functions import multimodal as mm
+from iceberg_lakehouse_spark.functions import similarity as sim
+from iceberg_lakehouse_spark.session import load_sf_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_sf_tables(spark, SF)["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_sf_tables(spark, SF)["embeddings"]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y")], "id long, text string"
+    )
+    out = {r["id"]: sorted(r["sh"]) for r in df.select("id", dt.shingles_col("text").alias("sh")).collect()}
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == ["x y"]  # short-doc fallback
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    # plant: doc 7 with 2 tokens changed → high jaccard with original
+    t = dt.tokens_col("text")
+    mutated = docs.where(F.col("doc_id") == 7).select(
+        F.lit(90007).cast("long").alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, 3, 1000)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    dups = dt.minhash_dedup(corpus, "doc_id", "text", k=16, bands=4, threshold=0.6)
+    pairs = {(r["left_id"], r["right_id"]) for r in dups.collect()}
+    assert (7, 90007) in pairs
+    jac = {r["left_id"]: r["jaccard"] for r in dups.collect()}[7]
+    assert 0.6 <= jac < 1.0
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different sentence with other words entirely")],
+        "doc_id long, text string",
+    )
+    dups = dt.minhash_dedup(df, "doc_id", "text", k=16, bands=4, threshold=0.9)
+    rows = dups.collect()
+    assert len(rows) == 1
+    assert (rows[0]["left_id"], rows[0]["right_id"], rows[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_simhash_and_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "spark table join merge"), (2, "spark table join merge"),
+         (3, "entirely unrelated words here")],
+        "doc_id long, text string",
+    )
+    fp = dt.simhash16(df, "doc_id", "text")
+    vals = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert vals[1] == vals[2] and len(vals[1]) == 16
+    pairs = dt.simhash_hamming_pairs(fp, "doc_id", max_distance=3)
+    got = {(r["left_id"], r["right_id"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    qrow = emb.where(F.col("vec_id") == 42).collect()[0]
+    query = [float(x) for x in qrow["embedding"]]
+    exact = sim.knn_bruteforce(emb, "vec_id", "embedding", query, k=10)
+    exact_ids = [r["vec_id"] for r in exact.collect()]
+    assert exact_ids[0] == 42  # self is most similar
+    assigned, cents = sim.build_ivf_index(emb, "vec_id", "embedding", n_cells=8)
+    approx = sim.ivf_search(assigned, cents, "vec_id", "embedding", query, k=10, nprobe=4)
+    approx_ids = [r["vec_id"] for r in approx.collect()]
+    # cell-probed search must recall at least half of the exact top-10
+    assert len(set(exact_ids) & set(approx_ids)) >= 5
+    assert approx_ids[0] == 42
+
+
+def test_hyperplane_sketch_blocks(spark, emb):
+    planes = [[(1.0 if (i + j) % 3 else -1.0) for i in range(64)] for j in range(6)]
+    sk = sim.hyperplane_sketch(emb, "vec_id", "embedding", planes)
+    rows = sk.collect()
+    assert all(len(r["sketch"]) == 6 and set(r["sketch"]) <= {"0", "1"} for r in rows)
+    pairs = sim.cosine_near_dup_pairs(sk, "vec_id", "embedding", block_col="sketch", threshold=0.5)
+    for r in pairs.collect():
+        assert r["cosine_sim"] >= 0.5
+
+
+def test_multimodal_decode_pipeline(spark):
+    rows = [
+        (1, b"\x89PNG fake content one", "image", "png", 21),
+        (2, b"RIFF fake wav bytes", "audio", "wav", 19),
+        (3, None, "image", "jpg", 0),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.decode_media(df, deterministic_fake=True)
+    got = {r["media_id"]: r for r in out.collect()}
+    assert len(got) == 3
+    assert len(got[1]["features"]) == mm.FEATURE_DIM
+    # deterministic: re-running yields identical features
+    again = {r["media_id"]: r for r in mm.decode_media(df, deterministic_fake=True).collect()}
+    assert got[1]["features"] == again[1]["features"]
+    assert got[1]["height"] != got[2]["height"]  # content-dependent
+
+    # real-codec path is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        mm.decode_media(df, deterministic_fake=False).collect()
+
+    stats = mm.media_stats(df).collect()
+    assert {(r["media_type"], r["format"]) for r in stats} == {
+        ("image", "png"), ("audio", "wav"), ("image", "jpg")
+    }
+    plan = mm.frame_sample_plan(df, every_nth=2).collect()
+    assert all(isinstance(r["frame_indices"], list) for r in plan)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from iceberg_lakehouse_spark.streaming import events as se
+
+    src = str(tmp_path / "stream_src")
+    events = load_sf_tables(spark, SF)["events"]
+    events.limit(2000).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+
+    stream = se.read_event_stream(spark, src)
+    assert stream.isStreaming
+    rollup = se.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    # complete mode: emit every window (append would withhold windows
+    # still inside the watermark at end-of-input)
+    se.run_to_memory_sink(rollup, "win_counts", output_mode="complete")
+    got = spark.sql("SELECT * FROM win_counts").collect()
+    assert len(got) > 0
+    assert all(r["events"] > 0 for r in got)
+    # cross-check one bucket against batch
+    batch = (
+        events.limit(2000)
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type")
+        .count()
+        .count()
+    )
+    assert len(got) == batch
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from iceberg_lakehouse_spark.streaming import events as se
+
+    src = str(tmp_path / "dedup_src")
+    events = load_sf_tables(spark, SF)["events"].limit(500)
+    doubled = events.unionByName(events)  # every event twice
+    doubled.withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    stream = se.read_event_stream(spark, src)
+    se.run_to_memory_sink(se.deduped_stream(stream), "dedup_out")
+    n = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM dedup_out").collect()[0]
+    assert n["n"] == n["total"] == 500
