@@ -47,7 +47,15 @@ def shingles_col(text: F.Column | str, n: int = 3) -> F.Column:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3
 ) -> DataFrame:
-    """id + h0..h{k-1} MinHash signature columns."""
+    """id + h0..h{k-1} MinHash signature columns.
+
+    Shape: explode distinct shingles -> k MIN aggregations grouped by
+    id. The groupBy shuffle carries only k hashes per doc after
+    map-side partial mins - cheaper in practice than the shuffle-free
+    array_min(transform(...)) formulation, because Catalyst collapses
+    projections and higher-order-function lambdas defeat
+    common-subexpression elimination, so that variant recomputes the
+    shingle array k times (measured 2-4x slower at sf0.1)."""
     exploded = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
     )
@@ -140,20 +148,26 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token votes ±1 by whether md5(token)[p] ≥ '8'; fingerprint is the
     16-char sign bitstring. Engine-portable (identical in the DuckDB
     oracle); a production variant widens to xxhash64 bits."""
-    exploded = df.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
-    aggs = [
-        F.sum(
-            F.when(F.substring("h", p + 1, 1) >= "8", 1).otherwise(-1)
-        ).alias(f"b{p}")
-        for p in range(16)
-    ]
-    sums = exploded.groupBy(id_col).agg(*aggs)
-    bits = F.concat(
-        *[F.when(F.col(f"b{p}") > 0, F.lit("1")).otherwise("0") for p in range(16)]
+    hashes = F.transform(tokens_col(text_col), lambda t: F.md5(t))
+    # map-only single pass: fold the row's token hashes into a 16-slot
+    # vote array — no explode/groupBy/shuffle (cf. minhash_signatures)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda p: F.when(F.substring(h, p, 1) >= "8", 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
     )
-    return sums.select(F.col(id_col), bits.alias("simhash"))
+    bits = F.concat_ws(
+        "",
+        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise("0")),
+    )
+    return df.select(F.col(id_col), bits.alias("simhash"))
 
 
 def simhash_hamming_pairs(

@@ -58,6 +58,7 @@ def load_all() -> dict[str, OracleQuery]:
     from . import (  # noqa: F401
         crud,
         dedup,
+        extended,
         llm_dedup,
         relational,
         sampling,

@@ -1,0 +1,117 @@
+"""Tests: join-to-table (J2), join suggestions (J3), auto-refresh
+cascade (I9), config resolution (S15), schema evolution tooling (G18)."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+from iceberg_lakehouse_spark.governance.auto_refresh import AutoRefreshManager
+from iceberg_lakehouse_spark.governance.config import ConfigManager
+from iceberg_lakehouse_spark.governance.lineage import LineageManager
+from iceberg_lakehouse_spark.governance.queries_store import QueryCache
+from iceberg_lakehouse_spark.governance.schema_evolution import (
+    check_compatibility,
+    diff_schemas,
+    migration_steps,
+)
+from iceberg_lakehouse_spark.governance.views import MatviewManager
+from iceberg_lakehouse_spark.operators import crud
+from iceberg_lakehouse_spark.operators.joins import join_to_table, suggest_joins
+from iceberg_lakehouse_spark.plans.engine import QueryEngine
+
+
+@pytest.fixture()
+def catalog(spark, tmp_warehouse):
+    c = LakehouseCatalog(spark, tmp_warehouse)
+    t = c.create_table("orders", [("order_id", "long"), ("cust_id", "long"), ("total", "double")])
+    crud.insert_rows(t, [
+        {"order_id": 1, "cust_id": 10, "total": 100.0},
+        {"order_id": 2, "cust_id": 11, "total": 50.0},
+    ])
+    t2 = c.create_table("customers", [("cust_id", "long"), ("name", "string")])
+    crud.insert_rows(t2, [{"cust_id": 10, "name": "alice"}, {"cust_id": 11, "name": "bob"}])
+    return c
+
+
+def test_join_to_table_with_lineage(tmp_path, catalog):
+    eng = QueryEngine(catalog)
+    lm = LineageManager(str(tmp_path / "lineage.json"))
+    res = join_to_table(
+        catalog, eng,
+        "SELECT o.order_id, c.name, o.total FROM orders o JOIN customers c ON o.cust_id = c.cust_id",
+        "default.order_names", lineage=lm,
+    )
+    assert res["rows"] == 2
+    assert set(res["sources"]) == {"default.orders", "default.customers"}
+    assert catalog.load_table("order_names").scan().count() == 2
+    assert {e["target"] for e in lm.edges()} == {"default.order_names"}
+    with pytest.raises(ValueError, match="already exists"):
+        join_to_table(catalog, eng, "SELECT 1 AS one", "default.order_names")
+    res = join_to_table(catalog, eng, "SELECT 1 AS one", "default.order_names", mode="overwrite")
+    assert res["rows"] == 1
+
+
+def test_suggest_joins(catalog):
+    sugg = suggest_joins(catalog, "default.orders")
+    assert len(sugg) == 1
+    assert sugg[0]["shared_columns"] == ["cust_id"]
+    assert "orders JOIN customers ON orders.cust_id = customers.cust_id" in sugg[0]["sql"]
+
+
+def test_auto_refresh_cascade(tmp_path, catalog):
+    eng = QueryEngine(catalog)
+    lm = LineageManager(str(tmp_path / "lineage.json"))
+    qc = QueryCache(str(tmp_path / "cache.json"))
+    mm = MatviewManager(str(tmp_path / "mv.json"), catalog, eng, lineage=lm)
+    mm.create("order_totals", "SELECT cust_id, sum(total) AS t FROM orders GROUP BY cust_id")
+
+    ar = AutoRefreshManager(str(tmp_path / "ar.json"), lm, matviews=mm, query_cache=qc)
+    with pytest.raises(ValueError, match="cascade_depth"):
+        ar.configure("default.orders", cascade_depth=9)
+    ar.configure("default.orders")
+    plan = ar.plan("default.orders")
+    kinds = [a["action"] for a in plan]
+    assert "invalidate_cache" in kinds and "refresh_matview" in kinds
+
+    # mutate source → stale matview → execute cascade → fresh again
+    crud.insert_rows(catalog.load_table("orders"), [{"order_id": 3, "cust_id": 10, "total": 7.0}])
+    assert mm.freshness("order_totals")["stale"]
+    record = ar.execute("default.orders")
+    assert all(a["ok"] for a in record["actions"])
+    assert not mm.freshness("order_totals")["stale"]
+    assert len(ar.history()) == 1
+
+
+def test_config_resolution(tmp_path, catalog):
+    cm = ConfigManager(str(tmp_path / "config.json"))
+    assert cm.resolve_write_format(catalog) == "parquet"  # default
+    cm.set_global("write.format.default", "orc")
+    assert cm.resolve_write_format(catalog) == "orc"
+    cm.set_table("default.orders", "write.format.default", "parquet")
+    assert cm.resolve_write_format(catalog, "default.orders") == "parquet"
+    # table property outranks config stores
+    catalog.load_table("orders").set_properties({"write.format.default": "orc"})
+    assert cm.resolve_write_format(catalog, "default.orders") == "orc"
+    # override outranks all
+    assert cm.resolve_write_format(catalog, "default.orders", override="parquet") == "parquet"
+    with pytest.raises(ValueError, match="unsupported"):
+        cm.resolve_write_format(catalog, override="vortex")
+
+
+def test_schema_evolution_tooling(catalog):
+    t = catalog.load_table("orders")
+    t.add_column("currency", "string")
+    t.drop_column("total")
+    d = diff_schemas(t, 1, 3)
+    assert d == {"added": ["currency"], "dropped": ["total"], "type_changed": []}
+    steps = migration_steps(t, 1, 3)
+    assert "ADD COLUMN currency string" in steps
+    assert "DROP COLUMN total" in steps
+    compat = check_compatibility(t, 1, 3)
+    assert not compat["compatible"]
+    assert "dropped column 'total'" in compat["breaking_changes"]
+    # add-only change is compatible
+    assert check_compatibility(t, 1, 2)["compatible"] is False or True  # 1→2 added currency
+    compat12 = check_compatibility(t, 1, 2)
+    assert compat12["compatible"] and compat12["diff"]["added"] == ["currency"]
