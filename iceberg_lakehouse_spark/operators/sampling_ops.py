@@ -1,0 +1,101 @@
+"""Sampling → table materialization + sample statistics (SURVEY SA4/
+SA5, reference sampling.py:181-308). The suite's oracle-paired sampling
+queries (SA1-SA3) live in suite/sampling.py; this is the stateful side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import LakehouseCatalog, LakeTable
+
+
+def sample_to_table(
+    catalog: LakehouseCatalog,
+    source: str,
+    target: str,
+    fraction: float = 0.1,
+    seed: int = 42,
+    method: str = "bernoulli",
+    stratify_by: str | None = None,
+) -> dict:
+    """Materialize a sample as a new table.
+
+    methods: bernoulli (df.sample), systematic (every ⌈1/fraction⌉-th by
+    a hash ordering), stratified (≥1 row per stratum, window formulation
+    — `sampleBy` can't guarantee that, SURVEY §7)."""
+    src = catalog.load_table(source)
+    df = src.scan()
+    if method == "bernoulli":
+        sample = df.sample(fraction=fraction, seed=seed)
+    elif method == "systematic":
+        from pyspark.sql import Window
+
+        n = max(1, round(1.0 / fraction))
+        w = Window.orderBy(F.md5(F.concat_ws("|", *df.columns)))
+        sample = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") - 1) % n == 0)
+            .drop("_rn")
+        )
+    elif method == "stratified":
+        if not stratify_by:
+            raise ValueError("stratified sampling requires stratify_by")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(stratify_by).orderBy(
+            F.md5(F.concat_ws("|", *df.columns))
+        )
+        wc = Window.partitionBy(stratify_by)
+        sample = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(wc))
+            .where(
+                F.col("_rn")
+                <= F.greatest(F.lit(1), F.ceil(F.col("_n") * fraction).cast("bigint"))
+            )
+            .drop("_rn", "_n")
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    t = catalog.create_table(target, src.schema())
+    t.append(sample)
+    rows = t.scan().count()
+    return {"target": target, "rows": rows, "method": method, "fraction": fraction}
+
+
+def sample_stats(full: DataFrame, sample: DataFrame) -> dict:
+    """SA5: coverage % + per-numeric-column full-vs-sample comparison."""
+    from pyspark.sql import types as T
+
+    full_n, samp_n = full.count(), sample.count()
+    numeric = [
+        f.name
+        for f in full.schema.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType))
+    ]
+    out = {
+        "full_rows": full_n,
+        "sample_rows": samp_n,
+        "coverage_pct": round(100.0 * samp_n / full_n, 2) if full_n else 0.0,
+        "columns": {},
+    }
+    if numeric and samp_n:
+        fa = full.agg(
+            *[F.avg(c).alias(f"{c}__avg") for c in numeric],
+            *[F.stddev(c).alias(f"{c}__std") for c in numeric],
+        ).collect()[0]
+        sa = sample.agg(
+            *[F.avg(c).alias(f"{c}__avg") for c in numeric],
+            *[F.stddev(c).alias(f"{c}__std") for c in numeric],
+        ).collect()[0]
+        for c in numeric:
+            out["columns"][c] = {
+                "full_avg": fa[f"{c}__avg"],
+                "sample_avg": sa[f"{c}__avg"],
+                "full_stddev": fa[f"{c}__std"],
+                "sample_stddev": sa[f"{c}__std"],
+            }
+    return out

@@ -63,6 +63,7 @@ def load_all() -> dict[str, OracleQuery]:
         relational,
         sampling,
         similarity,
+        temporal,
         text,
     )
 

@@ -1,0 +1,80 @@
+"""Physical-plan quality gates: the properties that make queries hold
+up at 100 TB must be visible in explain output — pushdown reaching the
+parquet scan, column pruning, broadcast joins for dimensions, no
+accidental cartesian products. Regressions here are perf bugs even
+when results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from iceberg_lakehouse_spark.suite import load_all
+
+SF = "/root/testdata/sf0.001"
+REGISTRY = load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_join_plan(spark):
+    plan = plan_of(spark, "revenue_by_nation_month")
+    # filters pushed into the parquet scan, not applied post-materialization
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan
+    # column pruning: lineitem scan must NOT read l_quantity/l_tax
+    assert "l_extendedprice" in plan
+    assert "l_quantity" not in plan
+    assert "l_tax" not in plan
+    # dimension joins broadcast; no cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "export_pushdown_trio")
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)" in plan
+    # projection pruned to the selected columns + the filter column
+    assert (
+        "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"
+        in plan
+    )
+    assert "o_orderdate" not in plan  # untouched columns never read
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # top-K, not global sort
+
+
+def test_knn_broadcasts_query_vector(spark):
+    plan = plan_of(spark, "cosine_knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_sample_is_scan_only(spark):
+    plan = plan_of(spark, "hash_sample_lineitem")
+    assert "Exchange" not in plan  # no shuffle: pure filter over the scan
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = plan_of(spark, "asof_join_purchase_view")
+    # log-merge formulation: no range/cartesian join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aggregates_partial_then_final(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # map-side combine present (partial_ functions before the exchange)
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
