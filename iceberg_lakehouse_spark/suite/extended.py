@@ -163,3 +163,97 @@ def correlated_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+           COUNT(*) AS line_count
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    survey_ref="A-class: conditional aggregation (TPC-H Q14 shape)",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_sf_tables(spark, sf_dir)
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        one - F.col("l_discount").cast("decimal(4,2)")
+    )
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    return (
+        t["lineitem"]
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+@register(
+    "string_function_surface",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           replace(c_name, 'Customer', 'Cust') AS name_short,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS seg_nation,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+    FROM customer
+    """,
+    survey_ref="§2.9 scalar string surface (upper/length/substr/replace/lpad/concat/LIKE)",
+)
+def string_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_sf_tables(spark, sf_dir)
+    return t["customer"].select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+    )
+
+
+@register(
+    "status_distinct_customers",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS customers,
+           COUNT(*) AS orders,
+           MIN(o_orderkey) AS first_order,
+           MAX(o_orderkey) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    survey_ref="A1/A6: grouped exact distinct counts",
+)
+def status_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_sf_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("customers"),
+        F.count("*").alias("orders"),
+        F.min("o_orderkey").alias("first_order"),
+        F.max("o_orderkey").alias("last_order"),
+    )
