@@ -1,0 +1,98 @@
+"""Salting utilities + stateful streaming operator tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from iceberg_lakehouse_spark.functions.skew import (
+    salted_aggregate,
+    salted_join,
+    with_salt,
+)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    # one pathologically hot key
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 100 < 95, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    plain = {
+        r["k"]: (r["s"], r["n"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["v_sum"], r["v_count"], r["v_min"], r["v_max"])
+        for r in salted_aggregate(
+            df, ["k"], {"v": "sum"}, salts=8
+        ).join(
+            salted_aggregate(df, ["k"], {"v": "count"}, salts=8), "k"
+        ).join(
+            salted_aggregate(df, ["k"], {"v": "min"}, salts=8), "k"
+        ).join(
+            salted_aggregate(df, ["k"], {"v": "max"}, salts=8), "k"
+        ).collect()
+    }
+    for k in plain:
+        assert abs(plain[k][0] - salted[k][0]) < 1e-6
+        assert plain[k][1:] == salted[k][1:]
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two")], "k long, name string"
+    )
+    plain = big.join(small, "k").agg(F.count("*"), F.sum("v")).collect()[0]
+    salted = salted_join(big, small, "k", salts=4).agg(
+        F.count("*"), F.sum("v")
+    ).collect()[0]
+    assert tuple(plain) == tuple(salted)
+    # every row matched exactly once (no duplication from replication)
+    assert salted_join(big, small, "k", salts=4).count() == 5000
+
+
+def test_with_salt_range(spark):
+    df = with_salt(spark.range(1000), salts=8)
+    vals = {r["_salt"] for r in df.select("_salt").distinct().collect()}
+    assert vals <= set(range(8)) and len(vals) >= 4
+
+
+def test_stateful_user_tracker(spark, tmp_path):
+    from iceberg_lakehouse_spark.session import load_sf_tables
+    from iceberg_lakehouse_spark.streaming import events as se
+    from iceberg_lakehouse_spark.streaming.stateful import user_activity_tracker
+
+    src = str(tmp_path / "stateful_src")
+    events = load_sf_tables(spark, "/root/testdata/sf0.001")["events"].limit(1000)
+    events.withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+
+    stream = se.read_event_stream(spark, src)
+    tracked = user_activity_tracker(stream, idle_timeout=False)
+    q = (
+        tracked.writeStream.format("memory")
+        .queryName("user_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: r for r in spark.sql("SELECT * FROM user_state").collect()}
+    assert len(got) > 0
+    # running summaries must match the batch truth per user
+    truth = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    for uid, row in got.items():
+        n, t = truth[uid]
+        assert row["event_count"] == n
+        assert abs((row["total_value"] or 0) - (t or 0)) < 1e-6
+        assert row["closed"] is False  # no timeout fired in one batch
