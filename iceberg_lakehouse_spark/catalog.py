@@ -363,13 +363,24 @@ class LakeTable:
 
     # -- write path --------------------------------------------------------
 
+    def write_format(self) -> str:
+        """Per-table columnar format: table property
+        `write.format.default` (parquet | orc), default parquet — the
+        operative end of the S15 resolution chain (ORC is the second
+        columnar format, SURVEY §7 Vortex substitution)."""
+        fmt = self.properties().get("write.format.default", "parquet").lower()
+        if fmt not in ("parquet", "orc"):
+            raise ValueError(f"unsupported write.format.default {fmt!r}")
+        return fmt
+
     def _materialize(self, df: DataFrame) -> list[str]:
         """Run the Spark write job into a snapshot-unique subdir of data/;
-        return the new parquet file paths (relative to table root).
+        return the new data file paths (relative to table root).
 
         Partitioned tables write with partitionBy on transform columns —
         emulating Iceberg hidden partitioning: derived `_p_*` columns
         exist only on disk layout, never in the logical schema."""
+        fmt = self.write_format()
         sub = f"data/{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.root, sub)
         pfields = self.partition_fields()
@@ -378,14 +389,14 @@ class LakeTable:
         for pf in pfields:
             pcols.append(pf.name)
             writer_df = writer_df.withColumn(pf.name, pf.expr())
-        writer = writer_df.write.mode("overwrite")
+        writer = writer_df.write.mode("overwrite").format(fmt)
         if pcols:
             writer = writer.partitionBy(*pcols)
-        writer.parquet(out)
+        writer.save(out)
         files = []
         for dirpath, _dirnames, filenames in os.walk(out):
             for fn in filenames:
-                if fn.endswith(".parquet"):
+                if fn.endswith((".parquet", ".orc")):
                     files.append(
                         os.path.relpath(os.path.join(dirpath, fn), self.root)
                     )
@@ -434,12 +445,23 @@ class LakeTable:
         # partitioning writes *derived* _p_* columns), and because files
         # are physically split by the transform, parquet min/max footer
         # stats prune whole files for pushed-down predicates anyway.
-        df = (
-            self.spark.read.schema(schema)
-            .option("recursiveFileLookup", "true")
-            .parquet(*paths)
-        )
-        return df.select(*[f.name for f in schema.fields])
+        # A snapshot may mix formats (write.format.default switched
+        # mid-history): read each format group lazily and union.
+        cols = [f.name for f in schema.fields]
+        parts = []
+        for fmt, ext in (("parquet", ".parquet"), ("orc", ".orc")):
+            group = [p for p in paths if p.endswith(ext)]
+            if group:
+                reader = (
+                    self.spark.read.schema(schema)
+                    .option("recursiveFileLookup", "true")
+                    .format(fmt)
+                )
+                parts.append(reader.load(group).select(*cols))
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        return df
 
     def _resolve(
         self, snapshot_id: int | None, as_of: str | int | None
@@ -528,7 +550,7 @@ class LakeTable:
         for dirpath, _d, filenames in os.walk(data_dir):
             for fn in filenames:
                 rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
-                if fn.endswith(".parquet") and rel not in refs:
+                if fn.endswith((".parquet", ".orc")) and rel not in refs:
                     os.remove(os.path.join(self.root, rel))
                     removed.append(rel)
         return removed
@@ -540,7 +562,7 @@ class LakeTable:
         for dirpath, _d, filenames in os.walk(data_dir):
             for fn in filenames:
                 rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
-                if fn.endswith(".parquet") and rel not in refs:
+                if fn.endswith((".parquet", ".orc")) and rel not in refs:
                     orphans.append(rel)
         return sorted(orphans)
 

@@ -87,12 +87,22 @@ def incremental_read(
             df = table.spark.createDataFrame([], table.schema())
         else:
             schema = table.schema()
-            df = (
-                table.spark.read.schema(schema)
-                .option("recursiveFileLookup", "true")
-                .parquet(*[os.path.join(table.root, f) for f in new_files])
-                .select(*[f.name for f in schema.fields])
-            )
+            cols = [f.name for f in schema.fields]
+            paths = [os.path.join(table.root, f) for f in new_files]
+            parts = []
+            for fmt, ext in (("parquet", ".parquet"), ("orc", ".orc")):
+                group = [p for p in paths if p.endswith(ext)]
+                if group:
+                    parts.append(
+                        table.spark.read.schema(schema)
+                        .option("recursiveFileLookup", "true")
+                        .format(fmt)
+                        .load(group)
+                        .select(*cols)
+                    )
+            df = parts[0]
+            for extra in parts[1:]:
+                df = df.unionByName(extra)
         return df, {
             "mode": "append_files",
             "from": wm["snapshot_id"],

@@ -29,11 +29,44 @@ _LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
 
 
 class QueryEngine:
-    def __init__(self, catalog: LakehouseCatalog, max_rows: int = 1000):
+    def __init__(
+        self,
+        catalog: LakehouseCatalog,
+        max_rows: int = 1000,
+        history=None,  # governance.queries_store.SavedQueries (G19)
+        query_cache=None,  # governance.queries_store.QueryCache (G20)
+    ):
         self.catalog = catalog
         self.spark = catalog.spark
         self.max_rows = max_rows
+        self.history = history
+        self.query_cache = query_cache
         self._registered = False
+
+    def execute_cached(self, sql: str, max_rows: int | None = None) -> list[dict]:
+        """Collected-row execution through the query cache (G20) with
+        history recording (G19) — the surface MCP/CLI callers use when
+        they want rows rather than a DataFrame."""
+        import time as _time
+
+        from ..governance.advisor import extract_query_tables
+
+        tables = extract_query_tables(sql)
+        if self.query_cache and self.query_cache.enabled_for(tables):
+            hit = self.query_cache.get(sql)
+            if hit is not None:
+                return hit
+        t0 = _time.perf_counter()
+        rows = [
+            r.asDict(recursive=True)
+            for r in self.execute(sql, max_rows=max_rows).collect()
+        ]
+        elapsed = _time.perf_counter() - t0
+        if self.history:
+            self.history.record_history(sql, elapsed, len(rows))
+        if self.query_cache and self.query_cache.enabled_for(tables):
+            self.query_cache.put(sql, rows, tables)
+        return rows
 
     def _register_tables(self) -> None:
         """Every table under its short name, plus ``ns__table`` alias for

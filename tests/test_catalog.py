@@ -256,3 +256,23 @@ def test_schema_evolution(expenses):
     assert [h["version"] for h in history] == [1, 2, 3, 4]
     with pytest.raises(ValueError, match="already exists"):
         expenses.add_column("amount", "double")
+
+
+def test_orc_backed_table(catalog, spark):
+    t = catalog.create_table(
+        "orc_t", SCHEMA, properties={"write.format.default": "orc"}
+    )
+    crud.insert_rows(t, ROWS)
+    cur = t.current_snapshot()
+    assert all(f.endswith(".orc") for f in cur.files)
+    assert t.scan().count() == 4
+    # switch back to parquet mid-history: snapshot mixes formats
+    t.set_properties({"write.format.default": "parquet"})
+    crud.insert_rows(t, [{"id": 9, "date": "2025-12-20", "category": "x", "amount": 1.0}])
+    exts = {f.rsplit(".", 1)[-1] for f in t.current_snapshot().files}
+    assert exts == {"orc", "parquet"}
+    assert t.scan().count() == 5
+    assert t.scan().where("id = 9").count() == 1
+    # maintenance still works across formats
+    res = t.compact()
+    assert t.scan().count() == 5

@@ -127,3 +127,24 @@ def test_clone_promote_discard(catalog):
     assert t.scan().where("id = 1").collect()[0]["amount"] == 111.0
     backup_clone.discard_clone(catalog, "exp_clone")
     assert not catalog.table_exists("exp_clone")
+
+
+def test_execute_cached_with_history(catalog, tmp_path):
+    from iceberg_lakehouse_spark.governance.queries_store import QueryCache, SavedQueries
+    from iceberg_lakehouse_spark.plans.engine import QueryEngine
+
+    sq = SavedQueries(str(tmp_path / "q.json"))
+    qc = QueryCache(str(tmp_path / "cache.json"))
+    eng = QueryEngine(catalog, history=sq, query_cache=qc)
+    sql = "SELECT category, sum(amount) AS total FROM expenses GROUP BY category"
+    rows1 = eng.execute_cached(sql)
+    assert len(rows1) == 2
+    # second call is a cache hit: history unchanged, same rows
+    rows2 = eng.execute_cached(sql)
+    assert rows2 == rows1
+    assert len(sq.history()) == 1
+    assert qc.stats()["hits"] == 1
+    # table invalidation forces recompute
+    qc.invalidate_table("expenses")
+    eng.execute_cached(sql)
+    assert len(sq.history()) == 2
