@@ -36,6 +36,9 @@ HEADLINE = [
     "minhash_near_dup_pairs",
     "simhash_fingerprints",
     "embedding_near_dup_blocked",
+    "asof_join_purchase_view",
+    "user_sessionization",
+    "quantity_percentiles",
 ]
 
 
