@@ -233,6 +233,103 @@ class ContractManager:
             else 0.0,
         }
 
+    # -- dry-run / monitoring / dashboard (contracts.py:1102-1431) ---------
+
+    def dry_run(self, table: LakeTable, proposed: dict) -> dict:
+        """Evaluate a proposed contract against current data WITHOUT
+        persisting it: what would violate if adopted."""
+        name = f"{table.namespace}.{table.table}"
+        violations: list[dict] = []
+        actual = {f.name: f.dataType.simpleString() for f in table.schema().fields}
+        for col, spec in proposed.get("schema", {}).items():
+            if col not in actual:
+                violations.append({"kind": "schema", "detail": f"missing column {col!r}"})
+            elif spec.get("type") and actual[col] != spec["type"]:
+                violations.append(
+                    {"kind": "schema",
+                     "detail": f"{col}: {actual[col]} != {spec['type']}"}
+                )
+        # constraint checks via a temporary in-memory contract
+        tmp = {
+            "table": name, "schema": {}, "quality": {}, "freshness": {},
+            "constraints": proposed.get("constraints", []),
+            "owner": None, "status": "dry_run", "version": 0, "history": [],
+        }
+        data = self.store.load()
+        data["contracts"]["__dry_run__"] = tmp
+        self.store.save(data)
+        try:
+            violations += [
+                {"kind": "constraint", **v}
+                for v in self.validate_rows("__dry_run__", table.scan())
+            ]
+        finally:
+            data = self.store.load()
+            data["contracts"].pop("__dry_run__", None)
+            self.store.save(data)
+        return {"table": name, "would_violate": violations, "ok": not violations}
+
+    def monitor(self, table: LakeTable) -> dict:
+        """Record a compliance check in the monitoring history (≤50)."""
+        from datetime import datetime, timezone
+
+        score = self.compliance_score(table)
+        data = self.store.load()
+        c = data["contracts"].get(f"{table.namespace}.{table.table}") or data[
+            "contracts"
+        ].get(table.table)
+        entry = {
+            "at": datetime.now(timezone.utc).isoformat(),
+            "score": score,
+        }
+        if c is not None:
+            c.setdefault("monitoring", []).append(entry)
+            c["monitoring"] = c["monitoring"][-HISTORY_CAP:]
+            self.store.save(data)
+        return entry
+
+    def trends(self, table: str) -> dict:
+        """Score trajectory from monitoring history."""
+        c = self.get(table)
+        hist = c.get("monitoring", [])
+        scores = [h["score"] for h in hist]
+        return {
+            "table": table,
+            "checks": len(scores),
+            "latest": scores[-1] if scores else None,
+            "min": min(scores) if scores else None,
+            "max": max(scores) if scores else None,
+            "improving": len(scores) >= 2 and scores[-1] >= scores[0],
+        }
+
+    def dashboard(self, tables: list[LakeTable]) -> dict:
+        """Compliance overview across tables (contracts.py:1266-1431)."""
+        rows = []
+        for t in tables:
+            name = f"{t.namespace}.{t.table}"
+            if name not in self.list() and t.table not in self.list():
+                rows.append({"table": name, "status": "no_contract", "score": None})
+                continue
+            score = self.compliance_score(t)
+            rows.append(
+                {
+                    "table": name,
+                    "status": "compliant" if score == 100.0 else "violating",
+                    "score": score,
+                }
+            )
+        covered = [r for r in rows if r["status"] != "no_contract"]
+        return {
+            "tables": rows,
+            "covered": len(covered),
+            "uncovered": len(rows) - len(covered),
+            "avg_score": (
+                round(sum(r["score"] for r in covered) / len(covered), 2)
+                if covered
+                else None
+            ),
+        }
+
     # -- auto-generation ---------------------------------------------------
 
     def generate_from_stats(

@@ -466,3 +466,27 @@ def test_contracts_lifecycle(tmp_path, table, spark):
     assert cm.consumers("default.expenses") == ["dashboard-app"]
     cov = cm.coverage(["default.expenses", "default.other"])
     assert cov["pct"] == 50.0
+
+
+def test_contracts_dry_run_monitor_dashboard(tmp_path, catalog, table, spark):
+    cm = ContractManager(str(tmp_path / "c2.json"))
+    proposal = {
+        "schema": {"id": {"type": "bigint"}, "ghost_col": {"type": "string"}},
+        "constraints": [{"type": "range", "column": "amount", "min": 0, "max": 15}],
+    }
+    res = cm.dry_run(table, proposal)
+    assert not res["ok"]
+    kinds = {v["kind"] for v in res["would_violate"]}
+    assert kinds == {"schema", "constraint"}  # ghost col + amounts > 15
+    assert "__dry_run__" not in cm.list()  # no persistence leak
+
+    cm.generate_from_stats(table)
+    cm.monitor(table)
+    cm.monitor(table)
+    tr = cm.trends("default.expenses")
+    assert tr["checks"] == 2 and tr["latest"] == 100.0 and tr["improving"]
+
+    other = catalog.create_table("uncovered_t", SCHEMA)
+    dash = cm.dashboard([table, other])
+    assert dash["covered"] == 1 and dash["uncovered"] == 1
+    assert dash["avg_score"] == 100.0
