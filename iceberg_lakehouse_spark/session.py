@@ -73,6 +73,14 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, object]:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # Self-configure: the driver (and any embedding application) hands us a
+    # session built WITHOUT our factory defaults. events.parquet is written
+    # with TIMESTAMP(NANOS), which Spark rejects unless this legacy conf is
+    # on — and it is runtime-settable, so set it here rather than trusting
+    # the caller. (Round-1 lesson: every correctness entry failed on this.)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     tables = {}
     for name in (
         "region nation customer supplier part orders lineitem "
@@ -80,7 +88,13 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, object]:
     ).split():
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            try:
+                df = spark.read.parquet(path)
+            except Exception:
+                # One unreadable file must not poison queries that never
+                # touch it — skip and let a query that DOES need the table
+                # fail with a clear missing-view error instead.
+                continue
             # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf);
             # truncate to µs exactly like DuckDB does when reading nanos.
             for col in _NANO_TS_COLUMNS.get(name, ()):

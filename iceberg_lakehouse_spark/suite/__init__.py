@@ -67,4 +67,9 @@ def load_all() -> dict[str, OracleQuery]:
         text,
     )
 
-    return REGISTRY
+    # Oracle-paired entries first, rows-only last: the driver's harness may
+    # cap how many entries it runs (round 1 ran exactly the first 50), so
+    # the strongest (hash-matched) checks must never be the ones dropped.
+    ordered = {k: v for k, v in REGISTRY.items() if v.oracle is not None}
+    ordered.update({k: v for k, v in REGISTRY.items() if v.oracle is None})
+    return ordered
