@@ -61,7 +61,17 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: big side salted, small side replicated
     `salts`× (explode over the salt range), join on (key, salt).
-    Output columns = big ∪ small minus the helper columns."""
+    Output columns = big ∪ small minus the helper columns.
+
+    Only ``inner`` and ``left`` are valid: the small side is replicated
+    ``salts``×, so right/full outer would emit each unmatched small-side
+    row once per salt copy."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): the "
+            "replicated small side would duplicate unmatched rows under "
+            "right/full outer joins"
+        )
     big_s = with_salt(big, salts)
     small_r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))

@@ -7,9 +7,11 @@ UPDATE (with changed_columns); unmatched added → INSERT; unmatched
 removed → DELETE. Default key = first schema column (cdc.py:121).
 
 Spark-first: the key-match is a full-outer join on the key between the
-two small diff sets (diffs, not tables, shuffle), and changed-column
-detection is a column-comparison projection — results are collected
-because the reference's contract returns row dicts.
+two diff sets (diffs, not tables, shuffle), and op-type + changed-column
+detection are Column expressions evaluated executor-side. Summary counts
+aggregate distributively; row dicts are collected only at the export
+edge, capped at ``max_rows`` per category, so change volume is never
+driver-bounded.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ def capture_changes(
     from_snapshot: int,
     to_snapshot: int,
     key_columns: list[str] | None = None,
+    max_rows: int = 10_000,
 ) -> dict:
     schema_cols = [f.name for f in table.schema().fields]
     keys = key_columns or [schema_cols[0]]
@@ -43,22 +46,65 @@ def capture_changes(
     cond = [a[f"a_{k}"].eqNullSafe(r[f"r_{k}"]) for k in keys]
     joined = a.join(r, on=cond if cond else None, how="full_outer")
 
-    inserts, updates, deletes = [], [], []
     value_cols = [c for c in schema_cols if c not in keys]
-    for row in joined.collect():
-        d = row.asDict()
-        has_added = any(d[f"a_{k}"] is not None for k in keys)
-        has_removed = any(d[f"r_{k}"] is not None for k in keys)
-        after = {c: d[f"a_{c}"] for c in schema_cols}
-        before = {c: d[f"r_{c}"] for c in schema_cols}
-        if has_added and has_removed:
-            changed = [c for c in value_cols if before[c] != after[c]]
-            updates.append({"key": {k: after[k] for k in keys}, "before": before,
-                            "after": after, "changed_columns": changed})
-        elif has_added:
-            inserts.append(after)
-        elif has_removed:
-            deletes.append(before)
+    has_added = F.greatest(*[F.col(f"a_{k}").isNotNull() for k in keys]) \
+        if len(keys) > 1 else F.col(f"a_{keys[0]}").isNotNull()
+    has_removed = F.greatest(*[F.col(f"r_{k}").isNotNull() for k in keys]) \
+        if len(keys) > 1 else F.col(f"r_{keys[0]}").isNotNull()
+    op = (
+        F.when(has_added & has_removed, F.lit("UPDATE"))
+        .when(has_added, F.lit("INSERT"))
+        .otherwise(F.lit("DELETE"))
+    )
+    # changed_columns as a Column: python-equality semantics of the old
+    # driver loop = "values differ AND not both NULL" == NOT eqNullSafe
+    changed_arr = (
+        F.filter(
+            F.array(*[
+                F.when(
+                    ~F.col(f"r_{c}").eqNullSafe(F.col(f"a_{c}")), F.lit(c)
+                )
+                for c in value_cols
+            ]),
+            lambda x: x.isNotNull(),
+        )
+        if value_cols
+        else F.array().cast("array<string>")
+    )
+    classified = joined.select(
+        op.alias("_op"), changed_arr.alias("_changed"), "*"
+    ).persist()
+    try:
+        counts = {
+            row["_op"]: row["n"]
+            for row in classified.groupBy("_op").agg(F.count("*").alias("n")).collect()
+        }
+
+        def _rows(kind: str) -> list[dict]:
+            return [
+                row.asDict(recursive=True)
+                for row in classified.where(F.col("_op") == kind)
+                .limit(max_rows)
+                .collect()
+            ]
+
+        inserts = [
+            {c: d[f"a_{c}"] for c in schema_cols} for d in _rows("INSERT")
+        ]
+        deletes = [
+            {c: d[f"r_{c}"] for c in schema_cols} for d in _rows("DELETE")
+        ]
+        updates = [
+            {
+                "key": {k: d[f"a_{k}"] for k in keys},
+                "before": {c: d[f"r_{c}"] for c in schema_cols},
+                "after": {c: d[f"a_{c}"] for c in schema_cols},
+                "changed_columns": d["_changed"],
+            }
+            for d in _rows("UPDATE")
+        ]
+    finally:
+        classified.unpersist()
     return {
         "table": f"{table.namespace}.{table.table}",
         "from_snapshot": from_snapshot,
@@ -68,9 +114,10 @@ def capture_changes(
         "updates": updates,
         "deletes": deletes,
         "summary": {
-            "inserts": len(inserts),
-            "updates": len(updates),
-            "deletes": len(deletes),
+            # distributed counts — exact even when detail rows are capped
+            "inserts": counts.get("INSERT", 0),
+            "updates": counts.get("UPDATE", 0),
+            "deletes": counts.get("DELETE", 0),
         },
         "captured_at": datetime.now(timezone.utc).isoformat(),
     }

@@ -37,21 +37,33 @@ def as_of_join(
     ]
     lcols = left.columns
 
+    # The right payload travels as ONE struct so the fill is row-atomic:
+    # filling columns independently would mix values from different right
+    # rows whenever the matched row holds a NULL payload value (DuckDB
+    # ASOF returns the matched row's NULL, not an older row's value).
+    r_struct_type = (
+        "struct<"
+        + ",".join(
+            [f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload]
+            + [f"__ts:{right.schema[right_ts].dataType.simpleString()}"]
+        )
+        + ">"
+    )
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
-        F.col(right_ts).alias("_r_ts"),
+        F.struct(
+            *[F.col(c) for c in payload], F.col(right_ts).alias("__ts")
+        ).alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -63,17 +75,12 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in payload
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_f_ts"),
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_f")
     )
     return filled.where(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in payload],
-        F.col("_f_ts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"_f.{c}").alias(f"{c}{suffix}") for c in payload],
+        F.col("_f.__ts").alias(f"{right_ts}{suffix}"),
     )
 
 

@@ -105,12 +105,13 @@ def upsert_rows(
         schema,
     )
     existing = table.scan()
-    if existing.rdd.isEmpty():
+    if existing.isEmpty():
         table.append(incoming)
         return {"updated": 0, "inserted": len(rows)}
-    # semi-join gives correct match cardinality (the reference's inner
-    # join over-counts on duplicate keys — SURVEY §2.4 J5 note)
-    updated = existing.join(F.broadcast(incoming), key_columns, "left_semi").count()
+    # count matched INCOMING rows (not matched existing rows): if the
+    # table holds duplicate key values, counting the existing side could
+    # exceed len(rows) and make `inserted` negative
+    updated = incoming.join(existing, key_columns, "left_semi").count()
     kept = existing.join(F.broadcast(incoming), key_columns, "left_anti")
     table.overwrite(kept.unionByName(incoming))
     return {"updated": updated, "inserted": len(rows) - updated}
@@ -152,11 +153,11 @@ def merge_into(
     may be arbitrarily large — no broadcast hint, AQE decides."""
     existing = table.scan()
     incoming = source.select(*[f.name for f in table.schema().fields])
-    if existing.rdd.isEmpty():
+    if existing.isEmpty():
         n = incoming.count()
         table.append(incoming)
         return {"updated": 0, "inserted": n}
-    updated = existing.join(incoming, key_columns, "left_semi").count()
+    updated = incoming.join(existing, key_columns, "left_semi").count()
     kept = existing.join(incoming, key_columns, "left_anti")
     total = incoming.count()
     table.overwrite(kept.unionByName(incoming))

@@ -52,8 +52,12 @@ class QueryEngine:
         from ..governance.advisor import extract_query_tables
 
         tables = extract_query_tables(sql)
+        # key includes the effective row cap: a cached result truncated to
+        # 100 rows must not serve a later max_rows=10000 call.
+        n = max_rows if max_rows is not None else self.max_rows
+        keyed_sql = f"{sql}\n--max_rows={n}"
         if self.query_cache and self.query_cache.enabled_for(tables):
-            hit = self.query_cache.get(sql)
+            hit = self.query_cache.get(keyed_sql)
             if hit is not None:
                 return hit
         t0 = _time.perf_counter()
@@ -65,7 +69,7 @@ class QueryEngine:
         if self.history:
             self.history.record_history(sql, elapsed, len(rows))
         if self.query_cache and self.query_cache.enabled_for(tables):
-            self.query_cache.put(sql, rows, tables)
+            self.query_cache.put(keyed_sql, rows, tables)
         return rows
 
     def _register_tables(self) -> None:
@@ -106,12 +110,15 @@ class QueryEngine:
         hist = table.scan(as_of=as_of)
         hist.createOrReplaceTempView(short)
         try:
+            # spark.sql() analyzes eagerly: the returned plan resolves the
+            # temp view NOW, so restoring the current-view binding below
+            # does not rebind this DataFrame. No driver-side materialization
+            # needed (round-1 version collect()ed here — a full-result
+            # round-trip through the driver).
             df = self.spark.sql(sql)
             n = max_rows if max_rows is not None else self.max_rows
             if n and _SELECT_RE.match(sql) and not _LIMIT_RE.search(sql):
                 df = df.limit(n)
-            # force resolution before restoring the current-view binding
-            df = self.spark.createDataFrame(df.collect(), df.schema)
         finally:
             table.scan().createOrReplaceTempView(short)
         return df

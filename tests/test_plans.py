@@ -78,3 +78,42 @@ def test_aggregates_partial_then_final(spark):
     # map-side combine present (partial_ functions before the exchange)
     assert "partial_sum" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_asof_join_null_payload_row_atomic(spark):
+    """A matched right row with a NULL payload value must yield that NULL,
+    not a value forward-filled from an older right row (DuckDB ASOF JOIN
+    row-atomic semantics)."""
+    from datetime import datetime
+
+    from iceberg_lakehouse_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10))], "k int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), "old-a", "old-b"),
+            (1, datetime(2024, 1, 5), None, "new-b"),  # matched row: a IS NULL
+        ],
+        "k int, rts timestamp, a string, b string",
+    )
+    out = as_of_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["a_right"] is None  # NOT "old-a" leaked from the older row
+    assert row["b_right"] == "new-b"
+    assert row["rts_right"] == datetime(2024, 1, 5)
+
+
+def test_engine_has_no_driver_collect_outside_cached_path():
+    """Time-travel (execute_as_of) must not round-trip results through
+    the driver; the only collect in the engine is the row-returning
+    execute_cached edge."""
+    import inspect
+
+    from iceberg_lakehouse_spark.plans import engine as engine_mod
+
+    src = inspect.getsource(engine_mod)
+    cached_src = inspect.getsource(engine_mod.QueryEngine.execute_cached)
+    assert src.count(".collect()") == cached_src.count(".collect()")
