@@ -463,6 +463,103 @@ class LakeTable:
             df = df.unionByName(extra)
         return df
 
+    def scan_files(self, files: list[str]) -> DataFrame:
+        """Lazy DataFrame over an explicit subset of a snapshot's data
+        files (relative paths) — the read side of file-pruned CoW."""
+        schema = self.schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f) for f in files]
+        cols = [f.name for f in schema.fields]
+        parts = []
+        for fmt, ext in (("parquet", ".parquet"), ("orc", ".orc")):
+            group = [p for p in paths if p.endswith(ext)]
+            if group:
+                reader = (
+                    self.spark.read.schema(schema)
+                    .option("recursiveFileLookup", "true")
+                    .format(fmt)
+                )
+                parts.append(reader.load(group).select(*cols))
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        return df
+
+    def replace_files(
+        self, keep_files: list[str], replacement: DataFrame, summary: dict | None = None
+    ) -> Snapshot:
+        """File-pruned copy-on-write commit: untouched files carry over
+        by reference; only ``replacement`` (the rewritten subset) runs a
+        write job. At scale this is the difference between rewriting one
+        partition's files and rewriting the table."""
+        aligned = self._align(replacement)
+        new_files = self._materialize(aligned)
+        return self._commit(
+            "overwrite",
+            sorted(keep_files) + new_files,
+            {**(summary or {}), "kept_files": len(keep_files),
+             "added_files": len(new_files)},
+        )
+
+    def relativize_file(self, path: str) -> str:
+        """Normalize Spark's input_file_name() URI to a snapshot-log
+        relative path."""
+        p = path
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        return os.path.relpath(p, self.root)
+
+    def _file_column_stats(
+        self, snap: "Snapshot", max_files: int = 1000
+    ) -> dict[str, dict[str, tuple]]:
+        """Per-file column (min, max, null_count) from parquet footers —
+        read on demand for the __files metadata view, never stored.
+        Capped: footer reads are driver-side, so a huge snapshot returns
+        no stats rather than stalling."""
+        if len(snap.files) > max_files:
+            return {}
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return {}
+        out: dict[str, dict[str, tuple]] = {}
+        for f in snap.files:
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(self.root, f)
+            if not os.path.exists(p):
+                continue
+            try:
+                md = pq.ParquetFile(p).metadata
+            except Exception:  # noqa: BLE001 — stats are best-effort
+                continue
+            stats: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                for ci in range(grp.num_columns):
+                    col = grp.column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    name = col.path_in_schema
+                    cur = stats.get(name)
+                    mn = st.min if st.has_min_max else None
+                    mx = st.max if st.has_min_max else None
+                    nc = st.null_count if st.null_count is not None else 0
+                    if cur is None:
+                        stats[name] = [mn, mx, nc]
+                    else:
+                        if mn is not None:
+                            cur[0] = mn if cur[0] is None else min(cur[0], mn)
+                        if mx is not None:
+                            cur[1] = mx if cur[1] is None else max(cur[1], mx)
+                        cur[2] += nc
+            out[f] = {k: tuple(v) for k, v in stats.items()}
+        return out
+
     def _resolve(
         self, snapshot_id: int | None, as_of: str | int | None
     ) -> Snapshot | None:
@@ -680,6 +777,125 @@ class LakeTable:
 
     def schema_history(self) -> list[dict]:
         return self.meta().get("schema_history", [])
+
+    # -- metadata tables (PyIceberg-style inspect surface; reference
+    # catalog.py:204-237 exposes snapshots/files/history via PyIceberg.
+    # Metadata is O(snapshots + files) — driver-small by construction,
+    # like Iceberg's own avro metadata; the DataFrames are queryable
+    # alongside data tables) -----------------------------------------------
+
+    def snapshots_df(self) -> DataFrame:
+        """``<table>__snapshots``: one row per snapshot in the log."""
+        schema = T.StructType(
+            [
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("parent_id", T.LongType()),
+                T.StructField("committed_at", T.TimestampType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("file_count", T.IntegerType()),
+                T.StructField("summary", T.MapType(T.StringType(), T.StringType())),
+            ]
+        )
+        from datetime import datetime, timezone
+
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_id,
+                datetime.fromtimestamp(s.timestamp_ms / 1000, tz=timezone.utc),
+                s.operation,
+                len(s.files),
+                {k: str(v) for k, v in s.summary.items()},
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """``<table>__files``: one row per data file of a snapshot
+        (default current): path, format, size, partition, min/max stats
+        when recorded."""
+        schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType()),
+                T.StructField("file_format", T.StringType()),
+                T.StructField("size_bytes", T.LongType()),
+                T.StructField("partition", T.StringType()),
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField(
+                    "column_stats",
+                    T.MapType(
+                        T.StringType(),
+                        T.StructType(
+                            [
+                                T.StructField("min", T.StringType()),
+                                T.StructField("max", T.StringType()),
+                                T.StructField("null_count", T.LongType()),
+                            ]
+                        ),
+                    ),
+                ),
+            ]
+        )
+        snap = (
+            self.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
+        if snap is None:
+            return self.spark.createDataFrame([], schema)
+        stats = self._file_column_stats(snap)
+        rows = []
+        for f in snap.files:
+            p = os.path.join(self.root, f)
+            parts = [seg for seg in f.split(os.sep)[2:-1] if "=" in seg]
+            rows.append(
+                (
+                    f,
+                    "orc" if f.endswith(".orc") else "parquet",
+                    os.path.getsize(p) if os.path.exists(p) else 0,
+                    "/".join(parts) if parts else None,
+                    snap.snapshot_id,
+                    {
+                        c: (str(mn) if mn is not None else None,
+                            str(mx) if mx is not None else None,
+                            nc)
+                        for c, (mn, mx, nc) in stats.get(f, {}).items()
+                    }
+                    or None,
+                )
+            )
+        return self.spark.createDataFrame(rows, schema)
+
+    def history_df(self) -> DataFrame:
+        """``<table>__history``: Iceberg-style current-ancestor chain."""
+        schema = T.StructType(
+            [
+                T.StructField("made_current_at", T.TimestampType()),
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("parent_id", T.LongType()),
+                T.StructField("is_current_ancestor", T.BooleanType()),
+            ]
+        )
+        from datetime import datetime, timezone
+
+        snaps = self.snapshots()
+        ancestors: set[int] = set()
+        by_id = {s.snapshot_id: s for s in snaps}
+        cur = snaps[-1].snapshot_id if snaps else None
+        while cur is not None and cur in by_id:
+            ancestors.add(cur)
+            cur = by_id[cur].parent_id
+        rows = [
+            (
+                datetime.fromtimestamp(s.timestamp_ms / 1000, tz=timezone.utc),
+                s.snapshot_id,
+                s.parent_id,
+                s.snapshot_id in ancestors,
+            )
+            for s in snaps
+        ]
+        return self.spark.createDataFrame(rows, schema)
 
 
 def _parse_type(s: str) -> T.DataType:

@@ -42,19 +42,43 @@ def insert_rows(table: LakeTable, rows: list[dict[str, Any]]) -> int:
     return len(rows)
 
 
+def _matched_files(table: LakeTable, cond) -> tuple[int, list[str]]:
+    """One pushed-down scan: which data files hold rows matching cond,
+    and how many rows match. Parquet footer min/max skips non-matching
+    row groups, so at scale this probe touches only candidate files —
+    it is what makes CoW update/delete file-pruned instead of
+    whole-table rewrites."""
+    per_file = (
+        table.scan()
+        .where(cond)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()  # one row per touched FILE — bounded by file count
+    )
+    matched = sum(r["_n"] for r in per_file)
+    files = sorted({table.relativize_file(r["_f"]) for r in per_file})
+    return matched, files
+
+
 def update_rows(table: LakeTable, filter_expr: str, updates: dict[str, Any]) -> int:
     """C2: UPDATE … SET … WHERE filter as CASE-projection rewrite
-    (reference catalog.py:632-762). Returns matched-row count."""
+    (reference catalog.py:632-762 rewrites the whole table; here only
+    the files that actually hold matching rows are rewritten — the
+    untouched files carry into the new snapshot by reference). Returns
+    matched-row count."""
     schema = table.schema()
     known = {f.name for f in schema.fields}
     unknown = set(updates) - known
     if unknown:
         raise ValueError(f"unknown columns: {sorted(unknown)}")
-    df = table.scan()
     cond = F.expr(filter_expr)
-    matched = df.where(cond).count()
+    matched, touched = _matched_files(table, cond)
     if matched == 0:
         return 0
+    cur = table.current_snapshot()
+    touched_set = set(touched)
+    keep = [f for f in cur.files if f not in touched_set]
+    sub = table.scan_files(touched)
     cols = []
     for f in schema.fields:
         if f.name in updates:
@@ -65,20 +89,28 @@ def update_rows(table: LakeTable, filter_expr: str, updates: dict[str, Any]) -> 
             )
         else:
             cols.append(F.col(f.name))
-    table.overwrite(df.select(*cols))
+    table.replace_files(keep, sub.select(*cols), {"updated_rows": matched})
     return matched
 
 
 def delete_rows(table: LakeTable, filter_expr: str) -> int:
     """C3: DELETE WHERE filter = keep NOT(filter) (reference
     catalog.py:765-831). NULL-safe: rows where the predicate is NULL are
-    kept, matching SQL delete semantics."""
-    df = table.scan()
+    kept, matching SQL delete semantics. Only files holding matching
+    rows are rewritten."""
     cond = F.expr(filter_expr)
-    matched = df.where(cond).count()
+    matched, touched = _matched_files(table, cond)
     if matched == 0:
         return 0
-    table.overwrite(df.where(~F.coalesce(cond, F.lit(False))))
+    cur = table.current_snapshot()
+    touched_set = set(touched)
+    keep = [f for f in cur.files if f not in touched_set]
+    sub = table.scan_files(touched)
+    table.replace_files(
+        keep,
+        sub.where(~F.coalesce(cond, F.lit(False))),
+        {"deleted_rows": matched},
+    )
     return matched
 
 

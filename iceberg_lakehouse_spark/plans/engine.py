@@ -79,11 +79,20 @@ class QueryEngine:
         for full in self.catalog.list_tables():
             ns, t = full.split(".", 1)
             try:
-                df = self.catalog.load_table(full).scan()
+                table = self.catalog.load_table(full)
+                df = table.scan()
             except Exception:  # noqa: BLE001 — skip-and-continue like reference
                 continue
             df.createOrReplaceTempView(t)
             df.createOrReplaceTempView(f"{ns}__{t}")
+            # Iceberg-inspect-style metadata tables (reference exposes
+            # snapshots/files/history via PyIceberg, catalog.py:204-237)
+            try:
+                table.snapshots_df().createOrReplaceTempView(f"{t}__snapshots")
+                table.files_df().createOrReplaceTempView(f"{t}__files")
+                table.history_df().createOrReplaceTempView(f"{t}__history")
+            except Exception:  # noqa: BLE001 — metadata views best-effort
+                pass
         self._registered = True
 
     def refresh(self) -> None:
