@@ -170,15 +170,65 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), bits.alias("simhash"))
 
 
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """64-bit SimHash — the corpus-scale fingerprint (16-bit buckets
+    collapse at ~65k distinct keys; 64-bit keeps Hamming blocking
+    discriminating at 100 TB). Map-only single fold over the row's
+    tokens; no shuffle.
+
+    ``hash_fn``:
+      * ``xxhash64`` (default) — JVM integer hash, the production path;
+      * ``md5`` — first 16 hex chars → 64 bits, engine-portable so the
+        DuckDB oracle reproduces it bit-for-bit.
+    """
+    tokens = tokens_col(text_col)
+    if hash_fn == "xxhash64":
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+        def bit(h, p):
+            return F.getbit(h, p)
+
+    elif hash_fn == "md5":
+        hashes = F.transform(tokens, lambda t: F.md5(t))
+
+        def bit(h, p):
+            nibble = F.conv(
+                F.substring(h, (F.floor(p / 4) + 1).cast("int"), 1), 16, 10
+            ).cast("long")
+            return F.getbit(nibble, p % 4)
+
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|md5)")
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda p: F.when(bit(h, p) == 1, 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    bits = F.concat_ws(
+        "",
+        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise("0")),
+    )
+    return df.select(F.col(id_col), bits.alias("simhash"))
+
+
 def simhash_hamming_pairs(
-    fingerprints: DataFrame, id_col: str, max_distance: int = 3
+    fingerprints: DataFrame, id_col: str, max_distance: int = 3, fp_len: int = 16
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ d over the bit fingerprint.
     Blocking: split the fingerprint into (d+1) segments — by pigeonhole
     any pair within distance d agrees on ≥1 whole segment, so the join
     is segment-equality (hash shuffle), never all-pairs."""
     segs = max_distance + 1
-    seg_len = 16 // segs
+    seg_len = fp_len // segs
     frames = []
     for s in range(segs):
         frames.append(

@@ -131,9 +131,10 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
 """
     + ",\n".join(
-        f"               SUM(CASE WHEN substr(md5(tok), {p + 1}, 1) >= '8' "
-        f"THEN 1 ELSE -1 END) AS b{p}"
-        for p in range(16)
+        "               SUM(CASE WHEN "
+        f"((strpos('0123456789abcdef', substr(md5(tok), {p // 4 + 1}, 1)) - 1)"
+        f" >> {p % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(64)
     )
     + """
         FROM toks GROUP BY doc_id
@@ -141,16 +142,16 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            """
     + " || ".join(
-        f"(CASE WHEN b{p} > 0 THEN '1' ELSE '0' END)" for p in range(16)
+        f"(CASE WHEN b{p} > 0 THEN '1' ELSE '0' END)" for p in range(64)
     )
     + """ AS simhash
     FROM sums
     """,
-    survey_ref="LLM-dedup: SimHash fingerprints (frequency-weighted sign bits)",
+    survey_ref="LLM-dedup: 64-bit SimHash fingerprints (frequency-weighted sign bits)",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_tables(spark, sf_dir)["documents"]
-    return dt.simhash16(docs, "doc_id", "text")
+    return dt.simhash64(docs, "doc_id", "text", hash_fn="md5")
 
 
 @register(

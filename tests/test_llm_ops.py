@@ -164,3 +164,54 @@ def test_streaming_dedup(spark, tmp_path):
     se.run_to_memory_sink(se.deduped_stream(stream), "dedup_out")
     n = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM dedup_out").collect()[0]
     assert n["n"] == n["total"] == 500
+
+
+def test_simhash64_recall_and_blocking(spark):
+    """64-bit fingerprints (xxhash64 production path): near-identical
+    docs land within small Hamming distance and are recovered by the
+    pigeonhole segment blocking; unrelated docs are not paired."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river edge"),
+            (3, "completely unrelated text about database query optimization engines"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = dt.simhash64(df, "doc_id", "text")  # xxhash64 default
+    vals = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert all(len(v) == 64 for v in vals.values())
+    ham_12 = sum(a != b for a, b in zip(vals[1], vals[2]))
+    ham_13 = sum(a != b for a, b in zip(vals[1], vals[3]))
+    assert ham_12 < ham_13  # near-dup closer than unrelated
+    pairs = dt.simhash_hamming_pairs(fp, "doc_id", max_distance=ham_12, fp_len=64)
+    got = {(r["left_id"], r["right_id"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == ham_12
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash64_md5_matches_oracle_formula(spark):
+    """The md5 backend is bit-for-bit reproducible by the DuckDB oracle
+    SQL (same nibble/bit extraction)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in dt.simhash64(df, "doc_id", "text", hash_fn="md5").collect()}
+    bits_sql = ",\n".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), "
+        f"{p // 4 + 1}, 1)) - 1) >> {p % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(64)
+    )
+    concat = " || ".join(f"(CASE WHEN b{p} > 0 THEN '1' ELSE '0' END)" for p in range(64))
+    want = dict(
+        duckdb.sql(
+            "WITH docs(doc_id, text) AS (VALUES (1, 'alpha beta gamma'), (2, 'delta epsilon zeta eta')),"
+            " toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM docs),"
+            f" sums AS (SELECT doc_id, {bits_sql} FROM toks GROUP BY doc_id)"
+            f" SELECT doc_id, {concat} AS simhash FROM sums"
+        ).fetchall()
+    )
+    assert got == want
