@@ -338,6 +338,7 @@ class ContractManager:
         stats: dict | None = None,
         strict: bool = False,
         enum_max_distinct: int = 10,
+        save: bool = True,
     ) -> dict:
         """contracts.py:990-1101: schema from live table; not_null where
         column has no nulls; numeric ranges with 10% buffer (0% strict);
@@ -373,4 +374,7 @@ class ContractManager:
                     for r in df.select(col).where(F.col(col).isNotNull()).distinct().collect()
                 ]
                 constraints.append({"type": "enum", "column": col, "values": sorted(values)})
+        if not save:  # preview: the generated contract without persisting
+            return {"table": name, "schema": schema, "constraints": constraints,
+                    "preview": True}
         return self.create(name, schema=schema, constraints=constraints)

@@ -38,6 +38,9 @@ class RetentionManager:
     def get_policy(self, table: str) -> dict | None:
         return self.store.load().get(table)
 
+    def list_policies(self) -> dict:
+        return self.store.load()
+
     def apply(self, table: LakeTable, dry_run: bool = False) -> dict:
         name = f"{table.namespace}.{table.table}"
         pol = self.get_policy(name) or self.get_policy(table.table)
@@ -203,6 +206,20 @@ class NotificationManager:
         data["handlers"].append(h)
         self.store.save(data)
         return h
+
+    def list_handlers(self, table: str | None = None) -> list[dict]:
+        handlers = self.store.load()["handlers"]
+        return [h for h in handlers if table is None or h["table"] == table]
+
+    def remove_handler(self, table: str, event: str) -> int:
+        data = self.store.load()
+        before = len(data["handlers"])
+        data["handlers"] = [
+            h for h in data["handlers"]
+            if not (h["table"] == table and h["event"] == event)
+        ]
+        self.store.save(data)
+        return before - len(data["handlers"])
 
     def fire_event(self, table: str, event: str, payload: dict | None = None) -> list[dict]:
         data = self.store.load()

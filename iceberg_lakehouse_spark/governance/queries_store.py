@@ -69,6 +69,13 @@ class SavedQueries:
     def history(self, limit: int = 100) -> list[dict]:
         return list(reversed(self.store.load()["history"][-limit:]))
 
+    def clear_history(self) -> int:
+        data = self.store.load()
+        n = len(data["history"])
+        data["history"] = []
+        self.store.save(data)
+        return n
+
 
 class QueryCache:
     """Collected-result cache with TTL + per-table policy + table-based

@@ -370,6 +370,784 @@ class LakehouseServer:
             lambda: dash(c, stats_cache),
         )
 
+        self._register_extended_tools(stats_cache, vm, mm, views, matviews,
+                                      pipelines, lineage, wm)
+
+    def _register_extended_tools(
+        self, stats_cache, vm, mm, views, matviews, pipelines, lineage, wm
+    ) -> None:
+        """The reference's full 155-tool surface (reference server.py:
+        50-1949) — thin wrappers over engine managers. Kept out of
+        `_register_tools` only for readability; same flat registry."""
+        from .operators import crud
+        from .operators.joins import join_to_table, suggest_joins
+        from .operators.sampling_ops import sample_stats, sample_to_table
+        from .sources import backup_clone as bc
+        from .sources import io as lio
+        from .governance import advisor, cdc, schema_evolution as se
+        from .governance.audit import AuditLog
+        from .governance.auto_refresh import AutoRefreshManager
+        from .governance.config import ConfigManager
+        from .governance.contracts import ContractManager
+        from .governance.policies import (
+            MaintenanceManager, NotificationManager, RetentionManager, SlaManager,
+        )
+        from .governance.queries_store import QueryCache, SavedQueries
+        from .governance.stats import (
+            compute_table_stats, detect_anomalies, quality_score,
+        )
+        from .governance.tagging import CatalogMetadata, TagManager
+        from pyspark.sql import functions as F
+
+        c, eng = self.catalog, self.engine
+        audit = AuditLog(self._store("audit.ndjson"))
+        config = ConfigManager(self._store("config.json"))
+        saved = SavedQueries(self._store("queries.json"))
+        cache = QueryCache(self._store("query_cache.json"))
+        retention = RetentionManager(self._store("retention.json"))
+        maintenance = MaintenanceManager(self._store("maintenance.json"))
+        sla = SlaManager(self._store("sla.json"))
+        notify = NotificationManager(self._store("notifications.json"))
+        tags = TagManager(self._store("tags.json"))
+        meta = CatalogMetadata(self._store("catalog_meta.json"))
+        contracts = ContractManager(self._store("contracts.json"))
+        auto_refresh = AutoRefreshManager(
+            self._store("auto_refresh.json"), lineage,
+            matviews=matviews, pipelines=pipelines, query_cache=cache,
+        )
+        eng.history = saved
+        eng.query_cache = cache
+
+        def rows_of(df, cap=1000):
+            return [r.asDict(recursive=True) for r in df.limit(cap).collect()]
+
+        def T(name):
+            return c.load_table(name)
+
+        # -- namespaces ----------------------------------------------------
+        self._add(_tool("list_namespaces", "List namespaces", {}, []),
+                  lambda: c.list_namespaces())
+        self._add(_tool("create_namespace", "Create a namespace", {"name": _S}, ["name"]),
+                  lambda name: (c.create_namespace(name), {"created": name})[1])
+        self._add(_tool("drop_namespace", "Drop an empty namespace", {"name": _S}, ["name"]),
+                  lambda name: (c.drop_namespace(name), {"dropped": name})[1])
+        self._add(_tool("get_namespace_properties", "Tables and counts in a namespace",
+                        {"name": _S}, ["name"]),
+                  lambda name: {"namespace": name, "tables": c.list_tables(name)})
+
+        # -- table admin ---------------------------------------------------
+        def _alter(table, action, column=None, type=None, new_name=None):
+            t = T(table)
+            if action == "add_column":
+                t.add_column(column, type)
+            elif action == "drop_column":
+                t.drop_column(column)
+            elif action == "rename_column":
+                t.rename_column(column, new_name)
+            else:
+                raise ValueError(f"unknown action {action!r}")
+            return t.meta()["schema"]
+
+        self._add(
+            _tool("alter_table", "Add/drop/rename a column",
+                  {"table": _S, "action": _S, "column": _S, "type": _S, "new_name": _S},
+                  ["table", "action"]),
+            _alter,
+        )
+        self._add(
+            _tool("set_table_property", "Set a table property",
+                  {"table": _S, "key": _S, "value": _S}, ["table", "key", "value"]),
+            lambda table, key, value: (T(table).set_properties({key: value}),
+                                       T(table).properties())[1],
+        )
+        self._add(
+            _tool("unset_table_property", "Remove a table property",
+                  {"table": _S, "key": _S}, ["table", "key"]),
+            lambda table, key: (T(table).unset_properties([key]),
+                                T(table).properties())[1],
+        )
+        self._add(_tool("refresh", "Re-register table views after external changes", {}, []),
+                  lambda: (eng.refresh(), {"refreshed": True})[1])
+        self._add(
+            _tool("batch", "Sequential CRUD ops; stop on first failure",
+                  {"table": _S, "operations": {"type": "array"}}, ["table", "operations"]),
+            lambda table, operations: crud.execute_batch(
+                [(T(table), op) for op in operations]
+            ),
+        )
+        self._add(
+            _tool("maintenance_status", "File stats + whether maintenance is needed",
+                  {"table": _S}, ["table"]),
+            lambda table: {"stats": T(table).file_stats(),
+                           "check": maintenance.check_needed(T(table))},
+        )
+        self._add(
+            _tool("get_partitions", "Distinct partition values with file counts",
+                  {"table": _S}, ["table"]),
+            lambda table: T(table).partition_stats(),
+        )
+
+        # -- schema evolution ---------------------------------------------
+        self._add(_tool("schema_history", "Schema versions over time", {"table": _S}, ["table"]),
+                  lambda table: T(table).schema_history())
+        self._add(
+            _tool("schema_diff", "Column diff between two schema versions",
+                  {"table": _S, "from_version": _I, "to_version": _I},
+                  ["table", "from_version", "to_version"]),
+            lambda table, from_version, to_version: se.diff_schemas(
+                T(table), from_version, to_version),
+        )
+        self._add(
+            _tool("schema_migration", "SQL-ish steps to migrate between versions",
+                  {"table": _S, "from_version": _I, "to_version": _I},
+                  ["table", "from_version", "to_version"]),
+            lambda table, from_version, to_version: se.migration_steps(
+                T(table), from_version, to_version),
+        )
+        self._add(
+            _tool("schema_compatibility", "Backward/forward compatibility verdict",
+                  {"table": _S, "from_version": _I, "to_version": _I},
+                  ["table", "from_version", "to_version"]),
+            lambda table, from_version, to_version: se.check_compatibility(
+                T(table), from_version, to_version),
+        )
+
+        # -- format config / conversion (S11-S13 ORC substitution) --------
+        self._add(
+            _tool("get_format_config", "Resolved write format for a table",
+                  {"table": _S}, []),
+            lambda table=None: {"format": config.resolve_write_format(c, table)},
+        )
+        self._add(
+            _tool("set_format_config", "Set default write format globally or per table",
+                  {"format": _S, "table": _S}, ["format"]),
+            lambda format, table=None: (
+                config.set_table(table, "write.format.default", format)
+                if table else config.set_global("write.format.default", format),
+                {"format": format, "scope": table or "global"},
+            )[1],
+        )
+        self._add(
+            _tool("convert_format", "Convert a columnar file parquet<->orc",
+                  {"source": _S, "dest": _S}, ["source", "dest"]),
+            lambda source, dest: lio.convert_file(self.spark, source, dest),
+        )
+        self._add(
+            _tool("query_file", "SQL over a standalone parquet/orc/csv/json file",
+                  {"path": _S, "sql": _S, "view_name": _S}, ["path", "sql"]),
+            lambda path, sql, view_name="file_view": rows_of(
+                eng.query_file(path, sql, view_name)),
+        )
+        self._add(
+            _tool("table_to_orc", "Export a table snapshot as ORC",
+                  {"table": _S, "path": _S}, ["table", "path"]),
+            lambda table, path: lio.table_to_orc(T(table), path),
+        )
+
+        # -- saved queries + history --------------------------------------
+        self._add(
+            _tool("save_query", "Save a named SQL query",
+                  {"name": _S, "sql": _S, "description": _S}, ["name", "sql"]),
+            lambda name, sql, description=None: saved.save(name, sql, description),
+        )
+        self._add(_tool("list_saved_queries", "List saved queries", {}, []),
+                  lambda: saved.list())
+        self._add(
+            _tool("run_saved_query", "Execute a saved query by name",
+                  {"name": _S, "max_rows": _I}, ["name"]),
+            lambda name, max_rows=100: rows_of(
+                eng.execute(saved.get(name)["sql"], max_rows=max_rows)),
+        )
+        self._add(_tool("delete_saved_query", "Delete a saved query", {"name": _S}, ["name"]),
+                  lambda name: (saved.delete(name), {"deleted": name})[1])
+        self._add(_tool("get_query_history", "Recent executed queries", {"limit": _I}, []),
+                  lambda limit=100: saved.history(limit))
+        self._add(_tool("clear_query_history", "Clear the query history", {}, []),
+                  lambda: {"cleared": saved.clear_history()})
+
+        # -- validation (rest) / audit ------------------------------------
+        self._add(_tool("list_validation_rules", "Rules for a table", {"table": _S}, ["table"]),
+                  lambda table: vm.list_rules(table.split(".", 1)[-1]))
+        self._add(
+            _tool("remove_validation_rule", "Remove a rule by name",
+                  {"table": _S, "name": _S}, ["table", "name"]),
+            lambda table, name: {"removed": vm.remove_rule(table.split(".", 1)[-1], name)},
+        )
+        self._add(
+            _tool("get_audit_log", "Query the audit log",
+                  {"table": _S, "operation": _S, "limit": _I}, []),
+            lambda table=None, operation=None, limit=100: audit.query(
+                table=table, operation=operation, limit=limit),
+        )
+        self._add(_tool("clear_audit_log", "Clear audit entries", {"older_than": _S}, []),
+                  lambda older_than=None: {"cleared": audit.clear(older_than)})
+
+        # -- stats / anomalies / quality ----------------------------------
+        self._add(_tool("get_table_stats", "Cached table stats", {"table": _S}, ["table"]),
+                  lambda table: stats_cache.get(T(table)))
+        self._add(_tool("refresh_table_stats", "Force stats recompute", {"table": _S}, ["table"]),
+                  lambda table: stats_cache.get(T(table), refresh=True))
+        self._add(
+            _tool("get_all_stats", "Stats for every table", {}, []),
+            lambda: {t: stats_cache.get(T(t)) for t in c.list_tables()},
+        )
+        self._add(
+            _tool("detect_anomalies", "Stat drift between cached and live stats",
+                  {"table": _S}, ["table"]),
+            lambda table: detect_anomalies(
+                stats_cache.peek(table) or stats_cache.get(T(table)),
+                compute_table_stats(T(table))),
+        )
+        self._add(
+            _tool("quality_report", "Score + per-column issues",
+                  {"table": _S}, ["table"]),
+            lambda table: quality_score(compute_table_stats(T(table))),
+        )
+
+        # -- retention / maintenance policies ------------------------------
+        self._add(
+            _tool("set_retention_policy", "Snapshot retention policy",
+                  {"table": _S, "max_snapshot_age_hours": _N,
+                   "max_snapshot_count": _I, "min_snapshots_to_keep": _I}, ["table"]),
+            lambda table, **kw: retention.set_policy(table, **kw),
+        )
+        self._add(_tool("list_retention_policies", "All retention policies", {}, []),
+                  lambda: retention.list_policies())
+        self._add(
+            _tool("evaluate_retention", "Apply (or dry-run) retention for a table",
+                  {"table": _S, "dry_run": _B}, ["table"]),
+            lambda table, dry_run=True: retention.apply(T(table), dry_run=dry_run),
+        )
+        self._add(
+            _tool("set_maintenance_policy", "Compaction/expiry thresholds",
+                  {"table": _S, "auto_compact_threshold": _I,
+                   "auto_expire_retain_last": _I, "auto_cleanup_orphans": _B},
+                  ["table"]),
+            lambda table, **kw: maintenance.set_policy(table, **kw),
+        )
+        self._add(_tool("check_maintenance", "Is maintenance needed?", {"table": _S}, ["table"]),
+                  lambda table: maintenance.check_needed(T(table)))
+        self._add(
+            _tool("run_maintenance", "Run needed maintenance actions",
+                  {"table": _S, "dry_run": _B}, ["table"]),
+            lambda table, dry_run=False: maintenance.run(T(table), dry_run=dry_run),
+        )
+
+        # -- catalog enrichment / glossary / tags -------------------------
+        self._add(
+            _tool("set_column_description", "Describe a column",
+                  {"table": _S, "column": _S, "description": _S},
+                  ["table", "column", "description"]),
+            lambda table, column, description: (
+                meta.set_column_description(table, column, description),
+                meta.column_info(table))[1],
+        )
+        self._add(
+            _tool("classify_column", "Classify a column (pii/sensitive/public...)",
+                  {"table": _S, "column": _S, "classification": _S},
+                  ["table", "column", "classification"]),
+            lambda table, column, classification: (
+                meta.classify_column(table, column, classification),
+                meta.column_info(table))[1],
+        )
+        self._add(
+            _tool("get_enriched_schema", "Schema + descriptions + classifications",
+                  {"table": _S}, ["table"]),
+            lambda table: {
+                "schema": T(table).meta()["schema"],
+                "columns": meta.column_info(table),
+            },
+        )
+        self._add(_tool("get_pii_columns", "Columns classified as PII", {"table": _S}, []),
+                  lambda table=None: meta.pii_columns(table))
+        self._add(
+            _tool("add_glossary_term", "Define a business glossary term",
+                  {"term": _S, "definition": _S, "aliases": {"type": "array"}},
+                  ["term", "definition"]),
+            lambda term, definition, aliases=None: (
+                meta.add_glossary_term(term, definition, aliases),
+                {"term": term})[1],
+        )
+        self._add(_tool("search_glossary", "Look up a glossary term or alias",
+                        {"term": _S}, ["term"]),
+                  lambda term: meta.lookup_term(term) or {"term": term, "found": False})
+        self._add(_tool("tag_table", "Add a tag", {"table": _S, "tag": _S}, ["table", "tag"]),
+                  lambda table, tag: {"tags": tags.add_tag(table, tag)})
+        self._add(_tool("untag_table", "Remove a tag", {"table": _S, "tag": _S}, ["table", "tag"]),
+                  lambda table, tag: {"tags": tags.remove_tag(table, tag)})
+        self._add(_tool("search_by_tag", "Tables carrying a tag", {"tag": _S}, ["tag"]),
+                  lambda tag: [r for r in tags.search(tag, c.list_tables())])
+        self._add(
+            _tool("set_table_description", "Describe a table",
+                  {"table": _S, "description": _S}, ["table", "description"]),
+            lambda table, description: (tags.set_description(table, description),
+                                        tags.info(table))[1],
+        )
+        self._add(_tool("bookmark_table", "Bookmark/unbookmark a table",
+                        {"table": _S, "value": _B}, ["table"]),
+                  lambda table, value=True: (tags.bookmark(table, value),
+                                             {"bookmarks": tags.bookmarks()})[1])
+        self._add(_tool("search_tables", "Search tables by name/tag/description",
+                        {"term": _S}, ["term"]),
+                  lambda term: tags.search(term, c.list_tables()))
+
+        # -- masking (rest) -----------------------------------------------
+        self._add(_tool("list_masking_policies", "Masking policies", {"table": _S}, []),
+                  lambda table=None: mm.list_policies(table))
+        self._add(
+            _tool("remove_masking_policy", "Remove a masking policy",
+                  {"table": _S, "column": _S}, ["table", "column"]),
+            lambda table, column: {"removed": mm.remove_policy(table, column)},
+        )
+        self._add(
+            _tool("query_with_masking", "Run SQL with masking policies applied",
+                  {"sql": _S, "table": _S}, ["sql"]),
+            lambda sql, table=None: rows_of(mm.apply(eng.execute(sql), table)),
+        )
+
+        # -- watermarks / incremental -------------------------------------
+        self._add(
+            _tool("get_watermark", "Watermark for (pipeline, table)",
+                  {"pipeline": _S, "table": _S}, ["pipeline", "table"]),
+            lambda pipeline, table: wm.get(pipeline, table) or {"watermark": None},
+        )
+        self._add(_tool("list_watermarks", "All watermarks", {"pipeline": _S}, []),
+                  lambda pipeline=None: wm.list(pipeline))
+        self._add(
+            _tool("reset_watermark", "Reset pipeline watermarks",
+                  {"pipeline": _S, "table": _S}, ["pipeline"]),
+            lambda pipeline, table=None: (wm.reset(pipeline, table),
+                                          {"reset": pipeline})[1],
+        )
+        from .governance.incremental import run_incremental_pipeline
+
+        self._add(
+            _tool("run_pipeline_incremental",
+                  "Incremental pipeline: per step, read new rows, run SQL, append",
+                  {"pipeline": _S, "steps": {"type": "array"}},
+                  ["pipeline", "steps"]),
+            lambda pipeline, steps: run_incremental_pipeline(
+                c, wm, pipeline, steps, eng),
+        )
+
+        # -- SLA / notifications ------------------------------------------
+        self._add(
+            _tool("set_sla", "Freshness/quality/row-count thresholds",
+                  {"table": _S, "max_staleness_hours": _N, "min_quality_score": _N,
+                   "min_row_count": _I, "max_null_pct": _N}, ["table"]),
+            lambda table, **kw: sla.set_sla(table, **kw),
+        )
+        self._add(_tool("list_slas", "All SLA policies", {}, []),
+                  lambda: sla.store.load()["policies"])
+        self._add(
+            _tool("check_sla", "Check a table against its SLA now",
+                  {"table": _S}, ["table"]),
+            lambda table: sla.check(
+                T(table), compute_table_stats(T(table)),
+                quality_score(compute_table_stats(T(table)))),
+        )
+        self._add(_tool("get_sla_history", "Past SLA checks", {"table": _S}, ["table"]),
+                  lambda table: sla.history(table))
+        self._add(
+            _tool("register_notification", "Handler for table events",
+                  {"table": _S, "event": _S, "kind": _S, "target": _S},
+                  ["table", "event"]),
+            lambda table, event, kind="log", target=None: notify.add_handler(
+                table, event, kind, target),
+        )
+        self._add(_tool("list_notifications", "Registered handlers", {"table": _S}, []),
+                  lambda table=None: notify.list_handlers(table))
+        self._add(
+            _tool("remove_notification", "Remove handlers for (table, event)",
+                  {"table": _S, "event": _S}, ["table", "event"]),
+            lambda table, event: {"removed": notify.remove_handler(table, event)},
+        )
+        self._add(
+            _tool("get_notification_history", "Fired notifications",
+                  {"table": _S, "limit": _I}, []),
+            lambda table=None, limit=100: notify.history(table, limit),
+        )
+        self._add(
+            _tool("fire_event", "Fire a table event through registered handlers",
+                  {"table": _S, "event": _S, "payload": {"type": "object"}},
+                  ["table", "event"]),
+            lambda table, event, payload=None: notify.fire_event(table, event, payload),
+        )
+
+        # -- advisor / optimizer ------------------------------------------
+        def _all_stats():
+            return {t: stats_cache.get(T(t)) for t in c.list_tables()}
+
+        self._add(_tool("analyze_query_patterns", "Hot tables/filters from history", {}, []),
+                  lambda: advisor.analyze_patterns(saved.history(1000)))
+        self._add(
+            _tool("suggest_optimizations", "Partitioning + matview suggestions", {}, []),
+            lambda: {
+                "partitioning": advisor.suggest_partitioning(saved.history(1000), _all_stats()),
+                "materialized_views": advisor.suggest_matviews(saved.history(1000)),
+            },
+        )
+        self._add(_tool("optimization_report", "Full optimizer report", {}, []),
+                  lambda: advisor.optimization_report(saved.history(1000), _all_stats()))
+        self._add(_tool("estimate_query_cost", "Heuristic cost of a SQL query",
+                        {"sql": _S}, ["sql"]),
+                  lambda sql: advisor.estimate_cost(sql, _all_stats()))
+
+        # -- query cache ---------------------------------------------------
+        self._add(_tool("get_cache_stats", "Hit/miss counters", {}, []),
+                  lambda: cache.stats())
+        self._add(_tool("list_cached_queries", "Cached query entries", {}, []),
+                  lambda: cache.store.load()["entries"])
+        self._add(
+            _tool("invalidate_cache", "Invalidate by table, or everything",
+                  {"table": _S}, []),
+            lambda table=None: {"invalidated": (
+                cache.invalidate_table(table) if table else cache.invalidate_all())},
+        )
+        self._add(
+            _tool("set_cache_policy", "Enable/disable caching for a table",
+                  {"table": _S, "enabled": _B}, ["table", "enabled"]),
+            lambda table, enabled: (cache.set_policy(table, enabled),
+                                    {"table": table, "enabled": enabled})[1],
+        )
+
+        # -- backup / clone ------------------------------------------------
+        self._add(
+            _tool("backup_table", "Archive a table snapshot",
+                  {"table": _S, "archive_path": _S, "as_of": _S},
+                  ["table", "archive_path"]),
+            lambda table, archive_path, as_of=None: bc.backup_table(
+                T(table), archive_path, as_of),
+        )
+        self._add(_tool("verify_backup", "Check archive integrity",
+                        {"archive_path": _S}, ["archive_path"]),
+                  lambda archive_path: bc.verify_backup(archive_path))
+        self._add(
+            _tool("restore_table", "Restore a table from an archive",
+                  {"archive_path": _S, "target": _S, "if_exists": _S},
+                  ["archive_path", "target"]),
+            lambda archive_path, target, if_exists="fail": bc.restore_table(
+                c, archive_path, target, if_exists),
+        )
+        self._add(
+            _tool("list_backups", "Archives in a directory", {"directory": _S}, ["directory"]),
+            lambda directory: sorted(
+                f for f in (os.listdir(directory) if os.path.isdir(directory) else [])
+                if f.endswith((".tar", ".tar.gz", ".tgz"))),
+        )
+        self._add(
+            _tool("clone_table", "Zero-copy-ish clone for experimentation",
+                  {"table": _S, "clone_name": _S}, ["table", "clone_name"]),
+            lambda table, clone_name: bc.clone_table(c, table, clone_name),
+        )
+        self._add(
+            _tool("list_clones", "Clones of tables", {}, []),
+            lambda: [t for t in c.list_tables() if t.split(".", 1)[0] == "clones"],
+        )
+        self._add(
+            _tool("promote_clone", "Replace target with clone data",
+                  {"clone_name": _S, "target": _S}, ["clone_name", "target"]),
+            lambda clone_name, target: bc.promote_clone(c, clone_name, target),
+        )
+        self._add(_tool("discard_clone", "Drop a clone", {"clone_name": _S}, ["clone_name"]),
+                  lambda clone_name: (bc.discard_clone(c, clone_name),
+                                      {"discarded": clone_name})[1])
+
+        # -- dedup over tables --------------------------------------------
+        def _dup_groups(table, columns=None):
+            t = T(table)
+            df = t.scan()
+            cols = columns or df.columns
+            return df.groupBy(*cols).agg(F.count(F.lit(1)).alias("dup_count")) \
+                     .where(F.col("dup_count") > 1)
+
+        self._add(
+            _tool("find_duplicates", "Duplicate groups by columns (default all)",
+                  {"table": _S, "columns": {"type": "array"}}, ["table"]),
+            lambda table, columns=None: rows_of(
+                _dup_groups(table, columns).orderBy(F.desc("dup_count"))),
+        )
+        self._add(
+            _tool("dedup_summary", "Total vs distinct vs duplicate rows",
+                  {"table": _S, "columns": {"type": "array"}}, ["table"]),
+            lambda table, columns=None: (lambda df, cols: {
+                "rows": df.count(),
+                "distinct": df.select(*cols).distinct().count(),
+            })(T(table).scan(), columns or T(table).scan().columns),
+        )
+        self._add(
+            _tool("remove_duplicates", "Keep one row per key (new snapshot)",
+                  {"table": _S, "columns": {"type": "array"}}, ["table"]),
+            lambda table, columns=None: (lambda t, df: {
+                "before": df.count(),
+                "after": (t.overwrite(df.dropDuplicates(columns or df.columns)),
+                          t.scan().count())[1],
+            })(T(table), T(table).scan()),
+        )
+        self._add(
+            _tool("dedup_report", "Duplicate groups + affected-row estimate",
+                  {"table": _S, "columns": {"type": "array"}}, ["table"]),
+            lambda table, columns=None: (lambda g: {
+                "duplicate_groups": g.count(),
+                "extra_rows": (g.agg(F.sum(F.col("dup_count") - 1).alias("n"))
+                               .collect()[0]["n"] or 0),
+                "examples": rows_of(g.orderBy(F.desc("dup_count")), 10),
+            })(_dup_groups(table, columns)),
+        )
+
+        # -- CDC (rest) ----------------------------------------------------
+        self._add(
+            _tool("get_change_log", "Per-snapshot-pair change summaries",
+                  {"table": _S, "limit": _I, "key_columns": {"type": "array"}},
+                  ["table"]),
+            lambda table, limit=10, key_columns=None: cdc.change_log(
+                T(table), limit, key_columns),
+        )
+        self._add(
+            _tool("get_change_summary", "Counts only between two snapshots",
+                  {"table": _S, "from_snapshot": _I, "to_snapshot": _I,
+                   "key_columns": {"type": "array"}},
+                  ["table", "from_snapshot", "to_snapshot"]),
+            lambda table, from_snapshot, to_snapshot, key_columns=None: cdc.capture_changes(
+                T(table), from_snapshot, to_snapshot, key_columns, max_rows=0
+            )["summary"],
+        )
+        self._add(
+            _tool("export_changes", "CDC result as JSON or CSV text",
+                  {"table": _S, "from_snapshot": _I, "to_snapshot": _I,
+                   "file_format": _S, "key_columns": {"type": "array"}},
+                  ["table", "from_snapshot", "to_snapshot"]),
+            lambda table, from_snapshot, to_snapshot, file_format="json",
+                   key_columns=None: cdc.export_changes(
+                cdc.capture_changes(T(table), from_snapshot, to_snapshot, key_columns),
+                file_format),
+        )
+        self._add(
+            _tool("replay_changes", "Apply captured changes to another table",
+                  {"source": _S, "target": _S, "from_snapshot": _I, "to_snapshot": _I,
+                   "key_columns": {"type": "array"}},
+                  ["source", "target", "from_snapshot", "to_snapshot"]),
+            lambda source, target, from_snapshot, to_snapshot, key_columns=None:
+                cdc.replay_changes(T(target), cdc.capture_changes(
+                    T(source), from_snapshot, to_snapshot, key_columns)),
+        )
+
+        # -- sampling ------------------------------------------------------
+        self._add(
+            _tool("random_sample", "Bernoulli sample of a table",
+                  {"table": _S, "fraction": _N, "seed": _I}, ["table", "fraction"]),
+            lambda table, fraction, seed=42: rows_of(
+                T(table).scan().sample(fraction=fraction, seed=seed)),
+        )
+        self._add(
+            _tool("stratified_sample", "Per-stratum sample fractions",
+                  {"table": _S, "column": _S, "fraction": _N, "seed": _I},
+                  ["table", "column", "fraction"]),
+            lambda table, column, fraction, seed=42: rows_of(
+                (lambda df: df.sampleBy(
+                    column,
+                    {r[0]: fraction for r in
+                     df.select(column).distinct().limit(1000).collect()},
+                    seed=seed))(T(table).scan())),
+        )
+        self._add(
+            _tool("sample_to_table", "Persist a sample as a new table",
+                  {"table": _S, "target": _S, "fraction": _N, "method": _S,
+                   "seed": _I}, ["table", "target", "fraction"]),
+            lambda table, target, fraction, method="bernoulli", seed=42:
+                sample_to_table(c, table, target, fraction, seed=seed, method=method),
+        )
+        self._add(
+            _tool("get_sample_stats", "Sampled vs full per-column stats",
+                  {"table": _S, "sample_table": _S}, ["table", "sample_table"]),
+            lambda table, sample_table: sample_stats(
+                T(table).scan(), T(sample_table).scan()),
+        )
+
+        # -- auto-refresh --------------------------------------------------
+        self._add(
+            _tool("set_auto_refresh", "Configure cascade refresh for a table",
+                  {"table": _S, "enabled": _B, "cascade_depth": _I,
+                   "refresh_matviews": _B, "rerun_pipelines": _B,
+                   "invalidate_cache": _B}, ["table"]),
+            lambda table, **kw: auto_refresh.configure(table, **kw),
+        )
+        self._add(_tool("get_refresh_plan", "What a refresh would cascade to",
+                        {"table": _S}, ["table"]),
+                  lambda table: auto_refresh.plan(table))
+        self._add(_tool("trigger_refresh", "Run the cascade now", {"table": _S}, ["table"]),
+                  lambda table: auto_refresh.execute(table))
+        self._add(_tool("get_refresh_history", "Past cascade runs", {"limit": _I}, []),
+                  lambda limit=20: auto_refresh.history(limit))
+
+        # -- contracts -----------------------------------------------------
+        self._add(
+            _tool("create_contract", "Create a data contract",
+                  {"table": _S, "schema": {"type": "object"},
+                   "quality": {"type": "object"}, "freshness": {"type": "object"},
+                   "constraints": {"type": "array"}, "owner": _S}, ["table"]),
+            lambda table, **kw: contracts.create(table, **kw),
+        )
+        def _cname(table: str) -> str:
+            """Contracts are keyed by the full ns.table name."""
+            if table in contracts.list():
+                return table
+            t = T(table)
+            return f"{t.namespace}.{t.table}"
+
+        self._add(_tool("get_contract", "Fetch a contract", {"table": _S}, ["table"]),
+                  lambda table: contracts.get(_cname(table)))
+        self._add(
+            _tool("update_contract", "Version-bumping contract update",
+                  {"table": _S, "schema": {"type": "object"},
+                   "quality": {"type": "object"}, "freshness": {"type": "object"},
+                   "constraints": {"type": "array"}, "owner": _S, "status": _S},
+                  ["table"]),
+            lambda table, **kw: contracts.update(_cname(table), **kw),
+        )
+        self._add(_tool("deprecate_contract", "Mark a contract deprecated",
+                        {"table": _S}, ["table"]),
+                  lambda table: contracts.deprecate(_cname(table)))
+        self._add(_tool("list_contracts", "All contracts", {}, []),
+                  lambda: contracts.list())
+        self._add(
+            _tool("get_contract_summary", "Status/version/owner per contract", {}, []),
+            lambda: [
+                {"table": t, "status": v["status"], "version": v["version"],
+                 "owner": v.get("owner")}
+                for t, v in contracts.list().items()
+            ],
+        )
+        self._add(_tool("get_contract_history", "Version history", {"table": _S}, ["table"]),
+                  lambda table: contracts.get(_cname(table))["history"])
+        self._add(
+            _tool("diff_contract_versions", "Schema diff between versions",
+                  {"table": _S, "v1": _I, "v2": _I}, ["table", "v1", "v2"]),
+            lambda table, v1, v2: contracts.diff_versions(_cname(table), v1, v2),
+        )
+        self._add(_tool("validate_contract", "Schema conformance vs live table",
+                        {"table": _S}, ["table"]),
+                  lambda table: {"violations": contracts.validate_table(T(table))})
+        self._add(
+            _tool("validate_data_against_contract", "Row-level constraint check",
+                  {"table": _S}, ["table"]),
+            lambda table: contracts.validate_rows(table, T(table).scan()),
+        )
+        self._add(_tool("get_contract_violations", "All violation kinds now",
+                        {"table": _S}, ["table"]),
+                  lambda table: contracts.violations(T(table)))
+        self._add(_tool("get_compliance_score", "0-100 compliance", {"table": _S}, ["table"]),
+                  lambda table: {"score": contracts.compliance_score(T(table))})
+        self._add(_tool("monitor_contract", "Record a compliance check",
+                        {"table": _S}, ["table"]),
+                  lambda table: contracts.monitor(T(table)))
+        self._add(_tool("get_contract_trends", "Score trajectory", {"table": _S}, ["table"]),
+                  lambda table: contracts.trends(_cname(table)))
+        self._add(
+            _tool("generate_contract", "Generate + save a contract from live stats",
+                  {"table": _S, "strict": _B}, ["table"]),
+            lambda table, strict=False: contracts.generate_from_stats(
+                T(table), strict=strict),
+        )
+        self._add(
+            _tool("preview_contract", "Generated contract without saving",
+                  {"table": _S, "strict": _B}, ["table"]),
+            lambda table, strict=False: contracts.generate_from_stats(
+                T(table), strict=strict, save=False),
+        )
+        self._add(
+            _tool("dry_run_contract", "What a proposed contract would violate",
+                  {"table": _S, "proposed": {"type": "object"}},
+                  ["table", "proposed"]),
+            lambda table, proposed: contracts.dry_run(T(table), proposed),
+        )
+        self._add(
+            _tool("dry_run_migration", "Violations + migration steps for a proposal",
+                  {"table": _S, "proposed": {"type": "object"}},
+                  ["table", "proposed"]),
+            lambda table, proposed: {
+                "dry_run": contracts.dry_run(T(table), proposed),
+                "current_version": (
+                    contracts.get(_cname(table))["version"]
+                    if _cname(table) in contracts.list() else None),
+            },
+        )
+        self._add(
+            _tool("add_contract_consumer", "Register a downstream consumer",
+                  {"table": _S, "consumer": _S}, ["table", "consumer"]),
+            lambda table, consumer: (contracts.register_consumer(_cname(table), consumer),
+                                     {"consumers": contracts.consumers(_cname(table))})[1],
+        )
+        self._add(_tool("get_contract_coverage", "Which tables have contracts", {}, []),
+                  lambda: contracts.coverage(c.list_tables()))
+        self._add(
+            _tool("get_contract_dashboard", "Compliance overview across tables", {}, []),
+            lambda: contracts.dashboard([T(t) for t in c.list_tables()]),
+        )
+        self._add(
+            _tool("get_contract_health", "Score + trends + violations for one table",
+                  {"table": _S}, ["table"]),
+            lambda table: {
+                "score": contracts.compliance_score(T(table)),
+                "trends": contracts.trends(_cname(table)),
+                "violations": contracts.violations(T(table)),
+            },
+        )
+
+        # -- views / matviews / pipelines (rest) --------------------------
+        self._add(_tool("list_views", "Stored SQL views", {}, []), lambda: views.list())
+        self._add(_tool("drop_view", "Drop a stored view", {"name": _S}, ["name"]),
+                  lambda name: (views.drop(name), {"dropped": name})[1])
+        self._add(
+            _tool("create_materialized_view", "Materialize a SQL result as a backed table",
+                  {"name": _S, "sql": _S}, ["name", "sql"]),
+            lambda name, sql: matviews.create(name, sql),
+        )
+        self._add(_tool("list_materialized_views", "Materialized views", {}, []),
+                  lambda: matviews.list())
+        self._add(_tool("query_materialized_view", "Read a matview", {"name": _S}, ["name"]),
+                  lambda name: rows_of(matviews.query(name)))
+        self._add(_tool("refresh_materialized_view", "Refresh a matview",
+                        {"name": _S}, ["name"]),
+                  lambda name: matviews.refresh(name))
+        self._add(_tool("drop_materialized_view", "Drop a matview", {"name": _S}, ["name"]),
+                  lambda name: (matviews.drop(name), {"dropped": name})[1])
+        self._add(_tool("list_pipelines", "Stored pipelines", {}, []),
+                  lambda: pipelines.list())
+        self._add(_tool("dry_run_pipeline", "Validate pipeline steps without running",
+                        {"name": _S}, ["name"]),
+                  lambda name: pipelines.dry_run(name))
+        self._add(_tool("drop_pipeline", "Drop a pipeline", {"name": _S}, ["name"]),
+                  lambda name: (pipelines.drop(name), {"dropped": name})[1])
+
+        # -- lineage (rest) / joins ---------------------------------------
+        self._add(
+            _tool("record_lineage", "Record a lineage edge",
+                  {"sources": {"type": "array"}, "target": _S, "kind": _S, "sql": _S},
+                  ["sources", "target"]),
+            lambda sources, target, kind="manual", sql=None: lineage.record(
+                sources, target, kind, sql),
+        )
+        self._add(_tool("lineage_graph", "Full lineage graph", {}, []),
+                  lambda: lineage.graph())
+        self._add(_tool("lineage_impact", "Blast radius of changing a table",
+                        {"table": _S}, ["table"]),
+                  lambda table: lineage.impact(table))
+        self._add(
+            _tool("execute_join", "Run join SQL and return rows",
+                  {"sql": _S, "max_rows": _I}, ["sql"]),
+            lambda sql, max_rows=100: rows_of(eng.execute(sql, max_rows=max_rows)),
+        )
+        self._add(
+            _tool("join_to_table", "Materialize join SQL as a table",
+                  {"sql": _S, "target": _S, "mode": _S}, ["sql", "target"]),
+            lambda sql, target, mode="create": join_to_table(
+                c, eng, sql, target, mode, lineage=lineage),
+        )
+        self._add(_tool("suggest_joins", "Joinable tables by shared columns",
+                        {"table": _S}, ["table"]),
+                  lambda table: suggest_joins(c, table))
+
     # ------------------------------------------------------------------
     # JSON-RPC / MCP protocol
     # ------------------------------------------------------------------

@@ -107,3 +107,258 @@ def test_tool_error_surfaces_as_mcp_error(server):
     is_err, _p, result = call(server, "query", {"sql": "SELECT * FROM nope"})
     assert is_err
     assert "TABLE_OR_VIEW_NOT_FOUND" in result["content"][0]["text"]
+
+
+def ok(server, name, args):
+    is_err, payload, result = call(server, name, args)
+    assert not is_err, f"{name}: {result['content'][0]['text'][:300]}"
+    return payload
+
+
+def test_tool_count_exceeds_reference_floor(server):
+    tools = rpc(server, "tools/list")["result"]["tools"]
+    assert len(tools) >= 150  # reference exposes 155 tools
+
+
+@pytest.fixture(scope="module")
+def seeded(server):
+    ok(server, "create_table",
+       {"table": "gv", "schema": [["id", "long"], ["cat", "string"], ["v", "double"]]})
+    ok(server, "insert", {"table": "gv", "rows": [
+        {"id": 1, "cat": "a", "v": 1.0}, {"id": 2, "cat": "b", "v": 2.0},
+        {"id": 2, "cat": "b", "v": 2.0}]})
+    return "gv"
+
+
+def test_namespace_and_table_admin_family(server, seeded):
+    ok(server, "create_namespace", {"name": "extra"})
+    assert "extra" in ok(server, "list_namespaces", {})
+    ok(server, "drop_namespace", {"name": "extra"})
+    schema = ok(server, "alter_table",
+                {"table": seeded, "action": "add_column", "column": "note", "type": "string"})
+    assert any(f["name"] == "note" for f in schema["fields"])
+    props = ok(server, "set_table_property", {"table": seeded, "key": "team", "value": "core"})
+    assert props["team"] == "core"
+    props = ok(server, "unset_table_property", {"table": seeded, "key": "team"})
+    assert "team" not in props
+    res = ok(server, "batch", {"table": seeded, "operations": [
+        {"op": "insert", "rows": [{"id": 5, "cat": "c", "v": 5.0}]}]})
+    assert res[0]["status"] == "ok"
+    assert ok(server, "maintenance_status", {"table": seeded})["stats"]["file_count"] >= 1
+
+
+def test_schema_evolution_family(server, seeded):
+    hist = ok(server, "schema_history", {"table": seeded})
+    assert len(hist) >= 1
+    diff = ok(server, "schema_diff",
+              {"table": seeded, "from_version": 1, "to_version": hist[-1]["version"]})
+    assert "note" in diff["added"] or diff["added"] == ["note"]
+    steps = ok(server, "schema_migration",
+               {"table": seeded, "from_version": 1, "to_version": hist[-1]["version"]})
+    assert steps
+    compat = ok(server, "schema_compatibility",
+                {"table": seeded, "from_version": 1, "to_version": hist[-1]["version"]})
+    assert "backward_compatible" in compat or compat
+
+
+def test_saved_query_family(server, seeded):
+    ok(server, "save_query", {"name": "cnt", "sql": f"SELECT count(*) AS n FROM {seeded}"})
+    assert "cnt" in ok(server, "list_saved_queries", {})
+    rows = ok(server, "run_saved_query", {"name": "cnt"})
+    assert rows[0]["n"] >= 3
+    ok(server, "delete_saved_query", {"name": "cnt"})
+    ok(server, "clear_query_history", {})
+
+
+def test_contracts_family(server, seeded):
+    pv = ok(server, "preview_contract", {"table": seeded})
+    assert pv["preview"] and pv["constraints"]
+    ok(server, "generate_contract", {"table": seeded})
+    got = ok(server, "get_contract", {"table": seeded})
+    assert got["version"] == 1
+    ok(server, "update_contract", {"table": seeded, "owner": "me"})
+    assert len(ok(server, "get_contract_history", {"table": seeded})) == 1
+    d = ok(server, "diff_contract_versions", {"table": seeded, "v1": 1, "v2": 2})
+    assert d["added_columns"] == [] and d["removed_columns"] == []
+    assert ok(server, "get_compliance_score", {"table": seeded})["score"] == 100.0
+    ok(server, "monitor_contract", {"table": seeded})
+    tr = ok(server, "get_contract_trends", {"table": seeded})
+    assert tr["checks"] >= 1
+    cov = ok(server, "get_contract_coverage", {})
+    assert f"default.{seeded}" in cov["covered"]
+    dash = ok(server, "get_contract_dashboard", {})
+    assert dash["covered"] >= 1
+    health = ok(server, "get_contract_health", {"table": seeded})
+    assert health["score"] == 100.0 and "violations" in health
+    dry = ok(server, "dry_run_contract",
+             {"table": seeded, "proposed": {"schema": {"ghost": {"type": "string"}}}})
+    assert not dry["ok"]
+    mig = ok(server, "dry_run_migration",
+             {"table": seeded, "proposed": {"schema": {"id": {"type": "bigint"}}}})
+    assert mig["current_version"] == 2
+    cons = ok(server, "add_contract_consumer", {"table": seeded, "consumer": "bi"})
+    assert cons["consumers"] == ["bi"]
+    assert ok(server, "validate_contract", {"table": seeded})["violations"] == []
+    assert ok(server, "validate_data_against_contract", {"table": f"default.{seeded}"}) == []
+    v = ok(server, "get_contract_violations", {"table": seeded})
+    assert v["compliant"] is True
+    assert ok(server, "get_contract_summary", {})[0]["owner"] == "me"
+    ok(server, "deprecate_contract", {"table": seeded})
+    assert ok(server, "get_contract", {"table": seeded})["status"] == "deprecated"
+
+
+def test_sla_retention_maintenance_family(server, seeded):
+    full = f"default.{seeded}"
+    ok(server, "set_sla", {"table": full, "min_row_count": 1})
+    assert full in ok(server, "list_slas", {})
+    chk = ok(server, "check_sla", {"table": seeded})
+    assert chk["ok"]
+    assert len(ok(server, "get_sla_history", {"table": full})) >= 1
+    ok(server, "set_retention_policy", {"table": full, "max_snapshot_count": 5})
+    assert full in ok(server, "list_retention_policies", {})
+    ev = ok(server, "evaluate_retention", {"table": seeded, "dry_run": True})
+    assert ev["table"] == full
+    ok(server, "set_maintenance_policy", {"table": full, "auto_compact_threshold": 1})
+    chk = ok(server, "check_maintenance", {"table": seeded})
+    assert chk["compact_needed"] is True
+    run = ok(server, "run_maintenance", {"table": seeded, "dry_run": True})
+    assert run
+
+
+def test_tagging_glossary_family(server, seeded):
+    assert "gold" in ok(server, "tag_table", {"table": seeded, "tag": "gold"})["tags"]
+    assert ok(server, "search_by_tag", {"tag": "gold"})
+    ok(server, "untag_table", {"table": seeded, "tag": "gold"})
+    ok(server, "set_table_description", {"table": seeded, "description": "governed demo"})
+    assert ok(server, "search_tables", {"term": "governed"})
+    ok(server, "bookmark_table", {"table": seeded})
+    ok(server, "set_column_description",
+       {"table": seeded, "column": "id", "description": "pk"})
+    info = ok(server, "classify_column",
+              {"table": seeded, "column": "cat", "classification": "pii"})
+    assert info["cat"]["classification"] == "pii"
+    assert ok(server, "get_pii_columns", {})
+    enr = ok(server, "get_enriched_schema", {"table": seeded})
+    assert "schema" in enr and "columns" in enr
+    ok(server, "add_glossary_term",
+       {"term": "ARR", "definition": "annual recurring revenue", "aliases": ["arr$"]})
+    assert ok(server, "search_glossary", {"term": "ARR"})["definition"]
+
+
+def test_stats_cache_advisor_family(server, seeded):
+    st = ok(server, "get_table_stats", {"table": seeded})
+    assert st["row_count"] >= 3
+    ok(server, "refresh_table_stats", {"table": seeded})
+    assert ok(server, "get_all_stats", {})
+    assert ok(server, "detect_anomalies", {"table": seeded}) == []
+    assert ok(server, "quality_report", {"table": seeded})["score"] > 0
+    ok(server, "get_cache_stats", {})
+    ok(server, "list_cached_queries", {})
+    ok(server, "invalidate_cache", {})
+    ok(server, "set_cache_policy", {"table": seeded, "enabled": True})
+    cost = ok(server, "estimate_query_cost", {"sql": f"SELECT * FROM {seeded}"})
+    assert cost
+    ok(server, "analyze_query_patterns", {})
+    ok(server, "suggest_optimizations", {})
+    ok(server, "optimization_report", {})
+
+
+def test_notifications_audit_family(server, seeded):
+    full = f"default.{seeded}"
+    ok(server, "register_notification", {"table": full, "event": "insert"})
+    assert ok(server, "list_notifications", {"table": full})
+    fired = ok(server, "fire_event", {"table": full, "event": "insert"})
+    assert len(fired) == 1
+    assert ok(server, "get_notification_history", {})
+    assert ok(server, "remove_notification", {"table": full, "event": "insert"})["removed"] == 1
+    ok(server, "get_audit_log", {})
+    ok(server, "clear_audit_log", {})
+
+
+def test_backup_clone_family(server, seeded, tmp_path):
+    ap = str(tmp_path / "gv.tar.gz")
+    bk = ok(server, "backup_table", {"table": seeded, "archive_path": ap})
+    assert bk["rows"] >= 3
+    ok(server, "verify_backup", {"archive_path": ap})
+    assert ok(server, "list_backups", {"directory": str(tmp_path)}) == ["gv.tar.gz"]
+    ok(server, "restore_table", {"archive_path": ap, "target": "gv_restored"})
+    assert "default.gv_restored" in ok(server, "list_tables", {})
+    ok(server, "clone_table", {"table": seeded, "clone_name": "clones.gvc"})
+    assert "clones.gvc" in ok(server, "list_clones", {})
+    ok(server, "promote_clone", {"clone_name": "clones.gvc", "target": seeded})
+    ok(server, "discard_clone", {"clone_name": "clones.gvc"})
+
+
+def test_dedup_sampling_family(server, seeded):
+    dups = ok(server, "find_duplicates", {"table": seeded})
+    assert dups and dups[0]["dup_count"] == 2
+    summ = ok(server, "dedup_summary", {"table": seeded})
+    assert summ["rows"] == summ["distinct"] + 1
+    rep = ok(server, "dedup_report", {"table": seeded})
+    assert rep["duplicate_groups"] == 1 and rep["extra_rows"] == 1
+    assert len(ok(server, "random_sample", {"table": seeded, "fraction": 1.0})) >= 3
+    assert ok(server, "stratified_sample",
+              {"table": seeded, "column": "cat", "fraction": 1.0})
+    ok(server, "sample_to_table",
+       {"table": f"default.{seeded}", "target": "gv_sample", "fraction": 1.0})
+    ss = ok(server, "get_sample_stats", {"table": seeded, "sample_table": "gv_sample"})
+    assert ss
+    rm = ok(server, "remove_duplicates", {"table": seeded})
+    assert rm["after"] == rm["before"] - 1
+
+
+def test_cdc_watermark_autorefresh_family(server, seeded):
+    full = f"default.{seeded}"
+    assert ok(server, "get_watermark", {"pipeline": "p", "table": full})["watermark"] is None
+    ok(server, "list_watermarks", {})
+    ok(server, "reset_watermark", {"pipeline": "p"})
+    summ = ok(server, "get_change_summary",
+              {"table": seeded, "from_snapshot": 1, "to_snapshot": 2})
+    assert summ["inserts"] >= 1
+    assert ok(server, "get_change_log", {"table": seeded, "limit": 2})
+    csv_text = ok(server, "export_changes",
+                  {"table": seeded, "from_snapshot": 1, "to_snapshot": 2,
+                   "file_format": "csv"})
+    assert csv_text.startswith("change_type")
+    ok(server, "set_auto_refresh", {"table": full})
+    ok(server, "get_refresh_plan", {"table": full})
+    ok(server, "trigger_refresh", {"table": full})
+    ok(server, "get_refresh_history", {})
+
+
+def test_joins_lineage_views_family(server, seeded):
+    assert ok(server, "suggest_joins", {"table": f"default.{seeded}"}) is not None
+    rows = ok(server, "execute_join",
+              {"sql": f"SELECT a.id FROM {seeded} a JOIN {seeded} b ON a.id = b.id"})
+    assert rows
+    ok(server, "join_to_table",
+       {"sql": f"SELECT id, v FROM {seeded}", "target": "gv_joined"})
+    ok(server, "record_lineage", {"sources": [f"default.{seeded}"], "target": "default.gv_joined"})
+    assert ok(server, "lineage_graph", {})["edges"]
+    ok(server, "lineage_impact", {"table": f"default.{seeded}"})
+    ok(server, "create_view", {"name": "vv", "sql": f"SELECT id FROM {seeded}"})
+    assert "vv" in ok(server, "list_views", {})
+    ok(server, "drop_view", {"name": "vv"})
+    ok(server, "create_materialized_view",
+       {"name": "mvv", "sql": f"SELECT cat, count(*) AS n FROM {seeded} GROUP BY cat"})
+    assert "mvv" in ok(server, "list_materialized_views", {})
+    assert ok(server, "query_materialized_view", {"name": "mvv"})
+    ok(server, "refresh_materialized_view", {"name": "mvv"})
+    ok(server, "drop_materialized_view", {"name": "mvv"})
+    ok(server, "create_pipeline",
+       {"name": "pp", "steps": [{"sql": f"SELECT id FROM {seeded}", "target": "pp_out"}]})
+    assert ok(server, "dry_run_pipeline", {"name": "pp"})
+    assert "pp" in ok(server, "list_pipelines", {})
+    ok(server, "drop_pipeline", {"name": "pp"})
+
+
+def test_format_and_file_family(server, seeded, tmp_path):
+    assert ok(server, "get_format_config", {})["format"] == "parquet"
+    ok(server, "set_format_config", {"format": "orc", "table": "default.fmt_t"})
+    orc = str(tmp_path / "out.orc")
+    pq = str(tmp_path / "out.parquet")
+    ok(server, "table_to_orc", {"table": seeded, "path": orc})
+    conv = ok(server, "convert_format", {"source": orc, "dest": pq})
+    assert conv["rows"] >= 1
+    rows = ok(server, "query_file", {"path": pq, "sql": "SELECT count(*) AS n FROM file_view"})
+    assert rows[0]["n"] >= 1
