@@ -1,5 +1,14 @@
-"""Click CLI — thin adapter over the engine (reference cli.py, 5.5k LoC
-of ~100 commands; this mirrors the core command tree; SURVEY Phase 4).
+"""Click CLI — thin adapter over the engine (reference cli.py: 5,583
+LoC / 189 command registrations across 26 groups).
+
+Design: instead of hand-writing one function per command, the command
+tree is GENERATED from the MCP tool registry (`server.py`), which is
+already a complete (name, schema, callable) catalog of the engine
+surface — one source of truth for both adapter layers. A manifest maps
+tool names into the reference's command groups so `--help` mirrors the
+reference tree. The server is constructed with a lazy SparkSession, so
+`--help` and pure-metadata commands (contracts, tags, glossary, saved
+queries…) never pay JVM startup.
 
 Environment:
   LAKEHOUSE_HOME   warehouse + side-store root (default ~/.lakehouse_spark)
@@ -13,7 +22,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 
 import click
 
@@ -23,17 +31,23 @@ DEFAULT_HOME = os.path.expanduser("~/.lakehouse_spark")
 class Ctx:
     def __init__(self, home: str):
         self.home = home
-        os.makedirs(home, exist_ok=True)
-        from .catalog import LakehouseCatalog
-        from .plans.engine import QueryEngine
-        from .session import get_spark
+        self._server = None
 
-        self.spark = get_spark("lakehouse-cli")
-        self.catalog = LakehouseCatalog(self.spark, os.path.join(home, "warehouse"))
-        self.engine = QueryEngine(self.catalog)
+    @property
+    def server(self):
+        if self._server is None:
+            from .server import LakehouseServer
 
-    def store(self, name: str) -> str:
-        return os.path.join(self.home, name)
+            self._server = LakehouseServer(home=self.home, lazy_spark=True)
+        return self._server
+
+    @property
+    def engine(self):
+        return self.server.engine
+
+    @property
+    def catalog(self):
+        return self.server.catalog
 
 
 def _emit(obj) -> None:
@@ -54,7 +68,7 @@ def cli(ctx, home):
     ctx.obj = Ctx(home)
 
 
-# -- query -----------------------------------------------------------------
+# -- hand-written core (richer UX than the generated bridge) ---------------
 
 @cli.command()
 @click.argument("sql")
@@ -73,8 +87,6 @@ def query(ctx, sql, max_rows, as_of, table_name):
     _df_out(df)
 
 
-# -- tables ----------------------------------------------------------------
-
 @cli.group()
 def tables():
     """Table DDL + metadata."""
@@ -88,10 +100,8 @@ def tables_list(ctx):
 
 @tables.command("create")
 @click.argument("name")
-@click.option("--schema", "schema_json", required=True,
-              help='JSON: [["col","type"], ...]')
-@click.option("--partition-by", multiple=True,
-              help="transform spec, e.g. month(date), bucket(16, id)")
+@click.argument("schema_json")
+@click.option("--partition-by", multiple=True)
 @click.pass_obj
 def tables_create(ctx, name, schema_json, partition_by):
     schema = [tuple(x) for x in json.loads(schema_json)]
@@ -106,7 +116,6 @@ def tables_describe(ctx, name):
     t = ctx.catalog.load_table(name)
     _emit(
         {
-            "name": name,
             "schema": t.meta()["schema"],
             "partition_spec": t.meta().get("partition_spec", []),
             "properties": t.properties(),
@@ -123,118 +132,15 @@ def tables_drop(ctx, name):
     _emit({"dropped": name})
 
 
-# -- CRUD ------------------------------------------------------------------
-
-@cli.command()
-@click.argument("table")
-@click.argument("rows_json")
-@click.pass_obj
-def insert(ctx, table, rows_json):
-    """Insert JSON rows: '[{"id":1,...}, ...]'."""
-    from .operators import crud
-
-    t = ctx.catalog.load_table(table)
-    n = crud.insert_rows(t, json.loads(rows_json))
-    _emit({"inserted": n})
-
-
-@cli.command()
-@click.argument("table")
-@click.argument("filter_expr")
-@click.argument("updates_json")
-@click.pass_obj
-def update(ctx, table, filter_expr, updates_json):
-    from .operators import crud
-
-    n = crud.update_rows(ctx.catalog.load_table(table), filter_expr, json.loads(updates_json))
-    _emit({"updated": n})
-
-
-@cli.command()
-@click.argument("table")
-@click.argument("filter_expr")
-@click.pass_obj
-def delete(ctx, table, filter_expr):
-    from .operators import crud
-
-    n = crud.delete_rows(ctx.catalog.load_table(table), filter_expr)
-    _emit({"deleted": n})
-
-
-@cli.command()
-@click.argument("table")
-@click.argument("rows_json")
-@click.option("--keys", required=True, help="comma-separated key columns")
-@click.pass_obj
-def upsert(ctx, table, rows_json, keys):
-    from .operators import crud
-
-    res = crud.upsert_rows(
-        ctx.catalog.load_table(table), json.loads(rows_json), keys.split(",")
-    )
-    _emit(res)
-
-
-# -- snapshots / time travel ----------------------------------------------
-
-@cli.group()
-def snapshots():
-    """Snapshot history, diff, rollback, expiry."""
-
-
-@snapshots.command("list")
-@click.argument("table")
-@click.pass_obj
-def snapshots_list(ctx, table):
-    t = ctx.catalog.load_table(table)
-    _emit([s.to_json() for s in t.snapshots()])
-
-
-@snapshots.command("diff")
-@click.argument("table")
-@click.argument("from_snapshot", type=int)
-@click.argument("to_snapshot", type=int)
-@click.pass_obj
-def snapshots_diff(ctx, table, from_snapshot, to_snapshot):
-    t = ctx.catalog.load_table(table)
-    d = t.snapshot_diff(from_snapshot, to_snapshot)
-    _emit(
-        {
-            "added": [r.asDict() for r in d["added"].collect()],
-            "deleted": [r.asDict() for r in d["deleted"].collect()],
-        }
-    )
-
-
-@snapshots.command("rollback")
-@click.argument("table")
-@click.option("--to", "snapshot_id", type=int, required=True)
-@click.pass_obj
-def snapshots_rollback(ctx, table, snapshot_id):
-    snap = ctx.catalog.load_table(table).rollback(snapshot_id=snapshot_id)
-    _emit(snap.to_json())
-
-
-@snapshots.command("expire")
-@click.argument("table")
-@click.option("--retain-last", type=int, default=None)
-@click.option("--dry-run", is_flag=True)
-@click.pass_obj
-def snapshots_expire(ctx, table, retain_last, dry_run):
-    _emit(ctx.catalog.load_table(table).expire_snapshots(
-        retain_last=retain_last, dry_run=dry_run))
-
-
-# -- import / export -------------------------------------------------------
-
 @cli.command("import")
 @click.argument("path")
 @click.argument("table")
-@click.option("--format", "file_format", default=None)
+@click.option("--file-format", default=None)
 @click.option("--if-exists", default="fail",
               type=click.Choice(["fail", "append", "replace"]))
 @click.pass_obj
 def import_cmd(ctx, path, table, file_format, if_exists):
+    """Import CSV/TSV/JSON/NDJSON/Parquet/ORC into a table."""
     from .sources import io as lio
 
     _emit(lio.import_file(ctx.catalog, path, table, file_format, if_exists))
@@ -243,131 +149,299 @@ def import_cmd(ctx, path, table, file_format, if_exists):
 @cli.command("export")
 @click.argument("table")
 @click.argument("path")
-@click.option("--format", "file_format", default="csv")
+@click.option("--file-format", default="csv")
 @click.option("--where", default=None)
-@click.option("--columns", default=None, help="comma-separated")
+@click.option("--columns", multiple=True)
 @click.option("--limit", type=int, default=None)
 @click.pass_obj
 def export_cmd(ctx, table, path, file_format, where, columns, limit):
+    """Export a table with filter/projection/limit pushdown."""
     from .sources import io as lio
 
     _emit(
         lio.export_table(
             ctx.catalog.load_table(table), path, file_format,
-            where=where, columns=columns.split(",") if columns else None, limit=limit,
+            where=where, columns=list(columns) or None, limit=limit,
         )
     )
 
 
-# -- maintenance -----------------------------------------------------------
-
-@cli.group()
-def maintenance():
-    """Compaction, orphan cleanup, stats."""
-
-
-@maintenance.command("compact")
-@click.argument("table")
-@click.pass_obj
-def maintenance_compact(ctx, table):
-    _emit(ctx.catalog.load_table(table).compact())
-
-
-@maintenance.command("orphans")
-@click.argument("table")
-@click.option("--delete", is_flag=True)
-@click.pass_obj
-def maintenance_orphans(ctx, table, delete):
-    _emit(ctx.catalog.load_table(table).cleanup_orphans(dry_run=not delete))
-
-
-@maintenance.command("status")
-@click.argument("table")
-@click.pass_obj
-def maintenance_status(ctx, table):
-    t = ctx.catalog.load_table(table)
-    _emit({**t.file_stats(), "partitions": t.partition_stats()})
-
-
-# -- profile / stats / dashboard ------------------------------------------
-
-@cli.command()
-@click.argument("table")
-@click.pass_obj
-def profile(ctx, table):
-    from .governance.stats import StatsCache
-
-    sc = StatsCache(ctx.store("stats.json"))
-    _emit(sc.get(ctx.catalog.load_table(table)))
-
-
 @cli.command()
 @click.pass_obj
-def dashboard(ctx):
-    from .governance.advisor import dashboard as dash
-    from .governance.stats import StatsCache
+def serve(ctx):
+    """Run the MCP stdio server."""
+    from .server import LakehouseServer
 
-    _emit(dash(ctx.catalog, StatsCache(ctx.store("stats.json"))))
-
-
-# -- governance shortcuts --------------------------------------------------
-
-@cli.group()
-def mask():
-    """Masking policies."""
+    LakehouseServer(home=ctx.home).serve()
 
 
-@mask.command("add")
-@click.argument("table")
-@click.argument("column")
-@click.argument("strategy", type=click.Choice(["hash", "redact", "nullify", "truncate", "expression"]))
-@click.option("--expression", default=None)
-@click.pass_obj
-def mask_add(ctx, table, column, strategy, expression):
-    from .governance.masking import MaskingManager
+# -- generated bridge: the MCP tool registry IS the command catalog --------
+#
+# Manifest: tool name -> (group | None, command name). Groups mirror the
+# reference CLI tree (cli.py @main.group registrations). Tools absent
+# from the manifest surface top-level under their tool name.
 
-    _emit(MaskingManager(ctx.store("masking.json")).add_policy(
-        table, column, strategy, expression=expression))
+_TREE: dict[str, dict[str, str]] = {
+    # group -> {command: tool}
+    "snapshots": {
+        "list": "list_snapshots", "diff": "snapshot_diff",
+        "rollback": "rollback", "expire": "expire_snapshots",
+    },
+    "namespace": {
+        "list": "list_namespaces", "create": "create_namespace",
+        "drop": "drop_namespace", "properties": "get_namespace_properties",
+    },
+    "schema": {
+        "history": "schema_history", "diff": "schema_diff",
+        "migration": "schema_migration", "compatibility": "schema_compatibility",
+        "alter": "alter_table",
+    },
+    "config": {
+        "get-format": "get_format_config", "set-format": "set_format_config",
+        "set-property": "set_table_property", "unset-property": "unset_table_property",
+    },
+    "sq": {
+        "save": "save_query", "list": "list_saved_queries",
+        "run": "run_saved_query", "delete": "delete_saved_query",
+        "history": "get_query_history", "clear-history": "clear_query_history",
+    },
+    "validate": {
+        "add": "add_validation_rule", "list": "list_validation_rules",
+        "remove": "remove_validation_rule", "check": "validate_table",
+    },
+    "mask": {
+        "add": "add_masking_policy", "list": "list_masking_policies",
+        "remove": "remove_masking_policy", "query": "query_with_masking",
+    },
+    "audit": {"show": "get_audit_log", "clear": "clear_audit_log"},
+    "stats": {
+        "show": "get_table_stats", "refresh": "refresh_table_stats",
+        "all": "get_all_stats", "anomalies": "detect_anomalies",
+        "profile": "profile_table",
+    },
+    "quality": {"score": "quality_score", "report": "quality_report"},
+    "retention": {
+        "set": "set_retention_policy", "list": "list_retention_policies",
+        "evaluate": "evaluate_retention",
+    },
+    "maintain": {
+        "set-policy": "set_maintenance_policy", "check": "check_maintenance",
+        "run": "run_maintenance", "status": "maintenance_status",
+        "compact": "compact", "orphans": "cleanup_orphans",
+        "partitions": "get_partitions",
+    },
+    "catalog": {
+        "describe-column": "set_column_description", "classify": "classify_column",
+        "schema": "get_enriched_schema", "pii": "get_pii_columns",
+    },
+    "glossary": {"add": "add_glossary_term", "lookup": "search_glossary"},
+    "tag": {
+        "add": "tag_table", "remove": "untag_table", "search": "search_by_tag",
+        "describe": "set_table_description", "bookmark": "bookmark_table",
+        "find": "search_tables",
+    },
+    "watermark": {
+        "get": "get_watermark", "list": "list_watermarks",
+        "reset": "reset_watermark", "run-pipeline": "run_pipeline_incremental",
+        "read": "incremental_read",
+    },
+    "sla": {
+        "set": "set_sla", "list": "list_slas", "check": "check_sla",
+        "history": "get_sla_history",
+    },
+    "notify": {
+        "add": "register_notification", "list": "list_notifications",
+        "remove": "remove_notification", "history": "get_notification_history",
+        "fire": "fire_event",
+    },
+    "optimize": {
+        "patterns": "analyze_query_patterns", "suggest": "suggest_optimizations",
+        "report": "optimization_report", "cost": "estimate_query_cost",
+    },
+    "cache": {
+        "stats": "get_cache_stats", "list": "list_cached_queries",
+        "invalidate": "invalidate_cache", "policy": "set_cache_policy",
+    },
+    "backup": {
+        "create": "backup_table", "verify": "verify_backup",
+        "restore": "restore_table", "list": "list_backups",
+    },
+    "clone": {
+        "create": "clone_table", "list": "list_clones",
+        "promote": "promote_clone", "discard": "discard_clone",
+    },
+    "dedup": {
+        "find": "find_duplicates", "summary": "dedup_summary",
+        "remove": "remove_duplicates", "report": "dedup_report",
+        "near-docs": "near_dup_docs",
+    },
+    "cdc": {
+        "capture": "capture_changes", "log": "get_change_log",
+        "summary": "get_change_summary", "export": "export_changes",
+        "replay": "replay_changes",
+    },
+    "sample": {
+        "random": "random_sample", "stratified": "stratified_sample",
+        "to-table": "sample_to_table", "stats": "get_sample_stats",
+    },
+    "refresh-cascade": {
+        "set": "set_auto_refresh", "plan": "get_refresh_plan",
+        "trigger": "trigger_refresh", "history": "get_refresh_history",
+    },
+    "contract": {
+        "create": "create_contract", "show": "get_contract",
+        "update": "update_contract", "deprecate": "deprecate_contract",
+        "list": "list_contracts", "summary": "get_contract_summary",
+        "history": "get_contract_history", "diff": "diff_contract_versions",
+        "validate": "validate_contract",
+        "validate-data": "validate_data_against_contract",
+        "violations": "get_contract_violations", "score": "get_compliance_score",
+        "monitor": "monitor_contract", "trends": "get_contract_trends",
+        "generate": "generate_contract", "preview": "preview_contract",
+        "dry-run": "dry_run_contract", "dry-run-migration": "dry_run_migration",
+        "add-consumer": "add_contract_consumer", "coverage": "get_contract_coverage",
+        "dashboard": "get_contract_dashboard", "health": "get_contract_health",
+    },
+    "view": {
+        "create": "create_view", "list": "list_views",
+        "query": "query_view", "drop": "drop_view",
+    },
+    "matview": {
+        "create": "create_materialized_view", "list": "list_materialized_views",
+        "query": "query_materialized_view", "refresh": "refresh_materialized_view",
+        "drop": "drop_materialized_view", "freshness": "matview_freshness",
+    },
+    "pipeline": {
+        "create": "create_pipeline", "list": "list_pipelines",
+        "run": "run_pipeline", "dry-run": "dry_run_pipeline",
+        "drop": "drop_pipeline",
+    },
+    "lineage": {
+        "show": "lineage", "record": "record_lineage",
+        "graph": "lineage_graph", "impact": "lineage_impact",
+    },
+    "join": {
+        "run": "execute_join", "to-table": "join_to_table",
+        "suggest": "suggest_joins",
+    },
+}
+
+# top-level generated commands (tool name -> command name)
+_TOP_LEVEL = {
+    "insert": "insert", "update": "update", "delete": "delete",
+    "upsert": "upsert", "batch": "batch", "dashboard": "dashboard",
+    "convert_format": "convert", "query_file": "query-file",
+    "table_to_orc": "table-to-orc", "knn_search": "knn",
+    "query_as_of": "query-as-of",
+}
+
+_GROUP_HELP = {
+    "snapshots": "Snapshot history, diff, rollback, expiry.",
+    "namespace": "Namespace admin.",
+    "schema": "Schema evolution: history, diff, migration, compatibility.",
+    "config": "Format + table property configuration.",
+    "sq": "Saved queries + query history.",
+    "validate": "Validation rules.",
+    "mask": "Column masking policies.",
+    "audit": "Audit log.",
+    "stats": "Table statistics (cached by snapshot).",
+    "quality": "Quality scoring.",
+    "retention": "Snapshot retention policies.",
+    "maintain": "Compaction, orphan cleanup, maintenance policies.",
+    "catalog": "Catalog enrichment: column docs, classification, PII.",
+    "glossary": "Business glossary.",
+    "tag": "Tags, bookmarks, table search.",
+    "watermark": "Incremental-processing watermarks.",
+    "sla": "Freshness/quality SLAs.",
+    "notify": "Event notification handlers.",
+    "optimize": "Query-pattern analysis + optimizer advisor.",
+    "cache": "Query result cache.",
+    "backup": "Table archives.",
+    "clone": "Table clones (experiment/promote/discard).",
+    "dedup": "Duplicate detection and removal.",
+    "cdc": "Change data capture between snapshots.",
+    "sample": "Random/stratified/systematic sampling.",
+    "refresh-cascade": "Auto-refresh cascades for derived objects.",
+    "contract": "Data contracts: versions, validation, monitoring.",
+    "view": "Stored SQL views.",
+    "matview": "Materialized views.",
+    "pipeline": "Multi-step SQL pipelines.",
+    "lineage": "Lineage edges, graph, impact.",
+    "join": "Join execution + suggestions.",
+}
 
 
-@cli.group()
-def validate():
-    """Validation rules."""
+def _coerce(value: str, json_type: str):
+    if json_type == "integer":
+        return int(value)
+    if json_type == "number":
+        return float(value)
+    if json_type == "boolean":
+        return value.lower() in ("1", "true", "yes")
+    if json_type in ("array", "object"):
+        return json.loads(value)
+    # strings that look like JSON containers pass through as strings
+    return value
 
 
-@validate.command("add")
-@click.argument("table")
-@click.argument("rule_type", type=click.Choice(["not_null", "unique", "range", "regex", "expression"]))
-@click.option("--column", default=None)
-@click.option("--min", "min_value", type=float, default=None)
-@click.option("--max", "max_value", type=float, default=None)
-@click.option("--pattern", default=None)
-@click.option("--expression", default=None)
-@click.pass_obj
-def validate_add(ctx, table, rule_type, column, min_value, max_value, pattern, expression):
-    from .governance.validation import ValidationManager
-
-    _emit(
-        ValidationManager(ctx.store("validation.json")).add_rule(
-            table, rule_type, column=column, min_value=min_value,
-            max_value=max_value, pattern=pattern, expression=expression,
+def _make_command(cmd_name: str, tool_name: str, spec: dict) -> click.Command:
+    props = spec["inputSchema"]["properties"]
+    required = set(spec["inputSchema"]["required"])
+    params = []
+    for arg, schema in props.items():
+        params.append(
+            click.Option(
+                [f"--{arg.replace('_', '-')}", arg],
+                required=arg in required,
+                help=schema.get("type", "string"),
+            )
         )
+
+    @click.pass_obj
+    def callback(ctx_obj, **kwargs):
+        args = {}
+        for k, v in kwargs.items():
+            if v is None:
+                continue
+            args[k] = _coerce(v, props.get(k, {}).get("type", "string"))
+        _spec, fn = ctx_obj.server._tools[tool_name]
+        _emit(fn(**args))
+
+    return click.Command(
+        cmd_name, params=params, callback=callback, help=spec["description"]
     )
 
 
-@validate.command("check")
-@click.argument("table")
-@click.pass_obj
-def validate_check(ctx, table):
-    from .governance.validation import ValidationManager
+def _build_generated_tree() -> None:
+    """Attach generated groups/commands. Specs come from a lazy-Spark
+    server at the default home (schemas are home-independent); execution
+    uses the per-invocation Ctx server so --home is honored."""
+    import tempfile
 
-    t = ctx.catalog.load_table(table)
-    vm = ValidationManager(ctx.store("validation.json"))
-    _emit(vm.validate(table.split(".", 1)[-1], t.scan()))
+    from .server import LakehouseServer
+
+    # registration is side-effect-free (managers write only on use);
+    # a scratch home keeps --help from touching the user's warehouse
+    spec_server = LakehouseServer(
+        home=os.path.join(tempfile.gettempdir(), "lakehouse_spec_home"),
+        lazy_spark=True,
+    )
+    specs = {name: spec for name, (spec, _fn) in spec_server._tools.items()}
+
+    for group_name, commands in _TREE.items():
+        grp = click.Group(group_name, help=_GROUP_HELP.get(group_name))
+        for cmd_name, tool_name in commands.items():
+            grp.add_command(_make_command(cmd_name, tool_name, specs[tool_name]))
+        cli.add_command(grp)
+    for tool_name, cmd_name in _TOP_LEVEL.items():
+        cli.add_command(_make_command(cmd_name, tool_name, specs[tool_name]))
+
+
+_build_generated_tree()
 
 
 def main() -> None:
-    cli(prog_name="lakehouse")
+    cli()
 
 
 if __name__ == "__main__":

@@ -39,8 +39,39 @@ _N = {"type": "number"}
 _B = {"type": "boolean"}
 
 
+class _LazyProxy:
+    """Defers construction of an expensive object (the SparkSession and
+    everything downstream of it) until first attribute access, so the
+    CLI can render --help and run pure-metadata tools without paying
+    JVM startup. Attribute sets before construction are replayed onto
+    the real object once it exists."""
+
+    def __init__(self, factory):
+        object.__setattr__(self, "_factory", factory)
+        object.__setattr__(self, "_obj", None)
+        object.__setattr__(self, "_pending", {})
+
+    def _resolve(self):
+        if object.__getattribute__(self, "_obj") is None:
+            obj = object.__getattribute__(self, "_factory")()
+            object.__setattr__(self, "_obj", obj)
+            for k, v in object.__getattribute__(self, "_pending").items():
+                setattr(obj, k, v)
+        return object.__getattribute__(self, "_obj")
+
+    def __getattr__(self, name):
+        return getattr(self._resolve(), name)
+
+    def __setattr__(self, name, value):
+        obj = object.__getattribute__(self, "_obj")
+        if obj is None:
+            object.__getattribute__(self, "_pending")[name] = value
+        else:
+            setattr(obj, name, value)
+
+
 class LakehouseServer:
-    def __init__(self, home: str | None = None):
+    def __init__(self, home: str | None = None, lazy_spark: bool = False):
         self.home = home or os.environ.get(
             "LAKEHOUSE_HOME", os.path.expanduser("~/.lakehouse_spark")
         )
@@ -49,9 +80,20 @@ class LakehouseServer:
         from .plans.engine import QueryEngine
         from .session import get_spark
 
-        self.spark = get_spark("lakehouse-mcp")
-        self.catalog = LakehouseCatalog(self.spark, os.path.join(self.home, "warehouse"))
-        self.engine = QueryEngine(self.catalog)
+        if lazy_spark:
+            self.spark = _LazyProxy(lambda: get_spark("lakehouse-mcp"))
+            self.catalog = _LazyProxy(
+                lambda: LakehouseCatalog(
+                    self.spark, os.path.join(self.home, "warehouse")
+                )
+            )
+            self.engine = _LazyProxy(lambda: QueryEngine(self.catalog))
+        else:
+            self.spark = get_spark("lakehouse-mcp")
+            self.catalog = LakehouseCatalog(
+                self.spark, os.path.join(self.home, "warehouse")
+            )
+            self.engine = QueryEngine(self.catalog)
         self._tools: dict[str, tuple[dict, Callable[..., Any]]] = {}
         self._register_tools()
 

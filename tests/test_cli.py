@@ -1,0 +1,89 @@
+"""CLI tests: the generated command tree mirrors the reference's
+command groups (reference cli.py @main.group registrations), and
+commands execute through the shared tool registry."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from click.testing import CliRunner
+
+from iceberg_lakehouse_spark.cli import _TOP_LEVEL, _TREE, cli
+
+# reference cli.py group names (mapped to our tree's spellings)
+REFERENCE_GROUPS = {
+    "config": "config", "schema": "schema", "retention": "retention",
+    "mask": "mask", "watermark": "watermark", "sla": "sla",
+    "optimize": "optimize", "backup": "backup", "cdc": "cdc",
+    "dedup": "dedup", "notify": "notify", "cache": "cache",
+    "sample": "sample", "contract": "contract", "matview": "matview",
+    "lineage": "lineage", "auto_refresh": "refresh-cascade",
+    "alter": "schema", "view": "view", "pipeline": "pipeline",
+    "maintain": "maintain", "catalog": "catalog", "clone": "clone",
+    "tag": "tag", "quality": "quality", "glossary": "glossary",
+}
+
+
+def test_tree_covers_every_reference_group():
+    for ref, ours in REFERENCE_GROUPS.items():
+        assert ours in _TREE, f"reference group {ref!r} has no CLI group"
+
+
+def test_command_count_near_reference():
+    n = sum(len(cmds) for cmds in _TREE.values()) + len(_TOP_LEVEL)
+    assert n >= 140  # reference registers 189 commands incl. presentation-only
+
+
+def test_help_renders_without_spark():
+    runner = CliRunner()
+    res = runner.invoke(cli, ["--help"])
+    assert res.exit_code == 0
+    for grp in ("contract", "sla", "retention", "maintain", "tag",
+                "glossary", "backup", "clone", "schema"):
+        assert grp in res.output
+    res = runner.invoke(cli, ["contract", "--help"])
+    assert res.exit_code == 0 and "dry-run-migration" in res.output
+
+
+def test_metadata_commands_execute(tmp_path):
+    runner = CliRunner()
+    home = ["--home", str(tmp_path)]
+    res = runner.invoke(cli, [*home, "glossary", "add", "--term", "LTV",
+                              "--definition", "lifetime value"])
+    assert res.exit_code == 0, res.output
+    res = runner.invoke(cli, [*home, "glossary", "lookup", "--term", "LTV"])
+    assert res.exit_code == 0
+    assert json.loads(res.output)["definition"] == "lifetime value"
+    res = runner.invoke(cli, [*home, "sq", "save", "--name", "q",
+                              "--sql", "SELECT 1"])
+    assert res.exit_code == 0
+    res = runner.invoke(cli, [*home, "sq", "list"])
+    assert "SELECT 1" in res.output
+    res = runner.invoke(cli, [*home, "retention", "set", "--table", "t",
+                              "--max-snapshot-count", "3"])
+    assert res.exit_code == 0
+    res = runner.invoke(cli, [*home, "retention", "list"])
+    assert json.loads(res.output)["t"]["max_snapshot_count"] == 3
+
+
+@pytest.mark.usefixtures("spark")  # reuse the session-scoped JVM
+def test_data_commands_execute(tmp_path):
+    runner = CliRunner()
+    home = ["--home", str(tmp_path)]
+    res = runner.invoke(cli, [*home, "tables", "create", "ct",
+                              '[["id","long"],["v","double"]]'])
+    assert res.exit_code == 0, res.output
+    res = runner.invoke(cli, [*home, "insert", "--table", "ct", "--rows",
+                              '[{"id":1,"v":2.5},{"id":2,"v":3.5}]'])
+    assert json.loads(res.output) == {"inserted": 2}
+    res = runner.invoke(cli, [*home, "query", "SELECT sum(v) AS s FROM ct"])
+    assert json.loads(res.output) == [{"s": 6.0}]
+    res = runner.invoke(cli, [*home, "contract", "generate", "--table", "ct"])
+    assert res.exit_code == 0
+    res = runner.invoke(cli, [*home, "contract", "score", "--table", "ct"])
+    assert json.loads(res.output)["score"] == 100.0
+    res = runner.invoke(cli, [*home, "dedup", "summary", "--table", "ct"])
+    assert json.loads(res.output) == {"rows": 2, "distinct": 2}
+    res = runner.invoke(cli, [*home, "snapshots", "list", "--table", "ct"])
+    assert len(json.loads(res.output)) == 1
