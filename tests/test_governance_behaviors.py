@@ -1,0 +1,642 @@
+"""Deep behavioral tests for the governance modules, ported from the
+reference's per-module suites (test_validation.py, test_masking.py,
+test_schema_evolution.py, test_retention.py, test_sla.py,
+test_notifications.py, test_queries.py, test_query_cache.py,
+test_audit.py, test_cdc.py, test_incremental.py): error paths and
+edge-case semantics, pytest.raises everywhere."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+from iceberg_lakehouse_spark.governance import cdc, schema_evolution as se
+from iceberg_lakehouse_spark.governance.audit import AuditLog
+from iceberg_lakehouse_spark.governance.incremental import (
+    WatermarkStore,
+    incremental_read,
+)
+from iceberg_lakehouse_spark.governance.masking import MaskingManager
+from iceberg_lakehouse_spark.governance.policies import (
+    MaintenanceManager,
+    NotificationManager,
+    RetentionManager,
+    SlaManager,
+)
+from iceberg_lakehouse_spark.governance.queries_store import (
+    QueryCache,
+    SavedQueries,
+    normalize_sql,
+)
+from iceberg_lakehouse_spark.governance.stats import compute_table_stats, quality_score
+from iceberg_lakehouse_spark.governance.tagging import CatalogMetadata, TagManager
+from iceberg_lakehouse_spark.governance.validation import ValidationManager
+from iceberg_lakehouse_spark.operators import crud
+
+SCHEMA = [("id", "long"), ("name", "string"), ("value", "double")]
+ROWS = [
+    {"id": 1, "name": "alice", "value": 10.0},
+    {"id": 2, "name": "bob", "value": 20.0},
+]
+
+
+@pytest.fixture()
+def catalog(spark, tmp_warehouse):
+    return LakehouseCatalog(spark, tmp_warehouse)
+
+
+@pytest.fixture()
+def metrics(catalog):
+    t = catalog.create_table("metrics", SCHEMA)
+    crud.insert_rows(t, ROWS)
+    return t
+
+
+# ---------------------------------------------------------------- validation
+
+class TestValidationRuleCrud:
+    @pytest.fixture()
+    def vm(self, tmp_path):
+        return ValidationManager(str(tmp_path / "v.json"))
+
+    def test_unknown_rule_type_raises(self, vm):
+        with pytest.raises(ValueError, match="unknown rule type"):
+            vm.add_rule("t", "bogus", column="x")
+
+    def test_column_required(self, vm):
+        for rt in ("not_null", "unique", "range", "regex"):
+            with pytest.raises(ValueError, match="requires a column"):
+                vm.add_rule("t", rt)
+
+    def test_range_requires_bound(self, vm):
+        with pytest.raises(ValueError, match="min_value and/or max_value"):
+            vm.add_rule("t", "range", column="x")
+
+    def test_regex_requires_pattern(self, vm):
+        with pytest.raises(ValueError, match="requires a pattern"):
+            vm.add_rule("t", "regex", column="x")
+
+    def test_expression_requires_expression(self, vm):
+        with pytest.raises(ValueError, match="requires an expression"):
+            vm.add_rule("t", "expression")
+
+    def test_auto_names_are_unique(self, vm):
+        r1 = vm.add_rule("t", "not_null", column="a")
+        r2 = vm.add_rule("t", "not_null", column="a")
+        assert r1["name"] != r2["name"]
+
+    def test_remove_rule(self, vm):
+        r = vm.add_rule("t", "not_null", column="a")
+        assert vm.remove_rule("t", r["name"]) is True
+        assert vm.remove_rule("t", r["name"]) is False
+        assert vm.list_rules("t") == []
+
+
+class TestValidationChecks:
+    @pytest.fixture()
+    def vm(self, tmp_path):
+        return ValidationManager(str(tmp_path / "v.json"))
+
+    def test_not_null_counts(self, vm, spark):
+        vm.add_rule("t", "not_null", column="a")
+        df = spark.createDataFrame([(None,), (1,), (None,)], "a int")
+        v = vm.validate("t", df)
+        assert v[0]["failed_rows"] == 2
+
+    def test_range_min_only_and_max_only(self, vm, spark):
+        vm.add_rule("t", "range", column="a", min_value=0)
+        vm.add_rule("t", "range", column="a", max_value=10)
+        df = spark.createDataFrame([(-1,), (5,), (11,)], "a int")
+        v = vm.validate("t", df)
+        assert [x["failed_rows"] for x in v] == [1, 1]
+
+    def test_regex_nulls_exempt(self, vm, spark):
+        vm.add_rule("t", "regex", column="a", pattern="^[a-z]+$")
+        df = spark.createDataFrame([("ok",), ("NO",), (None,)], "a string")
+        assert vm.validate("t", df)[0]["failed_rows"] == 1
+
+    def test_unique_within_batch(self, vm, spark):
+        vm.add_rule("t", "unique", column="a")
+        df = spark.createDataFrame([(1,), (1,), (2,)], "a int")
+        v = vm.validate("t", df)
+        assert "duplicated within batch" in v[0]["detail"]
+
+    def test_unique_vs_existing(self, vm, spark):
+        vm.add_rule("t", "unique", column="a")
+        batch = spark.createDataFrame([(1,), (3,)], "a int")
+        existing = spark.createDataFrame([(1,), (2,)], "a int")
+        v = vm.validate("t", batch, existing)
+        assert v[0]["failed_rows"] == 1
+        assert "already present" in v[0]["detail"]
+
+    def test_expression_null_counts_as_failure(self, vm, spark):
+        vm.add_rule("t", "expression", expression="a > 0")
+        df = spark.createDataFrame([(1,), (-1,), (None,)], "a int")
+        # NULL predicate -> not satisfied -> failure (2 rows)
+        assert vm.validate("t", df)[0]["failed_rows"] == 2
+
+    def test_missing_column_flags_rule(self, vm, spark):
+        vm.add_rule("t", "not_null", column="ghost")
+        df = spark.createDataFrame([(1,)], "a int")
+        v = vm.validate("t", df)
+        assert v[0]["failed_rows"] == -1 and "missing" in v[0]["detail"]
+
+    def test_enforce_raises_with_all_violations(self, vm, spark):
+        vm.add_rule("t", "not_null", column="a")
+        vm.add_rule("t", "range", column="a", min_value=0)
+        df = spark.createDataFrame([(None,), (-1,)], "a int")
+        with pytest.raises(ValueError, match="validation failed for 't'"):
+            vm.enforce("t", df)
+
+    def test_enforce_clean_passes(self, vm, spark):
+        vm.add_rule("t", "not_null", column="a")
+        vm.enforce("t", spark.createDataFrame([(1,)], "a int"))
+
+    def test_failing_rows_returns_offenders(self, vm, spark):
+        rule = vm.add_rule("t", "range", column="a", max_value=5)
+        df = spark.createDataFrame([(1,), (9,)], "a int")
+        rows = vm.failing_rows(rule, df).collect()
+        assert [r["a"] for r in rows] == [9]
+
+
+# ------------------------------------------------------------------- masking
+
+class TestMasking:
+    @pytest.fixture()
+    def mm(self, tmp_path):
+        return MaskingManager(str(tmp_path / "m.json"))
+
+    def test_unknown_strategy_raises(self, mm):
+        with pytest.raises(ValueError, match="unknown strategy"):
+            mm.add_policy("t", "a", "rot13")
+
+    def test_expression_strategy_requires_expression(self, mm):
+        with pytest.raises(ValueError, match="requires an expression"):
+            mm.add_policy("t", "a", "expression")
+
+    def test_hash_deterministic_and_null_preserving(self, mm, spark):
+        mm.add_policy("t", "email", "hash")
+        df = spark.createDataFrame(
+            [("x@y.com",), ("x@y.com",), (None,)], "email string"
+        )
+        out = [r["email"] for r in mm.apply(df, "t").collect()]
+        assert out[0] == out[1] and len(out[0]) == 16
+        assert out[2] is None
+
+    def test_redact_custom_replacement(self, mm, spark):
+        mm.add_policy("t", "ssn", "redact", replacement="[HIDDEN]")
+        df = spark.createDataFrame([("123-45-6789",), (None,)], "ssn string")
+        out = [r["ssn"] for r in mm.apply(df, "t").collect()]
+        assert out == ["[HIDDEN]", None]
+
+    def test_nullify(self, mm, spark):
+        mm.add_policy("t", "phone", "nullify")
+        df = spark.createDataFrame([("555",)], "phone string")
+        assert mm.apply(df, "t").collect()[0]["phone"] is None
+
+    def test_truncate_length(self, mm, spark):
+        mm.add_policy("t", "name", "truncate", truncate_length=2)
+        df = spark.createDataFrame([("alice",)], "name string")
+        assert mm.apply(df, "t").collect()[0]["name"] == "al***"
+
+    def test_cross_table_policies_apply_by_column_name(self, mm, spark):
+        """Reference quirk: a policy on any table masks same-named
+        columns in every query result (masking.py:167-171)."""
+        mm.add_policy("other_table", "email", "redact")
+        df = spark.createDataFrame([("x@y.com",)], "email string")
+        assert mm.apply(df).collect()[0]["email"] == "***"
+
+    def test_own_table_policy_wins(self, mm, spark):
+        mm.add_policy("other", "email", "redact", replacement="OTHER")
+        mm.add_policy("mine", "email", "redact", replacement="MINE")
+        df = spark.createDataFrame([("x",)], "email string")
+        assert mm.apply(df, "mine").collect()[0]["email"] == "MINE"
+
+    def test_remove_policy(self, mm, spark):
+        mm.add_policy("t", "a", "nullify")
+        assert mm.remove_policy("t", "a") is True
+        assert mm.remove_policy("t", "a") is False
+        df = spark.createDataFrame([("keep",)], "a string")
+        assert mm.apply(df, "t").collect()[0]["a"] == "keep"
+
+
+# ---------------------------------------------------------- schema evolution
+
+class TestSchemaEvolution:
+    def test_add_drop_rename_and_history(self, metrics):
+        metrics.add_column("note", "string")
+        metrics.rename_column("note", "comment")
+        metrics.drop_column("comment")
+        hist = metrics.schema_history()
+        assert [h["version"] for h in hist][-3:] == [2, 3, 4]
+
+    def test_add_existing_column_raises(self, metrics):
+        with pytest.raises(ValueError, match="already exists"):
+            metrics.add_column("name", "string")
+
+    def test_drop_missing_column_raises(self, metrics):
+        with pytest.raises(ValueError, match="does not exist"):
+            metrics.drop_column("ghost")
+
+    def test_rename_to_existing_raises(self, metrics):
+        with pytest.raises(ValueError, match="already exists"):
+            metrics.rename_column("name", "value")
+
+    def test_version_not_found_raises(self, metrics):
+        with pytest.raises(ValueError, match="version 99 not found"):
+            se.schema_at_version(metrics, 99)
+
+    def test_diff_and_migration_steps(self, metrics):
+        metrics.add_column("note", "string")
+        metrics.drop_column("name")
+        v = metrics.schema_history()[-1]["version"]
+        d = se.diff_schemas(metrics, 2, v)
+        assert d == {"added": [], "dropped": ["name"], "type_changed": []}
+        steps = se.migration_steps(metrics, 2, v)
+        assert steps == ["DROP COLUMN name"]
+
+    def test_compatibility_add_is_compatible(self, metrics):
+        metrics.add_column("note", "string")
+        v = metrics.schema_history()[-1]["version"]
+        c = se.check_compatibility(metrics, 1, v)
+        assert c["compatible"] is True and c["breaking_changes"] == []
+
+    def test_compatibility_drop_is_breaking(self, metrics):
+        metrics.drop_column("name")
+        v = metrics.schema_history()[-1]["version"]
+        c = se.check_compatibility(metrics, 1, v)
+        assert c["compatible"] is False
+        assert "dropped column 'name'" in c["breaking_changes"]
+
+
+# ----------------------------------------------------------------- retention
+
+class TestRetention:
+    @pytest.fixture()
+    def rm(self, tmp_path):
+        return RetentionManager(str(tmp_path / "r.json"))
+
+    def test_min_keep_must_be_positive(self, rm):
+        with pytest.raises(ValueError, match="min_snapshots_to_keep"):
+            rm.set_policy("t", min_snapshots_to_keep=0)
+
+    def test_no_policy_is_noop(self, rm, metrics):
+        res = rm.apply(metrics)
+        assert res["applied"] is False and res["reason"] == "no policy"
+
+    def test_count_policy_expires(self, rm, metrics):
+        for i in range(3):
+            crud.insert_rows(metrics, [{"id": 10 + i, "name": "x", "value": 1.0}])
+        assert len(metrics.snapshots()) == 4
+        rm.set_policy("default.metrics", max_snapshot_count=2)
+        res = rm.apply(metrics)
+        assert res["applied"] is True
+        assert len(metrics.snapshots()) == 2
+
+    def test_dry_run_does_not_expire(self, rm, metrics):
+        crud.insert_rows(metrics, [{"id": 9, "name": "x", "value": 1.0}])
+        rm.set_policy("default.metrics", max_snapshot_count=1)
+        rm.apply(metrics, dry_run=True)
+        assert len(metrics.snapshots()) == 2
+
+
+# --------------------------------------------------------------- maintenance
+
+class TestMaintenancePolicies:
+    @pytest.fixture()
+    def mm(self, tmp_path):
+        return MaintenanceManager(str(tmp_path / "m.json"))
+
+    def test_unknown_keys_raise(self, mm):
+        with pytest.raises(ValueError, match="unknown policy keys"):
+            mm.set_policy("t", max_files=5)
+
+    def test_defaults_returned_without_policy(self, mm):
+        pol = mm.get_policy("t")
+        assert pol["auto_compact_threshold"] == 10
+
+    def test_check_needed_thresholds(self, mm, metrics):
+        mm.set_policy("default.metrics", auto_compact_threshold=1)
+        chk = mm.check_needed(metrics)
+        assert chk["compact_needed"] is True
+        assert chk["orphan_cleanup_needed"] is False
+
+    def test_run_dry_run_reports_without_acting(self, mm, metrics):
+        mm.set_policy("default.metrics", auto_compact_threshold=1)
+        files_before = len(metrics.current_snapshot().files)
+        res = mm.run(metrics, dry_run=True)
+        assert any(a.get("dry_run") for a in res["actions"])
+        assert len(metrics.current_snapshot().files) == files_before
+
+
+# ----------------------------------------------------------------------- sla
+
+class TestSla:
+    @pytest.fixture()
+    def sla(self, tmp_path):
+        return SlaManager(str(tmp_path / "s.json"))
+
+    def test_unknown_threshold_raises(self, sla):
+        with pytest.raises(ValueError, match="unknown thresholds"):
+            sla.set_sla("t", max_latency_ms=5)
+
+    def test_row_count_violation(self, sla, metrics):
+        sla.set_sla("default.metrics", min_row_count=100)
+        stats = compute_table_stats(metrics)
+        res = sla.check(metrics, stats)
+        assert not res["ok"]
+        assert "row_count 2 < 100" in res["violations"][0]
+
+    def test_null_pct_violation(self, sla, metrics, catalog):
+        crud.insert_rows(metrics, [{"id": 3, "name": None, "value": 1.0}])
+        sla.set_sla("default.metrics", max_null_pct=10.0)
+        res = sla.check(metrics, compute_table_stats(metrics))
+        assert not res["ok"] and "null_pct" in res["violations"][0]
+
+    def test_quality_violation_and_history(self, sla, metrics):
+        sla.set_sla("default.metrics", min_quality_score=101)
+        stats = compute_table_stats(metrics)
+        res = sla.check(metrics, stats, quality_score(stats))
+        assert not res["ok"]
+        assert len(sla.history("default.metrics")) == 1
+
+    def test_clean_check(self, sla, metrics):
+        sla.set_sla("default.metrics", min_row_count=1, max_null_pct=50.0)
+        res = sla.check(metrics, compute_table_stats(metrics))
+        assert res["ok"] and res["violations"] == []
+
+
+# ------------------------------------------------------------- notifications
+
+class TestNotifications:
+    @pytest.fixture()
+    def nm(self, tmp_path):
+        return NotificationManager(str(tmp_path / "n.json"))
+
+    def test_unknown_event_raises(self, nm):
+        with pytest.raises(ValueError, match="unknown event"):
+            nm.add_handler("t", "reboot")
+
+    def test_fire_matches_table_and_event(self, nm):
+        nm.add_handler("t", "insert")
+        assert len(nm.fire_event("t", "insert")) == 1
+        assert nm.fire_event("t", "delete") == []
+        assert nm.fire_event("other", "insert") == []
+
+    def test_wildcard_table_and_any_event(self, nm):
+        nm.add_handler("*", "any")
+        assert len(nm.fire_event("whatever", "delete")) == 1
+
+    def test_history_filter_and_order(self, nm):
+        nm.add_handler("a", "insert")
+        nm.add_handler("b", "insert")
+        nm.fire_event("a", "insert")
+        nm.fire_event("b", "insert")
+        hist = nm.history()
+        assert hist[0]["table"] == "b"  # most recent first
+        assert [h["table"] for h in nm.history("a")] == ["a"]
+
+    def test_remove_handler(self, nm):
+        nm.add_handler("t", "insert")
+        assert nm.remove_handler("t", "insert") == 1
+        assert nm.remove_handler("t", "insert") == 0
+        assert nm.fire_event("t", "insert") == []
+
+
+# ------------------------------------------------------- tagging + glossary
+
+class TestTagging:
+    @pytest.fixture()
+    def tm(self, tmp_path):
+        return TagManager(str(tmp_path / "t.json"))
+
+    def test_add_remove_idempotent(self, tm):
+        assert tm.add_tag("t", "gold") == ["gold"]
+        assert tm.add_tag("t", "gold") == ["gold"]
+        assert tm.remove_tag("t", "gold") == []
+        assert tm.remove_tag("t", "gold") == []
+
+    def test_search_matches_name_tag_description(self, tm):
+        tm.add_tag("default.sales", "finance")
+        tm.set_description("default.orders", "finance-critical feed")
+        hits = {h["table"] for h in tm.search("finance", ["default.sales", "default.orders", "default.misc"])}
+        assert hits == {"default.sales", "default.orders"}
+
+    def test_bookmarks(self, tm):
+        tm.bookmark("t1")
+        tm.bookmark("t2")
+        tm.bookmark("t1", False)
+        assert tm.bookmarks() == ["t2"]
+
+
+class TestCatalogMetadata:
+    @pytest.fixture()
+    def md(self, tmp_path):
+        return CatalogMetadata(str(tmp_path / "md.json"))
+
+    def test_column_descriptions_and_classification(self, md):
+        md.set_column_description("t", "id", "primary key")
+        md.classify_column("t", "email", "pii")
+        info = md.column_info("t")
+        assert info["id"]["description"] == "primary key"
+        assert info["email"]["classification"] == "pii"
+
+    def test_pii_columns_across_tables(self, md):
+        md.classify_column("a", "email", "pii")
+        md.classify_column("b", "name", "pii")
+        md.classify_column("b", "total", "public")
+        assert len(md.pii_columns()) == 2
+        assert len(md.pii_columns("a")) == 1
+
+    def test_glossary_alias_lookup_case_insensitive(self, md):
+        md.add_glossary_term("GMV", "gross merchandise value", aliases=["Gross"])
+        assert md.lookup_term("gmv")["definition"] == "gross merchandise value"
+        assert md.lookup_term("GROSS")["term"] == "gmv"
+        assert md.lookup_term("missing") is None
+
+
+# ------------------------------------------------ saved queries + query cache
+
+class TestSavedQueries:
+    @pytest.fixture()
+    def sq(self, tmp_path):
+        return SavedQueries(str(tmp_path / "q.json"))
+
+    def test_get_missing_raises(self, sq):
+        with pytest.raises(ValueError, match="does not exist"):
+            sq.get("ghost")
+
+    def test_save_overwrites(self, sq):
+        sq.save("q", "SELECT 1")
+        sq.save("q", "SELECT 2")
+        assert sq.get("q")["sql"] == "SELECT 2"
+
+    def test_history_capped_and_cleared(self, sq):
+        for i in range(5):
+            sq.record_history(f"SELECT {i}", 0.1, i)
+        assert len(sq.history()) == 5
+        assert sq.history(limit=2)[0]["sql"] == "SELECT 4"  # newest first
+        assert sq.clear_history() == 5
+        assert sq.history() == []
+
+    def test_normalize_sql_collapses_whitespace_and_case(self):
+        assert normalize_sql("SELECT  *\nFROM t") == normalize_sql("select * from t")
+
+
+class TestQueryCache:
+    @pytest.fixture()
+    def qc(self, tmp_path):
+        return QueryCache(str(tmp_path / "qc.json"), ttl_s=60)
+
+    def test_roundtrip_and_stats(self, qc):
+        assert qc.get("SELECT 1") is None
+        qc.put("SELECT 1", [{"a": 1}], ["t"])
+        assert qc.get("SELECT 1") == [{"a": 1}]
+        st = qc.stats()
+        assert st["hits"] == 1 and st["misses"] == 1
+
+    def test_ttl_expiry(self, tmp_path):
+        qc = QueryCache(str(tmp_path / "qc2.json"), ttl_s=0)
+        qc.put("q", [{"a": 1}], ["t"])
+        time.sleep(0.01)
+        assert qc.get("q") is None
+
+    def test_invalidate_by_table(self, qc):
+        qc.put("q1", [], ["orders"])
+        qc.put("q2", [], ["customer"])
+        assert qc.invalidate_table("orders") == 1
+        assert qc.get("q1") is None and qc.get("q2") == []
+
+    def test_policy_disables_caching(self, qc):
+        qc.set_policy("secret", False)
+        assert qc.enabled_for(["orders", "secret"]) is False
+        assert qc.enabled_for(["orders"]) is True
+
+
+# ------------------------------------------------------------------- audit
+
+class TestAudit:
+    @pytest.fixture()
+    def log(self, tmp_path):
+        return AuditLog(str(tmp_path / "a.ndjson"))
+
+    def test_record_and_filtered_query(self, log):
+        log.record("t1", "insert", rows_affected=5)
+        log.record("t2", "delete", rows_affected=1)
+        log.record("t1", "delete", rows_affected=2)
+        assert len(log.query()) == 3
+        assert [e["table"] for e in log.query(table="t1")] == ["t1", "t1"]
+        assert [e["operation"] for e in log.query(operation="delete")] == ["delete", "delete"]
+        assert log.query()[0]["operation"] == "delete"  # newest first
+
+    def test_clear_all_and_older_than(self, log):
+        log.record("t", "insert")
+        assert log.clear() == 1
+        assert log.query() == []
+        log.record("t", "insert")
+        # nothing is older than 1 hour
+        assert log.clear(older_than="1h") == 0
+        assert len(log.query()) == 1
+
+
+# --------------------------------------------------------------------- cdc
+
+class TestCdc:
+    def test_classify_insert_update_delete(self, metrics):
+        crud.insert_rows(metrics, [{"id": 3, "name": "carol", "value": 30.0}])
+        crud.update_rows(metrics, "id = 1", {"value": 11.0})
+        crud.delete_rows(metrics, "id = 2")
+        snaps = metrics.snapshots()
+        ch = cdc.capture_changes(metrics, snaps[0].snapshot_id,
+                                 snaps[-1].snapshot_id, ["id"])
+        assert ch["summary"] == {"inserts": 1, "updates": 1, "deletes": 1}
+        assert ch["inserts"][0]["id"] == 3
+        up = ch["updates"][0]
+        assert up["key"] == {"id": 1}
+        assert up["before"]["value"] == 10.0 and up["after"]["value"] == 11.0
+        assert up["changed_columns"] == ["value"]
+        assert ch["deletes"][0]["id"] == 2
+
+    def test_max_rows_caps_details_not_summary(self, metrics):
+        crud.insert_rows(metrics, [
+            {"id": 100 + i, "name": "n", "value": 1.0} for i in range(5)
+        ])
+        snaps = metrics.snapshots()
+        ch = cdc.capture_changes(metrics, snaps[0].snapshot_id,
+                                 snaps[-1].snapshot_id, ["id"], max_rows=2)
+        assert ch["summary"]["inserts"] == 5
+        assert len(ch["inserts"]) == 2
+
+    def test_export_csv_shape(self, metrics):
+        crud.update_rows(metrics, "id = 1", {"value": 99.0})
+        snaps = metrics.snapshots()
+        ch = cdc.capture_changes(metrics, snaps[0].snapshot_id,
+                                 snaps[-1].snapshot_id, ["id"])
+        text = cdc.export_changes(ch, "csv")
+        lines = text.strip().splitlines()
+        assert lines[0].startswith("change_type")
+        assert {l.split(",")[0] for l in lines[1:]} == {"UPDATE_BEFORE", "UPDATE_AFTER"}
+
+    def test_export_unknown_format_raises(self, metrics):
+        snaps = metrics.snapshots()
+        ch = cdc.capture_changes(metrics, snaps[0].snapshot_id, snaps[0].snapshot_id)
+        with pytest.raises(ValueError, match="unsupported format"):
+            cdc.export_changes(ch, "xml")
+
+    def test_replay_into_empty_table(self, metrics, catalog):
+        crud.insert_rows(metrics, [{"id": 7, "name": "g", "value": 7.0}])
+        snaps = metrics.snapshots()
+        target = catalog.create_table("replica", SCHEMA)
+        ch = cdc.capture_changes(metrics, snaps[0].snapshot_id,
+                                 snaps[-1].snapshot_id, ["id"])
+        applied = cdc.replay_changes(target, ch)
+        assert applied["inserts"] == 1
+        assert target.scan().count() == 1
+
+
+# -------------------------------------------------------------- incremental
+
+class TestIncremental:
+    @pytest.fixture()
+    def wm(self, tmp_path):
+        return WatermarkStore(str(tmp_path / "wm.json"))
+
+    def test_first_read_is_full(self, metrics, wm):
+        df, info = incremental_read(metrics, wm, "p")
+        assert info["mode"] == "full" and df.count() == 2
+
+    def test_same_snapshot_reads_nothing(self, metrics, wm):
+        wm.set("p", "default.metrics", metrics.current_snapshot().snapshot_id)
+        df, info = incremental_read(metrics, wm, "p")
+        assert info["mode"] == "none" and df.count() == 0
+
+    def test_append_only_fast_path_reads_new_files_only(self, metrics, wm):
+        wm.set("p", "default.metrics", metrics.current_snapshot().snapshot_id)
+        crud.insert_rows(metrics, [{"id": 3, "name": "c", "value": 3.0}])
+        df, info = incremental_read(metrics, wm, "p")
+        assert info["mode"] == "append_files"
+        assert [r["id"] for r in df.collect()] == [3]
+
+    def test_overwrite_falls_back_to_diff(self, metrics, wm):
+        wm.set("p", "default.metrics", metrics.current_snapshot().snapshot_id)
+        crud.update_rows(metrics, "id = 1", {"value": 42.0})
+        df, info = incremental_read(metrics, wm, "p")
+        assert info["mode"] == "except_diff"
+        assert [r["value"] for r in df.collect()] == [42.0]
+
+    def test_expired_watermark_rescans(self, metrics, wm):
+        wm.set("p", "default.metrics", 9999)
+        crud.insert_rows(metrics, [{"id": 3, "name": "c", "value": 3.0}])
+        df, info = incremental_read(metrics, wm, "p")
+        assert info["mode"] == "except_diff" or info["mode"] == "full"
+
+    def test_reset_scopes(self, wm):
+        wm.set("p", "a", 1)
+        wm.set("p", "b", 2)
+        wm.reset("p", "a")
+        assert wm.get("p", "a") is None and wm.get("p", "b") is not None
+        wm.reset("p")
+        assert wm.list("p") == {}
