@@ -26,6 +26,19 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _widen_if_narrow(df: DataFrame) -> DataFrame:
+    """A small-file corpus can arrive in 1-2 input partitions, serializing
+    the CPU-heavy shingle+hash map work on a wide executor (measured:
+    minhash signatures 5.6s -> 2.4s at sf0.1 on local[32]). Repartition
+    up to the cluster's parallelism ONLY when the input is narrower —
+    at 100 TB the scan is already thousands of partitions and this is a
+    no-op, so no extra shuffle on the scale path."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens_col(text: F.Column | str) -> F.Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.trim(F.lower(c)), r"\s+")
@@ -56,6 +69,7 @@ def minhash_signatures(
     projections and higher-order-function lambdas defeat
     common-subexpression elimination, so that variant recomputes the
     shingle array k times (measured 2-4x slower at sf0.1)."""
+    df = _widen_if_narrow(df)
     exploded = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
     )
@@ -107,7 +121,7 @@ def jaccard_pairs(
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over
     distinct shingle sets. Join order: pairs ⋈ shingle-sets twice —
     shingle arrays travel only for candidate docs."""
-    sets = df.select(
+    sets = _widen_if_narrow(df).select(
         F.col(id_col), shingles_col(text_col, n).alias("sh")
     )
     a = sets.select(F.col(id_col).alias("left_id"), F.col("sh").alias("sh_a"))
@@ -148,6 +162,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token votes ±1 by whether md5(token)[p] ≥ '8'; fingerprint is the
     16-char sign bitstring. Engine-portable (identical in the DuckDB
     oracle); a production variant widens to xxhash64 bits."""
+    df = _widen_if_narrow(df)
     hashes = F.transform(tokens_col(text_col), lambda t: F.md5(t))
     # map-only single pass: fold the row's token hashes into a 16-slot
     # vote array — no explode/groupBy/shuffle (cf. minhash_signatures)
@@ -201,6 +216,7 @@ def simhash64(
 
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|md5)")
+    df = _widen_if_narrow(df)
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), 64),
