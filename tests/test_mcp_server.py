@@ -362,3 +362,15 @@ def test_format_and_file_family(server, seeded, tmp_path):
     assert conv["rows"] >= 1
     rows = ok(server, "query_file", {"path": pq, "sql": "SELECT count(*) AS n FROM file_view"})
     assert rows[0]["n"] >= 1
+
+
+def test_mutations_auto_audited(server):
+    ok(server, "clear_audit_log", {})
+    ok(server, "create_table", {"table": "aud", "schema": [["id", "long"]]})
+    ok(server, "insert", {"table": "aud", "rows": [{"id": 1}, {"id": 2}]})
+    ok(server, "update", {"table": "aud", "filter": "id = 1", "updates": {"id": 10}})
+    ok(server, "delete", {"table": "aud", "filter": "id = 2"})
+    log = ok(server, "get_audit_log", {"table": "aud"})
+    ops = {e["operation"]: e["rows_affected"] for e in log}
+    assert ops == {"insert": 2, "update": 1, "delete": 1}
+    assert all(e["source"] == "mcp" for e in log)
