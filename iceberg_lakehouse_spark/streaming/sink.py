@@ -1,0 +1,69 @@
+"""Streaming → lakehouse sinks: land a stream into a snapshot table.
+
+The missing half of the streaming story: `events.py` reads/transforms,
+this module writes results into `LakeTable`s with exactly-once-per-
+micro-batch semantics via foreachBatch. Each micro-batch commits one
+snapshot, so time travel / CDC / incremental readers downstream see
+stream progress as ordinary snapshot history — the same contract batch
+writers get.
+
+Modes:
+  * append  — blind append (immutable event logs);
+  * upsert  — MERGE by key per batch (dimension/state tables fed by a
+    changelog stream); uses operators.crud.merge_into, so the incoming
+    batch side is a DataFrame (no driver round-trip) and AQE picks the
+    join strategy;
+  * dedup_append — append only rows whose keys are not yet in the
+    table (idempotent landing for at-least-once upstreams), as a
+    left_anti join against the current snapshot.
+
+At 100 TB the per-batch work is bounded by batch size, not table size,
+except dedup_append's anti-join probe — for that, keep the key set
+narrow (the anti-join shuffles only the key columns of the table side
+after column pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..catalog import LakeTable
+from ..operators import crud
+
+
+def stream_to_table(
+    stream: DataFrame,
+    table: LakeTable,
+    mode: str = "append",
+    key_columns: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start a foreachBatch query landing ``stream`` into ``table``."""
+    if mode in ("upsert", "dedup_append") and not key_columns:
+        raise ValueError(f"mode {mode!r} requires key_columns")
+    if mode not in ("append", "upsert", "dedup_append"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if mode == "append":
+            table.append(batch)
+        elif mode == "upsert":
+            crud.merge_into(table, batch, key_columns)
+        else:  # dedup_append
+            existing = table.scan().select(*key_columns)
+            fresh = batch.dropDuplicates(key_columns).join(
+                existing, key_columns, "left_anti"
+            )
+            if not fresh.isEmpty():
+                table.append(fresh)
+
+    writer = stream.writeStream.foreachBatch(land).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import datetime
+
 import pyspark.sql.functions as F
+import pytest
 
 from iceberg_lakehouse_spark.functions.skew import (
     salted_aggregate,
@@ -96,3 +99,91 @@ def test_stateful_user_tracker(spark, tmp_path):
         assert row["event_count"] == n
         assert abs((row["total_value"] or 0) - (t or 0)) < 1e-6
         assert row["closed"] is False  # no timeout fired in one batch
+
+
+class TestStreamToTable:
+    """Streaming → LakeTable sinks (streaming/sink.py)."""
+
+    @pytest.fixture()
+    def source_dir(self, spark, tmp_path):
+        from iceberg_lakehouse_spark.streaming.events import EVENTS_SCHEMA
+
+        d = str(tmp_path / "stream_src")
+        rows = [
+            (1, datetime.datetime(2024, 1, 1, 10, 0), 1, "click", 1.0, "{}"),
+            (2, datetime.datetime(2024, 1, 1, 10, 1), 1, "view", 2.0, "{}"),
+            (3, datetime.datetime(2024, 1, 1, 10, 2), 2, "click", 3.0, "{}"),
+        ]
+        spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(d)
+        return d
+
+    def _table(self, spark, tmp_warehouse, name):
+        from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+        from iceberg_lakehouse_spark.streaming.events import EVENTS_SCHEMA
+
+        catalog = LakehouseCatalog(spark, tmp_warehouse)
+        return catalog.create_table(name, EVENTS_SCHEMA)
+
+    def test_append_mode_lands_batches_as_snapshots(
+        self, spark, tmp_path, tmp_warehouse, source_dir
+    ):
+        from iceberg_lakehouse_spark.streaming.events import read_event_stream
+        from iceberg_lakehouse_spark.streaming.sink import stream_to_table
+
+        t = self._table(spark, tmp_warehouse, "landed")
+        q = stream_to_table(
+            read_event_stream(spark, source_dir), t, mode="append",
+            checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(120)
+        assert t.scan().count() == 3
+        assert t.current_snapshot().operation == "append"
+
+    def test_dedup_append_is_idempotent(
+        self, spark, tmp_path, tmp_warehouse, source_dir
+    ):
+        from iceberg_lakehouse_spark.streaming.events import read_event_stream
+        from iceberg_lakehouse_spark.streaming.sink import stream_to_table
+
+        t = self._table(spark, tmp_warehouse, "idem")
+        for i in range(2):  # same files replayed twice (fresh checkpoint)
+            q = stream_to_table(
+                read_event_stream(spark, source_dir), t, mode="dedup_append",
+                key_columns=["event_id"],
+                checkpoint_dir=str(tmp_path / f"ckpt{i}"), available_now=True,
+            )
+            q.awaitTermination(120)
+        assert t.scan().count() == 3  # replay added nothing
+
+    def test_upsert_mode_merges_by_key(
+        self, spark, tmp_path, tmp_warehouse, source_dir
+    ):
+        from iceberg_lakehouse_spark.operators import crud
+        from iceberg_lakehouse_spark.streaming.events import read_event_stream
+        from iceberg_lakehouse_spark.streaming.sink import stream_to_table
+
+        t = self._table(spark, tmp_warehouse, "merged")
+        crud.insert_rows(t, [{
+            "event_id": 1, "ts": "2023-12-31T00:00:00", "user_id": 9,
+            "event_type": "stale", "value": 0.0, "props": "{}",
+        }])
+        q = stream_to_table(
+            read_event_stream(spark, source_dir), t, mode="upsert",
+            key_columns=["event_id"],
+            checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(120)
+        assert t.scan().count() == 3
+        row = t.scan().where("event_id = 1").collect()[0]
+        assert row["event_type"] == "click"  # stale row replaced
+
+    def test_mode_validation(self, spark, tmp_warehouse, source_dir):
+        from iceberg_lakehouse_spark.streaming.events import read_event_stream
+        from iceberg_lakehouse_spark.streaming.sink import stream_to_table
+
+        t = self._table(spark, tmp_warehouse, "vt")
+        stream = read_event_stream(spark, source_dir)
+        with pytest.raises(ValueError, match="requires key_columns"):
+            stream_to_table(stream, t, mode="upsert")
+        with pytest.raises(ValueError, match="unknown mode"):
+            stream_to_table(stream, t, mode="replace")
