@@ -175,6 +175,38 @@ def serve(ctx):
     LakehouseServer(home=ctx.home).serve()
 
 
+@cli.command()
+@click.pass_obj
+def init(ctx):
+    """Initialize the lakehouse home (warehouse + side stores)."""
+    os.makedirs(os.path.join(ctx.home, "warehouse"), exist_ok=True)
+    _emit({"initialized": ctx.home, "warehouse": os.path.join(ctx.home, "warehouse")})
+
+
+@cli.command()
+@click.argument("sql")
+@click.option("--runs", default=3, show_default=True)
+@click.pass_obj
+def benchmark(ctx, sql, runs):
+    """Time a SQL query over `runs` executions (min/avg/max seconds)."""
+    import time
+
+    timings = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        ctx.engine.execute(sql, max_rows=0).count()
+        timings.append(time.perf_counter() - t0)
+    _emit(
+        {
+            "sql": sql,
+            "runs": runs,
+            "min_s": round(min(timings), 4),
+            "avg_s": round(sum(timings) / len(timings), 4),
+            "max_s": round(max(timings), 4),
+        }
+    )
+
+
 # -- generated bridge: the MCP tool registry IS the command catalog --------
 #
 # Manifest: tool name -> (group | None, command name). Groups mirror the
