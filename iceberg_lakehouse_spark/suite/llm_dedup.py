@@ -191,8 +191,15 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    # broadcast the right block-side: the pair expansion + dot products
+    # then run MAP-side over the probe's partitions — widened first so
+    # a 2-file input doesn't serialize the quadratic work on 2 tasks.
+    # (At corpus scale with a too-big right side, swap broadcast for the
+    # salt-replicated shuffle join in functions/skew.salted_join.)
+    from ..functions.dedup_text import _widen_if_narrow
+
     return (
-        a.join(b, "label")
+        _widen_if_narrow(a).join(F.broadcast(b), "label")
         .where(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id", "label", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= 0.2)
