@@ -145,3 +145,45 @@ def test_bucketed_join_eliminates_shuffle(spark):
     assert joined.count() == plain.count()
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_range_join_correct_and_bucketed(spark):
+    """Interval join via bucket replication: results match the naive
+    key-join+filter, the plan is a hash join (not nested-loop), and a
+    boundary-touching interval doesn't leak into the next bucket."""
+    from datetime import datetime
+
+    from iceberg_lakehouse_spark.operators.range_join import range_join
+
+    points = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 30)),
+         (1, datetime(2024, 1, 1, 13, 0)),
+         (2, datetime(2024, 1, 1, 10, 30)),
+         (1, datetime(2024, 1, 2, 9, 0))],
+        "k int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 11, 0), "a"),
+         (1, datetime(2024, 1, 1, 11, 0), datetime(2024, 1, 1, 14, 0), "b"),
+         (2, datetime(2024, 1, 1, 9, 0), datetime(2024, 1, 1, 10, 30), "c")],
+        "k int, start timestamp, end timestamp, tag string",
+    )
+    got = range_join(points, intervals, "ts", "start", "end", on=["k"])
+    rows = {(r["k"], str(r["ts"]), r["tag"]) for r in got.collect()}
+    # 10:30 ∈ [10:00,11:00) → a; 13:00 ∈ [11:00,14:00) → b;
+    # (2, 10:30) NOT in [9:00,10:30) (exclusive end); 01-02 unmatched
+    assert rows == {
+        (1, "2024-01-01 10:30:00", "a"),
+        (1, "2024-01-01 13:00:00", "b"),
+    }
+    # plan: hash join on bucket keys, no nested-loop cartesian
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # left join keeps unmatched points with NULL payload
+    left = range_join(points, intervals, "ts", "start", "end", on=["k"], how="left")
+    assert left.count() == 4
+    assert left.where("tag IS NULL").count() == 2
