@@ -331,7 +331,11 @@ _TREE: dict[str, dict[str, str]] = {
         "monitor": "monitor_contract", "trends": "get_contract_trends",
         "generate": "generate_contract", "preview": "preview_contract",
         "dry-run": "dry_run_contract", "dry-run-migration": "dry_run_migration",
-        "add-consumer": "add_contract_consumer", "coverage": "get_contract_coverage",
+        "add-consumer": "add_contract_consumer",
+        "remove-consumer": "remove_contract_consumer",
+        "remove": "remove_contract", "version": "get_contract_version",
+        "compliance-history": "get_compliance_history",
+        "coverage": "get_contract_coverage",
         "dashboard": "get_contract_dashboard", "health": "get_contract_health",
     },
     "view": {

@@ -93,6 +93,29 @@ class ContractManager:
     def deprecate(self, table: str) -> dict:
         return self.update(table, status="deprecated")
 
+    def remove(self, table: str) -> bool:
+        data = self.store.load()
+        removed = data["contracts"].pop(table, None) is not None
+        data["consumers"].pop(table, None)
+        data["producers"].pop(table, None)
+        self.store.save(data)
+        return removed
+
+    def get_version(self, table: str, version: int) -> dict:
+        """A specific version's schema/quality/freshness/constraints
+        (current or from history snapshots)."""
+        c = self.get(table)
+        if version == c["version"]:
+            return {k: c[k] for k in ("schema", "quality", "freshness", "constraints")}
+        for h in c["history"]:
+            if h["version"] == version:
+                return h["snapshot"]
+        raise ValueError(f"version {version} not found for {table!r}")
+
+    def compliance_history(self, table: str) -> list[dict]:
+        """Raw monitoring entries (monitor() appends them)."""
+        return self.get(table).get("monitoring", [])
+
     def list(self) -> dict:
         return self.store.load()["contracts"]
 
@@ -218,6 +241,15 @@ class ContractManager:
         if producer not in lst:
             lst.append(producer)
         self.store.save(data)
+
+    def remove_consumer(self, table: str, consumer: str) -> bool:
+        data = self.store.load()
+        lst = data["consumers"].get(table, [])
+        if consumer not in lst:
+            return False
+        lst.remove(consumer)
+        self.store.save(data)
+        return True
 
     def consumers(self, table: str) -> list[str]:
         return self.store.load()["consumers"].get(table, [])

@@ -1077,6 +1077,25 @@ class LakehouseServer:
         self._add(_tool("deprecate_contract", "Mark a contract deprecated",
                         {"table": _S}, ["table"]),
                   lambda table: contracts.deprecate(_cname(table)))
+        self._add(_tool("remove_contract", "Delete a contract entirely",
+                        {"table": _S}, ["table"]),
+                  lambda table: {"removed": contracts.remove(_cname(table))})
+        self._add(
+            _tool("get_contract_version", "A specific contract version's spec",
+                  {"table": _S, "version": _I}, ["table", "version"]),
+            lambda table, version: contracts.get_version(_cname(table), version),
+        )
+        self._add(
+            _tool("get_compliance_history", "Raw monitoring entries",
+                  {"table": _S}, ["table"]),
+            lambda table: contracts.compliance_history(_cname(table)),
+        )
+        self._add(
+            _tool("remove_contract_consumer", "Deregister a consumer",
+                  {"table": _S, "consumer": _S}, ["table", "consumer"]),
+            lambda table, consumer: {
+                "removed": contracts.remove_consumer(_cname(table), consumer)},
+        )
         self._add(_tool("list_contracts", "All contracts", {}, []),
                   lambda: contracts.list())
         self._add(

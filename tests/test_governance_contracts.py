@@ -279,3 +279,36 @@ class TestGenerate:
     def test_generate_marks_nonnull_schema(self, cm, metrics):
         got = cm.generate_from_stats(metrics)
         assert got["schema"]["id"]["nullable"] is False
+
+
+class TestRemoveAndVersions:
+    def test_remove_contract_and_consumers(self, cm):
+        cm.create("t", **SAMPLE)
+        cm.register_consumer("t", "bi")
+        assert cm.remove("t") is True
+        assert cm.remove("t") is False
+        with pytest.raises(ValueError, match="no contract"):
+            cm.get("t")
+
+    def test_remove_consumer(self, cm):
+        cm.create("t", **SAMPLE)
+        cm.register_consumer("t", "bi")
+        assert cm.remove_consumer("t", "bi") is True
+        assert cm.remove_consumer("t", "bi") is False
+        assert cm.consumers("t") == []
+
+    def test_get_version_current_and_historic(self, cm):
+        cm.create("t", **SAMPLE)
+        cm.update("t", quality={"min_score": 90})
+        v1 = cm.get_version("t", 1)
+        v2 = cm.get_version("t", 2)
+        assert v1["quality"] == {"min_score": 70}
+        assert v2["quality"] == {"min_score": 90}
+        with pytest.raises(ValueError, match="version 9 not found"):
+            cm.get_version("t", 9)
+
+    def test_compliance_history_raw_entries(self, cm, metrics):
+        cm.create("default.metrics", **SAMPLE)
+        cm.monitor(metrics)
+        hist = cm.compliance_history("default.metrics")
+        assert len(hist) == 1 and hist[0]["score"] == 100.0

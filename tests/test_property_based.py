@@ -1,0 +1,153 @@
+"""Property-based tests (hypothesis): custom operators vs naive
+reference implementations on randomized inputs. Spark-backed examples
+are capped small — the point is semantic coverage of edge orderings
+(ties, empty sides, boundary timestamps), not volume."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_lakehouse_spark.governance.queries_store import cache_key, normalize_sql
+
+SPARK_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------- pure properties
+
+@given(st.text(alphabet=" \t\nSELECTfromwhere*abc123", min_size=1, max_size=60))
+def test_normalize_sql_idempotent_and_case_insensitive(sql):
+    n = normalize_sql(sql)
+    assert normalize_sql(n) == n
+    assert normalize_sql(sql.upper()) == normalize_sql(sql.lower())
+    assert cache_key(sql) == cache_key("  " + sql.upper() + "  ")
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=50))
+def test_cache_key_collision_free_on_distinct_normals(vals):
+    sqls = [f"SELECT {v} FROM t" for v in sorted(set(vals))]
+    keys = {cache_key(s) for s in sqls}
+    assert len(keys) == len(sqls)
+
+
+# ------------------------------------------------------- as-of join property
+
+@st.composite
+def asof_case(draw):
+    left_ts = draw(st.lists(st.integers(0, 100), min_size=1, max_size=8))
+    right = draw(
+        st.lists(
+            st.tuples(st.integers(0, 100), st.one_of(st.none(), st.integers(0, 9))),
+            min_size=0, max_size=8,
+            unique_by=lambda t: t[0],  # one right row per ts: match is unique
+        )
+    )
+    return left_ts, right
+
+
+@SPARK_SETTINGS
+@given(asof_case())
+def test_asof_join_matches_naive_reference(spark, case):
+    from iceberg_lakehouse_spark.operators.asof import as_of_join
+
+    left_ts, right_rows = case
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + datetime.timedelta(minutes=m)
+
+    left = spark.createDataFrame([(1, ts(m)) for m in left_ts], "k int, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(m), v) for m, v in right_rows], "k int, rts timestamp, v int"
+    )
+    got = {
+        (r["lts"], r["v_right"], r["rts_right"])
+        for r in as_of_join(left, right, "k", "lts", "rts").collect()
+    }
+    want = set()
+    for m in left_ts:
+        candidates = [(rm, rv) for rm, rv in right_rows if rm <= m]
+        if candidates:
+            rm, rv = max(candidates, key=lambda t: t[0])
+            want.add((ts(m), rv, ts(rm)))
+        else:
+            want.add((ts(m), None, None))
+    assert got == want
+
+
+# ------------------------------------------------------ range join property
+
+@SPARK_SETTINGS
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=10),
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 120)),
+        min_size=0, max_size=6,
+    ),
+)
+def test_range_join_matches_naive_filter(spark, points, intervals):
+    from iceberg_lakehouse_spark.operators.range_join import range_join
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + datetime.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(i, ts(m)) for i, m in enumerate(points)], "pid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(j, ts(s), ts(s + d)) for j, (s, d) in enumerate(intervals)],
+        "iid int, start timestamp, end timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            left, right, "ts", "start", "end", bucket_width_seconds=600
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, m in enumerate(points)
+        for j, (s, d) in enumerate(intervals)
+        if s <= m < s + d
+    }
+    assert got == want
+
+
+# ------------------------------------------------- salted aggregate property
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1, max_size=40,
+    )
+)
+def test_salted_aggregate_equals_plain(spark, rows):
+    from iceberg_lakehouse_spark.functions.skew import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    salted = {
+        (r["k"], r["v_sum"], r["v_count"])
+        for r in salted_aggregate(df, ["k"], {"v": "sum"}, salts=4)
+        .join(
+            salted_aggregate(df, ["k"], {"v": "count"}, salts=4), "k"
+        )
+        .collect()
+    }
+    plain = {
+        (r["k"], r["s"], r["c"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("c"))
+        .collect()
+    }
+    assert salted == plain
