@@ -1236,6 +1236,19 @@ class LakehouseServer:
                         {"table": _S}, ["table"]),
                   lambda table: suggest_joins(c, table))
 
+        # -- reference-name aliases: a client migrating from the reference
+        # can call every tool under its original name (same handler) -----
+        for ref_name, ours in (
+            ("compact_table", "compact"),
+            ("get_lineage", "lineage"),
+            ("get_partition_stats", "partition_stats"),
+            ("get_table_changes", "capture_changes"),
+            ("query_vortex", "query_file"),  # Vortex -> ORC substitution
+            ("validate_data", "validate_table"),
+        ):
+            spec, fn = self._tools[ours]
+            self._add({**spec, "name": ref_name}, fn)
+
     # ------------------------------------------------------------------
     # JSON-RPC / MCP protocol
     # ------------------------------------------------------------------

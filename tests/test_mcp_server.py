@@ -374,3 +374,17 @@ def test_mutations_auto_audited(server):
     ops = {e["operation"]: e["rows_affected"] for e in log}
     assert ops == {"insert": 2, "update": 1, "delete": 1}
     assert all(e["source"] == "mcp" for e in log)
+
+
+def test_every_reference_tool_name_is_callable(server):
+    """100% reference tool-name coverage: a client migrating from the
+    reference can call each of its 155 tool names unchanged."""
+    import re
+
+    ref = set(re.findall(
+        r'name="([a-z_]+)"',
+        open("/root/reference/src/lakehouse/server.py").read(),
+    ))
+    assert len(ref) >= 150
+    ours = {t["name"] for t in rpc(server, "tools/list")["result"]["tools"]}
+    assert ref - ours == set()
