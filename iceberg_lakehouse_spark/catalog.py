@@ -280,6 +280,10 @@ class LakeTable:
     def _snap_path(self) -> str:
         return os.path.join(self.root, "_meta", "snapshots.json")
 
+    @property
+    def _stats_path(self) -> str:
+        return os.path.join(self.root, "_meta", "file_stats.json")
+
     def meta(self) -> dict:
         return _read_json(self._meta_path, {})
 
@@ -400,7 +404,31 @@ class LakeTable:
                     files.append(
                         os.path.relpath(os.path.join(dirpath, fn), self.root)
                     )
-        return sorted(files)
+        files = sorted(files)
+        self._record_file_stats(files)
+        return files
+
+    def _record_file_stats(self, new_files: list[str]) -> None:
+        """Persist per-file column (min, max, null_count) into the table
+        metadata at write time — the Iceberg manifest-stats model, so
+        the __files inspect view never re-reads footers. Cost is one
+        footer read per JUST-WRITTEN file (bounded by write
+        parallelism, not table size); stats are best-effort (ORC files
+        simply record none)."""
+        stats = self._footer_stats(new_files)
+        if not stats:
+            return
+        stored = _read_json(self._stats_path, {})
+        for f, cols in stats.items():
+            stored[f] = {
+                c: [
+                    str(mn) if mn is not None else None,
+                    str(mx) if mx is not None else None,
+                    nc,
+                ]
+                for c, (mn, mx, nc) in cols.items()
+            }
+        _atomic_write_json(self._stats_path, stored)
 
     def _align(self, df: DataFrame) -> DataFrame:
         """Project df onto the table schema (order + cast), so appends
@@ -515,18 +543,32 @@ class LakeTable:
     def _file_column_stats(
         self, snap: "Snapshot", max_files: int = 1000
     ) -> dict[str, dict[str, tuple]]:
-        """Per-file column (min, max, null_count) from parquet footers —
-        read on demand for the __files metadata view, never stored.
-        Capped: footer reads are driver-side, so a huge snapshot returns
-        no stats rather than stalling."""
-        if len(snap.files) > max_files:
-            return {}
+        """Per-file column (min, max, null_count): stored write-time
+        stats first (`_meta/file_stats.json`, recorded by _materialize),
+        parquet-footer fallback only for files predating stats recording.
+        The fallback is capped: footer reads are driver-side, so a huge
+        legacy snapshot returns partial stats rather than stalling."""
+        stored = _read_json(self._stats_path, {})
+        out: dict[str, dict[str, tuple]] = {
+            f: {c: tuple(v) for c, v in stored[f].items()}
+            for f in snap.files
+            if f in stored
+        }
+        missing = [f for f in snap.files if f not in stored]
+        if missing and len(missing) <= max_files:
+            out.update(self._footer_stats(missing))
+        return out
+
+    def _footer_stats(
+        self, files: list[str]
+    ) -> dict[str, dict[str, tuple]]:
+        """Read (min, max, null_count) per column from parquet footers."""
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover
             return {}
         out: dict[str, dict[str, tuple]] = {}
-        for f in snap.files:
+        for f in files:
             if not f.endswith(".parquet"):
                 continue
             p = os.path.join(self.root, f)
@@ -650,6 +692,11 @@ class LakeTable:
                 if fn.endswith((".parquet", ".orc")) and rel not in refs:
                     os.remove(os.path.join(self.root, rel))
                     removed.append(rel)
+        if removed:  # keep the stats map in step with the data files
+            stored = _read_json(self._stats_path, {})
+            for rel in removed:
+                stored.pop(rel, None)
+            _atomic_write_json(self._stats_path, stored)
         return removed
 
     def orphan_files(self) -> list[str]:

@@ -343,3 +343,38 @@ def test_delete_rewrites_only_matching_files(catalog):
     # time travel still sees the pre-delete rows
     prev = [s for s in t.snapshots()][-2]
     assert t.scan(snapshot_id=prev.snapshot_id).count() == 4
+
+
+def test_file_stats_persisted_at_write_time(expenses):
+    """Write-time stats recording (Iceberg manifest-stats model): the
+    __files view serves stats from _meta/file_stats.json without
+    re-reading parquet footers."""
+    import json
+    import os
+
+    stored = json.load(open(expenses._stats_path))
+    cur = expenses.current_snapshot()
+    assert set(cur.files) <= set(stored)
+    any_file = cur.files[0]
+    assert stored[any_file]["id"][2] == 0  # null_count
+    # the inspect view uses the stored values (monkeypatch footer reader
+    # to prove no fallback happens)
+    expenses._footer_stats = lambda files: (_ for _ in ()).throw(
+        AssertionError("footer fallback used despite stored stats")
+    )
+    rows = expenses.files_df().selectExpr("column_stats['id'].null_count AS nc").collect()
+    assert rows and all(r["nc"] == 0 for r in rows)
+
+
+def test_expire_prunes_stats_map(expenses):
+    import json
+
+    before = set(json.load(open(expenses._stats_path)))
+    # overwrite makes the original files unreferenced once history expires
+    expenses.overwrite(expenses.scan().where("id = 1"))
+    expenses.expire_snapshots(retain_last=1)
+    stored = json.load(open(expenses._stats_path))
+    current = set(expenses.current_snapshot().files)
+    assert current <= set(stored)
+    # the original (now-deleted) files dropped out of the stats map
+    assert not (before - current) & set(stored)
