@@ -105,3 +105,27 @@ def stream_events_to_table(
     )
     q.awaitTermination()
     return q
+
+
+def session_window_rollup(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session aggregation with a dynamic-gap session window —
+    the streaming counterpart of operators.asof.sessionize. State for a
+    session closes (and emits) once the watermark passes its gap, so
+    memory stays bounded by open sessions, not history."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "events",
+            "total_value",
+        )
+    )

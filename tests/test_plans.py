@@ -187,3 +187,28 @@ def test_range_join_correct_and_bucketed(spark):
     left = range_join(points, intervals, "ts", "start", "end", on=["k"], how="left")
     assert left.count() == 4
     assert left.where("tag IS NULL").count() == 2
+
+
+def test_cow_probe_pushes_predicate_to_scan(spark, tmp_path):
+    """The file-pruning probe in update/delete (one scan grouped by
+    input_file_name) must push its predicate into the parquet scan —
+    that pushdown is what lets footer min/max skip non-matching files
+    at scale."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import crud
+    from pyspark.sql import functions as F
+
+    catalog = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.create_table("probe_t", [("id", "long"), ("v", "double")])
+    crud.insert_rows(t, [{"id": i, "v": float(i)} for i in range(10)])
+    probe = (
+        t.scan()
+        .where(F.expr("id = 3"))
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,3)]" in plan

@@ -187,3 +187,35 @@ class TestStreamToTable:
             stream_to_table(stream, t, mode="upsert")
         with pytest.raises(ValueError, match="unknown mode"):
             stream_to_table(stream, t, mode="replace")
+
+
+def test_session_window_rollup(spark, tmp_path):
+    """Streaming session windows: events within the gap fuse into one
+    session per user; a gap larger than the threshold splits sessions."""
+    from iceberg_lakehouse_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        read_event_stream,
+        run_to_memory_sink,
+        session_window_rollup,
+    )
+
+    d = str(tmp_path / "sw_src")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, at(0), 1, "click", 1.0, "{}"),
+        (2, at(10), 1, "view", 2.0, "{}"),   # same session (gap 10m < 30m)
+        (3, at(120), 1, "click", 4.0, "{}"), # new session (gap 110m)
+        (4, at(5), 2, "click", 8.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(d)
+    result = session_window_rollup(read_event_stream(spark, d), gap="30 minutes")
+    run_to_memory_sink(result, "sw_out", output_mode="complete")
+    got = {
+        (r["user_id"], r["events"], r["total_value"])
+        for r in spark.table("sw_out").collect()
+    }
+    assert got == {(1, 2, 3.0), (1, 1, 4.0), (2, 1, 8.0)}

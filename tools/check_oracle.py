@@ -11,6 +11,7 @@ normalization). Use while iterating:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -49,9 +50,21 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from iceberg_lakehouse_spark.session import get_spark
 
-    spark = get_spark("check_oracle")
+    # BARE session on purpose — replicating the driver, which does NOT
+    # use our session factory. Round-1 lesson: every query passed with
+    # get_spark()'s confs and all 50 failed on the driver's session;
+    # the replica must fail exactly where the driver would.
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("check_oracle")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     con = duckdb.connect()
