@@ -284,6 +284,20 @@ class LakeTable:
     def _stats_path(self) -> str:
         return os.path.join(self.root, "_meta", "file_stats.json")
 
+    def meta_stamp(self) -> tuple:
+        """Cheap staleness token — mtimes of the two metadata files.
+        Any schema change or snapshot commit rewrites one of them
+        (atomic replace → fresh mtime), so equal stamps ⇒ the table's
+        registered views are still current. Lets QueryEngine skip
+        re-registration (and metadata-view rebuilds) per query."""
+        out = []
+        for p in (self._meta_path, self._snap_path):
+            try:
+                out.append(os.stat(p).st_mtime_ns)
+            except OSError:
+                out.append(0)
+        return tuple(out)
+
     def meta(self) -> dict:
         return _read_json(self._meta_path, {})
 
@@ -532,13 +546,19 @@ class LakeTable:
 
     def relativize_file(self, path: str) -> str:
         """Normalize Spark's input_file_name() URI to a snapshot-log
-        relative path."""
+        relative path. input_file_name() returns a percent-encoded URI
+        (spaces → %20, Hadoop-encoded partition dir values), while the
+        snapshot log stores raw filesystem paths — decode or the
+        file-pruning probe in crud._matched_files never matches and
+        update/delete silently degrade to full-table rewrites."""
+        from urllib.parse import unquote
+
         p = path
         if p.startswith("file:"):
             p = p[len("file:"):]
             while p.startswith("//"):
                 p = p[1:]
-        return os.path.relpath(p, self.root)
+        return os.path.relpath(unquote(p), self.root)
 
     def _file_column_stats(
         self, snap: "Snapshot", max_files: int = 1000

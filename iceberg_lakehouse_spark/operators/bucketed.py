@@ -37,16 +37,32 @@ def bucketize(
         raise ValueError("key_columns must be non-empty")
     spark = df.sparkSession
     if overwrite:
+        # DROP removes a live managed table's location itself; the manual
+        # cleanup below is ONLY for the crashed-prior-run orphan (location
+        # on disk, no catalog entry → saveAsTable fails
+        # LOCATION_ALREADY_EXISTS). Deleting only when no catalog entry
+        # existed means we never touch a directory owned by a live table.
+        existed = spark.catalog.tableExists(table_name)
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        # a crashed prior run can leave the managed location behind with
-        # no catalog entry — saveAsTable then fails LOCATION_ALREADY_EXISTS
-        import shutil
-        from urllib.parse import urlparse
+        if not existed:
+            import shutil
+            from urllib.parse import unquote, urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        loc = os.path.join(wh, table_name.split(".")[-1].lower())
-        if wh and os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+            wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path)
+            parts = table_name.lower().split(".")
+            if len(parts) == 2:
+                db, tbl = parts
+            else:
+                db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
+            # default-db managed tables live at <wh>/<table>; any other
+            # database at <wh>/<db>.db/<table>
+            loc = (
+                os.path.join(wh, tbl)
+                if db == "default"
+                else os.path.join(wh, f"{db}.db", tbl)
+            )
+            if wh and os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode("overwrite" if overwrite else "errorifexists")
         .bucketBy(num_buckets, *key_columns)

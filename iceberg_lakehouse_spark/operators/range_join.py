@@ -47,9 +47,12 @@ def range_join(
     w = F.lit(bucket_width_seconds)
     point_b = (F.col(point_col).cast("long") / w).cast("long")
     start_b = (F.col(start_col).cast("long") / w).cast("long")
-    # end is exclusive: an interval touching a bucket boundary does not
-    # occupy the next bucket
-    end_b = ((F.col(end_col).cast("long") - 1) / w).cast("long")
+    # Replicate through the bucket holding ``end`` itself: cast('long')
+    # truncates fractional seconds, so an end like 3600.4s must still
+    # occupy bucket(3600) — the exact range filter removes the at-most-one
+    # spurious bucket an integer-aligned (exclusive) end contributes.
+    # This also keeps sequence() ascending for empty intervals (end==start).
+    end_b = (F.col(end_col).cast("long") / w).cast("long")
 
     l_b = left.withColumn("_rb", point_b)
     r_b = right.withColumn("_rb", F.explode(F.sequence(start_b, end_b)))
@@ -60,14 +63,16 @@ def range_join(
     )
     if how == "inner":
         return l_b.join(r_b, keys).where(cond).drop("_rb")
-    # left: inner-match first, then add unmatched points back with NULLs
-    matched = l_b.join(r_b, keys).where(cond).drop("_rb")
-    unmatched = l_b.drop("_rb").join(
-        matched.select(*left.columns), left.columns, "left_anti"
-    )
-    for c in right.columns:
-        if c not in (on or []):
-            unmatched = unmatched.withColumn(
-                c, F.lit(None).cast(right.schema[c].dataType)
-            )
-    return matched.unionByName(unmatched)
+    # left outer: fold the exact range predicate INTO the join condition —
+    # each point lands in exactly one bucket, so a plain left join emits
+    # unmatched points once with NULL right columns. (The earlier
+    # anti-join-on-all-left-columns rebuild was null-unsafe: a matched
+    # left row holding any NULL also re-emitted as unmatched.)
+    rename = {c: f"_r_{c}" for c in keys}
+    r_r = r_b
+    for c, rc in rename.items():
+        r_r = r_r.withColumnRenamed(c, rc)
+    jc = cond & (F.col("_rb") == F.col(rename["_rb"]))
+    for c in on or []:
+        jc = jc & (F.col(c) == F.col(rename[c]))
+    return l_b.join(r_r, jc, "left").drop("_rb", *rename.values())

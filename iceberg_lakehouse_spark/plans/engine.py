@@ -42,6 +42,8 @@ class QueryEngine:
         self.history = history
         self.query_cache = query_cache
         self._registered = False
+        # table name → meta_stamp() at last registration (see _register_tables)
+        self._reg_stamps: dict[str, tuple] = {}
 
     def execute_cached(self, sql: str, max_rows: int | None = None) -> list[dict]:
         """Collected-row execution through the query cache (G20) with
@@ -75,13 +77,23 @@ class QueryEngine:
     def _register_tables(self) -> None:
         """Every table under its short name, plus ``ns__table`` alias for
         namespace-qualified queries (reference query.py:52-75,
-        joins.py:13-41) — views are lazy; re-running is cheap."""
+        joins.py:13-41). Incremental: a per-table metadata stamp
+        (mtime of table.json/snapshots.json) skips tables whose views
+        are already current — execute() runs this per query, and the
+        metadata views (files_df reads stats + per-file sizes) are too
+        expensive to rebuild for an unchanged catalog."""
         for full in self.catalog.list_tables():
             ns, t = full.split(".", 1)
             try:
                 table = self.catalog.load_table(full)
-                df = table.scan()
+                stamp = table.meta_stamp()
             except Exception:  # noqa: BLE001 — skip-and-continue like reference
+                continue
+            if self._reg_stamps.get(full) == stamp:
+                continue
+            try:
+                df = table.scan()
+            except Exception:  # noqa: BLE001
                 continue
             df.createOrReplaceTempView(t)
             df.createOrReplaceTempView(f"{ns}__{t}")
@@ -93,9 +105,11 @@ class QueryEngine:
                 table.history_df().createOrReplaceTempView(f"{t}__history")
             except Exception:  # noqa: BLE001 — metadata views best-effort
                 pass
+            self._reg_stamps[full] = stamp
         self._registered = True
 
     def refresh(self) -> None:
+        self._reg_stamps.clear()
         self._register_tables()
 
     def execute(self, sql: str, max_rows: int | None = None) -> DataFrame:

@@ -76,8 +76,11 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, event_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+               -- CAST: DuckDB SUM(INTEGER) yields HUGEINT, which the driver's
+               -- comparator renders differently from Spark's BIGINT (r2: the
+               -- one hash mismatch). BIGINT both sides.
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         FROM seq
     )
     SELECT user_id, session_seq,

@@ -345,6 +345,27 @@ def test_delete_rewrites_only_matching_files(catalog):
     assert t.scan(snapshot_id=prev.snapshot_id).count() == 4
 
 
+def test_update_with_space_in_partition_value(catalog):
+    """r2 ADVICE: input_file_name() percent-encodes partition directory
+    values (space → %20); relativize_file must decode or the CoW probe
+    matches zero snapshot files and scan_files dies on %-encoded paths."""
+    t = catalog.create_table("spacey", SCHEMA, partition_by=["category"])
+    crud.insert_rows(t, [
+        {"id": 1, "date": "2025-11-15", "category": "home goods", "amount": 10.0},
+        {"id": 2, "date": "2025-11-16", "category": "pet supplies", "amount": 20.0},
+    ])
+    before = set(t.current_snapshot().files)
+    assert any(" " in f for f in before), "partition dir must contain a space"
+    n = crud.update_rows(t, "category = 'home goods'", {"amount": 99.0})
+    assert n == 1
+    after = t.current_snapshot()
+    assert before & set(after.files), "untouched partition carried by reference"
+    rows = {r["id"]: r["amount"] for r in t.scan().collect()}
+    assert rows == {1: 99.0, 2: 20.0}
+    assert crud.delete_rows(t, "category = 'pet supplies'") == 1
+    assert t.scan().count() == 1
+
+
 def test_file_stats_persisted_at_write_time(expenses):
     """Write-time stats recording (Iceberg manifest-stats model): the
     __files view serves stats from _meta/file_stats.json without

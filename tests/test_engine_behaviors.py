@@ -52,6 +52,47 @@ class TestAutoLimit:
             .collect()[0]["n"] == 20
 
 
+class TestIncrementalRegistration:
+    def test_unchanged_tables_skip_reregistration(self, catalog, metrics):
+        """r2 ADVICE: execute() re-registered (and rebuilt metadata views
+        for) every table on every query. Unchanged stamps must skip."""
+        eng = QueryEngine(catalog)
+        eng.execute("SELECT 1").collect()
+        stamps = dict(eng._reg_stamps)
+        calls = []
+        orig = catalog.load_table
+
+        def spy(name):
+            t = orig(name)
+            real = t.snapshots_df
+            t.snapshots_df = lambda: calls.append(name) or real()
+            return t
+
+        catalog.load_table = spy
+        eng.execute("SELECT count(*) FROM metrics").collect()
+        assert calls == [], "no metadata-view rebuild for unchanged tables"
+        assert eng._reg_stamps == stamps
+
+    def test_new_snapshot_refreshes_view(self, catalog, metrics):
+        """...but a commit between queries must still surface: the stamp
+        changes, so the view re-binds to the new snapshot without an
+        explicit refresh()."""
+        eng = QueryEngine(catalog)
+        assert eng.execute("SELECT count(*) AS n FROM metrics") \
+            .collect()[0]["n"] == 20
+        crud.insert_rows(metrics, [{"id": 99, "name": "new", "value": 1.0}])
+        assert eng.execute("SELECT count(*) AS n FROM metrics") \
+            .collect()[0]["n"] == 21
+
+    def test_new_table_registers_without_refresh(self, catalog, metrics):
+        eng = QueryEngine(catalog)
+        eng.execute("SELECT 1").collect()
+        t2 = catalog.create_table("late_arrival", SCHEMA)
+        crud.insert_rows(t2, [{"id": 1, "name": "a", "value": 2.0}])
+        assert eng.execute("SELECT count(*) AS n FROM late_arrival") \
+            .collect()[0]["n"] == 1
+
+
 class TestTimeTravel:
     def test_as_of_binds_history_and_restores_current(self, catalog, metrics):
         eng = QueryEngine(catalog)

@@ -189,6 +189,39 @@ def test_range_join_correct_and_bucketed(spark):
     assert left.where("tag IS NULL").count() == 2
 
 
+def test_range_join_fractional_end_and_null_safe_left(spark):
+    """r2 ADVICE regressions: (1) an interval whose end has fractional
+    seconds must still match points in its final (truncated) second —
+    the old end-bucket computation subtracted 1 after cast('long') and
+    dropped them; (2) a matched left row containing NULLs must not also
+    re-emit as unmatched in how='left' (the old rebuild anti-joined on
+    all left columns with null-unsafe equality)."""
+    from datetime import datetime, timedelta
+
+    from iceberg_lakehouse_spark.operators.range_join import range_join
+
+    base = datetime(2024, 1, 1)
+    # interval end = 01:00:00.400 — exclusive, fractional; bucket = 3600s
+    points = spark.createDataFrame(
+        [(1, base + timedelta(hours=1), None),           # 01:00:00.000 ∈ end bucket
+         (2, base + timedelta(hours=1, milliseconds=500), "x")],  # past end
+        "pid int, ts timestamp, note string",
+    )
+    intervals = spark.createDataFrame(
+        [(10, base, base + timedelta(hours=1, milliseconds=400))],
+        "iid int, start timestamp, end timestamp",
+    )
+    got = range_join(points, intervals, "ts", "start", "end",
+                     bucket_width_seconds=3600)
+    assert {r["pid"] for r in got.collect()} == {1}, \
+        "point in the fractional final second must match"
+    # null-safe left: pid=1 row has a NULL note and DID match → exactly
+    # one output row for it, with the interval attached
+    left = range_join(points, intervals, "ts", "start", "end", how="left")
+    rows = [(r["pid"], r["iid"]) for r in left.collect()]
+    assert sorted(rows) == [(1, 10), (2, None)]
+
+
 def test_cow_probe_pushes_predicate_to_scan(spark, tmp_path):
     """The file-pruning probe in update/delete (one scan grouped by
     input_file_name) must push its predicate into the parquet scan —
