@@ -470,17 +470,43 @@ class LakeTable:
 
     # -- read path ---------------------------------------------------------
 
+    def prune_files(
+        self, filter_expr: str, snap: "Snapshot | None" = None
+    ) -> tuple[list[str], int]:
+        """Stats-based scan planning (Iceberg plan_files analogue; the
+        reference defers to PyIceberg for this): evaluate ``filter_expr``
+        against the persisted per-file min/max/null stats and return
+        (surviving files, total files). Conservative — a file is dropped
+        only when provably predicate-free; see plans/pruning.py."""
+        from .plans.pruning import prune_files as _prune
+
+        snap = snap if snap is not None else self.current_snapshot()
+        if snap is None or not snap.files:
+            return [], 0
+        stats = self._file_column_stats(snap)
+        return _prune(snap.files, stats, self.schema(), filter_expr), len(snap.files)
+
     def scan(
-        self, snapshot_id: int | None = None, as_of: str | int | None = None
+        self,
+        snapshot_id: int | None = None,
+        as_of: str | int | None = None,
+        filter: str | None = None,
     ) -> DataFrame:
         """Lazy DataFrame over the resolved snapshot's files.
 
         ``as_of`` follows the reference's resolution order (catalog.py:
-        240-288): try int snapshot-id first, else ISO timestamp."""
+        240-288): try int snapshot-id first, else ISO timestamp.
+
+        ``filter`` applies the predicate AND plans the scan over only
+        the files whose stats intersect it — at scale a selective query
+        never lists or opens the rest of the snapshot."""
         snap = self._resolve(snapshot_id, as_of)
         schema = self.schema()
         if snap is None or not snap.files:
             return self.spark.createDataFrame([], schema)
+        if filter:
+            kept, _total = self.prune_files(filter, snap)
+            return self.scan_files(kept).where(filter)
         paths = [os.path.join(self.root, f) for f in snap.files]
         # recursiveFileLookup skips directory partition-inference: every
         # logical column is physically present in each file (hidden

@@ -84,7 +84,16 @@ def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
 ) -> DataFrame:
     """Band the signature (k/bands rows per band); docs sharing a band
-    key become (left_id, right_id) candidate pairs (left < right)."""
+    key become (left_id, right_id) candidate pairs (left < right).
+
+    Shape: bucket-gather, not self-join. A self-join on (band, key)
+    evaluates the whole signature pipeline once per side (Spark doesn't
+    cache common subtrees); instead group each bucket's ids into a
+    sorted array — ONE pass over sigs, one shuffle — and expand the
+    in-bucket pairs with an array transform. Bucket sizes are the LSH
+    collision sets, small by construction; a pathological hot bucket
+    (mass-duplicated doc) expands quadratically either way, which is
+    inherent to candidate generation, not to this shape."""
     rows = k // bands
     band_frames = []
     for b in range(bands):
@@ -97,16 +106,23 @@ def lsh_candidate_pairs(
     banded = band_frames[0]
     for bf in band_frames[1:]:
         banded = banded.unionByName(bf)
-    left = banded.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("left_id")
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("_ids"))
+        .where(F.size("_ids") >= 2)
     )
-    right = banded.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("right_id")
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("left_id"), y.alias("right_id")),
+            ),
+        )
     )
     return (
-        left.join(right, ["band", "band_key"])
-        .where(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id")
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select("_p.left_id", "_p.right_id")
         .distinct()
     )
 
@@ -119,24 +135,42 @@ def jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over
-    distinct shingle sets. Join order: pairs ⋈ shingle-sets twice —
-    shingle arrays travel only for candidate docs."""
+    distinct shingle sets. Melt-join shape: each pair explodes to one
+    row per side, joins the shingle sets ONCE (two separate left/right
+    joins would evaluate the shingle pipeline twice — Spark doesn't
+    cache common subtrees), then folds back per pair. Shingle arrays
+    still travel only for candidate docs."""
     sets = _widen_if_narrow(df).select(
-        F.col(id_col), shingles_col(text_col, n).alias("sh")
+        F.col(id_col).alias("_doc"), shingles_col(text_col, n).alias("sh")
     )
-    a = sets.select(F.col(id_col).alias("left_id"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col(id_col).alias("right_id"), F.col("sh").alias("sh_b"))
-    return (
-        pairs.join(a, "left_id")
-        .join(b, "right_id")
-        .select(
-            "left_id",
-            "right_id",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
+    melted = pairs.select(
+        "left_id",
+        "right_id",
+        F.explode(F.array(F.col("left_id"), F.col("right_id"))).alias("_doc"),
+    )
+    folded = (
+        melted.join(sets, "_doc")
+        .groupBy("left_id", "right_id")
+        .agg(
+            F.first(
+                F.when(F.col("_doc") == F.col("left_id"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("_doc") == F.col("right_id"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
         )
+        # inner-join parity: a pair whose doc is absent from df drops
+        .where(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
+    )
+    return folded.select(
+        "left_id",
+        "right_id",
+        (
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b"))
+        ).alias("jaccard"),
     )
 
 

