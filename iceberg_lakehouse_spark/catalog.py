@@ -763,16 +763,31 @@ class LakeTable:
                 os.remove(os.path.join(self.root, rel))
         return orphans
 
-    def compact(self, target_partitions: int | None = None) -> dict:
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        sort_by: list[str] | None = None,
+    ) -> dict:
         """Small-file compaction: rewrite current snapshot into fewer
         files (reference catalog.py:2014-2084 reads-all-and-overwrites;
         we coalesce to a target partition count — on a cluster this is
-        the rewrite_data_files equivalent)."""
+        the rewrite_data_files equivalent).
+
+        ``sort_by`` additionally *clusters* the rewrite (Iceberg
+        rewrite_data_files sort-order strategy): repartitionByRange on
+        the sort key gives files disjoint key ranges, then
+        sortWithinPartitions tightens row-group stats. That is what
+        makes stats-based pruning (scan(filter=), plans/pruning.py)
+        bite: after clustering on a key, a point/range predicate on it
+        keeps O(1) of the files instead of all of them."""
         cur = self.current_snapshot()
         before = len(cur.files) if cur else 0
         df = self.scan()
         pfields = self.partition_fields()
-        if target_partitions:
+        if sort_by:
+            n = target_partitions or max(1, min(before, 4))
+            df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+        elif target_partitions:
             df = df.coalesce(target_partitions)
         elif pfields:
             # cluster rows so each partition value lands in one task →
@@ -785,6 +800,7 @@ class LakeTable:
             "files_before": before,
             "files_after": len(snap.files),
             "snapshot_id": snap.snapshot_id,
+            **({"clustered_by": sort_by} if sort_by else {}),
         }
 
     def file_stats(self) -> dict:

@@ -260,6 +260,7 @@ _TREE: dict[str, dict[str, str]] = {
         "set-policy": "set_maintenance_policy", "check": "check_maintenance",
         "run": "run_maintenance", "status": "maintenance_status",
         "compact": "compact", "orphans": "cleanup_orphans",
+        "scan-plan": "scan_plan",
         "partitions": "get_partitions",
     },
     "catalog": {

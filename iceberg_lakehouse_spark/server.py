@@ -213,8 +213,25 @@ class LakehouseServer:
 
         # -- maintenance ---------------------------------------------------
         self._add(
-            _tool("compact", "Compact small files", {"table": _S}, ["table"]),
-            lambda table: c.load_table(table).compact(),
+            _tool("compact", "Compact small files (optionally range-cluster "
+                  "on sort columns so stats pruning discriminates)",
+                  {"table": _S, "target_partitions": _I,
+                   "sort_by": {"type": "array", "items": _S}}, ["table"]),
+            lambda table, target_partitions=None, sort_by=None: c.load_table(
+                table
+            ).compact(target_partitions=target_partitions, sort_by=sort_by),
+        )
+        self._add(
+            _tool("scan_plan", "Preview stats-based file pruning for a "
+                  "predicate: surviving files vs snapshot total",
+                  {"table": _S, "filter": _S}, ["table", "filter"]),
+            lambda table, filter: (
+                lambda kept, total: {
+                    "files_kept": len(kept),
+                    "files_total": total,
+                    "files": kept[:100],
+                }
+            )(*c.load_table(table).prune_files(filter)),
         )
         self._add(
             _tool("cleanup_orphans", "List/delete unreferenced files",

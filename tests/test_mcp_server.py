@@ -225,6 +225,19 @@ def test_sla_retention_maintenance_family(server, seeded):
     assert run
 
 
+def test_scan_plan_and_clustered_compact(server, seeded):
+    plan = ok(server, "scan_plan", {"table": seeded, "filter": "id = 1"})
+    assert plan["files_total"] >= 1
+    assert plan["files_kept"] <= plan["files_total"]
+    assert len(plan["files"]) == plan["files_kept"] or plan["files_kept"] > 100
+    res = ok(server, "compact",
+             {"table": seeded, "target_partitions": 1, "sort_by": ["id"]})
+    assert res["clustered_by"] == ["id"] and res["files_after"] >= 1
+    # post-compaction the pruned plan still answers exactly
+    q = ok(server, "query", {"sql": "SELECT count(*) AS n FROM gv WHERE id = 2"})
+    assert q[0]["n"] == 2
+
+
 def test_tagging_glossary_family(server, seeded):
     assert "gold" in ok(server, "tag_table", {"table": seeded, "tag": "gold"})["tags"]
     assert ok(server, "search_by_tag", {"tag": "gold"})

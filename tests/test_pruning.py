@@ -123,6 +123,32 @@ def test_scan_filter_prunes_and_matches_unpruned(spark, tmp_warehouse):
     assert ugly.count() == t.scan().where("id >= 200 OR id < 5").count()
 
 
+def test_sorted_compaction_enables_pruning(spark, tmp_warehouse):
+    """compact(sort_by=): interleaved appends give every file the full
+    key range (pruning keeps all); range-clustering the rewrite gives
+    files disjoint ranges, after which a point predicate keeps O(1)
+    files. This pairing is the scan-planning scale story."""
+    catalog = LakehouseCatalog(spark, tmp_warehouse)
+    t = catalog.create_table("clustered", [("id", "long"), ("v", "double")])
+    # every append = ONE file spanning the whole id domain → stats
+    # can't discriminate
+    for off in range(3):
+        df = spark.createDataFrame(
+            [(i * 10 + off, 1.0) for i in range(40)], "id long, v double"
+        ).coalesce(1)
+        t.append(df)
+    kept, total = t.prune_files("id < 50")
+    assert len(kept) == total, "interleaved files all survive (full range each)"
+    res = t.compact(target_partitions=4, sort_by=["id"])
+    assert res["files_after"] >= 2 and res["clustered_by"] == ["id"]
+    kept2, total2 = t.prune_files("id < 50")
+    assert len(kept2) < total2, "disjoint ranges → point/range pruning bites"
+    # results stay exact through compaction + pruned scan
+    assert t.scan(filter="id < 50").count() == sum(
+        1 for off in range(3) for i in range(40) if i * 10 + off < 50
+    )
+
+
 def test_update_probe_scans_only_candidate_files(spark, tmp_warehouse):
     """The CoW probe must plan over the stats-surviving subset: an
     update touching the last append's range reads neither of the other
