@@ -39,6 +39,20 @@ class LineageManager:
     def edges(self) -> list[dict]:
         return self.store.load()["edges"]
 
+    def remove(self, table: str) -> int:
+        """Drop every edge that touches ``table`` (as target or source);
+        other tables' edges are preserved. Returns removed-edge count
+        (reference lineage remove-node semantics)."""
+        data = self.store.load()
+        before = len(data["edges"])
+        data["edges"] = [
+            e
+            for e in data["edges"]
+            if e["target"] != table and table not in e["sources"]
+        ]
+        self.store.save(data)
+        return before - len(data["edges"])
+
     def upstream(self, table: str, max_depth: int = 10) -> list[dict]:
         return self._walk(table, direction="up", max_depth=max_depth)
 

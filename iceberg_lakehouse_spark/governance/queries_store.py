@@ -30,6 +30,10 @@ class SavedQueries:
         self.store = JsonStore(store_path, {"saved": {}, "history": []})
 
     def save(self, name: str, sql: str, description: str | None = None) -> dict:
+        if not name or not name.strip():
+            raise ValueError("saved query name must be non-empty")
+        if not sql or not sql.strip():
+            raise ValueError("saved query sql must be non-empty")
         data = self.store.load()
         data["saved"][name] = {
             "sql": sql,

@@ -43,8 +43,15 @@ class ValidationManager:
             raise ValueError(f"rule type {rule_type!r} requires a column")
         if rule_type == "range" and min_value is None and max_value is None:
             raise ValueError("range rule requires min_value and/or max_value")
-        if rule_type == "regex" and not pattern:
-            raise ValueError("regex rule requires a pattern")
+        if rule_type == "regex":
+            if not pattern:
+                raise ValueError("regex rule requires a pattern")
+            import re as _re
+
+            try:  # fail at add time, not on every later validate
+                _re.compile(pattern)
+            except _re.error as e:
+                raise ValueError(f"invalid regex pattern {pattern!r}: {e}") from e
         if rule_type == "expression" and not expression:
             raise ValueError("expression rule requires an expression")
         rules = self.store.load()

@@ -108,8 +108,11 @@ def export_table(
     limit: int | None = None,
     single_file: bool = True,
 ) -> dict:
+    # scan(filter=) plans the export read over stats-surviving files
+    # only; export_dataframe then skips its redundant where re-apply
+    src = table.scan(filter=where) if where else table.scan()
     return export_dataframe(
-        table.scan(), path, file_format, where, columns, limit, single_file
+        src, path, file_format, None, columns, limit, single_file
     )
 
 
@@ -151,6 +154,7 @@ def export_dataframe(
         )
     elif fmt == "json":
         # JSON array with ISO datetimes (reference catalog.py:1782-1807)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         recs = [json.loads(r) for r in df.toJSON().collect()]
         with open(path, "w") as f:
             json.dump(recs, f, indent=1, default=str)
@@ -170,6 +174,8 @@ def export_dataframe(
 
 
 def _write_single_or_dir(df, path, single_file, write_fn, ext) -> None:
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)  # reference creates parent dirs
     if not single_file:
         write_fn(df, path)
         return
