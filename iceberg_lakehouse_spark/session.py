@@ -62,16 +62,50 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# (session id, sf_dir, per-file (mtime, size)) → (session weakref,
+# name → DataFrame). DataFrames are lazy plans, safely reusable across
+# queries in a session; rebuilding them costs a py4j + footer-inference
+# round-trip PER TABLE (~0.1 s × 10 tables), which every suite query
+# used to pay.
+_SF_CACHE: dict[tuple, tuple] = {}
+
+
 def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, object]:
     """Register every test parquet table as a temp view; return name → DataFrame.
 
     Mirrors the reference's register-all-tables idiom (reference
     query.py:52-75) — but lazily: Spark defers the scan, so predicate
     pushdown / column pruning reach the parquet reader, unlike the
-    reference's eager full materialization.
+    reference's eager full materialization. Memoized per (session,
+    dir, file mtimes): repeat calls skip schema inference and only
+    re-bind the temp views.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
+
+    names = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    paths = [os.path.join(sf_dir, f"{n}.parquet") for n in names]
+    stamp = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            stamp.append((st.st_mtime_ns, st.st_size))
+        except OSError:
+            stamp.append(None)
+    import weakref
+
+    key = (id(spark), os.path.realpath(sf_dir), tuple(stamp))
+    hit = _SF_CACHE.get(key)
+    # the weakref identity check guards against a dead session's id()
+    # being recycled by a new SparkSession object
+    if hit is not None and hit[0]() is spark:
+        cached = hit[1]
+        for name, df in cached.items():
+            df.createOrReplaceTempView(name)  # cheap catalog op; views may
+        return dict(cached)                   # have been rebound elsewhere
 
     # Self-configure: the driver (and any embedding application) hands us a
     # session built WITHOUT our factory defaults. events.parquet is written
@@ -82,11 +116,7 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, object]:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     tables = {}
-    for name in (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split():
-        path = os.path.join(sf_dir, f"{name}.parquet")
+    for name, path in zip(names, paths):
         if os.path.exists(path):
             try:
                 df = spark.read.parquet(path)
@@ -104,6 +134,7 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, object]:
                     )
             df.createOrReplaceTempView(name)
             tables[name] = df
+    _SF_CACHE[key] = (weakref.ref(spark), dict(tables))
     return tables
 
 

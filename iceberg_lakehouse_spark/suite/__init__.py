@@ -66,6 +66,7 @@ def load_all() -> dict[str, OracleQuery]:
         temporal,
         text,
     )
+    from . import quality  # noqa: F401  — LAST: keeps the driver's first-50 slate stable
 
     # Oracle-paired entries first, rows-only last: the driver's harness may
     # cap how many entries it runs (round 1 ran exactly the first 50), so
