@@ -282,7 +282,15 @@ class LakeTable:
 
     @property
     def _stats_path(self) -> str:
+        # legacy single-map location (still read; consolidation target)
         return os.path.join(self.root, "_meta", "file_stats.json")
+
+    @property
+    def _stats_dir(self) -> str:
+        # per-commit stats shards (Iceberg manifest model): each commit
+        # writes one shard holding only ITS new files, so commit cost is
+        # O(files written), not O(files in table)
+        return os.path.join(self.root, "_meta", "stats")
 
     def meta_stamp(self) -> tuple:
         """Cheap staleness token — mtimes of the two metadata files.
@@ -422,19 +430,25 @@ class LakeTable:
         self._record_file_stats(files)
         return files
 
+    # consolidate shards into the base map once this many accumulate:
+    # keeps reads O(shards ≤ cap) while writes stay O(new files)
+    # amortized (one O(total) merge every cap commits)
+    _STATS_SHARD_CAP = 64
+
     def _record_file_stats(self, new_files: list[str]) -> None:
         """Persist per-file column (min, max, null_count) into the table
         metadata at write time — the Iceberg manifest-stats model, so
-        the __files inspect view never re-reads footers. Cost is one
-        footer read per JUST-WRITTEN file (bounded by write
-        parallelism, not table size); stats are best-effort (ORC files
-        simply record none)."""
+        the __files inspect view never re-reads footers. Each commit
+        writes ONE SHARD holding only its new files (O(files written)
+        driver work — a single growing map would make every commit
+        O(files in table), quadratic over a table's life at 1M files);
+        footer reads are bounded by write parallelism. Stats are
+        best-effort (ORC files simply record none)."""
         stats = self._footer_stats(new_files)
         if not stats:
             return
-        stored = _read_json(self._stats_path, {})
-        for f, cols in stats.items():
-            stored[f] = {
+        shard = {
+            f: {
                 c: [
                     str(mn) if mn is not None else None,
                     str(mx) if mx is not None else None,
@@ -442,7 +456,40 @@ class LakeTable:
                 ]
                 for c, (mn, mx, nc) in cols.items()
             }
-        _atomic_write_json(self._stats_path, stored)
+            for f, cols in stats.items()
+        }
+        os.makedirs(self._stats_dir, exist_ok=True)
+        name = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.json"
+        _atomic_write_json(os.path.join(self._stats_dir, name), shard)
+        shards = [f for f in os.listdir(self._stats_dir) if f.endswith(".json")]
+        if len(shards) > self._STATS_SHARD_CAP:
+            self._consolidate_stats()
+
+    def _consolidate_stats(self) -> None:
+        """Merge every shard into the base map and delete the shards —
+        the manifest-compaction analogue."""
+        merged = _read_json(self._stats_path, {})
+        if not os.path.isdir(self._stats_dir):
+            return
+        for fn in sorted(os.listdir(self._stats_dir)):
+            if fn.endswith(".json"):
+                merged.update(_read_json(os.path.join(self._stats_dir, fn), {}))
+        _atomic_write_json(self._stats_path, merged)
+        for fn in os.listdir(self._stats_dir):
+            if fn.endswith(".json"):
+                os.remove(os.path.join(self._stats_dir, fn))
+
+    def stored_file_stats(self) -> dict[str, dict]:
+        """Merged write-time stats map: base map + newer shards (newer
+        entries win on rewrite of the same path)."""
+        merged = _read_json(self._stats_path, {})
+        if os.path.isdir(self._stats_dir):
+            for fn in sorted(os.listdir(self._stats_dir)):
+                if fn.endswith(".json"):
+                    merged.update(
+                        _read_json(os.path.join(self._stats_dir, fn), {})
+                    )
+        return merged
 
     def _align(self, df: DataFrame) -> DataFrame:
         """Project df onto the table schema (order + cast), so appends
@@ -594,7 +641,7 @@ class LakeTable:
         parquet-footer fallback only for files predating stats recording.
         The fallback is capped: footer reads are driver-side, so a huge
         legacy snapshot returns partial stats rather than stalling."""
-        stored = _read_json(self._stats_path, {})
+        stored = self.stored_file_stats()
         out: dict[str, dict[str, tuple]] = {
             f: {c: tuple(v) for c, v in stored[f].items()}
             for f in snap.files
@@ -743,6 +790,19 @@ class LakeTable:
             for rel in removed:
                 stored.pop(rel, None)
             _atomic_write_json(self._stats_path, stored)
+            removed_set = set(removed)
+            if os.path.isdir(self._stats_dir):
+                for fn in os.listdir(self._stats_dir):
+                    if not fn.endswith(".json"):
+                        continue
+                    sp = os.path.join(self._stats_dir, fn)
+                    shard = _read_json(sp, {})
+                    kept = {k: v for k, v in shard.items() if k not in removed_set}
+                    if len(kept) != len(shard):
+                        if kept:
+                            _atomic_write_json(sp, kept)
+                        else:
+                            os.remove(sp)
         return removed
 
     def orphan_files(self) -> list[str]:

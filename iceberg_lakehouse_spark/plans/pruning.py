@@ -6,8 +6,10 @@ gets this via PyIceberg's plan_files). Spark's own parquet footer
 pruning still *lists and opens* every file; at 100 TB the listing and
 footer round-trips alone dominate a selective query. This module closes
 that gap for our snapshot-log format: ``LakeTable.scan(filter=...)``
-evaluates the predicate against ``_meta/file_stats.json`` (recorded at
-write time) and builds the reader over the surviving subset only.
+evaluates the predicate against the write-time stats map (per-commit
+shards under ``_meta/stats/`` consolidated into ``file_stats.json`` —
+the Iceberg manifest model, so commits stay O(files written)) and
+builds the reader over the surviving subset only.
 
 Design rules:
 

@@ -370,10 +370,7 @@ def test_file_stats_persisted_at_write_time(expenses):
     """Write-time stats recording (Iceberg manifest-stats model): the
     __files view serves stats from _meta/file_stats.json without
     re-reading parquet footers."""
-    import json
-    import os
-
-    stored = json.load(open(expenses._stats_path))
+    stored = expenses.stored_file_stats()
     cur = expenses.current_snapshot()
     assert set(cur.files) <= set(stored)
     any_file = cur.files[0]
@@ -388,14 +385,30 @@ def test_file_stats_persisted_at_write_time(expenses):
 
 
 def test_expire_prunes_stats_map(expenses):
-    import json
-
-    before = set(json.load(open(expenses._stats_path)))
+    before = set(expenses.stored_file_stats())
     # overwrite makes the original files unreferenced once history expires
     expenses.overwrite(expenses.scan().where("id = 1"))
     expenses.expire_snapshots(retain_last=1)
-    stored = json.load(open(expenses._stats_path))
+    stored = expenses.stored_file_stats()
     current = set(expenses.current_snapshot().files)
     assert current <= set(stored)
     # the original (now-deleted) files dropped out of the stats map
     assert not (before - current) & set(stored)
+
+
+def test_stats_shards_per_commit_and_consolidate(expenses):
+    """Manifest-model stats: each commit writes one O(new-files) shard;
+    crossing the cap consolidates into the base map; the merged view is
+    identical either way."""
+    import os
+
+    n_shards = len(os.listdir(expenses._stats_dir))
+    assert n_shards >= 1  # fixture's insert wrote a shard
+    crud.insert_rows(expenses, [{"id": 99, "date": "2025-12-07",
+                                 "category": "misc", "amount": 1.0}])
+    assert len(os.listdir(expenses._stats_dir)) == n_shards + 1
+    merged_before = expenses.stored_file_stats()
+    expenses._consolidate_stats()
+    assert os.listdir(expenses._stats_dir) == []
+    assert expenses.stored_file_stats() == merged_before
+    assert set(expenses.current_snapshot().files) <= set(merged_before)
