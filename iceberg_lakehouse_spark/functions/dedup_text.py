@@ -95,17 +95,24 @@ def lsh_candidate_pairs(
     (mass-duplicated doc) expands quadratically either way, which is
     inherent to candidate generation, not to this shape."""
     rows = k // bands
-    band_frames = []
-    for b in range(bands):
-        key = F.md5(
-            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+    # ONE projection building every band key, then explode — a
+    # union-of-b-selects evaluates the whole signature pipeline b times
+    # (no exchange reuse in the AQE initial plan; measured 4 parquet
+    # scans per band at b=4), an exploded array evaluates it once.
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                )
+            ).alias("band_key"),
         )
-        band_frames.append(
-            sigs.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"))
-        )
-    banded = band_frames[0]
-    for bf in band_frames[1:]:
-        banded = banded.unionByName(bf)
+        for b in range(bands)
+    ])
+    banded = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("_b")
+    ).select(id_col, "_b.band", "_b.band_key")
     buckets = (
         banded.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("_ids"))
@@ -279,19 +286,19 @@ def simhash_hamming_pairs(
     is segment-equality (hash shuffle), never all-pairs."""
     segs = max_distance + 1
     seg_len = fp_len // segs
-    frames = []
-    for s in range(segs):
-        frames.append(
-            fingerprints.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.lit(s).alias("seg"),
-                F.substring("simhash", s * seg_len + 1, seg_len).alias("seg_key"),
-            )
+    # single-pass segment expansion (explode, not union-of-selects — see
+    # lsh_candidate_pairs: a union evaluates the fingerprint pipeline
+    # once per segment)
+    seg_structs = F.array(*[
+        F.struct(
+            F.lit(s).alias("seg"),
+            F.substring("simhash", s * seg_len + 1, seg_len).alias("seg_key"),
         )
-    banded = frames[0]
-    for fr in frames[1:]:
-        banded = banded.unionByName(fr)
+        for s in range(segs)
+    ])
+    banded = fingerprints.select(
+        F.col(id_col), F.col("simhash"), F.explode(seg_structs).alias("_s")
+    ).select(id_col, "simhash", "_s.seg", "_s.seg_key")
     left = banded.select(
         "seg", "seg_key", F.col(id_col).alias("left_id"), F.col("simhash").alias("sh_a")
     )
