@@ -51,7 +51,52 @@ class Ctx:
 
 
 def _emit(obj) -> None:
+    ctx = click.get_current_context(silent=True)
+    mode = getattr(ctx.obj, "output", "json") if ctx and ctx.obj else "json"
+    if mode == "table":
+        txt = _as_table(obj)
+        if txt is not None:
+            click.echo(txt)
+            return
     click.echo(json.dumps(obj, indent=1, default=str))
+
+
+def _as_table(obj) -> str | None:
+    """Aligned-column rendering (reference CLI shows rich tables; this
+    is dependency-free). Handles a list of flat dicts or one flat dict;
+    nested/other shapes fall back to JSON."""
+    rows = None
+    if isinstance(obj, list) and obj and all(isinstance(r, dict) for r in obj):
+        rows = obj
+    elif isinstance(obj, dict) and obj and not any(
+        isinstance(v, (dict, list)) for v in obj.values()
+    ):
+        rows = [obj]
+    elif isinstance(obj, list) and obj and all(isinstance(r, str) for r in obj):
+        return "\n".join(obj)
+    if rows is None:
+        return None
+    cols: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in cols:
+                cols.append(k)
+
+    def s(v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, (dict, list)):
+            return json.dumps(v, default=str)
+        return str(v)
+
+    widths = {c: max(len(c), *(len(s(r.get(c))) for r in rows)) for c in cols}
+    head = "  ".join(c.ljust(widths[c]) for c in cols).rstrip()
+    sep = "  ".join("-" * widths[c] for c in cols)
+    body = [
+        "  ".join(s(r.get(c)).ljust(widths[c]) for c in cols).rstrip()
+        for r in rows
+    ]
+    return "\n".join([head, sep, *body])
 
 
 def _df_out(df, limit: int | None = None) -> None:
@@ -62,10 +107,17 @@ def _df_out(df, limit: int | None = None) -> None:
 
 @click.group()
 @click.option("--home", default=DEFAULT_HOME, envvar="LAKEHOUSE_HOME")
+@click.option(
+    "--output", "-o", type=click.Choice(["table", "json"]), default="json",
+    envvar="LAKEHOUSE_OUTPUT", show_default=True,
+    help="table = aligned columns for flat results (reference-style); "
+    "json = raw (scriptable, the default)",
+)
 @click.pass_context
-def cli(ctx, home):
+def cli(ctx, home, output):
     """PySpark-native lakehouse CLI."""
     ctx.obj = Ctx(home)
+    ctx.obj.output = output
 
 
 # -- hand-written core (richer UX than the generated bridge) ---------------

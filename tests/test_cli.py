@@ -87,3 +87,26 @@ def test_data_commands_execute(tmp_path):
     assert json.loads(res.output) == {"rows": 2, "distinct": 2}
     res = runner.invoke(cli, [*home, "snapshots", "list", "--table", "ct"])
     assert len(json.loads(res.output)) == 1
+
+
+@pytest.mark.usefixtures("spark")
+def test_table_output_mode(tmp_path):
+    """-o table renders flat list/dict results as aligned columns
+    (reference-style); nested payloads still fall back to JSON."""
+    runner = CliRunner()
+    home = ["--home", str(tmp_path)]
+    runner.invoke(cli, [*home, "tables", "create", "tt",
+                        '[["id","long"],["v","double"]]'])
+    runner.invoke(cli, [*home, "insert", "--table", "tt", "--rows",
+                        '[{"id":1,"v":2.5}]'])
+    res = runner.invoke(cli, [*home, "-o", "table", "query",
+                              "SELECT id, v FROM tt"])
+    assert res.exit_code == 0, res.output
+    lines = res.output.strip().splitlines()
+    assert lines[0].split() == ["id", "v"]
+    assert set(lines[1]) <= {"-", " "}
+    assert lines[2].split() == ["1", "2.5"]
+    # flat dict renders as a one-row table
+    res = runner.invoke(cli, [*home, "-o", "table", "dedup", "summary",
+                              "--table", "tt"])
+    assert res.output.strip().splitlines()[0].split() == ["rows", "distinct"]
