@@ -138,6 +138,22 @@ class Snapshot:
         }
 
 
+def _cutoff_ms(older_than: str) -> int:
+    """'30d'/'24h'/'90m'/'45s' duration or ISO timestamp → epoch ms
+    cutoff (reference expire/clear accept both forms)."""
+    from datetime import datetime, timezone
+
+    m = re.fullmatch(r"(\d+)\s*([dhms])", older_than.strip().lower())
+    if m:
+        n, unit = int(m.group(1)), m.group(2)
+        secs = n * {"d": 86400, "h": 3600, "m": 60, "s": 1}[unit]
+        return int(time.time() * 1000) - secs * 1000
+    dt = datetime.fromisoformat(older_than)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def _atomic_write_json(path: str, payload: Any) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -730,7 +746,10 @@ class LakeTable:
     def rollback(self, snapshot_id: int | None = None, as_of: str | None = None) -> Snapshot:
         """Reference semantics (catalog.py:834-906): scan at target and
         overwrite current — a *new* restoring snapshot, not a metadata
-        rewind, so audit history is preserved."""
+        rewind, so audit history is preserved. A target is required
+        (reference raises on a parameterless rollback)."""
+        if snapshot_id is None and as_of is None:
+            raise ValueError("rollback requires snapshot_id or as_of")
         target = self._resolve(snapshot_id, as_of)
         if target is None:
             raise ValueError("no snapshot to roll back to")
@@ -745,7 +764,18 @@ class LakeTable:
         older_than_ms: int | None = None,
         retain_last: int | None = None,
         dry_run: bool = False,
+        older_than: str | None = None,
     ) -> dict:
+        """``older_than`` accepts the reference's string forms — a
+        duration like '30d'/'24h'/'90m' or an ISO timestamp — and maps
+        to ``older_than_ms``. At least one criterion is required
+        (reference raises on a parameterless expire)."""
+        if older_than is not None:
+            older_than_ms = _cutoff_ms(older_than)
+        if older_than_ms is None and retain_last is None:
+            raise ValueError(
+                "expire_snapshots requires older_than/older_than_ms or retain_last"
+            )
         snaps = self.snapshots()
         if not snaps:
             return {"expired": [], "kept": []}
@@ -758,8 +788,6 @@ class LakeTable:
             if s.snapshot_id not in keep_ids
             and (older_than_ms is None or s.timestamp_ms < older_than_ms)
         ]
-        if older_than_ms is None and retain_last is None:
-            expired = []
         kept = [s for s in snaps if s not in expired]
         if not dry_run and expired:
             _atomic_write_json(self._snap_path, [s.to_json() for s in kept])

@@ -21,12 +21,21 @@ MV_PREFIX = "mv_"
 MV_MAX_ROWS = 1_000_000
 
 
+def _require_name_sql(name: str, sql: str, kind: str) -> None:
+    """Reference view/matview create rejects blank names and SQL."""
+    if not name or not name.strip():
+        raise ValueError(f"{kind} name must be non-empty")
+    if not sql or not sql.strip():
+        raise ValueError(f"{kind} sql must be non-empty")
+
+
 class ViewManager:
     def __init__(self, store_path: str, engine):
         self.store = JsonStore(store_path, {})
         self.engine = engine
 
     def create(self, name: str, sql: str, description: str | None = None) -> dict:
+        _require_name_sql(name, sql, "view")
         views = self.store.load()
         if name in views:
             raise ValueError(f"view {name!r} already exists")
@@ -73,6 +82,7 @@ class MatviewManager:
         return f"default.{MV_PREFIX}{name}"
 
     def create(self, name: str, sql: str) -> dict:
+        _require_name_sql(name, sql, "materialized view")
         mviews = self.store.load()
         if name in mviews:
             raise ValueError(f"materialized view {name!r} already exists")

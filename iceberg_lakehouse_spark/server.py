@@ -205,10 +205,14 @@ class LakehouseServer:
             .to_json(),
         )
         self._add(
-            _tool("expire_snapshots", "Expire old snapshots",
-                  {"table": _S, "retain_last": _I, "dry_run": _B}, ["table"]),
-            lambda table, retain_last=None, dry_run=False: c.load_table(table)
-            .expire_snapshots(retain_last=retain_last, dry_run=dry_run),
+            _tool("expire_snapshots", "Expire old snapshots (retain_last "
+                  "and/or older_than '30d'/'24h'/ISO)",
+                  {"table": _S, "retain_last": _I, "older_than": _S,
+                   "dry_run": _B}, ["table"]),
+            lambda table, retain_last=None, older_than=None, dry_run=False:
+            c.load_table(table).expire_snapshots(
+                retain_last=retain_last, older_than=older_than, dry_run=dry_run
+            ),
         )
 
         # -- maintenance ---------------------------------------------------

@@ -208,6 +208,81 @@ def test_export_where_uses_pruned_scan(catalog, tmp_path):
     assert len(kept) < total
 
 
+# --------------------------------------------------- snapshots / rollback
+
+def test_rollback_requires_target_and_supports_timestamp(catalog, t):
+    import datetime
+
+    with pytest.raises(ValueError, match="requires"):
+        t.rollback()
+    with pytest.raises(ValueError, match="not found"):
+        t.rollback(snapshot_id=999999)
+    first = t.snapshots()[0]
+    crud.insert_rows(t, [{"id": 9, "name": "z", "v": 9.0}])
+    ts = datetime.datetime.fromtimestamp(
+        first.timestamp_ms / 1000, tz=datetime.timezone.utc
+    ).isoformat()
+    t.rollback(as_of=ts)
+    assert t.scan().count() == 2  # back to the first snapshot's rows
+    assert t.snapshots()[-1].operation == "rollback"  # appended, not rewound
+
+
+def test_expire_requires_criterion_and_accepts_duration(catalog, t):
+    with pytest.raises(ValueError, match="requires"):
+        t.expire_snapshots()
+    crud.insert_rows(t, [{"id": 3, "name": "c", "v": 3.0}])
+    # everything is seconds old: a 30d cutoff expires nothing
+    res = t.expire_snapshots(older_than="30d")
+    assert res["expired"] == []
+    # an ISO cutoff in the future expires all but the current snapshot
+    res = t.expire_snapshots(older_than="2100-01-01T00:00:00+00:00")
+    assert len(res["kept"]) == 1
+
+
+def test_scan_invalid_snapshot_raises(t):
+    with pytest.raises(ValueError, match="not found"):
+        t.scan(snapshot_id=123456789)
+
+
+# ------------------------------------------------------- views / matviews
+
+def test_view_and_matview_reject_blank_name_or_sql(catalog, t, tmp_path):
+    from iceberg_lakehouse_spark.governance.views import (
+        MatviewManager, ViewManager,
+    )
+    from iceberg_lakehouse_spark.plans.engine import QueryEngine
+
+    eng = QueryEngine(catalog)
+    vm = ViewManager(str(tmp_path / "views.json"), eng)
+    with pytest.raises(ValueError, match="name"):
+        vm.create("  ", "SELECT 1")
+    with pytest.raises(ValueError, match="sql"):
+        vm.create("v1", "   ")
+    mm = MatviewManager(str(tmp_path / "mv.json"), catalog, eng)
+    with pytest.raises(ValueError, match="name"):
+        mm.create("", "SELECT 1")
+    with pytest.raises(ValueError, match="sql"):
+        mm.create("m1", "")
+
+
+# ------------------------------------------------------------------- CDC
+
+def test_cdc_export_csv_and_invalid_format(catalog, t):
+    from iceberg_lakehouse_spark.governance.cdc import (
+        capture_changes, export_changes,
+    )
+
+    first = t.snapshots()[0].snapshot_id
+    crud.insert_rows(t, [{"id": 5, "name": "e", "v": 5.0}])
+    latest = t.snapshots()[-1].snapshot_id
+    changes = capture_changes(t, first, latest, key_columns=["id"])
+    assert changes["summary"]["inserts"] == 1
+    csv_text = export_changes(changes, "csv")
+    assert "INSERT" in csv_text.upper()
+    with pytest.raises(ValueError, match="unsupported"):
+        export_changes(changes, "xml")
+
+
 # ---------------------------------------------------------- saved queries
 
 def test_saved_query_rejects_blank_name_and_sql(tmp_path):
