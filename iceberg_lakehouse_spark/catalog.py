@@ -138,6 +138,66 @@ class Snapshot:
         }
 
 
+def _zvalue(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order curve value: interleave the bits of each column's scaled
+    position. Numeric/date/timestamp columns min-max scale into
+    [0, 2^bits) — range AND equality locality; other types hash into
+    the same domain (equality locality only). Cost: one tiny min/max
+    agg job (2×len(cols) scalars to the driver); the Z-value itself is
+    a pure Column expression, map-only."""
+    from functools import reduce
+
+    if not cols or len(cols) > 4:
+        raise ValueError("zorder_by takes 1-4 columns")
+    dom = (1 << bits) - 1
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    numeric_pos: dict[str, Any] = {}
+    aggs = []
+    for c in cols:
+        dt = fields.get(c)
+        if dt is None:
+            raise ValueError(f"unknown zorder column {c!r}")
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                           T.FloatType, T.DoubleType, T.DecimalType)):
+            num = F.col(c).cast("double")
+        elif isinstance(dt, T.DateType):
+            num = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            num = F.unix_micros(F.col(c)).cast("double")
+        else:
+            continue  # hashed below, no stats needed
+        numeric_pos[c] = num
+        aggs += [F.min(num).alias(f"mn_{c}"), F.max(num).alias(f"mx_{c}")]
+    stats = df.agg(*aggs).collect()[0].asDict() if aggs else {}
+    pos_exprs = []
+    for c in cols:
+        if c in numeric_pos:
+            mn, mx = stats.get(f"mn_{c}"), stats.get(f"mx_{c}")
+            if mn is None or mx is None or mx == mn:
+                pos = F.lit(0).cast("long")
+            else:
+                pos = F.least(
+                    F.lit(dom),
+                    (
+                        (numeric_pos[c] - F.lit(float(mn)))
+                        / F.lit(float(mx - mn))
+                        * dom
+                    ).cast("long"),
+                )
+            pos = F.coalesce(pos, F.lit(0))  # nulls sort first
+        else:
+            pos = F.pmod(F.xxhash64(F.col(c)), F.lit(dom + 1))
+        pos_exprs.append(pos)
+    terms = [
+        F.shiftleft(
+            F.shiftright(pos, i).bitwiseAND(F.lit(1)), i * len(cols) + j
+        )
+        for j, pos in enumerate(pos_exprs)
+        for i in range(bits)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
 def _cutoff_ms(older_than: str) -> int:
     """'30d'/'24h'/'90m'/'45s' duration or ISO timestamp → epoch ms
     cutoff (reference expire/clear accept both forms)."""
@@ -855,6 +915,7 @@ class LakeTable:
         self,
         target_partitions: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """Small-file compaction: rewrite current snapshot into fewer
         files (reference catalog.py:2014-2084 reads-all-and-overwrites;
@@ -867,12 +928,31 @@ class LakeTable:
         sortWithinPartitions tightens row-group stats. That is what
         makes stats-based pruning (scan(filter=), plans/pruning.py)
         bite: after clustering on a key, a point/range predicate on it
-        keeps O(1) of the files instead of all of them."""
+        keeps O(1) of the files instead of all of them.
+
+        ``zorder_by`` interleaves the bits of several columns' rank
+        positions into one Z-value and clusters on THAT (Iceberg/Delta
+        Z-ORDER): every listed column gets locality, so predicates on
+        any of them prune — a linear sort only serves its leading
+        column. Numeric/date/timestamp columns map to 16-bit positions
+        by min-max scaling (one tiny agg job); other types hash into
+        the same domain (equality locality only)."""
         cur = self.current_snapshot()
         before = len(cur.files) if cur else 0
         df = self.scan()
         pfields = self.partition_fields()
-        if sort_by:
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
+        if zorder_by:
+            n = target_partitions or max(1, min(before, 4))
+            z = _zvalue(df, zorder_by)
+            df = (
+                df.withColumn("_z", z)
+                .repartitionByRange(n, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif sort_by:
             n = target_partitions or max(1, min(before, 4))
             df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
         elif target_partitions:
@@ -889,6 +969,7 @@ class LakeTable:
             "files_after": len(snap.files),
             "snapshot_id": snap.snapshot_id,
             **({"clustered_by": sort_by} if sort_by else {}),
+            **({"zordered_by": zorder_by} if zorder_by else {}),
         }
 
     def file_stats(self) -> dict:

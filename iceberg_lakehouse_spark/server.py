@@ -217,13 +217,17 @@ class LakehouseServer:
 
         # -- maintenance ---------------------------------------------------
         self._add(
-            _tool("compact", "Compact small files (optionally range-cluster "
-                  "on sort columns so stats pruning discriminates)",
+            _tool("compact", "Compact small files (optionally cluster: "
+                  "sort_by = linear range-cluster, zorder_by = bit-"
+                  "interleaved multi-column locality)",
                   {"table": _S, "target_partitions": _I,
-                   "sort_by": {"type": "array", "items": _S}}, ["table"]),
-            lambda table, target_partitions=None, sort_by=None: c.load_table(
-                table
-            ).compact(target_partitions=target_partitions, sort_by=sort_by),
+                   "sort_by": {"type": "array", "items": _S},
+                   "zorder_by": {"type": "array", "items": _S}}, ["table"]),
+            lambda table, target_partitions=None, sort_by=None, zorder_by=None:
+            c.load_table(table).compact(
+                target_partitions=target_partitions, sort_by=sort_by,
+                zorder_by=zorder_by,
+            ),
         )
         self._add(
             _tool("scan_plan", "Preview stats-based file pruning for a "

@@ -149,6 +149,39 @@ def test_sorted_compaction_enables_pruning(spark, tmp_warehouse):
     )
 
 
+def test_zorder_compaction_prunes_on_both_columns(spark, tmp_warehouse):
+    """Z-ORDER: bit-interleaved clustering gives BOTH columns locality,
+    so predicates on either prune; a linear sort serves only its
+    leading column. Grid data (x, y independent) makes the contrast
+    sharp."""
+    catalog = LakehouseCatalog(spark, tmp_warehouse)
+    rows = [(x, y, 1.0) for x in range(32) for y in range(32)]
+
+    def build(name):
+        t = catalog.create_table(name, [("x", "long"), ("y", "long"), ("v", "double")])
+        t.append(spark.createDataFrame(rows, "x long, y long, v double").coalesce(1))
+        return t
+
+    lin = build("lin_t")
+    lin.compact(target_partitions=16, sort_by=["x"])
+    zed = build("z_t")
+    res = zed.compact(target_partitions=16, zorder_by=["x", "y"])
+    assert res["zordered_by"] == ["x", "y"]
+    # leading column prunes under both layouts
+    assert len(lin.prune_files("x < 4")[0]) < lin.prune_files("x < 4")[1]
+    assert len(zed.prune_files("x < 4")[0]) < zed.prune_files("x < 4")[1]
+    # trailing column prunes ONLY under z-order
+    lin_kept, lin_total = lin.prune_files("y < 4")
+    zed_kept, zed_total = zed.prune_files("y < 4")
+    assert len(lin_kept) == lin_total, "linear sort gives y no locality"
+    assert len(zed_kept) < zed_total, "z-order gives y locality too"
+    # correctness: pruned scans equal unpruned on both layouts
+    for t in (lin, zed):
+        assert t.scan(filter="x < 4 AND y < 4").count() == 16
+    with pytest.raises(ValueError, match="not both"):
+        zed.compact(sort_by=["x"], zorder_by=["y"])
+
+
 def test_update_probe_scans_only_candidate_files(spark, tmp_warehouse):
     """The CoW probe must plan over the stats-surviving subset: an
     update touching the last append's range reads neither of the other
