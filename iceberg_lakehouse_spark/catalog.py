@@ -149,6 +149,10 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int = 16):
 
     if not cols or len(cols) > 4:
         raise ValueError("zorder_by takes 1-4 columns")
+    # keep the top interleaved bit out of the long's sign bit: with 4
+    # columns, 16 bits would shift to position 63 and flip the sort
+    # order of the most significant column's high bit
+    bits = min(bits, 63 // len(cols))
     dom = (1 << bits) - 1
     fields = {f.name: f.dataType for f in df.schema.fields}
     numeric_pos: dict[str, Any] = {}
@@ -624,39 +628,26 @@ class LakeTable:
         the files whose stats intersect it — at scale a selective query
         never lists or opens the rest of the snapshot."""
         snap = self._resolve(snapshot_id, as_of)
-        schema = self.schema()
         if snap is None or not snap.files:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], self.schema())
         if filter:
             kept, _total = self.prune_files(filter, snap)
             return self.scan_files(kept).where(filter)
-        paths = [os.path.join(self.root, f) for f in snap.files]
-        # recursiveFileLookup skips directory partition-inference: every
-        # logical column is physically present in each file (hidden
-        # partitioning writes *derived* _p_* columns), and because files
-        # are physically split by the transform, parquet min/max footer
-        # stats prune whole files for pushed-down predicates anyway.
-        # A snapshot may mix formats (write.format.default switched
-        # mid-history): read each format group lazily and union.
-        cols = [f.name for f in schema.fields]
-        parts = []
-        for fmt, ext in (("parquet", ".parquet"), ("orc", ".orc")):
-            group = [p for p in paths if p.endswith(ext)]
-            if group:
-                reader = (
-                    self.spark.read.schema(schema)
-                    .option("recursiveFileLookup", "true")
-                    .format(fmt)
-                )
-                parts.append(reader.load(group).select(*cols))
-        df = parts[0]
-        for extra in parts[1:]:
-            df = df.unionByName(extra)
-        return df
+        return self.scan_files(snap.files)
 
     def scan_files(self, files: list[str]) -> DataFrame:
         """Lazy DataFrame over an explicit subset of a snapshot's data
-        files (relative paths) — the read side of file-pruned CoW."""
+        files (relative paths) — the read side of file-pruned CoW and
+        the single reader every scan path delegates to.
+
+        recursiveFileLookup skips directory partition-inference: every
+        logical column is physically present in each file (hidden
+        partitioning writes *derived* ``_p_*`` columns), and because
+        files are physically split by the transform, parquet min/max
+        footer stats prune whole files for pushed-down predicates
+        anyway. A snapshot may mix formats (write.format.default
+        switched mid-history): read each format group lazily and
+        union."""
         schema = self.schema()
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -725,7 +716,25 @@ class LakeTable:
         }
         missing = [f for f in snap.files if f not in stored]
         if missing and len(missing) <= max_files:
-            out.update(self._footer_stats(missing))
+            fallback = self._footer_stats(missing)
+            out.update(fallback)
+            if fallback:
+                # persist as a shard so the NEXT probe is a dict lookup,
+                # not another round of driver-side footer reads
+                shard = {
+                    f: {
+                        c: [
+                            str(mn) if mn is not None else None,
+                            str(mx) if mx is not None else None,
+                            nc,
+                        ]
+                        for c, (mn, mx, nc) in cols.items()
+                    }
+                    for f, cols in fallback.items()
+                }
+                os.makedirs(self._stats_dir, exist_ok=True)
+                name = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.json"
+                _atomic_write_json(os.path.join(self._stats_dir, name), shard)
         return out
 
     def _footer_stats(

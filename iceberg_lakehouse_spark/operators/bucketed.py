@@ -50,8 +50,10 @@ def bucketize(
 
             wh = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path)
             parts = table_name.lower().split(".")
-            if len(parts) == 2:
-                db, tbl = parts
+            if len(parts) >= 2:
+                # last segment = table, second-to-last = database
+                # (handles catalog-qualified 3-part names too)
+                db, tbl = parts[-2], parts[-1]
             else:
                 db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
             # default-db managed tables live at <wh>/<table>; any other

@@ -207,21 +207,27 @@ def _coerce(dt: T.DataType, lit) -> object | None:
     if isinstance(dt, (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType)):
         if tag != "str":
             return None
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)) and len(v) == 10:
-            v = v + " 00:00:00"  # date-only literal vs 'Y-m-d H:M:S' stats
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            v = v.replace("T", " ")  # ISO 'T' vs 'Y-m-d H:M:S' stat strings
+            if len(v) == 10:
+                v = v + " 00:00:00"  # date-only literal
         return v
     return None  # binary/array/struct — never prune
 
 
-def _stat_value(dt: T.DataType, s: str | None):
+def _stat_value(dt: T.DataType, s):
+    """Stat → the string/float comparison domain. Stored shards hold
+    strings, but the parquet-footer fallback yields raw Python objects
+    (datetime/date/Decimal/bool) — normalize both the same way the
+    writer does (str()) so comparisons never mix types."""
     if s is None:
         return None
     if isinstance(dt, _NUMERIC):
         try:
             return float(s)
-        except ValueError:
+        except (ValueError, TypeError):
             return None
-    return s
+    return s if isinstance(s, str) else str(s)
 
 
 def file_may_match(

@@ -134,6 +134,12 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, object]:
                     )
             df.createOrReplaceTempView(name)
             tables[name] = df
+    # evict superseded entries for the same (session, dir) — a rewritten
+    # test dir changes the mtime stamp and would otherwise accumulate
+    # stale plans (cached DataFrames strongly reference the session, so
+    # nothing here is reclaimed by GC alone)
+    for k in [k for k in _SF_CACHE if k[:2] == key[:2] and k != key]:
+        del _SF_CACHE[k]
     _SF_CACHE[key] = (weakref.ref(spark), dict(tables))
     return tables
 

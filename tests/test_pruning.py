@@ -96,6 +96,38 @@ def test_missing_stats_and_unknown_columns_survive():
     assert prune_files(files, stats, SCHEMA, "id = 99") == ["without"]
 
 
+def test_footer_fallback_raw_objects_compare_safely():
+    """Review regression: the parquet-footer fallback yields raw
+    datetime/Decimal objects (stored shards yield strings) — both must
+    evaluate without TypeError and prune identically."""
+    import datetime
+    from decimal import Decimal
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("amt", T.DecimalType(12, 2)),
+    ])
+    raw = {
+        "ts": (datetime.datetime(2024, 1, 1), datetime.datetime(2024, 6, 30), 0),
+        "amt": (Decimal("1.50"), Decimal("99.00"), 0),
+    }
+    cs = parse_conjuncts("ts >= TIMESTAMP '2024-03-01 00:00:00'")
+    assert file_may_match(raw, schema, cs)
+    assert not file_may_match(raw, schema, parse_conjuncts("ts > TIMESTAMP '2024-07-01 00:00:00'"))
+    assert file_may_match(raw, schema, parse_conjuncts("amt > 50"))
+    assert not file_may_match(raw, schema, parse_conjuncts("amt > 100"))
+
+
+def test_timestamp_literal_T_separator_not_mispruned():
+    """Review regression: TIMESTAMP '…T…' literals must normalize to the
+    space-separated stat-string form — ' ' < 'T' lexicographically, so
+    an unnormalized literal wrongly pruned files containing matches."""
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    stats = {"ts": ("2024-06-01 00:00:00", "2024-06-01 23:00:00", 0)}
+    cs = parse_conjuncts("ts = TIMESTAMP '2024-06-01T12:00:00'")
+    assert file_may_match(stats, schema, cs)
+
+
 def test_date_literals_compare_iso():
     stats = {"d": ("2025-01-01", "2025-01-31", 0)}
     assert file_may_match(stats, SCHEMA, parse_conjuncts("d >= DATE'2025-01-15'"))
