@@ -204,7 +204,9 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int = 16):
 
 def _cutoff_ms(older_than: str) -> int:
     """'30d'/'24h'/'90m'/'45s' duration or ISO timestamp → epoch ms
-    cutoff (reference expire/clear accept both forms)."""
+    cutoff (reference expire/clear accept both forms). Superset of the
+    reference grammar ('d'/'h'): here 'm' means MINUTES (never months)
+    and 's' seconds — stated in the expire/clear tool help too."""
     from datetime import datetime, timezone
 
     m = re.fullmatch(r"(\d+)\s*([dhms])", older_than.strip().lower())
@@ -373,13 +375,18 @@ class LakeTable:
         return os.path.join(self.root, "_meta", "stats")
 
     def meta_stamp(self) -> tuple:
-        """Cheap staleness token — mtimes of the two metadata files.
-        Any schema change or snapshot commit rewrites one of them
-        (atomic replace → fresh mtime), so equal stamps ⇒ the table's
-        registered views are still current. Lets QueryEngine skip
-        re-registration (and metadata-view rebuilds) per query."""
+        """Cheap staleness token — mtimes of the two metadata files,
+        plus the stats shard dir and consolidated stats map. Any schema
+        change or snapshot commit rewrites a metadata file (atomic
+        replace → fresh mtime); stats-shard writes from the read-path
+        fallback and _consolidate_stats change only the stats dir /
+        base map, which back the __files metadata view — without these
+        two a registered files view could serve stale stats until the
+        next real commit. Equal stamps ⇒ the table's registered views
+        are still current; lets QueryEngine skip re-registration (and
+        metadata-view rebuilds) per query."""
         out = []
-        for p in (self._meta_path, self._snap_path):
+        for p in (self._meta_path, self._snap_path, self._stats_dir, self._stats_path):
             try:
                 out.append(os.stat(p).st_mtime_ns)
             except OSError:
@@ -547,17 +554,27 @@ class LakeTable:
 
     def _consolidate_stats(self) -> None:
         """Merge every shard into the base map and delete the shards —
-        the manifest-compaction analogue."""
-        merged = _read_json(self._stats_path, {})
+        the manifest-compaction analogue. The shard list is captured
+        ONCE and only those exact files are merged and deleted: a shard
+        landed by a concurrent commit (or the read-path fallback
+        persister) after the listing survives for the next merge
+        instead of being deleted unmerged."""
         if not os.path.isdir(self._stats_dir):
             return
-        for fn in sorted(os.listdir(self._stats_dir)):
-            if fn.endswith(".json"):
-                merged.update(_read_json(os.path.join(self._stats_dir, fn), {}))
+        shard_names = sorted(
+            fn for fn in os.listdir(self._stats_dir) if fn.endswith(".json")
+        )
+        if not shard_names:
+            return
+        merged = _read_json(self._stats_path, {})
+        for fn in shard_names:
+            merged.update(_read_json(os.path.join(self._stats_dir, fn), {}))
         _atomic_write_json(self._stats_path, merged)
-        for fn in os.listdir(self._stats_dir):
-            if fn.endswith(".json"):
+        for fn in shard_names:
+            try:
                 os.remove(os.path.join(self._stats_dir, fn))
+            except FileNotFoundError:
+                pass
 
     def stored_file_stats(self) -> dict[str, dict]:
         """Merged write-time stats map: base map + newer shards (newer

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from decimal import Decimal, InvalidOperation
 
 from pyspark.sql import types as T
 
@@ -89,9 +90,14 @@ def _unquote(s: str) -> str:
 
 
 def _parse_literal(kind: str, tok: str):
-    """→ ('num'|'str'|'bool', python value) — tagged for type checks."""
+    """→ ('num'|'str'|'bool', python value) — tagged for type checks.
+
+    Numeric literals keep their lexical form: the comparison domain is
+    chosen per column type in ``_coerce`` (exact ``Decimal`` for
+    integral/decimal columns — ``float`` would collide distinct int64
+    values >= 2**53 and mis-prune; native ``float`` for float/double)."""
     if kind == "num":
-        return ("num", float(tok))
+        return ("num", tok)
     if kind == "str":
         return ("str", _unquote(tok))
     if kind == "typed":
@@ -197,11 +203,22 @@ def _norm_op(op: str) -> str:
 
 
 def _coerce(dt: T.DataType, lit) -> object | None:
-    """Literal → the comparison domain used for this column's stats
-    (floats for numerics, ISO text otherwise). None = incomparable."""
+    """Literal → the comparison domain used for this column's stats.
+    Integral/decimal columns compare as exact ``Decimal`` (doubles lose
+    int64 identity past 2**53 → wrong '!='/'<'/'>' pruning = data loss
+    on the CoW update/delete probe path), float/double as ``float``,
+    everything else as ISO text. None = incomparable (keep the file)."""
     tag, v = lit
     if isinstance(dt, _NUMERIC):
-        return v if tag == "num" else None
+        if tag != "num":
+            return None
+        try:
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return float(v)
+            d = Decimal(v)
+            return d if d.is_finite() else None
+        except (ValueError, TypeError, InvalidOperation):
+            return None
     if isinstance(dt, T.BooleanType):
         return str(v) if tag == "bool" else None
     if isinstance(dt, (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType)):
@@ -216,16 +233,22 @@ def _coerce(dt: T.DataType, lit) -> object | None:
 
 
 def _stat_value(dt: T.DataType, s):
-    """Stat → the string/float comparison domain. Stored shards hold
-    strings, but the parquet-footer fallback yields raw Python objects
-    (datetime/date/Decimal/bool) — normalize both the same way the
-    writer does (str()) so comparisons never mix types."""
+    """Stat → the per-type comparison domain (same split as ``_coerce``:
+    exact ``Decimal`` for integral/decimal, ``float`` for float/double,
+    str otherwise). Stored shards hold strings, but the parquet-footer
+    fallback yields raw Python objects (datetime/date/Decimal/bool) —
+    normalize both the same way the writer does (str()) so comparisons
+    never mix types. NaN stats → None (can't order → keep the file)."""
     if s is None:
         return None
     if isinstance(dt, _NUMERIC):
         try:
-            return float(s)
-        except (ValueError, TypeError):
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                f = float(s)
+                return None if f != f else f
+            d = Decimal(str(s))
+            return d if d.is_finite() else None
+        except (ValueError, TypeError, InvalidOperation):
             return None
     return s if isinstance(s, str) else str(s)
 

@@ -206,7 +206,7 @@ class LakehouseServer:
         )
         self._add(
             _tool("expire_snapshots", "Expire old snapshots (retain_last "
-                  "and/or older_than '30d'/'24h'/ISO)",
+                  "and/or older_than '30d'/'24h'/'90m'=minutes/'45s'/ISO)",
                   {"table": _S, "retain_last": _I, "older_than": _S,
                    "dry_run": _B}, ["table"]),
             lambda table, retain_last=None, older_than=None, dry_run=False:
@@ -673,7 +673,8 @@ class LakehouseServer:
             lambda table=None, operation=None, limit=100: audit.query(
                 table=table, operation=operation, limit=limit),
         )
-        self._add(_tool("clear_audit_log", "Clear audit entries", {"older_than": _S}, []),
+        self._add(_tool("clear_audit_log", "Clear audit entries (older_than "
+                        "'30d'/'24h'/'90m'=minutes/'45s'/ISO)", {"older_than": _S}, []),
                   lambda older_than=None: {"cleared": audit.clear(older_than)})
 
         # -- stats / anomalies / quality ----------------------------------

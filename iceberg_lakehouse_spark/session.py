@@ -136,9 +136,15 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, object]:
             tables[name] = df
     # evict superseded entries for the same (session, dir) — a rewritten
     # test dir changes the mtime stamp and would otherwise accumulate
-    # stale plans (cached DataFrames strongly reference the session, so
-    # nothing here is reclaimed by GC alone)
-    for k in [k for k in _SF_CACHE if k[:2] == key[:2] and k != key]:
+    # stale plans — AND any entry whose session weakref is dead: cached
+    # DataFrames strongly reference their (stopped) SparkSession, so a
+    # long-lived process creating sessions repeatedly would leak every
+    # old one if only same-prefix keys were swept
+    for k in [
+        k
+        for k, v in _SF_CACHE.items()
+        if (k[:2] == key[:2] and k != key) or v[0]() is None
+    ]:
         del _SF_CACHE[k]
     _SF_CACHE[key] = (weakref.ref(spark), dict(tables))
     return tables

@@ -128,6 +128,47 @@ def test_timestamp_literal_T_separator_not_mispruned():
     assert file_may_match(stats, schema, cs)
 
 
+def test_int64_past_double_precision_not_mispruned():
+    """Advice regression (data loss): comparing int64 stats as Python
+    floats collides distinct values >= 2**53, so a file holding
+    id=9007199254740995 was pruned for both 'id != 9007199254740996'
+    and 'id < 9007199254740996' even though its row matches. Integral
+    columns must compare in an exact domain."""
+    stats = {"id": ("9007199254740995", "9007199254740995", 0)}
+    assert file_may_match(stats, SCHEMA, parse_conjuncts("id != 9007199254740996"))
+    assert file_may_match(stats, SCHEMA, parse_conjuncts("id < 9007199254740996"))
+    assert file_may_match(stats, SCHEMA, parse_conjuncts("id = 9007199254740995"))
+    # and exactness must not break real pruning on the same magnitudes
+    assert not file_may_match(stats, SCHEMA, parse_conjuncts("id = 9007199254740996"))
+    assert not file_may_match(stats, SCHEMA, parse_conjuncts("id > 9007199254740995"))
+    assert not file_may_match(
+        stats, SCHEMA, parse_conjuncts("id != 9007199254740995")
+    ), "min==max==literal with no nulls is still provably false"
+
+
+def test_high_precision_decimal_not_mispruned():
+    """Decimal columns likewise compare exactly: 38-digit values that
+    round to the same double must stay distinguishable."""
+    schema = T.StructType([T.StructField("amt", T.DecimalType(38, 0))])
+    lo = "99999999999999999999999999999999999991"
+    hi = "99999999999999999999999999999999999993"
+    stats = {"amt": (lo, hi, 0)}
+    assert file_may_match(stats, schema, parse_conjuncts(f"amt != {hi}"))
+    assert file_may_match(
+        stats, schema, parse_conjuncts("amt < 99999999999999999999999999999999999992")
+    )
+    assert not file_may_match(stats, schema, parse_conjuncts(f"amt > {hi}"))
+
+
+def test_nan_and_nonfinite_stats_keep_file():
+    """NaN float stats can't be ordered — the file must survive, and a
+    Decimal column fed 'NaN'/'Infinity' must not raise at compare time."""
+    stats = {"v": ("nan", "nan", 0)}
+    assert file_may_match(stats, SCHEMA, parse_conjuncts("v > 5"))
+    schema = T.StructType([T.StructField("amt", T.DecimalType(12, 2))])
+    assert file_may_match({"amt": ("NaN", "Infinity", 0)}, schema, parse_conjuncts("amt > 5"))
+
+
 def test_date_literals_compare_iso():
     stats = {"d": ("2025-01-01", "2025-01-31", 0)}
     assert file_may_match(stats, SCHEMA, parse_conjuncts("d >= DATE'2025-01-15'"))
