@@ -142,11 +142,13 @@ class ValidationManager:
 
     def failing_rows(self, rule: dict, batch: DataFrame, limit: int = 100) -> DataFrame:
         """W3: row indices of expression failures (reference
-        validation.py:225 uses row_number()-1 over insertion order)."""
-        from pyspark.sql import Window
+        validation.py:225 uses row_number()-1 over insertion order).
+        Insertion rowids come from the window-free partition-offset
+        decomposition of monotonically_increasing_id (operators/
+        rownum.py) — no single-partition sort, no shuffle at all."""
+        from ..operators.rownum import with_insertion_rowid
 
-        w = Window.orderBy(F.monotonically_increasing_id())
-        idx = batch.withColumn("rowid", F.row_number().over(w) - 1)
+        idx = with_insertion_rowid(batch, out_col="rowid")
         if rule["type"] == "expression":
             cond = ~F.coalesce(F.expr(rule["expression"]), F.lit(False))
         elif rule["type"] == "not_null":

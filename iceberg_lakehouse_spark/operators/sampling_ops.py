@@ -30,14 +30,19 @@ def sample_to_table(
     if method == "bernoulli":
         sample = df.sample(fraction=fraction, seed=seed)
     elif method == "systematic":
-        from pyspark.sql import Window
+        from .rownum import md5_prefix_bucket, with_global_row_number
 
         n = max(1, round(1.0 / fraction))
-        w = Window.orderBy(F.md5(F.concat_ws("|", *df.columns)))
+        # every n-th row of the md5-hash ordering — the global rank
+        # comes from two-pass partition-offset numbering (md5-prefix
+        # buckets), not a single-partition window sort
+        h = df.withColumn("_h", F.md5(F.concat_ws("|", *df.columns)))
         sample = (
-            df.withColumn("_rn", F.row_number().over(w))
+            with_global_row_number(
+                h, md5_prefix_bucket(F.col("_h")), ["_h"], out_col="_rn"
+            )
             .where((F.col("_rn") - 1) % n == 0)
-            .drop("_rn")
+            .drop("_rn", "_h")
         )
     elif method == "stratified":
         if not stratify_by:

@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..operators.rownum import range_bucket, with_global_row_number
 from ..session import load_sf_tables
 from . import register
 
@@ -35,14 +36,23 @@ def systematic_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW_NUMBER() OVER () — insertion order; Spark requires an explicit
     ordering (SURVEY §7) so we order by the key.
 
-    Scale note: a global ROW_NUMBER is a single-partition sort — fine
-    for a sample spec, but the scale path is `(event_id % 20) = 0` on a
-    dense key or hash-mod, which is embarrassingly parallel."""
+    Scale path: a global ROW_NUMBER window is a single-partition sort;
+    instead the global rank comes from two-pass partition-offset
+    numbering (range-bucket event_id → per-bucket counts → offsets +
+    per-bucket window) — identical output, work spread across buckets
+    (operators/rownum.py; test_plans.py gates SinglePartition out)."""
     t = load_sf_tables(spark, sf_dir)
-    w = Window.orderBy("event_id")
+    ev = t["events"]
+    mm = ev.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).collect()[0]
     return (
-        t["events"]
-        .withColumn("rn", F.row_number().over(w))
+        with_global_row_number(
+            ev,
+            range_bucket(F.col("event_id"), mm["mn"], mm["mx"]),
+            ["event_id"],
+            out_col="rn",
+        )
         .where((F.col("rn") - 1) % 20 == 0)
         .select("event_id", "user_id", "event_type")
     )
