@@ -297,11 +297,16 @@ class LakehouseCatalog:
                 if typ not in _TYPE_MAP:
                     raise ValueError(f"unsupported type {typ!r} for column {col!r}")
                 fields.append({"name": col, "type": _TYPE_MAP[typ].simpleString()})
+        # stable Iceberg-style field ids: assigned once, survive renames,
+        # never reused after drops — what lets schema diffs report a
+        # rename as a rename (reference schema_evolution.py:122-151)
+        for i, f in enumerate(fields):
+            f["id"] = i + 1
 
         spec = [PartitionField.parse(p).to_json() for p in (partition_by or [])]
         meta = {
             "name": f"{ns}.{t}",
-            "schema": {"fields": fields, "version": 1},
+            "schema": {"fields": fields, "version": 1, "last_field_id": len(fields)},
             "schema_history": [
                 {"version": 1, "fields": fields, "ts": int(time.time() * 1000)}
             ],
@@ -1037,14 +1042,20 @@ class LakeTable:
         if type_name not in _TYPE_MAP:
             raise ValueError(f"unsupported type {type_name!r}")
         meta = self.meta()
+        self._ensure_field_ids(meta)
         fields = meta["schema"]["fields"]
         if any(f["name"] == name for f in fields):
             raise ValueError(f"column {name!r} already exists")
-        fields.append({"name": name, "type": _TYPE_MAP[type_name].simpleString()})
+        fid = meta["schema"]["last_field_id"] + 1
+        fields.append(
+            {"name": name, "type": _TYPE_MAP[type_name].simpleString(), "id": fid}
+        )
+        meta["schema"]["last_field_id"] = fid
         self._bump_schema(meta, fields)
 
     def drop_column(self, name: str) -> None:
         meta = self.meta()
+        self._ensure_field_ids(meta)  # ids are never reused after a drop
         fields = [f for f in meta["schema"]["fields"] if f["name"] != name]
         if len(fields) == len(meta["schema"]["fields"]):
             raise ValueError(f"column {name!r} does not exist")
@@ -1052,13 +1063,15 @@ class LakeTable:
 
     def rename_column(self, old: str, new: str) -> None:
         meta = self.meta()
+        self._ensure_field_ids(meta)
         fields = meta["schema"]["fields"]
         if not any(f["name"] == old for f in fields):
             raise ValueError(f"column {old!r} does not exist")
         if any(f["name"] == new for f in fields):
             raise ValueError(f"column {new!r} already exists")
-        # physical rename: rewrite data so stored names match the schema
-        # (we have no field-ids; documented deviation from Iceberg)
+        # the field keeps its id through the rename (Iceberg semantics —
+        # schema diffs report it as a rename, not drop+add); the data
+        # rewrite below is physical because parquet stores names
         df = self.scan().withColumnRenamed(old, new)
         for f in fields:
             if f["name"] == old:
@@ -1066,6 +1079,22 @@ class LakeTable:
         self._bump_schema(meta, fields)
         if self.current_snapshot() is not None:
             self.overwrite(df)
+
+    def _ensure_field_ids(self, meta: dict) -> None:
+        """Backfill stable field ids on a table created before ids
+        existed: assign positionally once, then every later history
+        entry carries them. Pre-backfill history entries keep no ids —
+        diffs against those versions fall back to name-based."""
+        schema = meta["schema"]
+        fields = schema["fields"]
+        if all("id" in f for f in fields) and "last_field_id" in schema:
+            return
+        next_id = 1
+        for f in fields:
+            if "id" not in f:
+                f["id"] = next_id
+            next_id = max(next_id, f["id"]) + 1
+        schema["last_field_id"] = max((f["id"] for f in fields), default=0)
 
     def _bump_schema(self, meta: dict, fields: list[dict]) -> None:
         meta["schema"]["fields"] = fields

@@ -254,9 +254,86 @@ class TestSchemaEvolution:
         metrics.drop_column("name")
         v = metrics.schema_history()[-1]["version"]
         d = se.diff_schemas(metrics, 2, v)
-        assert d == {"added": [], "dropped": ["name"], "type_changed": []}
+        assert d == {
+            "added": [],
+            "dropped": ["name"],
+            "renamed": [],
+            "type_changed": [],
+        }
         steps = se.migration_steps(metrics, 2, v)
         assert steps == ["DROP COLUMN name"]
+
+    def test_rename_reports_as_rename_not_drop_add(self, metrics):
+        """G18 field-id semantics (VERDICT r3 #2): add → rename → diff
+        must report a rename — the field keeps its id through the
+        rename (reference schema_evolution.py:148-157)."""
+        metrics.add_column("note", "string")
+        v_add = metrics.schema_history()[-1]["version"]
+        metrics.rename_column("note", "comment")
+        v_ren = metrics.schema_history()[-1]["version"]
+        d = se.diff_schemas(metrics, v_add, v_ren)
+        assert d["added"] == [] and d["dropped"] == []
+        assert len(d["renamed"]) == 1
+        r = d["renamed"][0]
+        assert (r["from"], r["to"]) == ("note", "comment")
+        # id stability: the renamed field carries the id 'note' got
+        added_id = next(
+            f["id"]
+            for f in se.fields_at_version(metrics, v_add)
+            if f["name"] == "note"
+        )
+        assert r["field_id"] == added_id
+        # migration emits a RENAME step; compat: warns, doesn't break
+        assert "RENAME COLUMN note TO comment" in se.migration_steps(
+            metrics, v_add, v_ren
+        )
+        c = se.check_compatibility(metrics, v_add, v_ren)
+        assert c["compatible"] is True
+        assert any("note" in w and "comment" in w for w in c["warnings"])
+
+    def test_field_ids_never_reused_after_drop(self, metrics):
+        metrics.add_column("a1", "string")
+        id_a1 = metrics.meta()["schema"]["fields"][-1]["id"]
+        metrics.drop_column("a1")
+        metrics.add_column("a2", "string")
+        id_a2 = metrics.meta()["schema"]["fields"][-1]["id"]
+        assert id_a2 > id_a1, "dropped ids must never be reassigned"
+
+    def test_legacy_table_without_ids_backfills_and_falls_back(self, tmp_path, spark):
+        """A table whose metadata predates field ids: diffs against
+        pre-backfill versions fall back to name-based (rename shows as
+        drop+add there), while post-backfill versions diff by id."""
+        import json
+        import os
+
+        from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+
+        cat = LakehouseCatalog(spark, str(tmp_path / "legacy_wh"))
+        t = cat.create_table("legacy", [("x", "long"), ("y", "string")])
+        # simulate a pre-field-id table by stripping ids from metadata
+        meta_path = os.path.join(t.root, "_meta", "table.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        for fld in meta["schema"]["fields"]:
+            fld.pop("id", None)
+        meta["schema"].pop("last_field_id", None)
+        for h in meta["schema_history"]:
+            for fld in h["fields"]:
+                fld.pop("id", None)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        t.add_column("z", "string")  # triggers backfill
+        assert all("id" in fld for fld in t.meta()["schema"]["fields"])
+        v_add = t.schema_history()[-1]["version"]
+        t.rename_column("z", "zz")
+        v_ren = t.schema_history()[-1]["version"]
+        # v1 predates ids → name-based fallback, no renamed reporting
+        d_legacy = se.diff_schemas(t, 1, v_ren)
+        assert d_legacy["renamed"] == []
+        assert "zz" in d_legacy["added"]
+        # post-backfill versions diff by id → rename is a rename
+        d_new = se.diff_schemas(t, v_add, v_ren)
+        assert [(r["from"], r["to"]) for r in d_new["renamed"]] == [("z", "zz")]
 
     def test_compatibility_add_is_compatible(self, metrics):
         metrics.add_column("note", "string")

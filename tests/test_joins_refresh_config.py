@@ -104,7 +104,12 @@ def test_schema_evolution_tooling(catalog):
     t.add_column("currency", "string")
     t.drop_column("total")
     d = diff_schemas(t, 1, 3)
-    assert d == {"added": ["currency"], "dropped": ["total"], "type_changed": []}
+    assert d == {
+        "added": ["currency"],
+        "dropped": ["total"],
+        "renamed": [],
+        "type_changed": [],
+    }
     steps = migration_steps(t, 1, 3)
     assert "ADD COLUMN currency string" in steps
     assert "DROP COLUMN total" in steps
