@@ -90,8 +90,40 @@ class ContractManager:
         self.store.save(data)
         return c
 
-    def deprecate(self, table: str) -> dict:
-        return self.update(table, status="deprecated")
+    def deprecate(
+        self, table: str, reason: str | None = None, sunset_date: str | None = None
+    ) -> dict:
+        """Version-bumping deprecation with reason/sunset metadata
+        (reference deprecate_contract: status + deprecation_reason +
+        deprecated_at + optional sunset_date)."""
+        self.update(table, status="deprecated")
+        data = self.store.load()
+        c = data["contracts"][table]
+        c["deprecated_at"] = datetime.now(timezone.utc).isoformat()
+        if reason is not None:
+            c["deprecation_reason"] = reason
+        if sunset_date is not None:
+            c["sunset_date"] = sunset_date
+        self.store.save(data)
+        return c
+
+    def status(self, table: str) -> dict:
+        """Lifecycle summary (reference get_contract_status): status +
+        version + owner, deprecation metadata when present, and
+        'not_found' instead of raising for absent contracts."""
+        c = self.store.load()["contracts"].get(table)
+        if c is None:
+            return {"table": table, "status": "not_found"}
+        out = {
+            "table": table,
+            "status": c["status"],
+            "version": c["version"],
+            "owner": c.get("owner"),
+        }
+        for k in ("deprecation_reason", "deprecated_at", "sunset_date"):
+            if k in c:
+                out[k] = c[k]
+        return out
 
     def remove(self, table: str) -> bool:
         data = self.store.load()
@@ -112,9 +144,17 @@ class ContractManager:
                 return h["snapshot"]
         raise ValueError(f"version {version} not found for {table!r}")
 
-    def compliance_history(self, table: str) -> list[dict]:
-        """Raw monitoring entries (monitor() appends them)."""
-        return self.get(table).get("monitoring", [])
+    def compliance_history(self, table: str, limit: int | None = None) -> list[dict]:
+        """Raw monitoring entries (monitor() appends them); most recent
+        last, optionally capped to the last ``limit``."""
+        hist = self.get(table).get("monitoring", [])
+        return hist[-limit:] if limit else hist
+
+    def version_history(self, table: str, limit: int | None = None) -> list[dict]:
+        """Version snapshots, MOST RECENT FIRST (reference
+        get_contract_history ordering), optionally limited."""
+        hist = list(reversed(self.get(table)["history"]))
+        return hist[:limit] if limit else hist
 
     def list(self) -> dict:
         return self.store.load()["contracts"]
@@ -128,13 +168,27 @@ class ContractManager:
         if v1 not in snaps or v2 not in snaps:
             raise ValueError(f"unknown versions {v1}/{v2}; have {sorted(snaps)}")
         a, b = snaps[v1]["schema"], snaps[v2]["schema"]
-        return {
+        # non-schema sections that changed between the versions
+        other = sorted(
+            k
+            for k in ("quality", "freshness", "constraints")
+            if snaps[v1][k] != snaps[v2][k]
+        )
+        out = {
             "added_columns": sorted(set(b) - set(a)),
             "removed_columns": sorted(set(a) - set(b)),
             "changed_columns": sorted(
                 c for c in set(a) & set(b) if a[c] != b[c]
             ),
+            "sections_changed": other,
         }
+        out["change_count"] = (
+            len(out["added_columns"])
+            + len(out["removed_columns"])
+            + len(out["changed_columns"])
+            + len(other)
+        )
+        return out
 
     # -- validation --------------------------------------------------------
 
@@ -156,6 +210,30 @@ class ContractManager:
                 )
         return problems
 
+    @staticmethod
+    def _constraint_failures(con: dict, df: DataFrame) -> int | None:
+        """Failing-row count for one constraint, None = unknown kind.
+        Caller handles missing columns."""
+        kind, col = con["type"], con.get("column")
+        if kind == "not_null":
+            return df.where(F.col(col).isNull()).count()
+        if kind == "range":
+            cond = F.lit(False)
+            if con.get("min") is not None:
+                cond = cond | (F.col(col) < con["min"])
+            if con.get("max") is not None:
+                cond = cond | (F.col(col) > con["max"])
+            return df.where(cond).count()
+        if kind == "enum":
+            return df.where(
+                F.col(col).isNotNull() & ~F.col(col).isin(con["values"])
+            ).count()
+        if kind == "regex":
+            return df.where(
+                F.col(col).isNotNull() & ~F.col(col).rlike(con["pattern"])
+            ).count()
+        return None
+
     def validate_rows(self, table_name: str, df: DataFrame) -> list[dict]:
         """Constraint checks pre-write (contracts.py:342-505): one
         DataFrame filter per constraint."""
@@ -166,25 +244,7 @@ class ContractManager:
             if col and col not in df.columns:
                 violations.append({"constraint": kind, "column": col, "detail": "column missing"})
                 continue
-            if kind == "not_null":
-                n = df.where(F.col(col).isNull()).count()
-            elif kind == "range":
-                cond = F.lit(False)
-                if con.get("min") is not None:
-                    cond = cond | (F.col(col) < con["min"])
-                if con.get("max") is not None:
-                    cond = cond | (F.col(col) > con["max"])
-                n = df.where(cond).count()
-            elif kind == "enum":
-                n = df.where(
-                    F.col(col).isNotNull() & ~F.col(col).isin(con["values"])
-                ).count()
-            elif kind == "regex":
-                n = df.where(
-                    F.col(col).isNotNull() & ~F.col(col).rlike(con["pattern"])
-                ).count()
-            else:
-                continue
+            n = self._constraint_failures(con, df)
             if n:
                 violations.append({"constraint": kind, "column": col, "failed_rows": n})
         return violations
@@ -219,10 +279,10 @@ class ContractManager:
         out["compliant"] = not any(out[k] for k in ("schema", "constraints", "quality", "freshness"))
         return out
 
-    def compliance_score(self, table: LakeTable) -> float:
+    def compliance_score(self, table: LakeTable, v: dict | None = None) -> float:
         """Monitor score (contracts.py:671-843): 100 − 25 per violating
         category."""
-        v = self.violations(table)
+        v = v or self.violations(table)
         bad = sum(1 for k in ("schema", "constraints", "quality", "freshness") if v[k])
         return max(0.0, 100.0 - 25.0 * bad)
 
@@ -301,11 +361,87 @@ class ContractManager:
             self.store.save(data)
         return {"table": name, "would_violate": violations, "ok": not violations}
 
+    def dry_run_migration(self, table: LakeTable, proposed: dict) -> dict:
+        """Compare the CURRENT contract's violations against a PROPOSED
+        replacement on live data (reference dry_run_migration): which
+        violations the migration introduces, which it resolves, and
+        whether it is safe (introduces none). Nothing is persisted."""
+        import json as _json
+
+        name = f"{table.namespace}.{table.table}"
+        current = None
+        for key in (name, table.table):
+            if key in self.list():
+                current = self.get(key)
+                break
+        cur_v = (
+            self.dry_run(table, current)["would_violate"] if current else []
+        )
+        new_v = self.dry_run(table, proposed)["would_violate"]
+
+        def sig(v: dict) -> str:
+            return _json.dumps(v, sort_keys=True, default=str)
+
+        cur_sigs = {sig(v) for v in cur_v}
+        new_sigs = {sig(v) for v in new_v}
+        introduced = new_sigs - cur_sigs
+        resolved = cur_sigs - new_sigs
+        return {
+            "table": name,
+            "current_violations": len(cur_v),
+            "proposed_violations": len(new_v),
+            "introduced_count": len(introduced),
+            "resolved_count": len(resolved),
+            "safe_to_migrate": not introduced,
+        }
+
+    def dry_run_report(self, table: LakeTable, proposed: dict) -> dict:
+        """Per-constraint pass rates for a proposed contract (reference
+        dry_run_report): schema compatibility + one result row per
+        constraint with its violation count and pass percentage."""
+        actual = {f.name: f.dataType.simpleString() for f in table.schema().fields}
+        schema_problems = []
+        for col, spec in proposed.get("schema", {}).items():
+            if col not in actual:
+                schema_problems.append(f"missing column {col!r}")
+            elif spec.get("type") and actual[col] != spec["type"]:
+                schema_problems.append(f"{col}: {actual[col]} != {spec['type']}")
+        df = table.scan()
+        total = df.count()
+        results = []
+        for con in proposed.get("constraints", []):
+            col = con.get("column")
+            if col and col not in df.columns:
+                results.append(
+                    {"rule": con["type"], "column": col, "violations": total,
+                     "pass_rate": 0.0, "detail": "column missing"}
+                )
+                continue
+            n = self._constraint_failures(con, df)
+            if n is None:
+                continue
+            rate = 100.0 if total == 0 else round(100.0 * (total - n) / total, 2)
+            results.append(
+                {"rule": con["type"], "column": col, "violations": n, "pass_rate": rate}
+            )
+        schema_ok = not schema_problems
+        return {
+            "table": f"{table.namespace}.{table.table}",
+            "rows_checked": total,
+            "schema_compatible": schema_ok,
+            "schema_problems": schema_problems,
+            "constraint_results": results,
+            "overall_pass": schema_ok and all(r["violations"] == 0 for r in results),
+        }
+
     def monitor(self, table: LakeTable) -> dict:
-        """Record a compliance check in the monitoring history (≤50)."""
+        """Record a compliance check in the monitoring history (≤50):
+        timestamp + score + passed flag + violation count (reference
+        monitor_contract entry shape)."""
         from datetime import datetime, timezone
 
-        score = self.compliance_score(table)
+        v = self.violations(table)
+        score = self.compliance_score(table, v)
         data = self.store.load()
         c = data["contracts"].get(f"{table.namespace}.{table.table}") or data[
             "contracts"
@@ -313,6 +449,10 @@ class ContractManager:
         entry = {
             "at": datetime.now(timezone.utc).isoformat(),
             "score": score,
+            "passed": v["compliant"],
+            "violation_count": sum(
+                len(v[k]) for k in ("schema", "constraints", "quality", "freshness")
+            ),
         }
         if c is not None:
             c.setdefault("monitoring", []).append(entry)
@@ -334,6 +474,42 @@ class ContractManager:
             "improving": len(scores) >= 2 and scores[-1] >= scores[0],
         }
 
+    def trends_all(self) -> list[dict]:
+        """Violation trends across every monitored contract (reference
+        get_violation_trends): one entry per contract that has at least
+        one monitoring check, worst (lowest latest score) first."""
+        out = [
+            self.trends(t)
+            for t, c in self.list().items()
+            if c.get("monitoring")
+        ]
+        return sorted(out, key=lambda t: (t["latest"], t["table"]))
+
+    def health(self, table: LakeTable) -> dict:
+        """One-call contract health rollup (reference
+        get_contract_health): existence, version/status, live
+        compliance score, consumers, last check outcome."""
+        name = f"{table.namespace}.{table.table}"
+        contracts = self.list()
+        key = name if name in contracts else (
+            table.table if table.table in contracts else None
+        )
+        if key is None:
+            return {"table": name, "has_contract": False}
+        c = contracts[key]
+        mon = c.get("monitoring", [])
+        return {
+            "table": name,
+            "has_contract": True,
+            "version": c["version"],
+            "status": c["status"],
+            "compliance_score": self.compliance_score(table),
+            "consumers": self.consumers(key),
+            "consumer_count": len(self.consumers(key)),
+            "checks": len(mon),
+            "last_check_passed": mon[-1].get("passed") if mon else None,
+        }
+
     def dashboard(self, tables: list[LakeTable]) -> dict:
         """Compliance overview across tables (contracts.py:1266-1431)."""
         rows = []
@@ -351,6 +527,14 @@ class ContractManager:
                 }
             )
         covered = [r for r in rows if r["status"] != "no_contract"]
+        violating = [r for r in covered if r["status"] == "violating"]
+        # recent failed monitoring checks across contracts, newest last
+        recent = [
+            {"table": t, "at": m["at"], "score": m["score"]}
+            for t, c in self.list().items()
+            for m in c.get("monitoring", [])
+            if m.get("passed") is False
+        ][-10:]
         return {
             "tables": rows,
             "covered": len(covered),
@@ -360,6 +544,16 @@ class ContractManager:
                 if covered
                 else None
             ),
+            # no contracts = vacuously compliant (reference dashboard)
+            "compliance_rate": (
+                round(100.0 * (len(covered) - len(violating)) / len(covered), 1)
+                if covered
+                else 100.0
+            ),
+            "worst_tables": sorted(
+                violating, key=lambda r: (r["score"], r["table"])
+            )[:5],
+            "recent_violations": recent,
         }
 
     # -- auto-generation ---------------------------------------------------

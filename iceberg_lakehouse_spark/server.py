@@ -1100,9 +1100,14 @@ class LakehouseServer:
                   ["table"]),
             lambda table, **kw: contracts.update(_cname(table), **kw),
         )
-        self._add(_tool("deprecate_contract", "Mark a contract deprecated",
+        self._add(_tool("deprecate_contract", "Mark a contract deprecated "
+                        "(optional reason + sunset date)",
+                        {"table": _S, "reason": _S, "sunset_date": _S}, ["table"]),
+                  lambda table, reason=None, sunset_date=None: contracts.deprecate(
+                      _cname(table), reason=reason, sunset_date=sunset_date))
+        self._add(_tool("get_contract_status", "Lifecycle status of a contract",
                         {"table": _S}, ["table"]),
-                  lambda table: contracts.deprecate(_cname(table)))
+                  lambda table: contracts.status(_cname(table)))
         self._add(_tool("remove_contract", "Delete a contract entirely",
                         {"table": _S}, ["table"]),
                   lambda table: {"removed": contracts.remove(_cname(table))})
@@ -1176,16 +1181,20 @@ class LakehouseServer:
             lambda table, proposed: contracts.dry_run(T(table), proposed),
         )
         self._add(
-            _tool("dry_run_migration", "Violations + migration steps for a proposal",
+            _tool("dry_run_migration", "Introduced/resolved violations for a proposal",
                   {"table": _S, "proposed": {"type": "object"}},
                   ["table", "proposed"]),
-            lambda table, proposed: {
-                "dry_run": contracts.dry_run(T(table), proposed),
-                "current_version": (
-                    contracts.get(_cname(table))["version"]
-                    if _cname(table) in contracts.list() else None),
-            },
+            lambda table, proposed: contracts.dry_run_migration(T(table), proposed),
         )
+        self._add(
+            _tool("dry_run_report", "Per-constraint pass rates for a proposal",
+                  {"table": _S, "proposed": {"type": "object"}},
+                  ["table", "proposed"]),
+            lambda table, proposed: contracts.dry_run_report(T(table), proposed),
+        )
+        self._add(_tool("get_violation_trends", "Trends across monitored contracts",
+                        {}, []),
+                  lambda: contracts.trends_all())
         self._add(
             _tool("add_contract_consumer", "Register a downstream consumer",
                   {"table": _S, "consumer": _S}, ["table", "consumer"]),
@@ -1199,13 +1208,9 @@ class LakehouseServer:
             lambda: contracts.dashboard([T(t) for t in c.list_tables()]),
         )
         self._add(
-            _tool("get_contract_health", "Score + trends + violations for one table",
+            _tool("get_contract_health", "One-call health rollup for one table",
                   {"table": _S}, ["table"]),
-            lambda table: {
-                "score": contracts.compliance_score(T(table)),
-                "trends": contracts.trends(_cname(table)),
-                "violations": contracts.violations(T(table)),
-            },
+            lambda table: contracts.health(T(table)),
         )
 
         # -- views / matviews / pipelines (rest) --------------------------

