@@ -2,15 +2,19 @@
 columns + typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side machinery (schemas, batch iteration, partition sizing)
-is real and tested; the codec layer is stubbed because no image/audio
-libraries exist in this container:
+is real and tested. The codec layer is resolved AT CALL TIME on the
+driver (``_resolve_codec``):
 
-  * ``decode_image`` raises NotImplementedError unless
-    ``deterministic_fake=True``, in which case it derives a fake
-    (height, width, n_channels, features) from the content hash —
-    stable across runs/engines, so pipelines are testable end-to-end.
-  * A real deployment replaces ONLY ``_decode_bytes`` /
-    ``_extract_features``; every Spark-facing surface is unchanged.
+  * Pillow importable → real decode: dims from ``Image.open`` and a
+    4×4 grayscale mean-pool as the feature vector; a corrupt blob
+    yields NULL dims/features instead of failing the job.
+  * Pillow absent (this container) → deterministic fake derived from
+    the content hash — stable across runs/engines, so pipelines are
+    testable end-to-end; pass ``require_codec=True`` to get the
+    honest ``NotImplementedError`` instead of the fallback.
+  * ``codec=`` accepts any picklable ``(content, fmt) -> (h, w,
+    channels, features|None)`` callable — resolution happens on the
+    driver, so injected codecs ship to executors via cloudpickle.
 
 Design for 100 TB of media:
   * media bytes never pass through Python row-at-a-time — Arrow batches
@@ -56,36 +60,75 @@ DECODED_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def _decode_bytes(content: bytes, fmt: str) -> tuple[int, int, int]:
-    """STUB — real codec goes here (PIL/libav not in this container)."""
-    raise NotImplementedError(
-        "media decode requires an image/audio library not present in "
-        "this environment; use deterministic_fake=True for pipeline tests"
-    )
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
-def _fake_decode(content: bytes) -> tuple[int, int, int]:
-    """Deterministic fake: dims derived from the content hash."""
+def _pil_decode(content: bytes, fmt: str):
+    """Real codec (executors re-import PIL): dims from the image
+    header, features = 4×4 grayscale mean-pool (FEATURE_DIM floats in
+    [-1, 1]). Corrupt/undecodable blobs → all-None, not an exception —
+    at 100 TB a handful of bad blobs must not kill the job."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(content)) as img:
+            w, h = img.size
+            c = len(img.getbands())
+            small = img.convert("L").resize((4, 4))
+            feats = [(p / 255.0) * 2.0 - 1.0 for p in small.getdata()]
+        return h, w, c, feats
+    except Exception:  # noqa: BLE001 — corrupt blob → NULL row values
+        return None, None, None, None
+
+
+def _fake_decode(content: bytes, fmt: str):
+    """Deterministic fake: dims + features derived from the content
+    hash — stable across runs/engines for pipeline tests."""
     h = hashlib.sha256(content or b"").digest()
-    return 16 + h[0] % 1024, 16 + h[1] % 1024, (h[2] % 3) + 1
+    feats = [((h[i] / 255.0) * 2.0 - 1.0) for i in range(FEATURE_DIM)]
+    return 16 + h[0] % 1024, 16 + h[1] % 1024, (h[2] % 3) + 1, feats
 
 
-def _extract_features(content: bytes) -> list[float]:
-    """Deterministic fake embedding from the content hash (stub for a
-    real feature extractor); fixed FEATURE_DIM length."""
-    h = hashlib.sha256(content or b"").digest()
-    return [((h[i] / 255.0) * 2.0 - 1.0) for i in range(FEATURE_DIM)]
+def _resolve_codec(deterministic_fake: bool, require_codec: bool, codec):
+    """Driver-time codec choice: explicit codec > forced fake > real
+    PIL when importable > fake fallback (or NotImplementedError when
+    ``require_codec``)."""
+    if codec is not None:
+        return codec
+    if deterministic_fake:
+        return _fake_decode
+    if _pil_available():
+        return _pil_decode
+    if require_codec:
+        raise NotImplementedError(
+            "media decode requires Pillow, which is not importable in "
+            "this environment; install it or use deterministic_fake=True"
+        )
+    return _fake_decode
 
 
 def decode_media(
-    df: DataFrame, deterministic_fake: bool = False
+    df: DataFrame,
+    deterministic_fake: bool = False,
+    require_codec: bool = False,
+    codec=None,
 ) -> DataFrame:
     """media table → decoded metadata + features via mapInPandas.
 
     Arrow-batched: each partition streams pandas batches; the blob
     column is dropped on output so downstream stages shuffle only
-    metadata + features.
-    """
+    metadata + features. The codec is resolved on the driver (see
+    ``_resolve_codec``) and closed over, so a custom ``codec``
+    callable ships to executors by value."""
+    decode = _resolve_codec(deterministic_fake, require_codec, codec)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -94,10 +137,7 @@ def decode_media(
                 pdf["media_id"], pdf["content"], pdf["media_type"]
             ):
                 raw = bytes(content) if content is not None else b""
-                if deterministic_fake:
-                    h, w, c = _fake_decode(raw)
-                else:
-                    h, w, c = _decode_bytes(raw, mtype)  # raises: stub
+                h, w, c, feats = decode(raw, mtype)
                 rows.append(
                     {
                         "media_id": media_id,
@@ -105,7 +145,7 @@ def decode_media(
                         "height": h,
                         "width": w,
                         "n_channels": c,
-                        "features": _extract_features(raw),
+                        "features": feats,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])

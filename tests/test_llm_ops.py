@@ -115,9 +115,16 @@ def test_multimodal_decode_pipeline(spark):
     assert got[1]["features"] == again[1]["features"]
     assert got[1]["height"] != got[2]["height"]  # content-dependent
 
-    # real-codec path is an explicit stub
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
-        mm.decode_media(df, deterministic_fake=False).collect()
+    # require_codec=True is the honest no-fallback path: raises at
+    # call time when Pillow is absent (real decode when it's present)
+    if not mm._pil_available():
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_media(df, require_codec=True)
+        # default resolution falls back to the deterministic fake —
+        # same output as the forced-fake path
+        auto = {r["media_id"]: r for r in mm.decode_media(df).collect()}
+        assert auto[1]["features"] == got[1]["features"]
+        assert auto[1]["height"] == got[1]["height"]
 
     stats = mm.media_stats(df).collect()
     assert {(r["media_type"], r["format"]) for r in stats} == {
@@ -215,3 +222,47 @@ def test_simhash64_md5_matches_oracle_formula(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_multimodal_injected_codec_reaches_executors(spark):
+    """The codec resolves on the driver and closes over the batch fn,
+    so a custom picklable callable ships to Python workers by value —
+    the extension point a real deployment uses."""
+
+    def tiny_codec(content, fmt):
+        if not content:
+            return None, None, None, None  # corrupt/empty → NULLs
+        return 7, 9, 4, [float(len(content))] * mm.FEATURE_DIM
+
+    rows = [
+        (1, b"abc", "image", "png", 3),
+        (2, None, "image", "png", 0),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.decode_media(df, codec=tiny_codec).collect()}
+    assert (got[1]["height"], got[1]["width"], got[1]["n_channels"]) == (7, 9, 4)
+    assert got[1]["features"] == [3.0] * mm.FEATURE_DIM
+    # corrupt-blob contract: NULL metadata, job survives
+    assert got[2]["height"] is None and got[2]["features"] is None
+
+
+def test_multimodal_real_pillow_decode(spark):
+    """Exercises the REAL codec path end-to-end when Pillow is
+    importable (skipped in containers without it)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 8), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    rows = [(1, png, "image", "png", len(png)),
+            (2, b"not an image", "image", "png", 12)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.decode_media(df).collect()}
+    assert (got[1]["height"], got[1]["width"], got[1]["n_channels"]) == (8, 12, 3)
+    assert len(got[1]["features"]) == mm.FEATURE_DIM
+    # solid red → uniform grayscale mean-pool
+    assert len(set(got[1]["features"])) == 1
+    assert got[2]["height"] is None  # corrupt blob → NULLs, no crash
