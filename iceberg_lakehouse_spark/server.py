@@ -1355,7 +1355,9 @@ class LakehouseServer:
 
 
 def main() -> None:
-    LakehouseServer().serve()
+    # lazy: initialize/tools/list and metadata-only tools answer without
+    # paying JVM startup; the first Spark-touching tools/call resolves it
+    LakehouseServer(lazy_spark=True).serve()
 
 
 if __name__ == "__main__":

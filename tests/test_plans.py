@@ -76,6 +76,19 @@ def test_systematic_sample_no_single_partition_window(spark):
     assert "Window" in plan  # per-bucket numbering is still a window
 
 
+def test_moving_avg_window_sits_above_daily_aggregate(spark):
+    """VERDICT r3 #6: daily_revenue_moving_avg uses an unpartitioned
+    RANGE-frame window, acceptable ONLY because its input is the
+    pre-aggregated one-row-per-day relation (bounded by the calendar,
+    not the data). Gate: the Window node consumes the HashAggregate
+    output — if the window ever slides below the rollup, this fails."""
+    plan = plan_of(spark, "daily_revenue_moving_avg")
+    assert "Window" in plan and "HashAggregate" in plan
+    # formatted explain prints parents above children: the Window must
+    # appear before (= above) the aggregate that produces its input
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
 def test_insertion_rowid_no_window_no_shuffle(spark):
     """W3 scale path: failing-row ids come from the decomposition of
     monotonically_increasing_id — no Window, no Exchange at all."""
