@@ -57,7 +57,7 @@ _TYPE_MAP: dict[str, T.DataType] = {
 }
 
 _TRANSFORM_RE = re.compile(
-    r"^\s*(?:(year|month|day|hour)\s*\(\s*(\w+)\s*\)"
+    r"^\s*(?:(year|month|day|hour|identity)\s*\(\s*(\w+)\s*\)"
     r"|bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
     r"|truncate\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
     r"|(\w+))\s*$"
@@ -297,13 +297,22 @@ class LakehouseCatalog:
                 if typ not in _TYPE_MAP:
                     raise ValueError(f"unsupported type {typ!r} for column {col!r}")
                 fields.append({"name": col, "type": _TYPE_MAP[typ].simpleString()})
+        if not fields:
+            raise ValueError("table schema must have at least one column")
         # stable Iceberg-style field ids: assigned once, survive renames,
         # never reused after drops — what lets schema diffs report a
         # rename as a rename (reference schema_evolution.py:122-151)
         for i, f in enumerate(fields):
             f["id"] = i + 1
 
-        spec = [PartitionField.parse(p).to_json() for p in (partition_by or [])]
+        parsed = [PartitionField.parse(p) for p in (partition_by or [])]
+        known = {f["name"] for f in fields}
+        for pf in parsed:  # fail at create time, not first insert
+            if pf.column not in known:
+                raise ValueError(
+                    f"partition column {pf.column!r} not in table schema"
+                )
+        spec = [pf.to_json() for pf in parsed]
         meta = {
             "name": f"{ns}.{t}",
             "schema": {"fields": fields, "version": 1, "last_field_id": len(fields)},
@@ -415,6 +424,24 @@ class LakeTable:
             PartitionField(p["transform"], p["column"], p.get("param"))
             for p in self.meta().get("partition_spec", [])
         ]
+
+    def partitions_info(self) -> dict:
+        """Partition-spec description (reference get_partitions,
+        catalog.py:2362-2412): source column + transform per field."""
+        fields = [
+            {
+                "source_column": pf.column,
+                "transform": pf.transform,
+                "param": pf.param,
+                "name": pf.name,
+            }
+            for pf in self.partition_fields()
+        ]
+        return {
+            "table": f"{self.namespace}.{self.table}",
+            "is_partitioned": bool(fields),
+            "fields": fields,
+        }
 
     def properties(self) -> dict[str, str]:
         return dict(self.meta().get("properties", {}))

@@ -576,9 +576,10 @@ class LakehouseServer:
                            "check": maintenance.check_needed(T(table))},
         )
         self._add(
-            _tool("get_partitions", "Distinct partition values with file counts",
+            _tool("get_partitions", "Partition spec + distinct values with file counts",
                   {"table": _S}, ["table"]),
-            lambda table: T(table).partition_stats(),
+            lambda table: {**T(table).partitions_info(),
+                           "partitions": T(table).partition_stats()},
         )
 
         # -- schema evolution ---------------------------------------------

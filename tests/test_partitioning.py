@@ -1,0 +1,203 @@
+"""Partitioning depth, ported from the assertion content of reference
+tests/test_partitioning.py (405 LoC, 42 tests): transform parse edges,
+create-time validation, hidden-partition layout per transform, the
+get_partitions surface, and stats edges."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from iceberg_lakehouse_spark.catalog import LakehouseCatalog, PartitionField
+from iceberg_lakehouse_spark.operators import crud
+
+
+@pytest.fixture()
+def catalog(spark, tmp_warehouse):
+    return LakehouseCatalog(spark, tmp_warehouse)
+
+
+# ------------------------------------------------------------- parse edges
+
+class TestParseTransform:
+    @pytest.mark.parametrize("spec,transform,column,param", [
+        ("category", "identity", "category", None),
+        ("identity(category)", "identity", "category", None),
+        ("year(ts)", "year", "ts", None),
+        ("month(ts)", "month", "ts", None),
+        ("day(ts)", "day", "ts", None),
+        ("hour(ts)", "hour", "ts", None),
+        ("bucket(16, id)", "bucket", "id", 16),
+        ("truncate(4, name)", "truncate", "name", 4),
+        ("  month( date )  ", "month", "date", None),  # whitespace
+    ])
+    def test_valid_specs(self, spec, transform, column, param):
+        pf = PartitionField.parse(spec)
+        assert (pf.transform, pf.column, pf.param) == (transform, column, param)
+
+    @pytest.mark.parametrize("bad", [
+        "exp(id, 2, 3)",         # unknown transform
+        "bucket(id)",            # bucket missing count
+        "bucket(x, id)",         # bucket non-integer count
+        "truncate(name)",        # truncate missing width
+        "month(a, b)",           # too many args
+        "month()",               # no column
+        "",                      # empty
+    ])
+    def test_invalid_specs_raise(self, bad):
+        with pytest.raises(ValueError, match="invalid partition spec"):
+            PartitionField.parse(bad)
+
+
+# ---------------------------------------------------- create-time validation
+
+class TestCreateValidation:
+    def test_create_empty_columns_raises(self, catalog):
+        with pytest.raises(ValueError, match="at least one column"):
+            catalog.create_table("empty_t", [])
+
+    def test_create_invalid_type_raises(self, catalog):
+        with pytest.raises(ValueError, match="unsupported type"):
+            catalog.create_table("bad_t", [("id", "uuid")])
+
+    def test_create_partition_unknown_column_raises(self, catalog):
+        """Reference raises at CREATE time, not first insert."""
+        with pytest.raises(ValueError, match="not in table schema"):
+            catalog.create_table(
+                "bad_p", [("id", "long")], partition_by=["month(ghost)"]
+            )
+
+    def test_create_duplicate_raises(self, catalog):
+        catalog.create_table("dup_t", [("id", "long")])
+        with pytest.raises(ValueError, match="already exists"):
+            catalog.create_table("dup_t", [("id", "long")])
+
+    def test_create_all_column_types(self, catalog):
+        t = catalog.create_table("all_types", [
+            ("id", "long"), ("name", "string"), ("score", "double"),
+            ("event_date", "date"), ("created_at", "timestamp"),
+            ("active", "boolean"),
+        ])
+        assert len(t.schema().fields) == 6
+        crud.insert_rows(t, [{
+            "id": 1, "name": "a", "score": 0.5,
+            "event_date": datetime.date(2025, 1, 1),
+            "created_at": datetime.datetime(2025, 1, 1, 12, 0),
+            "active": True,
+        }])
+        row = t.scan().collect()[0]
+        assert row["active"] is True
+        assert row["event_date"] == datetime.date(2025, 1, 1)
+
+
+# ------------------------------------------------- insert + layout per transform
+
+ROWS = [
+    {"id": i, "name": n, "d": datetime.date(2025, m, 3)}
+    for i, (n, m) in enumerate([("alice", 1), ("bob", 1), ("carol", 7), ("dave", 12)])
+]
+SCHEMA = [("id", "long"), ("name", "string"), ("d", "date")]
+
+
+class TestInsertIntoPartitioned:
+    def _mk(self, catalog, name, spec):
+        t = catalog.create_table(name, SCHEMA, partition_by=spec)
+        crud.insert_rows(t, ROWS)
+        return t
+
+    def test_month_partitioned_layout_and_data(self, catalog):
+        t = self._mk(catalog, "pt_month", ["month(d)"])
+        assert t.scan().count() == 4
+        parts = {s["partition"] for s in t.partition_stats()}
+        assert parts == {"_p_month_d=1", "_p_month_d=7", "_p_month_d=12"}
+        # hidden partitioning: the scan schema has no partition column
+        assert [f.name for f in t.scan().schema.fields] == ["id", "name", "d"]
+
+    def test_year_partitioned(self, catalog):
+        t = self._mk(catalog, "pt_year", ["year(d)"])
+        assert {s["partition"] for s in t.partition_stats()} == {"_p_year_d=2025"}
+
+    def test_bucket_partitioned_rows_intact(self, catalog):
+        t = self._mk(catalog, "pt_bucket", ["bucket(4, id)"])
+        assert sorted(r["name"] for r in t.scan().collect()) == [
+            "alice", "bob", "carol", "dave"
+        ]
+        # every partition value is a bucket ordinal < 4
+        for s in t.partition_stats():
+            val = int(s["partition"].split("=")[1])
+            assert 0 <= val < 4
+
+    def test_truncate_partitioned(self, catalog):
+        t = self._mk(catalog, "pt_trunc", ["truncate(1, name)"])
+        parts = {s["partition"] for s in t.partition_stats()}
+        assert parts == {"_p_truncate1_name=a", "_p_truncate1_name=b",
+                         "_p_truncate1_name=c", "_p_truncate1_name=d"}
+
+    def test_multiple_partition_fields(self, catalog):
+        t = self._mk(catalog, "pt_multi", ["month(d)", "identity(name)"])
+        info = t.partitions_info()
+        assert [f["source_column"] for f in info["fields"]] == ["d", "name"]
+        assert t.scan().count() == 4
+
+
+# -------------------------------------------------------- get_partitions API
+
+class TestPartitionsInfo:
+    def test_partitioned_table(self, catalog):
+        t = catalog.create_table("pi_t", SCHEMA, partition_by=["month(d)"])
+        info = t.partitions_info()
+        assert info["table"] == "default.pi_t"
+        assert info["is_partitioned"] is True
+        assert info["fields"] == [{
+            "source_column": "d", "transform": "month",
+            "param": None, "name": "_p_month_d",
+        }]
+
+    def test_unpartitioned_table(self, catalog):
+        t = catalog.create_table("pi_plain", SCHEMA)
+        info = t.partitions_info()
+        assert info["is_partitioned"] is False and info["fields"] == []
+
+    def test_nonexistent_table_raises(self, catalog):
+        with pytest.raises(ValueError, match="does not exist"):
+            catalog.load_table("nope")
+
+    def test_with_namespace(self, catalog):
+        catalog.create_table("ns2.pi_ns", SCHEMA, partition_by=["year(d)"])
+        info = catalog.load_table("ns2.pi_ns").partitions_info()
+        assert info["table"] == "ns2.pi_ns"
+
+
+# ----------------------------------------------------------- stats edges
+
+class TestPartitionStatsEdges:
+    def test_unpartitioned_groups_under_sentinel(self, catalog):
+        t = catalog.create_table("ps_plain", SCHEMA)
+        crud.insert_rows(t, ROWS)
+        stats = t.partition_stats()
+        assert len(stats) == 1 and stats[0]["partition"] == "<unpartitioned>"
+        assert stats[0]["file_count"] >= 1 and stats[0]["bytes"] > 0
+
+    def test_partitioned_empty_table(self, catalog):
+        t = catalog.create_table("ps_empty", SCHEMA, partition_by=["month(d)"])
+        assert t.partition_stats() == []
+
+    def test_stats_track_appends(self, catalog):
+        t = catalog.create_table("ps_grow", SCHEMA, partition_by=["month(d)"])
+        crud.insert_rows(t, ROWS[:2])  # both January
+        s1 = {s["partition"]: s for s in t.partition_stats()}
+        assert set(s1) == {"_p_month_d=1"}
+        crud.insert_rows(t, ROWS[2:])  # July + December
+        s2 = {s["partition"]: s for s in t.partition_stats()}
+        assert set(s2) == {"_p_month_d=1", "_p_month_d=7", "_p_month_d=12"}
+        assert s2["_p_month_d=1"]["file_count"] >= s1["_p_month_d=1"]["file_count"]
+
+    def test_partition_pruning_on_derived_column(self, catalog, spark):
+        """The partition transform column prunes the scan: filtering on
+        the raw date hits only matching month dirs' rows."""
+        t = catalog.create_table("ps_prune", SCHEMA, partition_by=["month(d)"])
+        crud.insert_rows(t, ROWS)
+        jan = t.scan().where("d < DATE'2025-02-01'")
+        assert jan.count() == 2
+        assert {r["name"] for r in jan.collect()} == {"alice", "bob"}
