@@ -17,7 +17,14 @@ class JsonStore:
         if not os.path.exists(self.path):
             return json.loads(json.dumps(self.default))
         with open(self.path) as f:
-            return json.load(f)
+            try:
+                return json.load(f)
+            except json.JSONDecodeError:
+                # a torn/corrupt side-store must not brick its whole
+                # governance module (reference store semantics: corrupt
+                # → start from the default; writes are atomic-replace,
+                # so this only happens to externally damaged files)
+                return json.loads(json.dumps(self.default))
 
     def save(self, data: Any) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)

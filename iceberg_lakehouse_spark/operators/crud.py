@@ -21,24 +21,29 @@ from pyspark.sql import functions as F
 from ..catalog import LakeTable
 
 
-def insert_rows(table: LakeTable, rows: list[dict[str, Any]]) -> int:
-    """C1: dict rows → typed DataFrame → append (reference
-    catalog.py:500-629; the per-type Python coercion loops collapse into
-    one createDataFrame against the table schema)."""
-    if not rows:
-        return 0
+def rows_to_df(table: LakeTable, rows: list[dict[str, Any]]) -> DataFrame:
+    """Dict rows → typed DataFrame against the table schema, rejecting
+    unknown columns (reference catalog.py:500-593 coercion surface)."""
     schema = table.schema()
     known = {f.name for f in schema.fields}
     for r in rows:
         unknown = set(r) - known
         if unknown:
             raise ValueError(f"unknown columns: {sorted(unknown)}")
-    df = table.spark.createDataFrame(
+    return table.spark.createDataFrame(
         [tuple(_coerce(r.get(f.name), f.dataType.simpleString()) for f in schema.fields)
          for r in rows],
         schema,
     )
-    table.append(df)
+
+
+def insert_rows(table: LakeTable, rows: list[dict[str, Any]]) -> int:
+    """C1: dict rows → typed DataFrame → append (reference
+    catalog.py:500-629; the per-type Python coercion loops collapse into
+    one createDataFrame against the table schema)."""
+    if not rows:
+        return 0
+    table.append(rows_to_df(table, rows))
     return len(rows)
 
 
@@ -135,11 +140,7 @@ def upsert_rows(
         missing = [k for k in key_columns if r.get(k) is None]
         if missing:
             raise ValueError(f"row missing key columns: {missing}")
-    incoming = table.spark.createDataFrame(
-        [tuple(_coerce(r.get(f.name), f.dataType.simpleString()) for f in schema.fields)
-         for r in rows],
-        schema,
-    )
+    incoming = rows_to_df(table, rows)
     existing = table.scan()
     if existing.isEmpty():
         table.append(incoming)

@@ -509,6 +509,52 @@ class LakehouseServer:
 
             self._tools[tool_name] = (spec, wrapped)
 
+        # validation-on-write (reference insert/update consult the rule
+        # store and raise before any data lands, tests/test_validation.py
+        # TestInsertValidation/TestUpdateValidation). Zero overhead when
+        # no rules exist for the table; wrapped BEFORE audit so rejected
+        # writes never produce an audit entry.
+        def _rules_for(t) -> str | None:
+            for key in (f"{t.namespace}.{t.table}", t.table):
+                if vm.list_rules(key):
+                    return key
+            return None
+
+        def _validated(tool_name: str):
+            from pyspark.sql import functions as F
+
+            spec, fn = self._tools[tool_name]
+
+            def wrapped(**kw):
+                t = c.load_table(kw["table"])
+                key = _rules_for(t)
+                if key is not None:
+                    if "rows" in kw:
+                        batch = crud.rows_to_df(t, kw["rows"])
+                        # unique-vs-existing applies to pure inserts only:
+                        # an upsert legitimately re-sends existing keys
+                        existing = t.scan() if tool_name == "insert" else None
+                    else:  # update: validate the post-update image of
+                        # the matched rows (batch-local rules only)
+                        cond = F.expr(kw["filter"])
+                        updates = kw["updates"]
+                        cols = [
+                            F.lit(updates[f.name]).cast(f.dataType).alias(f.name)
+                            if f.name in updates
+                            else F.col(f.name)
+                            for f in t.schema().fields
+                        ]
+                        batch = t.scan().where(cond).select(*cols)
+                        existing = None
+                    vm.enforce(key, batch, existing=existing)
+                return fn(**kw)
+
+            self._tools[tool_name] = (spec, wrapped)
+
+        _validated("insert")
+        _validated("update")
+        _validated("upsert")
+
         _audited("insert", "insert", "inserted")
         _audited("update", "update", "updated")
         _audited("delete", "delete", "deleted")

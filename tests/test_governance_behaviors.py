@@ -717,3 +717,156 @@ class TestIncremental:
         assert wm.get("p", "a") is None and wm.get("p", "b") is not None
         wm.reset("p")
         assert wm.list("p") == {}
+
+
+class TestValidationOnWrite:
+    """Reference TestInsertValidation/TestUpdateValidation: registered
+    rules gate MCP writes — invalid data raises BEFORE anything lands,
+    and the rejected write leaves no snapshot and no audit entry."""
+
+    @pytest.fixture()
+    def srv(self, tmp_path):
+        from iceberg_lakehouse_spark.server import LakehouseServer
+
+        s = LakehouseServer(home=str(tmp_path / "vw_home"))
+        err, p = self._call(s, "create_table", {
+            "table": "vt", "schema": [["id", "long"], ["amount", "double"]],
+        })
+        assert not err
+        return s
+
+    @staticmethod
+    def _call(s, name, args):
+        import json as _json
+
+        resp = s.handle_request({
+            "jsonrpc": "2.0", "id": 1, "method": "tools/call",
+            "params": {"name": name, "arguments": args},
+        })
+        res = resp["result"]
+        text = res["content"][0]["text"]
+        return res["isError"], (_json.loads(text) if not res["isError"] else text)
+
+    def test_insert_valid_passes(self, srv):
+        self._call(srv, "add_validation_rule",
+                   {"table": "default.vt", "rule_type": "not_null", "column": "id"})
+        err, p = self._call(srv, "insert", {
+            "table": "vt", "rows": [{"id": 1, "amount": 10.0}]})
+        assert not err and p == {"inserted": 1}
+
+    def test_insert_invalid_raises_and_lands_nothing(self, srv):
+        self._call(srv, "add_validation_rule",
+                   {"table": "default.vt", "rule_type": "not_null", "column": "id"})
+        err, text = self._call(srv, "insert", {
+            "table": "vt", "rows": [{"id": None, "amount": 10.0}]})
+        assert err and "validation failed" in text
+        err, p = self._call(srv, "query", {"sql": "SELECT count(*) AS n FROM vt"})
+        assert p[0]["n"] == 0
+        # the rejected write produced no audit entry
+        err, log = self._call(srv, "get_audit_log", {})
+        assert not any(e.get("operation") == "insert" for e in log)
+
+    def test_insert_range_violation_blocked(self, srv):
+        self._call(srv, "add_validation_rule",
+                   {"table": "default.vt", "rule_type": "range",
+                    "column": "amount", "min_value": 0})
+        err, text = self._call(srv, "insert", {
+            "table": "vt", "rows": [{"id": 1, "amount": -5.0}]})
+        assert err and "validation failed" in text
+
+    def test_unique_vs_existing_blocks_reinsert_but_not_upsert(self, srv):
+        self._call(srv, "insert", {"table": "vt",
+                                   "rows": [{"id": 1, "amount": 1.0}]})
+        self._call(srv, "add_validation_rule",
+                   {"table": "default.vt", "rule_type": "unique", "column": "id"})
+        err, text = self._call(srv, "insert", {
+            "table": "vt", "rows": [{"id": 1, "amount": 2.0}]})
+        assert err and "already present" in text
+        # upsert legitimately re-sends the existing key
+        err, p = self._call(srv, "upsert", {
+            "table": "vt", "rows": [{"id": 1, "amount": 2.0}],
+            "key_columns": ["id"]})
+        assert not err and p == {"updated": 1, "inserted": 0}
+
+    def test_update_validates_post_update_image(self, srv):
+        self._call(srv, "insert", {"table": "vt",
+                                   "rows": [{"id": 1, "amount": 10.0}]})
+        self._call(srv, "add_validation_rule",
+                   {"table": "default.vt", "rule_type": "range",
+                    "column": "amount", "min_value": 0})
+        err, text = self._call(srv, "update", {
+            "table": "vt", "filter": "id = 1", "updates": {"amount": -3.0}})
+        assert err and "validation failed" in text
+        err, p = self._call(srv, "query", {"sql": "SELECT amount FROM vt"})
+        assert p[0]["amount"] == 10.0  # untouched
+        err, p = self._call(srv, "update", {
+            "table": "vt", "filter": "id = 1", "updates": {"amount": 3.0}})
+        assert not err and p == {"updated": 1}
+
+    def test_no_rules_zero_interference(self, srv):
+        err, p = self._call(srv, "insert", {
+            "table": "vt", "rows": [{"id": None, "amount": -1.0}]})
+        assert not err and p == {"inserted": 1}
+
+
+class TestValidationRuleEdges:
+    """Remaining reference test_validation.py edges not yet pinned."""
+
+    @pytest.fixture()
+    def vm(self, tmp_path):
+        return ValidationManager(str(tmp_path / "edge_v.json"))
+
+    def test_add_invalid_type_raises(self, vm):
+        with pytest.raises(ValueError, match="unknown rule type"):
+            vm.add_rule("t", "checksum", column="a")
+
+    def test_add_not_null_missing_column_raises(self, vm):
+        with pytest.raises(ValueError, match="requires a column"):
+            vm.add_rule("t", "not_null")
+
+    def test_add_range_missing_bounds_raises(self, vm):
+        with pytest.raises(ValueError, match="min_value and/or max_value"):
+            vm.add_rule("t", "range", column="a")
+
+    def test_rules_isolated_per_table(self, vm):
+        vm.add_rule("t1", "not_null", column="a")
+        vm.add_rule("t2", "not_null", column="b")
+        assert len(vm.list_rules("t1")) == 1
+        assert vm.list_rules("t1")[0]["column"] == "a"
+        assert vm.list_rules("t3") == []
+
+    def test_remove_one_keeps_others(self, vm):
+        r1 = vm.add_rule("t", "not_null", column="a")
+        vm.add_rule("t", "not_null", column="b")
+        assert vm.remove_rule("t", r1["name"]) is True
+        assert [r["column"] for r in vm.list_rules("t")] == ["b"]
+
+    def test_range_nulls_pass(self, vm, spark):
+        """Reference: NULL is not a range violation (not_null owns
+        null policing)."""
+        vm.add_rule("t", "range", column="a", min_value=0, max_value=10)
+        df = spark.createDataFrame([(None,), (5,)], "a int")
+        assert vm.validate("t", df) == []
+
+    def test_empty_batch_passes_all(self, vm, spark):
+        vm.add_rule("t", "not_null", column="a")
+        vm.add_rule("t", "range", column="a", min_value=0)
+        df = spark.createDataFrame([], "a int")
+        assert vm.validate("t", df) == []
+
+    def test_multiple_failures_all_reported(self, vm, spark):
+        vm.add_rule("t", "not_null", column="a")
+        vm.add_rule("t", "range", column="b", max_value=5)
+        vm.add_rule("t", "regex", column="c", pattern="^x")
+        df = spark.createDataFrame([(None, 9, "y")], "a int, b int, c string")
+        v = vm.validate("t", df)
+        assert len(v) == 3
+
+    def test_store_corrupt_json_recovers(self, vm, tmp_path):
+        path = str(tmp_path / "edge_v.json")
+        with open(path, "w") as f:
+            f.write("{not json!!")
+        fresh = ValidationManager(path)
+        assert fresh.list_rules("t") == []  # corrupt store → empty, no crash
+        fresh.add_rule("t", "not_null", column="a")
+        assert len(fresh.list_rules("t")) == 1
