@@ -66,7 +66,8 @@ def load_all() -> dict[str, OracleQuery]:
         temporal,
         text,
     )
-    from . import quality  # noqa: F401  — LAST: keeps the driver's first-50 slate stable
+    from . import quality  # noqa: F401  — after r1/r2: keeps the driver's first-50 slate stable
+    from . import training  # noqa: F401  — round-4 additions, likewise last
 
     # Oracle-paired entries first, rows-only last: the driver's harness may
     # cap how many entries it runs (round 1 ran exactly the first 50), so
