@@ -29,12 +29,22 @@ class SavedQueries:
     def __init__(self, store_path: str):
         self.store = JsonStore(store_path, {"saved": {}, "history": []})
 
-    def save(self, name: str, sql: str, description: str | None = None) -> dict:
+    def save(
+        self,
+        name: str,
+        sql: str,
+        description: str | None = None,
+        overwrite: bool = False,
+    ) -> dict:
+        """Reference queries.py semantics: duplicate names raise unless
+        ``overwrite`` is explicit."""
         if not name or not name.strip():
             raise ValueError("saved query name must be non-empty")
         if not sql or not sql.strip():
             raise ValueError("saved query sql must be non-empty")
         data = self.store.load()
+        if name in data["saved"] and not overwrite:
+            raise ValueError(f"saved query {name!r} already exists")
         data["saved"][name] = {
             "sql": sql,
             "description": description,
@@ -54,7 +64,9 @@ class SavedQueries:
 
     def delete(self, name: str) -> None:
         data = self.store.load()
-        data["saved"].pop(name, None)
+        if name not in data["saved"]:  # reference delete raises on missing
+            raise ValueError(f"saved query {name!r} does not exist")
+        del data["saved"][name]
         self.store.save(data)
 
     def record_history(self, sql: str, duration_s: float, rows: int) -> None:

@@ -687,9 +687,11 @@ class LakehouseServer:
 
         # -- saved queries + history --------------------------------------
         self._add(
-            _tool("save_query", "Save a named SQL query",
-                  {"name": _S, "sql": _S, "description": _S}, ["name", "sql"]),
-            lambda name, sql, description=None: saved.save(name, sql, description),
+            _tool("save_query", "Save a named SQL query (overwrite to replace)",
+                  {"name": _S, "sql": _S, "description": _S, "overwrite": _B},
+                  ["name", "sql"]),
+            lambda name, sql, description=None, overwrite=False: saved.save(
+                name, sql, description, overwrite=overwrite),
         )
         self._add(_tool("list_saved_queries", "List saved queries", {}, []),
                   lambda: saved.list())

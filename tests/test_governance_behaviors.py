@@ -546,10 +546,42 @@ class TestSavedQueries:
         with pytest.raises(ValueError, match="does not exist"):
             sq.get("ghost")
 
-    def test_save_overwrites(self, sq):
+    def test_save_duplicate_raises_unless_overwrite(self, sq):
+        """Reference queries.py: duplicate names raise; explicit
+        overwrite replaces."""
         sq.save("q", "SELECT 1")
-        sq.save("q", "SELECT 2")
+        with pytest.raises(ValueError, match="already exists"):
+            sq.save("q", "SELECT 2")
+        sq.save("q", "SELECT 2", overwrite=True)
         assert sq.get("q")["sql"] == "SELECT 2"
+
+    def test_delete_missing_raises_and_recreate_works(self, sq):
+        with pytest.raises(ValueError, match="does not exist"):
+            sq.delete("ghost")
+        sq.save("q", "SELECT 1", description="d1")
+        sq.delete("q")
+        assert sq.list() == {}
+        sq.save("q", "SELECT 9")  # delete-then-recreate is a fresh save
+        assert sq.get("q")["sql"] == "SELECT 9"
+
+    def test_save_includes_created_at_and_description(self, sq):
+        e = sq.save("q", "SELECT 1", description="daily rollup")
+        assert e["description"] == "daily rollup" and "created" in e
+
+    def test_delete_one_keeps_others(self, sq):
+        sq.save("a", "SELECT 1")
+        sq.save("b", "SELECT 2")
+        sq.delete("a")
+        assert list(sq.list()) == ["b"]
+
+    def test_history_preserved_across_saved_query_ops(self, sq):
+        sq.record_history("SELECT 1", 0.1, 1)
+        sq.save("q", "SELECT 2")
+        sq.delete("q")
+        assert len(sq.history()) == 1
+
+    def test_clear_empty_history_is_zero(self, sq):
+        assert sq.clear_history() == 0
 
     def test_history_capped_and_cleared(self, sq):
         for i in range(5):
