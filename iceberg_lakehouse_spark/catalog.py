@@ -245,8 +245,23 @@ class LakehouseCatalog:
 
     # -- namespaces --------------------------------------------------------
 
-    def create_namespace(self, name: str) -> None:
-        os.makedirs(os.path.join(self.warehouse, name), exist_ok=True)
+    def create_namespace(
+        self,
+        name: str,
+        properties: dict[str, str] | None = None,
+        exists_ok: bool = False,
+    ) -> None:
+        """Reference namespace semantics: duplicate create raises
+        (internal callers pass exists_ok), optional properties persist
+        alongside the namespace."""
+        path = os.path.join(self.warehouse, name)
+        if os.path.isdir(path) and not exists_ok:
+            raise ValueError(f"namespace {name!r} already exists")
+        os.makedirs(path, exist_ok=True)
+        if properties:
+            cur = _read_json(os.path.join(path, "_namespace.json"), {})
+            cur.update(properties)
+            _atomic_write_json(os.path.join(path, "_namespace.json"), cur)
 
     def list_namespaces(self) -> list[str]:
         return sorted(
@@ -255,9 +270,18 @@ class LakehouseCatalog:
             if os.path.isdir(os.path.join(self.warehouse, d))
         )
 
+    def namespace_properties(self, name: str) -> dict[str, str]:
+        path = os.path.join(self.warehouse, name)
+        if not os.path.isdir(path):
+            raise ValueError(f"namespace {name!r} does not exist")
+        return _read_json(os.path.join(path, "_namespace.json"), {})
+
     def drop_namespace(self, name: str) -> None:
         path = os.path.join(self.warehouse, name)
-        if os.path.isdir(path) and os.listdir(path):
+        if not os.path.isdir(path):
+            raise ValueError(f"namespace {name!r} does not exist")
+        # the properties side-file doesn't make a namespace non-empty
+        if any(e != "_namespace.json" for e in os.listdir(path)):
             raise ValueError(f"namespace {name!r} is not empty")
         shutil.rmtree(path, ignore_errors=True)
 
@@ -280,7 +304,7 @@ class LakehouseCatalog:
         properties: dict[str, str] | None = None,
     ) -> "LakeTable":
         ns, t = self._split(name)
-        self.create_namespace(ns)
+        self.create_namespace(ns, exists_ok=True)
         root = os.path.join(self.warehouse, ns, t)
         if os.path.exists(os.path.join(root, "_meta", "table.json")):
             raise ValueError(f"table {ns}.{t} already exists")
@@ -351,9 +375,14 @@ class LakehouseCatalog:
                     out.append(f"{ns}.{t}")
         return out
 
-    def drop_table(self, name: str) -> None:
+    def drop_table(self, name: str, missing_ok: bool = False) -> None:
         ns, t = self._split(name)
-        shutil.rmtree(os.path.join(self.warehouse, ns, t), ignore_errors=True)
+        path = os.path.join(self.warehouse, ns, t)
+        if not os.path.isdir(path):
+            if missing_ok:
+                return
+            raise ValueError(f"table {ns}.{t} does not exist")
+        shutil.rmtree(path, ignore_errors=True)
 
 
 class LakeTable:

@@ -160,7 +160,7 @@ class MatviewManager:
         mviews = self.store.load()
         mv = mviews.pop(name, None)
         if mv:
-            self.catalog.drop_table(mv["backing_table"])
+            self.catalog.drop_table(mv["backing_table"], missing_ok=True)
         self.store.save(mviews)
 
     def list(self) -> dict:

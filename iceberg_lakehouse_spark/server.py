@@ -567,13 +567,18 @@ class LakehouseServer:
         # -- namespaces ----------------------------------------------------
         self._add(_tool("list_namespaces", "List namespaces", {}, []),
                   lambda: c.list_namespaces())
-        self._add(_tool("create_namespace", "Create a namespace", {"name": _S}, ["name"]),
-                  lambda name: (c.create_namespace(name), {"created": name})[1])
+        self._add(_tool("create_namespace", "Create a namespace (optional properties)",
+                        {"name": _S, "properties": {"type": "object"}}, ["name"]),
+                  lambda name, properties=None: (
+                      c.create_namespace(name, properties=properties),
+                      {"created": name})[1])
         self._add(_tool("drop_namespace", "Drop an empty namespace", {"name": _S}, ["name"]),
                   lambda name: (c.drop_namespace(name), {"dropped": name})[1])
-        self._add(_tool("get_namespace_properties", "Tables and counts in a namespace",
+        self._add(_tool("get_namespace_properties", "Namespace properties + tables",
                         {"name": _S}, ["name"]),
-                  lambda name: {"namespace": name, "tables": c.list_tables(name)})
+                  lambda name: {"namespace": name,
+                                "properties": c.namespace_properties(name),
+                                "tables": c.list_tables(name)})
 
         # -- table admin ---------------------------------------------------
         def _alter(table, action, column=None, type=None, new_name=None):

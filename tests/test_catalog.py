@@ -412,3 +412,58 @@ def test_stats_shards_per_commit_and_consolidate(expenses):
     assert os.listdir(expenses._stats_dir) == []
     assert expenses.stored_file_stats() == merged_before
     assert set(expenses.current_snapshot().files) <= set(merged_before)
+
+
+class TestNamespaceLifecycle:
+    """Reference tests/test_namespace.py semantics: duplicate create
+    raises, missing drop raises, non-empty drop raises, properties
+    persist, same table name may live in two namespaces."""
+
+    def test_create_duplicate_raises(self, catalog):
+        catalog.create_namespace("nsx")
+        with pytest.raises(ValueError, match="already exists"):
+            catalog.create_namespace("nsx")
+        catalog.create_namespace("nsx", exists_ok=True)  # internal path
+
+    def test_create_with_properties(self, catalog):
+        catalog.create_namespace("nsp", properties={"owner": "data-eng"})
+        assert catalog.namespace_properties("nsp") == {"owner": "data-eng"}
+        # empty-props namespace reads as {}
+        catalog.create_namespace("nsq")
+        assert catalog.namespace_properties("nsq") == {}
+
+    def test_properties_nonexistent_raises(self, catalog):
+        with pytest.raises(ValueError, match="does not exist"):
+            catalog.namespace_properties("ghost")
+
+    def test_drop_missing_and_nonempty_raise(self, catalog):
+        with pytest.raises(ValueError, match="does not exist"):
+            catalog.drop_namespace("ghost")
+        catalog.create_namespace("busy")
+        catalog.create_table("busy.t", [("id", "long")])
+        with pytest.raises(ValueError, match="not empty"):
+            catalog.drop_namespace("busy")
+        catalog.drop_table("busy.t")
+        catalog.drop_namespace("busy")
+        assert "busy" not in catalog.list_namespaces()
+
+    def test_drop_props_only_namespace_allowed(self, catalog):
+        """The _namespace.json side-file must not count as contents."""
+        catalog.create_namespace("justprops", properties={"a": "1"})
+        catalog.drop_namespace("justprops")
+        assert "justprops" not in catalog.list_namespaces()
+
+    def test_drop_table_missing_raises_unless_ok(self, catalog):
+        with pytest.raises(ValueError, match="does not exist"):
+            catalog.drop_table("ghost")
+        catalog.drop_table("ghost", missing_ok=True)  # no raise
+
+    def test_same_table_name_across_namespaces(self, catalog):
+        a = catalog.create_table("ns_a.metrics", [("id", "long")])
+        b = catalog.create_table("ns_b.metrics", [("id", "long")])
+        crud.insert_rows(a, [{"id": 1}])
+        crud.insert_rows(b, [{"id": 2}, {"id": 3}])
+        assert catalog.load_table("ns_a.metrics").scan().count() == 1
+        assert catalog.load_table("ns_b.metrics").scan().count() == 2
+        assert "ns_a.metrics" in catalog.list_tables("ns_a")
+        assert catalog.list_tables("ns_b") == ["ns_b.metrics"]
