@@ -201,7 +201,8 @@ def import_cmd(ctx, path, table, file_format, if_exists):
 @cli.command("export")
 @click.argument("table")
 @click.argument("path")
-@click.option("--file-format", default="csv")
+@click.option("--file-format", default=None,
+              help="auto-detects from the path extension when omitted")
 @click.option("--where", default=None)
 @click.option("--columns", multiple=True)
 @click.option("--limit", type=int, default=None)

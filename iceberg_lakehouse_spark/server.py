@@ -270,7 +270,7 @@ class LakehouseServer:
                   {"table": _S, "path": _S, "file_format": _S, "where": _S,
                    "columns": {"type": "array"}, "limit": _I},
                   ["table", "path"]),
-            lambda table, path, file_format="csv", where=None, columns=None, limit=None:
+            lambda table, path, file_format=None, where=None, columns=None, limit=None:
                 lio.export_table(c.load_table(table), path, file_format,
                                  where=where, columns=columns, limit=limit),
         )

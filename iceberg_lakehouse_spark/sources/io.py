@@ -102,7 +102,7 @@ def import_file(
 def export_table(
     table: LakeTable,
     path: str,
-    file_format: str = "csv",
+    file_format: str | None = None,
     where: str | None = None,
     columns: list[str] | None = None,
     limit: int | None = None,
@@ -119,13 +119,17 @@ def export_table(
 def export_dataframe(
     df: DataFrame,
     path: str,
-    file_format: str = "csv",
+    file_format: str | None = None,
     where: str | None = None,
     columns: list[str] | None = None,
     limit: int | None = None,
     single_file: bool = True,
 ) -> dict:
-    """S7-S10: pushdown trio applied before the write."""
+    """S7-S10: pushdown trio applied before the write. ``file_format``
+    None = auto-detect from the path extension (reference export
+    auto-detect; .csv default), explicit format overrides."""
+    if file_format is None:
+        file_format = _infer_format(path)
     if where:
         df = df.where(F.expr(where))
     if columns:

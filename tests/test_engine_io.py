@@ -148,3 +148,128 @@ def test_execute_cached_with_history(catalog, tmp_path):
     qc.invalidate_table("expenses")
     eng.execute_cached(sql)
     assert len(sq.history()) == 2
+
+
+class TestExportEdges:
+    """Reference tests/test_export.py: auto-detect, pushdown combos,
+    errors, empty tables, parent dirs."""
+
+    @pytest.fixture()
+    def t(self, catalog):
+        return catalog.load_table("expenses")
+
+    def test_auto_detect_by_extension(self, t, tmp_path):
+        for name, expect in [
+            ("out.csv", "csv"), ("out.tsv", "tsv"), ("out.json", "json"),
+            ("out.ndjson", "ndjson"), ("out.jsonl", "ndjson"),
+            ("out.parquet", "parquet"), ("out.orc", "orc"),
+        ]:
+            p = str(tmp_path / name)
+            res = lio.export_table(t, p)
+            assert res["rows"] == 3, name
+            assert os.path.exists(p), name
+        # .json is a real JSON array; .jsonl is newline-delimited
+        with open(tmp_path / "out.json") as f:
+            assert len(json.load(f)) == 3
+        with open(tmp_path / "out.jsonl") as f:
+            assert len([ln for ln in f if ln.strip()]) == 3
+
+    def test_where_columns_limit_combo(self, t, tmp_path, spark):
+        p = str(tmp_path / "combo.csv")
+        res = lio.export_table(
+            t, p, where="amount >= 10", columns=["id", "amount"], limit=2
+        )
+        assert res["rows"] == 2
+        got = spark.read.option("header", True).csv(p)
+        assert got.columns == ["id", "amount"]
+        assert got.count() == 2
+
+    def test_invalid_column_raises(self, t, tmp_path):
+        with pytest.raises(ValueError, match="unknown columns"):
+            lio.export_table(t, str(tmp_path / "x.csv"), columns=["ghost"])
+
+    def test_unsupported_format_raises(self, t, tmp_path):
+        with pytest.raises(ValueError, match="unsupported format"):
+            lio.export_table(t, str(tmp_path / "x.avro"), file_format="avro")
+
+    def test_empty_table_exports_header_only(self, catalog, tmp_path, spark):
+        empty = catalog.create_table("empty_exp", SCHEMA)
+        p = str(tmp_path / "empty.csv")
+        res = lio.export_table(empty, p)
+        assert res["rows"] == 0
+        assert spark.read.option("header", True).csv(p).count() == 0
+
+    def test_creates_parent_dirs(self, t, tmp_path):
+        p = str(tmp_path / "deep" / "nested" / "out.csv")
+        lio.export_table(t, p)
+        assert os.path.exists(p)
+
+
+class TestImportEdges:
+    """Reference tests/test_import.py: delimiters, headers, overrides,
+    error paths, schema drift on append."""
+
+    def test_custom_delimiter(self, catalog, tmp_path):
+        p = tmp_path / "semi.csv"
+        p.write_text("id;name\n1;alice\n2;bob\n")
+        res = lio.import_file(catalog, str(p), "semi_t", delimiter=";")
+        assert res == {"table": "semi_t", "rows": 2, "mode": "create"}
+        assert catalog.load_table("semi_t").scan().columns == ["id", "name"]
+
+    def test_tsv_auto_detect(self, catalog, tmp_path):
+        p = tmp_path / "tabs.tsv"
+        p.write_text("id\tname\n1\talice\n")
+        res = lio.import_file(catalog, str(p), "tsv_t")
+        assert res["rows"] == 1
+        assert catalog.load_table("tsv_t").scan().collect()[0]["name"] == "alice"
+
+    def test_no_header_generates_column_names(self, catalog, tmp_path):
+        p = tmp_path / "raw.csv"
+        p.write_text("1,alice\n2,bob\n")
+        res = lio.import_file(catalog, str(p), "nohdr_t", has_header=False)
+        assert res["rows"] == 2
+        cols = catalog.load_table("nohdr_t").scan().columns
+        assert cols == ["_c0", "_c1"]
+
+    def test_format_override_beats_extension(self, catalog, tmp_path):
+        p = tmp_path / "data.txt"  # ndjson content, wrong extension
+        p.write_text('{"id": 1}\n{"id": 2}\n')
+        res = lio.import_file(catalog, str(p), "ovr_t", file_format="ndjson")
+        assert res["rows"] == 2
+
+    def test_jsonl_auto_detect(self, catalog, tmp_path):
+        p = tmp_path / "rows.jsonl"
+        p.write_text('{"id": 1}\n{"id": 2}\n{"id": 3}\n')
+        assert lio.import_file(catalog, str(p), "jsonl_t")["rows"] == 3
+
+    def test_missing_file_raises(self, catalog, tmp_path):
+        with pytest.raises(Exception):  # Spark AnalysisException: PATH_NOT_FOUND
+            lio.import_file(catalog, str(tmp_path / "nope.csv"), "missing_t")
+        assert not catalog.table_exists("missing_t")
+
+    def test_unsupported_format_raises(self, catalog, tmp_path):
+        p = tmp_path / "x.csv"
+        p.write_text("id\n1\n")
+        with pytest.raises(ValueError, match="unsupported format"):
+            lio.import_file(catalog, str(p), "bad_t", file_format="avro")
+
+    def test_append_rejects_extra_columns(self, catalog, tmp_path):
+        p = tmp_path / "extra.csv"
+        p.write_text("id,category,amount,bonus\n9,z,1.5,4\n")
+        with pytest.raises(ValueError, match="columns not in table"):
+            lio.import_file(catalog, str(p), "expenses", if_exists="append")
+
+    def test_append_null_fills_missing_columns(self, catalog, tmp_path):
+        p = tmp_path / "narrow.csv"
+        p.write_text("id,category\n9,z\n")
+        res = lio.import_file(catalog, str(p), "expenses", if_exists="append")
+        assert res["mode"] == "append"
+        row = [r for r in catalog.load_table("expenses").scan().collect()
+               if r["id"] == 9][0]
+        assert row["category"] == "z" and row["amount"] is None
+
+    def test_import_with_namespace(self, catalog, tmp_path):
+        p = tmp_path / "ns.csv"
+        p.write_text("id\n1\n")
+        lio.import_file(catalog, str(p), "staging.in_t")
+        assert catalog.load_table("staging.in_t").scan().count() == 1
