@@ -69,6 +69,11 @@ def compute_table_stats(table: LakeTable, top_k: int = 10) -> dict:
         "total_bytes": fs["total_bytes"],
         "snapshot_count": fs["snapshot_count"],
         "columns": columns,
+        "last_modified": (
+            datetime.fromtimestamp(cur.timestamp_ms / 1000, timezone.utc).isoformat()
+            if cur
+            else None
+        ),
         "computed_at": datetime.now(timezone.utc).isoformat(),
     }
 
@@ -103,6 +108,25 @@ class StatsCache:
 
     def peek(self, table_name: str) -> dict | None:
         return self.store.load().get(table_name)
+
+    def refresh(self, tables: "list[LakeTable] | LakeTable") -> dict:
+        """Recompute and cache stats for one or many tables (reference
+        stats.py refresh_stats shape: count / tables_refreshed /
+        duration_seconds / message)."""
+        if isinstance(tables, LakeTable):
+            tables = [tables]
+        t0 = time.time()
+        refreshed = []
+        for t in tables:
+            self.get(t, refresh=True)
+            refreshed.append(f"{t.namespace}.{t.table}")
+        dur = round(time.time() - t0, 3)
+        return {
+            "count": len(refreshed),
+            "tables_refreshed": refreshed,
+            "duration_seconds": dur,
+            "message": f"Refreshed stats for {len(refreshed)} table(s) in {dur}s",
+        }
 
 
 def quality_score(stats: dict, rules_compliance: float = 100.0) -> dict:
@@ -147,6 +171,128 @@ def quality_score(stats: dict, rules_compliance: float = 100.0) -> dict:
         "freshness": round(freshness, 2),
         "rules_compliance": round(rules_compliance, 2),
     }
+
+
+MAX_QUALITY_HISTORY = 50  # reference quality.py:9
+
+
+class QualityMonitor:
+    """Quality scoring with per-table history + cross-table report
+    (reference quality.py:28-340: compute_quality_score /
+    get_quality_history / get_quality_report).
+
+    Rule compliance is computed from the table's validation rules with
+    DataFrame aggregations (ValidationManager._check counts failing rows
+    executor-side) — the reference collects every row to Python and
+    re-validates dict-by-dict (quality.py:98-104), which cannot work at
+    100 TB.
+    """
+
+    def __init__(self, store_path: str):
+        self.store = JsonStore(store_path, {})
+
+    def score(self, table: LakeTable, validation=None, stats: dict | None = None) -> dict:
+        name = f"{table.namespace}.{table.table}"
+        stats = stats or compute_table_stats(table)
+        n = stats.get("row_count", 0)
+
+        rules = validation.list_rules(name) if validation is not None else []
+        if rules and n:
+            violations = validation.validate(name, table.scan())
+            # reference formula (quality.py:100-106): checks = rules×rows,
+            # failures = failing row-checks; missing-column violations
+            # (failed_rows == -1) fail the whole column's checks.
+            total_checks = len(rules) * n
+            failures = sum(
+                n if v["failed_rows"] < 0 else v["failed_rows"] for v in violations
+            )
+            compliance = round(max(0.0, (total_checks - failures) / total_checks) * 100, 1)
+        else:
+            compliance = 100.0
+
+        q = quality_score(stats, rules_compliance=compliance)
+
+        recommendations = []
+        if q["completeness"] < 80:
+            null_cols = [
+                c for c, info in stats.get("columns", {}).items()
+                if n and info.get("nulls", 0) > n * 0.1
+            ]
+            if null_cols:
+                recommendations.append(
+                    "Add NOT NULL constraints to columns with many nulls: "
+                    + ", ".join(null_cols[:3])
+                )
+        if q["uniqueness"] < 50:
+            recommendations.append("Review columns for unexpected duplicates")
+        if q["freshness"] < 50:
+            recommendations.append("Table data may be stale — consider refreshing source data")
+        if compliance < 80:
+            recommendations.append("Review failing validation rules and fix data quality issues")
+
+        entry = {
+            "overall_score": q["score"],
+            "completeness": q["completeness"],
+            "uniqueness": q["uniqueness"],
+            "freshness": q["freshness"],
+            "rule_compliance": compliance,
+            "row_count": n,
+            "column_count": len(stats.get("columns", {})),
+            "recommendations": recommendations,
+            "computed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        data = self.store.load()
+        hist = data.setdefault(name, {"history": []})["history"]
+        hist.append(entry)
+        data[name]["history"] = hist[-MAX_QUALITY_HISTORY:]
+        self.store.save(data)
+        return {
+            "table": name,
+            **entry,
+            "message": f"Quality score for {name!r}: {q['score']}/100",
+        }
+
+    def history(self, table_name: str) -> list[dict]:
+        return self.store.load().get(table_name, {}).get("history", [])
+
+    def report(self, catalog, table_name: str | None = None, validation=None,
+               stats_cache: "StatsCache | None" = None) -> dict:
+        """Score every table (or one), count anomalies vs the cached
+        baseline (reference quality.py:276-329 shape)."""
+        names = [table_name] if table_name else catalog.list_tables()
+        tables_out, scores = [], []
+        for name in names:
+            try:
+                t = catalog.load_table(name)
+                old = stats_cache.peek(f"{t.namespace}.{t.table}") if stats_cache else None
+                fresh = compute_table_stats(t)
+                s = self.score(t, validation=validation, stats=fresh)
+                anomalies = detect_anomalies(old, fresh) if old else []
+                if stats_cache:
+                    stats_cache.get(t, refresh=False)  # seed/refresh baseline
+                tables_out.append(
+                    {
+                        "table": s["table"],
+                        "overall_score": s["overall_score"],
+                        "completeness": s["completeness"],
+                        "uniqueness": s["uniqueness"],
+                        "freshness": s["freshness"],
+                        "rule_compliance": s["rule_compliance"],
+                        "anomalies": len(anomalies),
+                        "anomaly_details": anomalies,
+                        "recommendations": s["recommendations"],
+                    }
+                )
+                scores.append(s["overall_score"])
+            except Exception:
+                tables_out.append(
+                    {"table": name, "overall_score": None, "error": "Could not compute score"}
+                )
+        return {
+            "tables": tables_out,
+            "total_tables": len(names),
+            "average_score": round(sum(scores) / len(scores), 1) if scores else 0,
+        }
 
 
 def detect_anomalies(old_stats: dict, new_stats: dict) -> list[dict]:

@@ -461,7 +461,7 @@ class LakehouseServer:
         )
         from .governance.queries_store import QueryCache, SavedQueries
         from .governance.stats import (
-            compute_table_stats, detect_anomalies, quality_score,
+            QualityMonitor, compute_table_stats, detect_anomalies, quality_score,
         )
         from .governance.tagging import CatalogMetadata, TagManager
         from pyspark.sql import functions as F
@@ -751,6 +751,30 @@ class LakehouseServer:
             _tool("quality_report", "Score + per-column issues",
                   {"table": _S}, ["table"]),
             lambda table: quality_score(compute_table_stats(T(table))),
+        )
+        self._add(
+            _tool("refresh_all_stats", "Recompute stats for every table", {}, []),
+            lambda: stats_cache.refresh([T(t) for t in c.list_tables()]),
+        )
+        quality = QualityMonitor(self._store("quality.json"))
+        self._add(
+            _tool("compute_quality_score",
+                  "Quality score with rule compliance, saved to history",
+                  {"table": _S}, ["table"]),
+            lambda table: quality.score(T(table), validation=vm),
+        )
+        self._add(
+            _tool("quality_history", "Historical quality scores",
+                  {"table": _S}, ["table"]),
+            lambda table: quality.history(
+                table if "." in table else f"default.{table}"),
+        )
+        self._add(
+            _tool("quality_report_all",
+                  "Per-table quality scores + anomaly counts (one or all tables)",
+                  {"table": _S}, []),
+            lambda table=None: quality.report(
+                c, table_name=table, validation=vm, stats_cache=stats_cache),
         )
 
         # -- retention / maintenance policies ------------------------------

@@ -273,6 +273,14 @@ def test_stats_cache_advisor_family(server, seeded):
     assert ok(server, "get_all_stats", {})
     assert ok(server, "detect_anomalies", {"table": seeded}) == []
     assert ok(server, "quality_report", {"table": seeded})["score"] > 0
+    refreshed = ok(server, "refresh_all_stats", {})
+    assert refreshed["count"] >= 1 and "duration_seconds" in refreshed
+    q = ok(server, "compute_quality_score", {"table": seeded})
+    assert q["overall_score"] > 0 and "recommendations" in q
+    hist = ok(server, "quality_history", {"table": seeded})
+    assert len(hist) == 1 and "computed_at" in hist[0]
+    rep = ok(server, "quality_report_all", {"table": seeded})
+    assert rep["total_tables"] == 1 and rep["average_score"] > 0
     ok(server, "get_cache_stats", {})
     ok(server, "list_cached_queries", {})
     ok(server, "invalidate_cache", {})
