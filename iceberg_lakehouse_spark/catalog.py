@@ -890,6 +890,54 @@ class LakeTable:
             "deleted": df_from.exceptAll(df_to.distinct()).distinct(),
         }
 
+    def resolve_snapshot_ref(self, ref: str | int) -> Snapshot:
+        """Resolve a snapshot-id-or-ISO-timestamp reference (reference
+        catalog.py:378-404 _resolve_snapshot_id); raises on junk."""
+        try:
+            return self.snapshot_by_id(int(ref))
+        except (ValueError, TypeError):
+            pass
+        try:
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(str(ref))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return self.snapshot_as_of_timestamp(int(dt.timestamp() * 1000))
+        except ValueError:
+            pass
+        raise ValueError(f"Cannot resolve snapshot reference: {ref}")
+
+    def snapshot_diff_report(
+        self, from_ref: str | int, to_ref: str | int | None = None, max_rows: int = 1000
+    ) -> dict:
+        """Reference-shaped diff (catalog.py:291-376): refs may be
+        snapshot ids or ISO timestamps, ``to`` defaults to current,
+        same-snapshot short-circuits. Summary counts are exact
+        distributed aggregates; detail rows are capped at ``max_rows``
+        (the reference collects everything — unusable at scale)."""
+        from_id = self.resolve_snapshot_ref(from_ref).snapshot_id
+        if to_ref is not None:
+            to_id = self.resolve_snapshot_ref(to_ref).snapshot_id
+        else:
+            cur = self.current_snapshot()
+            to_id = cur.snapshot_id if cur else None
+        empty = {
+            "added": [], "deleted": [], "modified": [],
+            "summary": {"added": 0, "deleted": 0, "modified": 0},
+            "from_snapshot_id": from_id, "to_snapshot_id": to_id,
+        }
+        if from_id == to_id or to_id is None:
+            return empty
+        d = self.snapshot_diff(from_id, to_id)
+        added_n, deleted_n = d["added"].count(), d["deleted"].count()
+        return {
+            **empty,
+            "added": [r.asDict() for r in d["added"].limit(max_rows).collect()],
+            "deleted": [r.asDict() for r in d["deleted"].limit(max_rows).collect()],
+            "summary": {"added": added_n, "deleted": deleted_n, "modified": 0},
+        }
+
     def rollback(self, snapshot_id: int | None = None, as_of: str | None = None) -> Snapshot:
         """Reference semantics (catalog.py:834-906): scan at target and
         overwrite current — a *new* restoring snapshot, not a metadata
@@ -900,6 +948,11 @@ class LakeTable:
         target = self._resolve(snapshot_id, as_of)
         if target is None:
             raise ValueError("no snapshot to roll back to")
+        cur = self.current_snapshot()
+        if cur is not None and cur.snapshot_id == target.snapshot_id:
+            # already at target: no restoring commit (reference returns
+            # "no rollback needed", tests/test_snapshots.py:63-71)
+            return cur
         return self._commit(
             "rollback", target.files, {"restored_snapshot": target.snapshot_id}
         )

@@ -187,15 +187,14 @@ class LakehouseServer:
             lambda table: [s.to_json() for s in c.load_table(table).snapshots()],
         )
         self._add(
-            _tool("snapshot_diff", "Row diff between two snapshots",
-                  {"table": _S, "from_snapshot": _I, "to_snapshot": _I},
-                  ["table", "from_snapshot", "to_snapshot"]),
-            lambda table, from_snapshot, to_snapshot: {
-                k: rows_of(v)
-                for k, v in c.load_table(table)
-                .snapshot_diff(from_snapshot, to_snapshot)
-                .items()
-            },
+            _tool("snapshot_diff",
+                  "Row diff between two snapshots (refs: snapshot id or ISO "
+                  "timestamp; to_snapshot defaults to current)",
+                  {"table": _S, "from_snapshot": {"type": ["integer", "string"]},
+                   "to_snapshot": {"type": ["integer", "string"]}},
+                  ["table", "from_snapshot"]),
+            lambda table, from_snapshot, to_snapshot=None: c.load_table(
+                table).snapshot_diff_report(from_snapshot, to_snapshot),
         )
         self._add(
             _tool("rollback", "Restore table to a snapshot (new restoring commit)",

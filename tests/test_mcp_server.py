@@ -71,6 +71,11 @@ def test_full_crud_flow_through_rpc(server):
         "table": "mcp_t", "from_snapshot": 1, "to_snapshot": 2,
     })
     assert [r["name"] for r in p["added"]] == ["b2"]
+    assert p["summary"] == {"added": 1, "deleted": 1, "modified": 0}
+    assert p["from_snapshot_id"] == 1 and p["to_snapshot_id"] == 2
+    # to_snapshot defaults to current; same-snapshot short-circuits
+    is_err, p, _ = call(server, "snapshot_diff", {"table": "mcp_t", "from_snapshot": 2})
+    assert not is_err and p["summary"]["added"] == 0 and p["added"] == []
     # time-travel query through rpc
     is_err, p, _ = call(server, "query_as_of", {
         "sql": "SELECT name FROM mcp_t ORDER BY id", "table_name": "mcp_t", "as_of": "1",
