@@ -1051,6 +1051,65 @@ class LakeTable:
                 os.remove(os.path.join(self.root, rel))
         return orphans
 
+    def cleanup_orphans_report(self, dry_run: bool = True) -> dict:
+        """Reference-shaped orphan cleanup result (reference
+        catalog.py:2131-2189: found/removed/bytes_reclaimed/files)."""
+        orphans = self.orphan_files()
+        size = sum(
+            os.path.getsize(os.path.join(self.root, f))
+            for f in orphans
+            if os.path.exists(os.path.join(self.root, f))
+        )
+        removed = 0 if dry_run else len(self.cleanup_orphans(dry_run=False))
+        return {
+            "orphan_files_found": len(orphans),
+            "orphan_files_removed": removed,
+            "bytes_reclaimed": 0 if dry_run else size,
+            "dry_run": dry_run,
+            "files": orphans,
+        }
+
+    def maintenance_status(self) -> dict:
+        """Reference maintenance_status fields (catalog.py:2087-2128)."""
+        fs = self.file_stats()
+        orphans = self.orphan_files()
+        orphan_bytes = sum(
+            os.path.getsize(os.path.join(self.root, f))
+            for f in orphans
+            if os.path.exists(os.path.join(self.root, f))
+        )
+        return {
+            "table": f"{self.namespace}.{self.table}",
+            "data_files": fs["file_count"],
+            "total_size_bytes": fs["total_bytes"],
+            "avg_file_size": fs["avg_bytes"],
+            "snapshots": fs["snapshot_count"],
+            "orphan_files": len(orphans),
+            "orphan_bytes": orphan_bytes,
+        }
+
+    def _file_row_counts(self, files: list[str]) -> int | None:
+        """Sum footer row counts (parquet/orc); None when unreadable."""
+        total = 0
+        for f in files:
+            p = os.path.join(self.root, f)
+            if not os.path.exists(p):
+                return None
+            try:
+                if f.endswith(".parquet"):
+                    import pyarrow.parquet as pq
+
+                    total += pq.ParquetFile(p).metadata.num_rows
+                elif f.endswith(".orc"):
+                    import pyarrow.orc as po
+
+                    total += po.ORCFile(p).nrows
+                else:
+                    return None
+            except Exception:  # noqa: BLE001 — counts are best-effort
+                return None
+        return total
+
     def compact(
         self,
         target_partitions: int | None = None,
@@ -1079,6 +1138,13 @@ class LakeTable:
         the same domain (equality locality only)."""
         cur = self.current_snapshot()
         before = len(cur.files) if cur else 0
+        if before == 0:
+            # reference no-ops on an empty table instead of committing
+            # an empty snapshot (tests/test_maintenance.py:52-59)
+            return {
+                "files_before": 0, "files_after": 0, "rows": 0,
+                "message": "table is empty — nothing to compact",
+            }
         df = self.scan()
         pfields = self.partition_fields()
         if sort_by and zorder_by:
@@ -1107,7 +1173,9 @@ class LakeTable:
         return {
             "files_before": before,
             "files_after": len(snap.files),
+            "rows": self._file_row_counts(snap.files),
             "snapshot_id": snap.snapshot_id,
+            "message": f"Compacted {before} → {len(snap.files)} files",
             **({"clustered_by": sort_by} if sort_by else {}),
             **({"zordered_by": zorder_by} if zorder_by else {}),
         }

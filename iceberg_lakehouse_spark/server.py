@@ -243,9 +243,8 @@ class LakehouseServer:
         self._add(
             _tool("cleanup_orphans", "List/delete unreferenced files",
                   {"table": _S, "delete": _B}, ["table"]),
-            lambda table, delete=False: {
-                "orphans": c.load_table(table).cleanup_orphans(dry_run=not delete)
-            },
+            lambda table, delete=False: c.load_table(
+                table).cleanup_orphans_report(dry_run=not delete),
         )
         self._add(
             _tool("partition_stats", "Per-partition file count + bytes",
@@ -622,7 +621,8 @@ class LakehouseServer:
         self._add(
             _tool("maintenance_status", "File stats + whether maintenance is needed",
                   {"table": _S}, ["table"]),
-            lambda table: {"stats": T(table).file_stats(),
+            lambda table: {**T(table).maintenance_status(),
+                           "stats": T(table).file_stats(),
                            "check": maintenance.check_needed(T(table))},
         )
         self._add(
