@@ -461,7 +461,15 @@ _GROUP_HELP = {
 }
 
 
-def _coerce(value: str, json_type: str):
+def _coerce(value: str, json_type):
+    if isinstance(json_type, list):
+        # union type (e.g. ["integer", "string"]): first member that parses wins
+        for t in json_type:
+            try:
+                return _coerce(value, t)
+            except (ValueError, json.JSONDecodeError):
+                continue
+        return value
     if json_type == "integer":
         return int(value)
     if json_type == "number":
@@ -479,11 +487,14 @@ def _make_command(cmd_name: str, tool_name: str, spec: dict) -> click.Command:
     required = set(spec["inputSchema"]["required"])
     params = []
     for arg, schema in props.items():
+        json_type = schema.get("type", "string")
+        if isinstance(json_type, list):
+            json_type = "|".join(json_type)
         params.append(
             click.Option(
                 [f"--{arg.replace('_', '-')}", arg],
                 required=arg in required,
-                help=schema.get("type", "string"),
+                help=json_type,
             )
         )
 
