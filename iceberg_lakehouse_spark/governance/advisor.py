@@ -11,9 +11,12 @@ import re
 from collections import Counter
 
 _TABLE_RE = re.compile(r"\b(?:from|join)\s+([a-zA-Z_][\w.]*)", re.IGNORECASE)
-_FILTER_RE = re.compile(r"\bwhere\b(.*?)(?:\bgroup\b|\border\b|\blimit\b|$)",
+_FILTER_RE = re.compile(r"\bwhere\b(.*?)(?:\bgroup\b|\border\b|\blimit\b|\bhaving\b|$)",
                         re.IGNORECASE | re.DOTALL)
-_COL_RE = re.compile(r"([a-zA-Z_]\w*)\s*(?:=|>|<|>=|<=|like|in)\s", re.IGNORECASE)
+_COL_RE = re.compile(
+    r"([a-zA-Z_][\w.]*)\s*(?:>=|<=|!=|<>|=|>|<|\blike\b|\bin\b|\bis\b)\s",
+    re.IGNORECASE)
+_NON_COLUMN_WORDS = {"and", "or", "not", "null", "true", "false"}
 
 
 def extract_query_tables(sql: str) -> list[str]:
@@ -24,100 +27,178 @@ def extract_filter_columns(sql: str) -> list[str]:
     m = _FILTER_RE.search(sql)
     if not m:
         return []
-    return sorted({c.lower() for c in _COL_RE.findall(m.group(1))})
+    return sorted({c.lower() for c in _COL_RE.findall(m.group(1))
+                   if c.lower() not in _NON_COLUMN_WORDS})
+
+
+def has_aggregation(sql: str) -> bool:
+    return bool(re.search(r"\b(sum|avg|count|min|max|group\s+by)\b", sql, re.IGNORECASE))
+
+
+def has_join(sql: str) -> bool:
+    return bool(re.search(r"\bjoin\b", sql, re.IGNORECASE))
 
 
 def estimate_cost(sql: str, table_stats: dict[str, dict]) -> dict:
     """A12 (reference optimizer.py:261-317): est. scan = Σ rows ×
-    (0.3 if filtered); complexity from has_join/has_agg."""
+    (0.3 if filtered); complexity simple/moderate/complex from
+    has_join × has_aggregation."""
     tables = extract_query_tables(sql)
-    has_filter = bool(_FILTER_RE.search(sql))
-    scanned = 0
+    has_filter = bool(extract_filter_columns(sql))
+    total_rows = 0
+    details = []
     for t in tables:
-        rows = table_stats.get(t, {}).get("row_count", 0)
-        scanned += int(rows * (0.3 if has_filter else 1.0))
-    has_join = bool(re.search(r"\bjoin\b", sql, re.IGNORECASE))
-    has_agg = bool(re.search(r"\b(group\s+by|sum|count|avg|min|max)\b", sql, re.IGNORECASE))
-    complexity = "high" if (has_join and has_agg) else "medium" if (has_join or has_agg) else "low"
+        stats = table_stats.get(t, {})
+        rows = stats.get("row_count", 0)
+        total_rows += rows
+        details.append(
+            {
+                "table": t,
+                "estimated_rows": rows,
+                "size_bytes": stats.get("total_size_bytes", 0),
+            }
+        )
+    scanned = int(total_rows * 0.3) if has_filter else total_rows
+    join_f, agg_f = has_join(sql), has_aggregation(sql)
+    complexity = "complex" if (join_f and agg_f) else "moderate" if (join_f or agg_f) else "simple"
     return {
-        "tables": tables,
+        "sql": sql,
+        "tables_involved": details,
         "estimated_rows_scanned": scanned,
-        "complexity": complexity,
+        "total_source_rows": total_rows,
         "has_filter": has_filter,
+        "has_join": join_f,
+        "has_aggregation": agg_f,
+        "complexity": complexity,
+        "message": f"Query cost estimate: ~{scanned:,} rows scanned across "
+                   f"{len(tables)} table(s) ({complexity})",
     }
 
 
 def analyze_patterns(history: list[dict], slow_factor_p: float = 0.9) -> dict:
     """G21 pattern analysis: frequent tables/filters, p90-slow queries,
     repeated queries (reference optimizer.py:49-130)."""
+    if not history:
+        return {
+            "total_queries": 0,
+            "frequent_tables": [],
+            "frequent_filters": [],
+            "slow_queries": [],
+            "repeated_queries": [],
+            "message": "No query history available",
+        }
     tables = Counter()
     filters = Counter()
     sql_counts = Counter()
     durations = []
     for h in history:
         sql = h.get("sql", "")
-        sql_counts[re.sub(r"\s+", " ", sql.strip()).upper()] += 1
+        sql_counts[re.sub(r"\s+", " ", sql.strip()).rstrip(";").upper()] += 1
         tables.update(extract_query_tables(sql))
         filters.update(extract_filter_columns(sql))
-        if h.get("duration_s") is not None:
-            durations.append((h["duration_s"], sql))
-    durations.sort()
-    p90 = durations[int(len(durations) * slow_factor_p)][0] if durations else 0.0
-    slow = [sql for d, sql in durations if durations and d >= p90 and d > 0]
+        durations.append(h.get("duration_s") or 0.0)
+    sorted_d = sorted(durations)
+    p90_idx = int(len(sorted_d) * slow_factor_p)
+    p90 = sorted_d[min(p90_idx, len(sorted_d) - 1)]
+    slow = [
+        {"sql": h.get("sql", ""), "duration_s": h.get("duration_s") or 0.0,
+         "rows": h.get("rows", 0)}
+        for h in history
+        if (h.get("duration_s") or 0.0) > p90 and p90 > 0
+    ][:10]
+    repeated = [
+        {"sql_pattern": s, "count": c}
+        for s, c in sql_counts.most_common(10)
+        if c > 1
+    ]
     return {
-        "frequent_tables": tables.most_common(10),
-        "frequent_filter_columns": filters.most_common(10),
+        "total_queries": len(history),
+        "frequent_tables": [{"table": t, "count": c} for t, c in tables.most_common(10)],
+        "frequent_filters": [{"column": f, "count": c} for f, c in filters.most_common(10)],
         "slow_threshold_s": p90,
-        "slow_queries": slow[-10:],
-        "repeated_queries": [s for s, c in sql_counts.items() if c >= 2],
+        "slow_queries": slow,
+        "repeated_queries": repeated,
+        "message": f"Analyzed {len(history)} queries: {len(tables)} tables, "
+                   f"{len(repeated)} repeated patterns",
     }
 
 
-def suggest_partitioning(history: list[dict], table_stats: dict[str, dict]) -> list[dict]:
+def suggest_partitioning(history: list[dict], table_stats: dict[str, dict],
+                         current_partition_fields: dict[str, list[str]] | None = None) -> list[dict]:
     """G21: suggest partitioning on frequently-filtered columns with
-    2 ≤ distinct ≤ 1000; benefit ∝ distinct/rows (optimizer.py:183-193)."""
+    2 ≤ distinct ≤ 1000; benefit high/medium/low by distinct/rows ratio
+    (reference optimizer.py:133-196). Columns a table already partitions
+    on are skipped."""
     patterns = analyze_patterns(history)
+    current = current_partition_fields or {}
     out = []
-    for col, uses in patterns["frequent_filter_columns"]:
+    for fc in patterns["frequent_filters"]:
+        col, uses = fc["column"], fc["count"]
         for tname, stats in table_stats.items():
+            if col in current.get(tname, []):
+                continue
             cstats = stats.get("columns", {}).get(col)
             if not cstats:
                 continue
             d, n = cstats.get("distinct", 0), stats.get("row_count", 0)
             if 2 <= d <= 1000 and n:
+                ratio = d / n
+                benefit = "high" if ratio < 0.1 else "medium" if ratio < 0.5 else "low"
                 out.append(
                     {
                         "table": tname,
                         "column": col,
-                        "distinct_values": d,
-                        "benefit": round(1.0 - d / n, 4),
-                        "filter_uses": uses,
+                        "unique_values": d,
+                        "filter_frequency": uses,
+                        "benefit": benefit,
+                        "rationale": f"Column '{col}' is filtered {uses} times with "
+                                     f"{d} unique values ({benefit} partition benefit)",
                     }
                 )
-    return sorted(out, key=lambda s: (-s["filter_uses"], -s["benefit"]))
+    rank = {"high": 0, "medium": 1, "low": 2}
+    return sorted(out, key=lambda s: (-s["filter_frequency"], rank[s["benefit"]]))
 
 
 def suggest_matviews(history: list[dict]) -> list[dict]:
-    """G21: repeated (≥2) queries containing join or aggregation."""
+    """G21: repeated (≥2) queries containing join or aggregation
+    (reference optimizer.py:199-229)."""
     patterns = analyze_patterns(history)
     out = []
-    for sql in patterns["repeated_queries"]:
-        if re.search(r"\b(JOIN|GROUP BY|SUM|COUNT|AVG)\b", sql):
-            out.append({"sql": sql, "reason": "repeated aggregate/join query"})
+    for rq in patterns["repeated_queries"]:
+        sql, count = rq["sql_pattern"], rq["count"]
+        if count >= 2 and (has_aggregation(sql) or has_join(sql)):
+            kind = "aggregation" if has_aggregation(sql) else "join"
+            out.append(
+                {
+                    "sql": sql,
+                    "run_count": count,
+                    "has_aggregation": has_aggregation(sql),
+                    "has_join": has_join(sql),
+                    "tables_involved": extract_query_tables(sql),
+                    "rationale": f"Query run {count} times with {kind} — "
+                                 "good materialization candidate",
+                }
+            )
     return out
 
 
 def optimization_report(history: list[dict], table_stats: dict[str, dict]) -> dict:
-    """G21 report: score 100 − 10·issues (optimizer.py:232-258)."""
+    """G21 report: score 100 − 10·issues, floor 0
+    (reference optimizer.py:232-258)."""
     part = suggest_partitioning(history, table_stats)
     mv = suggest_matviews(history)
     patterns = analyze_patterns(history)
     issues = len(part) + len(mv) + len(patterns["slow_queries"])
+    score = max(0, 100 - 10 * issues)
     return {
-        "score": max(0, 100 - 10 * issues),
+        "query_patterns": patterns,
         "partition_suggestions": part,
-        "matview_suggestions": mv,
-        "patterns": patterns,
+        "materialization_suggestions": mv,
+        "slow_queries": patterns["slow_queries"],
+        "optimization_score": score,
+        "total_suggestions": len(part) + len(mv),
+        "message": f"Optimization report: score {score}/100, {len(part)} partition "
+                   f"and {len(mv)} materialization suggestions",
     }
 
 

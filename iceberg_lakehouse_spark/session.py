@@ -81,7 +81,7 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, object]:
     re-bind the temp views.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     names = (
         "region nation customer supplier part orders lineitem "
@@ -125,13 +125,24 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, object]:
                 # touch it — skip and let a query that DOES need the table
                 # fail with a clear missing-view error instead.
                 continue
-            # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf);
-            # truncate to µs exactly like DuckDB does when reading nanos.
+            # Normalize the driver's timestamp columns to TIMESTAMP (LTZ)
+            # whatever the physical encoding: TIMESTAMP(NANOS) arrives as
+            # long (nanosAsLong conf) and is truncated to µs exactly like
+            # DuckDB does; timestamp[us] without tz arrives as
+            # TIMESTAMP_NTZ and is reinterpreted as UTC (session tz is
+            # UTC, so wall clock == instant — value-identical to DuckDB's
+            # naive reading). Downstream code may then rely on instant
+            # functions like unix_millis that reject NTZ.
             for col in _NANO_TS_COLUMNS.get(name, ()):
-                if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+                if col not in df.columns:
+                    continue
+                dt = df.schema[col].dataType
+                if isinstance(dt, LongType):
                     df = df.withColumn(
                         col, F.timestamp_micros(F.expr(f"{col} div 1000"))
                     )
+                elif isinstance(dt, TimestampNTZType):
+                    df = df.withColumn(col, F.col(col).cast("timestamp"))
             df.createOrReplaceTempView(name)
             tables[name] = df
     # evict superseded entries for the same (session, dir) — a rewritten

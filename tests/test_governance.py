@@ -397,8 +397,8 @@ def test_advisor(table):
     sugg = suggest_partitioning(history, stats)
     assert any(s["column"] == "category" for s in sugg)
     report = optimization_report(history, stats)
-    assert 0 <= report["score"] <= 100
-    assert report["matview_suggestions"]
+    assert 0 <= report["optimization_score"] <= 100
+    assert report["materialization_suggestions"]
 
 
 def test_dashboard(tmp_path, catalog, table):
