@@ -46,7 +46,10 @@ _SQL_CORPUS = """
     sig AS (
         SELECT doc_id,
 """ + ",\n".join(
-    f"               min(md5('{i}:' || shingle)) AS h{i}" for i in range(_K)
+    # chunked digests: h_i = min of the (i%4)-th 8-hex chunk of
+    # md5('{i//4}:'||shingle) — twin of functions.dedup_text
+    f"               min(substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS h{i}"
+    for i in range(_K)
 ) + """
         FROM sh GROUP BY doc_id
     )
