@@ -1,6 +1,8 @@
-"""Lineage graph (SURVEY G4, reference lineage.py:36-286): edges
-sources→target with op+sql, deduped; BFS upstream/downstream with
-visited set + depth; impact analysis."""
+"""Lineage graph (SURVEY G4, reference lineage.py:36-306): edges
+sources→target with op+sql, deduped by (sources, target); BFS
+upstream/downstream with visited set + depth; per-edge removal;
+impact analysis. Bare table names normalize to the ``default``
+namespace exactly like the catalog does (catalog.py:289)."""
 
 from __future__ import annotations
 
@@ -10,57 +12,111 @@ from datetime import datetime, timezone
 from .stores import JsonStore
 
 
+def _normalize(name: str) -> str:
+    return name if "." in name else f"default.{name}"
+
+
 class LineageManager:
     def __init__(self, store_path: str):
         self.store = JsonStore(store_path, {"edges": []})
 
     def record(
-        self, sources: list[str], target: str, operation: str, sql: str | None = None
+        self, sources: list[str], target: str, operation: str = "manual",
+        sql: str | None = None,
     ) -> dict:
+        """Record (or update) the edge sources→target. The dedupe key is
+        (sources, target) — re-recording with a different operation
+        UPDATES the existing edge (reference lineage.py:66-81), it does
+        not create a parallel edge."""
+        if not sources:
+            raise ValueError("sources must not be empty")
+        if not target or not target.strip():
+            raise ValueError("target must not be empty")
+        norm_sources = sorted({_normalize(s) for s in sources if s.strip()})
+        if not norm_sources:
+            raise ValueError("sources must contain at least one non-empty name")
+        norm_target = _normalize(target)
+        now = datetime.now(timezone.utc).isoformat()
         data = self.store.load()
         for e in data["edges"]:
-            if e["sources"] == sorted(sources) and e["target"] == target and e["operation"] == operation:
-                e["last_seen"] = datetime.now(timezone.utc).isoformat()
-                e["sql"] = sql
+            if sorted(e["sources"]) == norm_sources and e["target"] == norm_target:
+                e.update(operation=operation, sql=sql, recorded_at=now)
                 self.store.save(data)
-                return e
+                return {
+                    **e,
+                    "message": f"Updated lineage: {norm_sources} -> {norm_target}",
+                }
         edge = {
-            "sources": sorted(sources),
-            "target": target,
+            "sources": norm_sources,
+            "target": norm_target,
             "operation": operation,
             "sql": sql,
-            "created": datetime.now(timezone.utc).isoformat(),
-            "last_seen": datetime.now(timezone.utc).isoformat(),
+            "recorded_at": now,
         }
         data["edges"].append(edge)
         self.store.save(data)
-        return edge
+        return {
+            **edge,
+            "message": f"Recorded lineage: {norm_sources} -> {norm_target}",
+        }
 
     def edges(self) -> list[dict]:
         return self.store.load()["edges"]
 
-    def remove(self, table: str) -> int:
-        """Drop every edge that touches ``table`` (as target or source);
-        other tables' edges are preserved. Returns removed-edge count
-        (reference lineage remove-node semantics)."""
+    def remove(self, source: str, target: str) -> dict:
+        """Remove edge(s) where ``source`` is among the sources AND the
+        target matches (reference lineage.py:234-259). Returns
+        {removed, message}."""
+        src, tgt = _normalize(source), _normalize(target)
         data = self.store.load()
         before = len(data["edges"])
         data["edges"] = [
             e
             for e in data["edges"]
-            if e["target"] != table and table not in e["sources"]
+            if not (src in e["sources"] and e["target"] == tgt)
+        ]
+        removed = before - len(data["edges"])
+        self.store.save(data)
+        if removed == 0:
+            return {
+                "removed": 0,
+                "message": f"No lineage edge found from {src} to {tgt}",
+            }
+        return {
+            "removed": removed,
+            "message": f"Removed {removed} lineage edge(s) from {src} to {tgt}",
+        }
+
+    def remove_table(self, table: str) -> int:
+        """Drop every edge that touches ``table`` (as target or source);
+        used when a table is dropped from the catalog. Returns
+        removed-edge count."""
+        t = _normalize(table)
+        data = self.store.load()
+        before = len(data["edges"])
+        data["edges"] = [
+            e for e in data["edges"] if e["target"] != t and t not in e["sources"]
         ]
         self.store.save(data)
         return before - len(data["edges"])
 
-    def upstream(self, table: str, max_depth: int = 10) -> list[dict]:
-        return self._walk(table, direction="up", max_depth=max_depth)
+    def upstream(
+        self, table: str, max_depth: int = 10, transitive: bool = True
+    ) -> list[dict]:
+        return self._walk(
+            table, direction="up", max_depth=max_depth if transitive else 1
+        )
 
-    def downstream(self, table: str, max_depth: int = 10) -> list[dict]:
-        return self._walk(table, direction="down", max_depth=max_depth)
+    def downstream(
+        self, table: str, max_depth: int = 10, transitive: bool = True
+    ) -> list[dict]:
+        return self._walk(
+            table, direction="down", max_depth=max_depth if transitive else 1
+        )
 
     def _walk(self, start: str, direction: str, max_depth: int) -> list[dict]:
         edges = self.edges()
+        start = _normalize(start)
         out, visited = [], {start}
         frontier = deque([(start, 0)])
         while frontier:
@@ -84,19 +140,35 @@ class LineageManager:
         return out
 
     def impact(self, table: str) -> dict:
-        down = self.downstream(table)
+        """Downstream blast radius of dropping/modifying ``table``
+        (reference lineage.py:262-290)."""
+        t = _normalize(table)
+        down = self.downstream(t)
+        affected = [d["table"] for d in down]
         return {
-            "table": table,
-            "impacted": [d["table"] for d in down],
-            "count": len(down),
+            "table": t,
+            "affected_tables": affected,
+            "affected_count": len(affected),
+            "details": down,
+            "message": (
+                f"Dropping {t} would affect {len(affected)} table(s)"
+                if affected
+                else f"No downstream dependencies for {t}"
+            ),
         }
 
     def graph(self) -> dict:
         nodes: set[str] = set()
-        for e in self.edges():
+        edges = self.edges()
+        for e in edges:
             nodes.update(e["sources"])
             nodes.add(e["target"])
-        return {"nodes": sorted(nodes), "edges": self.edges()}
+        return {
+            "nodes": sorted(nodes),
+            "edges": edges,
+            "node_count": len(nodes),
+            "edge_count": len(edges),
+        }
 
 
 def extract_tables(sql: str, known_tables: list[str]) -> list[str]:

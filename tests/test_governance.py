@@ -152,9 +152,9 @@ def test_lineage_walks(tmp_path):
     lm.record(["b"], "c", "matview")
     lm.record(["b"], "c", "matview")  # dedupe
     assert len(lm.edges()) == 2
-    assert [d["table"] for d in lm.downstream("a")] == ["b", "c"]
-    assert [d["table"] for d in lm.upstream("c")] == ["b", "a"]
-    assert lm.impact("a")["count"] == 2
+    assert [d["table"] for d in lm.downstream("a")] == ["default.b", "default.c"]
+    assert [d["table"] for d in lm.upstream("c")] == ["default.b", "default.a"]
+    assert lm.impact("a")["affected_count"] == 2
     assert extract_tables("SELECT * FROM orders JOIN lineitem", ["default.orders", "default.lineitem", "default.part"]) == ["default.orders", "default.lineitem"]
 
 
@@ -167,8 +167,8 @@ def test_tagging_and_metadata(tmp_path):
     tm.set_description("expenses", "Monthly expense fact table")
     tm.bookmark("expenses")
     assert tm.info("expenses")["tags"] == ["finance", "monthly"]
-    assert tm.bookmarks() == ["expenses"]
-    assert tm.search("finance")[0]["table"] == "expenses"
+    assert tm.bookmarks() == ["default.expenses"]
+    assert tm.search("finance")[0]["table"] == "default.expenses"
     assert tm.search("exp", catalog_tables=["default.expenses2"])  # catalog names too
 
     cm = CatalogMetadata(str(tmp_path / "meta.json"))

@@ -76,12 +76,12 @@ def test_lineage_cycle_terminates_and_remove_preserves_others(tmp_path):
     lin.record(["b"], "a", operation="backfill")  # cycle a↔b
     lin.record(["b"], "c", operation="mv")
     up = lin.upstream("a")  # must terminate despite the cycle
-    assert {d["table"] for d in up} <= {"a", "b"}
+    assert {d["table"] for d in up} <= {"default.a", "default.b"}
     impact = lin.impact("a")
-    assert "c" in impact["impacted"]
-    removed = lin.remove("c")
-    assert removed == 1
-    assert {e["target"] for e in lin.edges()} == {"a", "b"}
+    assert "default.c" in impact["affected_tables"]
+    removed = lin.remove("b", "c")
+    assert removed["removed"] == 1
+    assert {e["target"] for e in lin.edges()} == {"default.a", "default.b"}
 
 
 def test_lineage_depth_limit(tmp_path):
@@ -91,7 +91,7 @@ def test_lineage_depth_limit(tmp_path):
     for i in range(5):
         lin.record([f"t{i}"], f"t{i+1}", operation="step")
     deep = lin.downstream("t0", max_depth=2)
-    assert {d["table"] for d in deep} == {"t1", "t2"}
+    assert {d["table"] for d in deep} == {"default.t1", "default.t2"}
 
 
 # -------------------------------------------------------------- pipelines
