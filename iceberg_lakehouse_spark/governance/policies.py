@@ -190,58 +190,225 @@ class SlaManager:
 
 
 class NotificationManager:
-    """G9: handlers per (table, event); fire_event appends to history
-    (log handler) — webhook-style handlers record the payload."""
+    """G9 (reference notifications.py:13-263): typed handlers keyed by
+    a 12-hex handler_id; fire_event EXECUTES each matching handler
+    best-effort (log append / shell subprocess / webhook POST) and
+    appends a history entry with per-handler results."""
 
-    EVENTS = {"insert", "update", "delete", "quality_drop", "sla_violation", "any"}
+    VALID_EVENT_TYPES = {
+        "write", "schema_change", "sla_violation", "maintenance",
+        "contract_violation", "all",
+    }
+    VALID_HANDLER_TYPES = {"webhook", "shell", "log"}
+    MAX_HISTORY = 1000
 
     def __init__(self, store_path: str):
-        self.store = JsonStore(store_path, {"handlers": [], "history": []})
+        self.store = JsonStore(store_path, {"handlers": {}, "history": []})
 
-    def add_handler(self, table: str, event: str, kind: str = "log", target: str | None = None) -> dict:
-        if event not in self.EVENTS:
-            raise ValueError(f"unknown event {event!r}")
+    @staticmethod
+    def _normalize(name: str) -> str:
+        if name == "*":
+            return name
+        return name if "." in name else f"default.{name}"
+
+    def add_handler(
+        self, table: str, event_type: str, handler_type: str = "log",
+        config: dict | None = None,
+    ) -> dict:
+        if not table or not table.strip():
+            raise ValueError("Table name cannot be empty")
+        table = self._normalize(table)
+        if event_type not in self.VALID_EVENT_TYPES:
+            raise ValueError(
+                f"Invalid event type '{event_type}'. Must be one of: "
+                f"{sorted(self.VALID_EVENT_TYPES)}"
+            )
+        if handler_type not in self.VALID_HANDLER_TYPES:
+            raise ValueError(
+                f"Invalid handler type '{handler_type}'. Must be one of: "
+                f"{sorted(self.VALID_HANDLER_TYPES)}"
+            )
+        config = config or {}
+        if handler_type == "webhook" and "url" not in config:
+            raise ValueError("Webhook handler requires 'url' in config")
+        if handler_type == "shell" and "command" not in config:
+            raise ValueError("Shell handler requires 'command' in config")
+        if handler_type == "log" and "file" not in config:
+            raise ValueError("Log handler requires 'file' in config")
+        import uuid
+
         data = self.store.load()
-        h = {"table": table, "event": event, "kind": kind, "target": target}
-        data["handlers"].append(h)
+        handler_id = uuid.uuid4().hex[:12]
+        data["handlers"][handler_id] = {
+            "table": table,
+            "event_type": event_type,
+            "handler_type": handler_type,
+            "config": config,
+            "created_at": datetime.now(timezone.utc).isoformat(),
+        }
         self.store.save(data)
-        return h
+        return {
+            "handler_id": handler_id,
+            "table": table,
+            "event_type": event_type,
+            "handler_type": handler_type,
+            "message": f"Registered {handler_type} handler for '{table}' "
+                       f"on {event_type} events",
+        }
 
     def list_handlers(self, table: str | None = None) -> list[dict]:
         handlers = self.store.load()["handlers"]
-        return [h for h in handlers if table is None or h["table"] == table]
+        out = [{"handler_id": hid, **h} for hid, h in handlers.items()]
+        if table is not None:
+            t = self._normalize(table)
+            out = [h for h in out if h["table"] == t]
+        return out
 
-    def remove_handler(self, table: str, event: str) -> int:
+    def remove_handler(self, handler_id: str) -> dict:
         data = self.store.load()
-        before = len(data["handlers"])
-        data["handlers"] = [
-            h for h in data["handlers"]
-            if not (h["table"] == table and h["event"] == event)
+        if handler_id not in data["handlers"]:
+            return {
+                "handler_id": handler_id,
+                "message": f"No handler found with ID '{handler_id}'",
+            }
+        del data["handlers"][handler_id]
+        self.store.save(data)
+        return {
+            "handler_id": handler_id,
+            "message": f"Removed handler '{handler_id}'",
+        }
+
+    def remove_matching(self, table: str, event_type: str) -> int:
+        """Remove every handler registered for (table, event_type);
+        returns removed count (server/CLI convenience)."""
+        t = self._normalize(table)
+        data = self.store.load()
+        doomed = [
+            hid
+            for hid, h in data["handlers"].items()
+            if h["table"] == t and h["event_type"] == event_type
         ]
+        for hid in doomed:
+            del data["handlers"][hid]
         self.store.save(data)
-        return before - len(data["handlers"])
+        return len(doomed)
 
-    def fire_event(self, table: str, event: str, payload: dict | None = None) -> list[dict]:
-        data = self.store.load()
-        fired = []
-        for h in data["handlers"]:
-            if h["table"] in (table, "*") and h["event"] in (event, "any"):
-                entry = {
-                    "table": table,
-                    "event": event,
-                    "handler": h["kind"],
-                    "target": h.get("target"),
-                    "payload": payload or {},
-                    "at": datetime.now(timezone.utc).isoformat(),
+    def _execute_handler(
+        self, handler: dict, table: str, event_type: str, payload: dict
+    ) -> dict:
+        """Best-effort execution: errors are returned, never raised
+        (reference notifications.py:168-232)."""
+        import json as _json
+
+        handler_type = handler["handler_type"]
+        config = handler["config"]
+        event_data = _json.dumps(
+            {
+                "table": table,
+                "event_type": event_type,
+                "timestamp": datetime.now(timezone.utc).isoformat(),
+                "payload": payload,
+            },
+            default=str,
+        )
+        try:
+            if handler_type == "webhook":
+                import urllib.request
+
+                req = urllib.request.Request(
+                    config["url"],
+                    data=event_data.encode("utf-8"),
+                    headers={"Content-Type": "application/json"},
+                    method=config.get("method", "POST"),
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=5) as resp:
+                        return {"status": "success", "http_status": resp.status}
+                except Exception as e:  # noqa: BLE001
+                    return {"status": "error", "error": str(e)}
+            elif handler_type == "shell":
+                import subprocess
+
+                result = subprocess.run(
+                    config["command"], shell=True, capture_output=True,
+                    text=True, timeout=10,
+                    env={"LAKEHOUSE_EVENT": event_data},
+                )
+                return {
+                    "status": "success" if result.returncode == 0 else "error",
+                    "returncode": result.returncode,
+                    "stdout": result.stdout[:500],
+                    "stderr": result.stderr[:500],
                 }
-                data["history"].append(entry)
-                fired.append(entry)
-        data["history"] = data["history"][-1000:]
-        self.store.save(data)
-        return fired
+            elif handler_type == "log":
+                import os
 
-    def history(self, table: str | None = None, limit: int = 100) -> list[dict]:
+                log_file = config["file"]
+                parent = os.path.dirname(log_file)
+                if parent:
+                    os.makedirs(parent, exist_ok=True)
+                with open(log_file, "a", encoding="utf-8") as f:
+                    f.write(event_data + "\n")
+                return {"status": "success", "file": log_file}
+        except Exception as e:  # noqa: BLE001
+            return {"status": "error", "error": str(e)}
+        return {"status": "error", "error": f"Unknown handler type: {handler_type}"}
+
+    def fire_event(self, table: str, event_type: str, payload: dict | None = None) -> dict:
+        table = self._normalize(table)
+        payload = payload or {}
+        data = self.store.load()
+        results = []
+        for hid, h in data["handlers"].items():
+            table_match = h["table"] in (table, "default.*", "*")
+            event_match = h["event_type"] in (event_type, "all")
+            if table_match and event_match:
+                result = self._execute_handler(h, table, event_type, payload)
+                results.append({"handler_id": hid, **result})
+        entry = {
+            "table": table,
+            "event_type": event_type,
+            "fired_at": datetime.now(timezone.utc).isoformat(),
+            "handlers_triggered": len(results),
+            "results": results,
+        }
+        data["history"].append(entry)
+        data["history"] = data["history"][-self.MAX_HISTORY:]
+        self.store.save(data)
+        return {
+            **entry,
+            "message": f"Fired '{event_type}' event for '{table}': "
+                       f"{len(results)} handlers triggered",
+        }
+
+    def history(
+        self, table: str | None = None, limit: int = 50,
+        event_type: str | None = None,
+    ) -> list[dict]:
         hist = self.store.load()["history"]
         if table:
-            hist = [h for h in hist if h["table"] == table]
+            t = self._normalize(table)
+            hist = [h for h in hist if h["table"] == t]
+        if event_type:
+            hist = [h for h in hist if h["event_type"] == event_type]
         return list(reversed(hist[-limit:]))
+
+    def send_test_event(self, handler_id: str) -> dict:
+        data = self.store.load()
+        if handler_id not in data["handlers"]:
+            return {
+                "handler_id": handler_id,
+                "message": f"No handler found with ID '{handler_id}'",
+            }
+        handler = data["handlers"][handler_id]
+        result = self._execute_handler(
+            handler, handler["table"], "test",
+            {"test": True, "message": "This is a test event from the lakehouse"},
+        )
+        return {
+            "handler_id": handler_id,
+            "handler_type": handler["handler_type"],
+            "result": result,
+            "message": f"Test event sent to handler '{handler_id}': "
+                       f"{result['status']}",
+        }

@@ -920,19 +920,34 @@ class LakehouseServer:
         )
         self._add(_tool("get_sla_history", "Past SLA checks", {"table": _S}, ["table"]),
                   lambda table: sla.history(table))
+        def _handler_config(kind: str, target: str | None) -> dict:
+            """Map the tool's flat `target` onto the handler-type's
+            required config key; log handlers default to a file next to
+            the notification store."""
+            if kind == "webhook":
+                return {"url": target} if target else {}
+            if kind == "shell":
+                return {"command": target} if target else {}
+            return {"file": target or self._store("events.log")}
+
         self._add(
             _tool("register_notification", "Handler for table events",
                   {"table": _S, "event": _S, "kind": _S, "target": _S},
                   ["table", "event"]),
             lambda table, event, kind="log", target=None: notify.add_handler(
-                table, event, kind, target),
+                table, event, kind, _handler_config(kind, target)),
         )
         self._add(_tool("list_notifications", "Registered handlers", {"table": _S}, []),
                   lambda table=None: notify.list_handlers(table))
         self._add(
             _tool("remove_notification", "Remove handlers for (table, event)",
                   {"table": _S, "event": _S}, ["table", "event"]),
-            lambda table, event: {"removed": notify.remove_handler(table, event)},
+            lambda table, event: {"removed": notify.remove_matching(table, event)},
+        )
+        self._add(
+            _tool("test_notification", "Send a test event to one handler",
+                  {"handler_id": _S}, ["handler_id"]),
+            lambda handler_id: notify.send_test_event(handler_id),
         )
         self._add(
             _tool("get_notification_history", "Fired notifications",

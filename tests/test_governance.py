@@ -375,11 +375,13 @@ def test_sla_and_notifications(tmp_path, table):
     assert len(sm.history("default.expenses")) == 1
 
     nm = NotificationManager(str(tmp_path / "notif.json"))
-    nm.add_handler("default.expenses", "sla_violation")
-    nm.add_handler("*", "any")
+    log = str(tmp_path / "events.log")
+    nm.add_handler("default.expenses", "sla_violation", "log", {"file": log})
+    nm.add_handler("*", "all", "log", {"file": log})
     fired = nm.fire_event("default.expenses", "sla_violation", {"violations": res["violations"]})
-    assert len(fired) == 2
-    assert len(nm.history("default.expenses")) == 2
+    assert fired["handlers_triggered"] == 2
+    hist = nm.history("default.expenses")
+    assert len(hist) == 1 and hist[0]["handlers_triggered"] == 2
 
 
 # -- advisor / dashboard (G21/G17/A12) ------------------------------------

@@ -453,34 +453,38 @@ class TestNotifications:
     def nm(self, tmp_path):
         return NotificationManager(str(tmp_path / "n.json"))
 
-    def test_unknown_event_raises(self, nm):
-        with pytest.raises(ValueError, match="unknown event"):
-            nm.add_handler("t", "reboot")
+    @pytest.fixture()
+    def log(self, tmp_path):
+        return {"file": str(tmp_path / "events.log")}
 
-    def test_fire_matches_table_and_event(self, nm):
-        nm.add_handler("t", "insert")
-        assert len(nm.fire_event("t", "insert")) == 1
-        assert nm.fire_event("t", "delete") == []
-        assert nm.fire_event("other", "insert") == []
+    def test_unknown_event_raises(self, nm, log):
+        with pytest.raises(ValueError, match="Invalid event type"):
+            nm.add_handler("t", "reboot", "log", log)
 
-    def test_wildcard_table_and_any_event(self, nm):
-        nm.add_handler("*", "any")
-        assert len(nm.fire_event("whatever", "delete")) == 1
+    def test_fire_matches_table_and_event(self, nm, log):
+        nm.add_handler("t", "write", "log", log)
+        assert nm.fire_event("t", "write")["handlers_triggered"] == 1
+        assert nm.fire_event("t", "maintenance")["handlers_triggered"] == 0
+        assert nm.fire_event("other", "write")["handlers_triggered"] == 0
 
-    def test_history_filter_and_order(self, nm):
-        nm.add_handler("a", "insert")
-        nm.add_handler("b", "insert")
-        nm.fire_event("a", "insert")
-        nm.fire_event("b", "insert")
+    def test_wildcard_table_and_all_events(self, nm, log):
+        nm.add_handler("*", "all", "log", log)
+        assert nm.fire_event("whatever", "maintenance")["handlers_triggered"] == 1
+
+    def test_history_filter_and_order(self, nm, log):
+        nm.add_handler("a", "write", "log", log)
+        nm.add_handler("b", "write", "log", log)
+        nm.fire_event("a", "write")
+        nm.fire_event("b", "write")
         hist = nm.history()
-        assert hist[0]["table"] == "b"  # most recent first
-        assert [h["table"] for h in nm.history("a")] == ["a"]
+        assert hist[0]["table"] == "default.b"  # most recent first
+        assert [h["table"] for h in nm.history("a")] == ["default.a"]
 
-    def test_remove_handler(self, nm):
-        nm.add_handler("t", "insert")
-        assert nm.remove_handler("t", "insert") == 1
-        assert nm.remove_handler("t", "insert") == 0
-        assert nm.fire_event("t", "insert") == []
+    def test_remove_matching(self, nm, log):
+        nm.add_handler("t", "write", "log", log)
+        assert nm.remove_matching("t", "write") == 1
+        assert nm.remove_matching("t", "write") == 0
+        assert nm.fire_event("t", "write")["handlers_triggered"] == 0
 
 
 # ------------------------------------------------------- tagging + glossary
@@ -506,7 +510,7 @@ class TestTagging:
         tm.bookmark("t1")
         tm.bookmark("t2")
         tm.bookmark("t1", False)
-        assert tm.bookmarks() == ["t2"]
+        assert tm.bookmarks() == ["default.t2"]
 
 
 class TestCatalogMetadata:

@@ -299,12 +299,16 @@ def test_stats_cache_advisor_family(server, seeded):
 
 def test_notifications_audit_family(server, seeded):
     full = f"default.{seeded}"
-    ok(server, "register_notification", {"table": full, "event": "insert"})
+    reg = ok(server, "register_notification", {"table": full, "event": "write"})
+    assert reg["handler_id"]
     assert ok(server, "list_notifications", {"table": full})
-    fired = ok(server, "fire_event", {"table": full, "event": "insert"})
-    assert len(fired) == 1
+    fired = ok(server, "fire_event", {"table": full, "event": "write"})
+    assert fired["handlers_triggered"] == 1
+    assert fired["results"][0]["status"] == "success"
+    tested = ok(server, "test_notification", {"handler_id": reg["handler_id"]})
+    assert tested["result"]["status"] == "success"
     assert ok(server, "get_notification_history", {})
-    assert ok(server, "remove_notification", {"table": full, "event": "insert"})["removed"] == 1
+    assert ok(server, "remove_notification", {"table": full, "event": "write"})["removed"] == 1
     ok(server, "get_audit_log", {})
     ok(server, "clear_audit_log", {})
 
