@@ -10,9 +10,17 @@ from ..catalog import LakeTable
 from .stores import JsonStore
 
 
+def _normalize_table(name: str) -> str:
+    return name if "." in name else f"default.{name}"
+
+
 class RetentionManager:
-    """G10: {max_snapshot_age_hours, max_snapshot_count,
-    min_snapshots_to_keep≥1}; evaluate → expire; dry-run."""
+    """G10 (reference retention.py:34-259): policies
+    {max_snapshot_age_hours>0, max_snapshot_count≥1,
+    min_snapshots_to_keep≥1} with created_at/last_evaluated; evaluate
+    computes the expire set by age∪count, clamps to min-keep, and acts
+    (or reports would_expire on dry-run) with the reference action
+    vocabulary no_action/would_expire/expired/error."""
 
     def __init__(self, store_path: str):
         self.store = JsonStore(store_path, {})
@@ -24,51 +32,148 @@ class RetentionManager:
         max_snapshot_count: int | None = None,
         min_snapshots_to_keep: int = 1,
     ) -> dict:
-        if min_snapshots_to_keep < 1:
-            raise ValueError("min_snapshots_to_keep must be >= 1")
+        if not table or not table.strip():
+            raise ValueError("Table name cannot be empty")
+        table = _normalize_table(table)
+        if max_snapshot_age_hours is not None and (
+            not isinstance(max_snapshot_age_hours, (int, float))
+            or max_snapshot_age_hours <= 0
+        ):
+            raise ValueError("max_snapshot_age_hours must be a positive number")
+        if max_snapshot_count is not None and (
+            not isinstance(max_snapshot_count, int) or max_snapshot_count < 1
+        ):
+            raise ValueError("max_snapshot_count must be a positive integer")
+        if not isinstance(min_snapshots_to_keep, int) or min_snapshots_to_keep < 1:
+            raise ValueError("min_snapshots_to_keep must be a positive integer")
         data = self.store.load()
         data[table] = {
             "max_snapshot_age_hours": max_snapshot_age_hours,
             "max_snapshot_count": max_snapshot_count,
             "min_snapshots_to_keep": min_snapshots_to_keep,
+            "created_at": datetime.now(timezone.utc).isoformat(),
+            "last_evaluated": None,
         }
         self.store.save(data)
-        return data[table]
+        return {
+            "table": table,
+            "policy": data[table],
+            "message": f"Retention policy set for '{table}'",
+        }
 
     def get_policy(self, table: str) -> dict | None:
-        return self.store.load().get(table)
+        return self.store.load().get(_normalize_table(table))
 
-    def list_policies(self) -> dict:
-        return self.store.load()
+    def list_policies(self) -> list[dict]:
+        return [
+            {"table": t, **pol} for t, pol in self.store.load().items()
+        ]
+
+    def remove_policy(self, table: str) -> dict:
+        table = _normalize_table(table)
+        data = self.store.load()
+        if table in data:
+            del data[table]
+            self.store.save(data)
+            return {
+                "table": table,
+                "message": f"Retention policy removed for '{table}'",
+            }
+        return {
+            "table": table,
+            "message": f"No retention policy found for '{table}'",
+        }
 
     def apply(self, table: LakeTable, dry_run: bool = False) -> dict:
+        """Evaluate the table's policy. Single-table form of the
+        reference's evaluate_retention; same result vocabulary."""
         name = f"{table.namespace}.{table.table}"
-        pol = self.get_policy(name) or self.get_policy(table.table)
+        pol = self.get_policy(name)
         if not pol:
-            return {"table": name, "applied": False, "reason": "no policy"}
-        retain_count = None
-        if pol.get("max_snapshot_count"):
-            retain_count = max(pol["max_snapshot_count"], pol["min_snapshots_to_keep"])
-        older_ms = None
+            return {"table": name, "action": "no_policy",
+                    "message": f"No retention policy for '{name}'"}
+        snapshots = sorted(table.snapshots(), key=lambda s: s.timestamp_ms)
+        total = len(snapshots)
+        min_keep = pol.get("min_snapshots_to_keep", 1)
+        to_expire: set = set()
         if pol.get("max_snapshot_age_hours") is not None:
-            older_ms = int(
+            cutoff_ms = int(
                 (time.time() - pol["max_snapshot_age_hours"] * 3600) * 1000
             )
-        res = table.expire_snapshots(
-            older_than_ms=older_ms,
-            retain_last=retain_count or pol["min_snapshots_to_keep"],
-            dry_run=dry_run,
-        )
-        return {"table": name, "applied": not dry_run, **res}
+            to_expire.update(
+                s.snapshot_id for s in snapshots if s.timestamp_ms < cutoff_ms
+            )
+        max_count = pol.get("max_snapshot_count")
+        if max_count is not None and total > max_count:
+            to_expire.update(s.snapshot_id for s in snapshots[: total - max_count])
+        # clamp: never drop below min_snapshots_to_keep — discard the
+        # NEWEST candidates first so the kept set stays most-recent
+        if to_expire and total - len(to_expire) < min_keep:
+            ordered = [s.snapshot_id for s in snapshots if s.snapshot_id in to_expire]
+            needed = min_keep - (total - len(to_expire))
+            for sid in reversed(ordered):
+                if needed <= 0:
+                    break
+                to_expire.discard(sid)
+                needed -= 1
+        n = len(to_expire)
+        if n == 0:
+            return {
+                "table": name, "action": "no_action",
+                "total_snapshots": total, "expired": 0, "remaining": total,
+                "dry_run": dry_run,
+                "message": f"No snapshots to expire for '{name}'",
+            }
+        if dry_run:
+            return {
+                "table": name, "action": "would_expire",
+                "total_snapshots": total, "would_expire": n,
+                "would_remain": total - n, "dry_run": True,
+                "message": f"Would expire {n} snapshot(s) from '{name}' "
+                           f"(keeping {total - n})",
+            }
+        table.expire_snapshots(retain_last=total - n)
+        data = self.store.load()
+        if name in data:
+            data[name]["last_evaluated"] = datetime.now(timezone.utc).isoformat()
+            self.store.save(data)
+        return {
+            "table": name, "action": "expired",
+            "total_snapshots": total, "expired": n, "remaining": total - n,
+            "dry_run": False,
+            "message": f"Expired {n} snapshot(s) from '{name}' "
+                       f"(keeping {total - n})",
+        }
+
+    def evaluate_all(self, catalog, dry_run: bool = False) -> list[dict]:
+        """Reference evaluate_retention with no table: every table that
+        has a policy, skipping tables that fail to load as 'error'."""
+        results = []
+        for entry in self.list_policies():
+            name = entry["table"]
+            try:
+                t = catalog.load_table(name)
+            except Exception as e:  # noqa: BLE001
+                results.append({"table": name, "action": "error",
+                                "message": f"Could not load table: {e}"})
+                continue
+            results.append(self.apply(t, dry_run=dry_run))
+        return results
 
 
 class MaintenanceManager:
-    """G11: {auto_compact_threshold=10, auto_expire_retain_last=5,
-    auto_cleanup_orphans}; check-needed; run with dry-run."""
+    """G11 (reference maintenance.py DEFAULT_POLICY + policies):
+    {auto_compact_threshold=10, auto_expire_retain_last=5,
+    auto_expire_older_than=None, auto_cleanup_orphans=True} with
+    created_at/last_run; check_needed reports has_policy +
+    needs_compact/needs_expire + an actions_needed list; run executes
+    needed actions (status completed) or previews them (status
+    dry_run) and stamps last_run on real runs."""
 
     DEFAULTS = {
         "auto_compact_threshold": 10,
         "auto_expire_retain_last": 5,
+        "auto_expire_older_than": None,
         "auto_cleanup_orphans": True,
     }
 
@@ -79,24 +184,67 @@ class MaintenanceManager:
         unknown = set(kwargs) - set(self.DEFAULTS)
         if unknown:
             raise ValueError(f"unknown policy keys: {sorted(unknown)}")
+        table = _normalize_table(table)
         data = self.store.load()
-        data[table] = {**self.DEFAULTS, **kwargs}
+        data[table] = {
+            **self.DEFAULTS,
+            **kwargs,
+            "created_at": datetime.now(timezone.utc).isoformat(),
+            "last_run": None,
+        }
         self.store.save(data)
-        return data[table]
+        return {"table": table, "policy": data[table]}
 
-    def get_policy(self, table: str) -> dict:
-        return self.store.load().get(table, dict(self.DEFAULTS))
+    def get_policy(self, table: str) -> dict | None:
+        """None when the table has no policy (reference semantics)."""
+        return self.store.load().get(_normalize_table(table))
+
+    def remove_policy(self, table: str) -> dict:
+        table = _normalize_table(table)
+        data = self.store.load()
+        if table in data:
+            del data[table]
+            self.store.save(data)
+            return {"table": table,
+                    "message": f"Maintenance policy removed for '{table}'"}
+        return {"table": table,
+                "message": f"No policy found for '{table}'"}
+
+    def list_policies(self) -> list[dict]:
+        return [{"table": t, **pol} for t, pol in self.store.load().items()]
 
     def check_needed(self, table: LakeTable) -> dict:
         name = f"{table.namespace}.{table.table}"
         pol = self.get_policy(name)
         fs = table.file_stats()
+        if pol is None:
+            return {
+                "table": name, "has_policy": False,
+                "needs_compact": False, "needs_expire": False,
+                "needs_orphan_cleanup": False, "actions_needed": [],
+                "stats": fs,
+            }
+        needs_compact = fs["file_count"] >= pol["auto_compact_threshold"]
+        needs_expire = fs["snapshot_count"] > pol["auto_expire_retain_last"]
+        needs_orphans = pol["auto_cleanup_orphans"] and fs["orphan_count"] > 0
+        actions = []
+        if needs_compact:
+            actions.append(
+                f"compact ({fs['file_count']} files >= "
+                f"{pol['auto_compact_threshold']} threshold)"
+            )
+        if needs_expire:
+            actions.append(
+                f"expire_snapshots ({fs['snapshot_count']} snapshots > "
+                f"{pol['auto_expire_retain_last']} retained)"
+            )
+        if needs_orphans:
+            actions.append(f"cleanup_orphans ({fs['orphan_count']} orphans)")
         return {
-            "table": name,
-            "compact_needed": fs["file_count"] >= pol["auto_compact_threshold"],
-            "expire_needed": fs["snapshot_count"] > pol["auto_expire_retain_last"],
-            "orphan_cleanup_needed": fs["orphan_count"] > 0,
-            "stats": fs,
+            "table": name, "has_policy": True,
+            "needs_compact": needs_compact, "needs_expire": needs_expire,
+            "needs_orphan_cleanup": needs_orphans,
+            "actions_needed": actions, "stats": fs,
         }
 
     def run(self, table: LakeTable, dry_run: bool = False) -> dict:
@@ -104,79 +252,163 @@ class MaintenanceManager:
         pol = self.get_policy(name)
         needed = self.check_needed(table)
         actions = []
-        if needed["compact_needed"]:
-            if not dry_run:
+        if needed["needs_compact"]:
+            if dry_run:
+                actions.append({"action": "compact", "status": "dry_run"})
+            else:
                 res = table.compact()
-                actions.append({"action": "compact", **res})
+                actions.append({"action": "compact", "status": "completed", **res})
+        if needed["needs_expire"]:
+            if dry_run:
+                actions.append({"action": "expire", "status": "dry_run"})
             else:
-                actions.append({"action": "compact", "dry_run": True})
-        if needed["expire_needed"]:
-            if not dry_run:
-                res = table.expire_snapshots(retain_last=pol["auto_expire_retain_last"])
-                actions.append({"action": "expire", **res})
-            else:
-                actions.append({"action": "expire", "dry_run": True})
-        if pol["auto_cleanup_orphans"]:
+                res = table.expire_snapshots(
+                    retain_last=pol["auto_expire_retain_last"]
+                )
+                actions.append({"action": "expire", "status": "completed", **res})
+        if needed["needs_orphan_cleanup"]:
             orphans = table.cleanup_orphans(dry_run=dry_run)
-            if orphans:
-                actions.append({"action": "cleanup_orphans", "removed": len(orphans)})
+            actions.append({
+                "action": "cleanup_orphans",
+                "status": "dry_run" if dry_run else "completed",
+                "removed": len(orphans),
+            })
+        if pol is not None and not dry_run:
+            data = self.store.load()
+            if name in data:
+                data[name]["last_run"] = datetime.now(timezone.utc).isoformat()
+                self.store.save(data)
         return {"table": name, "actions": actions}
+
+    def run_all(self, catalog, dry_run: bool = False) -> list[dict]:
+        """Run maintenance for every table with a policy."""
+        out = []
+        for entry in self.list_policies():
+            try:
+                t = catalog.load_table(entry["table"])
+            except Exception as e:  # noqa: BLE001
+                out.append({"table": entry["table"], "actions": [],
+                            "error": str(e)})
+                continue
+            out.append(self.run(t, dry_run=dry_run))
+        return out
 
 
 class SlaManager:
-    """G8: thresholds {max_staleness_hours, min_quality_score,
-    min_row_count, max_null_pct}; check vs live stats; history ≤ 50."""
+    """G8 (reference sla.py): thresholds {max_staleness_hours>0,
+    min_quality_score∈[0,100], min_row_count, max_null_pct}; check
+    reports status passing/violation with human-readable violations +
+    per-violation recommendations; history ≤ 50 per table."""
+
+    ALLOWED = {
+        "max_staleness_hours",
+        "min_quality_score",
+        "min_row_count",
+        "max_null_pct",
+    }
 
     def __init__(self, store_path: str):
         self.store = JsonStore(store_path, {"policies": {}, "history": {}})
 
     def set_sla(self, table: str, **thresholds) -> dict:
-        allowed = {
-            "max_staleness_hours",
-            "min_quality_score",
-            "min_row_count",
-            "max_null_pct",
-        }
-        unknown = set(thresholds) - allowed
+        if not table or not table.strip():
+            raise ValueError("Table name cannot be empty")
+        unknown = set(thresholds) - self.ALLOWED
         if unknown:
             raise ValueError(f"unknown thresholds: {sorted(unknown)}")
+        stale = thresholds.get("max_staleness_hours")
+        if stale is not None and (
+            not isinstance(stale, (int, float)) or stale <= 0
+        ):
+            raise ValueError("max_staleness_hours must be a positive number")
+        q = thresholds.get("min_quality_score")
+        if q is not None and not (0 <= q <= 100):
+            raise ValueError("min_quality_score must be between 0 and 100")
+        table = _normalize_table(table)
         data = self.store.load()
-        data["policies"][table] = thresholds
+        data["policies"][table] = {
+            **thresholds,
+            "created_at": datetime.now(timezone.utc).isoformat(),
+        }
         self.store.save(data)
-        return thresholds
+        return {
+            "table": table,
+            "sla": data["policies"][table],
+            "message": f"SLA set for '{table}'",
+        }
+
+    def get_sla(self, table: str) -> dict:
+        table = _normalize_table(table)
+        sla = self.store.load()["policies"].get(table)
+        return {"table": table, "sla": sla}
+
+    def list_slas(self) -> list[dict]:
+        return [
+            {"table": t, **sla}
+            for t, sla in self.store.load()["policies"].items()
+        ]
+
+    def remove_sla(self, table: str) -> dict:
+        table = _normalize_table(table)
+        data = self.store.load()
+        if table in data["policies"]:
+            del data["policies"][table]
+            self.store.save(data)
+            return {"table": table, "message": f"SLA removed for '{table}'"}
+        return {"table": table, "message": f"No SLA found for '{table}'"}
 
     def check(self, table: LakeTable, stats: dict, quality: dict | None = None) -> dict:
         name = f"{table.namespace}.{table.table}"
         data = self.store.load()
         pol = data["policies"].get(name, {})
-        violations = []
+        violations: list[str] = []
+        recommendations: list[str] = []
         if "min_row_count" in pol and stats["row_count"] < pol["min_row_count"]:
             violations.append(
-                f"row_count {stats['row_count']} < {pol['min_row_count']}"
+                f"Row count {stats['row_count']} below minimum "
+                f"{pol['min_row_count']}"
+            )
+            recommendations.append(
+                "Investigate upstream loads — the table is missing rows"
             )
         if "max_null_pct" in pol:
-            worst = max(
-                (c["null_pct"] for c in stats["columns"].values()), default=0.0
-            )
-            if worst > pol["max_null_pct"]:
-                violations.append(f"null_pct {worst} > {pol['max_null_pct']}")
+            for col, cstats in stats.get("columns", {}).items():
+                if cstats["null_pct"] > pol["max_null_pct"]:
+                    violations.append(
+                        f"Null percentage {cstats['null_pct']}% in column "
+                        f"'{col}' exceeds maximum {pol['max_null_pct']}%"
+                    )
+                    recommendations.append(
+                        f"Add a not-null validation rule for column '{col}'"
+                    )
         if "max_staleness_hours" in pol:
             cur = table.current_snapshot()
             if cur:
                 age_h = (time.time() * 1000 - cur.timestamp_ms) / 3.6e6
                 if age_h > pol["max_staleness_hours"]:
                     violations.append(
-                        f"staleness {age_h:.1f}h > {pol['max_staleness_hours']}h"
+                        f"Data is stale: {age_h:.1f}h since last write exceeds "
+                        f"{pol['max_staleness_hours']}h"
+                    )
+                    recommendations.append(
+                        "Schedule more frequent refreshes or check the "
+                        "ingestion pipeline"
                     )
         if "min_quality_score" in pol and quality:
             if quality["score"] < pol["min_quality_score"]:
                 violations.append(
-                    f"quality {quality['score']} < {pol['min_quality_score']}"
+                    f"Quality score {quality['score']} below minimum "
+                    f"{pol['min_quality_score']}"
+                )
+                recommendations.append(
+                    "Review quality sub-scores to find the failing dimension"
                 )
         result = {
             "table": name,
             "ok": not violations,
+            "status": "violation" if violations else "passing",
             "violations": violations,
+            "recommendations": recommendations,
             "checked_at": datetime.now(timezone.utc).isoformat(),
         }
         hist = data["history"].setdefault(name, [])
@@ -185,8 +417,24 @@ class SlaManager:
         self.store.save(data)
         return result
 
+    def check_all(self, tables: list, stats_by_name: dict,
+                  quality_by_name: dict | None = None) -> dict:
+        """Reference check_slas summary: {tables: [...], passing, total}."""
+        results = []
+        for t in tables:
+            name = f"{t.namespace}.{t.table}"
+            results.append(
+                self.check(t, stats_by_name[name],
+                           (quality_by_name or {}).get(name))
+            )
+        return {
+            "tables": results,
+            "passing": sum(1 for r in results if r["status"] == "passing"),
+            "total": len(results),
+        }
+
     def history(self, table: str) -> list[dict]:
-        return self.store.load()["history"].get(table, [])
+        return self.store.load()["history"].get(_normalize_table(table), [])
 
 
 class NotificationManager:

@@ -910,7 +910,7 @@ class LakehouseServer:
             lambda table, **kw: sla.set_sla(table, **kw),
         )
         self._add(_tool("list_slas", "All SLA policies", {}, []),
-                  lambda: sla.store.load()["policies"])
+                  lambda: sla.list_slas())
         self._add(
             _tool("check_sla", "Check a table against its SLA now",
                   {"table": _S}, ["table"]),

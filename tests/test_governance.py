@@ -349,7 +349,7 @@ def test_retention_policy(tmp_path, table):
         crud.insert_rows(table, [{"id": 50 + i, "category": "r", "amount": 1.0}])
     assert len(table.snapshots()) == 5
     res = rm.apply(table)
-    assert len(res["kept"]) == 2
+    assert res["action"] == "expired" and res["remaining"] == 2
     assert len(table.snapshots()) == 2
 
 
@@ -359,7 +359,7 @@ def test_maintenance(tmp_path, table):
     for i in range(3):
         crud.insert_rows(table, [{"id": 60 + i, "category": "m", "amount": 1.0}])
     needed = mm.check_needed(table)
-    assert needed["compact_needed"]
+    assert needed["needs_compact"]
     res = mm.run(table)
     actions = {a["action"] for a in res["actions"]}
     assert "compact" in actions
@@ -371,7 +371,8 @@ def test_sla_and_notifications(tmp_path, table):
     sm.set_sla("default.expenses", min_row_count=10, max_null_pct=50)
     stats = compute_table_stats(table)
     res = sm.check(table, stats)
-    assert not res["ok"] and "row_count" in res["violations"][0]
+    assert not res["ok"] and "Row count" in res["violations"][0]
+    assert res["status"] == "violation" and res["recommendations"]
     assert len(sm.history("default.expenses")) == 1
 
     nm = NotificationManager(str(tmp_path / "notif.json"))

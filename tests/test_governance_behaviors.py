@@ -362,7 +362,7 @@ class TestRetention:
 
     def test_no_policy_is_noop(self, rm, metrics):
         res = rm.apply(metrics)
-        assert res["applied"] is False and res["reason"] == "no policy"
+        assert res["action"] == "no_policy"
 
     def test_count_policy_expires(self, rm, metrics):
         for i in range(3):
@@ -370,7 +370,7 @@ class TestRetention:
         assert len(metrics.snapshots()) == 4
         rm.set_policy("default.metrics", max_snapshot_count=2)
         res = rm.apply(metrics)
-        assert res["applied"] is True
+        assert res["action"] == "expired" and res["expired"] == 2
         assert len(metrics.snapshots()) == 2
 
     def test_dry_run_does_not_expire(self, rm, metrics):
@@ -391,22 +391,31 @@ class TestMaintenancePolicies:
         with pytest.raises(ValueError, match="unknown policy keys"):
             mm.set_policy("t", max_files=5)
 
-    def test_defaults_returned_without_policy(self, mm):
-        pol = mm.get_policy("t")
-        assert pol["auto_compact_threshold"] == 10
+    def test_no_policy_returns_none_and_check_reports_it(self, mm, metrics):
+        assert mm.get_policy("t") is None
+        chk = mm.check_needed(metrics)
+        assert chk["has_policy"] is False and chk["actions_needed"] == []
 
     def test_check_needed_thresholds(self, mm, metrics):
         mm.set_policy("default.metrics", auto_compact_threshold=1)
         chk = mm.check_needed(metrics)
-        assert chk["compact_needed"] is True
-        assert chk["orphan_cleanup_needed"] is False
+        assert chk["has_policy"] is True
+        assert chk["needs_compact"] is True
+        assert chk["needs_orphan_cleanup"] is False
+        assert any("compact" in a for a in chk["actions_needed"])
 
     def test_run_dry_run_reports_without_acting(self, mm, metrics):
         mm.set_policy("default.metrics", auto_compact_threshold=1)
         files_before = len(metrics.current_snapshot().files)
         res = mm.run(metrics, dry_run=True)
-        assert any(a.get("dry_run") for a in res["actions"])
+        assert any(a["status"] == "dry_run" for a in res["actions"])
         assert len(metrics.current_snapshot().files) == files_before
+        assert mm.get_policy("default.metrics")["last_run"] is None  # dry
+
+    def test_run_updates_last_run(self, mm, metrics):
+        mm.set_policy("default.metrics", auto_compact_threshold=1)
+        mm.run(metrics)
+        assert mm.get_policy("default.metrics")["last_run"] is not None
 
 
 # ----------------------------------------------------------------------- sla
@@ -424,21 +433,31 @@ class TestSla:
         sla.set_sla("default.metrics", min_row_count=100)
         stats = compute_table_stats(metrics)
         res = sla.check(metrics, stats)
-        assert not res["ok"]
-        assert "row_count 2 < 100" in res["violations"][0]
+        assert not res["ok"] and res["status"] == "violation"
+        assert "Row count 2 below minimum 100" in res["violations"][0]
+        assert res["recommendations"]
 
     def test_null_pct_violation(self, sla, metrics, catalog):
         crud.insert_rows(metrics, [{"id": 3, "name": None, "value": 1.0}])
         sla.set_sla("default.metrics", max_null_pct=10.0)
         res = sla.check(metrics, compute_table_stats(metrics))
-        assert not res["ok"] and "null_pct" in res["violations"][0]
+        assert not res["ok"] and "Null percentage" in res["violations"][0]
 
     def test_quality_violation_and_history(self, sla, metrics):
-        sla.set_sla("default.metrics", min_quality_score=101)
+        crud.insert_rows(metrics, [{"id": 3, "name": None, "value": 1.0}])
+        sla.set_sla("default.metrics", min_quality_score=100)
         stats = compute_table_stats(metrics)
         res = sla.check(metrics, stats, quality_score(stats))
         assert not res["ok"]
         assert len(sla.history("default.metrics")) == 1
+
+    def test_invalid_quality_threshold_raises(self, sla):
+        with pytest.raises(ValueError, match="min_quality_score"):
+            sla.set_sla("t", min_quality_score=101)
+
+    def test_invalid_staleness_raises(self, sla):
+        with pytest.raises(ValueError, match="max_staleness_hours"):
+            sla.set_sla("t", max_staleness_hours=0)
 
     def test_clean_check(self, sla, metrics):
         sla.set_sla("default.metrics", min_row_count=1, max_null_pct=50.0)

@@ -223,17 +223,17 @@ def test_contracts_family(server, seeded):
 def test_sla_retention_maintenance_family(server, seeded):
     full = f"default.{seeded}"
     ok(server, "set_sla", {"table": full, "min_row_count": 1})
-    assert full in ok(server, "list_slas", {})
+    assert full in {s["table"] for s in ok(server, "list_slas", {})}
     chk = ok(server, "check_sla", {"table": seeded})
-    assert chk["ok"]
+    assert chk["ok"] and chk["status"] == "passing"
     assert len(ok(server, "get_sla_history", {"table": full})) >= 1
     ok(server, "set_retention_policy", {"table": full, "max_snapshot_count": 5})
-    assert full in ok(server, "list_retention_policies", {})
+    assert full in {p["table"] for p in ok(server, "list_retention_policies", {})}
     ev = ok(server, "evaluate_retention", {"table": seeded, "dry_run": True})
     assert ev["table"] == full
     ok(server, "set_maintenance_policy", {"table": full, "auto_compact_threshold": 1})
     chk = ok(server, "check_maintenance", {"table": seeded})
-    assert chk["compact_needed"] is True
+    assert chk["needs_compact"] is True
     run = ok(server, "run_maintenance", {"table": seeded, "dry_run": True})
     assert run
 
