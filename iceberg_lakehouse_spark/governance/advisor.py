@@ -202,32 +202,66 @@ def optimization_report(history: list[dict], table_stats: dict[str, dict]) -> di
     }
 
 
-def dashboard(catalog, stats_cache, compact_threshold: int = 10) -> dict:
-    """G17 (reference dashboard.py:36-148): all tables with rows/size/
-    health + counts."""
+def format_size(n: int) -> str:
+    """Reference dashboard._format_size: B / KB / MB / GB / TB with one
+    decimal above bytes."""
+    if n < 1024:
+        return f"{n} B"
+    for unit in ("KB", "MB", "GB", "TB"):
+        n /= 1024
+        if n < 1024 or unit == "TB":
+            return f"{n:.1f} {unit}"
+    return f"{n:.1f} TB"
+
+
+def table_health(file_count: int, orphan_count: int, stale: bool,
+                 compact_threshold: int = 10) -> str:
+    """Reference dashboard._table_health priority:
+    Stale > Orphans > Compact > Good."""
+    if stale:
+        return "Stale"
+    if orphan_count > 0:
+        return "Orphans"
+    if file_count >= compact_threshold:
+        return "Compact"
+    return "Good"
+
+
+def dashboard(catalog, stats_cache, audit=None, saved=None,
+              compact_threshold: int = 10) -> dict:
+    """G17 (reference dashboard.py:36-148): storage summary, all tables
+    with rows/size/files/health, recent audit activity, saved-query and
+    history counts."""
     tables = []
     for name in catalog.list_tables():
         t = catalog.load_table(name)
         fs = t.file_stats()
-        health = "Good"
-        if fs["orphan_count"]:
-            health = "Orphans"
-        elif fs["file_count"] >= compact_threshold:
-            health = "Needs compaction"
         cached = stats_cache.peek(name) if stats_cache else None
+        stale = stats_cache.is_stale(t) if (stats_cache and cached) else False
         tables.append(
             {
-                "table": name,
+                "name": name,
                 "rows": cached.get("row_count") if cached else None,
-                "files": fs["file_count"],
-                "bytes": fs["total_bytes"],
+                "data_files": fs["file_count"],
+                "size_bytes": fs["total_bytes"],
+                "size_display": format_size(fs["total_bytes"]),
                 "snapshots": fs["snapshot_count"],
-                "health": health,
+                "health": table_health(
+                    fs["file_count"], fs["orphan_count"], stale,
+                    compact_threshold,
+                ),
             }
         )
+    total_bytes = sum(t["size_bytes"] for t in tables)
     return {
+        "storage_path": getattr(catalog, "warehouse", None),
+        "namespaces": sorted(catalog.list_namespaces()),
+        "total_tables": len(tables),
+        "total_size_bytes": total_bytes,
+        "total_size_display": format_size(total_bytes),
         "tables": tables,
-        "table_count": len(tables),
-        "total_bytes": sum(t["bytes"] for t in tables),
-        "unhealthy": [t["table"] for t in tables if t["health"] != "Good"],
+        "recent_activity": audit.query(limit=10) if audit else [],
+        "saved_queries_count": len(saved.list()) if saved else 0,
+        "history_entries_count": len(saved.history(1000)) if saved else 0,
+        "unhealthy": [t["name"] for t in tables if t["health"] != "Good"],
     }

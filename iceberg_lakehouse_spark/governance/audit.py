@@ -1,6 +1,7 @@
 """Audit log (SURVEY G5, reference audit.py:13-183): NDJSON append of
-{ts, table, operation, rows_affected, source, details}; filtered query;
-clear with '30d'/'24h'/ISO cutoff; 10k-line cap oldest-first."""
+{timestamp, table, operation, rows_affected, source, details}; filtered
+query incl. `since`; clear with '30d'/'24h'/ISO cutoff returning
+{cleared}; 10k-line cap oldest-first (reference MAX_AUDIT_ENTRIES)."""
 
 from __future__ import annotations
 
@@ -38,7 +39,7 @@ class AuditLog:
         details: dict[str, Any] | None = None,
     ) -> dict:
         entry = {
-            "ts": datetime.now(timezone.utc).isoformat(),
+            "timestamp": datetime.now(timezone.utc).isoformat(),
             "table": table,
             "operation": operation,
             "rows_affected": rows_affected,
@@ -68,7 +69,9 @@ class AuditLog:
         table: str | None = None,
         operation: str | None = None,
         limit: int = 100,
+        since: str | None = None,
     ) -> list[dict]:
+        since_dt = _parse_cutoff(since) if since else None
         out = []
         for line in reversed(self._lines()):
             try:
@@ -79,27 +82,38 @@ class AuditLog:
                 continue
             if operation and e.get("operation") != operation:
                 continue
+            if since_dt is not None:
+                try:
+                    ts = datetime.fromisoformat(e["timestamp"])
+                except (KeyError, ValueError):
+                    continue
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+                if ts < since_dt:
+                    continue
             out.append(e)
             if len(out) >= limit:
                 break
         return out
 
-    def clear(self, older_than: str | None = None) -> int:
+    def clear(self, older_than: str | None = None) -> dict:
         lines = self._lines()
         if older_than is None:
             removed = len(lines)
             if os.path.exists(self.path):
                 os.remove(self.path)
-            return removed
+            return {"cleared": removed}
         cutoff = _parse_cutoff(older_than)
         kept = []
         for line in lines:
             try:
-                ts = datetime.fromisoformat(json.loads(line)["ts"])
+                ts = datetime.fromisoformat(json.loads(line)["timestamp"])
             except (json.JSONDecodeError, KeyError, ValueError):
                 continue
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
             if ts >= cutoff:
                 kept.append(line)
         with open(self.path, "w") as f:
             f.writelines(kept)
-        return len(lines) - len(kept)
+        return {"cleared": len(lines) - len(kept)}

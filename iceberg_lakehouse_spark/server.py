@@ -429,10 +429,16 @@ class LakehouseServer:
 
         # -- dashboard -----------------------------------------------------
         from .governance.advisor import dashboard as dash
+        from .governance.audit import AuditLog as _AuditLog
+        from .governance.queries_store import SavedQueries as _SavedQueries
 
         self._add(
             _tool("dashboard", "All-tables health overview", {}, []),
-            lambda: dash(c, stats_cache),
+            # same store files the extended registry uses — the
+            # dashboard reads them, it never writes
+            lambda: dash(c, stats_cache,
+                         audit=_AuditLog(self._store("audit.ndjson")),
+                         saved=_SavedQueries(self._store("queries.json"))),
         )
 
         self._register_extended_tools(stats_cache, vm, mm, views, matviews,
@@ -722,13 +728,14 @@ class LakehouseServer:
         )
         self._add(
             _tool("get_audit_log", "Query the audit log",
-                  {"table": _S, "operation": _S, "limit": _I}, []),
-            lambda table=None, operation=None, limit=100: audit.query(
-                table=table, operation=operation, limit=limit),
+                  {"table": _S, "operation": _S, "limit": _I,
+                   "since": _S}, []),
+            lambda table=None, operation=None, limit=100, since=None: audit.query(
+                table=table, operation=operation, limit=limit, since=since),
         )
         self._add(_tool("clear_audit_log", "Clear audit entries (older_than "
                         "'30d'/'24h'/'90m'=minutes/'45s'/ISO)", {"older_than": _S}, []),
-                  lambda older_than=None: {"cleared": audit.clear(older_than)})
+                  lambda older_than=None: audit.clear(older_than))
 
         # -- stats / anomalies / quality ----------------------------------
         self._add(_tool("get_table_stats", "Cached table stats", {"table": _S}, ["table"]),

@@ -64,7 +64,8 @@ def test_metadata_commands_execute(tmp_path):
                               "--max-snapshot-count", "3"])
     assert res.exit_code == 0
     res = runner.invoke(cli, [*home, "retention", "list"])
-    assert json.loads(res.output)["t"]["max_snapshot_count"] == 3
+    policies = {p["table"]: p for p in json.loads(res.output)}
+    assert policies["default.t"]["max_snapshot_count"] == 3
 
 
 @pytest.mark.usefixtures("spark")  # reuse the session-scoped JVM

@@ -140,8 +140,8 @@ def test_audit_log(tmp_path):
     assert len(log.query()) == 3
     assert len(log.query(table="t1")) == 2
     assert log.query(operation="insert")[0]["table"] == "t2"  # newest first
-    assert log.clear(older_than="1h") == 0  # all fresh
-    assert log.clear() == 3
+    assert log.clear(older_than="1h")["cleared"] == 0  # all fresh
+    assert log.clear()["cleared"] == 3
 
 
 # -- lineage (G4) ----------------------------------------------------------
@@ -408,9 +408,11 @@ def test_dashboard(tmp_path, catalog, table):
     sc = StatsCache(str(tmp_path / "stats.json"))
     sc.get(table)
     d = dashboard(catalog, sc)
-    assert d["table_count"] == 1
+    assert d["total_tables"] == 1
     assert d["tables"][0]["rows"] == 3
     assert d["tables"][0]["health"] == "Good"
+    assert "default" in d["namespaces"]
+    assert d["total_size_display"].split()[-1] in ("B", "KB", "MB")
 
 
 # -- saved queries + cache (G19/G20) ---------------------------------------

@@ -97,7 +97,7 @@ def test_governance_tools_through_rpc(server):
     is_err, p, _ = call(server, "profile_table", {"table": "mcp_t"})
     assert p["row_count"] == 2
     is_err, p, _ = call(server, "dashboard", {})
-    assert p["table_count"] >= 1
+    assert p["total_tables"] >= 1
     is_err, p, _ = call(server, "incremental_read", {
         "table": "default.mcp_t", "pipeline": "etl", "advance": True,
     })

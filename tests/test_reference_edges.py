@@ -60,7 +60,7 @@ def test_audit_skips_corrupt_lines_and_enforces_cap(tmp_path):
     with open(path, "a") as f:
         for _ in range(audit_mod.MAX_LINES + 50):
             f.write(json.dumps({"table": "flood", "operation": "op",
-                                "ts": "2026-01-01T00:00:00+00:00"}) + "\n")
+                                "timestamp": "2026-01-01T00:00:00+00:00"}) + "\n")
     log.record("t1", "update", rows_affected=1)
     assert len(log._lines()) <= audit_mod.MAX_LINES
     assert log.query(table="t1", limit=1)[0]["operation"] == "update"
