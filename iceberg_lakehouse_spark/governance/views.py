@@ -81,7 +81,7 @@ class MatviewManager:
     def _backing(self, name: str) -> str:
         return f"default.{MV_PREFIX}{name}"
 
-    def create(self, name: str, sql: str) -> dict:
+    def create(self, name: str, sql: str, description: str | None = None) -> dict:
         _require_name_sql(name, sql, "materialized view")
         mviews = self.store.load()
         if name in mviews:
@@ -92,23 +92,33 @@ class MatviewManager:
             raise ValueError(f"backing table {backing!r} already exists")
         table = self.catalog.create_table(backing, df.schema)
         table.append(df)
+        rows = table.scan().count()
         sources = extract_tables(sql, self.catalog.list_tables())
         mviews[name] = {
             "sql": sql,
+            "description": description,
             "backing_table": backing,
-            "source_snapshots": self._source_snapshots(sources),
-            "created": datetime.now(timezone.utc).isoformat(),
+            "row_count": rows,
+            "source_snapshot_ids": self._source_snapshots(sources),
+            "created_at": datetime.now(timezone.utc).isoformat(),
             "last_refreshed": datetime.now(timezone.utc).isoformat(),
         }
         self.store.save(mviews)
         if self.lineage:
             self.lineage.record(sources, backing, "matview", sql)
-        return mviews[name]
+        return {
+            "name": name,
+            **mviews[name],
+            "message": f"Materialized view '{name}' created with {rows} rows",
+        }
 
     def _source_snapshots(self, sources: list[str]) -> dict:
+        # skip only REGISTERED backing tables (a user table legitimately
+        # named mv_* must still be tracked as a staleness source)
+        backing = {mv["backing_table"] for mv in self.store.load().values()}
         out = {}
         for t in sources:
-            if t.startswith(f"default.{MV_PREFIX}"):
+            if t in backing:
                 continue
             try:
                 cur = self.catalog.load_table(t).current_snapshot()
@@ -122,15 +132,25 @@ class MatviewManager:
         if name not in mviews:
             raise ValueError(f"materialized view {name!r} does not exist")
         mv = mviews[name]
+        rows_before = mv.get("row_count")
         df = self.engine.execute(mv["sql"], max_rows=MV_MAX_ROWS)
         table = self.catalog.load_table(mv["backing_table"])
         table.overwrite(table._align(df))
+        rows_after = table.scan().count()
         sources = extract_tables(mv["sql"], self.catalog.list_tables())
-        mv["source_snapshots"] = self._source_snapshots(sources)
+        mv["source_snapshot_ids"] = self._source_snapshots(sources)
+        mv["row_count"] = rows_after
         mv["last_refreshed"] = datetime.now(timezone.utc).isoformat()
         self.store.save(mviews)
         self.engine.refresh()
-        return mv
+        return {
+            "name": name,
+            **mv,
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+            "message": f"Materialized view '{name}' refreshed: "
+                       f"{rows_before} -> {rows_after} rows",
+        }
 
     def query(self, name: str) -> DataFrame:
         mviews = self.store.load()
@@ -146,7 +166,7 @@ class MatviewManager:
             raise ValueError(f"materialized view {name!r} does not exist")
         mv = mviews[name]
         changed = []
-        for t, snap_id in mv.get("source_snapshots", {}).items():
+        for t, snap_id in mv.get("source_snapshot_ids", {}).items():
             try:
                 cur = self.catalog.load_table(t).current_snapshot()
             except ValueError:
@@ -156,15 +176,28 @@ class MatviewManager:
                 changed.append(t)
         return {"name": name, "stale": bool(changed), "changed_tables": changed}
 
-    def drop(self, name: str) -> None:
+    def drop(self, name: str) -> dict:
         mviews = self.store.load()
-        mv = mviews.pop(name, None)
-        if mv:
-            self.catalog.drop_table(mv["backing_table"], missing_ok=True)
+        if name not in mviews:
+            raise ValueError(f"materialized view {name!r} does not exist")
+        mv = mviews.pop(name)
+        self.catalog.drop_table(mv["backing_table"], missing_ok=True)
         self.store.save(mviews)
+        return {"name": name,
+                "message": f"Materialized view '{name}' dropped"}
 
-    def list(self) -> dict:
-        return self.store.load()
+    def list(self) -> list[dict]:
+        """Reference list form: one summary dict per view."""
+        return [
+            {
+                "name": n,
+                "sql": mv["sql"],
+                "row_count": mv.get("row_count"),
+                "backing_table": mv["backing_table"],
+                "last_refreshed": mv.get("last_refreshed"),
+            }
+            for n, mv in self.store.load().items()
+        ]
 
 
 class PipelineManager:
@@ -183,8 +216,12 @@ class PipelineManager:
         self.audit = audit
 
     def create(self, name: str, steps: list[dict], description: str | None = None) -> dict:
+        if not name or not name.strip():
+            raise ValueError("pipeline name must be non-empty")
+        if not steps:
+            raise ValueError("pipeline must have at least one step")
         for i, s in enumerate(steps):
-            if "sql" not in s:
+            if not s.get("sql", "").strip():
                 raise ValueError(f"step {i} missing 'sql'")
             if s.get("mode", "overwrite") not in ("overwrite", "append"):
                 raise ValueError(f"step {i}: invalid mode {s.get('mode')!r}")
@@ -194,15 +231,24 @@ class PipelineManager:
         pipelines[name] = {
             "steps": steps,
             "description": description,
-            "created": datetime.now(timezone.utc).isoformat(),
+            "created_at": datetime.now(timezone.utc).isoformat(),
             "last_run": None,
+            "last_run_status": None,
         }
         self.store.save(pipelines)
-        return pipelines[name]
+        return {
+            "name": name,
+            "steps": len(steps),
+            "description": description,
+            "message": f"Pipeline '{name}' created with {len(steps)} step(s)",
+        }
 
-    def dry_run(self, name: str) -> list[dict]:
+    def get(self, name: str) -> dict:
+        return {"name": name, **self._get(name)}
+
+    def dry_run(self, name: str) -> dict:
         """V3 dry-run: resolve each step's plan without executing
-        (reference uses EXPLAIN, pipelines.py:154-167)."""
+        (reference pipelines.py:154-167). Never touches last_run."""
         pipe = self._get(name)
         results = []
         stand_ins: list[str] = []
@@ -210,9 +256,10 @@ class PipelineManager:
             for i, step in enumerate(pipe["steps"]):
                 try:
                     df = self.engine.execute(step["sql"], max_rows=0)
-                    results.append(
-                        {"step": i, "ok": True, "columns": [f.name for f in df.schema.fields]}
-                    )
+                    results.append({
+                        "step": i, "status": "validated",
+                        "columns": [f.name for f in df.schema.fields],
+                    })
                     # targets of earlier steps may not exist yet — register
                     # an empty stand-in view so later steps resolve
                     target = step.get("target_table")
@@ -222,21 +269,20 @@ class PipelineManager:
                         empty.createOrReplaceTempView(short)
                         stand_ins.append(short)
                 except Exception as e:  # noqa: BLE001
-                    results.append({"step": i, "ok": False, "error": str(e)})
+                    results.append({"step": i, "status": "error", "error": str(e)})
         finally:
             for v in stand_ins:
                 self.engine.spark.catalog.dropTempView(v)
-        return results
+        return {"name": name, "dry_run": True, "step_results": results}
 
     def run(self, name: str) -> dict:
         pipe = self._get(name)
         results = []
-        status = "success"
+        completed = failed = 0
         for i, step in enumerate(pipe["steps"]):
             try:
                 df = self.engine.execute(step["sql"], max_rows=0)
                 target = step.get("target_table")
-                rows = None
                 if target:
                     mode = step.get("mode", "overwrite")
                     if not self.catalog.table_exists(target):
@@ -255,19 +301,32 @@ class PipelineManager:
                     if self.audit:
                         self.audit.record(target, f"pipeline:{name}:step{i}", rows or 0)
                     self.engine.refresh()
-                results.append({"step": i, "status": "ok", "rows": rows})
+                else:
+                    rows = df.count()
+                results.append({
+                    "step": i, "status": "completed",
+                    "rows_affected": rows, "target_table": target,
+                })
+                completed += 1
             except Exception as e:  # noqa: BLE001
                 results.append({"step": i, "status": "error", "error": str(e)})
-                status = "failed"
+                failed += 1
                 break
+        status = "failed" if failed else "completed"
         pipelines = self.store.load()
-        pipelines[name]["last_run"] = {
-            "at": datetime.now(timezone.utc).isoformat(),
-            "status": status,
-            "steps": results,
-        }
+        pipelines[name]["last_run"] = datetime.now(timezone.utc).isoformat()
+        pipelines[name]["last_run_status"] = status
         self.store.save(pipelines)
-        return pipelines[name]["last_run"]
+        return {
+            "name": name,
+            "status": status,
+            "steps_completed": completed,
+            "steps_failed": failed,
+            "step_results": results,
+            "at": pipelines[name]["last_run"],
+            "message": f"Pipeline '{name}' {status}: "
+                       f"{completed} step(s) completed, {failed} failed",
+        }
 
     def _get(self, name: str) -> dict:
         pipelines = self.store.load()
@@ -275,10 +334,24 @@ class PipelineManager:
             raise ValueError(f"pipeline {name!r} does not exist")
         return pipelines[name]
 
-    def list(self) -> dict:
-        return self.store.load()
+    def list(self) -> list[dict]:
+        """Reference list form: one summary dict per pipeline."""
+        return [
+            {
+                "name": n,
+                "step_count": len(p["steps"]),
+                "description": p.get("description"),
+                "created_at": p.get("created_at"),
+                "last_run": p.get("last_run"),
+                "last_run_status": p.get("last_run_status"),
+            }
+            for n, p in self.store.load().items()
+        ]
 
-    def drop(self, name: str) -> None:
+    def drop(self, name: str) -> dict:
         pipelines = self.store.load()
-        pipelines.pop(name, None)
+        if name not in pipelines:
+            raise ValueError(f"pipeline {name!r} does not exist")
+        del pipelines[name]
         self.store.save(pipelines)
+        return {"name": name, "message": f"Pipeline '{name}' dropped"}

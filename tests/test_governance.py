@@ -217,9 +217,9 @@ def test_views_matviews_pipelines(tmp_path, catalog):
         ],
     )
     dry = pm.dry_run("daily")
-    assert all(s["ok"] for s in dry)
+    assert all(s["status"] == "validated" for s in dry["step_results"])
     run = pm.run("daily")
-    assert run["status"] == "success"
+    assert run["status"] == "completed"
     assert catalog.load_table("hot_cats").scan().count() >= 1
     # error stops the pipeline
     pm.create("broken", [{"sql": "SELECT * FROM nope_table"}])

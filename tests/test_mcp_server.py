@@ -379,14 +379,14 @@ def test_joins_lineage_views_family(server, seeded):
     ok(server, "drop_view", {"name": "vv"})
     ok(server, "create_materialized_view",
        {"name": "mvv", "sql": f"SELECT cat, count(*) AS n FROM {seeded} GROUP BY cat"})
-    assert "mvv" in ok(server, "list_materialized_views", {})
+    assert "mvv" in {v["name"] for v in ok(server, "list_materialized_views", {})}
     assert ok(server, "query_materialized_view", {"name": "mvv"})
     ok(server, "refresh_materialized_view", {"name": "mvv"})
     ok(server, "drop_materialized_view", {"name": "mvv"})
     ok(server, "create_pipeline",
        {"name": "pp", "steps": [{"sql": f"SELECT id FROM {seeded}", "target": "pp_out"}]})
-    assert ok(server, "dry_run_pipeline", {"name": "pp"})
-    assert "pp" in ok(server, "list_pipelines", {})
+    assert ok(server, "dry_run_pipeline", {"name": "pp"})["dry_run"] is True
+    assert "pp" in {p["name"] for p in ok(server, "list_pipelines", {})}
     ok(server, "drop_pipeline", {"name": "pp"})
 
 

@@ -283,7 +283,8 @@ class TestPipelines:
              "target_table": "default.stage2"},
         ])
         run = pm.run("chain")
-        assert run["status"] == "success"
+        assert run["status"] == "completed"
+        assert run["steps_completed"] == 2 and run["steps_failed"] == 0
         assert catalog.load_table("stage2").scan().collect()[0]["total"] == 60.0
 
     def test_run_stops_on_error(self, pm, metrics, catalog):
@@ -293,7 +294,7 @@ class TestPipelines:
         ])
         run = pm.run("bad")
         assert run["status"] == "failed"
-        assert len(run["steps"]) == 1  # second step never ran
+        assert len(run["step_results"]) == 1  # second step never ran
         assert not catalog.table_exists("default.b2")
 
     def test_dry_run_validates_without_writing(self, pm, metrics, catalog):
@@ -302,6 +303,7 @@ class TestPipelines:
             {"sql": "SELECT id FROM d1", "target_table": "default.d2"},
         ])
         res = pm.dry_run("dry")
-        assert all(s["ok"] for s in res)
-        assert res[0]["columns"] == ["id"]
+        assert res["dry_run"] is True
+        assert all(s["status"] == "validated" for s in res["step_results"])
+        assert res["step_results"][0]["columns"] == ["id"]
         assert not catalog.table_exists("default.d1")
