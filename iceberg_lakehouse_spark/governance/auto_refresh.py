@@ -31,6 +31,10 @@ class AutoRefreshManager:
         self.pipelines = pipelines
         self.query_cache = query_cache
 
+    @staticmethod
+    def _normalize(name: str) -> str:
+        return name if "." in name else f"default.{name}"
+
     def configure(
         self,
         table: str,
@@ -42,6 +46,7 @@ class AutoRefreshManager:
     ) -> dict:
         if cascade_depth > MAX_DEPTH:
             raise ValueError(f"cascade_depth > {MAX_DEPTH}")
+        table = self._normalize(table)
         data = self.store.load()
         data["config"][table] = {
             "enabled": enabled,
@@ -51,18 +56,46 @@ class AutoRefreshManager:
             "invalidate_cache": invalidate_cache,
         }
         self.store.save(data)
-        return data["config"][table]
+        return {"table": table, **data["config"][table]}
 
-    def plan(self, table: str) -> list[dict]:
-        """BFS downstream lineage → ordered actions by depth
-        (reference auto_refresh.py:123-189)."""
+    def get_config(self, table: str) -> dict:
+        """{'enabled': False} for an unconfigured table (reference
+        get_auto_refresh semantics)."""
+        table = self._normalize(table)
+        cfg = self.store.load()["config"].get(table)
+        if cfg is None:
+            return {"table": table, "enabled": False}
+        return {"table": table, **cfg}
+
+    def list_configs(self) -> list[dict]:
+        return [
+            {"table": t, **cfg}
+            for t, cfg in self.store.load()["config"].items()
+        ]
+
+    def remove_config(self, table: str) -> dict:
+        table = self._normalize(table)
+        data = self.store.load()
+        if table in data["config"]:
+            del data["config"][table]
+            self.store.save(data)
+            return {"table": table,
+                    "message": f"Auto-refresh removed for '{table}'"}
+        return {"table": table,
+                "message": f"No auto-refresh configured for '{table}'"}
+
+    def plan(self, table: str) -> dict:
+        """BFS downstream lineage → {downstream_count, actions} ordered
+        by depth (reference auto_refresh.py:123-189)."""
+        table = self._normalize(table)
         cfg = self.store.load()["config"].get(table)
         if not cfg or not cfg["enabled"]:
-            return []
+            return {"table": table, "downstream_count": 0, "actions": []}
         actions: list[dict] = []
         if cfg["invalidate_cache"]:
             actions.append({"action": "invalidate_cache", "table": table, "depth": 0})
-        for node in self.lineage.downstream(table, max_depth=cfg["cascade_depth"]):
+        downstream = self.lineage.downstream(table, max_depth=cfg["cascade_depth"])
+        for node in downstream:
             target, via, depth = node["table"], node["via"], node["depth"]
             if via == "matview" and cfg["refresh_matviews"]:
                 mv = target.split("mv_", 1)[-1] if "mv_" in target else target
@@ -73,13 +106,18 @@ class AutoRefreshManager:
                 )
             if cfg["invalidate_cache"]:
                 actions.append({"action": "invalidate_cache", "table": target, "depth": depth})
-        return sorted(actions, key=lambda a: a["depth"])
+        return {
+            "table": table,
+            "downstream_count": len(downstream),
+            "actions": sorted(actions, key=lambda a: a["depth"]),
+        }
 
     def execute(self, table: str) -> dict:
         """Best-effort execution; each action's error recorded, never
         raised (reference auto_refresh.py:231-270)."""
+        table = self._normalize(table)
         results = []
-        for action in self.plan(table):
+        for action in self.plan(table)["actions"]:
             entry = dict(action)
             try:
                 if action["action"] == "invalidate_cache" and self.query_cache:
@@ -93,8 +131,10 @@ class AutoRefreshManager:
                     entry["run"] = self.pipelines.run(action["pipeline"])["status"]
                 else:
                     entry["skipped"] = True
+                entry["status"] = "success"
                 entry["ok"] = True
             except Exception as e:  # noqa: BLE001
+                entry["status"] = "error"
                 entry["ok"] = False
                 entry["error"] = str(e)
             results.append(entry)
@@ -102,6 +142,7 @@ class AutoRefreshManager:
         record = {
             "table": table,
             "at": datetime.now(timezone.utc).isoformat(),
+            "actions_executed": len(results),
             "actions": results,
         }
         data["history"].append(record)
@@ -109,5 +150,9 @@ class AutoRefreshManager:
         self.store.save(data)
         return record
 
-    def history(self, limit: int = 20) -> list[dict]:
-        return list(reversed(self.store.load()["history"][-limit:]))
+    def history(self, limit: int = 20, table: str | None = None) -> list[dict]:
+        hist = self.store.load()["history"]
+        if table:
+            t = self._normalize(table)
+            hist = [h for h in hist if h["table"] == t]
+        return list(reversed(hist[-limit:]))

@@ -105,6 +105,22 @@ def capture_changes(
         ]
     finally:
         classified.unpersist()
+    # reference result carries a single typed change list alongside the
+    # per-kind lists (cdc.py get_changes "changes" entries)
+    changes = (
+        [{"type": "INSERT", "row": r} for r in inserts]
+        + [
+            {
+                "type": "UPDATE",
+                "key": u["key"],
+                "before": u["before"],
+                "after": u["after"],
+                "changed_columns": u["changed_columns"],
+            }
+            for u in updates
+        ]
+        + [{"type": "DELETE", "row": r} for r in deletes]
+    )
     return {
         "table": f"{table.namespace}.{table.table}",
         "from_snapshot": from_snapshot,
@@ -113,6 +129,7 @@ def capture_changes(
         "inserts": inserts,
         "updates": updates,
         "deletes": deletes,
+        "changes": changes,
         "summary": {
             # distributed counts — exact even when detail rows are capped
             "inserts": counts.get("INSERT", 0),
@@ -124,7 +141,9 @@ def capture_changes(
 
 
 def change_log(table: LakeTable, limit: int = 10, key_columns: list[str] | None = None) -> list[dict]:
-    """I5: pairwise snapshot walk, most recent first (cdc.py:190-227)."""
+    """I5: pairwise snapshot walk, most recent first (cdc.py:190-227).
+    Entries carry the reference fields from/to_snapshot, timestamp,
+    summary, change_count."""
     snaps = table.snapshots()
     out = []
     for newer, older in zip(reversed(snaps), reversed(snaps[:-1])):
@@ -136,11 +155,40 @@ def change_log(table: LakeTable, limit: int = 10, key_columns: list[str] | None 
                 "from_snapshot": older.snapshot_id,
                 "to_snapshot": newer.snapshot_id,
                 "operation": newer.operation,
+                "timestamp": datetime.fromtimestamp(
+                    newer.timestamp_ms / 1000, tz=timezone.utc
+                ).isoformat(),
                 "timestamp_ms": newer.timestamp_ms,
+                "summary": ch["summary"],
+                "change_count": sum(ch["summary"].values()),
                 **ch["summary"],
             }
         )
     return out
+
+
+def change_summary(
+    table: LakeTable,
+    from_snapshot: int,
+    to_snapshot: int,
+    key_columns: list[str] | None = None,
+) -> dict:
+    """Reference get_change_summary: counts + total + the columns any
+    update touched (cdc.py:230-268)."""
+    ch = capture_changes(table, from_snapshot, to_snapshot, key_columns)
+    affected: set[str] = set()
+    for u in ch["updates"]:
+        affected.update(u["changed_columns"])
+    if ch["inserts"] or ch["deletes"]:
+        affected.update(f.name for f in table.schema().fields)
+    return {
+        "table": ch["table"],
+        "from_snapshot": from_snapshot,
+        "to_snapshot": to_snapshot,
+        **ch["summary"],
+        "total_changes": sum(ch["summary"].values()),
+        "affected_columns": sorted(affected),
+    }
 
 
 def export_changes(changes: dict, file_format: str = "json") -> str:
@@ -163,7 +211,7 @@ def export_changes(changes: dict, file_format: str = "json") -> str:
         for r in changes["deletes"]:
             w.writerow(["DELETE", *[r.get(c) for c in cols]])
         return buf.getvalue()
-    raise ValueError(f"unsupported format {file_format!r}")
+    raise ValueError(f"Unsupported format {file_format!r} (json|csv)")
 
 
 def replay_changes(target: LakeTable, changes: dict) -> dict:

@@ -37,22 +37,45 @@ class WatermarkStore:
         }
         data.setdefault(pipeline, {})[table] = entry
         self.store.save(data)
-        return entry
+        return {"pipeline": pipeline, "table": table, **entry}
 
-    def get(self, pipeline: str, table: str) -> dict | None:
-        return self.store.load().get(pipeline, {}).get(table)
+    def get(self, pipeline: str, table: str) -> dict:
+        """Always a dict; snapshot_id None when no watermark exists
+        (reference get_watermark semantics)."""
+        entry = self.store.load().get(pipeline, {}).get(table)
+        if entry is None:
+            return {
+                "pipeline": pipeline, "table": table,
+                "snapshot_id": None, "processed_at": None,
+                "rows_processed": 0,
+            }
+        return {"pipeline": pipeline, "table": table, **entry}
 
-    def list(self, pipeline: str | None = None) -> dict:
+    def list(self, pipeline: str | None = None) -> list[dict]:
+        """Reference list form: one row per (pipeline, table)."""
         data = self.store.load()
-        return data.get(pipeline, {}) if pipeline else data
+        out = []
+        for p, tables in data.items():
+            if pipeline and p != pipeline:
+                continue
+            for t, entry in tables.items():
+                out.append({"pipeline": p, "table": t, **entry})
+        return out
 
-    def reset(self, pipeline: str, table: str | None = None) -> None:
+    def reset(self, pipeline: str, table: str | None = None) -> dict:
         data = self.store.load()
+        removed = 0
         if table:
-            data.get(pipeline, {}).pop(table, None)
-        else:
-            data.pop(pipeline, None)
+            if data.get(pipeline, {}).pop(table, None) is not None:
+                removed = 1
+        elif pipeline in data:
+            removed = len(data.pop(pipeline))
         self.store.save(data)
+        if removed == 0:
+            return {"removed": 0,
+                    "message": f"No watermarks found for '{pipeline}'"}
+        return {"removed": removed,
+                "message": f"Reset {removed} watermark(s) for '{pipeline}'"}
 
 
 def incremental_read(
@@ -65,7 +88,7 @@ def incremental_read(
     wm = watermarks.get(pipeline, name)
     if cur is None:
         return table.scan(), {"mode": "empty", "from": None, "to": None}
-    if wm is None:
+    if wm["snapshot_id"] is None:
         return table.scan(), {"mode": "full", "from": None, "to": cur.snapshot_id}
     if wm["snapshot_id"] == cur.snapshot_id:
         empty = table.spark.createDataFrame([], table.schema())
@@ -121,17 +144,34 @@ def incremental_read(
     return diff, {"mode": "except_diff", "from": wm["snapshot_id"], "to": cur.snapshot_id}
 
 
+def read_incremental(
+    table: LakeTable, watermarks: WatermarkStore, pipeline: str
+) -> dict:
+    """Reference read_incremental result shape over the (df, info)
+    core: {data, row_count, is_full, mode, from_snapshot, to_snapshot}."""
+    df, info = incremental_read(table, watermarks, pipeline)
+    return {
+        "data": df,
+        "row_count": df.count(),
+        "is_full": info["mode"] == "full",
+        "mode": info["mode"],
+        "from_snapshot": info.get("from"),
+        "to_snapshot": info.get("to"),
+    }
+
+
 def run_incremental_pipeline(
     catalog: LakehouseCatalog,
     watermarks: WatermarkStore,
     pipeline_name: str,
     steps: list[dict],
     engine,
-) -> list[dict]:
+) -> dict:
     """I3 (reference incremental.py:242-361): per step — incremental
     source read → register temp view → step SQL → append into target →
-    advance watermark."""
+    advance watermark. Steps with no new rows are 'skipped'."""
     results = []
+    total = 0
     for i, step in enumerate(steps):
         src_name = step["source_table"]
         table = catalog.load_table(src_name)
@@ -150,5 +190,10 @@ def run_incremental_pipeline(
         cur = table.current_snapshot()
         if cur:
             watermarks.set(pipeline_name, src_name, cur.snapshot_id, rows)
-        results.append({"step": i, "source": src_name, "mode": info["mode"], "rows": rows})
-    return results
+        total += rows
+        results.append({
+            "step": i, "source": src_name, "mode": info["mode"],
+            "rows": rows,
+            "status": "skipped" if rows == 0 else "processed",
+        })
+    return {"status": "success", "total_rows": total, "steps": results}

@@ -888,15 +888,14 @@ class LakehouseServer:
         self._add(
             _tool("get_watermark", "Watermark for (pipeline, table)",
                   {"pipeline": _S, "table": _S}, ["pipeline", "table"]),
-            lambda pipeline, table: wm.get(pipeline, table) or {"watermark": None},
+            lambda pipeline, table: wm.get(pipeline, table),
         )
         self._add(_tool("list_watermarks", "All watermarks", {"pipeline": _S}, []),
                   lambda pipeline=None: wm.list(pipeline))
         self._add(
             _tool("reset_watermark", "Reset pipeline watermarks",
                   {"pipeline": _S, "table": _S}, ["pipeline"]),
-            lambda pipeline, table=None: (wm.reset(pipeline, table),
-                                          {"reset": pipeline})[1],
+            lambda pipeline, table=None: wm.reset(pipeline, table),
         )
         from .governance.incremental import run_incremental_pipeline
 
@@ -1098,13 +1097,12 @@ class LakehouseServer:
                 T(table), limit, key_columns),
         )
         self._add(
-            _tool("get_change_summary", "Counts only between two snapshots",
+            _tool("get_change_summary", "Counts + affected columns between snapshots",
                   {"table": _S, "from_snapshot": _I, "to_snapshot": _I,
                    "key_columns": {"type": "array"}},
                   ["table", "from_snapshot", "to_snapshot"]),
-            lambda table, from_snapshot, to_snapshot, key_columns=None: cdc.capture_changes(
-                T(table), from_snapshot, to_snapshot, key_columns, max_rows=0
-            )["summary"],
+            lambda table, from_snapshot, to_snapshot, key_columns=None:
+                cdc.change_summary(T(table), from_snapshot, to_snapshot, key_columns),
         )
         self._add(
             _tool("export_changes", "CDC result as JSON or CSV text",
@@ -1171,8 +1169,17 @@ class LakehouseServer:
                   lambda table: auto_refresh.plan(table))
         self._add(_tool("trigger_refresh", "Run the cascade now", {"table": _S}, ["table"]),
                   lambda table: auto_refresh.execute(table))
-        self._add(_tool("get_refresh_history", "Past cascade runs", {"limit": _I}, []),
-                  lambda limit=20: auto_refresh.history(limit))
+        self._add(_tool("get_refresh_history", "Past cascade runs",
+                        {"limit": _I, "table": _S}, []),
+                  lambda limit=20, table=None: auto_refresh.history(limit, table))
+        self._add(_tool("get_auto_refresh", "Auto-refresh config for a table",
+                        {"table": _S}, ["table"]),
+                  lambda table: auto_refresh.get_config(table))
+        self._add(_tool("list_auto_refresh", "All auto-refresh configs", {}, []),
+                  lambda: auto_refresh.list_configs())
+        self._add(_tool("remove_auto_refresh", "Remove a table's auto-refresh config",
+                        {"table": _S}, ["table"]),
+                  lambda table: auto_refresh.remove_config(table))
 
         # -- contracts -----------------------------------------------------
         self._add(

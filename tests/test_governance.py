@@ -259,15 +259,16 @@ def test_incremental_pipeline(tmp_path, catalog, spark):
         }
     ]
     res = run_incremental_pipeline(catalog, wm, "p2", steps, eng)
-    assert res[0]["rows"] == 2
+    assert res["status"] == "success" and res["steps"][0]["rows"] == 2
     # second run: nothing new
     res = run_incremental_pipeline(catalog, wm, "p2", steps, eng)
-    assert res[0]["rows"] == 0
+    assert res["steps"][0]["rows"] == 0
+    assert res["steps"][0]["status"] == "skipped"
     crud.insert_rows(
         catalog.load_table("expenses"), [{"id": 7, "category": "q", "amount": 2.0}]
     )
     res = run_incremental_pipeline(catalog, wm, "p2", steps, eng)
-    assert res[0]["rows"] == 1
+    assert res["steps"][0]["rows"] == 1 and res["total_rows"] == 1
     assert catalog.load_table("inc_counts").scan().count() == 3
 
 

@@ -71,8 +71,9 @@ def test_auto_refresh_cascade(tmp_path, catalog):
         ar.configure("default.orders", cascade_depth=9)
     ar.configure("default.orders")
     plan = ar.plan("default.orders")
-    kinds = [a["action"] for a in plan]
+    kinds = [a["action"] for a in plan["actions"]]
     assert "invalidate_cache" in kinds and "refresh_matview" in kinds
+    assert plan["downstream_count"] >= 1
 
     # mutate source → stale matview → execute cascade → fresh again
     crud.insert_rows(catalog.load_table("orders"), [{"order_id": 3, "cust_id": 10, "total": 7.0}])

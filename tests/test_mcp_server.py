@@ -347,7 +347,7 @@ def test_dedup_sampling_family(server, seeded):
 
 def test_cdc_watermark_autorefresh_family(server, seeded):
     full = f"default.{seeded}"
-    assert ok(server, "get_watermark", {"pipeline": "p", "table": full})["watermark"] is None
+    assert ok(server, "get_watermark", {"pipeline": "p", "table": full})["snapshot_id"] is None
     ok(server, "list_watermarks", {})
     ok(server, "reset_watermark", {"pipeline": "p"})
     summ = ok(server, "get_change_summary",
