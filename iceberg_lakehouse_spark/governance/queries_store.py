@@ -17,8 +17,8 @@ DEFAULT_TTL_S = 300
 
 def normalize_sql(sql: str) -> str:
     """Cache key normalization (reference query_cache.py:21-30):
-    uppercase + whitespace-collapse."""
-    return re.sub(r"\s+", " ", sql.strip()).upper()
+    uppercase + whitespace-collapse + trailing-semicolon strip."""
+    return re.sub(r"\s+", " ", sql.strip()).rstrip(";").strip().upper()
 
 
 def cache_key(sql: str) -> str:
@@ -122,6 +122,8 @@ class QueryCache:
             and time.time() - meta["cached_at"] <= meta["ttl_s"]
         )
         data["stats"]["hits" if hit else "misses"] += 1
+        if hit:
+            meta["hit_count"] = meta.get("hit_count", 0) + 1
         self.store.save(data)
         return self._results[key] if hit else None
 
@@ -134,6 +136,7 @@ class QueryCache:
             "cached_at": time.time(),
             "ttl_s": self.ttl_s,
             "rows": len(rows),
+            "hit_count": 0,
         }
         # oldest-eviction beyond cap (reference query_cache.py:96-101)
         if len(data["entries"]) > CACHE_CAP:
@@ -163,4 +166,32 @@ class QueryCache:
 
     def stats(self) -> dict:
         data = self.store.load()
-        return {**data["stats"], "entries": len(data["entries"])}
+        hits = data["stats"]["hits"]
+        misses = data["stats"]["misses"]
+        total = hits + misses
+        return {
+            **data["stats"],
+            "hit_rate": round(100.0 * hits / total, 2) if total else 0.0,
+            "entries": len(data["entries"]),
+            "total_entries": len(data["entries"]),
+        }
+
+    def list(self, limit: int = 20) -> list[dict]:
+        """Cached entries, most recent first, with sql + hit_count
+        (reference list_cached_queries)."""
+        data = self.store.load()
+        entries = sorted(
+            data["entries"].values(),
+            key=lambda e: e["cached_at"],
+            reverse=True,
+        )
+        return [
+            {
+                "sql": e["sql"],
+                "tables": e.get("tables", []),
+                "rows": e.get("rows", 0),
+                "hit_count": e.get("hit_count", 0),
+                "cached_at": e["cached_at"],
+            }
+            for e in entries[:limit]
+        ]

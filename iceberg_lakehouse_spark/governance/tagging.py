@@ -128,48 +128,91 @@ class TagManager:
 
 
 class CatalogMetadata:
-    """Column descriptions, classifications, business glossary (G7)."""
+    """Column descriptions, classifications, business glossary, schema
+    enrichment (G7, reference catalog_metadata.py). Storage format is
+    the reference's: top-level column_descriptions / classifications /
+    glossary maps keyed by normalized table name."""
 
     def __init__(self, store_path: str):
-        self.store = JsonStore(store_path, {"columns": {}, "glossary": {}})
+        self.store = JsonStore(
+            store_path,
+            {"column_descriptions": {}, "classifications": {}, "glossary": {}},
+        )
 
-    def set_column_description(self, table: str, column: str, description: str) -> None:
+    def set_column_description(self, table: str, column: str, description: str) -> dict:
+        table = _normalize(table)
         data = self.store.load()
-        data["columns"].setdefault(table, {}).setdefault(column, {})[
-            "description"
-        ] = description
+        data["column_descriptions"].setdefault(table, {})[column] = description
         self.store.save(data)
+        return {
+            "table": table,
+            "descriptions": data["column_descriptions"][table],
+            "message": f"Description set for {table}.{column}",
+        }
 
-    def classify_column(self, table: str, column: str, classification: str) -> None:
+    def get_column_descriptions(self, table: str) -> dict:
+        table = _normalize(table)
+        return {
+            "table": table,
+            "descriptions": self.store.load()["column_descriptions"].get(table, {}),
+        }
+
+    def classify_column(self, table: str, column: str, classification: str) -> dict:
         if classification not in CLASSIFICATIONS:
             raise ValueError(
                 f"invalid classification {classification!r}; one of {sorted(CLASSIFICATIONS)}"
             )
+        table = _normalize(table)
         data = self.store.load()
-        data["columns"].setdefault(table, {}).setdefault(column, {})[
-            "classification"
-        ] = classification
+        data["classifications"].setdefault(table, {})[column] = classification
         self.store.save(data)
+        return {
+            "table": table,
+            "column": column,
+            "classification": classification,
+            "message": f"Classified {table}.{column} as {classification}",
+        }
 
-    def column_info(self, table: str) -> dict:
-        return self.store.load()["columns"].get(table, {})
-
-    def pii_columns(self, table: str | None = None) -> list[dict]:
-        data = self.store.load()["columns"]
+    def classified_columns(
+        self, table: str | None = None, classification: str | None = None
+    ) -> list[dict]:
+        """All classifications, filterable by table and/or type
+        (reference get_classifications)."""
+        data = self.store.load()["classifications"]
+        t_filter = _normalize(table) if table else None
         out = []
         for t, cols in data.items():
-            if table and t != table:
+            if t_filter and t != t_filter:
                 continue
-            for c, meta in cols.items():
-                if meta.get("classification") == "pii":
-                    out.append({"table": t, "column": c})
+            for c, cls in cols.items():
+                if classification and cls != classification:
+                    continue
+                out.append({"table": t, "column": c, "classification": cls})
         return out
+
+    def column_info(self, table: str) -> dict:
+        """Merged per-column view {col: {description?, classification?}}."""
+        table = _normalize(table)
+        data = self.store.load()
+        merged: dict[str, dict] = {}
+        for c, d in data["column_descriptions"].get(table, {}).items():
+            merged.setdefault(c, {})["description"] = d
+        for c, cls in data["classifications"].get(table, {}).items():
+            merged.setdefault(c, {})["classification"] = cls
+        return merged
+
+    def pii_columns(self, table: str | None = None) -> list[dict]:
+        return [
+            {"table": e["table"], "column": e["column"]}
+            for e in self.classified_columns(table, classification="pii")
+        ]
 
     def add_glossary_term(
         self, term: str, definition: str, aliases: list[str] | None = None
     ) -> None:
         data = self.store.load()
         data["glossary"][term.lower()] = {
+            "term": term,
             "definition": definition,
             "aliases": [a.lower() for a in (aliases or [])],
         }
@@ -179,8 +222,68 @@ class CatalogMetadata:
         g = self.store.load()["glossary"]
         term = term.lower()
         if term in g:
-            return {"term": term, **g[term]}
+            return {**g[term], "term": term}
         for t, e in g.items():
             if term in e.get("aliases", []):
-                return {"term": t, **e}
+                return {**e, "term": t}
         return None
+
+    def search_glossary(self, query: str) -> list[dict]:
+        """Match term names, definitions, and aliases (reference
+        search_glossary)."""
+        q = query.lower()
+        out = []
+        for key, e in self.store.load()["glossary"].items():
+            if (
+                q in key
+                or q in e.get("definition", "").lower()
+                or any(q in a for a in e.get("aliases", []))
+            ):
+                out.append(e)
+        return out
+
+    def list_glossary(self) -> list[dict]:
+        return sorted(self.store.load()["glossary"].values(),
+                      key=lambda e: e.get("term", "").lower())
+
+    def remove_glossary_term(self, term: str) -> dict:
+        data = self.store.load()
+        key = term.lower()
+        if key in data["glossary"]:
+            del data["glossary"][key]
+            self.store.save(data)
+            return {"term": term, "message": f"Removed glossary term '{term}'"}
+        return {"term": term, "message": f"Glossary term '{term}' not found"}
+
+    def enrich_schema(self, table) -> dict:
+        """Reference get_enriched_schema: the table's fields annotated
+        with descriptions, classifications, and glossary term matches,
+        plus coverage counts. ``table`` is a LakeTable."""
+        name = f"{table.namespace}.{table.table}"
+        descriptions = self.store.load()["column_descriptions"].get(name, {})
+        classifications = self.store.load()["classifications"].get(name, {})
+        glossary = self.store.load()["glossary"]
+        fields = []
+        for f in table.schema().fields:
+            matches = [
+                e.get("term", key)
+                for key, e in glossary.items()
+                if key in f.name.lower()
+                or any(a in f.name.lower() for a in e.get("aliases", []))
+            ]
+            fields.append(
+                {
+                    "name": f.name,
+                    "type": f.dataType.simpleString(),
+                    "description": descriptions.get(f.name),
+                    "classification": classifications.get(f.name),
+                    "glossary_matches": matches,
+                }
+            )
+        return {
+            "table": name,
+            "fields": fields,
+            "total_fields": len(fields),
+            "described_fields": sum(1 for f in fields if f["description"]),
+            "classified_fields": sum(1 for f in fields if f["classification"]),
+        }

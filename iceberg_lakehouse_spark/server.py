@@ -817,25 +817,20 @@ class LakehouseServer:
             _tool("set_column_description", "Describe a column",
                   {"table": _S, "column": _S, "description": _S},
                   ["table", "column", "description"]),
-            lambda table, column, description: (
+            lambda table, column, description:
                 meta.set_column_description(table, column, description),
-                meta.column_info(table))[1],
         )
         self._add(
             _tool("classify_column", "Classify a column (pii/sensitive/public...)",
                   {"table": _S, "column": _S, "classification": _S},
                   ["table", "column", "classification"]),
-            lambda table, column, classification: (
+            lambda table, column, classification:
                 meta.classify_column(table, column, classification),
-                meta.column_info(table))[1],
         )
         self._add(
             _tool("get_enriched_schema", "Schema + descriptions + classifications",
                   {"table": _S}, ["table"]),
-            lambda table: {
-                "schema": T(table).meta()["schema"],
-                "columns": meta.column_info(table),
-            },
+            lambda table: meta.enrich_schema(T(table)),
         )
         self._add(_tool("get_pii_columns", "Columns classified as PII", {"table": _S}, []),
                   lambda table=None: meta.pii_columns(table))
@@ -989,8 +984,8 @@ class LakehouseServer:
         # -- query cache ---------------------------------------------------
         self._add(_tool("get_cache_stats", "Hit/miss counters", {}, []),
                   lambda: cache.stats())
-        self._add(_tool("list_cached_queries", "Cached query entries", {}, []),
-                  lambda: cache.store.load()["entries"])
+        self._add(_tool("list_cached_queries", "Cached query entries", {"limit": _I}, []),
+                  lambda limit=20: cache.list(limit))
         self._add(
             _tool("invalidate_cache", "Invalidate by table, or everything",
                   {"table": _S}, []),

@@ -176,7 +176,7 @@ def test_tagging_and_metadata(tmp_path):
     cm.classify_column("users", "email", "pii")
     with pytest.raises(ValueError, match="invalid classification"):
         cm.classify_column("t", "c", "nope")
-    assert cm.pii_columns() == [{"table": "users", "column": "email"}]
+    assert cm.pii_columns() == [{"table": "default.users", "column": "email"}]
     cm.add_glossary_term("MRR", "Monthly recurring revenue", aliases=["monthly rev"])
     assert cm.lookup_term("monthly rev")["term"] == "mrr"
 

@@ -262,10 +262,12 @@ def test_tagging_glossary_family(server, seeded):
        {"table": seeded, "column": "id", "description": "pk"})
     info = ok(server, "classify_column",
               {"table": seeded, "column": "cat", "classification": "pii"})
-    assert info["cat"]["classification"] == "pii"
+    assert info["classification"] == "pii"
     assert ok(server, "get_pii_columns", {})
     enr = ok(server, "get_enriched_schema", {"table": seeded})
-    assert "schema" in enr and "columns" in enr
+    assert enr["total_fields"] >= 1
+    cat = next(f for f in enr["fields"] if f["name"] == "cat")
+    assert cat["classification"] == "pii"
     ok(server, "add_glossary_term",
        {"term": "ARR", "definition": "annual recurring revenue", "aliases": ["arr$"]})
     assert ok(server, "search_glossary", {"term": "ARR"})["definition"]

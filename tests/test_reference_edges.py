@@ -279,7 +279,7 @@ def test_cdc_export_csv_and_invalid_format(catalog, t):
     assert changes["summary"]["inserts"] == 1
     csv_text = export_changes(changes, "csv")
     assert "INSERT" in csv_text.upper()
-    with pytest.raises(ValueError, match="unsupported"):
+    with pytest.raises(ValueError, match="Unsupported"):
         export_changes(changes, "xml")
 
 
