@@ -175,7 +175,10 @@ def execute_batch(table_ops: list[tuple[LakeTable, dict]]) -> list[dict]:
                 raise ValueError(f"unknown op {kind!r}")
             results.append({"op": kind, "status": "ok", "rows_affected": n})
         except Exception as e:  # noqa: BLE001
-            results.append({"op": op.get("op"), "status": "error", "error": str(e)})
+            results.append({
+                "op": op.get("op"), "status": "error",
+                "error": str(e), "message": str(e),
+            })
             failed = True
     return results
 

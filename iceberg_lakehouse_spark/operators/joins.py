@@ -47,7 +47,12 @@ def join_to_table(
     if lineage:
         lineage.record(sources, target, "join", sql)
     engine.refresh()
-    return {"target": target, "rows": rows, "sources": sources}
+    return {
+        "target": target,
+        "rows": rows,
+        "rows_written": rows,
+        "sources": sources,
+    }
 
 
 def suggest_joins(catalog: LakehouseCatalog, table: str) -> list[dict]:
@@ -69,11 +74,13 @@ def suggest_joins(catalog: LakehouseCatalog, table: str) -> list[dict]:
         on = " AND ".join(
             f"{short_base}.{c} = {short_other}.{c}" for c in shared
         )
+        sql = f"SELECT * FROM {short_base} JOIN {short_other} ON {on}"
         out.append(
             {
                 "table": other,
                 "shared_columns": shared,
-                "sql": f"SELECT * FROM {short_base} JOIN {short_other} ON {on}",
+                "sql": sql,
+                "join_sql": sql,
             }
         )
     return out

@@ -112,11 +112,26 @@ class QueryEngine:
         self._reg_stamps.clear()
         self._register_tables()
 
+    def _resolve_qualified(self, sql: str) -> str:
+        """Rewrite ``ns.table`` refs of KNOWN tables to their
+        ``ns__table`` view alias (reference query.py:52-75 resolver).
+        Temp views have no namespace, so ``default.users`` would
+        otherwise miss the registered view and fall through to the
+        (empty) session catalog."""
+        import re
+
+        for full in self.catalog.list_tables():
+            ns, t = full.split(".", 1)
+            sql = re.sub(
+                rf"\b{re.escape(ns)}\.{re.escape(t)}\b", f"{ns}__{t}", sql
+            )
+        return sql
+
     def execute(self, sql: str, max_rows: int | None = None) -> DataFrame:
         """P1 passthrough + P2 auto-LIMIT (applied as .limit on the
         plan — pushes through to TakeOrderedAndProject etc.)."""
         self._register_tables()
-        df = self.spark.sql(sql)
+        df = self.spark.sql(self._resolve_qualified(sql))
         n = max_rows if max_rows is not None else self.max_rows
         if n and _SELECT_RE.match(sql) and not _LIMIT_RE.search(sql):
             df = df.limit(n)
