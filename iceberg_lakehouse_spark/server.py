@@ -1014,32 +1014,51 @@ class LakehouseServer:
             _tool("restore_table", "Restore a table from an archive",
                   {"archive_path": _S, "target": _S, "if_exists": _S},
                   ["archive_path", "target"]),
+            # if_exists is a MODE string — only 'overwrite'/'replace'
+            # grant overwrite (a truthy 'fail' must not)
             lambda archive_path, target, if_exists="fail": bc.restore_table(
-                c, archive_path, target, if_exists),
+                c, archive_path, target,
+                overwrite=if_exists in ("overwrite", "replace")),
         )
         self._add(
-            _tool("list_backups", "Archives in a directory", {"directory": _S}, ["directory"]),
-            lambda directory: sorted(
-                f for f in (os.listdir(directory) if os.path.isdir(directory) else [])
-                if f.endswith((".tar", ".tar.gz", ".tgz"))),
+            _tool("backup_namespace", "Archive every table in a namespace",
+                  {"namespace": _S, "archive_path": _S},
+                  ["namespace", "archive_path"]),
+            lambda namespace, archive_path: bc.backup_namespace(
+                c, namespace, archive_path),
         )
+        self._add(
+            _tool("restore_namespace", "Restore a namespace archive",
+                  {"archive_path": _S, "overwrite": _B}, ["archive_path"]),
+            lambda archive_path, overwrite=False: bc.restore_namespace(
+                c, archive_path, overwrite=overwrite),
+        )
+        self._add(
+            _tool("list_backups", "Archives in a directory with metadata",
+                  {"directory": _S}, ["directory"]),
+            lambda directory: bc.list_backups(directory),
+        )
+        _clone_reg = self._store("clones.json")
         self._add(
             _tool("clone_table", "Zero-copy-ish clone for experimentation",
-                  {"table": _S, "clone_name": _S}, ["table", "clone_name"]),
-            lambda table, clone_name: bc.clone_table(c, table, clone_name),
+                  {"table": _S, "clone_name": _S, "as_of": _S},
+                  ["table", "clone_name"]),
+            lambda table, clone_name, as_of=None: bc.clone_table(
+                c, table, clone_name, as_of=as_of, registry_path=_clone_reg),
         )
         self._add(
-            _tool("list_clones", "Clones of tables", {}, []),
-            lambda: [t for t in c.list_tables() if t.split(".", 1)[0] == "clones"],
+            _tool("list_clones", "Registered clones with sources", {}, []),
+            lambda: bc.CloneRegistry(_clone_reg).list(),
         )
         self._add(
             _tool("promote_clone", "Replace target with clone data",
                   {"clone_name": _S, "target": _S}, ["clone_name", "target"]),
-            lambda clone_name, target: bc.promote_clone(c, clone_name, target),
+            lambda clone_name, target: bc.promote_clone(
+                c, clone_name, target, registry_path=_clone_reg),
         )
         self._add(_tool("discard_clone", "Drop a clone", {"clone_name": _S}, ["clone_name"]),
-                  lambda clone_name: (bc.discard_clone(c, clone_name),
-                                      {"discarded": clone_name})[1])
+                  lambda clone_name: bc.discard_clone(
+                      c, clone_name, registry_path=_clone_reg))
 
         # -- dedup over tables --------------------------------------------
         def _dup_groups(table, columns=None):

@@ -320,11 +320,13 @@ def test_backup_clone_family(server, seeded, tmp_path):
     bk = ok(server, "backup_table", {"table": seeded, "archive_path": ap})
     assert bk["rows"] >= 3
     ok(server, "verify_backup", {"archive_path": ap})
-    assert ok(server, "list_backups", {"directory": str(tmp_path)}) == ["gv.tar.gz"]
+    backups = ok(server, "list_backups", {"directory": str(tmp_path)})
+    assert [b["file"] for b in backups] == ["gv.tar.gz"]
+    assert backups[0]["row_count"] >= 3
     ok(server, "restore_table", {"archive_path": ap, "target": "gv_restored"})
     assert "default.gv_restored" in ok(server, "list_tables", {})
     ok(server, "clone_table", {"table": seeded, "clone_name": "clones.gvc"})
-    assert "clones.gvc" in ok(server, "list_clones", {})
+    assert "clones.gvc" in {cl["clone"] for cl in ok(server, "list_clones", {})}
     ok(server, "promote_clone", {"clone_name": "clones.gvc", "target": seeded})
     ok(server, "discard_clone", {"clone_name": "clones.gvc"})
 
