@@ -22,13 +22,25 @@ _NUMERIC = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType, T.DecimalType)
 _TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
 
 
-def compute_table_stats(table: LakeTable, top_k: int = 10) -> dict:
-    """A1-A4 + A11 shape (reference stats.py:29-150): rows, files,
-    sizes, snapshots + per-column stats; single-pass aggregation."""
+def compute_table_stats(
+    table: LakeTable,
+    top_k: int = 10,
+    columns: list[str] | None = None,
+) -> dict:
+    """A1-A4 + A11 shape (reference stats.py:29-150, profile.py): rows,
+    files, sizes, snapshots + per-column stats. One single-pass
+    aggregation carries counts/min/max/mean/std AND the p25/p50/p75
+    percentiles (percentile_approx in the same job); string columns add
+    a top_k value histogram (one bounded groupBy per string column,
+    matching the reference profile). ``columns`` restricts profiling to
+    the named columns."""
     df = table.scan()
     schema = df.schema
+    wanted = [
+        f for f in schema.fields if columns is None or f.name in columns
+    ]
     aggs = [F.count("*").alias("__rows")]
-    for f in schema.fields:
+    for f in wanted:
         c = f.name
         aggs.append((F.count("*") - F.count(c)).alias(f"{c}__nulls"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
@@ -38,6 +50,7 @@ def compute_table_stats(table: LakeTable, top_k: int = 10) -> dict:
                 F.max(c).alias(f"{c}__max"),
                 F.avg(c).alias(f"{c}__avg"),
                 F.stddev(c).alias(f"{c}__stddev"),
+                F.percentile_approx(c, [0.25, 0.5, 0.75]).alias(f"{c}__pcts"),
             ]
         elif isinstance(f.dataType, _TEMPORAL):
             aggs += [
@@ -46,19 +59,38 @@ def compute_table_stats(table: LakeTable, top_k: int = 10) -> dict:
             ]
     row = df.agg(*aggs).collect()[0].asDict()
     n = row["__rows"]
-    columns = {}
-    for f in schema.fields:
+    columns_out = {}
+    for f in wanted:
         c = f.name
         col_stats = {
             "type": f.dataType.simpleString(),
             "nulls": row[f"{c}__nulls"],
             "distinct": row[f"{c}__distinct"],
+            "unique": row[f"{c}__distinct"],
             "null_pct": round(100.0 * row[f"{c}__nulls"] / n, 4) if n else 0.0,
         }
         for suffix in ("min", "max", "avg", "stddev"):
             if f"{c}__{suffix}" in row:
                 col_stats[suffix] = row[f"{c}__{suffix}"]
-        columns[c] = col_stats
+        if f"{c}__avg" in row:
+            col_stats["mean"] = row[f"{c}__avg"]
+            col_stats["std"] = row[f"{c}__stddev"]
+        pcts = row.get(f"{c}__pcts")
+        if pcts is not None:
+            col_stats["p25"], col_stats["p50"], col_stats["p75"] = pcts
+        from pyspark.sql.types import StringType
+
+        if isinstance(f.dataType, StringType) and n:
+            col_stats["top_values"] = {
+                r[c]: r["__cnt"]
+                for r in df.where(F.col(c).isNotNull())
+                .groupBy(c)
+                .agg(F.count("*").alias("__cnt"))
+                .orderBy(F.desc("__cnt"), c)
+                .limit(top_k)
+                .collect()
+            }
+        columns_out[c] = col_stats
     fs = table.file_stats()
     cur = table.current_snapshot()
     return {
@@ -68,7 +100,7 @@ def compute_table_stats(table: LakeTable, top_k: int = 10) -> dict:
         "file_count": fs["file_count"],
         "total_bytes": fs["total_bytes"],
         "snapshot_count": fs["snapshot_count"],
-        "columns": columns,
+        "columns": columns_out,
         "last_modified": (
             datetime.fromtimestamp(cur.timestamp_ms / 1000, timezone.utc).isoformat()
             if cur
