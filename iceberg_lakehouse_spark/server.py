@@ -1061,45 +1061,35 @@ class LakehouseServer:
                       c, clone_name, registry_path=_clone_reg))
 
         # -- dedup over tables --------------------------------------------
-        def _dup_groups(table, columns=None):
-            t = T(table)
-            df = t.scan()
-            cols = columns or df.columns
-            return df.groupBy(*cols).agg(F.count(F.lit(1)).alias("dup_count")) \
-                     .where(F.col("dup_count") > 1)
+        from .operators import dedup_ops
 
         self._add(
             _tool("find_duplicates", "Duplicate groups by columns (default all)",
                   {"table": _S, "columns": {"type": "array"}}, ["table"]),
-            lambda table, columns=None: rows_of(
-                _dup_groups(table, columns).orderBy(F.desc("dup_count"))),
+            lambda table, columns=None: dedup_ops.find_duplicates(
+                T(table), columns)["groups"],
         )
         self._add(
-            _tool("dedup_summary", "Total vs distinct vs duplicate rows",
+            _tool("dedup_summary", "Total vs unique vs duplicate rows",
                   {"table": _S, "columns": {"type": "array"}}, ["table"]),
-            lambda table, columns=None: (lambda df, cols: {
-                "rows": df.count(),
-                "distinct": df.select(*cols).distinct().count(),
-            })(T(table).scan(), columns or T(table).scan().columns),
+            lambda table, columns=None: dedup_ops.dedup_summary(
+                T(table), columns),
         )
         self._add(
             _tool("remove_duplicates", "Keep one row per key (new snapshot)",
-                  {"table": _S, "columns": {"type": "array"}}, ["table"]),
-            lambda table, columns=None: (lambda t, df: {
-                "before": df.count(),
-                "after": (t.overwrite(df.dropDuplicates(columns or df.columns)),
-                          t.scan().count())[1],
-            })(T(table), T(table).scan()),
+                  {"table": _S, "columns": {"type": "array"}, "dry_run": _B},
+                  ["table"]),
+            lambda table, columns=None, dry_run=False: dedup_ops.remove_duplicates(
+                T(table), columns, dry_run=dry_run),
         )
         self._add(
             _tool("dedup_report", "Duplicate groups + affected-row estimate",
                   {"table": _S, "columns": {"type": "array"}}, ["table"]),
-            lambda table, columns=None: (lambda g: {
-                "duplicate_groups": g.count(),
-                "extra_rows": (g.agg(F.sum(F.col("dup_count") - 1).alias("n"))
-                               .collect()[0]["n"] or 0),
-                "examples": rows_of(g.orderBy(F.desc("dup_count")), 10),
-            })(_dup_groups(table, columns)),
+            lambda table, columns=None: (lambda r: {
+                "duplicate_groups": r["duplicate_groups"],
+                "extra_rows": r["duplicate_count"] - r["duplicate_groups"],
+                "examples": r["groups"][:10],
+            })(dedup_ops.find_duplicates(T(table), columns)),
         )
 
         # -- CDC (rest) ----------------------------------------------------
