@@ -68,7 +68,107 @@ def sample_to_table(
     t = catalog.create_table(target, src.schema())
     t.append(sample)
     rows = t.scan().count()
-    return {"target": target, "rows": rows, "method": method, "fraction": fraction}
+    return {
+        "target": target,
+        "sample_table": f"{t.namespace}.{t.table}",
+        "rows": rows,
+        "rows_sampled": rows,
+        "method": method,
+        "fraction": fraction,
+    }
+
+
+def random_sample(
+    table: LakeTable, fraction: float, seed: int = 42,
+    limit: int | None = None, max_rows: int = 10_000,
+) -> dict:
+    """Reference sample_table(method=random): Bernoulli sample with
+    reproducible seed; rows capped at max_rows in the payload."""
+    df = table.scan()
+    total = df.count()
+    sample = df.sample(fraction=min(fraction, 1.0), seed=seed)
+    if fraction >= 1.0:
+        sample = df
+    if limit is not None:
+        sample = sample.limit(limit)
+    n = sample.count()
+    return {
+        "table": f"{table.namespace}.{table.table}",
+        "method": "random",
+        "fraction": fraction,
+        "total_rows": total,
+        "sample_size": n,
+        "rows": [r.asDict(recursive=True) for r in sample.limit(max_rows).collect()],
+    }
+
+
+def stratified_sample(
+    table: LakeTable, column: str, fraction: float, max_rows: int = 10_000
+) -> dict:
+    """Reference stratified sampling: >=1 row per stratum, with a
+    per-stratum sampled/total report."""
+    from pyspark.sql import Window
+
+    df = table.scan()
+    if df.isEmpty():
+        return {
+            "table": f"{table.namespace}.{table.table}", "method": "stratified",
+            "column": column, "total_rows": 0, "sample_size": 0,
+            "strata": {}, "rows": [],
+        }
+    w = Window.partitionBy(column).orderBy(F.md5(F.concat_ws("|", *df.columns)))
+    wc = Window.partitionBy(column)
+    sample = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wc))
+        .where(
+            F.col("_rn")
+            <= F.greatest(F.lit(1), F.ceil(F.col("_n") * fraction).cast("bigint"))
+        )
+        .drop("_rn", "_n")
+    )
+    totals = {r[column]: r["n"] for r in
+              df.groupBy(column).agg(F.count("*").alias("n")).collect()}
+    sampled = {r[column]: r["n"] for r in
+               sample.groupBy(column).agg(F.count("*").alias("n")).collect()}
+    return {
+        "table": f"{table.namespace}.{table.table}",
+        "method": "stratified",
+        "column": column,
+        "total_rows": sum(totals.values()),
+        "sample_size": sum(sampled.values()),
+        "strata": {
+            k: {"total": totals[k], "sampled": sampled.get(k, 0)}
+            for k in totals
+        },
+        "rows": [r.asDict(recursive=True) for r in sample.limit(max_rows).collect()],
+    }
+
+
+def systematic_sample(table: LakeTable, interval: int, max_rows: int = 10_000) -> dict:
+    """Reference systematic sampling: every interval-th row of a
+    deterministic hash ordering (two-pass global numbering — no
+    single-partition window sort)."""
+    from .rownum import md5_prefix_bucket, with_global_row_number
+
+    df = table.scan()
+    total = df.count()
+    h = df.withColumn("_h", F.md5(F.concat_ws("|", *df.columns)))
+    sample = (
+        with_global_row_number(h, md5_prefix_bucket(F.col("_h")), ["_h"],
+                               out_col="_rn")
+        .where((F.col("_rn") - 1) % interval == 0)
+        .drop("_rn", "_h")
+    )
+    n = sample.count()
+    return {
+        "table": f"{table.namespace}.{table.table}",
+        "method": "systematic",
+        "interval": interval,
+        "total_rows": total,
+        "sample_size": n,
+        "rows": [r.asDict(recursive=True) for r in sample.limit(max_rows).collect()],
+    }
 
 
 def sample_stats(full: DataFrame, sample: DataFrame) -> dict:
@@ -81,10 +181,12 @@ def sample_stats(full: DataFrame, sample: DataFrame) -> dict:
         for f in full.schema.fields
         if isinstance(f.dataType, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType))
     ]
+    coverage = round(100.0 * samp_n / full_n, 2) if full_n else 0.0
     out = {
         "full_rows": full_n,
         "sample_rows": samp_n,
-        "coverage_pct": round(100.0 * samp_n / full_n, 2) if full_n else 0.0,
+        "coverage_pct": coverage,
+        "coverage": coverage,
         "columns": {},
     }
     if numeric and samp_n:
@@ -103,4 +205,5 @@ def sample_stats(full: DataFrame, sample: DataFrame) -> dict:
                 "full_stddev": fa[f"{c}__std"],
                 "sample_stddev": sa[f"{c}__std"],
             }
+    out["column_comparison"] = out["columns"]
     return out
