@@ -85,7 +85,9 @@ def test_data_commands_execute(tmp_path):
     res = runner.invoke(cli, [*home, "contract", "score", "--table", "ct"])
     assert json.loads(res.output)["score"] == 100.0
     res = runner.invoke(cli, [*home, "dedup", "summary", "--table", "ct"])
-    assert json.loads(res.output) == {"rows": 2, "distinct": 2}
+    summ = json.loads(res.output)
+    assert summ["total_rows"] == 2 and summ["unique_rows"] == 2
+    assert summ["duplicate_rows"] == 0
     res = runner.invoke(cli, [*home, "snapshots", "list", "--table", "ct"])
     assert len(json.loads(res.output)) == 1
 
@@ -107,7 +109,13 @@ def test_table_output_mode(tmp_path):
     assert lines[0].split() == ["id", "v"]
     assert set(lines[1]) <= {"-", " "}
     assert lines[2].split() == ["1", "2.5"]
-    # flat dict renders as a one-row table
+    # dedup summary now carries a key_columns list → nested payloads
+    # fall back to JSON by design
     res = runner.invoke(cli, [*home, "-o", "table", "dedup", "summary",
                               "--table", "tt"])
-    assert res.output.strip().splitlines()[0].split() == ["rows", "distinct"]
+    assert '"total_rows"' in res.output and '"duplicate_pct"' in res.output
+    # a flat dict still renders as a one-row table
+    res = runner.invoke(cli, [*home, "-o", "table", "cache", "stats"])
+    assert res.exit_code == 0, res.output
+    header = res.output.strip().splitlines()[0].split()
+    assert "hits" in header and "misses" in header
