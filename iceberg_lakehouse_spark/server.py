@@ -37,6 +37,16 @@ _S = {"type": "string"}
 _I = {"type": "integer"}
 _N = {"type": "number"}
 _B = {"type": "boolean"}
+_O = {"type": "object"}
+
+
+def _scan_or_missing(catalog, table: str):
+    """Table scan, or the reference's ValueError for preview on a
+    missing table (masking.py:207-210)."""
+    try:
+        return catalog.load_table(table).scan()
+    except Exception as e:
+        raise ValueError(f"Table '{table}' not found: {e}") from e
 
 
 class _LazyProxy:
@@ -309,10 +319,10 @@ class LakehouseServer:
         )
         self._add(
             _tool("add_masking_policy", "Add a column masking policy",
-                  {"table": _S, "column": _S, "strategy": _S, "expression": _S},
+                  {"table": _S, "column": _S, "strategy": _S, "options": _O},
                   ["table", "column", "strategy"]),
-            lambda table, column, strategy, expression=None: mm.add_policy(
-                table, column, strategy, expression=expression
+            lambda table, column, strategy, options=None: mm.add_policy(
+                table, column, strategy, options=options
             ),
         )
         self._add(
@@ -871,7 +881,14 @@ class LakehouseServer:
         self._add(
             _tool("remove_masking_policy", "Remove a masking policy",
                   {"table": _S, "column": _S}, ["table", "column"]),
-            lambda table, column: {"removed": mm.remove_policy(table, column)},
+            lambda table, column: mm.remove_policy(table, column),
+        )
+        self._add(
+            _tool("preview_masking", "Preview a table with masking applied",
+                  {"table": _S, "max_rows": _N}, ["table"]),
+            lambda table, max_rows=5: mm.preview(
+                _scan_or_missing(c, table), table, max_rows=int(max_rows)
+            ),
         )
         self._add(
             _tool("query_with_masking", "Run SQL with masking policies applied",

@@ -113,7 +113,7 @@ def test_validation_failing_rows(tmp_path, spark):
 def test_masking_strategies(tmp_path, spark):
     mm = MaskingManager(str(tmp_path / "mask.json"))
     mm.add_policy("users", "email", "hash")
-    mm.add_policy("users", "name", "truncate", truncate_length=2)
+    mm.add_policy("users", "name", "truncate", options={"length": 2})
     mm.add_policy("users", "ssn", "redact")
     mm.add_policy("other", "phone", "nullify")
     df = spark.createDataFrame(

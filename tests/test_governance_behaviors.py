@@ -170,11 +170,11 @@ class TestMasking:
         return MaskingManager(str(tmp_path / "m.json"))
 
     def test_unknown_strategy_raises(self, mm):
-        with pytest.raises(ValueError, match="unknown strategy"):
+        with pytest.raises(ValueError, match="Invalid strategy"):
             mm.add_policy("t", "a", "rot13")
 
-    def test_expression_strategy_requires_expression(self, mm):
-        with pytest.raises(ValueError, match="requires an expression"):
+    def test_expression_strategy_requires_sql_option(self, mm):
+        with pytest.raises(ValueError, match="sql"):
             mm.add_policy("t", "a", "expression")
 
     def test_hash_deterministic_and_null_preserving(self, mm, spark):
@@ -187,7 +187,7 @@ class TestMasking:
         assert out[2] is None
 
     def test_redact_custom_replacement(self, mm, spark):
-        mm.add_policy("t", "ssn", "redact", replacement="[HIDDEN]")
+        mm.add_policy("t", "ssn", "redact", options={"replacement": "[HIDDEN]"})
         df = spark.createDataFrame([("123-45-6789",), (None,)], "ssn string")
         out = [r["ssn"] for r in mm.apply(df, "t").collect()]
         assert out == ["[HIDDEN]", None]
@@ -198,7 +198,7 @@ class TestMasking:
         assert mm.apply(df, "t").collect()[0]["phone"] is None
 
     def test_truncate_length(self, mm, spark):
-        mm.add_policy("t", "name", "truncate", truncate_length=2)
+        mm.add_policy("t", "name", "truncate", options={"length": 2})
         df = spark.createDataFrame([("alice",)], "name string")
         assert mm.apply(df, "t").collect()[0]["name"] == "al***"
 
@@ -210,15 +210,15 @@ class TestMasking:
         assert mm.apply(df).collect()[0]["email"] == "***"
 
     def test_own_table_policy_wins(self, mm, spark):
-        mm.add_policy("other", "email", "redact", replacement="OTHER")
-        mm.add_policy("mine", "email", "redact", replacement="MINE")
+        mm.add_policy("other", "email", "redact", options={"replacement": "OTHER"})
+        mm.add_policy("mine", "email", "redact", options={"replacement": "MINE"})
         df = spark.createDataFrame([("x",)], "email string")
         assert mm.apply(df, "mine").collect()[0]["email"] == "MINE"
 
     def test_remove_policy(self, mm, spark):
         mm.add_policy("t", "a", "nullify")
-        assert mm.remove_policy("t", "a") is True
-        assert mm.remove_policy("t", "a") is False
+        assert "removed" in mm.remove_policy("t", "a")["message"].lower()
+        assert "no masking policy" in mm.remove_policy("t", "a")["message"].lower()
         df = spark.createDataFrame([("keep",)], "a string")
         assert mm.apply(df, "t").collect()[0]["a"] == "keep"
 
