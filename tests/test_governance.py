@@ -93,11 +93,11 @@ def test_validation_rules(tmp_path, table, spark):
         "id long, category string, amount double",
     )
     violations = vm.validate("expenses", bad, existing=table.scan())
-    kinds = {v["rule"].split("_")[0] for v in violations}
-    assert {"not", "range", "regex", "unique", "expression"} == kinds
-    with pytest.raises(ValueError, match="validation failed"):
+    kinds = {v["type"] for v in violations}
+    assert {"not_null", "range", "regex", "unique", "expression"} == kinds
+    with pytest.raises(ValueError, match="Validation failed"):
         vm.enforce("expenses", bad, existing=table.scan())
-    assert vm.remove_rule("expenses", vm.list_rules("expenses")[0]["name"])
+    assert vm.remove_rule("expenses", vm.list_rules("expenses")[0]["id"])
 
 
 def test_validation_failing_rows(tmp_path, spark):

@@ -63,35 +63,38 @@ class TestValidationRuleCrud:
         return ValidationManager(str(tmp_path / "v.json"))
 
     def test_unknown_rule_type_raises(self, vm):
-        with pytest.raises(ValueError, match="unknown rule type"):
+        with pytest.raises(ValueError, match="Invalid rule type"):
             vm.add_rule("t", "bogus", column="x")
 
     def test_column_required(self, vm):
-        for rt in ("not_null", "unique", "range", "regex"):
-            with pytest.raises(ValueError, match="requires a column"):
+        for rt in ("not_null", "range", "regex"):
+            with pytest.raises(ValueError, match="requires 'column'"):
                 vm.add_rule("t", rt)
+        with pytest.raises(ValueError, match="requires 'columns'"):
+            vm.add_rule("t", "unique")
 
     def test_range_requires_bound(self, vm):
-        with pytest.raises(ValueError, match="min_value and/or max_value"):
+        with pytest.raises(ValueError, match="requires at least"):
             vm.add_rule("t", "range", column="x")
 
     def test_regex_requires_pattern(self, vm):
-        with pytest.raises(ValueError, match="requires a pattern"):
+        with pytest.raises(ValueError, match="requires 'pattern'"):
             vm.add_rule("t", "regex", column="x")
 
     def test_expression_requires_expression(self, vm):
-        with pytest.raises(ValueError, match="requires an expression"):
+        with pytest.raises(ValueError, match="requires 'sql'"):
             vm.add_rule("t", "expression")
 
-    def test_auto_names_are_unique(self, vm):
+    def test_auto_ids_are_unique(self, vm):
         r1 = vm.add_rule("t", "not_null", column="a")
         r2 = vm.add_rule("t", "not_null", column="a")
-        assert r1["name"] != r2["name"]
+        assert r1["id"] != r2["id"]
 
     def test_remove_rule(self, vm):
         r = vm.add_rule("t", "not_null", column="a")
-        assert vm.remove_rule("t", r["name"]) is True
-        assert vm.remove_rule("t", r["name"]) is False
+        assert "Removed" in vm.remove_rule("t", r["id"])["message"]
+        with pytest.raises(ValueError, match="not found"):
+            vm.remove_rule("t", r["id"])
         assert vm.list_rules("t") == []
 
 
@@ -132,11 +135,12 @@ class TestValidationChecks:
         assert v[0]["failed_rows"] == 1
         assert "already present" in v[0]["detail"]
 
-    def test_expression_null_counts_as_failure(self, vm, spark):
+    def test_expression_null_passes(self, vm, spark):
         vm.add_rule("t", "expression", expression="a > 0")
         df = spark.createDataFrame([(1,), (-1,), (None,)], "a int")
-        # NULL predicate -> not satisfied -> failure (2 rows)
-        assert vm.validate("t", df)[0]["failed_rows"] == 2
+        # NULL predicate drops out of WHERE NOT(expr) -> passes, the
+        # reference's SQL semantics (validation.py:224-228): 1 failure
+        assert vm.validate("t", df)[0]["failed_rows"] == 1
 
     def test_missing_column_flags_rule(self, vm, spark):
         vm.add_rule("t", "not_null", column="ghost")
@@ -148,7 +152,7 @@ class TestValidationChecks:
         vm.add_rule("t", "not_null", column="a")
         vm.add_rule("t", "range", column="a", min_value=0)
         df = spark.createDataFrame([(None,), (-1,)], "a int")
-        with pytest.raises(ValueError, match="validation failed for 't'"):
+        with pytest.raises(ValueError, match="Validation failed"):
             vm.enforce("t", df)
 
     def test_enforce_clean_passes(self, vm, spark):
@@ -815,7 +819,7 @@ class TestValidationOnWrite:
                    {"table": "default.vt", "rule_type": "not_null", "column": "id"})
         err, text = self._call(srv, "insert", {
             "table": "vt", "rows": [{"id": None, "amount": 10.0}]})
-        assert err and "validation failed" in text
+        assert err and "Validation failed" in text
         err, p = self._call(srv, "query", {"sql": "SELECT count(*) AS n FROM vt"})
         assert p[0]["n"] == 0
         # the rejected write produced no audit entry
@@ -828,7 +832,7 @@ class TestValidationOnWrite:
                     "column": "amount", "min_value": 0})
         err, text = self._call(srv, "insert", {
             "table": "vt", "rows": [{"id": 1, "amount": -5.0}]})
-        assert err and "validation failed" in text
+        assert err and "Validation failed" in text
 
     def test_unique_vs_existing_blocks_reinsert_but_not_upsert(self, srv):
         self._call(srv, "insert", {"table": "vt",
@@ -852,7 +856,7 @@ class TestValidationOnWrite:
                     "column": "amount", "min_value": 0})
         err, text = self._call(srv, "update", {
             "table": "vt", "filter": "id = 1", "updates": {"amount": -3.0}})
-        assert err and "validation failed" in text
+        assert err and "Validation failed" in text
         err, p = self._call(srv, "query", {"sql": "SELECT amount FROM vt"})
         assert p[0]["amount"] == 10.0  # untouched
         err, p = self._call(srv, "update", {
@@ -873,15 +877,15 @@ class TestValidationRuleEdges:
         return ValidationManager(str(tmp_path / "edge_v.json"))
 
     def test_add_invalid_type_raises(self, vm):
-        with pytest.raises(ValueError, match="unknown rule type"):
+        with pytest.raises(ValueError, match="Invalid rule type"):
             vm.add_rule("t", "checksum", column="a")
 
     def test_add_not_null_missing_column_raises(self, vm):
-        with pytest.raises(ValueError, match="requires a column"):
+        with pytest.raises(ValueError, match="requires 'column'"):
             vm.add_rule("t", "not_null")
 
     def test_add_range_missing_bounds_raises(self, vm):
-        with pytest.raises(ValueError, match="min_value and/or max_value"):
+        with pytest.raises(ValueError, match="requires at least"):
             vm.add_rule("t", "range", column="a")
 
     def test_rules_isolated_per_table(self, vm):
@@ -894,7 +898,7 @@ class TestValidationRuleEdges:
     def test_remove_one_keeps_others(self, vm):
         r1 = vm.add_rule("t", "not_null", column="a")
         vm.add_rule("t", "not_null", column="b")
-        assert vm.remove_rule("t", r1["name"]) is True
+        assert "Removed" in vm.remove_rule("t", r1["id"])["message"]
         assert [r["column"] for r in vm.list_rules("t")] == ["b"]
 
     def test_range_nulls_pass(self, vm, spark):

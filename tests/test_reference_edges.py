@@ -38,7 +38,7 @@ def test_invalid_regex_pattern_rejected_at_add_time(tmp_path):
     from iceberg_lakehouse_spark.governance.validation import ValidationManager
 
     vr = ValidationManager(str(tmp_path / "rules.json"))
-    with pytest.raises(ValueError, match="invalid regex"):
+    with pytest.raises(ValueError, match="Invalid regex"):
         vr.add_rule("t", "regex", column="name", pattern="[unclosed")
 
 
