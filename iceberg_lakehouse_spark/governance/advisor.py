@@ -19,6 +19,14 @@ _COL_RE = re.compile(
 _NON_COLUMN_WORDS = {"and", "or", "not", "null", "true", "false"}
 
 
+def _duration_s(entry: dict) -> float:
+    """History entries store duration_ms (reference queries.py:157-185);
+    accept legacy duration_s too."""
+    if entry.get("duration_ms") is not None:
+        return entry["duration_ms"] / 1000.0
+    return entry.get("duration_s") or 0.0
+
+
 def extract_query_tables(sql: str) -> list[str]:
     return sorted({m.lower() for m in _TABLE_RE.findall(sql)})
 
@@ -96,15 +104,15 @@ def analyze_patterns(history: list[dict], slow_factor_p: float = 0.9) -> dict:
         sql_counts[re.sub(r"\s+", " ", sql.strip()).rstrip(";").upper()] += 1
         tables.update(extract_query_tables(sql))
         filters.update(extract_filter_columns(sql))
-        durations.append(h.get("duration_s") or 0.0)
+        durations.append(_duration_s(h))
     sorted_d = sorted(durations)
     p90_idx = int(len(sorted_d) * slow_factor_p)
     p90 = sorted_d[min(p90_idx, len(sorted_d) - 1)]
     slow = [
-        {"sql": h.get("sql", ""), "duration_s": h.get("duration_s") or 0.0,
-         "rows": h.get("rows", 0)}
+        {"sql": h.get("sql", ""), "duration_s": _duration_s(h),
+         "rows": h.get("rows_returned", h.get("rows", 0))}
         for h in history
-        if (h.get("duration_s") or 0.0) > p90 and p90 > 0
+        if _duration_s(h) > p90 and p90 > 0
     ][:10]
     repeated = [
         {"sql_pattern": s, "count": c}

@@ -10,7 +10,8 @@ from datetime import datetime, timezone
 
 from .stores import JsonStore
 
-HISTORY_CAP = 1000
+MAX_HISTORY_ENTRIES = 1000  # reference queries.py:10
+HISTORY_CAP = MAX_HISTORY_ENTRIES  # back-compat alias
 CACHE_CAP = 100
 DEFAULT_TTL_S = 300
 
@@ -26,6 +27,12 @@ def cache_key(sql: str) -> str:
 
 
 class SavedQueries:
+    """Reference queries.py:31-222 contract: saved-query CRUD with
+    reference messages/raises, history entries with rows_returned /
+    duration_ms / executed_at, MAX_HISTORY_ENTRIES cap, newest-first
+    reads. ``overwrite`` is a documented repo superset (the reference
+    requires delete-then-recreate)."""
+
     def __init__(self, store_path: str):
         self.store = JsonStore(store_path, {"saved": {}, "history": []})
 
@@ -33,64 +40,90 @@ class SavedQueries:
         self,
         name: str,
         sql: str,
-        description: str | None = None,
+        description: str = "",
         overwrite: bool = False,
     ) -> dict:
-        """Reference queries.py semantics: duplicate names raise unless
-        ``overwrite`` is explicit."""
         if not name or not name.strip():
-            raise ValueError("saved query name must be non-empty")
+            raise ValueError("Query name must not be empty")
         if not sql or not sql.strip():
-            raise ValueError("saved query sql must be non-empty")
+            raise ValueError("SQL query must not be empty")
         data = self.store.load()
         if name in data["saved"] and not overwrite:
-            raise ValueError(f"saved query {name!r} already exists")
+            raise ValueError(
+                f"Query '{name}' already exists. Delete it first to replace."
+            )
         data["saved"][name] = {
             "sql": sql,
-            "description": description,
-            "created": datetime.now(timezone.utc).isoformat(),
+            "description": description or "",
+            "created_at": datetime.now(timezone.utc).isoformat(),
         }
         self.store.save(data)
-        return data["saved"][name]
+        return {
+            "name": name,
+            "sql": sql,
+            "description": description or "",
+            "message": f"Saved query '{name}'",
+        }
 
     def get(self, name: str) -> dict:
+        saved = self.store.load()["saved"]
+        if name not in saved:
+            raise ValueError(f"Saved query '{name}' not found")
+        entry = saved[name]
+        return {
+            "name": name,
+            "sql": entry["sql"],
+            "description": entry.get("description", ""),
+            "created_at": entry.get("created_at", ""),
+        }
+
+    def list(self) -> list[dict]:
+        return [
+            {
+                "name": name,
+                "sql": entry["sql"],
+                "description": entry.get("description", ""),
+                "created_at": entry.get("created_at", ""),
+            }
+            for name, entry in self.store.load()["saved"].items()
+        ]
+
+    def delete(self, name: str) -> dict:
         data = self.store.load()
         if name not in data["saved"]:
-            raise ValueError(f"saved query {name!r} does not exist")
-        return data["saved"][name]
-
-    def list(self) -> dict:
-        return self.store.load()["saved"]
-
-    def delete(self, name: str) -> None:
-        data = self.store.load()
-        if name not in data["saved"]:  # reference delete raises on missing
-            raise ValueError(f"saved query {name!r} does not exist")
+            raise ValueError(f"Saved query '{name}' not found")
         del data["saved"][name]
         self.store.save(data)
+        return {"name": name, "message": f"Deleted saved query '{name}'"}
 
-    def record_history(self, sql: str, duration_s: float, rows: int) -> None:
+    def add_history(
+        self, sql: str, rows_returned: int = 0, duration_ms: int = 0
+    ) -> None:
         data = self.store.load()
         data["history"].append(
             {
                 "sql": sql,
-                "duration_s": round(duration_s, 4),
-                "rows": rows,
-                "at": datetime.now(timezone.utc).isoformat(),
+                "executed_at": datetime.now(timezone.utc).isoformat(),
+                "rows_returned": rows_returned,
+                "duration_ms": duration_ms,
             }
         )
-        data["history"] = data["history"][-HISTORY_CAP:]
+        data["history"] = data["history"][-MAX_HISTORY_ENTRIES:]
         self.store.save(data)
 
-    def history(self, limit: int = 100) -> list[dict]:
+    def record_history(self, sql: str, duration_s: float, rows: int) -> None:
+        """Engine-facing adapter (plans/engine.py reports seconds)."""
+        self.add_history(sql, rows_returned=rows, duration_ms=int(duration_s * 1000))
+
+    def history(self, limit: int = 20) -> list[dict]:
         return list(reversed(self.store.load()["history"][-limit:]))
 
-    def clear_history(self) -> int:
+    def clear_history(self) -> dict:
         data = self.store.load()
         n = len(data["history"])
         data["history"] = []
         self.store.save(data)
-        return n
+        return {"cleared": n, "message": f"Cleared {n} history entries"}
 
 
 class QueryCache:

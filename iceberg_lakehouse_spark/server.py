@@ -722,11 +722,11 @@ class LakehouseServer:
                 eng.execute(saved.get(name)["sql"], max_rows=max_rows)),
         )
         self._add(_tool("delete_saved_query", "Delete a saved query", {"name": _S}, ["name"]),
-                  lambda name: (saved.delete(name), {"deleted": name})[1])
+                  lambda name: saved.delete(name))
         self._add(_tool("get_query_history", "Recent executed queries", {"limit": _I}, []),
-                  lambda limit=100: saved.history(limit))
+                  lambda limit=20: saved.history(limit))
         self._add(_tool("clear_query_history", "Clear the query history", {}, []),
-                  lambda: {"cleared": saved.clear_history()})
+                  lambda: saved.clear_history())
 
         # -- validation (rest) / audit ------------------------------------
         self._add(_tool("list_validation_rules", "Rules for a table", {"table": _S}, ["table"]),

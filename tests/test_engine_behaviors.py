@@ -147,7 +147,7 @@ class TestExecuteCached:
         eng = QueryEngine(catalog, history=sq)
         eng.execute_cached("SELECT id FROM metrics", max_rows=2)
         hist = sq.history()
-        assert hist[0]["rows"] == 2 and "SELECT id" in hist[0]["sql"]
+        assert hist[0]["rows_returned"] == 2 and "SELECT id" in hist[0]["sql"]
 
 
 class TestCrudSemantics:

@@ -426,7 +426,7 @@ def test_saved_queries_history(tmp_path):
     sq.record_history("SELECT 2", 0.2, 2)
     assert sq.history()[0]["sql"] == "SELECT 2"  # newest first
     sq.delete("top")
-    with pytest.raises(ValueError, match="does not exist"):
+    with pytest.raises(ValueError, match="not found"):
         sq.get("top")
 
 

@@ -570,7 +570,7 @@ class TestSavedQueries:
         return SavedQueries(str(tmp_path / "q.json"))
 
     def test_get_missing_raises(self, sq):
-        with pytest.raises(ValueError, match="does not exist"):
+        with pytest.raises(ValueError, match="not found"):
             sq.get("ghost")
 
     def test_save_duplicate_raises_unless_overwrite(self, sq):
@@ -583,23 +583,25 @@ class TestSavedQueries:
         assert sq.get("q")["sql"] == "SELECT 2"
 
     def test_delete_missing_raises_and_recreate_works(self, sq):
-        with pytest.raises(ValueError, match="does not exist"):
+        with pytest.raises(ValueError, match="not found"):
             sq.delete("ghost")
         sq.save("q", "SELECT 1", description="d1")
         sq.delete("q")
-        assert sq.list() == {}
+        assert sq.list() == []
         sq.save("q", "SELECT 9")  # delete-then-recreate is a fresh save
         assert sq.get("q")["sql"] == "SELECT 9"
 
     def test_save_includes_created_at_and_description(self, sq):
         e = sq.save("q", "SELECT 1", description="daily rollup")
-        assert e["description"] == "daily rollup" and "created" in e
+        assert e["description"] == "daily rollup"
+        assert "Saved" in e["message"]
+        assert sq.get("q")["created_at"]
 
     def test_delete_one_keeps_others(self, sq):
         sq.save("a", "SELECT 1")
         sq.save("b", "SELECT 2")
         sq.delete("a")
-        assert list(sq.list()) == ["b"]
+        assert [q["name"] for q in sq.list()] == ["b"]
 
     def test_history_preserved_across_saved_query_ops(self, sq):
         sq.record_history("SELECT 1", 0.1, 1)
@@ -608,14 +610,14 @@ class TestSavedQueries:
         assert len(sq.history()) == 1
 
     def test_clear_empty_history_is_zero(self, sq):
-        assert sq.clear_history() == 0
+        assert sq.clear_history()["cleared"] == 0
 
     def test_history_capped_and_cleared(self, sq):
         for i in range(5):
             sq.record_history(f"SELECT {i}", 0.1, i)
         assert len(sq.history()) == 5
         assert sq.history(limit=2)[0]["sql"] == "SELECT 4"  # newest first
-        assert sq.clear_history() == 5
+        assert sq.clear_history()["cleared"] == 5
         assert sq.history() == []
 
     def test_normalize_sql_collapses_whitespace_and_case(self):

@@ -168,7 +168,7 @@ def test_schema_evolution_family(server, seeded):
 
 def test_saved_query_family(server, seeded):
     ok(server, "save_query", {"name": "cnt", "sql": f"SELECT count(*) AS n FROM {seeded}"})
-    assert "cnt" in ok(server, "list_saved_queries", {})
+    assert "cnt" in [q["name"] for q in ok(server, "list_saved_queries", {})]
     rows = ok(server, "run_saved_query", {"name": "cnt"})
     assert rows[0]["n"] >= 3
     ok(server, "delete_saved_query", {"name": "cnt"})
