@@ -319,7 +319,9 @@ class LakehouseCatalog:
             fields = []
             for col, typ in schema:
                 if typ not in _TYPE_MAP:
-                    raise ValueError(f"unsupported type {typ!r} for column {col!r}")
+                    raise ValueError(
+                        f"Unsupported column type '{typ}' for column '{col}'"
+                    )
                 fields.append({"name": col, "type": _TYPE_MAP[typ].simpleString()})
         if not fields:
             raise ValueError("table schema must have at least one column")
@@ -1217,7 +1219,7 @@ class LakeTable:
 
     def add_column(self, name: str, type_name: str) -> None:
         if type_name not in _TYPE_MAP:
-            raise ValueError(f"unsupported type {type_name!r}")
+            raise ValueError(f"Unsupported column type '{type_name}'")
         meta = self.meta()
         self._ensure_field_ids(meta)
         fields = meta["schema"]["fields"]

@@ -74,12 +74,19 @@ def update_rows(table: LakeTable, filter_expr: str, updates: dict[str, Any]) -> 
     (reference catalog.py:632-762 rewrites the whole table; here only
     the files that actually hold matching rows are rewritten — the
     untouched files carry into the new snapshot by reference). Returns
-    matched-row count."""
+    matched-row count. Guard raises mirror the reference
+    (catalog.py:632-660): empty filter / empty updates / unknown column."""
+    if not filter_expr or not filter_expr.strip():
+        raise ValueError("Filter expression is required for update")
+    if not updates:
+        raise ValueError("Updates dictionary cannot be empty")
     schema = table.schema()
     known = {f.name for f in schema.fields}
-    unknown = set(updates) - known
+    unknown = sorted(set(updates) - known)
     if unknown:
-        raise ValueError(f"unknown columns: {sorted(unknown)}")
+        raise ValueError(
+            f"Column '{unknown[0]}' does not exist in table schema"
+        )
     cond = F.expr(filter_expr)
     matched, touched = _matched_files(table, cond, filter_expr)
     if matched == 0:
@@ -107,6 +114,8 @@ def delete_rows(table: LakeTable, filter_expr: str) -> int:
     catalog.py:765-831). NULL-safe: rows where the predicate is NULL are
     kept, matching SQL delete semantics. Only files holding matching
     rows are rewritten."""
+    if not filter_expr or not filter_expr.strip():
+        raise ValueError("Filter expression is required for delete")
     cond = F.expr(filter_expr)
     matched, touched = _matched_files(table, cond, filter_expr)
     if matched == 0:
@@ -129,11 +138,15 @@ def upsert_rows(
     """C4: MERGE semantics — matched rows replaced, new rows appended
     (reference catalog.py:1180-1344: inner-join count, left-anti keep,
     UNION ALL incoming, overwrite)."""
+    if not key_columns:
+        raise ValueError("key_columns must not be empty")
     schema = table.schema()
     known = {f.name for f in schema.fields}
     for k in key_columns:
         if k not in known:
-            raise ValueError(f"key column {k!r} not in schema")
+            raise ValueError(
+                f"Key column '{k}' does not exist in table schema"
+            )
     if not rows:
         return {"updated": 0, "inserted": 0}
     for r in rows:

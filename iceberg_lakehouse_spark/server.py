@@ -596,16 +596,25 @@ class LakehouseServer:
 
         # -- table admin ---------------------------------------------------
         def _alter(table, action, column=None, type=None, new_name=None):
+            """Reference alter_table dispatcher (schema.py): guard raises
+            use the reference's messages."""
             t = T(table)
             if action == "add_column":
+                if not type:
+                    raise ValueError("column_type is required for add_column")
                 t.add_column(column, type)
+                msg = f"Added column '{column}' ({type})"
             elif action == "drop_column":
                 t.drop_column(column)
+                msg = f"Dropped column '{column}'"
             elif action == "rename_column":
+                if not new_name:
+                    raise ValueError("new_name is required for rename_column")
                 t.rename_column(column, new_name)
+                msg = f"Renamed column '{column}' to '{new_name}'"
             else:
-                raise ValueError(f"unknown action {action!r}")
-            return t.meta()["schema"]
+                raise ValueError(f"Unknown operation '{action}'")
+            return {**t.meta()["schema"], "message": msg}
 
         self._add(
             _tool("alter_table", "Add/drop/rename a column",

@@ -159,7 +159,7 @@ class TestCrudSemantics:
         assert crud.insert_rows(metrics, []) == 0
 
     def test_update_unknown_column_raises(self, metrics):
-        with pytest.raises(ValueError, match="unknown columns"):
+        with pytest.raises(ValueError, match="does not exist"):
             crud.update_rows(metrics, "id = 1", {"ghost": 1})
 
     def test_update_no_match_returns_zero_without_commit(self, metrics):
@@ -179,7 +179,7 @@ class TestCrudSemantics:
             crud.upsert_rows(metrics, [{"id": None, "value": 1.0}], ["id"])
 
     def test_upsert_unknown_key_raises(self, metrics):
-        with pytest.raises(ValueError, match="not in schema"):
+        with pytest.raises(ValueError, match="does not exist"):
             crud.upsert_rows(metrics, [{"id": 1}], ["ghost"])
 
     def test_upsert_counts_with_duplicate_existing_keys(self, metrics):

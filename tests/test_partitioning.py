@@ -58,7 +58,7 @@ class TestCreateValidation:
             catalog.create_table("empty_t", [])
 
     def test_create_invalid_type_raises(self, catalog):
-        with pytest.raises(ValueError, match="unsupported type"):
+        with pytest.raises(ValueError, match="Unsupported column type"):
             catalog.create_table("bad_t", [("id", "uuid")])
 
     def test_create_partition_unknown_column_raises(self, catalog):
