@@ -334,3 +334,60 @@ def simhash_hamming_pairs(
         .distinct()
         .where(F.col("hamming") <= max_distance)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    left: str = "left_id",
+    right: str = "right_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Distributed connected components by min-label propagation:
+    ``(node, component)`` where component = the smallest node id
+    reachable from ``node``. The dedup-clustering step that turns
+    near-dup PAIRS (MinHash/SimHash/embedding) into GROUPS with one
+    keeper per group — the reference has no analogue; training-data
+    pipelines need it to drop all-but-one of a duplicate cluster.
+
+    Scale shape: each round is one join + one groupBy(min) over the
+    symmetric edge list — O(diameter) shuffle rounds, and near-dup
+    graphs are shallow (duplicate clusters are cliques or short
+    chains, diameter ≤ 3-4 in practice). Lineage is truncated with
+    localCheckpoint per round so the plan does not grow with the
+    iteration count; convergence is detected with a count of changed
+    labels (an action per round — inherent to iterate-to-fixpoint).
+    """
+    sym = (
+        edges.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .unionByName(
+            edges.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import dedup_text as dt
 from ..session import load_sf_tables
 from . import register
-from .llm_dedup import _SQL_SHINGLES, _corpus_with_mutants
+from .llm_dedup import _SQL_CORPUS, _SQL_SHINGLES, _corpus_with_mutants
 
 _J_THRESHOLD = 0.5
 
@@ -224,5 +224,138 @@ def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
             "n_orders",
             "revenue",
+        )
+    )
+
+
+# round-5 additions (registered after the round-4 block, same stable-slate
+# rationale): near-dup clustering and document chunking.
+
+_SQL_PAIRS = """
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT shingle) AS BIGINT) AS sz
+        FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               CAST(COUNT(DISTINCT a.shingle) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT left_id, right_id
+        FROM common
+        JOIN sizes sa ON sa.doc_id = left_id
+        JOIN sizes sb ON sb.doc_id = right_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    )
+"""
+
+
+@register(
+    "near_dup_clusters",
+    "WITH RECURSIVE "
+    + _SQL_CORPUS
+    + """,
+    """ + _SQL_PAIRS + """,
+    edges AS (
+        SELECT left_id AS src, right_id AS dst FROM pairs
+        UNION
+        SELECT right_id AS src, left_id AS dst FROM pairs
+    ),
+    reach(node, m) AS (
+        SELECT src AS node, dst AS m FROM edges
+        UNION
+        SELECT e.src AS node, r.m
+        FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (
+        SELECT node, LEAST(MIN(m), node) AS cluster_id
+        FROM reach GROUP BY node
+    )
+    SELECT c.doc_id,
+           COALESCE(k.cluster_id, c.doc_id) AS cluster_id,
+           COALESCE(k.cluster_id, c.doc_id) = c.doc_id AS is_keeper
+    FROM corpus c LEFT JOIN comp k ON k.node = c.doc_id
+    """,
+    survey_ref="LLM-dedup: near-dup pair graph -> connected components -> "
+    "one keeper per cluster (functions/dedup_text.connected_components)",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUPS from near-dup PAIRS: exact-Jaccard pairs (>= 0.5 on
+    3-gram shingles) feed distributed min-label connected components;
+    every doc gets a cluster id (singletons are their own cluster) and
+    the smallest doc_id in each cluster is the keeper a dedup pipeline
+    retains. The iterative propagation is O(graph diameter) shuffle
+    rounds (near-dup clusters are shallow); the oracle reproduces it
+    with a recursive CTE."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    comp = dt.connected_components(pairs.select("left_id", "right_id"))
+    return (
+        corpus.select("doc_id")
+        .join(comp, corpus["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("cluster_id"),
+            (F.coalesce("comp", "doc_id") == F.col("doc_id")).alias("is_keeper"),
+        )
+    )
+
+
+_CHUNK, _STRIDE = 32, 24  # 32-token windows, 8-token overlap
+
+
+@register(
+    "document_chunks",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    idx AS (
+        SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(greatest(len(t) - {_CHUNK - _STRIDE}, 1)
+                                         / {_STRIDE}.0) AS BIGINT))) AS chunk_idx
+        FROM toks
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(t[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {_CHUNK}], ' ')
+               AS chunk_text,
+           CAST(LEAST({_CHUNK}, len(t) - chunk_idx * {_STRIDE}) AS BIGINT) AS n_tokens
+    FROM idx
+    """,
+    survey_ref="LLM-pipeline: overlapping token-window chunking "
+    "(32-token windows, 24-token stride)",
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: each document becomes ceil(max(len-8,1)/24)
+    overlapping 32-token windows on a 24-token stride. One explode over a
+    computed index sequence — map-side only, no shuffle at all; at 100 TB
+    this is the shape you want (chunk count scales with input size, never
+    with document count x max length)."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    t = dt.tokens_col("text")
+    n_chunks = F.ceil(
+        F.greatest(F.size("t") - F.lit(_CHUNK - _STRIDE), F.lit(1))
+        / F.lit(float(_STRIDE))
+    ).cast("bigint")
+    return (
+        docs.where(F.trim(F.col("text")) != "")
+        .select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(_CHUNK), F.size("t") - F.col("chunk_idx") * _STRIDE
+            ).cast("bigint").alias("n_tokens"),
         )
     )

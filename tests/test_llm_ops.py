@@ -266,3 +266,30 @@ def test_multimodal_real_pillow_decode(spark):
     # solid red → uniform grayscale mean-pool
     assert len(set(got[1]["features"])) == 1
     assert got[2]["height"] is None  # corrupt blob → NULLs, no crash
+
+
+# ------------------------------------------------- connected components
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-node chain and a 3-node clique each collapse to the min id;
+    chain forces >1 propagation round (diameter 3)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (10, 12), (11, 12)],   # clique {10,11,12}
+        "left_id long, right_id long",
+    )
+    comp = {r["node"]: r["comp"] for r in dt.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_disjoint_pairs(spark):
+    edges = spark.createDataFrame(
+        [(5, 6), (7, 8)], "left_id long, right_id long"
+    )
+    comp = {r["node"]: r["comp"] for r in dt.connected_components(edges).collect()}
+    assert comp == {5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "left_id long, right_id long")
+    assert dt.connected_components(edges).count() == 0
