@@ -297,6 +297,7 @@ _TREE: dict[str, dict[str, str]] = {
     "mask": {
         "add": "add_masking_policy", "list": "list_masking_policies",
         "remove": "remove_masking_policy", "query": "query_with_masking",
+        "preview": "preview_masking",
     },
     "audit": {"show": "get_audit_log", "clear": "clear_audit_log"},
     "stats": {

@@ -283,3 +283,12 @@ def test_cow_probe_pushes_predicate_to_scan(spark, tmp_path):
         probe.explain("formatted")
     plan = buf.getvalue()
     assert "PushedFilters: [IsNotNull(id), EqualTo(id,3)]" in plan
+
+
+def test_document_chunks_zero_exchange(spark):
+    """Chunking must stay map-side: computed sequence + explode, no
+    shuffle of any kind — the property that makes it linear at 100 TB."""
+    plan = plan_of(spark, "document_chunks")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+    assert "codegen id" in plan  # inside a whole-stage codegen span
