@@ -126,6 +126,11 @@ class Snapshot:
     files: list[str]
     parent_id: int | None = None
     summary: dict[str, Any] = field(default_factory=dict)
+    # schema version active when the snapshot committed (Iceberg's
+    # snapshot.schema_id analogue, reference schema_evolution.py:55-62);
+    # None on snapshots written before this field existed — readers fall
+    # back to timestamp resolution against schema_history.
+    schema_version: int | None = None
 
     def to_json(self) -> dict:
         return {
@@ -135,6 +140,7 @@ class Snapshot:
             "files": self.files,
             "parent_id": self.parent_id,
             "summary": self.summary,
+            "schema_version": self.schema_version,
         }
 
 
@@ -499,6 +505,7 @@ class LakeTable:
                 s["files"],
                 s.get("parent_id"),
                 s.get("summary", {}),
+                s.get("schema_version"),
             )
             for s in _read_json(self._snap_path, [])
         ]
@@ -532,6 +539,7 @@ class LakeTable:
             files=files,
             parent_id=parent,
             summary=summary,
+            schema_version=self.meta().get("schema", {}).get("version", 1),
         )
         snaps.append(snap.to_json())
         _atomic_write_json(self._snap_path, snaps)

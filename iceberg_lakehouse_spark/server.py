@@ -657,28 +657,36 @@ class LakehouseServer:
                            "partitions": T(table).partition_stats()},
         )
 
-        # -- schema evolution ---------------------------------------------
+        # -- schema evolution (reference server.py:1074-1130 contract:
+        # snapshot-addressed diff/migration, proposed-changes compat) ------
         self._add(_tool("schema_history", "Schema versions over time", {"table": _S}, ["table"]),
-                  lambda table: T(table).schema_history())
+                  lambda table: se.get_schema_history(T(table)))
         self._add(
-            _tool("schema_diff", "Column diff between two schema versions",
+            _tool("schema_diff", "Column diff between two snapshots' schemas",
+                  {"table": _S, "from_snapshot": _I, "to_snapshot": _I},
+                  ["table"]),
+            lambda table, from_snapshot=None, to_snapshot=None: se.schema_diff_snapshots(
+                T(table), from_snapshot, to_snapshot),
+        )
+        self._add(
+            _tool("schema_migration", "alter_table steps to migrate between versions",
+                  {"table": _S, "from_snapshot": _I, "to_snapshot": _I},
+                  ["table"]),
+            lambda table, from_snapshot=None, to_snapshot=None: se.generate_migration(
+                T(table), from_snapshot, to_snapshot),
+        )
+        self._add(
+            _tool("schema_compatibility", "Verdict for proposed schema changes",
+                  {"table": _S, "changes": {"type": "array"}},
+                  ["table", "changes"]),
+            lambda table, changes: se.check_schema_compatibility(T(table), changes),
+        )
+        self._add(
+            _tool("schema_diff_versions", "Column diff between two schema VERSIONS "
+                  "(finer-grained than snapshots — every version is addressable)",
                   {"table": _S, "from_version": _I, "to_version": _I},
                   ["table", "from_version", "to_version"]),
             lambda table, from_version, to_version: se.diff_schemas(
-                T(table), from_version, to_version),
-        )
-        self._add(
-            _tool("schema_migration", "SQL-ish steps to migrate between versions",
-                  {"table": _S, "from_version": _I, "to_version": _I},
-                  ["table", "from_version", "to_version"]),
-            lambda table, from_version, to_version: se.migration_steps(
-                T(table), from_version, to_version),
-        )
-        self._add(
-            _tool("schema_compatibility", "Backward/forward compatibility verdict",
-                  {"table": _S, "from_version": _I, "to_version": _I},
-                  ["table", "from_version", "to_version"]),
-            lambda table, from_version, to_version: se.check_compatibility(
                 T(table), from_version, to_version),
         )
 

@@ -154,16 +154,29 @@ def test_namespace_and_table_admin_family(server, seeded):
 
 def test_schema_evolution_family(server, seeded):
     hist = ok(server, "schema_history", {"table": seeded})
+    if not any(f["name"] == "note" for f in hist[-1]["fields"]):
+        # self-contained when run alone; a module-order sibling may have
+        # already added the column on the shared module-scoped server
+        ok(server, "alter_table",
+           {"table": seeded, "action": "add_column",
+            "column": "note", "type": "string"})
+        hist = ok(server, "schema_history", {"table": seeded})
     assert len(hist) >= 1
-    diff = ok(server, "schema_diff",
-              {"table": seeded, "from_version": 1, "to_version": hist[-1]["version"]})
-    assert "note" in diff["added"] or diff["added"] == ["note"]
-    steps = ok(server, "schema_migration",
-               {"table": seeded, "from_version": 1, "to_version": hist[-1]["version"]})
-    assert steps
+    assert hist[0]["schema_id"] == 0
+    # no snapshot args → last two schema versions (reference default)
+    diff = ok(server, "schema_diff", {"table": seeded})
+    assert "note" in [c["name"] for c in diff["added_columns"]]
+    steps = ok(server, "schema_migration", {"table": seeded})
+    assert steps["step_count"] >= 1
+    assert steps["steps"][0]["operation"] == "add_column"
     compat = ok(server, "schema_compatibility",
-                {"table": seeded, "from_version": 1, "to_version": hist[-1]["version"]})
-    assert "backward_compatible" in compat or compat
+                {"table": seeded,
+                 "changes": [{"op": "drop_column", "column": "note"}]})
+    assert compat["compatible"] is True and compat["warnings"]
+    # version-addressed variant remains available
+    vdiff = ok(server, "schema_diff_versions",
+               {"table": seeded, "from_version": 1, "to_version": 2})
+    assert "note" in vdiff["added"]
 
 
 def test_saved_query_family(server, seeded):
