@@ -35,6 +35,9 @@ class ViewManager:
         self.engine = engine
 
     def create(self, name: str, sql: str, description: str | None = None) -> dict:
+        """Store a named view (reference views.py create_view: result
+        carries name/sql/description/created_at and a 'created' message;
+        blank name/sql and duplicates raise)."""
         _require_name_sql(name, sql, "view")
         views = self.store.load()
         if name in views:
@@ -42,24 +45,36 @@ class ViewManager:
         views[name] = {
             "sql": sql,
             "description": description,
-            "created": datetime.now(timezone.utc).isoformat(),
+            "created_at": datetime.now(timezone.utc).isoformat(),
         }
         self.store.save(views)
-        return views[name]
+        return {
+            "name": name,
+            **views[name],
+            "message": f"View '{name}' created",
+        }
 
-    def list(self) -> dict:
-        return self.store.load()
+    def list(self) -> list[dict]:
+        """All views as [{name, sql, description, created_at}] (reference
+        list_views result rows)."""
+        return [
+            {"name": n, **entry} for n, entry in self.store.load().items()
+        ]
 
     def get(self, name: str) -> dict:
         views = self.store.load()
         if name not in views:
-            raise ValueError(f"view {name!r} does not exist")
-        return views[name]
+            raise ValueError(f"view {name!r} not found")
+        return {"name": name, **views[name]}
 
-    def drop(self, name: str) -> None:
+    def drop(self, name: str) -> dict:
+        """Drop a view; missing names raise (reference drop_view)."""
         views = self.store.load()
-        views.pop(name, None)
+        if name not in views:
+            raise ValueError(f"view {name!r} not found")
+        del views[name]
         self.store.save(views)
+        return {"message": f"View '{name}' dropped"}
 
     def query(self, name: str, max_rows: int | None = None) -> DataFrame:
         return self.engine.execute(self.get(name)["sql"], max_rows=max_rows)

@@ -392,7 +392,7 @@ def test_joins_lineage_views_family(server, seeded):
     assert ok(server, "lineage_graph", {})["edges"]
     ok(server, "lineage_impact", {"table": f"default.{seeded}"})
     ok(server, "create_view", {"name": "vv", "sql": f"SELECT id FROM {seeded}"})
-    assert "vv" in ok(server, "list_views", {})
+    assert "vv" in {v["name"] for v in ok(server, "list_views", {})}
     ok(server, "drop_view", {"name": "vv"})
     ok(server, "create_materialized_view",
        {"name": "mvv", "sql": f"SELECT cat, count(*) AS n FROM {seeded} GROUP BY cat"})

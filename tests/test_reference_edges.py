@@ -291,7 +291,7 @@ def test_saved_query_rejects_blank_name_and_sql(tmp_path):
     sq = SavedQueries(str(tmp_path / "q.json"))
     with pytest.raises(ValueError, match="name"):
         sq.save("   ", "SELECT 1")
-    with pytest.raises(ValueError, match="sql"):
+    with pytest.raises(ValueError, match="(?i)sql"):
         sq.save("ok", "")
     sq.save("ok", "SELECT 1")
     assert sq.get("ok")["sql"] == "SELECT 1"

@@ -216,7 +216,7 @@ class TestViews:
 
     def test_get_missing_raises(self, engine, tmp_path):
         vm = ViewManager(str(tmp_path / "v.json"), engine)
-        with pytest.raises(ValueError, match="does not exist"):
+        with pytest.raises(ValueError, match="not found"):
             vm.get("ghost")
 
     def test_query_resolves_tables(self, engine, metrics, tmp_path):
