@@ -256,18 +256,24 @@ class LakehouseCatalog:
         name: str,
         properties: dict[str, str] | None = None,
         exists_ok: bool = False,
-    ) -> None:
-        """Reference namespace semantics: duplicate create raises
-        (internal callers pass exists_ok), optional properties persist
-        alongside the namespace."""
+    ) -> dict:
+        """Reference namespace semantics (reference catalog.py:81-110):
+        duplicate create raises (internal callers pass exists_ok),
+        optional properties persist alongside the namespace, and the
+        result carries namespace/properties/message."""
         path = os.path.join(self.warehouse, name)
         if os.path.isdir(path) and not exists_ok:
-            raise ValueError(f"namespace {name!r} already exists")
+            raise ValueError(f"Namespace '{name}' already exists")
         os.makedirs(path, exist_ok=True)
         if properties:
             cur = _read_json(os.path.join(path, "_namespace.json"), {})
             cur.update(properties)
             _atomic_write_json(os.path.join(path, "_namespace.json"), cur)
+        return {
+            "namespace": name,
+            "properties": properties or {},
+            "message": f"Created namespace '{name}'",
+        }
 
     def list_namespaces(self) -> list[str]:
         return sorted(
@@ -279,17 +285,26 @@ class LakehouseCatalog:
     def namespace_properties(self, name: str) -> dict[str, str]:
         path = os.path.join(self.warehouse, name)
         if not os.path.isdir(path):
-            raise ValueError(f"namespace {name!r} does not exist")
+            raise ValueError(f"Namespace '{name}' not found")
         return _read_json(os.path.join(path, "_namespace.json"), {})
 
-    def drop_namespace(self, name: str) -> None:
+    def drop_namespace(self, name: str) -> dict:
+        """Drop an EMPTY namespace (reference catalog.py:113-151: missing
+        → not found, populated → not-empty listing its tables)."""
         path = os.path.join(self.warehouse, name)
         if not os.path.isdir(path):
-            raise ValueError(f"namespace {name!r} does not exist")
-        # the properties side-file doesn't make a namespace non-empty
+            raise ValueError(f"Namespace '{name}' not found")
+        tables = self.list_tables(name)
+        if tables:
+            raise ValueError(
+                f"Namespace '{name}' is not empty. Tables: {', '.join(tables)}"
+            )
+        # the properties side-file doesn't make a namespace non-empty,
+        # but stray non-table dirs still do
         if any(e != "_namespace.json" for e in os.listdir(path)):
-            raise ValueError(f"namespace {name!r} is not empty")
+            raise ValueError(f"Namespace '{name}' is not empty")
         shutil.rmtree(path, ignore_errors=True)
+        return {"namespace": name, "message": f"Dropped namespace '{name}'"}
 
     def _split(self, name: str) -> tuple[str, str]:
         """Short names auto-prefix with 'default.' (reference
@@ -363,7 +378,7 @@ class LakehouseCatalog:
         if not os.path.exists(
             os.path.join(self.warehouse, ns, t, "_meta", "table.json")
         ):
-            raise ValueError(f"table {ns}.{t} does not exist")
+            raise ValueError(f"Table '{ns}.{t}' not found")
         return LakeTable(self, ns, t)
 
     def table_exists(self, name: str) -> bool:
@@ -373,7 +388,11 @@ class LakehouseCatalog:
         )
 
     def list_tables(self, namespace: str | None = None) -> list[str]:
+        """Qualified table names; one namespace, or all of them for
+        None / '*' (reference catalog.py:182-201 wildcard)."""
         out = []
+        if namespace == "*":
+            namespace = None
         for ns in [namespace] if namespace else self.list_namespaces():
             nsdir = os.path.join(self.warehouse, ns)
             if not os.path.isdir(nsdir):
@@ -389,7 +408,7 @@ class LakehouseCatalog:
         if not os.path.isdir(path):
             if missing_ok:
                 return
-            raise ValueError(f"table {ns}.{t} does not exist")
+            raise ValueError(f"Table '{ns}.{t}' not found")
         shutil.rmtree(path, ignore_errors=True)
 
 
@@ -493,6 +512,27 @@ class LakeTable:
         for k in keys:
             meta.get("properties", {}).pop(k, None)
         self._write_meta(meta)
+
+    # single-property surface (reference catalog.py:1347-1430): get
+    # returns None when unset, set/remove return change descriptions,
+    # removing an unset key raises
+    def get_property(self, key: str) -> str | None:
+        return self.meta().get("properties", {}).get(key)
+
+    def set_property(self, key: str, value: str) -> str:
+        self.set_properties({key: value})
+        return f"Set '{key}' = '{value}' on {self.namespace}.{self.table}"
+
+    def remove_property(self, key: str) -> str:
+        meta = self.meta()
+        props = meta.get("properties", {})
+        if key not in props:
+            raise ValueError(
+                f"Property '{key}' not found on {self.namespace}.{self.table}"
+            )
+        del props[key]
+        self._write_meta(meta)
+        return f"Removed '{key}' from {self.namespace}.{self.table}"
 
     # -- snapshots ---------------------------------------------------------
 

@@ -583,11 +583,10 @@ class LakehouseServer:
                   lambda: c.list_namespaces())
         self._add(_tool("create_namespace", "Create a namespace (optional properties)",
                         {"name": _S, "properties": {"type": "object"}}, ["name"]),
-                  lambda name, properties=None: (
-                      c.create_namespace(name, properties=properties),
-                      {"created": name})[1])
+                  lambda name, properties=None: c.create_namespace(
+                      name, properties=properties))
         self._add(_tool("drop_namespace", "Drop an empty namespace", {"name": _S}, ["name"]),
-                  lambda name: (c.drop_namespace(name), {"dropped": name})[1])
+                  lambda name: c.drop_namespace(name))
         self._add(_tool("get_namespace_properties", "Namespace properties + tables",
                         {"name": _S}, ["name"]),
                   lambda name: {"namespace": name,
@@ -625,14 +624,19 @@ class LakehouseServer:
         self._add(
             _tool("set_table_property", "Set a table property",
                   {"table": _S, "key": _S, "value": _S}, ["table", "key", "value"]),
-            lambda table, key, value: (T(table).set_properties({key: value}),
-                                       T(table).properties())[1],
+            lambda table, key, value: {"message": T(table).set_property(key, value),
+                                       "properties": T(table).properties()},
         )
         self._add(
-            _tool("unset_table_property", "Remove a table property",
+            _tool("unset_table_property", "Remove a table property (raises if unset)",
                   {"table": _S, "key": _S}, ["table", "key"]),
-            lambda table, key: (T(table).unset_properties([key]),
-                                T(table).properties())[1],
+            lambda table, key: {"message": T(table).remove_property(key),
+                                "properties": T(table).properties()},
+        )
+        self._add(
+            _tool("get_table_property", "One table property value (null if unset)",
+                  {"table": _S, "key": _S}, ["table", "key"]),
+            lambda table, key: {"key": key, "value": T(table).get_property(key)},
         )
         self._add(_tool("refresh", "Re-register table views after external changes", {}, []),
                   lambda: (eng.refresh(), {"refreshed": True})[1])

@@ -45,7 +45,7 @@ def test_create_list_drop(catalog):
         catalog.create_table("t1", SCHEMA)
     catalog.drop_table("t1")
     assert not catalog.table_exists("t1")
-    with pytest.raises(ValueError, match="does not exist"):
+    with pytest.raises(ValueError, match="not found"):
         catalog.load_table("t1")
 
 
@@ -433,11 +433,11 @@ class TestNamespaceLifecycle:
         assert catalog.namespace_properties("nsq") == {}
 
     def test_properties_nonexistent_raises(self, catalog):
-        with pytest.raises(ValueError, match="does not exist"):
+        with pytest.raises(ValueError, match="not found"):
             catalog.namespace_properties("ghost")
 
     def test_drop_missing_and_nonempty_raise(self, catalog):
-        with pytest.raises(ValueError, match="does not exist"):
+        with pytest.raises(ValueError, match="not found"):
             catalog.drop_namespace("ghost")
         catalog.create_namespace("busy")
         catalog.create_table("busy.t", [("id", "long")])
@@ -454,7 +454,7 @@ class TestNamespaceLifecycle:
         assert "justprops" not in catalog.list_namespaces()
 
     def test_drop_table_missing_raises_unless_ok(self, catalog):
-        with pytest.raises(ValueError, match="does not exist"):
+        with pytest.raises(ValueError, match="not found"):
             catalog.drop_table("ghost")
         catalog.drop_table("ghost", missing_ok=True)  # no raise
 

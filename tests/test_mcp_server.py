@@ -142,10 +142,11 @@ def test_namespace_and_table_admin_family(server, seeded):
     schema = ok(server, "alter_table",
                 {"table": seeded, "action": "add_column", "column": "note", "type": "string"})
     assert any(f["name"] == "note" for f in schema["fields"])
-    props = ok(server, "set_table_property", {"table": seeded, "key": "team", "value": "core"})
-    assert props["team"] == "core"
-    props = ok(server, "unset_table_property", {"table": seeded, "key": "team"})
-    assert "team" not in props
+    res = ok(server, "set_table_property", {"table": seeded, "key": "team", "value": "core"})
+    assert res["properties"]["team"] == "core" and "Set" in res["message"]
+    assert ok(server, "get_table_property", {"table": seeded, "key": "team"})["value"] == "core"
+    res = ok(server, "unset_table_property", {"table": seeded, "key": "team"})
+    assert "team" not in res["properties"] and "Removed" in res["message"]
     res = ok(server, "batch", {"table": seeded, "operations": [
         {"op": "insert", "rows": [{"id": 5, "cat": "c", "v": 5.0}]}]})
     assert res[0]["status"] == "ok"

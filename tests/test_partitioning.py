@@ -160,7 +160,7 @@ class TestPartitionsInfo:
         assert info["is_partitioned"] is False and info["fields"] == []
 
     def test_nonexistent_table_raises(self, catalog):
-        with pytest.raises(ValueError, match="does not exist"):
+        with pytest.raises(ValueError, match="not found"):
             catalog.load_table("nope")
 
     def test_with_namespace(self, catalog):
