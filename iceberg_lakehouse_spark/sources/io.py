@@ -53,13 +53,25 @@ def _read_file(
         return spark.read.parquet(path)
     if fmt == "orc":
         return spark.read.orc(path)
-    raise ValueError(f"unsupported format {fmt!r}")
+    raise ValueError(f"Unsupported format: {fmt!r}")
 
 
-def _infer_format(path: str) -> str:
+_EXT_FORMATS = {"tsv": "tsv", "csv": "csv", "json": "json", "ndjson": "ndjson",
+                "jsonl": "ndjson", "parquet": "parquet", "orc": "orc"}
+
+
+def _infer_format(path: str, default: str | None = "csv") -> str:
+    """Format from the file extension. ``default=None`` raises on an
+    unknown extension (import contract, reference catalog.py:1460-1470
+    'Cannot auto-detect format'); exports keep the .csv default."""
     ext = os.path.splitext(path)[1].lower().lstrip(".")
-    return {"tsv": "tsv", "csv": "csv", "json": "json", "ndjson": "ndjson",
-            "jsonl": "ndjson", "parquet": "parquet", "orc": "orc"}.get(ext, "csv")
+    fmt = _EXT_FORMATS.get(ext, default)
+    if fmt is None:
+        raise ValueError(
+            f"Cannot auto-detect format for extension '.{ext}' — "
+            "pass file_format explicitly"
+        )
+    return fmt
 
 
 def import_file(
@@ -71,8 +83,15 @@ def import_file(
     delimiter: str = ",",
     has_header: bool = True,
 ) -> dict:
-    """S4-S6 + C7. Returns {table, rows, mode}."""
-    df = _read_file(catalog.spark, path, file_format, delimiter, has_header)
+    """S4-S6 + C7. Returns the reference result shape (catalog.py:
+    1440-1538): rows_imported / format / qualified table, plus our
+    mode and legacy rows keys."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"File not found: {path}")
+    fmt = file_format or _infer_format(path, default=None)
+    if fmt not in _EXT_FORMATS.values():
+        raise ValueError(f"Unsupported format: {fmt!r}")
+    df = _read_file(catalog.spark, path, fmt, delimiter, has_header)
     rows = df.count()
     exists = catalog.table_exists(table_name)
     if exists and if_exists == "fail":
@@ -96,24 +115,43 @@ def import_file(
         mode = "append"
     else:
         raise ValueError(f"invalid if_exists {if_exists!r}")
-    return {"table": table_name, "rows": rows, "mode": mode}
+    return {
+        "table": f"{table.namespace}.{table.table}",
+        "rows_imported": rows,
+        # the reference reports TSV as csv (same reader family)
+        "format": "csv" if fmt == "tsv" else fmt,
+        "mode": mode,
+        "rows": rows,
+    }
+
+
+_FMT_EXT = {"csv": ".csv", "tsv": ".tsv", "json": ".json",
+            "ndjson": ".ndjson", "parquet": ".parquet", "orc": ".orc"}
 
 
 def export_table(
     table: LakeTable,
-    path: str,
+    path: str | None = None,
     file_format: str | None = None,
     where: str | None = None,
     columns: list[str] | None = None,
     limit: int | None = None,
     single_file: bool = True,
 ) -> dict:
+    """S7-S10 with the reference result shape (catalog.py:1700-1810):
+    rows_exported/format/output/table; ``path=None`` defaults to
+    <table><ext> in the working directory."""
+    if path is None:
+        fmt = (file_format or "csv").lower()
+        path = f"{table.table}{_FMT_EXT.get(fmt, '.csv')}"
     # scan(filter=) plans the export read over stats-surviving files
     # only; export_dataframe then skips its redundant where re-apply
     src = table.scan(filter=where) if where else table.scan()
-    return export_dataframe(
+    result = export_dataframe(
         src, path, file_format, None, columns, limit, single_file
     )
+    result["table"] = f"{table.namespace}.{table.table}"
+    return result
 
 
 def export_dataframe(
@@ -135,7 +173,7 @@ def export_dataframe(
     if columns:
         unknown = set(columns) - set(df.columns)
         if unknown:
-            raise ValueError(f"unknown columns: {sorted(unknown)}")
+            raise ValueError(f"Columns not found: {sorted(unknown)}")
         df = df.select(*columns)
     if limit:
         df = df.limit(limit)
@@ -173,8 +211,14 @@ def export_dataframe(
             lambda d, p: d.write.mode("overwrite").orc(p), ".orc"
         )
     else:
-        raise ValueError(f"unsupported format {file_format!r}")
-    return {"path": path, "rows": rows, "format": fmt}
+        raise ValueError(f"Unsupported format: {file_format!r}")
+    return {
+        "path": path,
+        "output": path,
+        "rows": rows,
+        "rows_exported": rows,
+        "format": fmt,
+    }
 
 
 def _write_single_or_dir(df, path, single_file, write_fn, ext) -> None:

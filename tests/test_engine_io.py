@@ -66,7 +66,9 @@ def test_csv_roundtrip(catalog, tmp_path):
     res = lio.export_table(t, out, "csv", where="amount > 10", columns=["id", "amount"])
     assert res["rows"] == 2
     imp = lio.import_file(catalog, out, "expenses_copy")
-    assert imp == {"table": "expenses_copy", "rows": 2, "mode": "create"}
+    assert imp["table"] == "default.expenses_copy"
+    assert imp["rows_imported"] == 2 and imp["format"] == "csv"
+    assert imp["mode"] == "create"
     df = catalog.load_table("expenses_copy").scan()
     assert sorted(r["id"] for r in df.collect()) == [2, 3]
 
@@ -185,11 +187,11 @@ class TestExportEdges:
         assert got.count() == 2
 
     def test_invalid_column_raises(self, t, tmp_path):
-        with pytest.raises(ValueError, match="unknown columns"):
+        with pytest.raises(ValueError, match="Columns not found"):
             lio.export_table(t, str(tmp_path / "x.csv"), columns=["ghost"])
 
     def test_unsupported_format_raises(self, t, tmp_path):
-        with pytest.raises(ValueError, match="unsupported format"):
+        with pytest.raises(ValueError, match="Unsupported format"):
             lio.export_table(t, str(tmp_path / "x.avro"), file_format="avro")
 
     def test_empty_table_exports_header_only(self, catalog, tmp_path, spark):
@@ -213,7 +215,8 @@ class TestImportEdges:
         p = tmp_path / "semi.csv"
         p.write_text("id;name\n1;alice\n2;bob\n")
         res = lio.import_file(catalog, str(p), "semi_t", delimiter=";")
-        assert res == {"table": "semi_t", "rows": 2, "mode": "create"}
+        assert res["table"] == "default.semi_t"
+        assert res["rows_imported"] == 2 and res["mode"] == "create"
         assert catalog.load_table("semi_t").scan().columns == ["id", "name"]
 
     def test_tsv_auto_detect(self, catalog, tmp_path):
@@ -250,7 +253,7 @@ class TestImportEdges:
     def test_unsupported_format_raises(self, catalog, tmp_path):
         p = tmp_path / "x.csv"
         p.write_text("id\n1\n")
-        with pytest.raises(ValueError, match="unsupported format"):
+        with pytest.raises(ValueError, match="Unsupported format"):
             lio.import_file(catalog, str(p), "bad_t", file_format="avro")
 
     def test_append_rejects_extra_columns(self, catalog, tmp_path):
