@@ -1263,6 +1263,34 @@ class LakeTable:
                 e["bytes"] += os.path.getsize(p)
         return sorted(agg.values(), key=lambda d: d["partition"])
 
+    def partition_stats_report(self) -> dict:
+        """Reference get_partition_stats result shape (reference
+        catalog.py:2415-2486): per-partition files/size_bytes rows plus
+        total_partitions; unpartitioned tables short-circuit with the
+        reference message."""
+        base = {
+            "table": f"{self.namespace}.{self.table}",
+            "is_partitioned": bool(self.partition_fields()),
+        }
+        if not base["is_partitioned"]:
+            return {
+                **base,
+                "partitions": [],
+                "total_partitions": 0,
+                "message": "Table is not partitioned",
+            }
+        partitions = [
+            {"partition": s["partition"], "files": s["file_count"],
+             "size_bytes": s["bytes"]}
+            for s in self.partition_stats()
+        ]
+        return {
+            **base,
+            "partitions": partitions,
+            "total_partitions": len(partitions),
+            "message": f"{len(partitions)} partition(s)",
+        }
+
     # -- schema evolution (reference schema_evolution.py, G18) ------------
 
     def add_column(self, name: str, type_name: str) -> None:

@@ -257,9 +257,10 @@ class LakehouseServer:
                 table).cleanup_orphans_report(dry_run=not delete),
         )
         self._add(
-            _tool("partition_stats", "Per-partition file count + bytes",
+            _tool("partition_stats", "Per-partition files + size_bytes "
+                  "(reference get_partition_stats shape)",
                   {"table": _S}, ["table"]),
-            lambda table: c.load_table(table).partition_stats(),
+            lambda table: c.load_table(table).partition_stats_report(),
         )
 
         # -- import / export ----------------------------------------------

@@ -183,6 +183,27 @@ class TestPartitionStatsEdges:
         t = catalog.create_table("ps_empty", SCHEMA, partition_by=["month(d)"])
         assert t.partition_stats() == []
 
+    def test_stats_report_reference_shape(self, catalog):
+        """Reference get_partition_stats result (test_partitioning.py:
+        305-357): files/size_bytes rows, total_partitions, and the
+        'Table is not partitioned' short-circuit."""
+        plain = catalog.create_table("psr_plain", SCHEMA)
+        report = plain.partition_stats_report()
+        assert not report["is_partitioned"]
+        assert report["message"] == "Table is not partitioned"
+        assert report["partitions"] == []
+
+        t = catalog.create_table("psr_part", SCHEMA, partition_by=["month(d)"])
+        empty = t.partition_stats_report()
+        assert empty["is_partitioned"] and empty["partitions"] == []
+        crud.insert_rows(t, ROWS)
+        report = t.partition_stats_report()
+        assert report["table"] == "default.psr_part"
+        assert report["total_partitions"] >= 1
+        for p in report["partitions"]:
+            assert p["files"] >= 1
+            assert p["size_bytes"] > 0
+
     def test_stats_track_appends(self, catalog):
         t = catalog.create_table("ps_grow", SCHEMA, partition_by=["month(d)"])
         crud.insert_rows(t, ROWS[:2])  # both January
