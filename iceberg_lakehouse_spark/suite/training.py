@@ -359,3 +359,121 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# round-4 (cont.) additions — PII handling and benchmark
+# decontamination, the two remaining staples of a training-data
+# pipeline. Registered after everything above: the driver's graded
+# first-50 slate stays stable; these verify via tools/check_oracle.py.
+
+
+@register(
+    "pii_redaction",
+    r"""
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                         || '@example.com call 555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(regexp_replace(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM corpus
+    """,
+    survey_ref="LLM-pipeline: PII detection + redaction (regex scan, "
+    "deterministic injected fixtures)",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact emails/phones per document.
+
+    The synthetic corpus carries no real PII, so every 7th document
+    gets a deterministic injected email + phone derived from its id —
+    identical expressions on the Spark and DuckDB sides — and the scan
+    counts/redacts those. Map-only Column expressions (no UDFs, no
+    shuffle): at 100 TB this runs at parquet-scan speed."""
+    _EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    _PHONE = r"555-[0-9]{4}"
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(text, F.lit(_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(text, _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "benchmark_decontamination",
+    """
+    WITH corpus AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 5
+                    THEN list_distinct(list_transform(range(1, len(toks) - 3),
+                                       i -> array_to_string(toks[i:i+4], ' ')))
+                    ELSE [array_to_string(toks, ' ')] END) AS shingle
+        FROM corpus
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id < 50
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS n_overlap
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id >= 50
+    GROUP BY s.doc_id
+    ORDER BY n_overlap DESC, doc_id
+    LIMIT 100
+    """,
+    survey_ref="LLM-pipeline: benchmark decontamination (5-gram overlap "
+    "vs held-out set)",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing any 5-gram with the benchmark set.
+
+    Benchmark = documents with doc_id < 50 (stand-in for an eval suite);
+    a training document is contaminated when it shares a 5-token
+    shingle. The benchmark shingle set is tiny relative to the corpus,
+    so Spark broadcasts it: the contamination check is a map-side hash
+    join over the training shingles — no shuffle of the big side, the
+    100 TB-safe shape (the groupBy shuffles only matched shingles)."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    sh = docs.select(
+        "doc_id", F.explode(dt.shingles_col("text", n=5)).alias("shingle")
+    )
+    bench = (
+        sh.where(F.col("doc_id") < 50).select("shingle").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") >= 50)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").cast("bigint").alias("n_overlap"))
+        .orderBy(F.desc("n_overlap"), "doc_id")
+        .limit(100)
+    )

@@ -292,3 +292,19 @@ def test_document_chunks_zero_exchange(spark):
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode
     assert "codegen id" in plan  # inside a whole-stage codegen span
+
+
+def test_pii_redaction_map_only(spark):
+    """PII scan/redact is pure Column work: no shuffle, whole plan in
+    one codegen span — parquet-scan speed at any corpus size."""
+    plan = plan_of(spark, "pii_redaction")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast: the big training side
+    is probed map-side, never shuffled for the join."""
+    plan = plan_of(spark, "benchmark_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
