@@ -27,13 +27,16 @@ from ..catalog import LakeTable
 from ..operators import crud
 
 
-def capture_changes(
+def _classified_changes(
     table: LakeTable,
     from_snapshot: int,
     to_snapshot: int,
     key_columns: list[str] | None = None,
-    max_rows: int = 10_000,
-) -> dict:
+):
+    """The classified change DataFrame (one row per INSERT/UPDATE/
+    DELETE with _op + _changed columns) plus (keys, schema_cols) —
+    shared by capture_changes (row materialization, capped) and
+    change_summary (pure aggregation, nothing collected per-row)."""
     schema_cols = [f.name for f in table.schema().fields]
     keys = key_columns or [schema_cols[0]]
     old = table.scan(snapshot_id=from_snapshot)
@@ -73,7 +76,21 @@ def capture_changes(
     )
     classified = joined.select(
         op.alias("_op"), changed_arr.alias("_changed"), "*"
-    ).persist()
+    )
+    return classified, keys, schema_cols
+
+
+def capture_changes(
+    table: LakeTable,
+    from_snapshot: int,
+    to_snapshot: int,
+    key_columns: list[str] | None = None,
+    max_rows: int = 10_000,
+) -> dict:
+    classified, keys, schema_cols = _classified_changes(
+        table, from_snapshot, to_snapshot, key_columns
+    )
+    classified = classified.persist()
     try:
         counts = {
             row["_op"]: row["n"]
@@ -175,18 +192,41 @@ def change_summary(
 ) -> dict:
     """Reference get_change_summary: counts + total + the columns any
     update touched (cdc.py:230-268)."""
-    ch = capture_changes(table, from_snapshot, to_snapshot, key_columns)
-    affected: set[str] = set()
-    for u in ch["updates"]:
-        affected.update(u["changed_columns"])
-    if ch["inserts"] or ch["deletes"]:
-        affected.update(f.name for f in table.schema().fields)
+    classified, _keys, schema_cols = _classified_changes(
+        table, from_snapshot, to_snapshot, key_columns
+    )
+    classified = classified.persist()
+    try:
+        counts = {
+            row["_op"]: row["n"]
+            for row in classified.groupBy("_op")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # union of changed columns, computed distributed — collect is
+        # bounded by the column count, never the change count
+        affected = {
+            row["c"]
+            for row in classified.where(F.col("_op") == "UPDATE")
+            .select(F.explode("_changed").alias("c"))
+            .distinct()
+            .collect()
+        }
+    finally:
+        classified.unpersist()
+    if counts.get("INSERT") or counts.get("DELETE"):
+        affected.update(schema_cols)
+    summary = {
+        "inserts": counts.get("INSERT", 0),
+        "updates": counts.get("UPDATE", 0),
+        "deletes": counts.get("DELETE", 0),
+    }
     return {
-        "table": ch["table"],
+        "table": f"{table.namespace}.{table.table}",
         "from_snapshot": from_snapshot,
         "to_snapshot": to_snapshot,
-        **ch["summary"],
-        "total_changes": sum(ch["summary"].values()),
+        **summary,
+        "total_changes": sum(summary.values()),
         "affected_columns": sorted(affected),
     }
 

@@ -88,7 +88,11 @@ class RetentionManager:
         """Evaluate the table's policy. Single-table form of the
         reference's evaluate_retention; same result vocabulary."""
         name = f"{table.namespace}.{table.table}"
-        pol = self.get_policy(name)
+        # legacy stores keyed policies by bare table name — fall back to
+        # the raw key so they keep being enforced for
+        # non-default-namespace tables (get_policy would normalize the
+        # bare name back to default.<name>)
+        pol = self.get_policy(name) or self.store.load().get(table.table)
         if not pol:
             return {"table": name, "action": "no_policy",
                     "message": f"No retention policy for '{name}'"}
@@ -452,6 +456,36 @@ class NotificationManager:
 
     def __init__(self, store_path: str):
         self.store = JsonStore(store_path, {"handlers": {}, "history": []})
+        self._migrate_legacy()
+
+    def _migrate_legacy(self) -> None:
+        """Stores written before the typed-handler rework kept handlers
+        as a LIST of {table, event, kind, target}; convert them once so
+        every read path can assume the keyed-dict format."""
+        data = self.store.load()
+        if not isinstance(data.get("handlers"), list):
+            return
+        import uuid
+
+        migrated = {}
+        for h in data["handlers"]:
+            hid = uuid.uuid4().hex[:12]
+            handler_type = h.get("handler_type", h.get("kind", "log"))
+            config = h.get("config")
+            if not config and h.get("target"):
+                # the legacy single 'target' field becomes the typed key
+                key = {"log": "file", "webhook": "url", "shell": "command"}
+                config = {key.get(handler_type, "target"): h["target"]}
+            migrated[hid] = {
+                "handler_id": hid,
+                "table": self._normalize(h.get("table", "*")),
+                "event_type": h.get("event_type", h.get("event", "all")),
+                "handler_type": handler_type,
+                "config": config or {},
+                "created_at": h.get("created_at"),
+            }
+        data["handlers"] = migrated
+        self.store.save(data)
 
     @staticmethod
     def _normalize(name: str) -> str:

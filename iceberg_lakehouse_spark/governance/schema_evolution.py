@@ -282,7 +282,13 @@ def schema_diff_snapshots(
     the last two schema versions; a single-version table returns the
     empty 'no changes' diff."""
     hist = table.schema_history()
-    if from_snapshot and to_snapshot:
+    if (from_snapshot is None) != (to_snapshot is None):
+        # the reference silently falls back to last-two when only one is
+        # given; raising is strictly safer than diffing the wrong range
+        raise ValueError(
+            "from_snapshot and to_snapshot must be provided together"
+        )
+    if from_snapshot is not None:
         v_from = _snapshot_schema_version(
             table, table.snapshot_by_id(from_snapshot)
         )

@@ -130,6 +130,14 @@ class StatsCache:
         self.store.save(data)
         return {**stats, "cached": False}
 
+    def seed(self, table: LakeTable, stats: dict) -> None:
+        """Store already-computed stats as the table's cached baseline —
+        callers that just ran compute_table_stats avoid a second full
+        scan (quality report seeds with the stats it scored)."""
+        data = self.store.load()
+        data[f"{table.namespace}.{table.table}"] = stats
+        self.store.save(data)
+
     def is_stale(self, table: LakeTable) -> bool:
         name = f"{table.namespace}.{table.table}"
         cached = self.store.load().get(name)
@@ -301,7 +309,9 @@ class QualityMonitor:
                 s = self.score(t, validation=validation, stats=fresh)
                 anomalies = detect_anomalies(old, fresh) if old else []
                 if stats_cache:
-                    stats_cache.get(t, refresh=False)  # seed/refresh baseline
+                    # seed with the stats already computed above — a
+                    # get() here would rescan every stale table twice
+                    stats_cache.seed(t, fresh)
                 tables_out.append(
                     {
                         "table": s["table"],

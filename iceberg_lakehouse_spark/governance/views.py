@@ -119,7 +119,9 @@ class MatviewManager:
             "last_refreshed": datetime.now(timezone.utc).isoformat(),
         }
         self.store.save(mviews)
-        if self.lineage:
+        if self.lineage and sources:
+            # constant-only SQL has no source tables; record() rejects
+            # empty sources, and the matview is already persisted here
             self.lineage.record(sources, backing, "matview", sql)
         return {
             "name": name,
@@ -181,7 +183,10 @@ class MatviewManager:
             raise ValueError(f"materialized view {name!r} does not exist")
         mv = mviews[name]
         changed = []
-        for t, snap_id in mv.get("source_snapshot_ids", {}).items():
+        # legacy stores wrote "source_snapshots" before the key rename;
+        # read both so old matviews still report staleness
+        tracked = mv.get("source_snapshot_ids") or mv.get("source_snapshots", {})
+        for t, snap_id in tracked.items():
             try:
                 cur = self.catalog.load_table(t).current_snapshot()
             except ValueError:
@@ -311,7 +316,7 @@ class PipelineManager:
                             t.append(df)
                     rows = t.scan().count()
                     sources = extract_tables(step["sql"], self.catalog.list_tables())
-                    if self.lineage:
+                    if self.lineage and sources:
                         self.lineage.record(sources, target, f"pipeline:{name}", step["sql"])
                     if self.audit:
                         self.audit.record(target, f"pipeline:{name}:step{i}", rows or 0)

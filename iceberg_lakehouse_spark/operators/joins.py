@@ -44,7 +44,7 @@ def join_to_table(
         raise ValueError(f"invalid mode {mode!r}")
     rows = t.scan().count()
     sources = extract_tables(sql, catalog.list_tables())
-    if lineage:
+    if lineage and sources:
         lineage.record(sources, target, "join", sql)
     engine.refresh()
     return {

@@ -48,12 +48,16 @@ def with_global_row_number(
     natural (Python ``sorted``) order is monotone w.r.t. ``order_by``
     — e.g. a range bucket of the leading sort key, or the integer
     value of an md5 prefix when ordering by the md5 string.
+
+    A NULL bucket (NULL sort key) maps to bucket -1: ascending sorts
+    place NULLs first, and -1 precedes every real bucket, so NULL-key
+    rows are numbered first instead of silently dropping out (the old
+    global window included them nulls-first).
     """
-    b = df.withColumn(_BUCKET, bucket)
+    b = df.withColumn(_BUCKET, F.coalesce(bucket, F.lit(-1)))
     counts = {
         r[_BUCKET]: r["cnt"]
         for r in b.groupBy(_BUCKET).agg(F.count("*").alias("cnt")).collect()
-        if r[_BUCKET] is not None
     }
     if not counts:  # empty input — keep schema, no rows to number
         return df.withColumn(out_col, F.lit(None).cast("long"))

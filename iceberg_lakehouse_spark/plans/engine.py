@@ -117,15 +117,25 @@ class QueryEngine:
         ``ns__table`` view alias (reference query.py:52-75 resolver).
         Temp views have no namespace, so ``default.users`` would
         otherwise miss the registered view and fall through to the
-        (empty) session catalog."""
+        (empty) session catalog.
+
+        String literals are left untouched: the SQL is split on quoted
+        segments ('' / "" escapes included) and only the code between
+        them is rewritten — ``WHERE t = 'default.users'`` keeps its
+        literal."""
         import re
 
-        for full in self.catalog.list_tables():
-            ns, t = full.split(".", 1)
-            sql = re.sub(
-                rf"\b{re.escape(ns)}\.{re.escape(t)}\b", f"{ns}__{t}", sql
-            )
-        return sql
+        parts = re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", sql)
+        tables = self.catalog.list_tables()
+        for i in range(0, len(parts), 2):  # even indices = outside quotes
+            seg = parts[i]
+            for full in tables:
+                ns, t = full.split(".", 1)
+                seg = re.sub(
+                    rf"\b{re.escape(ns)}\.{re.escape(t)}\b", f"{ns}__{t}", seg
+                )
+            parts[i] = seg
+        return "".join(parts)
 
     def execute(self, sql: str, max_rows: int | None = None) -> DataFrame:
         """P1 passthrough + P2 auto-LIMIT (applied as .limit on the

@@ -195,21 +195,24 @@ def verify_backup(archive_path: str) -> dict:
         for prefix, meta_path in metas:
             with open(meta_path) as f:
                 meta = json.load(f)
+            # archives written before the key rename carry "table"/"rows"
+            tname = meta.get("table_name") or meta.get("table", "<unknown>")
             for name, expected in meta["checksums"].items():
                 target = os.path.join(tmp, prefix, name) if prefix else os.path.join(tmp, name)
                 if not os.path.exists(target):
-                    issues.append(f"{meta['table_name']}: missing {name}")
+                    issues.append(f"{tname}: missing {name}")
                 elif _sha256(target) != expected:
-                    issues.append(f"{meta['table_name']}: checksum mismatch for {name}")
+                    issues.append(f"{tname}: checksum mismatch for {name}")
                 else:
-                    verified.append(meta["table_name"])
+                    verified.append(tname)
         return {
             "valid": not issues,
             "tables_verified": verified,
             "issues": issues,
             # single-table convenience kept for existing callers
             "table": verified[0] if len(verified) == 1 else None,
-            "rows": metas and json.load(open(metas[0][1])).get("row_count"),
+            "rows": metas and (lambda m: m.get("row_count", m.get("rows")))(
+                json.load(open(metas[0][1]))),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -221,6 +224,7 @@ def _restore_member(
 ) -> dict:
     with open(os.path.join(member_dir, "metadata.json")) as f:
         meta = json.load(f)
+    rows = meta.get("row_count", meta.get("rows"))
     for name, expected in meta["checksums"].items():
         if _sha256(os.path.join(member_dir, name)) != expected:
             raise ValueError(f"checksum mismatch for {name} — archive corrupt")
@@ -242,8 +246,7 @@ def _restore_member(
         )
         t = catalog.create_table(target, schema)
         t.append(df)
-    return {"table": target, "rows": meta["row_count"],
-            "rows_restored": meta["row_count"]}
+    return {"table": target, "rows": rows, "rows_restored": rows}
 
 
 def restore_table(
@@ -257,7 +260,9 @@ def restore_table(
         with open(os.path.join(tmp, "metadata.json")) as f:
             meta = json.load(f)
         return _restore_member(
-            catalog, tmp, table_name or meta["table_name"], overwrite
+            catalog, tmp,
+            table_name or meta.get("table_name") or meta["table"],
+            overwrite,
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

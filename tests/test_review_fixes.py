@@ -1,0 +1,194 @@
+"""Regressions for the round-4 self-review findings: legacy store
+migrations (notifications list-format, matview snapshot-key rename,
+backup metadata keys, retention bare-name policies), source-less SQL
+lineage, quoted-literal preservation in the qualified-name resolver,
+NULL-key rows in global row numbering, and one-sided schema_diff args."""
+
+from __future__ import annotations
+
+import json
+import os
+import tarfile
+
+import pytest
+
+from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+from iceberg_lakehouse_spark.operators import crud
+from iceberg_lakehouse_spark.plans.engine import QueryEngine
+
+
+@pytest.fixture()
+def catalog(spark, tmp_warehouse):
+    return LakehouseCatalog(spark, tmp_warehouse)
+
+
+@pytest.fixture()
+def metrics(catalog):
+    t = catalog.create_table(
+        "metrics", [("id", "long"), ("name", "string"), ("value", "double")]
+    )
+    crud.insert_rows(t, [
+        {"id": 1, "name": "alice", "value": 10.0},
+        {"id": 2, "name": "bob", "value": 20.0},
+    ])
+    return t
+
+
+def test_matview_constant_sql_with_lineage(catalog, tmp_path):
+    """A matview over constant-only SQL (no source tables) must not
+    die in lineage.record after the backing table is already written."""
+    from iceberg_lakehouse_spark.governance.lineage import LineageManager
+    from iceberg_lakehouse_spark.governance.views import MatviewManager
+
+    eng = QueryEngine(catalog)
+    lm = LineageManager(str(tmp_path / "lineage.json"))
+    mm = MatviewManager(str(tmp_path / "mv.json"), catalog, eng, lineage=lm)
+    result = mm.create("const_mv", "SELECT 1 AS one")
+    assert result["row_count"] == 1
+    assert mm.query("const_mv").collect()[0]["one"] == 1
+
+
+def test_matview_legacy_snapshot_key_still_reports_stale(
+    catalog, metrics, tmp_path
+):
+    """Stores written with the old 'source_snapshots' key keep
+    detecting staleness."""
+    from iceberg_lakehouse_spark.governance.views import MatviewManager
+
+    eng = QueryEngine(catalog)
+    mm = MatviewManager(str(tmp_path / "mv.json"), catalog, eng)
+    mm.create("m", "SELECT sum(value) AS s FROM metrics")
+    # rewrite the store in the legacy key format
+    store_path = tmp_path / "mv.json"
+    data = json.loads(store_path.read_text())
+    data["m"]["source_snapshots"] = data["m"].pop("source_snapshot_ids")
+    store_path.write_text(json.dumps(data))
+    assert mm.freshness("m")["stale"] is False
+    crud.insert_rows(metrics, [{"id": 3, "name": "c", "value": 1.0}])
+    fresh = mm.freshness("m")
+    assert fresh["stale"] is True
+    assert "default.metrics" in fresh["changed_tables"]
+
+
+def test_notifications_legacy_list_store_migrates(tmp_path):
+    from iceberg_lakehouse_spark.governance.policies import NotificationManager
+
+    store = tmp_path / "notifications.json"
+    store.write_text(json.dumps({
+        "handlers": [
+            {"table": "events", "event": "write", "kind": "log",
+             "target": "/tmp/x.log"},
+        ],
+        "history": [],
+    }))
+    nm = NotificationManager(str(store))
+    handlers = nm.list_handlers()
+    assert len(handlers) == 1
+    h = handlers[0]
+    assert h["table"] == "default.events"
+    assert h["event_type"] == "write"
+    assert h["handler_type"] == "log"
+    assert h["config"] == {"file": "/tmp/x.log"}
+    # adding another handler works on the migrated store
+    nm.add_handler("events", "write", "log", {"file": "/tmp/y.log"})
+    assert len(nm.list_handlers()) == 2
+
+
+def test_backup_legacy_metadata_keys_restore(catalog, metrics, tmp_path):
+    """Archives written before the table_name/row_count key rename
+    (metadata carries table/rows) still verify and restore."""
+    from iceberg_lakehouse_spark.sources import backup_clone as bc
+
+    ap = str(tmp_path / "m.tar.gz")
+    bc.backup_table(metrics, ap)
+    # rewrite metadata.json with the legacy key names
+    extract = tmp_path / "x"
+    with tarfile.open(ap) as tar:
+        tar.extractall(extract, filter="data")
+    meta = json.loads((extract / "metadata.json").read_text())
+    meta["table"] = meta.pop("table_name")
+    meta["rows"] = meta.pop("row_count")
+    (extract / "metadata.json").write_text(json.dumps(meta))
+    with tarfile.open(ap, "w:gz") as tar:
+        for name in os.listdir(extract):
+            tar.add(extract / name, arcname=name)
+    v = bc.verify_backup(ap)
+    assert v["valid"] is True and v["rows"] == 2
+    # no target name → comes from the legacy metadata key
+    r = bc.restore_table(catalog, ap, overwrite=True)
+    assert r["rows"] == 2 and r["table"] == "default.metrics"
+    # explicit different target also works
+    r2 = bc.restore_table(catalog, ap, "legacy_restored")
+    assert r2["rows_restored"] == 2
+
+
+def test_retention_legacy_bare_name_policy_applies(catalog, tmp_path):
+    from iceberg_lakehouse_spark.governance.policies import RetentionManager
+
+    catalog.create_namespace("analytics")
+    t = catalog.create_table("analytics.events", [("id", "long")])
+    for i in range(4):
+        crud.insert_rows(t, [{"id": i}])
+    store = tmp_path / "retention.json"
+    store.write_text(json.dumps({
+        "events": {"max_snapshot_count": 2, "min_snapshots_to_keep": 1},
+    }))
+    rm = RetentionManager(str(store))
+    res = rm.apply(t, dry_run=True)
+    assert res["action"] != "no_policy"
+
+
+def test_engine_preserves_qualified_names_in_literals(catalog, metrics):
+    eng = QueryEngine(catalog)
+    rows = eng.execute(
+        "SELECT 'default.metrics' AS who, count(*) AS n FROM default.metrics"
+    ).collect()
+    assert rows[0]["who"] == "default.metrics"
+    assert rows[0]["n"] == 2
+    # double-quoted literal too
+    rows = eng.execute('SELECT "default.metrics" AS who').collect()
+    assert rows[0]["who"] == "default.metrics"
+
+
+def test_global_row_number_keeps_null_keys(spark):
+    from iceberg_lakehouse_spark.operators.rownum import (
+        range_bucket, with_global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (5,), (1,), (9,)], "k int"
+    )
+    import pyspark.sql.functions as F
+
+    out = with_global_row_number(
+        df, range_bucket(F.col("k"), 1, 9, n=4), ["k"], out_col="rn"
+    )
+    got = {r["k"]: r["rn"] for r in out.collect()}
+    # NULL numbers first (nulls-first ascending), then 1, 5, 9
+    assert got == {None: 1, 1: 2, 5: 3, 9: 4}
+    assert out.count() == 4  # nothing dropped
+
+
+def test_schema_diff_one_sided_snapshot_raises(catalog, metrics):
+    from iceberg_lakehouse_spark.governance import schema_evolution as se
+
+    with pytest.raises(ValueError, match="together"):
+        se.schema_diff_snapshots(metrics, from_snapshot=1)
+    with pytest.raises(ValueError, match="together"):
+        se.generate_migration(metrics, to_snapshot=1)
+
+
+def test_change_summary_distributed_counts(catalog, metrics):
+    from iceberg_lakehouse_spark.governance import cdc
+
+    snap1 = metrics.current_snapshot().snapshot_id
+    crud.insert_rows(metrics, [{"id": 3, "name": "c", "value": 3.0}])
+    crud.update_rows(metrics, "id = 1", {"value": 99.0})
+    snap2 = metrics.current_snapshot().snapshot_id
+    s = cdc.change_summary(metrics, snap1, snap2, key_columns=["id"])
+    assert s["inserts"] == 1
+    assert s["updates"] == 1
+    assert s["deletes"] == 0
+    assert s["total_changes"] == 2
+    # insert present → all columns affected
+    assert s["affected_columns"] == ["id", "name", "value"]

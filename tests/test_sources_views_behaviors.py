@@ -56,7 +56,8 @@ class TestImport:
 
     def test_create_mode(self, catalog, csv_file):
         res = lio.import_file(catalog, csv_file, "imported")
-        assert res == {"table": "imported", "rows": 2, "mode": "create"}
+        assert res["table"] == "default.imported"
+        assert res["rows_imported"] == 2 and res["mode"] == "create"
         assert catalog.load_table("imported").scan().count() == 2
 
     def test_if_exists_fail_raises(self, catalog, csv_file):
@@ -101,11 +102,11 @@ class TestImport:
 
 class TestExport:
     def test_unknown_format_raises(self, metrics, tmp_path):
-        with pytest.raises(ValueError, match="unsupported format"):
+        with pytest.raises(ValueError, match="Unsupported format"):
             lio.export_table(metrics, str(tmp_path / "x.avro"), "avro")
 
     def test_unknown_columns_raise(self, metrics, tmp_path):
-        with pytest.raises(ValueError, match="unknown columns"):
+        with pytest.raises(ValueError, match="Columns not found"):
             lio.export_table(metrics, str(tmp_path / "x.csv"), "csv", columns=["ghost"])
 
     def test_pushdown_trio(self, metrics, tmp_path, spark):
