@@ -106,6 +106,13 @@ def lsh_candidate_pairs(
     collision sets, small by construction; a pathological hot bucket
     (mass-duplicated doc) expands quadratically either way, which is
     inherent to candidate generation, not to this shape."""
+    if bands <= 0 or k % bands != 0:
+        # bands > k would give 0 rows per band — every band key becomes
+        # md5('') and ALL docs collapse into one quadratic bucket; a
+        # non-dividing k silently drops trailing hashes from the keys
+        raise ValueError(
+            f"bands must divide k (got k={k}, bands={bands})"
+        )
     rows = k // bands
     # ONE projection building every band key, then explode — a
     # union-of-b-selects evaluates the whole signature pipeline b times
@@ -311,26 +318,44 @@ def simhash_hamming_pairs(
     banded = fingerprints.select(
         F.col(id_col), F.col("simhash"), F.explode(seg_structs).alias("_s")
     ).select(id_col, "simhash", "_s.seg", "_s.seg_key")
-    left = banded.select(
-        "seg", "seg_key", F.col(id_col).alias("left_id"), F.col("simhash").alias("sh_a")
+    # bucket-gather, not a self-join: a self-join would evaluate the
+    # simhash fold (the dominant cost) once per side — same pitfall
+    # lsh_candidate_pairs documents. One pass + one shuffle instead.
+    buckets = (
+        banded.groupBy("seg", "seg_key")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col(id_col).alias("id"), "simhash"))
+            ).alias("_m")
+        )
+        .where(F.size("_m") >= 2)
     )
-    right = banded.select(
-        "seg", "seg_key", F.col(id_col).alias("right_id"), F.col("simhash").alias("sh_b")
+    pairs = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + F.lit(2), F.size(F.col("_m"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     hamming = F.size(
         F.filter(
             F.zip_with(
-                F.split(F.col("sh_a"), "(?!$)"),
-                F.split(F.col("sh_b"), "(?!$)"),
+                F.split(F.col("_p.a.simhash"), "(?!$)"),
+                F.split(F.col("_p.b.simhash"), "(?!$)"),
                 lambda x, y: x != y,
             ),
             lambda v: v,
         )
     )
     return (
-        left.join(right, ["seg", "seg_key"])
-        .where(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", hamming.alias("hamming"))
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select(
+            F.col("_p.a.id").alias("left_id"),
+            F.col("_p.b.id").alias("right_id"),
+            hamming.alias("hamming"),
+        )
         .distinct()
         .where(F.col("hamming") <= max_distance)
     )
@@ -363,6 +388,10 @@ def connected_components(
             edges.select(F.col(right).alias("src"), F.col(left).alias("dst"))
         )
         .distinct()
+        # materialize once: edges is often an expensive pipeline (the
+        # whole near-dup candidate generation); without this every
+        # iteration's join + changed-count re-executes it from scratch
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -390,4 +419,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning split clusters would make keep-one-per-
+        # cluster dedup keep duplicates; long chains (diameter >
+        # max_iters) must fail loudly so the caller raises the cap
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing) — raise "
+            "max_iters for graphs with long duplicate chains"
+        )
     return labels

@@ -133,11 +133,15 @@ def decode_media(
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for media_id, content, mtype in zip(
-                pdf["media_id"], pdf["content"], pdf["media_type"]
+            for media_id, content, mtype, fmt in zip(
+                pdf["media_id"], pdf["content"], pdf["media_type"],
+                pdf["format"],
             ):
                 raw = bytes(content) if content is not None else b""
-                h, w, c, feats = decode(raw, mtype)
+                # codecs dispatch on the FORMAT (png/wav/…), not the
+                # media family — fall back to the family when a row
+                # carries no format
+                h, w, c, feats = decode(raw, fmt or mtype)
                 rows.append(
                     {
                         "media_id": media_id,

@@ -48,7 +48,7 @@ def insert_rows(table: LakeTable, rows: list[dict[str, Any]]) -> int:
 
 
 def _matched_files(
-    table: LakeTable, cond, filter_expr: str | None = None
+    table: LakeTable, filter_expr: str
 ) -> tuple[int, list[str]]:
     """One pushed-down scan: which data files hold rows matching cond,
     and how many rows match. Two pruning layers: scan(filter=...) plans
@@ -57,7 +57,7 @@ def _matched_files(
     min/max skips non-matching row groups within the survivors — at
     scale the probe touches candidate files only, which is what makes
     CoW update/delete file-pruned instead of whole-table rewrites."""
-    src = table.scan(filter=filter_expr) if filter_expr else table.scan().where(cond)
+    src = table.scan(filter=filter_expr)
     per_file = (
         src
         .groupBy(F.input_file_name().alias("_f"))
@@ -88,7 +88,7 @@ def update_rows(table: LakeTable, filter_expr: str, updates: dict[str, Any]) -> 
             f"Column '{unknown[0]}' does not exist in table schema"
         )
     cond = F.expr(filter_expr)
-    matched, touched = _matched_files(table, cond, filter_expr)
+    matched, touched = _matched_files(table, filter_expr)
     if matched == 0:
         return 0
     cur = table.current_snapshot()
@@ -117,7 +117,7 @@ def delete_rows(table: LakeTable, filter_expr: str) -> int:
     if not filter_expr or not filter_expr.strip():
         raise ValueError("Filter expression is required for delete")
     cond = F.expr(filter_expr)
-    matched, touched = _matched_files(table, cond, filter_expr)
+    matched, touched = _matched_files(table, filter_expr)
     if matched == 0:
         return 0
     cur = table.current_snapshot()
@@ -205,16 +205,24 @@ def merge_into(
     semantics as upsert_rows but the incoming side is a DataFrame and
     may be arbitrarily large — no broadcast hint, AQE decides."""
     existing = table.scan()
-    incoming = source.select(*[f.name for f in table.schema().fields])
-    if existing.isEmpty():
-        n = incoming.count()
-        table.append(incoming)
-        return {"updated": 0, "inserted": n}
-    updated = incoming.join(existing, key_columns, "left_semi").count()
-    kept = existing.join(incoming, key_columns, "left_anti")
-    total = incoming.count()
-    table.overwrite(kept.unionByName(incoming))
-    return {"updated": updated, "inserted": total - updated}
+    # persist: the batch is consumed by 3-4 actions (semi count, total
+    # count, the overwrite write); for a micro-batch derived from a
+    # non-trivial transform, re-execution would triple the source cost
+    incoming = source.select(
+        *[f.name for f in table.schema().fields]
+    ).persist()
+    try:
+        if existing.isEmpty():
+            n = incoming.count()
+            table.append(incoming)
+            return {"updated": 0, "inserted": n}
+        updated = incoming.join(existing, key_columns, "left_semi").count()
+        kept = existing.join(incoming, key_columns, "left_anti")
+        total = incoming.count()
+        table.overwrite(kept.unionByName(incoming))
+        return {"updated": updated, "inserted": total - updated}
+    finally:
+        incoming.unpersist()
 
 
 def _coerce(value: Any, type_name: str) -> Any:

@@ -192,10 +192,14 @@ def verify_backup(archive_path: str) -> dict:
                 if os.path.isdir(os.path.join(tmp, d)) and os.path.exists(mp):
                     metas.append((d, mp))
         verified, issues = [], []
+        first_rows = None
         for prefix, meta_path in metas:
             with open(meta_path) as f:
                 meta = json.load(f)
-            # archives written before the key rename carry "table"/"rows"
+            if first_rows is None:
+                # archives written before the key rename carry "rows"
+                first_rows = meta.get("row_count", meta.get("rows"))
+            # ... and "table" instead of "table_name"
             tname = meta.get("table_name") or meta.get("table", "<unknown>")
             for name, expected in meta["checksums"].items():
                 target = os.path.join(tmp, prefix, name) if prefix else os.path.join(tmp, name)
@@ -205,14 +209,17 @@ def verify_backup(archive_path: str) -> dict:
                     issues.append(f"{tname}: checksum mismatch for {name}")
                 else:
                     verified.append(tname)
+        if not metas:
+            # a tarball with no backup metadata is NOT a valid backup —
+            # an empty issue list must not read as verified
+            issues.append("no backup metadata found in archive")
         return {
             "valid": not issues,
             "tables_verified": verified,
             "issues": issues,
             # single-table convenience kept for existing callers
             "table": verified[0] if len(verified) == 1 else None,
-            "rows": metas and (lambda m: m.get("row_count", m.get("rows")))(
-                json.load(open(metas[0][1]))),
+            "rows": first_rows,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -175,7 +175,7 @@ def export_dataframe(
         if unknown:
             raise ValueError(f"Columns not found: {sorted(unknown)}")
         df = df.select(*columns)
-    if limit:
+    if limit is not None:  # limit=0 means zero rows, not "no limit"
         df = df.limit(limit)
 
     fmt = file_format.lower()
