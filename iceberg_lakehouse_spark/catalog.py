@@ -475,6 +475,35 @@ class LakeTable:
             [T.StructField(f["name"], _parse_type(f["type"]), True) for f in fields]
         )
 
+    def schema_at_version(self, version: int) -> T.StructType:
+        """The StructType recorded for a schema version — what a
+        time-travel scan reads with (the files written under that
+        version physically carry those column names)."""
+        for h in self.schema_history():
+            if h["version"] == version:
+                return T.StructType(
+                    [
+                        T.StructField(f["name"], _parse_type(f["type"]), True)
+                        for f in h["fields"]
+                    ]
+                )
+        raise ValueError(f"schema version {version} not found")
+
+    def _snapshot_schema_version(self, snap: Snapshot) -> int:
+        """Schema version active at a snapshot: the recorded field when
+        present, else the last history entry at-or-before the snapshot
+        (legacy snapshots written before schema_version existed)."""
+        if snap.schema_version is not None:
+            return snap.schema_version
+        version = None
+        for h in self.schema_history():
+            if h.get("ts", 0) <= snap.timestamp_ms:
+                version = h["version"]
+        if version is None:
+            hist = self.schema_history()
+            version = hist[0]["version"] if hist else 1
+        return version
+
     def partition_fields(self) -> list[PartitionField]:
         return [
             PartitionField(p["transform"], p["column"], p.get("param"))
@@ -758,12 +787,30 @@ class LakeTable:
         snap = self._resolve(snapshot_id, as_of)
         if snap is None or not snap.files:
             return self.spark.createDataFrame([], self.schema())
+        # time travel across a schema change reads with the snapshot's
+        # OWN schema (Iceberg semantics): after rename b→c, snapshot-1
+        # files physically carry 'b' — reading them with the current
+        # schema would return all-NULL for the renamed column. The
+        # CURRENT snapshot always reads with the current schema: alters
+        # without a rewrite (add_column) bump the version without a new
+        # snapshot, and the live table must show the new columns.
+        schema = None
+        cur = self.current_snapshot()
+        if cur is not None and snap.snapshot_id != cur.snapshot_id:
+            version = self._snapshot_schema_version(snap)
+            if version != self.meta().get("schema", {}).get("version", 1):
+                try:
+                    schema = self.schema_at_version(version)
+                except ValueError:
+                    schema = None  # incomplete legacy history → current
         if filter:
             kept, _total = self.prune_files(filter, snap)
-            return self.scan_files(kept).where(filter)
-        return self.scan_files(snap.files)
+            return self.scan_files(kept, schema=schema).where(filter)
+        return self.scan_files(snap.files, schema=schema)
 
-    def scan_files(self, files: list[str]) -> DataFrame:
+    def scan_files(
+        self, files: list[str], schema: T.StructType | None = None
+    ) -> DataFrame:
         """Lazy DataFrame over an explicit subset of a snapshot's data
         files (relative paths) — the read side of file-pruned CoW and
         the single reader every scan path delegates to.
@@ -775,8 +822,9 @@ class LakeTable:
         footer stats prune whole files for pushed-down predicates
         anyway. A snapshot may mix formats (write.format.default
         switched mid-history): read each format group lazily and
-        union."""
-        schema = self.schema()
+        union. ``schema`` overrides the current table schema for
+        time-travel reads across a schema change."""
+        schema = schema or self.schema()
         if not files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, f) for f in files]
@@ -936,8 +984,8 @@ class LakeTable:
         df_from = self.scan(snapshot_id=from_snapshot)
         df_to = self.scan(snapshot_id=to_snapshot)
         return {
-            "added": df_to.exceptAll(df_from.distinct()).distinct(),
-            "deleted": df_from.exceptAll(df_to.distinct()).distinct(),
+            "added": df_to.distinct().exceptAll(df_from.distinct()),
+            "deleted": df_from.distinct().exceptAll(df_to.distinct()),
         }
 
     def resolve_snapshot_ref(self, ref: str | int) -> Snapshot:
@@ -1003,6 +1051,43 @@ class LakeTable:
             # already at target: no restoring commit (reference returns
             # "no rollback needed", tests/test_snapshots.py:63-71)
             return cur
+        target_version = self._snapshot_schema_version(target)
+        cur_version = self.meta().get("schema", {}).get("version", 1)
+        if target_version != cur_version:
+            # the target's files physically carry a DIFFERENT schema
+            # (e.g. pre-rename column names) — a file-reference commit
+            # would make the live table read them with current names
+            # (all-NULL renamed columns). Do the reference's physical
+            # restore instead: scan at target (historical schema),
+            # map renamed columns forward by field id, rewrite.
+            df = self.scan(snapshot_id=target.snapshot_id)
+            try:
+                old_by_id = {
+                    f["id"]: f["name"]
+                    for f in next(
+                        h["fields"] for h in self.schema_history()
+                        if h["version"] == target_version
+                    )
+                    if "id" in f
+                }
+                new_by_id = {
+                    f["id"]: f["name"]
+                    for f in self.meta()["schema"]["fields"]
+                    if "id" in f
+                }
+                for fid, old_name in old_by_id.items():
+                    new_name = new_by_id.get(fid)
+                    if new_name and new_name != old_name and old_name in df.columns:
+                        df = df.withColumnRenamed(old_name, new_name)
+            except StopIteration:
+                pass  # legacy history without the version → align as-is
+            aligned = self._align(df)
+            new_files = self._materialize(aligned)
+            return self._commit(
+                "rollback", new_files,
+                {"restored_snapshot": target.snapshot_id,
+                 "added_files": len(new_files)},
+            )
         return self._commit(
             "rollback", target.files, {"restored_snapshot": target.snapshot_id}
         )
@@ -1308,9 +1393,21 @@ class LakeTable:
         meta["schema"]["last_field_id"] = fid
         self._bump_schema(meta, fields)
 
+    def _guard_partition_source(self, name: str, action: str) -> None:
+        """Dropping/renaming a partition-source column would break every
+        later write (the partition expression references the old name) —
+        forbid it, like Iceberg forbids dropping partition source
+        fields. Evolving the spec itself is a separate operation."""
+        if any(pf.column == name for pf in self.partition_fields()):
+            raise ValueError(
+                f"cannot {action} column {name!r}: it is a partition "
+                "source column"
+            )
+
     def drop_column(self, name: str) -> None:
         meta = self.meta()
         self._ensure_field_ids(meta)  # ids are never reused after a drop
+        self._guard_partition_source(name, "drop")
         fields = [f for f in meta["schema"]["fields"] if f["name"] != name]
         if len(fields) == len(meta["schema"]["fields"]):
             raise ValueError(f"column {name!r} does not exist")
@@ -1324,6 +1421,7 @@ class LakeTable:
             raise ValueError(f"column {old!r} does not exist")
         if any(f["name"] == new for f in fields):
             raise ValueError(f"column {new!r} already exists")
+        self._guard_partition_source(old, "rename")
         # the field keeps its id through the rename (Iceberg semantics —
         # schema diffs report it as a rename, not drop+add); the data
         # rewrite below is physical because parquet stores names

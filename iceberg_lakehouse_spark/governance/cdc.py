@@ -41,8 +41,8 @@ def _classified_changes(
     keys = key_columns or [schema_cols[0]]
     old = table.scan(snapshot_id=from_snapshot)
     new = table.scan(snapshot_id=to_snapshot)
-    added = new.exceptAll(old.distinct()).distinct()
-    removed = old.exceptAll(new.distinct()).distinct()
+    added = new.distinct().exceptAll(old.distinct())
+    removed = old.distinct().exceptAll(new.distinct())
 
     a = added.select([F.col(c).alias(f"a_{c}") for c in schema_cols])
     r = removed.select([F.col(c).alias(f"r_{c}") for c in schema_cols])

@@ -140,7 +140,7 @@ def incremental_read(
     except ValueError:  # watermark snapshot expired → full rescan
         return table.scan(), {"mode": "full", "from": None, "to": cur.snapshot_id}
     new = table.scan()
-    diff = new.exceptAll(old.distinct()).distinct()
+    diff = new.distinct().exceptAll(old.distinct())
     return diff, {"mode": "except_diff", "from": wm["snapshot_id"], "to": cur.snapshot_id}
 
 

@@ -41,9 +41,9 @@ class QueryEngine:
         self.max_rows = max_rows
         self.history = history
         self.query_cache = query_cache
-        self._registered = False
         # table name → meta_stamp() at last registration (see _register_tables)
         self._reg_stamps: dict[str, tuple] = {}
+        self._tables: list[str] = []  # last registration's listing
 
     def execute_cached(self, sql: str, max_rows: int | None = None) -> list[dict]:
         """Collected-row execution through the query cache (G20) with
@@ -82,7 +82,27 @@ class QueryEngine:
         are already current — execute() runs this per query, and the
         metadata views (files_df reads stats + per-file sizes) are too
         expensive to rebuild for an unchanged catalog."""
-        for full in self.catalog.list_tables():
+        tables = self.catalog.list_tables()
+        self._tables = tables
+        # unregister DROPPED tables: their data + metadata views would
+        # otherwise keep serving stale rows (metadata views are driver-
+        # materialized) or die mid-query with 'Path does not exist'
+        current = set(tables)
+        for full in [n for n in self._reg_stamps if n not in current]:
+            ns, t = full.split(".", 1)
+            for v in (t, f"{ns}__{t}", f"{t}__snapshots", f"{t}__files",
+                      f"{t}__history"):
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:  # noqa: BLE001
+                    pass
+            del self._reg_stamps[full]
+            # a same-short-name table in another namespace just lost its
+            # short-name view — clear its stamp so it re-registers below
+            for other in [o for o in self._reg_stamps
+                          if o.split(".", 1)[1] == t]:
+                del self._reg_stamps[other]
+        for full in tables:
             ns, t = full.split(".", 1)
             try:
                 table = self.catalog.load_table(full)
@@ -106,7 +126,6 @@ class QueryEngine:
             except Exception:  # noqa: BLE001 — metadata views best-effort
                 pass
             self._reg_stamps[full] = stamp
-        self._registered = True
 
     def refresh(self) -> None:
         self._reg_stamps.clear()
@@ -126,7 +145,9 @@ class QueryEngine:
         import re
 
         parts = re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", sql)
-        tables = self.catalog.list_tables()
+        # the listing from this call's _register_tables pass — no second
+        # warehouse walk per query
+        tables = self._tables
         for i in range(0, len(parts), 2):  # even indices = outside quotes
             seg = parts[i]
             for full in tables:
@@ -155,20 +176,28 @@ class QueryEngine:
         self._register_tables()
         table = self.catalog.load_table(table_name)
         short = table_name.split(".", 1)[-1]
+        alias = f"{table.namespace}__{short}"
         hist = table.scan(as_of=as_of)
+        # bind BOTH names the query may use — the short view and the
+        # ns__table alias that _resolve_qualified rewrites qualified
+        # references to; rebinding only the short name would let
+        # 'SELECT … FROM ns.t' silently read CURRENT data
         hist.createOrReplaceTempView(short)
+        hist.createOrReplaceTempView(alias)
         try:
             # spark.sql() analyzes eagerly: the returned plan resolves the
             # temp view NOW, so restoring the current-view binding below
             # does not rebind this DataFrame. No driver-side materialization
             # needed (round-1 version collect()ed here — a full-result
             # round-trip through the driver).
-            df = self.spark.sql(sql)
+            df = self.spark.sql(self._resolve_qualified(sql))
             n = max_rows if max_rows is not None else self.max_rows
             if n and _SELECT_RE.match(sql) and not _LIMIT_RE.search(sql):
                 df = df.limit(n)
         finally:
-            table.scan().createOrReplaceTempView(short)
+            cur = table.scan()
+            cur.createOrReplaceTempView(short)
+            cur.createOrReplaceTempView(alias)
         return df
 
     def query_file(self, path: str, sql: str, view_name: str = "file_view",

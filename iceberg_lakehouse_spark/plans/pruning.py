@@ -202,12 +202,38 @@ def _norm_op(op: str) -> str:
     return {"==": "=", "<>": "!="}.get(op, op)
 
 
+def _ts_norm(v) -> "object | None":
+    """Timestamp stat/literal → naive-UTC ``datetime`` comparison
+    domain. LTZ parquet stats come back tz-aware (str() appends
+    '+00:00'), which breaks lexicographic comparison against naive
+    literals — '…+00:00' > '…' — and a non-conservative prune on the
+    CoW probe path is silent data loss. Unparseable → None (keep)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        d = v
+    else:
+        s = str(v).replace("T", " ").strip()
+        if s.endswith("Z"):
+            s = s[:-1] + "+00:00"
+        if len(s) == 10:
+            s = s + " 00:00:00"  # date-only literal
+        try:
+            d = _dt.datetime.fromisoformat(s)
+        except ValueError:
+            return None
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return d
+
+
 def _coerce(dt: T.DataType, lit) -> object | None:
     """Literal → the comparison domain used for this column's stats.
     Integral/decimal columns compare as exact ``Decimal`` (doubles lose
     int64 identity past 2**53 → wrong '!='/'<'/'>' pruning = data loss
     on the CoW update/delete probe path), float/double as ``float``,
-    everything else as ISO text. None = incomparable (keep the file)."""
+    timestamps as naive-UTC ``datetime`` (see ``_ts_norm``), everything
+    else as ISO text. None = incomparable (keep the file)."""
     tag, v = lit
     if isinstance(dt, _NUMERIC):
         if tag != "num":
@@ -221,14 +247,10 @@ def _coerce(dt: T.DataType, lit) -> object | None:
             return None
     if isinstance(dt, T.BooleanType):
         return str(v) if tag == "bool" else None
-    if isinstance(dt, (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType)):
-        if tag != "str":
-            return None
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            v = v.replace("T", " ")  # ISO 'T' vs 'Y-m-d H:M:S' stat strings
-            if len(v) == 10:
-                v = v + " 00:00:00"  # date-only literal
-        return v
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return _ts_norm(v) if tag == "str" else None
+    if isinstance(dt, (T.StringType, T.DateType)):
+        return v if tag == "str" else None
     return None  # binary/array/struct — never prune
 
 
@@ -250,6 +272,8 @@ def _stat_value(dt: T.DataType, s):
             return d if d.is_finite() else None
         except (ValueError, TypeError, InvalidOperation):
             return None
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return _ts_norm(s)
     return s if isinstance(s, str) else str(s)
 
 

@@ -33,7 +33,7 @@ class OracleQuery:
     fn: QueryFn
     oracle: str | None  # None → non-SQL-expressible; driver does rows-only check
     survey_ref: str = ""  # SURVEY §2 operator ids this query certifies
-    tags: tuple[str, ...] = field(default=tuple)
+    tags: tuple[str, ...] = ()
 
 
 REGISTRY: dict[str, OracleQuery] = {}

@@ -383,7 +383,7 @@ def except_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return pos.exceptAll(recent.distinct()).distinct()
+    return pos.distinct().exceptAll(recent.distinct())
 
 
 @register(

@@ -20,13 +20,7 @@ from ..session import load_sf_tables
 from . import register
 
 
-def _dot(a: F.Column, b: F.Column) -> F.Column:
-    """Σ aᵢ·bᵢ in double, sequential fold — JVM-side, no UDF."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+from ..functions.similarity import dot as _dot  # single fold implementation
 
 
 @register(

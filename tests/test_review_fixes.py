@@ -192,3 +192,112 @@ def test_change_summary_distributed_counts(catalog, metrics):
     assert s["total_changes"] == 2
     # insert present → all columns affected
     assert s["affected_columns"] == ["id", "name", "value"]
+
+
+# --- third review batch ---
+
+
+def test_pruning_timestamp_tz_stats_conservative(spark):
+    """LTZ parquet stats stringify tz-aware ('…+00:00'); comparison
+    against naive literals must stay conservative (keep the file)."""
+    from pyspark.sql import types as T
+
+    from iceberg_lakehouse_spark.plans.pruning import (
+        file_may_match, parse_conjuncts,
+    )
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    stats = {"ts": ("2020-01-01 00:00:00+00:00", "2020-06-01 00:00:00+00:00", 0)}
+    # boundary equality: the file's min IS the literal instant
+    conj = parse_conjuncts("ts <= '2020-01-01 00:00:00'")
+    assert file_may_match(stats, schema, conj) is True
+    # provably disjoint still prunes
+    conj = parse_conjuncts("ts < '2019-01-01 00:00:00'")
+    assert file_may_match(stats, schema, conj) is False
+    # tz-aware literal with an offset normalizes to the same instant
+    conj = parse_conjuncts("ts <= '2020-01-01 05:30:00+05:30'")
+    assert file_may_match(stats, schema, conj) is True
+
+
+def test_partition_source_column_guarded(catalog):
+    t = catalog.create_table(
+        "part_guard", [("id", "long"), ("d", "date")],
+        partition_by=["month(d)"],
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        t.drop_column("d")
+    with pytest.raises(ValueError, match="partition source"):
+        t.rename_column("d", "d2")
+    t.rename_column("id", "id2")  # non-source columns still evolve
+
+
+def test_snapshot_diff_duplicate_rows_not_phantom_added(catalog):
+    """A row present in both snapshots but duplicated in the newer one
+    must not appear as 'added' (SQL EXCEPT distinct semantics)."""
+    t = catalog.create_table("dupdiff", [("id", "long"), ("v", "string")])
+    crud.insert_rows(t, [{"id": 1, "v": "x"}])
+    s1 = t.current_snapshot().snapshot_id
+    crud.insert_rows(t, [{"id": 1, "v": "x"}])  # exact duplicate
+    s2 = t.current_snapshot().snapshot_id
+    diff = t.snapshot_diff(s1, s2)
+    assert diff["added"].count() == 0
+    assert diff["deleted"].count() == 0
+
+
+def test_time_travel_scan_uses_historical_schema(catalog):
+    """Scanning a pre-rename snapshot returns the historical column
+    names and VALUES (the old files physically carry the old name)."""
+    t = catalog.create_table("tt_rename", [("a", "long"), ("b", "string")])
+    crud.insert_rows(t, [{"a": 1, "b": "old"}])
+    s1 = t.current_snapshot().snapshot_id
+    t.rename_column("b", "c")
+    rows_now = t.scan().collect()
+    assert rows_now[0]["c"] == "old"
+    hist = t.scan(snapshot_id=s1)
+    assert hist.columns == ["a", "b"]
+    assert hist.collect()[0]["b"] == "old"
+
+
+def test_rollback_across_rename_restores_values(catalog):
+    t = catalog.create_table("rb_schema", [("a", "long"), ("b", "string")])
+    crud.insert_rows(t, [{"a": 1, "b": "old"}])
+    s1 = t.current_snapshot().snapshot_id
+    t.rename_column("b", "c")
+    crud.update_rows(t, "a = 1", {"c": "new"})
+    t.rollback(snapshot_id=s1)
+    # physical restore under the CURRENT schema: the pre-rename VALUES
+    # come back in the renamed column, not as NULLs
+    rows = t.scan().collect()
+    assert rows[0]["c"] == "old"
+
+
+def test_engine_unregisters_dropped_tables(catalog, metrics):
+    eng = QueryEngine(catalog)
+    assert eng.execute("SELECT count(*) AS n FROM metrics").collect()[0]["n"] == 2
+    catalog.drop_table("default.metrics")
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        eng.execute("SELECT * FROM metrics").collect()
+
+
+def test_execute_as_of_accepts_qualified_name(catalog, metrics):
+    eng = QueryEngine(catalog)
+    s1 = metrics.current_snapshot().snapshot_id
+    crud.insert_rows(metrics, [{"id": 3, "name": "c", "value": 3.0}])
+    df = eng.execute_as_of(
+        "SELECT count(*) AS n FROM default.metrics", "default.metrics", str(s1)
+    )
+    assert df.collect()[0]["n"] == 2
+    # current-data queries see the post-insert state again afterwards
+    assert eng.execute(
+        "SELECT count(*) AS n FROM default.metrics"
+    ).collect()[0]["n"] == 3
+
+
+def test_oracle_query_default_tags():
+    from iceberg_lakehouse_spark.suite import OracleQuery
+
+    q = OracleQuery("x", lambda s, d: None, None)
+    assert q.tags == ()
+    assert len(q.tags) == 0
