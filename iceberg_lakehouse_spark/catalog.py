@@ -976,13 +976,46 @@ class LakeTable:
 
     # -- history ops -------------------------------------------------------
 
+    def scan_conformed(self, snapshot_id: int) -> DataFrame:
+        """Snapshot scan projected onto the CURRENT schema: renamed
+        columns map forward by field id, dropped columns vanish, added
+        columns read as typed NULLs. The shape snapshot comparisons
+        (diff/CDC/incremental) need — two snapshots straddling a schema
+        change would otherwise have mismatched column sets."""
+        df = self.scan(snapshot_id=snapshot_id)
+        snap = self.snapshot_by_id(snapshot_id)
+        version = self._snapshot_schema_version(snap)
+        cur_fields = self.meta()["schema"]["fields"]
+        try:
+            old_fields = next(
+                h["fields"] for h in self.schema_history()
+                if h["version"] == version
+            )
+            old_by_id = {f["id"]: f["name"] for f in old_fields if "id" in f}
+            new_by_id = {f["id"]: f["name"] for f in cur_fields if "id" in f}
+            for fid, old_name in old_by_id.items():
+                new_name = new_by_id.get(fid)
+                if new_name and new_name != old_name and old_name in df.columns:
+                    df = df.withColumnRenamed(old_name, new_name)
+        except StopIteration:
+            pass  # legacy history without the version — align by name
+        cols = []
+        for f in self.schema().fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
     def snapshot_diff(
         self, from_snapshot: int, to_snapshot: int
     ) -> dict[str, DataFrame]:
         """added = to EXCEPT from; deleted = from EXCEPT to — distinct
-        semantics, matching SQL EXCEPT (reference catalog.py:349-356)."""
-        df_from = self.scan(snapshot_id=from_snapshot)
-        df_to = self.scan(snapshot_id=to_snapshot)
+        semantics, matching SQL EXCEPT (reference catalog.py:349-356).
+        Both sides conform to the current schema, so diffs spanning a
+        schema change compare on the surviving columns."""
+        df_from = self.scan_conformed(from_snapshot)
+        df_to = self.scan_conformed(to_snapshot)
         return {
             "added": df_to.distinct().exceptAll(df_from.distinct()),
             "deleted": df_from.distinct().exceptAll(df_to.distinct()),

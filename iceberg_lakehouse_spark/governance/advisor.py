@@ -56,14 +56,19 @@ def estimate_cost(sql: str, table_stats: dict[str, dict]) -> dict:
     total_rows = 0
     details = []
     for t in tables:
-        stats = table_stats.get(t, {})
+        # SQL names are usually short; the stats store is keyed by the
+        # qualified name — try both so the estimate is never silently 0
+        stats = table_stats.get(t) or table_stats.get(f"default.{t}", {})
         rows = stats.get("row_count", 0)
         total_rows += rows
         details.append(
             {
                 "table": t,
                 "estimated_rows": rows,
-                "size_bytes": stats.get("total_size_bytes", 0),
+                # compute_table_stats emits 'total_bytes'
+                "size_bytes": stats.get(
+                    "total_bytes", stats.get("total_size_bytes", 0)
+                ),
             }
         )
     scanned = int(total_rows * 0.3) if has_filter else total_rows

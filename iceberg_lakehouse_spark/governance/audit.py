@@ -12,7 +12,7 @@ from datetime import datetime, timedelta, timezone
 from typing import Any
 
 MAX_LINES = 10_000
-_DUR_RE = re.compile(r"^(\d+)([dhm])$")
+_DUR_RE = re.compile(r"^(\d+)([dhms])$")  # the grammar the tool help advertises
 
 
 def _parse_cutoff(cutoff: str) -> datetime:
@@ -20,7 +20,8 @@ def _parse_cutoff(cutoff: str) -> datetime:
     now = datetime.now(timezone.utc)
     if m:
         n, unit = int(m.group(1)), m.group(2)
-        delta = {"d": timedelta(days=n), "h": timedelta(hours=n), "m": timedelta(minutes=n)}[unit]
+        delta = {"d": timedelta(days=n), "h": timedelta(hours=n),
+                 "m": timedelta(minutes=n), "s": timedelta(seconds=n)}[unit]
         return now - delta
     dt = datetime.fromisoformat(cutoff)
     return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)

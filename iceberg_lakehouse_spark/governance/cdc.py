@@ -39,21 +39,31 @@ def _classified_changes(
     change_summary (pure aggregation, nothing collected per-row)."""
     schema_cols = [f.name for f in table.schema().fields]
     keys = key_columns or [schema_cols[0]]
-    old = table.scan(snapshot_id=from_snapshot)
-    new = table.scan(snapshot_id=to_snapshot)
+    # conformed scans: snapshots straddling a schema change compare on
+    # the current schema (renames mapped by field id, adds as NULL)
+    old = table.scan_conformed(from_snapshot)
+    new = table.scan_conformed(to_snapshot)
     added = new.distinct().exceptAll(old.distinct())
     removed = old.distinct().exceptAll(new.distinct())
 
-    a = added.select([F.col(c).alias(f"a_{c}") for c in schema_cols])
-    r = removed.select([F.col(c).alias(f"r_{c}") for c in schema_cols])
+    # explicit presence markers: key-column non-nullness would
+    # misclassify rows whose KEY VALUE is NULL (an inserted
+    # (id=NULL, …) row has no non-null key on the added side and would
+    # fall through to DELETE)
+    a = added.select(
+        [F.col(c).alias(f"a_{c}") for c in schema_cols]
+        + [F.lit(True).alias("_a_present")]
+    )
+    r = removed.select(
+        [F.col(c).alias(f"r_{c}") for c in schema_cols]
+        + [F.lit(True).alias("_r_present")]
+    )
     cond = [a[f"a_{k}"].eqNullSafe(r[f"r_{k}"]) for k in keys]
     joined = a.join(r, on=cond if cond else None, how="full_outer")
 
     value_cols = [c for c in schema_cols if c not in keys]
-    has_added = F.greatest(*[F.col(f"a_{k}").isNotNull() for k in keys]) \
-        if len(keys) > 1 else F.col(f"a_{keys[0]}").isNotNull()
-    has_removed = F.greatest(*[F.col(f"r_{k}").isNotNull() for k in keys]) \
-        if len(keys) > 1 else F.col(f"r_{keys[0]}").isNotNull()
+    has_added = F.coalesce(F.col("_a_present"), F.lit(False))
+    has_removed = F.coalesce(F.col("_r_present"), F.lit(False))
     op = (
         F.when(has_added & has_removed, F.lit("UPDATE"))
         .when(has_added, F.lit("INSERT"))

@@ -234,10 +234,13 @@ class ContractManager:
             ).count()
         return None
 
-    def validate_rows(self, table_name: str, df: DataFrame) -> list[dict]:
+    def validate_rows(
+        self, table_name: str, df: DataFrame, contract: dict | None = None
+    ) -> list[dict]:
         """Constraint checks pre-write (contracts.py:342-505): one
-        DataFrame filter per constraint."""
-        c = self.get(table_name)
+        DataFrame filter per constraint. ``contract`` overrides the
+        stored one (dry-run evaluates a proposal without persisting)."""
+        c = contract if contract is not None else self.get(table_name)
         violations = []
         for con in c["constraints"]:
             kind, col = con["type"], con.get("column")
@@ -341,24 +344,18 @@ class ContractManager:
                     {"kind": "schema",
                      "detail": f"{col}: {actual[col]} != {spec['type']}"}
                 )
-        # constraint checks via a temporary in-memory contract
+        # constraint checks via an in-memory contract — a dry run must
+        # be read-only (persisting a __dry_run__ entry briefly exposed
+        # it to concurrent listers and leaked it on a crash)
         tmp = {
             "table": name, "schema": {}, "quality": {}, "freshness": {},
             "constraints": proposed.get("constraints", []),
             "owner": None, "status": "dry_run", "version": 0, "history": [],
         }
-        data = self.store.load()
-        data["contracts"]["__dry_run__"] = tmp
-        self.store.save(data)
-        try:
-            violations += [
-                {"kind": "constraint", **v}
-                for v in self.validate_rows("__dry_run__", table.scan())
-            ]
-        finally:
-            data = self.store.load()
-            data["contracts"].pop("__dry_run__", None)
-            self.store.save(data)
+        violations += [
+            {"kind": "constraint", **v}
+            for v in self.validate_rows(name, table.scan(), contract=tmp)
+        ]
         return {"table": name, "would_violate": violations, "ok": not violations}
 
     def dry_run_migration(self, table: LakeTable, proposed: dict) -> dict:

@@ -22,6 +22,14 @@ from ..catalog import LakehouseCatalog, LakeTable
 from .stores import JsonStore
 
 
+def _qualify(table: str) -> str:
+    """Bare names normalize to default.<name>: incremental_read looks
+    watermarks up under the qualified name, so a watermark SET under a
+    bare name would never be found — every run would re-read the full
+    source and duplicate rows into the target."""
+    return table if "." in table else f"default.{table}"
+
+
 class WatermarkStore:
     """I1 (reference incremental.py:33-139)."""
 
@@ -29,6 +37,7 @@ class WatermarkStore:
         self.store = JsonStore(store_path, {})
 
     def set(self, pipeline: str, table: str, snapshot_id: int, rows_processed: int = 0) -> dict:
+        table = _qualify(table)
         data = self.store.load()
         entry = {
             "snapshot_id": snapshot_id,
@@ -42,6 +51,7 @@ class WatermarkStore:
     def get(self, pipeline: str, table: str) -> dict:
         """Always a dict; snapshot_id None when no watermark exists
         (reference get_watermark semantics)."""
+        table = _qualify(table)
         entry = self.store.load().get(pipeline, {}).get(table)
         if entry is None:
             return {
@@ -63,6 +73,7 @@ class WatermarkStore:
         return out
 
     def reset(self, pipeline: str, table: str | None = None) -> dict:
+        table = _qualify(table) if table else None
         data = self.store.load()
         removed = 0
         if table:
@@ -136,7 +147,7 @@ def incremental_read(
     # overwrite somewhere in between → EXCEPT diff (distinct semantics,
     # reference incremental.py:225-227)
     try:
-        old = table.scan(snapshot_id=wm["snapshot_id"])
+        old = table.scan_conformed(wm["snapshot_id"])
     except ValueError:  # watermark snapshot expired → full rescan
         return table.scan(), {"mode": "full", "from": None, "to": cur.snapshot_id}
     new = table.scan()

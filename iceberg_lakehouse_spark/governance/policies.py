@@ -611,10 +611,14 @@ class NotificationManager:
             elif handler_type == "shell":
                 import subprocess
 
+                import os as _os
+
                 result = subprocess.run(
                     config["command"], shell=True, capture_output=True,
                     text=True, timeout=10,
-                    env={"LAKEHOUSE_EVENT": event_data},
+                    # inherit the environment (commands need PATH/HOME);
+                    # the event payload rides alongside
+                    env={**_os.environ, "LAKEHOUSE_EVENT": event_data},
                 )
                 return {
                     "status": "success" if result.returncode == 0 else "error",

@@ -185,12 +185,16 @@ def quality_score(stats: dict, rules_compliance: float = 100.0) -> dict:
     else:
         completeness = uniqueness = 0.0
 
-    computed_at = stats.get("computed_at")
+    # freshness decays from the DATA's last write (snapshot timestamp),
+    # not from when stats were computed — live-scoring paths compute
+    # stats on demand, so computed_at is always 'now' and would pin
+    # freshness at 100 for a table last written years ago
+    anchor = stats.get("last_modified") or stats.get("computed_at")
     age_h = 0.0
-    if computed_at:
+    if anchor:
         age_h = (
             datetime.now(timezone.utc)
-            - datetime.fromisoformat(computed_at)
+            - datetime.fromisoformat(anchor)
         ).total_seconds() / 3600
     if age_h <= 1:
         freshness = 100.0

@@ -77,11 +77,19 @@ class ValidationManager:
     def __init__(self, store_path: str):
         self.store = JsonStore(store_path, {})
 
+    @staticmethod
+    def _key(table: str) -> str:
+        """Rules are keyed by SHORT table name (reference bare-name
+        store); normalizing here keeps every surface consistent —
+        add('default.users') and validate('users') hit the same rules."""
+        return table.split(".", 1)[-1]
+
     # -- rule CRUD ---------------------------------------------------------
 
     def add_rule(self, table: str, rule: dict | str, **kw) -> dict:
         """Add a rule. ``rule`` is the reference's rule dict; a rule-type
         string plus kwargs (the MCP tool surface) is mapped onto it."""
+        table = self._key(table)
         if isinstance(rule, str):
             rule = _legacy_rule(rule, **kw)
         rule_type = rule.get("type")
@@ -127,9 +135,10 @@ class ValidationManager:
         return {**stored, "message": f"Added {rule_type} rule '{rule_id}' to {table}"}
 
     def list_rules(self, table: str) -> list[dict]:
-        return self.store.load().get(table, [])
+        return self.store.load().get(self._key(table), [])
 
     def remove_rule(self, table: str, rule_id: str) -> dict:
+        table = self._key(table)
         rules = self.store.load()
         for i, rule in enumerate(rules.get(table, [])):
             if rule["id"] == rule_id:

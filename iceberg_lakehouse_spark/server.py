@@ -391,9 +391,14 @@ class LakehouseServer:
             t = c.load_table(table)
             df, info = incremental_read(t, wm, pipeline)
             rows = rows_of(df)
+            total = len(rows) if len(rows) < 1000 else df.count()
             if advance and t.current_snapshot():
-                wm.set(pipeline, table, t.current_snapshot().snapshot_id, len(rows))
-            return {"info": info, "rows": rows}
+                # record the TRUE processed count — the watermark covers
+                # every new row, not just the 1000 returned over RPC
+                wm.set(pipeline, table, t.current_snapshot().snapshot_id, total)
+            return {"info": {**info, "total_rows": total,
+                             "truncated": total > len(rows)},
+                    "rows": rows}
 
         self._add(
             _tool("incremental_read", "New rows since the pipeline watermark",
@@ -781,9 +786,14 @@ class LakehouseServer:
         self._add(
             _tool("detect_anomalies", "Stat drift between cached and live stats",
                   {"table": _S}, ["table"]),
-            lambda table: detect_anomalies(
-                stats_cache.peek(table) or stats_cache.get(T(table)),
-                compute_table_stats(T(table))),
+            # peek under the cache's QUALIFIED key — a bare-name peek
+            # always missed, and the get() fallback overwrote the
+            # baseline with fresh stats (anomalies compared fresh vs
+            # fresh: always empty, baseline destroyed)
+            lambda table: (lambda t: detect_anomalies(
+                stats_cache.peek(f"{t.namespace}.{t.table}")
+                or stats_cache.get(t),
+                compute_table_stats(t)))(T(table)),
         )
         self._add(
             _tool("quality_report", "Score + per-column issues",
@@ -881,8 +891,9 @@ class LakehouseServer:
                   lambda table, tag: {"tags": tags.add_tag(table, tag)})
         self._add(_tool("untag_table", "Remove a tag", {"table": _S, "tag": _S}, ["table", "tag"]),
                   lambda table, tag: {"tags": tags.remove_tag(table, tag)})
-        self._add(_tool("search_by_tag", "Tables carrying a tag", {"tag": _S}, ["tag"]),
-                  lambda tag: [r for r in tags.search(tag, c.list_tables())])
+        self._add(_tool("search_by_tag", "Tables carrying a tag (exact membership)",
+                        {"tag": _S}, ["tag"]),
+                  lambda tag: tags.search_by_tag(tag))
         self._add(
             _tool("set_table_description", "Describe a table",
                   {"table": _S, "description": _S}, ["table", "description"]),
@@ -954,9 +965,10 @@ class LakehouseServer:
         self._add(
             _tool("check_sla", "Check a table against its SLA now",
                   {"table": _S}, ["table"]),
-            lambda table: sla.check(
-                T(table), compute_table_stats(T(table)),
-                quality_score(compute_table_stats(T(table)))),
+            # one stats pass feeds both the SLA check and the score —
+            # two compute_table_stats calls were two full table scans
+            lambda table: (lambda t, s: sla.check(t, s, quality_score(s)))(
+                T(table), compute_table_stats(T(table))),
         )
         self._add(_tool("get_sla_history", "Past SLA checks", {"table": _S}, ["table"]),
                   lambda table: sla.history(table))
@@ -1299,7 +1311,7 @@ class LakehouseServer:
         self._add(
             _tool("validate_data_against_contract", "Row-level constraint check",
                   {"table": _S}, ["table"]),
-            lambda table: contracts.validate_rows(table, T(table).scan()),
+            lambda table: contracts.validate_rows(_cname(table), T(table).scan()),
         )
         self._add(_tool("get_contract_violations", "All violation kinds now",
                         {"table": _S}, ["table"]),

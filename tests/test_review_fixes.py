@@ -301,3 +301,105 @@ def test_oracle_query_default_tags():
     q = OracleQuery("x", lambda s, d: None, None)
     assert q.tags == ()
     assert len(q.tags) == 0
+
+
+# --- fourth review batch (server/governance keying + semantics) ---
+
+
+def test_watermark_bare_and_qualified_names_agree(tmp_path):
+    from iceberg_lakehouse_spark.governance.incremental import WatermarkStore
+
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    wm.set("etl", "events", 7, 100)  # bare name
+    got = wm.get("etl", "default.events")  # qualified lookup
+    assert got["snapshot_id"] == 7
+    assert wm.reset("etl", "events")["removed"] == 1
+    assert wm.get("etl", "default.events")["snapshot_id"] is None
+
+
+def test_incremental_pipeline_watermark_advances(catalog, metrics, tmp_path):
+    """The pipeline's second run must be incremental, not a second full
+    read that duplicates every source row into the target."""
+    from iceberg_lakehouse_spark.governance.incremental import (
+        WatermarkStore, run_incremental_pipeline,
+    )
+
+    eng = QueryEngine(catalog)
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    steps = [{"source_table": "metrics", "target_table": "metrics_copy",
+              "sql": "SELECT * FROM metrics_increment"}]
+    run_incremental_pipeline(catalog, wm, "p1", steps, eng)
+    first = catalog.load_table("metrics_copy").scan().count()
+    run_incremental_pipeline(catalog, wm, "p1", steps, eng)
+    assert catalog.load_table("metrics_copy").scan().count() == first
+
+
+def test_validation_rules_any_name_spelling(catalog, metrics, tmp_path):
+    from iceberg_lakehouse_spark.governance.validation import ValidationManager
+
+    vm = ValidationManager(str(tmp_path / "rules.json"))
+    vm.add_rule("default.metrics", "range", column="value", min_value=0)
+    assert len(vm.list_rules("metrics")) == 1
+    assert len(vm.list_rules("default.metrics")) == 1
+    violations = vm.validate("default.metrics", metrics.scan())
+    assert violations == []  # all values >= 0
+    removed = vm.remove_rule("metrics", vm.list_rules("metrics")[0]["id"])
+    assert "Removed" in removed["message"]
+
+
+def test_cdc_null_key_row_is_insert_not_delete(catalog):
+    from iceberg_lakehouse_spark.governance import cdc
+
+    t = catalog.create_table("nullkey", [("id", "long"), ("val", "long")])
+    crud.insert_rows(t, [{"id": 1, "val": 1}])
+    s1 = t.current_snapshot().snapshot_id
+    crud.insert_rows(t, [{"id": None, "val": 5}])
+    s2 = t.current_snapshot().snapshot_id
+    ch = cdc.capture_changes(t, s1, s2, key_columns=["id"])
+    assert ch["summary"] == {"inserts": 1, "updates": 0, "deletes": 0}
+    assert ch["inserts"][0]["val"] == 5
+
+
+def test_audit_seconds_cutoff(tmp_path):
+    from iceberg_lakehouse_spark.governance.audit import AuditLog
+
+    log = AuditLog(str(tmp_path / "audit.ndjson"))
+    log.record("t", "insert", 1)
+    # '45s' is advertised by the tool help and must parse
+    assert log.query(since="45s")
+    cleared = log.clear(older_than="45s")
+    assert list(cleared.values())[0] == 0  # nothing older than 45s yet
+
+
+def test_quality_freshness_decays_from_last_write(spark):
+    from iceberg_lakehouse_spark.governance.stats import quality_score
+
+    stale = {
+        "row_count": 10,
+        "columns": {"a": {"null_pct": 0.0, "distinct": 10}},
+        "last_modified": "2020-01-01T00:00:00+00:00",  # years ago
+        "computed_at": "2099-01-01T00:00:00+00:00",
+    }
+    s = quality_score(stale)
+    assert s["freshness"] == 0.0  # not pinned at 100 by computed_at
+
+
+def test_estimate_cost_finds_qualified_stats():
+    from iceberg_lakehouse_spark.governance.advisor import estimate_cost
+
+    stats = {"default.users": {"row_count": 1000, "total_bytes": 5000}}
+    est = estimate_cost("SELECT * FROM users WHERE id = 1", stats)
+    assert est["tables_involved"][0]["estimated_rows"] == 1000
+    assert est["tables_involved"][0]["size_bytes"] == 5000
+
+
+def test_contract_dry_run_is_read_only(catalog, metrics, tmp_path):
+    from iceberg_lakehouse_spark.governance.contracts import ContractManager
+
+    cm = ContractManager(str(tmp_path / "contracts.json"))
+    proposed = {"constraints": [
+        {"type": "range", "column": "value", "min": 100},
+    ]}
+    result = cm.dry_run(metrics, proposed)
+    assert result["would_violate"]  # values 10/20 violate min=100
+    assert "__dry_run__" not in cm.list()
