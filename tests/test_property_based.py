@@ -264,3 +264,49 @@ def test_pruning_is_conservative_on_random_grammar(rows, cuts, conjs):
             assert kept, (
                 f"file with matching rows pruned: expr={expr!r} rows={frows}"
             )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.datetimes(
+        min_value=datetime.datetime(1970, 1, 2),
+        max_value=datetime.datetime(2100, 1, 1),
+    ),
+    st.integers(min_value=-14 * 60, max_value=14 * 60),
+)
+def test_ts_norm_tz_representations_agree(dt, offset_minutes):
+    """Any tz-aware representation of an instant normalizes to the same
+    naive-UTC datetime as the naive-UTC spelling, for datetime inputs
+    and their string forms alike — the invariant that keeps timestamp
+    file-pruning conservative across LTZ/NTZ stat sources."""
+    from iceberg_lakehouse_spark.plans.pruning import _ts_norm
+
+    tz = datetime.timezone(datetime.timedelta(minutes=offset_minutes))
+    aware = dt.replace(tzinfo=datetime.timezone.utc).astimezone(tz)
+    assert _ts_norm(dt) == dt
+    assert _ts_norm(aware) == dt
+    assert _ts_norm(str(dt)) == dt
+    assert _ts_norm(aware.isoformat()) == dt
+    assert _ts_norm(dt.isoformat()) == dt
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=datetime.datetime(1970, 1, 2),
+            max_value=datetime.datetime(2100, 1, 1),
+        ),
+        min_size=2, max_size=2,
+    )
+)
+def test_ts_norm_preserves_ordering(pair):
+    """Normalization is order-preserving regardless of which side was
+    stringified tz-aware — mixed-representation comparisons in
+    file_may_match stay correct."""
+    from iceberg_lakehouse_spark.plans.pruning import _ts_norm
+
+    a, b = pair
+    a_aware = str(a.replace(tzinfo=datetime.timezone.utc))
+    assert (_ts_norm(a_aware) < _ts_norm(b)) == (a < b)
+    assert (_ts_norm(a_aware) == _ts_norm(str(b))) == (a == b)
