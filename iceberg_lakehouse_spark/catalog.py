@@ -755,7 +755,10 @@ class LakeTable:
     # -- read path ---------------------------------------------------------
 
     def prune_files(
-        self, filter_expr: str, snap: "Snapshot | None" = None
+        self,
+        filter_expr: str,
+        snap: "Snapshot | None" = None,
+        schema: T.StructType | None = None,
     ) -> tuple[list[str], int]:
         """Stats-based scan planning (Iceberg plan_files analogue; the
         reference defers to PyIceberg for this): evaluate ``filter_expr``
@@ -768,7 +771,10 @@ class LakeTable:
         if snap is None or not snap.files:
             return [], 0
         stats = self._file_column_stats(snap)
-        return _prune(snap.files, stats, self.schema(), filter_expr), len(snap.files)
+        return (
+            _prune(snap.files, stats, schema or self.schema(), filter_expr),
+            len(snap.files),
+        )
 
     def scan(
         self,
@@ -804,7 +810,11 @@ class LakeTable:
                 except ValueError:
                     schema = None  # incomplete legacy history → current
         if filter:
-            kept, _total = self.prune_files(filter, snap)
+            # a filtered historical scan interprets the predicate (and
+            # types the pruning stats) against the SNAPSHOT's schema —
+            # mixing current names with historical files would either
+            # error or silently prune wrong
+            kept, _total = self.prune_files(filter, snap, schema=schema)
             return self.scan_files(kept, schema=schema).where(filter)
         return self.scan_files(snap.files, schema=schema)
 
@@ -976,36 +986,40 @@ class LakeTable:
 
     # -- history ops -------------------------------------------------------
 
-    def scan_conformed(self, snapshot_id: int) -> DataFrame:
-        """Snapshot scan projected onto the CURRENT schema: renamed
-        columns map forward by field id, dropped columns vanish, added
-        columns read as typed NULLs. The shape snapshot comparisons
-        (diff/CDC/incremental) need — two snapshots straddling a schema
-        change would otherwise have mismatched column sets."""
-        df = self.scan(snapshot_id=snapshot_id)
-        snap = self.snapshot_by_id(snapshot_id)
-        version = self._snapshot_schema_version(snap)
-        cur_fields = self.meta()["schema"]["fields"]
+    def _rename_forward(self, df: DataFrame, version: int) -> DataFrame:
+        """Map a historical-schema DataFrame's column names to the
+        current ones by field id (renames only; adds/drops are handled
+        by the _align projection that follows)."""
         try:
             old_fields = next(
                 h["fields"] for h in self.schema_history()
                 if h["version"] == version
             )
-            old_by_id = {f["id"]: f["name"] for f in old_fields if "id" in f}
-            new_by_id = {f["id"]: f["name"] for f in cur_fields if "id" in f}
-            for fid, old_name in old_by_id.items():
-                new_name = new_by_id.get(fid)
-                if new_name and new_name != old_name and old_name in df.columns:
-                    df = df.withColumnRenamed(old_name, new_name)
         except StopIteration:
-            pass  # legacy history without the version — align by name
-        cols = []
-        for f in self.schema().fields:
-            if f.name in df.columns:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-            else:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        return df.select(*cols)
+            return df  # legacy history without the version → by name
+        old_by_id = {f["id"]: f["name"] for f in old_fields if "id" in f}
+        new_by_id = {
+            f["id"]: f["name"]
+            for f in self.meta()["schema"]["fields"]
+            if "id" in f
+        }
+        for fid, old_name in old_by_id.items():
+            new_name = new_by_id.get(fid)
+            if new_name and new_name != old_name and old_name in df.columns:
+                df = df.withColumnRenamed(old_name, new_name)
+        return df
+
+    def scan_conformed(self, snapshot_id: int) -> DataFrame:
+        """Snapshot scan projected onto the CURRENT schema: renamed
+        columns map forward by field id (_rename_forward), dropped
+        columns vanish and added columns read as typed NULLs (_align).
+        The shape snapshot comparisons (diff/CDC/incremental) need —
+        two snapshots straddling a schema change would otherwise have
+        mismatched column sets."""
+        df = self.scan(snapshot_id=snapshot_id)
+        snap = self.snapshot_by_id(snapshot_id)
+        version = self._snapshot_schema_version(snap)
+        return self._align(self._rename_forward(df, version))
 
     def snapshot_diff(
         self, from_snapshot: int, to_snapshot: int
@@ -1093,28 +1107,7 @@ class LakeTable:
             # (all-NULL renamed columns). Do the reference's physical
             # restore instead: scan at target (historical schema),
             # map renamed columns forward by field id, rewrite.
-            df = self.scan(snapshot_id=target.snapshot_id)
-            try:
-                old_by_id = {
-                    f["id"]: f["name"]
-                    for f in next(
-                        h["fields"] for h in self.schema_history()
-                        if h["version"] == target_version
-                    )
-                    if "id" in f
-                }
-                new_by_id = {
-                    f["id"]: f["name"]
-                    for f in self.meta()["schema"]["fields"]
-                    if "id" in f
-                }
-                for fid, old_name in old_by_id.items():
-                    new_name = new_by_id.get(fid)
-                    if new_name and new_name != old_name and old_name in df.columns:
-                        df = df.withColumnRenamed(old_name, new_name)
-            except StopIteration:
-                pass  # legacy history without the version → align as-is
-            aligned = self._align(df)
+            aligned = self.scan_conformed(target.snapshot_id)
             new_files = self._materialize(aligned)
             return self._commit(
                 "rollback", new_files,

@@ -399,6 +399,7 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    changed = None  # None ⇒ the loop never ran (max_iters <= 0)
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -425,7 +426,8 @@ def connected_components(
         # max_iters) must fail loudly so the caller raises the cap
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
-            f"iterations ({changed} labels still changing) — raise "
-            "max_iters for graphs with long duplicate chains"
+            f"iterations ({changed if changed is not None else 'all'} "
+            "labels still changing) — raise max_iters for graphs with "
+            "long duplicate chains"
         )
     return labels

@@ -88,11 +88,13 @@ class RetentionManager:
         """Evaluate the table's policy. Single-table form of the
         reference's evaluate_retention; same result vocabulary."""
         name = f"{table.namespace}.{table.table}"
-        # legacy stores keyed policies by bare table name — fall back to
-        # the raw key so they keep being enforced for
-        # non-default-namespace tables (get_policy would normalize the
-        # bare name back to default.<name>)
-        pol = self.get_policy(name) or self.store.load().get(table.table)
+        # legacy stores keyed policies by bare table name; those stores
+        # predate namespaces, so the fallback applies ONLY to the
+        # default namespace — matching a bare 'events' policy against
+        # analytics.events would expire history on the wrong table
+        pol = self.get_policy(name)
+        if pol is None and table.namespace == "default":
+            pol = self.store.load().get(table.table)
         if not pol:
             return {"table": name, "action": "no_policy",
                     "message": f"No retention policy for '{name}'"}

@@ -96,12 +96,14 @@ class QueryEngine:
                     self.spark.catalog.dropTempView(v)
                 except Exception:  # noqa: BLE001
                     pass
-            del self._reg_stamps[full]
+            # pop, not del: a same-short-name sibling processed earlier
+            # may already have cleared this entry via the loop below
+            self._reg_stamps.pop(full, None)
             # a same-short-name table in another namespace just lost its
             # short-name view — clear its stamp so it re-registers below
             for other in [o for o in self._reg_stamps
                           if o.split(".", 1)[1] == t]:
-                del self._reg_stamps[other]
+                self._reg_stamps.pop(other, None)
         for full in tables:
             ns, t = full.split(".", 1)
             try:

@@ -121,7 +121,9 @@ class LakehouseServer:
         from .operators import crud
         c, eng = self.catalog, self.engine
 
-        def rows_of(df, cap=1000):
+        ROWS_CAP = 1000  # RPC result cap; truncation checks share it
+
+        def rows_of(df, cap=ROWS_CAP):
             return [r.asDict(recursive=True) for r in df.limit(cap).collect()]
 
         # -- query / tables ------------------------------------------------
@@ -391,7 +393,7 @@ class LakehouseServer:
             t = c.load_table(table)
             df, info = incremental_read(t, wm, pipeline)
             rows = rows_of(df)
-            total = len(rows) if len(rows) < 1000 else df.count()
+            total = len(rows) if len(rows) < ROWS_CAP else df.count()
             if advance and t.current_snapshot():
                 # record the TRUE processed count — the watermark covers
                 # every new row, not just the 1000 returned over RPC
@@ -505,7 +507,9 @@ class LakehouseServer:
         eng.history = saved
         eng.query_cache = cache
 
-        def rows_of(df, cap=1000):
+        ROWS_CAP = 1000  # RPC result cap; truncation checks share it
+
+        def rows_of(df, cap=ROWS_CAP):
             return [r.asDict(recursive=True) for r in df.limit(cap).collect()]
 
         def T(name):

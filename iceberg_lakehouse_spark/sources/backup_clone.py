@@ -193,11 +193,13 @@ def verify_backup(archive_path: str) -> dict:
                     metas.append((d, mp))
         verified, issues = [], []
         first_rows = None
-        for prefix, meta_path in metas:
+        for idx, (prefix, meta_path) in enumerate(metas):
             with open(meta_path) as f:
                 meta = json.load(f)
-            if first_rows is None:
-                # archives written before the key rename carry "rows"
+            if idx == 0:
+                # the FIRST member's count only (None stays None — a
+                # later member's count must not masquerade as it);
+                # pre-rename archives carry "rows"
                 first_rows = meta.get("row_count", meta.get("rows"))
             # ... and "table" instead of "table_name"
             tname = meta.get("table_name") or meta.get("table", "<unknown>")

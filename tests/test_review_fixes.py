@@ -123,10 +123,11 @@ def test_backup_legacy_metadata_keys_restore(catalog, metrics, tmp_path):
 
 
 def test_retention_legacy_bare_name_policy_applies(catalog, tmp_path):
+    """Legacy bare-name policies keep working for DEFAULT-namespace
+    tables (pre-namespace stores only ever described those)."""
     from iceberg_lakehouse_spark.governance.policies import RetentionManager
 
-    catalog.create_namespace("analytics")
-    t = catalog.create_table("analytics.events", [("id", "long")])
+    t = catalog.create_table("events", [("id", "long")])
     for i in range(4):
         crud.insert_rows(t, [{"id": i}])
     store = tmp_path / "retention.json"
@@ -403,3 +404,61 @@ def test_contract_dry_run_is_read_only(catalog, metrics, tmp_path):
     result = cm.dry_run(metrics, proposed)
     assert result["would_violate"]  # values 10/20 violate min=100
     assert "__dry_run__" not in cm.list()
+
+
+# --- fifth batch: fixes-of-fixes ---
+
+
+def test_filtered_time_travel_across_rename(catalog):
+    """A filtered historical scan interprets the predicate against the
+    snapshot's OWN schema."""
+    t = catalog.create_table("ft_rename", [("a", "long"), ("b", "string")])
+    crud.insert_rows(t, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    s1 = t.current_snapshot().snapshot_id
+    t.rename_column("b", "c")
+    rows = t.scan(snapshot_id=s1, filter="a > 1").collect()
+    assert len(rows) == 1 and rows[0]["b"] == "y"
+
+
+def test_engine_survives_dropping_same_short_name_twice(catalog, metrics):
+    eng = QueryEngine(catalog)
+    catalog.create_namespace("alt")
+    catalog.create_table("alt.metrics", [("id", "long")])
+    eng.execute("SELECT 1").collect()  # register both
+    catalog.drop_table("default.metrics")
+    catalog.drop_table("alt.metrics")
+    # both dropped entries share the short name — the unregister sweep
+    # must not KeyError, and queries keep working
+    assert eng.execute("SELECT 2 AS v").collect()[0]["v"] == 2
+
+
+def test_retention_bare_fallback_is_default_namespace_only(catalog, tmp_path):
+    from iceberg_lakehouse_spark.governance.policies import RetentionManager
+
+    catalog.create_namespace("analytics")
+    t = catalog.create_table("analytics.orders", [("id", "long")])
+    for i in range(4):
+        crud.insert_rows(t, [{"id": i}])
+    store = tmp_path / "retention.json"
+    store.write_text(json.dumps({
+        "orders": {"max_snapshot_count": 2, "min_snapshots_to_keep": 1},
+    }))
+    rm = RetentionManager(str(store))
+    # a legacy bare-name policy must NOT reach into other namespaces
+    assert rm.apply(t, dry_run=True)["action"] == "no_policy"
+    td = catalog.create_table("orders", [("id", "long")])
+    for i in range(4):
+        crud.insert_rows(td, [{"id": i}])
+    assert rm.apply(td, dry_run=True)["action"] == "would_expire"
+
+
+def test_connected_components_zero_iters_raises_cleanly(spark):
+    from iceberg_lakehouse_spark.functions.dedup_text import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2)], "left_id long, right_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=0)
