@@ -477,3 +477,94 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_overlap"), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "curated_corpus",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               md5(lower(trim(text))) AS fp,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\s+'))
+               END AS n_tokens,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    keepers AS (
+        -- exact dedup: one representative (min doc_id) per fingerprint
+        SELECT doc_id, n_tokens, t
+        FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+              FROM toks)
+        WHERE doc_id = keeper
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 5
+                    THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                       i -> array_to_string(t[i:i+4], ' ')))
+                    ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+    contaminated AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN bench b ON s.shingle = b.shingle
+        WHERE s.doc_id >= 50
+    )
+    SELECT k.doc_id, CAST(k.n_tokens AS BIGINT) AS n_tokens
+    FROM keepers k
+    WHERE k.doc_id >= 50
+      AND k.n_tokens BETWEEN 20 AND 1000
+      AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY k.doc_id
+    """,
+    survey_ref="LLM-pipeline capstone: curation = exact-dedup keeper + "
+    "length filter + decontamination, composed",
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-ready corpus: the composition every data pipeline ends
+    with — keep one representative per exact-duplicate cluster, enforce
+    a token-length band, and drop documents sharing any 5-gram with the
+    held-out benchmark set (doc_id < 50).
+
+    Scale shape: the dedup keeper is a window over the fingerprint hash
+    (uniform partition key — no skew), the length filter is map-only,
+    and the decontamination anti-join probes the broadcast benchmark
+    shingle set map-side. No stage shuffles the corpus more than once."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window
+
+    norm = F.trim(F.lower(F.col("text")))
+    t = dt.tokens_col("text")
+    base = docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.when(F.trim("text") == "", 0)
+        .otherwise(F.size(t)).cast("bigint").alias("n_tokens"),
+        F.col("text"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    keepers = (
+        base.withColumn("_keeper", keeper)
+        .where(F.col("doc_id") == F.col("_keeper"))
+    )
+    sh = docs.select(
+        "doc_id", F.explode(dt.shingles_col("text", n=5)).alias("shingle")
+    )
+    bench = sh.where(F.col("doc_id") < 50).select("shingle").distinct()
+    contaminated = (
+        sh.where(F.col("doc_id") >= 50)
+        .join(F.broadcast(bench), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        keepers.where(
+            (F.col("doc_id") >= 50)
+            & F.col("n_tokens").between(20, 1000)
+        )
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )

@@ -308,3 +308,12 @@ def test_decontamination_broadcasts_benchmark(spark):
     plan = plan_of(spark, "benchmark_decontamination")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_curated_corpus_single_corpus_shuffle(spark):
+    """The curation composition must not shuffle the corpus more than
+    needed: benchmark shingles broadcast (no sort-merge join), dedup
+    keeper windows over the uniform fingerprint hash."""
+    plan = plan_of(spark, "curated_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
