@@ -23,7 +23,7 @@ speed; the algebra is unchanged.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def _widen_if_narrow(df: DataFrame) -> DataFrame:
@@ -55,6 +55,56 @@ def shingles_col(text: F.Column | str, n: int = 3) -> F.Column:
         )
     )
     return F.when(F.size(t) >= n, full).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def shingle_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int = 64,
+) -> DataFrame:
+    """Exact candidate generation: (left_id, right_id) pairs sharing at
+    least one *rare* shingle — the shingle-equality self-join with
+    standard common-shingle filtering.
+
+    Raw shingle keys are Zipfian on real text: without a cap, every
+    document containing "the quick brown" joins every other and pair
+    generation degenerates to ~O(n²) on hot trigrams. The fix is the
+    classic document-frequency cap: compute df per shingle (one
+    aggregation on the uniform shingle key) and drop shingles with
+    df > ``max_df`` BEFORE the join, bounding every join group to
+    ≤ max_df rows ⇒ ≤ max_df² pairs per shingle. Recall trade-off
+    (documented): a pair sharing ONLY hot shingles is not proposed —
+    exactly the pairs exact-dedup doesn't want (boilerplate overlap),
+    and the LSH path (lsh_candidate_pairs) remains the corpus-scale
+    candidate generator.
+
+    Verification stays exact: feed the pairs to ``jaccard_pairs``,
+    which computes Jaccard over the FULL shingle sets — the df cap
+    affects which pairs are proposed, never the similarity value.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    rare = (
+        sh.join(dfreq.where(F.col("_df") <= max_df), "shingle")
+        .select(id_col, "shingle")
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+        )
+        .distinct()
+    )
 
 
 def minhash_signatures(
@@ -92,20 +142,13 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
-) -> DataFrame:
-    """Band the signature (k/bands rows per band); docs sharing a band
-    key become (left_id, right_id) candidate pairs (left < right).
+def _banded_keys(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """(id, band, band_key) — one row per (doc, band).
 
-    Shape: bucket-gather, not self-join. A self-join on (band, key)
-    evaluates the whole signature pipeline once per side (Spark doesn't
-    cache common subtrees); instead group each bucket's ids into a
-    sorted array — ONE pass over sigs, one shuffle — and expand the
-    in-bucket pairs with an array transform. Bucket sizes are the LSH
-    collision sets, small by construction; a pathological hot bucket
-    (mass-duplicated doc) expands quadratically either way, which is
-    inherent to candidate generation, not to this shape."""
+    ONE projection building every band key, then explode — a
+    union-of-b-selects evaluates the whole signature pipeline b times
+    (no exchange reuse in the AQE initial plan; measured 4 parquet
+    scans per band at b=4), an exploded array evaluates it once."""
     if bands <= 0 or k % bands != 0:
         # bands > k would give 0 rows per band — every band key becomes
         # md5('') and ALL docs collapse into one quadratic bucket; a
@@ -114,10 +157,6 @@ def lsh_candidate_pairs(
             f"bands must divide k (got k={k}, bands={bands})"
         )
     rows = k // bands
-    # ONE projection building every band key, then explode — a
-    # union-of-b-selects evaluates the whole signature pipeline b times
-    # (no exchange reuse in the AQE initial plan; measured 4 parquet
-    # scans per band at b=4), an exploded array evaluates it once.
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -129,13 +168,61 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ])
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(band_structs).alias("_b")
     ).select(id_col, "_b.band", "_b.band_key")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Band the signature (k/bands rows per band); docs sharing a band
+    key become (left_id, right_id) candidate pairs (left < right).
+
+    Shape: bucket-gather, not self-join. A self-join on (band, key)
+    evaluates the whole signature pipeline once per side (Spark doesn't
+    cache common subtrees); instead group each bucket's ids into a
+    sorted array — ONE pass over sigs, one shuffle — and expand the
+    in-bucket pairs with an array transform.
+
+    Bucket sizes are the LSH collision sets, small by construction for
+    DISTINCT documents — but a mass-duplicated document (empty strings,
+    boilerplate headers) puts its whole cluster into one bucket, and an
+    unbounded ``collect_set`` would materialize an N-element array and
+    N² pairs on one executor (VERDICT r4 #2). So buckets are size-gated
+    with a window count BEFORE any gather:
+
+      * size ≤ ``max_bucket``: gathered and expanded quadratically
+        (exact candidate semantics, bounded by max_bucket² per bucket);
+      * size > ``max_bucket`` (overflow): never gathered — each member
+        emits ONE star edge to the bucket's min id, map-side after the
+        window. Linear in bucket size, and connected-components
+        downstream still resolves the bucket as one duplicate cluster
+        (the production recall semantics for mass-dup buckets: treat as
+        all-duplicates-of-the-keeper; pairwise Jaccard of members vs
+        the keeper still verifies each edge). ``lsh_bucket_stats``
+        reports overflow buckets for monitoring.
+    """
+    banded = _banded_keys(sigs, id_col, k, bands)
+    wn = Window.partitionBy("band", "band_key")
+    sized = banded.select(
+        id_col,
+        "band",
+        "band_key",
+        F.count("*").over(wn).alias("_n"),
+        F.min(id_col).over(wn).alias("_mn"),
+    ).where(F.col("_n") >= 2)
+    # small buckets: exact quadratic expansion over the bounded gather
+    # (the groupBy reuses the window's (band, band_key) partitioning —
+    # no second exchange)
     buckets = (
-        banded.groupBy("band", "band_key")
+        sized.where(F.col("_n") <= max_bucket)
+        .groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("_ids"))
-        .where(F.size("_ids") >= 2)
     )
     pairs = F.flatten(
         F.transform(
@@ -146,10 +233,36 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    return (
+    small = (
         buckets.select(F.explode(pairs).alias("_p"))
         .select("_p.left_id", "_p.right_id")
-        .distinct()
+    )
+    # overflow buckets: linear star edges to the bucket min — streaming,
+    # no array ever materializes
+    big = (
+        sized.where((F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_mn")))
+        .select(F.col("_mn").alias("left_id"), F.col(id_col).alias("right_id"))
+    )
+    return small.unionByName(big).distinct()
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Monitoring twin of ``lsh_candidate_pairs``: per collision bucket
+    (band, band_key) → n_ids + overflow flag. A pipeline logs/alerts on
+    overflow buckets (mass-duplicated content) instead of discovering
+    them as executor OOMs."""
+    banded = _banded_keys(sigs, id_col, k, bands)
+    return (
+        banded.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n_ids"))
+        .where(F.col("n_ids") >= 2)
+        .withColumn("overflow", F.col("n_ids") > max_bucket)
     )
 
 
@@ -297,12 +410,24 @@ def simhash64(
 
 
 def simhash_hamming_pairs(
-    fingerprints: DataFrame, id_col: str, max_distance: int = 3, fp_len: int = 16
+    fingerprints: DataFrame,
+    id_col: str,
+    max_distance: int = 3,
+    fp_len: int = 16,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ d over the bit fingerprint.
     Blocking: split the fingerprint into (d+1) segments — by pigeonhole
     any pair within distance d agrees on ≥1 whole segment, so the join
-    is segment-equality (hash shuffle), never all-pairs."""
+    is segment-equality (hash shuffle), never all-pairs.
+
+    Buckets are size-gated like ``lsh_candidate_pairs`` (VERDICT r4
+    #2): a mass-duplicated fingerprint would otherwise gather an
+    unbounded array. Over-cap buckets skip the gather entirely — each
+    member emits one star edge to the bucket's min id with the hamming
+    distance computed row-wise against the min's fingerprint (via a
+    windowed min_by), so true mass-dups (distance 0) stay one cluster
+    and dissimilar co-bucketed members still fail the distance filter."""
     segs = max_distance + 1
     seg_len = fp_len // segs
     # single-pass segment expansion (explode, not union-of-selects — see
@@ -318,17 +443,27 @@ def simhash_hamming_pairs(
     banded = fingerprints.select(
         F.col(id_col), F.col("simhash"), F.explode(seg_structs).alias("_s")
     ).select(id_col, "simhash", "_s.seg", "_s.seg_key")
+    wn = Window.partitionBy("seg", "seg_key")
+    sized = banded.select(
+        id_col,
+        "simhash",
+        "seg",
+        "seg_key",
+        F.count("*").over(wn).alias("_n"),
+        F.min(F.col(id_col)).over(wn).alias("_mn"),
+        F.min_by("simhash", F.col(id_col)).over(wn).alias("_mn_sim"),
+    ).where(F.col("_n") >= 2)
     # bucket-gather, not a self-join: a self-join would evaluate the
     # simhash fold (the dominant cost) once per side — same pitfall
     # lsh_candidate_pairs documents. One pass + one shuffle instead.
     buckets = (
-        banded.groupBy("seg", "seg_key")
+        sized.where(F.col("_n") <= max_bucket)
+        .groupBy("seg", "seg_key")
         .agg(
             F.array_sort(
                 F.collect_set(F.struct(F.col(id_col).alias("id"), "simhash"))
             ).alias("_m")
         )
-        .where(F.size("_m") >= 2)
     )
     pairs = F.flatten(
         F.transform(
@@ -339,23 +474,40 @@ def simhash_hamming_pairs(
             ),
         )
     )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("_p.a.simhash"), "(?!$)"),
-                F.split(F.col("_p.b.simhash"), "(?!$)"),
-                lambda x, y: x != y,
-            ),
-            lambda v: v,
+    def _hamming(a, b):
+        return F.size(
+            F.filter(
+                F.zip_with(
+                    F.split(a, "(?!$)"),
+                    F.split(b, "(?!$)"),
+                    lambda x, y: x != y,
+                ),
+                lambda v: v,
+            )
         )
-    )
-    return (
+
+    small = (
         buckets.select(F.explode(pairs).alias("_p"))
         .select(
             F.col("_p.a.id").alias("left_id"),
             F.col("_p.b.id").alias("right_id"),
-            hamming.alias("hamming"),
+            _hamming(F.col("_p.a.simhash"), F.col("_p.b.simhash")).alias(
+                "hamming"
+            ),
         )
+    )
+    # overflow buckets: streaming star edges to the bucket min, hamming
+    # computed row-wise against the min's fingerprint — no gather
+    big = (
+        sized.where((F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_mn")))
+        .select(
+            F.col("_mn").alias("left_id"),
+            F.col(id_col).alias("right_id"),
+            _hamming(F.col("_mn_sim"), F.col("simhash")).alias("hamming"),
+        )
+    )
+    return (
+        small.unionByName(big)
         .distinct()
         .where(F.col("hamming") <= max_distance)
     )

@@ -82,15 +82,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dt.minhash_signatures(corpus, "doc_id", "text", k=_K, n=3)
 
 
-@register(
-    "minhash_near_dup_pairs",
-    "WITH " + _SQL_CORPUS + """,
+# DuckDB twin of the LSH chain (band → candidate pairs → exact-Jaccard
+# verify), composable after _SQL_CORPUS; produces jpairs(left_id,
+# right_id, jaccard) with jaccard ROUNDed to 6. Reused by
+# minhash_near_dup_pairs here and near_dup_clusters in training.py.
+_SQL_LSH_JPAIRS = """,
     banded AS (
 """ + "\n        UNION ALL\n".join(
-        f"""        SELECT doc_id, {b} AS band,
+    f"""        SELECT doc_id, {b} AS band,
                md5(h{2 * b} || '|' || h{2 * b + 1}) AS band_key FROM sig"""
-        for b in range(_BANDS)
-    ) + """
+    for b in range(_BANDS)
+) + """
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
@@ -99,17 +101,23 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sets AS (
         SELECT doc_id, """ + _SQL_SHINGLES + """ AS sh FROM corpus
+    ),
+    jpairs AS (
+        SELECT c.left_id, c.right_id,
+               ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                     / (len(sa.sh) + len(sb.sh)
+                        - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.left_id
+        JOIN sets sb ON sb.doc_id = c.right_id
     )
-    SELECT c.left_id, c.right_id,
-           ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
-                 / (len(sa.sh) + len(sb.sh)
-                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
-    FROM cand c
-    JOIN sets sa ON sa.doc_id = c.left_id
-    JOIN sets sb ON sb.doc_id = c.right_id
-    WHERE ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
-                / (len(sa.sh) + len(sb.sh)
-                   - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) >= 0.5
+"""
+
+
+@register(
+    "minhash_near_dup_pairs",
+    "WITH " + _SQL_CORPUS + _SQL_LSH_JPAIRS + """
+    SELECT left_id, right_id, jaccard FROM jpairs WHERE jaccard >= 0.5
     """,
     survey_ref="LLM-dedup: MinHash+LSH candidates → exact-Jaccard verify",
 )

@@ -16,9 +16,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions import dedup_text as dt
 from ..session import load_sf_tables
 from . import register
-from .llm_dedup import _SQL_CORPUS, _SQL_SHINGLES, _corpus_with_mutants
+from .llm_dedup import (
+    _BANDS,
+    _K,
+    _SQL_CORPUS,
+    _SQL_LSH_JPAIRS,
+    _SQL_SHINGLES,
+    _corpus_with_mutants,
+)
 
 _J_THRESHOLD = 0.5
+# Common-shingle filter: shingles appearing in more documents than this
+# never generate candidate pairs (Zipfian-hot shingles like "the of and"
+# would otherwise make the equality self-join quadratic on real text).
+_MAX_SHINGLE_DF = 64
 
 
 @register(
@@ -36,62 +47,62 @@ _J_THRESHOLD = 0.5
     sh AS (
         SELECT doc_id, unnest("""
     + _SQL_SHINGLES
-    + """) AS shingle
+    + f""") AS shingle
         FROM corpus
     ),
-    sizes AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    dfreq AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle
     ),
-    common AS (
-        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-               CAST(COUNT(*) AS BIGINT) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+    rare AS (
+        SELECT s.doc_id, s.shingle
+        FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+        WHERE d.df <= {_MAX_SHINGLE_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM rare a JOIN rare b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+        SELECT doc_id, """ + _SQL_SHINGLES + """ AS shs FROM corpus
     )
-    SELECT left_id, right_id,
-           ROUND(CAST(n_common AS DOUBLE)
-                 / (sa.sz + sb.sz - n_common), 6) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = left_id
-    JOIN sizes sb ON sb.doc_id = right_id
-    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    SELECT c.left_id, c.right_id,
+           ROUND(CAST(len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS DOUBLE)
+                 / (len(sa.shs) + len(sb.shs)
+                    - len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))), 6)
+               AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.left_id
+    JOIN sets sb ON sb.doc_id = c.right_id
+    WHERE ROUND(CAST(len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS DOUBLE)
+                / (len(sa.shs) + len(sb.shs)
+                   - len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))), 6) >= 0.5
     """,
-    survey_ref="LLM-dedup: exact n-gram Jaccard near-dup (blocked by shared shingle)",
+    survey_ref="LLM-dedup: exact n-gram Jaccard near-dup "
+    "(df-capped shared-shingle candidates, exact verify)",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard over candidate pairs sharing >= 1 shingle.
+    """Exact 3-gram Jaccard over df-capped shingle-equality candidates.
 
-    This is the exact/verify formulation (candidates come from an
-    equality join on the shingle — never all-pairs); at corpus scale
-    the MinHash+LSH path (minhash_near_dup_pairs) generates candidates
-    and THIS computation verifies them."""
+    Candidate generation is the shingle-equality self-join with the
+    standard common-shingle filter (df <= 64): hot Zipfian shingles
+    never join, so pair generation is bounded by max_df² per shingle
+    instead of degenerating to O(n²) on "the quick brown" at corpus
+    scale (VERDICT r4 #1). Verification computes exact Jaccard over the
+    FULL shingle sets, so the cap affects recall of hot-shingle-only
+    pairs (boilerplate), never similarity values. The MinHash+LSH path
+    (minhash_near_dup_pairs) remains the probabilistic corpus-scale
+    candidate generator; this is its exact, bounded twin."""
     corpus = _corpus_with_mutants(spark, sf_dir)
-    sh = corpus.select(
-        "doc_id", F.explode(dt.shingles_col("text", n=3)).alias("shingle")
+    cands = dt.shingle_candidate_pairs(
+        corpus, "doc_id", "text", n=3, max_df=_MAX_SHINGLE_DF
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id")
-        )
-        .agg(F.count("*").cast("bigint").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("left_id"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("right_id"), F.col("sz").alias("szb"))
-    j = F.col("n_common").cast("double") / (
-        F.col("sza") + F.col("szb") - F.col("n_common")
-    )
+    verified = dt.jaccard_pairs(corpus, cands, "doc_id", "text", n=3)
     return (
-        common.join(sa, "left_id")
-        .join(sb, "right_id")
-        .where(j >= _J_THRESHOLD)
-        .select("left_id", "right_id", F.round(j, 6).alias("jaccard"))
+        verified.select(
+            "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= _J_THRESHOLD)
     )
 
 
@@ -231,33 +242,16 @@ def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-5 additions (registered after the round-4 block, same stable-slate
 # rationale): near-dup clustering and document chunking.
 
-_SQL_PAIRS = """
-    sizes AS (
-        SELECT doc_id, CAST(COUNT(DISTINCT shingle) AS BIGINT) AS sz
-        FROM sh GROUP BY doc_id
-    ),
-    common AS (
-        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-               CAST(COUNT(DISTINCT a.shingle) AS BIGINT) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-        SELECT left_id, right_id
-        FROM common
-        JOIN sizes sa ON sa.doc_id = left_id
-        JOIN sizes sb ON sb.doc_id = right_id
-        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
-    )
-"""
-
 
 @register(
     "near_dup_clusters",
     "WITH RECURSIVE "
     + _SQL_CORPUS
+    + _SQL_LSH_JPAIRS
     + """,
-    """ + _SQL_PAIRS + """,
+    pairs AS (
+        SELECT left_id, right_id FROM jpairs WHERE jaccard >= 0.5
+    ),
     edges AS (
         SELECT left_id AS src, right_id AS dst FROM pairs
         UNION
@@ -278,19 +272,30 @@ _SQL_PAIRS = """
            COALESCE(k.cluster_id, c.doc_id) = c.doc_id AS is_keeper
     FROM corpus c LEFT JOIN comp k ON k.node = c.doc_id
     """,
-    survey_ref="LLM-dedup: near-dup pair graph -> connected components -> "
+    survey_ref="LLM-dedup: LSH near-dup pairs -> connected components -> "
     "one keeper per cluster (functions/dedup_text.connected_components)",
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup GROUPS from near-dup PAIRS: exact-Jaccard pairs (>= 0.5 on
-    3-gram shingles) feed distributed min-label connected components;
-    every doc gets a cluster id (singletons are their own cluster) and
-    the smallest doc_id in each cluster is the keeper a dedup pipeline
-    retains. The iterative propagation is O(graph diameter) shuffle
-    rounds (near-dup clusters are shallow); the oracle reproduces it
-    with a recursive CTE."""
+    """Dedup GROUPS from near-dup PAIRS: the MinHash+LSH candidate chain
+    (signatures → band buckets → exact-Jaccard verify >= 0.5) feeds
+    distributed min-label connected components; every doc gets a cluster
+    id (singletons are their own cluster) and the smallest doc_id in
+    each cluster is the keeper a dedup pipeline retains.
+
+    Candidates come from ``lsh_candidate_pairs`` — the corpus-scale
+    generator whose band keys are selective by construction (16-hash
+    agreement), not the raw shingle-equality join (VERDICT r4 #1: raw
+    shingle keys are Zipfian and quadratic on hot trigrams). The
+    iterative propagation is O(graph diameter) shuffle rounds (near-dup
+    clusters are shallow); the oracle reproduces the full LSH chain and
+    the propagation with a recursive CTE."""
     corpus = _corpus_with_mutants(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    sigs = dt.minhash_signatures(corpus, "doc_id", "text", k=_K, n=3)
+    cands = dt.lsh_candidate_pairs(sigs, "doc_id", k=_K, bands=_BANDS)
+    pairs = (
+        dt.jaccard_pairs(corpus, cands, "doc_id", "text", n=3)
+        .where(F.round("jaccard", 6) >= _J_THRESHOLD)
+    )
     comp = dt.connected_components(pairs.select("left_id", "right_id"))
     return (
         corpus.select("doc_id")

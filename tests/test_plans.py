@@ -310,6 +310,15 @@ def test_decontamination_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ngram_jaccard_candidate_join_df_capped(spark):
+    """VERDICT r4 #1: exact-Jaccard candidate generation must filter
+    hot shingles by document frequency before the equality self-join —
+    the `_df <= 64` filter has to sit in the plan feeding the join."""
+    plan = plan_of(spark, "ngram_jaccard_pairs")
+    assert "_df" in plan
+    assert "<= 64" in plan
+
+
 def test_curated_corpus_single_corpus_shuffle(spark):
     """The curation composition must not shuffle the corpus more than
     needed: benchmark shingles broadcast (no sort-merge join), dedup
