@@ -19,9 +19,13 @@ reference, which materializes the full table into Arrow first
 (reference query.py:68).
 
 Scale posture: metadata is O(snapshots × files), data moves only
-through Spark jobs, and the commit path is a single atomic JSON rename
-(single-writer; a real deployment would swap this for a catalog service
-— the read/write paths are unchanged).
+through Spark jobs, and the commit path is an optimistic-concurrency
+atomic JSON rename: writers serialize on an advisory lockfile, appends
+resolve their parent file list under the lock (two concurrent appends
+both land), and non-additive commits (CoW update/delete) CAS against
+the snapshot they planned on, raising CommitConflictError on a race.
+A real deployment swaps the lockfile for a catalog-service CAS — the
+read/write paths are unchanged.
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ import re
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -224,6 +229,12 @@ def _cutoff_ms(older_than: str) -> int:
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
     return int(dt.timestamp() * 1000)
+
+
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency commit failure: the table advanced since
+    the caller planned its commit (or the commit lock timed out).
+    Callers re-plan against the current snapshot and retry."""
 
 
 def _atomic_write_json(path: str, payload: Any) -> None:
@@ -598,21 +609,93 @@ class LakeTable:
             raise ValueError(f"no snapshot at or before {ts_ms}")
         return best
 
-    def _commit(self, operation: str, files: list[str], summary: dict) -> Snapshot:
-        snaps = _read_json(self._snap_path, [])
-        parent = snaps[-1]["snapshot_id"] if snaps else None
-        snap = Snapshot(
-            snapshot_id=(snaps[-1]["snapshot_id"] + 1) if snaps else 1,
-            timestamp_ms=int(time.time() * 1000),
-            operation=operation,
-            files=files,
-            parent_id=parent,
-            summary=summary,
-            schema_version=self.meta().get("schema", {}).get("version", 1),
-        )
-        snaps.append(snap.to_json())
-        _atomic_write_json(self._snap_path, snaps)
-        return snap
+    @property
+    def _lock_path(self) -> str:
+        return os.path.join(self.root, "_meta", "commit.lock")
+
+    @contextmanager
+    def _commit_lock(self, timeout_s: float = 15.0, stale_s: float = 60.0):
+        """Advisory commit mutex: O_CREAT|O_EXCL lockfile + bounded
+        retry, so concurrent writers SERIALIZE instead of one silently
+        overwriting the other's snapshot (last-writer-wins on the
+        read-modify-write of snapshots.json). A lock older than
+        ``stale_s`` is presumed abandoned (crashed writer) and broken.
+        Works on any POSIX filesystem; a real deployment swaps the
+        whole commit path for a catalog service CAS."""
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(self._lock_path).st_mtime
+                    if age > stale_s:
+                        os.remove(self._lock_path)  # break abandoned lock
+                        continue
+                except OSError:
+                    continue  # lock vanished between open and stat — retry
+                if time.monotonic() > deadline:
+                    raise CommitConflictError(
+                        f"could not acquire commit lock {self._lock_path} "
+                        f"within {timeout_s}s (held by a concurrent writer?)"
+                    ) from None
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(self._lock_path)
+            except OSError:
+                pass
+
+    def _commit(
+        self,
+        operation: str,
+        files: list[str] | None = None,
+        summary: dict | None = None,
+        add_files: list[str] | None = None,
+        expected_parent_id: int | None = None,
+        check_parent: bool = False,
+    ) -> Snapshot:
+        """Serialized optimistic commit. Exactly one of ``files``
+        (absolute file list — overwrite/rollback) or ``add_files``
+        (delta — append) must be given; the snapshot log is re-read
+        UNDER the commit lock, so an append's parent file list is
+        always current and two concurrent appends both land.
+
+        ``check_parent`` + ``expected_parent_id`` give CAS semantics
+        for non-additive commits (CoW update/delete, compaction) whose
+        file list was derived from a snapshot read earlier: if another
+        writer committed since, raise CommitConflictError instead of
+        silently dropping their files (the caller re-plans and
+        retries, Iceberg-style)."""
+        with self._commit_lock():
+            snaps = _read_json(self._snap_path, [])
+            parent = snaps[-1]["snapshot_id"] if snaps else None
+            if check_parent and parent != expected_parent_id:
+                raise CommitConflictError(
+                    f"concurrent commit detected: expected parent "
+                    f"{expected_parent_id}, found {parent} — re-plan "
+                    "against the current snapshot and retry"
+                )
+            if add_files is not None:
+                parent_files = snaps[-1]["files"] if snaps else []
+                files = list(parent_files) + list(add_files)
+            snap = Snapshot(
+                snapshot_id=(snaps[-1]["snapshot_id"] + 1) if snaps else 1,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                files=files,
+                parent_id=parent,
+                summary=summary or {},
+                schema_version=self.meta().get("schema", {}).get("version", 1),
+            )
+            snaps.append(snap.to_json())
+            _atomic_write_json(self._snap_path, snaps)
+            return snap
 
     # -- write path --------------------------------------------------------
 
@@ -743,9 +826,11 @@ class LakeTable:
     def append(self, df: DataFrame) -> Snapshot:
         aligned = self._align(df)
         new_files = self._materialize(aligned)
-        cur = self.current_snapshot()
-        files = (cur.files if cur else []) + new_files
-        return self._commit("append", files, {"added_files": len(new_files)})
+        # delta commit: the parent file list is resolved under the
+        # commit lock, so concurrent appends serialize and both land
+        return self._commit(
+            "append", add_files=new_files, summary={"added_files": len(new_files)}
+        )
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         aligned = self._align(df)
@@ -855,12 +940,21 @@ class LakeTable:
         return df
 
     def replace_files(
-        self, keep_files: list[str], replacement: DataFrame, summary: dict | None = None
+        self,
+        keep_files: list[str],
+        replacement: DataFrame,
+        summary: dict | None = None,
+        expected_snapshot_id: int | None = None,
     ) -> Snapshot:
         """File-pruned copy-on-write commit: untouched files carry over
         by reference; only ``replacement`` (the rewritten subset) runs a
         write job. At scale this is the difference between rewriting one
-        partition's files and rewriting the table."""
+        partition's files and rewriting the table.
+
+        ``expected_snapshot_id`` (the snapshot the keep/rewrite split
+        was planned against) arms conflict detection: if another writer
+        committed meanwhile, the commit raises CommitConflictError
+        instead of silently dropping their files."""
         aligned = self._align(replacement)
         new_files = self._materialize(aligned)
         return self._commit(
@@ -868,6 +962,8 @@ class LakeTable:
             sorted(keep_files) + new_files,
             {**(summary or {}), "kept_files": len(keep_files),
              "added_files": len(new_files)},
+            expected_parent_id=expected_snapshot_id,
+            check_parent=expected_snapshot_id is not None,
         )
 
     def relativize_file(self, path: str) -> str:

@@ -8,10 +8,12 @@ driver (``_resolve_codec``):
   * Pillow importable → real decode: dims from ``Image.open`` and a
     4×4 grayscale mean-pool as the feature vector; a corrupt blob
     yields NULL dims/features instead of failing the job.
-  * Pillow absent (this container) → deterministic fake derived from
-    the content hash — stable across runs/engines, so pipelines are
+  * Pillow absent (this container) → pure-Python REAL decode for
+    uncompressed formats (binary PPM/PGM, 24-bit BMP — parsers below,
+    no dependency), deterministic fake derived from the content hash
+    for everything else — stable across runs/engines, so pipelines are
     testable end-to-end; pass ``require_codec=True`` to get the
-    honest ``NotImplementedError`` instead of the fallback.
+    honest ``NotImplementedError`` instead of any fabricated values.
   * ``codec=`` accepts any picklable ``(content, fmt) -> (h, w,
     channels, features|None)`` callable — resolution happens on the
     driver, so injected codecs ship to executors via cloudpickle.
@@ -29,6 +31,7 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -89,6 +92,116 @@ def _pil_decode(content: bytes, fmt: str):
         return None, None, None, None
 
 
+def _parse_pnm(content: bytes):
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale) parser — the
+    dependency-free real-decode tier. Returns (h, w, channels, pixels)
+    where pixels is a flat row-major list of (r, g, b) tuples; raises
+    ValueError on truncation/malformation (callers map that to the
+    corrupt-blob NULL contract). Handles whitespace and '#' comments in
+    the header; maxval ≤ 255 only (16-bit PNM is out of scope)."""
+    magic = content[:2]
+    channels = 3 if magic == b"P6" else 1
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        if pos >= len(content):
+            raise ValueError("truncated PNM header")
+        c = content[pos]
+        if c == ord("#"):  # comment runs to end of line
+            while pos < len(content) and content[pos] not in (10, 13):
+                pos += 1
+        elif chr(c).isspace():
+            pos += 1
+        elif chr(c).isdigit():
+            start = pos
+            while pos < len(content) and chr(content[pos]).isdigit():
+                pos += 1
+            fields.append(int(content[start:pos]))
+        else:
+            raise ValueError(f"bad PNM header byte {c!r}")
+    w, h, maxval = fields
+    if not (0 < maxval <= 255) or w <= 0 or h <= 0:
+        raise ValueError("unsupported PNM dimensions/maxval")
+    pos += 1  # single whitespace after maxval
+    need = w * h * channels
+    raster = content[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated PNM raster")
+    if channels == 3:
+        px = [
+            (raster[i], raster[i + 1], raster[i + 2])
+            for i in range(0, need, 3)
+        ]
+    else:
+        px = [(v, v, v) for v in raster]
+    return h, w, channels, px
+
+
+def _parse_bmp(content: bytes):
+    """Uncompressed 24-bit BI_RGB BMP parser (the plain bitmap every
+    tool can write). Rows are 4-byte padded and stored bottom-up
+    (top-down when height < 0); pixels are BGR. Returns
+    (h, w, 3, pixels) row-major top-down; raises ValueError otherwise."""
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h_signed == 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB supported")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    if len(content) < data_off + row_bytes * h:
+        raise ValueError("truncated BMP raster")
+    px = []
+    for r in range(h):
+        src_row = r if top_down else h - 1 - r
+        base = data_off + src_row * row_bytes
+        for c in range(w):
+            b, g, rr = content[base + 3 * c : base + 3 * c + 3]
+            px.append((rr, g, b))
+    return h, w, 3, px
+
+
+def _builtin_decode(content: bytes, fmt: str):
+    """Dependency-free REAL decode for uncompressed formats (PPM/PGM by
+    P6/P5 magic, 24-bit BMP by BM magic) — the middle tier between
+    Pillow and the deterministic fake, so the real pixel path executes
+    even where Pillow isn't installed. Returns None when the format
+    isn't one it parses (caller falls through to the next tier);
+    corrupt blobs of a RECOGNIZED format yield the all-None row, same
+    contract as the Pillow tier.
+
+    Features = 4×4 block mean luminance (ITU-R 601-2, the same weights
+    Pillow's 'L' uses), scaled to [-1, 1]; pixels land in block
+    (min(3, r*4//h), min(3, c*4//w)), and a block with no pixels
+    (image narrower than 4) contributes -1.0."""
+    magic = content[:2] if content else b""
+    if magic not in (b"P6", b"P5", b"BM"):
+        return None
+    try:
+        if magic == b"BM":
+            h, w, channels, px = _parse_bmp(content)
+        else:
+            h, w, channels, px = _parse_pnm(content)
+    except (ValueError, IndexError, struct.error):
+        return None, None, None, None
+    sums = [0.0] * FEATURE_DIM
+    counts = [0] * FEATURE_DIM
+    for i, (r, g, b) in enumerate(px):
+        rr, cc = divmod(i, w)
+        blk = min(3, rr * 4 // h) * 4 + min(3, cc * 4 // w)
+        sums[blk] += 0.299 * r + 0.587 * g + 0.114 * b
+        counts[blk] += 1
+    feats = [
+        ((sums[i] / counts[i]) / 255.0) * 2.0 - 1.0 if counts[i] else -1.0
+        for i in range(FEATURE_DIM)
+    ]
+    return h, w, channels, feats
+
+
 def _fake_decode(content: bytes, fmt: str):
     """Deterministic fake: dims + features derived from the content
     hash — stable across runs/engines for pipeline tests."""
@@ -97,10 +210,20 @@ def _fake_decode(content: bytes, fmt: str):
     return 16 + h[0] % 1024, 16 + h[1] % 1024, (h[2] % 3) + 1, feats
 
 
+def _builtin_or_fake(content: bytes, fmt: str):
+    """No-Pillow default: real pixel decode for PPM/PGM/BMP via the
+    pure-Python parsers, deterministic fake for everything else."""
+    out = _builtin_decode(content or b"", fmt)
+    if out is None:
+        return _fake_decode(content, fmt)
+    return out
+
+
 def _resolve_codec(deterministic_fake: bool, require_codec: bool, codec):
     """Driver-time codec choice: explicit codec > forced fake > real
-    PIL when importable > fake fallback (or NotImplementedError when
-    ``require_codec``)."""
+    PIL when importable > pure-Python PPM/PGM/BMP decode with fake
+    fallback for other formats (or NotImplementedError when
+    ``require_codec`` — the full-format real path needs Pillow)."""
     if codec is not None:
         return codec
     if deterministic_fake:
@@ -112,7 +235,7 @@ def _resolve_codec(deterministic_fake: bool, require_codec: bool, codec):
             "media decode requires Pillow, which is not importable in "
             "this environment; install it or use deterministic_fake=True"
         )
-    return _fake_decode
+    return _builtin_or_fake
 
 
 def decode_media(

@@ -105,7 +105,15 @@ def update_rows(table: LakeTable, filter_expr: str, updates: dict[str, Any]) -> 
             )
         else:
             cols.append(F.col(f.name))
-    table.replace_files(keep, sub.select(*cols), {"updated_rows": matched})
+    # CAS against the snapshot the keep/rewrite split was planned on:
+    # a concurrent commit raises CommitConflictError instead of having
+    # this overwrite silently drop its files
+    table.replace_files(
+        keep,
+        sub.select(*cols),
+        {"updated_rows": matched},
+        expected_snapshot_id=cur.snapshot_id,
+    )
     return matched
 
 
@@ -128,6 +136,7 @@ def delete_rows(table: LakeTable, filter_expr: str) -> int:
         keep,
         sub.where(~F.coalesce(cond, F.lit(False))),
         {"deleted_rows": matched},
+        expected_snapshot_id=cur.snapshot_id,
     )
     return matched
 

@@ -467,3 +467,86 @@ class TestNamespaceLifecycle:
         assert catalog.load_table("ns_b.metrics").scan().count() == 2
         assert "ns_a.metrics" in catalog.list_tables("ns_a")
         assert catalog.list_tables("ns_b") == ["ns_b.metrics"]
+
+
+# ------------------------------------------- optimistic concurrency (r5)
+
+def test_concurrent_appends_both_land(catalog):
+    """VERDICT r4 #5: two concurrent appends must serialize on the
+    commit lock and BOTH commit — neither snapshot's files are lost."""
+    import threading
+
+    t = catalog.create_table("cc_appends", SCHEMA)
+    crud.insert_rows(t, ROWS[:1])
+    base = t.current_snapshot()
+    errs = []
+
+    def _append(i):
+        try:
+            crud.insert_rows(
+                t,
+                [{"id": 100 + i, "date": "2025-12-10",
+                  "category": f"thread{i}", "amount": float(i)}],
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced via errs
+            errs.append(e)
+
+    threads = [threading.Thread(target=_append, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    cur = t.current_snapshot()
+    assert cur.snapshot_id == base.snapshot_id + 2
+    # the final snapshot carries BOTH appends' files on top of the base
+    assert set(base.files) <= set(cur.files)
+    added = sum(s.summary["added_files"] for s in t.snapshots()[-2:])
+    assert len(cur.files) == len(base.files) + added
+    assert t.scan().count() == 3
+    assert {r["category"] for r in t.scan().collect()} == {
+        ROWS[0]["category"], "thread0", "thread1"
+    }
+
+
+def test_cow_commit_conflict_detected(catalog):
+    """A copy-on-write update planned against a stale snapshot must
+    raise CommitConflictError instead of silently dropping a concurrent
+    append's files."""
+    from iceberg_lakehouse_spark.catalog import CommitConflictError
+
+    t = catalog.create_table("cc_conflict", SCHEMA)
+    crud.insert_rows(t, ROWS)
+    stale = t.current_snapshot()
+    keep = list(stale.files)
+    crud.insert_rows(t, [{"id": 99, "date": "2025-12-09",
+                          "category": "late", "amount": 1.0}])
+    replacement = t.scan_files(stale.files).limit(0)
+    with pytest.raises(CommitConflictError, match="concurrent commit"):
+        t.replace_files(keep, replacement,
+                        expected_snapshot_id=stale.snapshot_id)
+    # un-armed replace_files keeps legacy behavior (no check)
+    t.replace_files(keep, replacement)
+
+
+def test_commit_lock_stale_break_and_timeout(catalog):
+    """An abandoned lockfile older than stale_s is broken; a live lock
+    inside the timeout window raises CommitConflictError."""
+    import os
+
+    from iceberg_lakehouse_spark.catalog import CommitConflictError
+
+    t = catalog.create_table("cc_lock", SCHEMA)
+    # abandoned lock (mtime backdated past stale_s) → broken, commit OK
+    with open(t._lock_path, "w") as f:
+        f.write("dead")
+    os.utime(t._lock_path, (1, 1))
+    crud.insert_rows(t, ROWS[:1])
+    assert t.current_snapshot() is not None
+    # live lock → bounded wait then conflict error
+    with open(t._lock_path, "w") as f:
+        f.write("live")
+    with pytest.raises(CommitConflictError, match="commit lock"):
+        with t._commit_lock(timeout_s=0.2, stale_s=60.0):
+            pass
+    os.remove(t._lock_path)

@@ -319,6 +319,22 @@ def test_ngram_jaccard_candidate_join_df_capped(spark):
     assert "<= 64" in plan
 
 
+def test_weighted_sample_is_shuffle_free_topk(spark):
+    """Priority sampling must be map-only scoring + top-k: zero
+    Exchange, TakeOrderedAndProject — one pass over the corpus."""
+    plan = plan_of(spark, "weighted_doc_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_balanced_sample_partitions_by_label(spark):
+    """Per-class downsampling windows over hash(label) — never a
+    single-partition global sort."""
+    plan = plan_of(spark, "label_balanced_sample")
+    assert "hashpartitioning(label" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_curated_corpus_single_corpus_shuffle(spark):
     """The curation composition must not shuffle the corpus more than
     needed: benchmark shingles broadcast (no sort-merge join), dedup
