@@ -832,10 +832,23 @@ class LakeTable:
             "append", add_files=new_files, summary={"added_files": len(new_files)}
         )
 
-    def overwrite(self, df: DataFrame) -> Snapshot:
+    def overwrite(
+        self, df: DataFrame, expected_snapshot_id: int | None = None
+    ) -> Snapshot:
+        """Full-table replace. When ``df`` was derived from a scan of a
+        specific snapshot (compact, upsert), pass that snapshot id as
+        ``expected_snapshot_id``: a concurrent commit then raises
+        CommitConflictError instead of being silently erased by this
+        overwrite."""
         aligned = self._align(df)
         new_files = self._materialize(aligned)
-        return self._commit("overwrite", new_files, {"added_files": len(new_files)})
+        return self._commit(
+            "overwrite",
+            new_files,
+            {"added_files": len(new_files)},
+            expected_parent_id=expected_snapshot_id,
+            check_parent=expected_snapshot_id is not None,
+        )
 
     # -- read path ---------------------------------------------------------
 
@@ -1233,22 +1246,38 @@ class LakeTable:
             raise ValueError(
                 "expire_snapshots requires older_than/older_than_ms or retain_last"
             )
-        snaps = self.snapshots()
-        if not snaps:
-            return {"expired": [], "kept": []}
-        keep_ids = {snaps[-1].snapshot_id}  # never current
-        if retain_last:
-            keep_ids.update(s.snapshot_id for s in snaps[-retain_last:])
-        expired = [
-            s
-            for s in snaps[:-1]
-            if s.snapshot_id not in keep_ids
-            and (older_than_ms is None or s.timestamp_ms < older_than_ms)
-        ]
-        kept = [s for s in snaps if s not in expired]
-        if not dry_run and expired:
-            _atomic_write_json(self._snap_path, [s.to_json() for s in kept])
-            self._delete_unreferenced()
+        def _plan(snaps):
+            keep_ids = {snaps[-1].snapshot_id}  # never current
+            if retain_last:
+                keep_ids.update(s.snapshot_id for s in snaps[-retain_last:])
+            expired = [
+                s
+                for s in snaps[:-1]
+                if s.snapshot_id not in keep_ids
+                and (older_than_ms is None or s.timestamp_ms < older_than_ms)
+            ]
+            return expired, [s for s in snaps if s not in expired]
+
+        if dry_run:
+            snaps = self.snapshots()
+            if not snaps:
+                return {"expired": [], "kept": []}
+            expired, kept = _plan(snaps)
+        else:
+            # the rewrite of the snapshot log is a read-modify-write:
+            # take the commit lock so a concurrent commit can't be
+            # erased between our read and our write
+            with self._commit_lock():
+                snaps = self.snapshots()
+                if not snaps:
+                    return {"expired": [], "kept": []}
+                expired, kept = _plan(snaps)
+                if expired:
+                    _atomic_write_json(
+                        self._snap_path, [s.to_json() for s in kept]
+                    )
+            if expired:
+                self._delete_unreferenced()
         return {
             "expired": [s.snapshot_id for s in expired],
             "kept": [s.snapshot_id for s in kept],
@@ -1402,7 +1431,7 @@ class LakeTable:
                 "files_before": 0, "files_after": 0, "rows": 0,
                 "message": "table is empty — nothing to compact",
             }
-        df = self.scan()
+        df = self.scan(snapshot_id=cur.snapshot_id)  # pinned for the CAS below
         pfields = self.partition_fields()
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
@@ -1426,7 +1455,9 @@ class LakeTable:
             df = df.repartition(*[pf.expr() for pf in pfields])
         else:
             df = df.coalesce(max(1, min(before, 4)))
-        snap = self.overwrite(df)
+        # CAS: the rewrite reads the files of `cur`; a commit that lands
+        # mid-compaction must surface as a conflict, not vanish
+        snap = self.overwrite(df, expected_snapshot_id=cur.snapshot_id)
         return {
             "files_before": before,
             "files_after": len(snap.files),

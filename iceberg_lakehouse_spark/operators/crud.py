@@ -48,7 +48,7 @@ def insert_rows(table: LakeTable, rows: list[dict[str, Any]]) -> int:
 
 
 def _matched_files(
-    table: LakeTable, filter_expr: str
+    table: LakeTable, filter_expr: str, snapshot_id: int | None = None
 ) -> tuple[int, list[str]]:
     """One pushed-down scan: which data files hold rows matching cond,
     and how many rows match. Two pruning layers: scan(filter=...) plans
@@ -56,8 +56,10 @@ def _matched_files(
     predicate (no listing/footers for the rest), and parquet footer
     min/max skips non-matching row groups within the survivors — at
     scale the probe touches candidate files only, which is what makes
-    CoW update/delete file-pruned instead of whole-table rewrites."""
-    src = table.scan(filter=filter_expr)
+    CoW update/delete file-pruned instead of whole-table rewrites.
+    ``snapshot_id`` pins the probe to the snapshot the caller will CAS
+    its commit against."""
+    src = table.scan(snapshot_id=snapshot_id, filter=filter_expr)
     per_file = (
         src
         .groupBy(F.input_file_name().alias("_f"))
@@ -88,10 +90,13 @@ def update_rows(table: LakeTable, filter_expr: str, updates: dict[str, Any]) -> 
             f"Column '{unknown[0]}' does not exist in table schema"
         )
     cond = F.expr(filter_expr)
-    matched, touched = _matched_files(table, filter_expr)
+    # pin the snapshot FIRST: probe, keep-list, and CAS all refer to it
+    cur = table.current_snapshot()
+    if cur is None:
+        return 0
+    matched, touched = _matched_files(table, filter_expr, cur.snapshot_id)
     if matched == 0:
         return 0
-    cur = table.current_snapshot()
     touched_set = set(touched)
     keep = [f for f in cur.files if f not in touched_set]
     sub = table.scan_files(touched)
@@ -125,10 +130,12 @@ def delete_rows(table: LakeTable, filter_expr: str) -> int:
     if not filter_expr or not filter_expr.strip():
         raise ValueError("Filter expression is required for delete")
     cond = F.expr(filter_expr)
-    matched, touched = _matched_files(table, filter_expr)
+    cur = table.current_snapshot()
+    if cur is None:
+        return 0
+    matched, touched = _matched_files(table, filter_expr, cur.snapshot_id)
     if matched == 0:
         return 0
-    cur = table.current_snapshot()
     touched_set = set(touched)
     keep = [f for f in cur.files if f not in touched_set]
     sub = table.scan_files(touched)
@@ -163,7 +170,11 @@ def upsert_rows(
         if missing:
             raise ValueError(f"row missing key columns: {missing}")
     incoming = rows_to_df(table, rows)
-    existing = table.scan()
+    # pin the snapshot the merge reads, and CAS the overwrite against
+    # it: a concurrent commit surfaces as CommitConflictError instead
+    # of being silently erased by the rewrite
+    base = table.current_snapshot()
+    existing = table.scan(snapshot_id=base.snapshot_id if base else None)
     if existing.isEmpty():
         table.append(incoming)
         return {"updated": 0, "inserted": len(rows)}
@@ -172,7 +183,10 @@ def upsert_rows(
     # exceed len(rows) and make `inserted` negative
     updated = incoming.join(existing, key_columns, "left_semi").count()
     kept = existing.join(F.broadcast(incoming), key_columns, "left_anti")
-    table.overwrite(kept.unionByName(incoming))
+    table.overwrite(
+        kept.unionByName(incoming),
+        expected_snapshot_id=base.snapshot_id if base else None,
+    )
     return {"updated": updated, "inserted": len(rows) - updated}
 
 
@@ -213,7 +227,8 @@ def merge_into(
     """DataFrame-sourced MERGE (used by pipelines/CDC replay): same
     semantics as upsert_rows but the incoming side is a DataFrame and
     may be arbitrarily large — no broadcast hint, AQE decides."""
-    existing = table.scan()
+    base = table.current_snapshot()
+    existing = table.scan(snapshot_id=base.snapshot_id if base else None)
     # persist: the batch is consumed by 3-4 actions (semi count, total
     # count, the overwrite write); for a micro-batch derived from a
     # non-trivial transform, re-execution would triple the source cost
@@ -228,7 +243,11 @@ def merge_into(
         updated = incoming.join(existing, key_columns, "left_semi").count()
         kept = existing.join(incoming, key_columns, "left_anti")
         total = incoming.count()
-        table.overwrite(kept.unionByName(incoming))
+        # CAS against the pinned snapshot (see upsert_rows)
+        table.overwrite(
+            kept.unionByName(incoming),
+            expected_snapshot_id=base.snapshot_id if base else None,
+        )
         return {"updated": updated, "inserted": total - updated}
     finally:
         incoming.unpersist()

@@ -795,3 +795,84 @@ def asof_join_bucketed_purchase_view(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("view_value_right").alias("view_value"),
         F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
     )
+
+
+# DuckDB twin of functions.dedup_text.simhash64(hash_fn='md5') over the
+# mutant corpus: bit p of the fingerprint comes from bit (p % 4) of hex
+# nibble (p // 4) of md5(token) — identical to the hash-verified
+# simhash_fingerprints oracle, parameterized to read the corpus CTE.
+_SQL_SIMHASH64_FP = """
+    tk AS (
+        SELECT doc_id, unnest(toks) AS tok FROM corpus
+    ),
+    sums AS (
+        SELECT doc_id,
+""" + ",\n".join(
+    "               SUM(CASE WHEN "
+    f"((strpos('0123456789abcdef', substr(md5(tok), {p // 4 + 1}, 1)) - 1)"
+    f" >> {p % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{p}"
+    for p in range(64)
+) + """
+        FROM tk GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id,
+               """ + " || ".join(
+    f"(CASE WHEN b{p} > 0 THEN '1' ELSE '0' END)" for p in range(64)
+) + """ AS simhash
+        FROM sums
+    )
+"""
+
+_SQL_HAMMING = (
+    "len(list_filter(range(1, 65), "
+    "i -> substr(fa.simhash, CAST(i AS INT), 1) "
+    "<> substr(fb.simhash, CAST(i AS INT), 1)))"
+)
+
+
+@register(
+    "simhash_near_dup_pairs",
+    "WITH "
+    + _SQL_CORPUS
+    + ","
+    + _SQL_SIMHASH64_FP
+    + """,
+    banded AS (
+"""
+    + "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {s} AS seg, substr(simhash, {s * 16 + 1}, 16)"
+        " AS seg_key FROM fp"
+        for s in range(4)
+    )
+    + f"""
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM banded a JOIN banded b
+          ON a.seg = b.seg AND a.seg_key = b.seg_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.left_id, c.right_id,
+           CAST({_SQL_HAMMING} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.left_id
+    JOIN fp fb ON fb.doc_id = c.right_id
+    WHERE {_SQL_HAMMING} <= 3
+    """,
+    survey_ref="LLM-dedup: SimHash pigeonhole blocking -> Hamming<=3 "
+    "near-dup pairs (functions/dedup_text.simhash_hamming_pairs)",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs over the mutant corpus: 64-bit
+    frequency-weighted fingerprints, pigeonhole blocking into 4
+    16-bit segments (any pair within Hamming distance 3 agrees on at
+    least one whole segment), exact Hamming verify on the candidates.
+    The oracle reproduces fingerprints, blocking, and distance — this
+    pins the full pairs pipeline, not just the fingerprints
+    (simhash_fingerprints)."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    fps = dt.simhash64(corpus, "doc_id", "text", hash_fn="md5")
+    pairs = dt.simhash_hamming_pairs(fps, "doc_id", max_distance=3, fp_len=64)
+    return pairs.select(
+        "left_id", "right_id", F.col("hamming").cast("bigint").alias("hamming")
+    )

@@ -550,3 +550,23 @@ def test_commit_lock_stale_break_and_timeout(catalog):
         with t._commit_lock(timeout_s=0.2, stale_s=60.0):
             pass
     os.remove(t._lock_path)
+
+
+def test_overwrite_cas_guards_compact_and_upsert(catalog):
+    """Rewrite-style commits (compact/upsert route through overwrite)
+    CAS against the snapshot they scanned: a stale expectation raises,
+    an un-armed overwrite keeps legacy last-writer semantics."""
+    from iceberg_lakehouse_spark.catalog import CommitConflictError
+
+    t = catalog.create_table("cc_overwrite", SCHEMA)
+    crud.insert_rows(t, ROWS)
+    stale = t.current_snapshot()
+    crud.insert_rows(t, [{"id": 50, "date": "2025-12-08",
+                          "category": "late", "amount": 2.0}])
+    with pytest.raises(CommitConflictError, match="concurrent commit"):
+        t.overwrite(t.scan(), expected_snapshot_id=stale.snapshot_id)
+    # correctly-pinned CAS passes
+    now = t.current_snapshot()
+    t.overwrite(t.scan(snapshot_id=now.snapshot_id),
+                expected_snapshot_id=now.snapshot_id)
+    assert t.scan().count() == 5
