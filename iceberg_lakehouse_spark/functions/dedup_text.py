@@ -330,6 +330,39 @@ def minhash_dedup(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the call a training-data
+    pipeline actually makes: MinHash+LSH candidates → exact-Jaccard
+    verify (``threshold``) → connected components → drop every document
+    that is not its cluster's keeper (smallest id). Returns ``df``
+    minus the losers, schema unchanged.
+
+    Scale shape: the pair pipeline is the bounded candidate generator
+    above (size-gated buckets, star edges on overflow); the loser set
+    is one column of ids, anti-joined against the corpus (AQE
+    broadcasts it when small). Singletons never enter the component
+    computation and pass through untouched."""
+    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    cands = lsh_candidate_pairs(sigs, id_col, k, bands, max_bucket)
+    pairs = jaccard_pairs(df, cands, id_col, text_col, n).where(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(pairs.select("left_id", "right_id"))
+    losers = comp.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over md5 nibble top-bits: per hex position p, the
     token votes ±1 by whether md5(token)[p] ≥ '8'; fingerprint is the

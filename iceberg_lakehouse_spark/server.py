@@ -444,6 +444,52 @@ class LakehouseServer:
                 )
             ),
         )
+        self._add(
+            _tool("near_dup_cluster_labels",
+                  "Connected-component cluster labels over MinHash+LSH "
+                  "near-dup pairs (node, comp = keeper id)",
+                  {"table": _S, "id_column": _S, "text_column": _S,
+                   "threshold": _N}, ["table", "id_column", "text_column"]),
+            lambda table, id_column, text_column, threshold=0.7: rows_of(
+                dt.connected_components(
+                    dt.minhash_dedup(
+                        c.load_table(table).scan(), id_column, text_column,
+                        threshold=threshold,
+                    ).select("left_id", "right_id")
+                )
+            ),
+        )
+
+        def _dedup_corpus_summary(table, id_column, text_column, threshold=0.7):
+            from pyspark.sql import functions as F
+
+            src = c.load_table(table).scan()
+            pairs = dt.minhash_dedup(
+                src, id_column, text_column, threshold=threshold
+            )
+            comp = dt.connected_components(pairs.select("left_id", "right_id"))
+            losers = comp.where(F.col("node") != F.col("comp"))
+            total = src.count()
+            removed = losers.count()
+            return {
+                "total_rows": total,
+                "removed": removed,
+                "kept": total - removed,
+                "removed_ids_sample": sorted(
+                    r["node"] for r in losers.limit(100).collect()
+                ),
+                "message": f"{removed} near-duplicate rows of {total} "
+                "would be removed (one keeper per cluster)",
+            }
+
+        self._add(
+            _tool("dedup_corpus",
+                  "Near-duplicate removal summary: keep one doc per "
+                  "cluster, report removed ids (dry-run analysis)",
+                  {"table": _S, "id_column": _S, "text_column": _S,
+                   "threshold": _N}, ["table", "id_column", "text_column"]),
+            _dedup_corpus_summary,
+        )
 
         # -- dashboard -----------------------------------------------------
         from .governance.advisor import dashboard as dash

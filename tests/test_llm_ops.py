@@ -449,6 +449,30 @@ def test_multimodal_real_pillow_decode(spark):
     assert got[2]["height"] is None  # corrupt blob → NULLs, no crash
 
 
+def test_dedup_corpus_keeps_one_per_cluster(spark):
+    """End-to-end removal: a 3-copy cluster keeps its min id, a
+    near-dup pair keeps its min id, unique docs pass through, and the
+    output schema equals the input schema."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    rows = [
+        (1, base), (2, base), (3, base),      # exact cluster -> keep 1
+        (10, near),                           # near-dup of the cluster
+        (20, "completely different content about spark plans"),
+        (21, "another unique document mentioning parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # one word changed in 12 tokens -> jaccard 7/13 ~ 0.54
+    out = dt.dedup_corpus(df, "doc_id", "text", k=16, bands=4, threshold=0.5)
+    assert out.columns == df.columns
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 20, 21]  # 10 clusters with 1..3 (jaccard 0.54)
+    # with a threshold the near-dup survives, the exact copies don't
+    strict = dt.dedup_corpus(df, "doc_id", "text", k=16, bands=4,
+                             threshold=0.99)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [1, 10, 20, 21]
+
+
 # ------------------------------------------------- connected components
 
 def test_connected_components_chain_and_clique(spark):

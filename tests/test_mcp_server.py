@@ -485,3 +485,39 @@ def test_mcp_stdio_transport_e2e(tmp_path):
     assert call["isError"] is False
     assert json.loads(call["content"][0]["text"]) == {}
     assert by_id[4]["error"]["code"] == -32601
+
+
+def test_near_dup_cluster_tools(server):
+    """r5: cluster-label + dedup-summary tools over a table with planted
+    near-duplicates."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    call(server, "create_table", {
+        "table": "mcp_docs",
+        "schema": [["doc_id", "long"], ["text", "string"]],
+    })
+    is_err, _p, _ = call(server, "insert", {
+        "table": "mcp_docs",
+        "rows": [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},
+            {"doc_id": 3, "text": base.replace("kappa", "lambda")},
+            {"doc_id": 9, "text": "totally different content right here"},
+        ],
+    })
+    assert not is_err
+    is_err, labels, _ = call(server, "near_dup_cluster_labels", {
+        "table": "mcp_docs", "id_column": "doc_id", "text_column": "text",
+        "threshold": 0.5,
+    })
+    assert not is_err
+    comp = {r["node"]: r["comp"] for r in labels}
+    assert comp[1] == 1 and comp[2] == 1 and comp[3] == 1
+    assert 9 not in comp  # singleton never enters the component set
+    is_err, summary, _ = call(server, "dedup_corpus", {
+        "table": "mcp_docs", "id_column": "doc_id", "text_column": "text",
+        "threshold": 0.5,
+    })
+    assert not is_err
+    assert summary["total_rows"] == 4
+    assert summary["removed"] == 2 and summary["kept"] == 2
+    assert summary["removed_ids_sample"] == [2, 3]

@@ -382,3 +382,72 @@ def test_insertion_rowid_equals_insertion_order(spark, n, nparts):
         df = spark.createDataFrame(rdd, "id long")
     out = with_insertion_rowid(df).collect()
     assert {r["id"]: r["rowid"] for r in out} == {i: i for i in range(n)}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(asof_case(), st.sampled_from([60, 300, 1800, 86400]))
+def test_bucketed_asof_matches_plain_operator(spark, case, width_s):
+    """The skew-resistant time-bucketed as-of join is bit-identical to
+    the plain log-merge operator on random cases (unique right ts per
+    key) across bucket widths from sub-range to one-bucket-fits-all."""
+    from iceberg_lakehouse_spark.operators.asof import (
+        as_of_join,
+        as_of_join_bucketed,
+    )
+
+    left_ts, right_rows = case
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + datetime.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(m)) for m in left_ts], "k int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(m), v) for m, v in right_rows], "k int, rts timestamp, v int"
+    )
+    plain = {
+        (r["lts"], r["v_right"], r["rts_right"])
+        for r in as_of_join(left, right, "k", "lts", "rts").collect()
+    }
+    bucketed = {
+        (r["lts"], r["v_right"], r["rts_right"])
+        for r in as_of_join_bucketed(
+            left, right, "k", "lts", "rts", bucket_width_seconds=width_s
+        ).collect()
+    }
+    assert bucketed == plain
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=8, max_size=40),
+        min_size=2, max_size=12,
+    )
+)
+def test_capped_lsh_equals_uncapped_when_buckets_fit(spark, texts):
+    """With every collision bucket under the cap, the size-gated
+    lsh_candidate_pairs returns exactly the uncapped pair set — the
+    star-edge path must only engage on overflow."""
+    from iceberg_lakehouse_spark.functions import dedup_text as dt
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = dt.minhash_signatures(df, "doc_id", "text", k=8, n=2)
+    fit = dt.lsh_candidate_pairs(sigs, "doc_id", k=8, bands=4,
+                                 max_bucket=len(texts) + 1)
+    huge = dt.lsh_candidate_pairs(sigs, "doc_id", k=8, bands=4,
+                                  max_bucket=1_000_000)
+    key = lambda r: (r["left_id"], r["right_id"])
+    assert sorted(map(key, fit.collect())) == sorted(map(key, huge.collect()))
