@@ -633,7 +633,19 @@ class LakeTable:
                 try:
                     age = time.time() - os.stat(self._lock_path).st_mtime
                     if age > stale_s:
-                        os.remove(self._lock_path)  # break abandoned lock
+                        # break the abandoned lock via atomic RENAME, not
+                        # remove: two waiters who both saw it stale would
+                        # otherwise each remove-and-recreate — deleting the
+                        # other's fresh lock and BOTH entering the critical
+                        # section. rename succeeds for exactly one breaker;
+                        # the loser hits FileNotFoundError and loops back
+                        # to the O_EXCL acquire.
+                        broken = f"{self._lock_path}.stale.{uuid.uuid4().hex[:8]}"
+                        os.rename(self._lock_path, broken)
+                        try:
+                            os.remove(broken)
+                        except OSError:
+                            pass
                         continue
                 except OSError:
                     continue  # lock vanished between open and stat — retry
@@ -672,6 +684,11 @@ class LakeTable:
         writer committed since, raise CommitConflictError instead of
         silently dropping their files (the caller re-plans and
         retries, Iceberg-style)."""
+        if (files is None) == (add_files is None):
+            raise ValueError(
+                "_commit requires exactly one of files= or add_files= "
+                "(a snapshot with files=None would poison the log)"
+            )
         with self._commit_lock():
             snaps = _read_json(self._snap_path, [])
             parent = snaps[-1]["snapshot_id"] if snaps else None
@@ -1235,11 +1252,19 @@ class LakeTable:
         retain_last: int | None = None,
         dry_run: bool = False,
         older_than: str | None = None,
+        grace_seconds: int = 300,
     ) -> dict:
         """``older_than`` accepts the reference's string forms — a
         duration like '30d'/'24h'/'90m' or an ISO timestamp — and maps
         to ``older_than_ms``. At least one criterion is required
-        (reference raises on a parameterless expire)."""
+        (reference raises on a parameterless expire).
+
+        ``grace_seconds`` guards the implicit file deletion: data files
+        younger than the window are never deleted even if currently
+        unreferenced, because a concurrent append materializes its
+        files before acquiring the commit lock (see
+        ``_delete_unreferenced``). Tests that need immediate physical
+        cleanup pass 0."""
         if older_than is not None:
             older_than_ms = _cutoff_ms(older_than)
         if older_than_ms is None and retain_last is None:
@@ -1276,8 +1301,9 @@ class LakeTable:
                     _atomic_write_json(
                         self._snap_path, [s.to_json() for s in kept]
                     )
-            if expired:
-                self._delete_unreferenced()
+                    # delete under the lock (stable reference set) with
+                    # the grace window shielding in-flight writers
+                    self._delete_unreferenced(grace_seconds)
         return {
             "expired": [s.snapshot_id for s in expired],
             "kept": [s.snapshot_id for s in kept],
@@ -1289,16 +1315,33 @@ class LakeTable:
             refs.update(s.files)
         return refs
 
-    def _delete_unreferenced(self) -> list[str]:
+    def _delete_unreferenced(self, grace_seconds: int = 0) -> list[str]:
+        """Physically delete data files referenced by no snapshot.
+
+        ``grace_seconds`` protects in-flight writers: a concurrent
+        append materializes its parquet files BEFORE taking the commit
+        lock, so for that window they are unreferenced — deleting them
+        would corrupt the table the moment the writer commits. Files
+        younger than the grace window are skipped (Iceberg's orphan
+        grace period); 0 means delete immediately (explicit
+        user-invoked cleanup, and tests)."""
         refs = self._referenced_files()
         removed = []
         data_dir = os.path.join(self.root, "data")
+        now = time.time()
         for dirpath, _d, filenames in os.walk(data_dir):
             for fn in filenames:
-                rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
-                if fn.endswith((".parquet", ".orc")) and rel not in refs:
-                    os.remove(os.path.join(self.root, rel))
-                    removed.append(rel)
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if not fn.endswith((".parquet", ".orc")) or rel in refs:
+                    continue
+                try:
+                    if grace_seconds and now - os.stat(full).st_mtime < grace_seconds:
+                        continue  # possibly an uncommitted writer's file
+                    os.remove(full)
+                except FileNotFoundError:
+                    continue
+                removed.append(rel)
         if removed:  # keep the stats map in step with the data files
             stored = _read_json(self._stats_path, {})
             for rel in removed:

@@ -70,13 +70,19 @@ def remove_duplicates(
 ) -> dict:
     """Reference remove_duplicates: keep one row per key; dry-run
     reports what WOULD happen without writing a snapshot."""
-    df = table.scan()
+    # pin the scanned snapshot and CAS the overwrite against it (same
+    # protocol as crud.upsert_rows): a concurrent append between scan
+    # and rewrite raises CommitConflictError instead of being erased
+    base = table.current_snapshot()
+    df = table.scan(snapshot_id=base.snapshot_id if base else None)
     cols = columns or df.columns
     before = df.count()
     deduped = df.dropDuplicates(cols)
     remaining = deduped.count()
     if not dry_run and remaining < before:
-        table.overwrite(deduped)
+        table.overwrite(
+            deduped, expected_snapshot_id=base.snapshot_id if base else None
+        )
     return {
         "table": f"{table.namespace}.{table.table}",
         "key_columns": cols,

@@ -203,8 +203,9 @@ def test_compact_and_orphans(expenses):
     assert expenses.scan().count() == 7
     # old files still referenced by old snapshots → not orphans
     assert expenses.orphan_files() == []
-    # expire all but current → unreferenced files removed
-    expenses.expire_snapshots(retain_last=1)
+    # expire all but current → unreferenced files removed (grace 0:
+    # this test wants immediate physical cleanup of fresh files)
+    expenses.expire_snapshots(retain_last=1, grace_seconds=0)
     stats = expenses.file_stats()
     assert stats["snapshot_count"] == 1
     assert stats["orphan_count"] == 0
@@ -388,7 +389,7 @@ def test_expire_prunes_stats_map(expenses):
     before = set(expenses.stored_file_stats())
     # overwrite makes the original files unreferenced once history expires
     expenses.overwrite(expenses.scan().where("id = 1"))
-    expenses.expire_snapshots(retain_last=1)
+    expenses.expire_snapshots(retain_last=1, grace_seconds=0)
     stored = expenses.stored_file_stats()
     current = set(expenses.current_snapshot().files)
     assert current <= set(stored)

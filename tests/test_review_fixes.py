@@ -462,3 +462,72 @@ def test_connected_components_zero_iters_raises_cleanly(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=0)
+
+
+# ---------------------------------------------- round-5 review findings
+
+
+def test_expire_grace_window_shields_fresh_unreferenced_files(
+    spark, tmp_warehouse
+):
+    """r5 review #2: expire_snapshots must not physically delete fresh
+    unreferenced files (a concurrent append materializes its parquet
+    BEFORE taking the commit lock — deleting those corrupts the table
+    the moment the writer commits). Default grace keeps them; grace 0
+    (explicit, used by cleanup-style tests) deletes them."""
+    import os
+
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import crud
+
+    c = LakehouseCatalog(spark, tmp_warehouse)
+    t = c.create_table("grace_t", [("id", "long")])
+    crud.insert_rows(t, [{"id": 1}])
+    crud.insert_rows(t, [{"id": 2}])
+    # make snapshot 1's files unreferenced by expiring history
+    t.overwrite(t.scan().where("id = 2"))
+    res = t.expire_snapshots(retain_last=1)  # default grace: no delete
+    assert res["expired"]  # snapshot log still trimmed
+    assert t.orphan_files() != []  # fresh files survived on disk
+    res2 = t.expire_snapshots(retain_last=1, grace_seconds=0, dry_run=False)
+    # nothing left to expire, so files stay; explicit cleanup removes them
+    t.cleanup_orphans(dry_run=False)
+    assert t.orphan_files() == []
+    assert t.scan().count() == 1  # table intact throughout
+    assert res2 is not None and os.path.isdir(t.root)
+
+
+def test_commit_requires_exactly_one_file_source(spark, tmp_warehouse):
+    """r5 review #5: _commit(files=None, add_files=None) must raise at
+    the call site instead of writing a files:null snapshot that poisons
+    every downstream consumer of snapshot.files."""
+    import pytest as _pytest
+
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+
+    c = LakehouseCatalog(spark, tmp_warehouse)
+    t = c.create_table("nullfiles_t", [("id", "long")])
+    with _pytest.raises(ValueError, match="exactly one of"):
+        t._commit("append", summary={})
+    with _pytest.raises(ValueError, match="exactly one of"):
+        t._commit("append", files=["a"], add_files=["b"], summary={})
+    assert t.snapshots() == []  # nothing was written
+
+
+def test_remove_duplicates_cas_pins_scanned_snapshot(spark, tmp_warehouse):
+    """r5 review #3: remove_duplicates is a scan-derived overwrite and
+    must CAS against the snapshot it scanned (same protocol as
+    upsert/compact) — and still work end-to-end."""
+    import inspect
+
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import crud, dedup_ops
+
+    src = inspect.getsource(dedup_ops.remove_duplicates)
+    assert "expected_snapshot_id" in src
+    c = LakehouseCatalog(spark, tmp_warehouse)
+    t = c.create_table("dup_t", [("id", "long"), ("v", "string")])
+    crud.insert_rows(t, [{"id": 1, "v": "a"}, {"id": 1, "v": "a"},
+                         {"id": 2, "v": "b"}])
+    res = dedup_ops.remove_duplicates(t, ["id", "v"])
+    assert res["removed"] == 1 and t.scan().count() == 2
