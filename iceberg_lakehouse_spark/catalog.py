@@ -798,18 +798,27 @@ class LakeTable:
         ONCE and only those exact files are merged and deleted: a shard
         landed by a concurrent commit (or the read-path fallback
         persister) after the listing survives for the next merge
-        instead of being deleted unmerged."""
+        instead of being deleted unmerged.
+
+        Runs under the commit lock: two concurrent consolidations would
+        otherwise interleave read-merge-write of the base map — the
+        later writer's (older) merge could drop stats a faster
+        consolidation had already merged AND whose shard files it had
+        already deleted. (Callers sit outside _commit, so the lock is
+        never held re-entrantly; stats are perf-only, but silently
+        losing them degrades pruning for the table's lifetime.)"""
         if not os.path.isdir(self._stats_dir):
             return
-        shard_names = sorted(
-            fn for fn in os.listdir(self._stats_dir) if fn.endswith(".json")
-        )
-        if not shard_names:
-            return
-        merged = _read_json(self._stats_path, {})
-        for fn in shard_names:
-            merged.update(_read_json(os.path.join(self._stats_dir, fn), {}))
-        _atomic_write_json(self._stats_path, merged)
+        with self._commit_lock():
+            shard_names = sorted(
+                fn for fn in os.listdir(self._stats_dir) if fn.endswith(".json")
+            )
+            if not shard_names:
+                return
+            merged = _read_json(self._stats_path, {})
+            for fn in shard_names:
+                merged.update(_read_json(os.path.join(self._stats_dir, fn), {}))
+            _atomic_write_json(self._stats_path, merged)
         for fn in shard_names:
             try:
                 os.remove(os.path.join(self._stats_dir, fn))

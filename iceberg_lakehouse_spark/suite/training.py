@@ -876,3 +876,156 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "left_id", "right_id", F.col("hamming").cast("bigint").alias("hamming")
     )
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH anchors AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT a.qid, e.vec_id, e.label,
+               ROUND(list_cosine_similarity(CAST(a.qv AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        FROM anchors a JOIN embeddings e ON e.label <> a.qlabel
+    ),
+    ranked AS (
+        SELECT qid, vec_id, label, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT qid, vec_id, label, sim, rk FROM ranked WHERE rk <= 5
+    """,
+    survey_ref="LLM-pipeline: hard-negative mining (top-k most-similar "
+    "different-label vectors per anchor, two-phase top-k)",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor vector
+    (vec_id < 10), the 5 most cosine-similar vectors with a DIFFERENT
+    label — similar enough to be hard, different enough to be negative.
+
+    Scale shape: the anchor set broadcasts (scoring is map-side over
+    the corpus, no corpus shuffle), then top-k runs in TWO phases —
+    first a per-(anchor, input-partition) window keeps each partition's
+    top 5 (the shuffle key (qid, partition-id) is uniform, no hot
+    anchor task), then the global window ranks only ≤ 5·partitions
+    survivors per anchor. A single window on qid alone would funnel
+    every scored row for an anchor through one task — the same
+    single-partition trap the rownum operators avoid. The pre-prune
+    keeps a superset of the global top-5, so the result is identical
+    and deterministic (tiebreak by vec_id)."""
+    from ..functions.similarity import dot, l2_norm
+
+    emb = load_sf_tables(spark, sf_dir)["embeddings"]
+    normed = emb.select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    anchors = normed.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("label").alias("qlabel"),
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    scored = (
+        normed.join(F.broadcast(anchors), F.col("label") != F.col("qlabel"))
+        .select("qid", "vec_id", "label", sim.alias("sim"))
+    )
+    pre = Window.partitionBy("qid", F.spark_partition_id()).orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    survivors = (
+        scored.withColumn("_prk", F.row_number().over(pre))
+        .where(F.col("_prk") <= 5)
+        .drop("_prk")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 5)
+        .select("qid", "vec_id", "label", "sim", "rk")
+    )
+
+
+@register(
+    "bigram_lm_scores",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    c2 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM bg GROUP BY w1
+    ),
+    lp AS (
+        SELECT bg.doc_id,
+               CAST(ROUND(ln(CAST(c2.n2 AS DOUBLE) / c1.n1), 9)
+                    AS DECIMAL(18,9)) AS lp
+        FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+                JOIN c1 ON bg.w1 = c1.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+    survey_ref="LLM-pipeline: corpus bigram-LM quality score "
+    "(avg log P(w2|w1) per document)",
+)
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: train a bigram LM on the corpus
+    itself (MLE P(w2|w1) = c(w1,w2)/c(w1)) and score each document by
+    its mean log-probability — repetitive/boilerplate text scores high,
+    rare-transition noise scores low; a pipeline filters the tails.
+
+    Cross-engine determinism: each bigram's log-prob is rounded to 9dp
+    and summed as DECIMAL (order-independent exact addition — a double
+    sum would expose Spark's partial-aggregation order), then the mean
+    is rounded to 6. Scale shape: posexplode to bigrams (map-side), two
+    uniform-key count aggregations, hash joins back on the bigram key,
+    one groupBy per doc — no window, no skew-prone keys."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    t = dt.tokens_col("text")
+    bg = (
+        docs.where(F.trim("text") != "")
+        .select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("_p", "w1"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id", "w1", F.expr("t[_p + 1]").alias("w2")
+        )
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("n1"))
+    lp = (
+        bg.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n2").cast("double") / F.col("n1")), 9)
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("lp").cast("double") / F.count("*"), 6
+        ).alias("avg_logprob"),
+    )

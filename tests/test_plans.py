@@ -335,6 +335,26 @@ def test_balanced_sample_partitions_by_label(spark):
     assert "SinglePartition" not in plan
 
 
+def test_hard_negative_mining_broadcast_and_two_phase_topk(spark):
+    """Anchors broadcast (map-side scoring, corpus never shuffled for
+    the join) and top-k runs pre-pruned per (anchor, partition) before
+    the global per-anchor rank — two Windows, no single-partition."""
+    plan = plan_of(spark, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") >= 2  # partition-local + global phases
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert "SinglePartition" not in plan
+
+
+def test_bigram_lm_scores_no_window_uniform_keys(spark):
+    """LM scoring is aggregations + hash joins only: no Window at all,
+    partial aggregation before every exchange."""
+    plan = plan_of(spark, "bigram_lm_scores")
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
 def test_curated_corpus_single_corpus_shuffle(spark):
     """The curation composition must not shuffle the corpus more than
     needed: benchmark shingles broadcast (no sort-merge join), dedup

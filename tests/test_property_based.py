@@ -451,3 +451,38 @@ def test_capped_lsh_equals_uncapped_when_buckets_fit(spark, texts):
                                   max_bucket=1_000_000)
     key = lambda r: (r["left_id"], r["right_id"])
     assert sorted(map(key, fit.collect())) == sorted(map(key, huge.collect()))
+
+
+# --------------------------------------------- media parser robustness
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_builtin_media_decode_never_raises(blob):
+    """Random bytes must never crash the pure-Python decode tier: any
+    input yields either a decoded tuple, the corrupt-blob all-None row,
+    or None (unrecognized format → caller falls through to the fake).
+    At 100 TB a handful of garbage blobs must not kill the job."""
+    from iceberg_lakehouse_spark.functions.multimodal import _builtin_decode
+
+    out = _builtin_decode(blob, "bin")
+    assert out is None or len(out) == 4
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=400).map(lambda b: b"P6" + b),
+    st.binary(min_size=0, max_size=400).map(lambda b: b"BM" + b),
+)
+def test_builtin_media_decode_magic_prefixed_garbage(p6ish, bmish):
+    """Garbage carrying a recognized magic must resolve to the corrupt
+    contract (all-None) or a genuinely parseable image — never an
+    exception, never a fabricated hash-fake."""
+    from iceberg_lakehouse_spark.functions.multimodal import _builtin_decode
+
+    for blob in (p6ish, bmish):
+        out = _builtin_decode(blob, "bin")
+        assert out is not None and len(out) == 4
+        h, w, c, feats = out
+        if h is not None:  # parsed: dimensions and features are sane
+            assert h > 0 and w > 0 and c in (1, 3)
+            assert len(feats) == 16 and all(-1.0 <= f <= 1.0 for f in feats)
