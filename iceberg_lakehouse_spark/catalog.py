@@ -231,6 +231,11 @@ def _cutoff_ms(older_than: str) -> int:
     return int(dt.timestamp() * 1000)
 
 
+def _read_token(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
 class CommitConflictError(RuntimeError):
     """Optimistic-concurrency commit failure: the table advanced since
     the caller planned its commit (or the commit lock timed out).
@@ -615,35 +620,52 @@ class LakeTable:
 
     @contextmanager
     def _commit_lock(self, timeout_s: float = 15.0, stale_s: float = 60.0):
-        """Advisory commit mutex: O_CREAT|O_EXCL lockfile + bounded
-        retry, so concurrent writers SERIALIZE instead of one silently
-        overwriting the other's snapshot (last-writer-wins on the
-        read-modify-write of snapshots.json). A lock older than
-        ``stale_s`` is presumed abandoned (crashed writer) and broken.
-        Works on any POSIX filesystem; a real deployment swaps the
-        whole commit path for a catalog service CAS."""
+        """Advisory commit mutex: O_CREAT|O_EXCL lockfile carrying a
+        unique token, bounded retry, so concurrent writers SERIALIZE
+        instead of one silently overwriting the other's snapshot
+        (last-writer-wins on the read-modify-write of snapshots.json).
+
+        A lock older than ``stale_s`` is presumed abandoned (crashed
+        writer) and broken — by atomic RENAME plus token verification,
+        never plain remove: the breaker quarantines the lockfile, then
+        re-reads its token; if the quarantined file is NOT the stale
+        lock it observed (a fresh writer re-created the path between
+        stat and rename), the breaker restores it via os.link and
+        retries. Release deletes the lock only while it still carries
+        this holder's token, so a holder whose lock was stolen can
+        never release someone else's. Residual window: between a
+        mistaken rename and its restore (microseconds), a third writer
+        could acquire — the fundamental limit of crash-breaking file
+        locks; a real deployment swaps this for a catalog-service CAS
+        (the docstring contract since round 5)."""
+        token = f"{os.getpid()}:{uuid.uuid4().hex}".encode()
         deadline = time.monotonic() + timeout_s
         while True:
             try:
                 fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token)
                 os.close(fd)
                 break
             except FileExistsError:
                 try:
-                    age = time.time() - os.stat(self._lock_path).st_mtime
-                    if age > stale_s:
-                        # break the abandoned lock via atomic RENAME, not
-                        # remove: two waiters who both saw it stale would
-                        # otherwise each remove-and-recreate — deleting the
-                        # other's fresh lock and BOTH entering the critical
-                        # section. rename succeeds for exactly one breaker;
-                        # the loser hits FileNotFoundError and loops back
-                        # to the O_EXCL acquire.
+                    st = os.stat(self._lock_path)
+                    if time.time() - st.st_mtime > stale_s:
+                        observed = _read_token(self._lock_path)
                         broken = f"{self._lock_path}.stale.{uuid.uuid4().hex[:8]}"
                         os.rename(self._lock_path, broken)
                         try:
-                            os.remove(broken)
+                            if _read_token(broken) == observed:
+                                os.remove(broken)  # truly the abandoned lock
+                            else:
+                                # we quarantined a FRESH lock re-created
+                                # between stat and rename — give it back
+                                # (link fails harmlessly if a new lock
+                                # already took the path)
+                                try:
+                                    os.link(broken, self._lock_path)
+                                except OSError:
+                                    pass
+                                os.remove(broken)
                         except OSError:
                             pass
                         continue
@@ -659,7 +681,11 @@ class LakeTable:
             yield
         finally:
             try:
-                os.remove(self._lock_path)
+                # token-guarded release: never delete a lock that is no
+                # longer ours (e.g. stolen by a mistaken stale-break and
+                # since re-acquired by another writer)
+                if _read_token(self._lock_path) == token:
+                    os.remove(self._lock_path)
             except OSError:
                 pass
 
@@ -804,12 +830,21 @@ class LakeTable:
         otherwise interleave read-merge-write of the base map — the
         later writer's (older) merge could drop stats a faster
         consolidation had already merged AND whose shard files it had
-        already deleted. (Callers sit outside _commit, so the lock is
-        never held re-entrantly; stats are perf-only, but silently
-        losing them degrades pruning for the table's lifetime.)"""
+        already deleted. Consolidation is best-effort amortized work,
+        so lock CONTENTION is non-fatal: on timeout it simply skips
+        (the next commit past the shard cap retries) instead of
+        aborting the enclosing append with a spurious conflict error.
+        (Callers sit outside _commit, so the lock is never held
+        re-entrantly; stats are perf-only, but silently losing them
+        degrades pruning for the table's lifetime.)"""
         if not os.path.isdir(self._stats_dir):
             return
-        with self._commit_lock():
+        try:
+            lock = self._commit_lock(timeout_s=2.0)
+            lock.__enter__()
+        except CommitConflictError:
+            return  # contended: skip, a later commit consolidates
+        try:
             shard_names = sorted(
                 fn for fn in os.listdir(self._stats_dir) if fn.endswith(".json")
             )
@@ -819,6 +854,8 @@ class LakeTable:
             for fn in shard_names:
                 merged.update(_read_json(os.path.join(self._stats_dir, fn), {}))
             _atomic_write_json(self._stats_path, merged)
+        finally:
+            lock.__exit__(None, None, None)
         for fn in shard_names:
             try:
                 os.remove(os.path.join(self._stats_dir, fn))
@@ -1310,9 +1347,16 @@ class LakeTable:
                     _atomic_write_json(
                         self._snap_path, [s.to_json() for s in kept]
                     )
-                    # delete under the lock (stable reference set) with
-                    # the grace window shielding in-flight writers
-                    self._delete_unreferenced(grace_seconds)
+            # physical deletion OUTSIDE the lock (the data-dir walk can
+            # be long — holding the lock past stale_s would let waiters
+            # declare it abandoned) and UNCONDITIONAL (not gated on this
+            # call expiring anything): files a previous expire skipped
+            # under the grace window are reclaimed once they age out. A
+            # commit landing mid-deletion only references either its own
+            # fresh files (grace-shielded) or files of live snapshots
+            # (in the reference set); rollback to an expired snapshot
+            # fails on resolution, never resurrects deleted refs.
+            self._delete_unreferenced(grace_seconds)
         return {
             "expired": [s.snapshot_id for s in expired],
             "kept": [s.snapshot_id for s in kept],
@@ -1371,22 +1415,46 @@ class LakeTable:
                             os.remove(sp)
         return removed
 
-    def orphan_files(self) -> list[str]:
+    def orphan_files(self, grace_seconds: int = 0) -> list[str]:
+        """Data files referenced by no snapshot. ``grace_seconds``
+        excludes files younger than the window — an in-flight append
+        materializes its parquet BEFORE taking the commit lock, and
+        during that window its files look orphaned (same shield as
+        ``_delete_unreferenced``). 0 = report everything (explicit
+        user-invoked inspection, reference parity)."""
         refs = self._referenced_files()
         orphans = []
         data_dir = os.path.join(self.root, "data")
+        now = time.time()
         for dirpath, _d, filenames in os.walk(data_dir):
             for fn in filenames:
-                rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
-                if fn.endswith((".parquet", ".orc")) and rel not in refs:
-                    orphans.append(rel)
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if not fn.endswith((".parquet", ".orc")) or rel in refs:
+                    continue
+                try:
+                    if grace_seconds and now - os.stat(full).st_mtime < grace_seconds:
+                        continue
+                except OSError:
+                    continue
+                orphans.append(rel)
         return sorted(orphans)
 
-    def cleanup_orphans(self, dry_run: bool = True) -> list[str]:
-        orphans = self.orphan_files()
+    def cleanup_orphans(
+        self, dry_run: bool = True, grace_seconds: int = 0
+    ) -> list[str]:
+        """Automated callers (governance maintenance) MUST pass a
+        positive ``grace_seconds`` — deleting a concurrent writer's
+        not-yet-committed files corrupts the table the moment it
+        commits. The 0 default preserves the reference's immediate
+        semantics for the explicit user-invoked path."""
+        orphans = self.orphan_files(grace_seconds)
         if not dry_run:
             for rel in orphans:
-                os.remove(os.path.join(self.root, rel))
+                try:
+                    os.remove(os.path.join(self.root, rel))
+                except FileNotFoundError:
+                    pass
         return orphans
 
     def cleanup_orphans_report(self, dry_run: bool = True) -> dict:

@@ -273,7 +273,11 @@ class MaintenanceManager:
                 )
                 actions.append({"action": "expire", "status": "completed", **res})
         if needed["needs_orphan_cleanup"]:
-            orphans = table.cleanup_orphans(dry_run=dry_run)
+            # AUTOMATED deletion path: the grace window shields a
+            # concurrent writer's just-materialized (not-yet-committed)
+            # files — without it auto-maintenance could corrupt the
+            # table (r5 review finding #2)
+            orphans = table.cleanup_orphans(dry_run=dry_run, grace_seconds=300)
             actions.append({
                 "action": "cleanup_orphans",
                 "status": "dry_run" if dry_run else "completed",

@@ -1013,7 +1013,10 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n2"))
-    c1 = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("n1"))
+    # n1 = Σ_w2 c(w1, w2): derive the unigram counts from the already-
+    # reduced bigram table instead of re-exploding the corpus a third
+    # time (r5 review #6 — identical values, one less scan + shuffle)
+    c1 = c2.groupBy("w1").agg(F.sum("n2").cast("bigint").alias("n1"))
     lp = (
         bg.join(c2, ["w1", "w2"]).join(c1, "w1")
         .select(

@@ -571,3 +571,34 @@ def test_overwrite_cas_guards_compact_and_upsert(catalog):
     t.overwrite(t.scan(snapshot_id=now.snapshot_id),
                 expected_snapshot_id=now.snapshot_id)
     assert t.scan().count() == 5
+
+
+def test_many_concurrent_appends_all_land(catalog):
+    """Stress the commit protocol: 6 threads × 2 appends each — all 12
+    snapshots land, every file is carried forward, no conflict errors
+    on the purely-additive path."""
+    import threading
+
+    t = catalog.create_table("cc_stress", SCHEMA)
+    errs = []
+
+    def _worker(i):
+        try:
+            for j in range(2):
+                crud.insert_rows(
+                    t,
+                    [{"id": 1000 + i * 10 + j, "date": "2025-12-12",
+                      "category": f"w{i}", "amount": float(j)}],
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=_worker, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert len(t.snapshots()) == 12
+    assert t.scan().count() == 12
+    assert t.scan().select("id").distinct().count() == 12

@@ -489,12 +489,15 @@ def test_expire_grace_window_shields_fresh_unreferenced_files(
     res = t.expire_snapshots(retain_last=1)  # default grace: no delete
     assert res["expired"]  # snapshot log still trimmed
     assert t.orphan_files() != []  # fresh files survived on disk
-    res2 = t.expire_snapshots(retain_last=1, grace_seconds=0, dry_run=False)
-    # nothing left to expire, so files stay; explicit cleanup removes them
-    t.cleanup_orphans(dry_run=False)
+    # grace-shielded orphans are invisible to a grace-aware listing
+    # (what the automated maintenance path uses)
+    assert t.orphan_files(grace_seconds=300) == []
+    # a later expire call reclaims them even though nothing is left to
+    # expire — deletion is unconditional, gated only by the grace window
+    t.expire_snapshots(retain_last=1, grace_seconds=0, dry_run=False)
     assert t.orphan_files() == []
     assert t.scan().count() == 1  # table intact throughout
-    assert res2 is not None and os.path.isdir(t.root)
+    assert os.path.isdir(t.root)
 
 
 def test_commit_requires_exactly_one_file_source(spark, tmp_warehouse):
