@@ -67,3 +67,55 @@ def stream_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def curate_documents_stream(
+    stream: DataFrame,
+    table: LakeTable,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming corpus curation — the readStream twin of the batch
+    ``curated_corpus`` composition: per micro-batch, (1) token-length
+    band filter, (2) PII redaction (emails/phones → placeholders),
+    (3) content fingerprinting, then (4) exact-dedup landing against
+    the WHOLE table history (dedup_append on the fingerprint), so a
+    document seen in any earlier batch never lands twice.
+
+    Every transform is a native Column expression evaluated map-side
+    inside the micro-batch; the only table-sized work is the
+    dedup_append anti-join probe, which column-prunes to the
+    fingerprint. The target table needs (…, ``text_col``, n_tokens,
+    fp) columns; extra stream columns pass through."""
+    from pyspark.sql import functions as F
+
+    _EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    _PHONE = r"555-[0-9]{4}"
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_tokens = (
+        F.when(F.trim(F.col(text_col)) == "", 0)
+        .otherwise(F.size(toks))
+        .cast("bigint")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), _EMAIL, "<EMAIL>"),
+        _PHONE,
+        "<PHONE>",
+    )
+    curated = (
+        stream.withColumn("n_tokens", n_tokens)
+        .where(F.col("n_tokens").between(min_tokens, max_tokens))
+        .withColumn(text_col, redacted)
+        .withColumn("fp", F.md5(F.trim(F.lower(F.col(text_col)))))
+    )
+    return stream_to_table(
+        curated,
+        table,
+        mode="dedup_append",
+        key_columns=["fp"],
+        checkpoint_dir=checkpoint_dir,
+        available_now=available_now,
+    )

@@ -342,3 +342,58 @@ def test_asof_and_session_skew_plans(spark):
         .collect()[0]["mx"]
     )
     assert got == gaps + 1
+
+
+def test_streaming_document_curation(spark, tmp_path, tmp_warehouse):
+    """r5: curate_documents_stream = length filter + PII redaction +
+    fingerprint dedup-append, across TWO batches — a duplicate document
+    arriving in a later batch never lands twice, short docs are
+    dropped, and PII is redacted before the fingerprint is taken."""
+    from pyspark.sql import types as T
+
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.streaming.sink import curate_documents_stream
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    long_text = " ".join(f"w{i}" for i in range(30))
+    pii_text = long_text + " contact me at someone@example.com or 555-1234"
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(1, long_text), (2, "too short"), (3, pii_text)], schema
+    ).write.parquet(src)
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table(
+        "curated_docs",
+        [("doc_id", "long"), ("text", "string"),
+         ("n_tokens", "long"), ("fp", "string")],
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = curate_documents_stream(
+        stream, t, min_tokens=20, max_tokens=1000,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in t.scan().collect()}
+    assert set(rows) == {1, 3}  # short doc filtered
+    assert "<EMAIL>" in rows[3]["text"] and "<PHONE>" in rows[3]["text"]
+    assert "@example.com" not in rows[3]["text"]
+    assert rows[1]["n_tokens"] == 30
+
+    # batch 2: a duplicate of doc 1 (new id) plus a genuinely new doc —
+    # the fingerprint dedup drops the duplicate against table history
+    spark.createDataFrame(
+        [(10, long_text), (11, long_text + " extra tail tokens")], schema
+    ).write.mode("append").parquet(src)
+    q2 = curate_documents_stream(
+        spark.readStream.schema(schema).parquet(src), t,
+        min_tokens=20, max_tokens=1000,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q2.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in t.scan().collect())
+    assert ids == [1, 3, 11]  # 10 (dup of 1 by content) never landed
+    assert t.scan().select("fp").distinct().count() == 3
