@@ -1032,3 +1032,128 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp").cast("double") / F.count("*"), 6
         ).alias("avg_logprob"),
     )
+
+
+_KMV_K = 64
+# 48-bit uniform in (0,1] from md5 — exact in double, identical across
+# engines (same trick as _SQL_U48; no transcendental functions)
+_SQL_KMV_U = (
+    "(" + " + ".join(
+        "(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), "
+        f"{i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    ) + ") / 281474976710656.0"
+)
+
+
+@register(
+    "kmv_distinct_users",
+    f"""
+    WITH d AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (
+        SELECT event_type, user_id, {_SQL_KMV_U} AS u FROM d
+    ),
+    ranked AS (
+        SELECT event_type, u,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u)
+                   AS rk
+        FROM h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS exact_distinct,
+           ROUND(CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE ({_KMV_K} - 1)
+                           / MAX(CASE WHEN rk = {_KMV_K} THEN u END)
+                 END, 6) AS kmv_estimate
+    FROM ranked GROUP BY event_type
+    """,
+    survey_ref="Novel sketch: KMV (k-minimum-values) distinct-count "
+    "estimate, deterministic and mergeable",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SKETCH per event type: the KMV estimator keeps
+    only the k smallest normalized hashes of the key — bounded,
+    mergeable state (union sketches = merge the min-k sets), the shape
+    that replaces exact COUNT(DISTINCT) when the key cardinality itself
+    is too large to shuffle. Estimate = (k-1)/u_k where u_k is the k-th
+    smallest hash; groups under k fall back to the exact count.
+
+    Unlike approx_count_distinct (whose HLL sketch is engine-specific),
+    the md5-based KMV is bit-identical across engines, so the DuckDB
+    oracle verifies the sketch VALUES, not just their error bound.
+    The exact count is computed alongside for calibration; at 100 TB
+    one keeps only the sketch side."""
+    ev = load_sf_tables(spark, sf_dir)["events"]
+    d = ev.select("event_type", "user_id").distinct()
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        / float(1 << 48)
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    ranked = d.select("event_type", u.alias("u")).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    n = F.count("*")
+    u_k = F.max(F.when(F.col("rk") == _KMV_K, F.col("u")))
+    return ranked.groupBy("event_type").agg(
+        n.cast("bigint").alias("exact_distinct"),
+        F.round(
+            F.when(n < _KMV_K, n.cast("double")).otherwise(
+                F.lit(float(_KMV_K - 1)) / u_k
+            ),
+            6,
+        ).alias("kmv_estimate"),
+    )
+
+
+# target mixture over three synthetic sources (doc_id mod 3): the knob a
+# data-mixing pipeline turns to hit e.g. 50% web / 30% code / 20% books
+_MIX_QUOTAS = {0: 100, 1: 60, 2: 40}
+
+
+@register(
+    "mixture_weighted_corpus",
+    """
+    WITH src AS (
+        SELECT doc_id, doc_id % 3 AS source FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+        FROM src
+    )
+    SELECT doc_id, source, rk
+    FROM ranked
+    WHERE rk <= CASE source WHEN 0 THEN 100 WHEN 1 THEN 60 ELSE 40 END
+    """,
+    survey_ref="LLM-pipeline: target-mixture resampling (per-source "
+    "quotas in deterministic hash order)",
+)
+def mixture_weighted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture construction: draw a fixed quota per source (here
+    doc_id mod 3 stands in for web/code/books) in deterministic hash
+    order — the mixing step that turns raw pools into a training corpus
+    with target proportions (50/30/20 over a 200-doc budget).
+
+    Same scale shape as label_balanced_sample: one shuffle on the
+    source key, per-task work bounded by the largest pool (spill-backed
+    window sort), quotas applied as a map-side filter on the rank."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    src = docs.select("doc_id", (F.col("doc_id") % 3).alias("source"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    quota = F.create_map(
+        *[F.lit(x) for kv in _MIX_QUOTAS.items() for x in kv]
+    )
+    return (
+        src.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= quota[F.col("source")])
+        .select("doc_id", "source", "rk")
+    )

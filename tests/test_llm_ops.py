@@ -498,3 +498,21 @@ def test_connected_components_disjoint_pairs(spark):
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "left_id long, right_id long")
     assert dt.connected_components(edges).count() == 0
+
+
+def test_kmv_estimate_tracks_exact_distinct(spark):
+    """KMV sanity beyond the oracle: the estimate tracks the true
+    distinct count within the sketch's statistical error (stderr ~
+    n/sqrt(k-2); assert a generous 3-sigma band), and groups under k
+    report the exact count."""
+    from iceberg_lakehouse_spark.suite import load_all
+
+    reg = load_all()
+    rows = reg["kmv_distinct_users"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    for r in rows:
+        n, est = r["exact_distinct"], r["kmv_estimate"]
+        if n < 64:
+            assert est == float(n)
+        else:
+            assert abs(est - n) <= 3 * n / (64 - 2) ** 0.5, (n, est)
