@@ -618,6 +618,15 @@ class LakeTable:
     def _lock_path(self) -> str:
         return os.path.join(self.root, "_meta", "commit.lock")
 
+    def _touch_lock(self) -> None:
+        """Heartbeat for a HELD commit lock: refresh its mtime so a
+        long critical section isn't declared abandoned by waiters
+        (staleness is judged from the lockfile mtime)."""
+        try:
+            os.utime(self._lock_path)
+        except OSError:
+            pass
+
     @contextmanager
     def _commit_lock(self, timeout_s: float = 15.0, stale_s: float = 60.0):
         """Advisory commit mutex: O_CREAT|O_EXCL lockfile carrying a
@@ -650,12 +659,17 @@ class LakeTable:
                 try:
                     st = os.stat(self._lock_path)
                     if time.time() - st.st_mtime > stale_s:
-                        observed = _read_token(self._lock_path)
                         broken = f"{self._lock_path}.stale.{uuid.uuid4().hex[:8]}"
                         os.rename(self._lock_path, broken)
                         try:
-                            if _read_token(broken) == observed:
-                                os.remove(broken)  # truly the abandoned lock
+                            # verify the QUARANTINED file itself (its
+                            # mtime is immutable once renamed — a token
+                            # read before the rename could belong to a
+                            # fresh lock created after our staleness
+                            # stat): only a genuinely stale quarantine
+                            # is discarded
+                            if time.time() - os.stat(broken).st_mtime > stale_s:
+                                os.remove(broken)  # truly abandoned
                             else:
                                 # we quarantined a FRESH lock re-created
                                 # between stat and rename — give it back
@@ -851,8 +865,14 @@ class LakeTable:
             if not shard_names:
                 return
             merged = _read_json(self._stats_path, {})
+            # heartbeat: the base-map parse is O(files in table) — at
+            # very large tables it could approach the waiters' stale_s;
+            # refreshing the lock mtime after the long read (and before
+            # the write) keeps the hold visibly live
+            self._touch_lock()
             for fn in shard_names:
                 merged.update(_read_json(os.path.join(self._stats_dir, fn), {}))
+            self._touch_lock()
             _atomic_write_json(self._stats_path, merged)
         finally:
             lock.__exit__(None, None, None)
@@ -1396,23 +1416,42 @@ class LakeTable:
                     continue
                 removed.append(rel)
         if removed:  # keep the stats map in step with the data files
-            stored = _read_json(self._stats_path, {})
-            for rel in removed:
-                stored.pop(rel, None)
-            _atomic_write_json(self._stats_path, stored)
-            removed_set = set(removed)
-            if os.path.isdir(self._stats_dir):
-                for fn in os.listdir(self._stats_dir):
-                    if not fn.endswith(".json"):
-                        continue
-                    sp = os.path.join(self._stats_dir, fn)
-                    shard = _read_json(sp, {})
-                    kept = {k: v for k, v in shard.items() if k not in removed_set}
-                    if len(kept) != len(shard):
-                        if kept:
-                            _atomic_write_json(sp, kept)
-                        else:
-                            os.remove(sp)
+            # under the commit lock: this is a read-modify-write of the
+            # base stats map, and _consolidate_stats serializes its own
+            # RMW on the same lock — unlocked, an interleaved expire
+            # could overwrite a just-consolidated base with its pre-merge
+            # read, dropping every merged shard's stats. Contention is
+            # non-fatal: stale entries for DELETED files are never read
+            # (pruning only consults files in a snapshot), so skipping
+            # the cleanup just wastes a little space until the next pass.
+            try:
+                lock = self._commit_lock(timeout_s=5.0)
+                lock.__enter__()
+            except CommitConflictError:
+                return removed
+            try:
+                stored = _read_json(self._stats_path, {})
+                for rel in removed:
+                    stored.pop(rel, None)
+                _atomic_write_json(self._stats_path, stored)
+                removed_set = set(removed)
+                if os.path.isdir(self._stats_dir):
+                    for fn in os.listdir(self._stats_dir):
+                        if not fn.endswith(".json"):
+                            continue
+                        sp = os.path.join(self._stats_dir, fn)
+                        shard = _read_json(sp, {})
+                        kept = {
+                            k: v for k, v in shard.items()
+                            if k not in removed_set
+                        }
+                        if len(kept) != len(shard):
+                            if kept:
+                                _atomic_write_json(sp, kept)
+                            else:
+                                os.remove(sp)
+            finally:
+                lock.__exit__(None, None, None)
         return removed
 
     def orphan_files(self, grace_seconds: int = 0) -> list[str]:
@@ -1447,15 +1486,15 @@ class LakeTable:
         positive ``grace_seconds`` — deleting a concurrent writer's
         not-yet-committed files corrupts the table the moment it
         commits. The 0 default preserves the reference's immediate
-        semantics for the explicit user-invoked path."""
-        orphans = self.orphan_files(grace_seconds)
-        if not dry_run:
-            for rel in orphans:
-                try:
-                    os.remove(os.path.join(self.root, rel))
-                except FileNotFoundError:
-                    pass
-        return orphans
+        semantics for the explicit user-invoked path.
+
+        Non-dry-run delegates to ``_delete_unreferenced``: one deletion
+        code path, which also keeps the stats map in step (deleting a
+        file without dropping its stats entry would leak a stale entry
+        per orphan for the table's lifetime)."""
+        if dry_run:
+            return self.orphan_files(grace_seconds)
+        return sorted(self._delete_unreferenced(grace_seconds))
 
     def cleanup_orphans_report(self, dry_run: bool = True) -> dict:
         """Reference-shaped orphan cleanup result (reference

@@ -9,6 +9,11 @@ from datetime import datetime, timezone
 from ..catalog import LakeTable
 from .stores import JsonStore
 
+# grace window for AUTOMATED orphan detection + deletion: files younger
+# than this are presumed to belong to an in-flight (not-yet-committed)
+# writer and are neither counted nor removed (catalog.cleanup_orphans)
+_ORPHAN_GRACE_S = 300
+
 
 def _normalize_table(name: str) -> str:
     return name if "." in name else f"default.{name}"
@@ -232,7 +237,15 @@ class MaintenanceManager:
             }
         needs_compact = fs["file_count"] >= pol["auto_compact_threshold"]
         needs_expire = fs["snapshot_count"] > pol["auto_expire_retain_last"]
-        needs_orphans = pol["auto_cleanup_orphans"] and fs["orphan_count"] > 0
+        # detection must use the SAME grace window the automated cleanup
+        # applies (r5 review): counting grace-shielded fresh files would
+        # report needs_orphan_cleanup=True while the cleanup (correctly)
+        # removes nothing — a perpetual no-op action every cycle
+        graced_orphans = (
+            len(table.orphan_files(grace_seconds=_ORPHAN_GRACE_S))
+            if pol["auto_cleanup_orphans"] else 0
+        )
+        needs_orphans = graced_orphans > 0
         actions = []
         if needs_compact:
             actions.append(
@@ -245,7 +258,7 @@ class MaintenanceManager:
                 f"{pol['auto_expire_retain_last']} retained)"
             )
         if needs_orphans:
-            actions.append(f"cleanup_orphans ({fs['orphan_count']} orphans)")
+            actions.append(f"cleanup_orphans ({graced_orphans} orphans)")
         return {
             "table": name, "has_policy": True,
             "needs_compact": needs_compact, "needs_expire": needs_expire,
@@ -277,7 +290,9 @@ class MaintenanceManager:
             # concurrent writer's just-materialized (not-yet-committed)
             # files — without it auto-maintenance could corrupt the
             # table (r5 review finding #2)
-            orphans = table.cleanup_orphans(dry_run=dry_run, grace_seconds=300)
+            orphans = table.cleanup_orphans(
+                dry_run=dry_run, grace_seconds=_ORPHAN_GRACE_S
+            )
             actions.append({
                 "action": "cleanup_orphans",
                 "status": "dry_run" if dry_run else "completed",

@@ -89,26 +89,25 @@ def curate_documents_stream(
     inside the micro-batch; the only table-sized work is the
     dedup_append anti-join probe, which column-prunes to the
     fingerprint. The target table needs (…, ``text_col``, n_tokens,
-    fp) columns; extra stream columns pass through."""
+    fp) columns; extra stream columns pass through. Tokenization and
+    PII patterns come from the shared modules (functions.dedup_text /
+    functions.pii) so the stream twin can't drift from the batch ops —
+    and the email match is case-insensitive (a mixed-case email is
+    still PII, and an unredacted copy would split the fingerprint)."""
     from pyspark.sql import functions as F
 
-    _EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-    _PHONE = r"555-[0-9]{4}"
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    from ..functions.dedup_text import tokens_col
+    from ..functions.pii import redact
+
     n_tokens = (
         F.when(F.trim(F.col(text_col)) == "", 0)
-        .otherwise(F.size(toks))
+        .otherwise(F.size(tokens_col(text_col)))
         .cast("bigint")
-    )
-    redacted = F.regexp_replace(
-        F.regexp_replace(F.col(text_col), _EMAIL, "<EMAIL>"),
-        _PHONE,
-        "<PHONE>",
     )
     curated = (
         stream.withColumn("n_tokens", n_tokens)
         .where(F.col("n_tokens").between(min_tokens, max_tokens))
-        .withColumn(text_col, redacted)
+        .withColumn(text_col, redact(text_col))
         .withColumn("fp", F.md5(F.trim(F.lower(F.col(text_col)))))
     )
     return stream_to_table(

@@ -504,11 +504,17 @@ def test_kmv_estimate_tracks_exact_distinct(spark):
     """KMV sanity beyond the oracle: the estimate tracks the true
     distinct count within the sketch's statistical error (stderr ~
     n/sqrt(k-2); assert a generous 3-sigma band), and groups under k
-    report the exact count."""
+    report the exact count. Needs sf0.01 (the only SF with >= 64
+    distinct users per event type, so the sketch path engages)."""
+    import os
+
     from iceberg_lakehouse_spark.suite import load_all
 
+    sf_kmv = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_kmv):
+        pytest.skip("sf0.01 testdata not generated on this machine")
     reg = load_all()
-    rows = reg["kmv_distinct_users"].fn(spark, "/root/testdata/sf0.01").collect()
+    rows = reg["kmv_distinct_users"].fn(spark, sf_kmv).collect()
     assert len(rows) == 5
     for r in rows:
         n, est = r["exact_distinct"], r["kmv_estimate"]

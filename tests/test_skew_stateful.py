@@ -359,7 +359,8 @@ def test_streaming_document_curation(spark, tmp_path, tmp_warehouse):
         T.StructField("text", T.StringType()),
     ])
     long_text = " ".join(f"w{i}" for i in range(30))
-    pii_text = long_text + " contact me at someone@example.com or 555-1234"
+    # mixed-case email: redaction must be case-insensitive (r5 review)
+    pii_text = long_text + " contact me at Some.One@Example.COM or 555-1234"
     src = str(tmp_path / "docs_src")
     spark.createDataFrame(
         [(1, long_text), (2, "too short"), (3, pii_text)], schema
@@ -380,7 +381,7 @@ def test_streaming_document_curation(spark, tmp_path, tmp_warehouse):
     rows = {r["doc_id"]: r for r in t.scan().collect()}
     assert set(rows) == {1, 3}  # short doc filtered
     assert "<EMAIL>" in rows[3]["text"] and "<PHONE>" in rows[3]["text"]
-    assert "@example.com" not in rows[3]["text"]
+    assert "@Example.COM" not in rows[3]["text"]
     assert rows[1]["n_tokens"] == 30
 
     # batch 2: a duplicate of doc 1 (new id) plus a genuinely new doc —
