@@ -522,3 +522,33 @@ def test_kmv_estimate_tracks_exact_distinct(spark):
             assert est == float(n)
         else:
             assert abs(est - n) <= 3 * n / (64 - 2) ** 0.5, (n, est)
+
+
+def test_mixture_quota_respects_pool_size(spark):
+    """Per-source quotas cap at the pool: a source smaller than its
+    quota contributes everything it has, larger pools contribute
+    exactly the quota, deterministically (same draw on re-run)."""
+    from iceberg_lakehouse_spark.suite import load_all
+
+    reg = load_all()
+    fn = reg["mixture_weighted_corpus"].fn
+    out = fn(spark, SF)
+    counts = {r["source"]: r["count"] for r in
+              out.groupBy("source").count().collect()}
+    # sf0.001: 500 docs → ~167 per source; quotas 100/60/40 all satisfiable
+    assert counts == {0: 100, 1: 60, 2: 40}
+    again = {(r["doc_id"], r["source"]) for r in fn(spark, SF).collect()}
+    assert {(r["doc_id"], r["source"]) for r in out.collect()} == again
+
+
+def test_dedup_corpus_no_duplicates_is_identity(spark):
+    """A corpus with no near-duplicates passes through dedup_corpus
+    untouched (no pairs → empty component set → empty loser set)."""
+    df = spark.createDataFrame(
+        [(1, "totally unique first document text"),
+         (2, "second document about other topics"),
+         (3, "third text with no overlap at all")],
+        "doc_id long, text string",
+    )
+    out = dt.dedup_corpus(df, "doc_id", "text", threshold=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
