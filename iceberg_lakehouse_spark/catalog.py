@@ -236,6 +236,24 @@ def _read_token(path: str) -> bytes:
         return f.read()
 
 
+def retry_on_conflict(fn, retries: int = 3, backoff_s: float = 0.05):
+    """Run ``fn()`` retrying on CommitConflictError — the standard
+    consumer pattern for CAS-protected rewrites (CoW update/delete,
+    compact, upsert): re-planning against the current snapshot is
+    exactly what re-invoking the operation does, since every such path
+    re-reads the table state at its start. Linear backoff between
+    attempts; the final conflict propagates."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except CommitConflictError:
+            attempt += 1
+            if attempt > retries:
+                raise
+            time.sleep(backoff_s * attempt)
+
+
 class CommitConflictError(RuntimeError):
     """Optimistic-concurrency commit failure: the table advanced since
     the caller planned its commit (or the commit lock timed out).

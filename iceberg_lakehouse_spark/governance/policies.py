@@ -275,7 +275,12 @@ class MaintenanceManager:
             if dry_run:
                 actions.append({"action": "compact", "status": "dry_run"})
             else:
-                res = table.compact()
+                # compact CASes against the snapshot it scanned; a
+                # concurrent append mid-compaction raises a conflict —
+                # re-planning (re-invoking) is the standard response
+                from ..catalog import retry_on_conflict
+
+                res = retry_on_conflict(table.compact)
                 actions.append({"action": "compact", "status": "completed", **res})
         if needed["needs_expire"]:
             if dry_run:

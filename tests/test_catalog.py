@@ -602,3 +602,85 @@ def test_many_concurrent_appends_all_land(catalog):
     assert len(t.snapshots()) == 12
     assert t.scan().count() == 12
     assert t.scan().select("id").distinct().count() == 12
+
+
+def test_retry_on_conflict_replans_and_succeeds(catalog):
+    """retry_on_conflict: a rewrite that loses the race once succeeds on
+    re-invocation because the operation re-reads table state at entry;
+    exhausted retries propagate the conflict."""
+    from iceberg_lakehouse_spark.catalog import (
+        CommitConflictError,
+        retry_on_conflict,
+    )
+
+    t = catalog.create_table("retry_t", SCHEMA)
+    crud.insert_rows(t, ROWS)
+    calls = {"n": 0}
+
+    def racy_update():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate losing the race: a commit lands between this
+            # attempt's planning and its CAS
+            crud.insert_rows(t, [{"id": 77, "date": "2025-12-13",
+                                  "category": "race", "amount": 7.0}])
+            stale_keep = []
+            t.replace_files(stale_keep, t.scan().limit(0),
+                            expected_snapshot_id=1)
+        return crud.update_rows(t, "id = 1", {"amount": 11.0})
+
+    assert retry_on_conflict(racy_update) == 1
+    assert t.scan().where("id = 1").collect()[0]["amount"] == 11.0
+    assert t.scan().where("id = 77").count() == 1  # racer's row survived
+
+    def always_conflicts():
+        raise CommitConflictError("synthetic")
+
+    with pytest.raises(CommitConflictError):
+        retry_on_conflict(always_conflicts, retries=2, backoff_s=0.0)
+
+
+def test_mixed_concurrent_ops_chaos(catalog):
+    """Chaos: 4 appender threads race one compactor (with conflict
+    retry). Every append lands, the table stays consistent, and the
+    compaction either succeeded or conflicted cleanly — never silent
+    data loss."""
+    import threading
+
+    from iceberg_lakehouse_spark.catalog import (
+        CommitConflictError,
+        retry_on_conflict,
+    )
+
+    t = catalog.create_table("chaos_t", SCHEMA)
+    crud.insert_rows(t, ROWS)
+    errs = []
+
+    def _appender(i):
+        try:
+            for j in range(2):
+                crud.insert_rows(
+                    t, [{"id": 500 + i * 10 + j, "date": "2025-12-14",
+                         "category": f"c{i}", "amount": 1.0}],
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def _compactor():
+        try:
+            retry_on_conflict(lambda: t.compact(), retries=5)
+        except CommitConflictError:
+            pass  # acceptable: persistent contention surfaces, not data loss
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=_appender, args=(i,)) for i in range(4)]
+    threads.append(threading.Thread(target=_compactor))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    # all 8 appended rows + the 4 base rows are present exactly once
+    assert t.scan().count() == 12
+    assert t.scan().select("id").distinct().count() == 12
