@@ -83,6 +83,13 @@ SHOW = [
      "Bigram-LM quality score: explode → two uniform-key count aggregations "
      "→ hash joins → per-doc aggregate; no Window, decimal-exact log-prob "
      "sums keep the result shuffle-order-independent."),
+    ("kmv_distinct_users",
+     "KMV distinct sketch: distinct → md5 rank window per group → one "
+     "aggregate; bounded mergeable state (k hashes per group), the shape "
+     "that replaces exact COUNT(DISTINCT) at high key cardinality."),
+    ("mixture_weighted_corpus",
+     "Target-mixture resampling: window over hash(source) + quota map "
+     "filter — fixed per-source draws in deterministic hash order."),
 ]
 
 
