@@ -552,3 +552,77 @@ def test_dedup_corpus_no_duplicates_is_identity(spark):
     )
     out = dt.dedup_corpus(df, "doc_id", "text", threshold=0.5)
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_dedup_index_build_probe_extend(spark, tmp_warehouse):
+    """r5: persisted near-dup index — build over a corpus, probe a new
+    batch (finds the planted near-dup against an EXISTING doc without
+    recomputing corpus signatures), extend, and re-probe idempotently."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import dedup_index as di
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "completely different content about spark physical plans"),
+         (3, "a third unrelated document mentioning parquet and orc")],
+        "doc_id long, text string",
+    )
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    idx = di.build_dedup_index(cat, "docs_lsh", corpus, "doc_id", "text",
+                               k=16, bands=4, n=3)
+    assert idx.scan().count() == 3 * 4  # one row per (doc, band)
+
+    batch = spark.createDataFrame(
+        [(10, base.replace("kappa", "lambda")),  # near-dup of doc 1
+         (11, "entirely novel text that matches nothing at all")],
+        "doc_id long, text string",
+    )
+    pairs = di.probe_dedup_index(idx, batch, corpus, "doc_id", "text",
+                                 threshold=0.5).collect()
+    assert {(r["left_id"], r["right_id"]) for r in pairs} == {(1, 10)}
+    assert 0.5 <= pairs[0]["jaccard"] < 1.0
+
+    # accept only the novel doc, extend, re-probe: the duplicate pair
+    # is still reported against doc 1; doc 11 (now indexed) does not
+    # self-match when the same batch is re-probed
+    survivors = batch.where("doc_id = 11")
+    assert di.extend_dedup_index(idx, survivors, "doc_id", "text") == 4
+    corpus2 = corpus.unionByName(survivors)
+    again = di.probe_dedup_index(idx, batch, corpus2, "doc_id", "text",
+                                 threshold=0.5).collect()
+    assert {(r["left_id"], r["right_id"]) for r in again} == {(1, 10)}
+
+    # parameter guard: a non-index table refuses probe/extend
+    other = cat.create_table("not_an_index",
+                             [("id", "long"), ("band", "int"),
+                              ("band_key", "string")])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a dedup index"):
+        di.probe_dedup_index(other, batch, corpus, "doc_id", "text")
+
+
+def test_dedup_index_probe_broadcasts_batch(spark, tmp_warehouse):
+    """Scale gate: the probe must broadcast the (small) new batch's
+    band keys — the index side scans map-side, no sort-merge shuffle
+    for candidate generation."""
+    import contextlib
+    import io
+
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import dedup_index as di
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    idx = di.build_dedup_index(cat, "plan_lsh", corpus, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [(2, "one two three four five seven")], "doc_id long, text string"
+    )
+    df = di.probe_dedup_index(idx, batch, corpus, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
