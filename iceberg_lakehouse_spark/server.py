@@ -490,6 +490,43 @@ class LakehouseServer:
                    "threshold": _N}, ["table", "id_column", "text_column"]),
             _dedup_corpus_summary,
         )
+        from .operators import dedup_index as _di
+
+        self._add(
+            _tool("dedup_index_build",
+                  "Persist a MinHash band-key index of a corpus table "
+                  "for incremental near-dup probing",
+                  {"table": _S, "index_table": _S, "id_column": _S,
+                   "text_column": _S},
+                  ["table", "index_table", "id_column", "text_column"]),
+            lambda table, index_table, id_column, text_column: {
+                "index_table": index_table,
+                "rows": _di.build_dedup_index(
+                    c, index_table, c.load_table(table).scan(),
+                    id_column, text_column,
+                ).scan().count(),
+                "message": f"dedup index {index_table} built from {table}",
+            },
+        )
+        self._add(
+            _tool("dedup_index_probe",
+                  "Near-dup pairs between a new batch table and the "
+                  "indexed corpus (broadcast band-key probe + exact "
+                  "Jaccard verify)",
+                  {"index_table": _S, "batch_table": _S, "corpus_table": _S,
+                   "id_column": _S, "text_column": _S, "threshold": _N},
+                  ["index_table", "batch_table", "corpus_table",
+                   "id_column", "text_column"]),
+            lambda index_table, batch_table, corpus_table, id_column,
+                   text_column, threshold=0.7: rows_of(
+                _di.probe_dedup_index(
+                    c.load_table(index_table),
+                    c.load_table(batch_table).scan(),
+                    c.load_table(corpus_table).scan(),
+                    id_column, text_column, threshold=threshold,
+                )
+            ),
+        )
 
         # -- dashboard -----------------------------------------------------
         from .governance.advisor import dashboard as dash

@@ -521,3 +521,39 @@ def test_near_dup_cluster_tools(server):
     assert summary["total_rows"] == 4
     assert summary["removed"] == 2 and summary["kept"] == 2
     assert summary["removed_ids_sample"] == [2, 3]
+
+
+def test_dedup_index_tools(server):
+    """r5: build a persisted band-key index over a corpus table, probe
+    a batch table against it through the RPC surface."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    call(server, "create_table", {
+        "table": "mcp_corpus",
+        "schema": [["doc_id", "long"], ["text", "string"]],
+    })
+    call(server, "insert", {
+        "table": "mcp_corpus",
+        "rows": [{"doc_id": 1, "text": base},
+                 {"doc_id": 2, "text": "other unrelated content here now"}],
+    })
+    call(server, "create_table", {
+        "table": "mcp_batch",
+        "schema": [["doc_id", "long"], ["text", "string"]],
+    })
+    call(server, "insert", {
+        "table": "mcp_batch",
+        "rows": [{"doc_id": 10, "text": base.replace("kappa", "lambda")},
+                 {"doc_id": 11, "text": "novel text matching nothing"}],
+    })
+    is_err, built, _ = call(server, "dedup_index_build", {
+        "table": "mcp_corpus", "index_table": "mcp_lsh",
+        "id_column": "doc_id", "text_column": "text",
+    })
+    assert not is_err and built["rows"] == 2 * 4
+    is_err, pairs, _ = call(server, "dedup_index_probe", {
+        "index_table": "mcp_lsh", "batch_table": "mcp_batch",
+        "corpus_table": "mcp_corpus", "id_column": "doc_id",
+        "text_column": "text", "threshold": 0.5,
+    })
+    assert not is_err
+    assert {(r["left_id"], r["right_id"]) for r in pairs} == {(1, 10)}
