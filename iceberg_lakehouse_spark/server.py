@@ -509,6 +509,22 @@ class LakehouseServer:
             },
         )
         self._add(
+            _tool("dedup_index_extend",
+                  "Append an accepted batch's band keys to a dedup "
+                  "index (completes the build → probe → extend loop)",
+                  {"index_table": _S, "batch_table": _S, "id_column": _S,
+                   "text_column": _S},
+                  ["index_table", "batch_table", "id_column", "text_column"]),
+            lambda index_table, batch_table, id_column, text_column: {
+                "index_table": index_table,
+                "rows_added": _di.extend_dedup_index(
+                    c.load_table(index_table),
+                    c.load_table(batch_table).scan(),
+                    id_column, text_column,
+                ),
+            },
+        )
+        self._add(
             _tool("dedup_index_probe",
                   "Near-dup pairs between a new batch table and the "
                   "indexed corpus (broadcast band-key probe + exact "

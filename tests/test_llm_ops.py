@@ -626,3 +626,50 @@ def test_dedup_index_probe_broadcasts_batch(spark, tmp_warehouse):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dedup_index_probe_guards_and_gates(spark, tmp_warehouse):
+    """r5 review fixes: (1) probing with a corpus missing a candidate
+    indexed doc raises instead of silently reporting false negatives;
+    (2) an over-cap collision key pairs each new doc with ONE cluster
+    representative (linear), not the whole mass-dup cluster; (3) a
+    batch doc reusing an existing id wins deterministically; (4)
+    invalid bands fail BEFORE the index table is created."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import dedup_index as di
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    boiler = "mass duplicated boilerplate header text block here"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(20)]
+        + [(100, "some genuinely unique corpus document text")],
+        "doc_id long, text string",
+    )
+    idx = di.build_dedup_index(cat, "gate_lsh", corpus, "doc_id", "text",
+                               k=8, bands=4, n=3)
+    batch = spark.createDataFrame(
+        [(200, boiler)], "doc_id long, text string"
+    )
+    # over-cap key (20 > max_bucket=5): one representative pair only
+    pairs = di.probe_dedup_index(idx, batch, corpus, "doc_id", "text",
+                                 threshold=0.9, max_bucket=5).collect()
+    assert {(r["left_id"], r["right_id"]) for r in pairs} == {(0, 200)}
+    # desync: corpus missing the candidate indexed docs → loud error
+    with pytest.raises(ValueError, match="out of sync"):
+        di.probe_dedup_index(
+            idx, batch, corpus.where("doc_id >= 100"), "doc_id", "text",
+            max_bucket=5,
+        ).collect()
+    # id collision: batch re-submits doc 100 with boilerplate text —
+    # the batch text wins, so (0, 100) verifies as a near-dup
+    resub = spark.createDataFrame(
+        [(100, boiler)], "doc_id long, text string"
+    )
+    pairs2 = di.probe_dedup_index(idx, resub, corpus, "doc_id", "text",
+                                  threshold=0.9, max_bucket=5).collect()
+    assert (0, 100) in {(r["left_id"], r["right_id"]) for r in pairs2}
+    # invalid params never create the table
+    with pytest.raises(ValueError, match="bands must divide"):
+        di.build_dedup_index(cat, "bad_lsh", corpus, "doc_id", "text",
+                             k=16, bands=5)
+    assert not cat.table_exists("bad_lsh")

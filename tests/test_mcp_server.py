@@ -557,3 +557,13 @@ def test_dedup_index_tools(server):
     })
     assert not is_err
     assert {(r["left_id"], r["right_id"]) for r in pairs} == {(1, 10)}
+
+
+def test_dedup_index_extend_tool(server):
+    """The RPC loop is complete: extend after probe, then batch-2 probes
+    catch near-dups of batch-1 survivors."""
+    is_err, res, _ = call(server, "dedup_index_extend", {
+        "index_table": "mcp_lsh", "batch_table": "mcp_batch",
+        "id_column": "doc_id", "text_column": "text",
+    })
+    assert not is_err and res["rows_added"] == 2 * 4
