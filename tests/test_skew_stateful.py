@@ -398,3 +398,56 @@ def test_streaming_document_curation(spark, tmp_path, tmp_warehouse):
     ids = sorted(r["doc_id"] for r in t.scan().collect())
     assert ids == [1, 3, 11]  # 10 (dup of 1 by content) never landed
     assert t.scan().select("fp").distinct().count() == 3
+
+
+def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
+    """Late-data semantics: an event arriving in a later micro-batch
+    behind the checkpointed watermark must NOT be added to its (already
+    finalized) window — the property that bounds streaming state at
+    scale. Three availableNow runs against one checkpoint: load the
+    10:00 window + advance the watermark, deliver a too-late event,
+    flush; the window's count excludes the late arrival."""
+    import datetime as _dt
+
+    from iceberg_lakehouse_spark.streaming import events as se
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+    base = _dt.datetime(2024, 1, 1)
+
+    def _write(rows):
+        spark.createDataFrame(rows, se.EVENTS_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+
+    def _run():
+        se.stream_events_to_table(spark, src, ckpt, out, window="1 hour")
+
+    # run 1: two 10:xx events + a 23:00 sentinel pushes the watermark
+    # (10 min default) far past the 10:00 window's end
+    _write([
+        (1, base + _dt.timedelta(hours=10, minutes=10), 1, "click", 1.0, "{}"),
+        (2, base + _dt.timedelta(hours=10, minutes=20), 1, "click", 1.0, "{}"),
+        (3, base + _dt.timedelta(hours=23), 2, "view", 1.0, "{}"),
+    ])
+    _run()
+    # run 2: a LATE 10:15 event (behind the checkpointed ~22:50
+    # watermark) plus a later sentinel to keep the stream moving
+    _write([
+        (4, base + _dt.timedelta(hours=10, minutes=15), 1, "click", 1.0, "{}"),
+        (5, base + _dt.timedelta(hours=23, minutes=30), 2, "view", 1.0, "{}"),
+    ])
+    _run()
+    # run 3: flush any remaining eligible windows
+    _write([
+        (6, base + _dt.timedelta(hours=23, minutes=59), 2, "view", 1.0, "{}"),
+    ])
+    _run()
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    key = ("2024-01-01 10:00:00", "click")
+    assert key in got, f"10:00 window never emitted: {got}"
+    assert got[key] == 2, "late event must be dropped, not counted"
