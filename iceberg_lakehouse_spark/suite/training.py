@@ -1157,3 +1157,54 @@ def mixture_weighted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= quota[F.col("source")])
         .select("doc_id", "source", "rk")
     )
+
+
+# GPT-2-style pre-tokenizer regex, restricted to the RE2-portable core
+# (no lookahead — DuckDB is RE2, Spark is java.util.regex; this subset
+# means identical matches on both): an optional leading space glued to
+# a letter run, a digit run, or a punctuation run.
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@register(
+    "bpe_token_counts",
+    rf"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           END AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+               AS n_bpe_tokens,
+           ROUND(CASE WHEN trim(text) = '' THEN 0.0
+                 ELSE CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE)
+                      / length(regexp_split_to_array(trim(text), '\s+'))
+                 END, 6) AS pieces_per_word
+    FROM documents
+    """,
+    survey_ref="LLM-text: token counting — whitespace AND BPE-ish regex "
+    "pre-tokenizer (pieces-per-word fertility)",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting the way a training-cost estimate needs it: the
+    whitespace word count next to a BPE-style pre-tokenizer piece count
+    (GPT-2's split of space-glued letter/digit/punctuation runs,
+    restricted to the regex subset Java and RE2 match identically) and
+    the pieces-per-word fertility ratio. Map-only Column expressions —
+    runs at parquet-scan speed at any corpus size."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    trimmed = F.trim(F.col("text"))
+    ws = F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("bigint")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.when(trimmed == "", F.lit(0.0)).otherwise(
+                bpe.cast("double") / ws
+            ),
+            6,
+        ).alias("pieces_per_word"),
+    )

@@ -673,3 +673,31 @@ def test_dedup_index_probe_guards_and_gates(spark, tmp_warehouse):
         di.build_dedup_index(cat, "bad_lsh", corpus, "doc_id", "text",
                              k=16, bands=5)
     assert not cat.table_exists("bad_lsh")
+
+
+def test_resize_media_real_pixels(spark):
+    """r5: real nearest-neighbor resize in the container — a 4×4 PPM
+    gradient shrinks to 2×2 picking exactly pixels (0,0)(0,2)(2,0)(2,2);
+    the output round-trips through the PPM parser; BMP input works; a
+    corrupt blob yields the NULL contract."""
+    from iceberg_lakehouse_spark.functions.multimodal import _parse_pnm
+
+    vals = [10 + 16 * i for i in range(16)]
+    gray_px = [(v, v, v) for v in vals]
+    rows = [
+        (1, _ppm_bytes(4, 4, gray_px), "image", "ppm", 0),
+        (2, _bmp_bytes(4, 4, gray_px), "image", "bmp", 0),
+        (3, b"P6 garbage", "image", "ppm", 0),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           mm.resize_media(df, out_w=2, out_h=2).collect()}
+    for mid in (1, 2):
+        assert (got[mid]["height"], got[mid]["width"]) == (2, 2)
+        assert got[mid]["format"] == "ppm"
+        h, w, c, px = _parse_pnm(bytes(got[mid]["content"]))
+        assert (h, w, c) == (2, 2, 3)
+        # nearest neighbor at 4→2: source rows/cols 0 and 2
+        expect = [gray_px[0], gray_px[2], gray_px[8], gray_px[10]]
+        assert px == expect
+    assert got[3]["content"] is None and got[3]["height"] is None
