@@ -280,6 +280,97 @@ def decode_media(
     return df.mapInPandas(_batches, DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("envelope", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _parse_wav(content: bytes):
+    """RIFF/WAVE PCM parser (8- and 16-bit, any channel count) — the
+    dependency-free real-decode tier for audio. Returns (channels,
+    sample_rate, n_frames, samples) with samples a flat mono-mixed
+    float list in [-1, 1]; raises ValueError on malformation."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError("only 8/16-bit PCM supported")
+    if block_align != channels * (bits // 8):
+        raise ValueError("inconsistent block alignment")
+    n_frames = len(data) // block_align
+    samples = []
+    if bits == 16:
+        vals = struct.unpack_from(f"<{n_frames * channels}h", data, 0)
+        for f in range(n_frames):
+            s = sum(vals[f * channels : (f + 1) * channels]) / channels
+            samples.append(s / 32768.0)
+    else:  # 8-bit PCM is unsigned, midpoint 128
+        for f in range(n_frames):
+            frame = data[f * channels : (f + 1) * channels]
+            s = sum(frame) / channels
+            samples.append((s - 128.0) / 128.0)
+    return channels, rate, n_frames, samples
+
+
+def decode_audio(df: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
+    """Audio metadata + amplitude-envelope features via Arrow-batched
+    mapInPandas — the audio twin of ``decode_media``, REAL in any
+    environment (pure-Python WAV parser, no dependency). The envelope
+    is mean |amplitude| per time bin (``bins`` equal segments), in
+    [0, 1] — the cheap fingerprint silence/music/speech filters cut on.
+    Corrupt or non-PCM blobs yield the NULL row (bad blobs must never
+    kill a 100 TB job)."""
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                try:
+                    ch, rate, n, samples = _parse_wav(raw)
+                    env = []
+                    for b in range(bins):
+                        seg = samples[b * n // bins : (b + 1) * n // bins]
+                        env.append(
+                            sum(abs(s) for s in seg) / len(seg) if seg else 0.0
+                        )
+                    rows.append({
+                        "media_id": media_id, "n_channels": ch,
+                        "sample_rate": rate, "n_samples": n,
+                        "duration_s": n / rate if rate else None,
+                        "envelope": env,
+                    })
+                except (ValueError, IndexError, struct.error):
+                    rows.append({
+                        "media_id": media_id, "n_channels": None,
+                        "sample_rate": None, "n_samples": None,
+                        "duration_s": None, "envelope": None,
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(_batches, AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

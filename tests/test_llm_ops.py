@@ -701,3 +701,43 @@ def test_resize_media_real_pixels(spark):
         expect = [gray_px[0], gray_px[2], gray_px[8], gray_px[10]]
         assert px == expect
     assert got[3]["content"] is None and got[3]["height"] is None
+
+
+def _wav_bytes(samples16, channels=1, rate=8000):
+    """Minimal 16-bit PCM WAV from a flat per-frame sample list."""
+    import struct as _s
+
+    data = _s.pack(f"<{len(samples16)}h", *samples16)
+    fmt = _s.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                  channels * 2, 16)
+    return (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+
+
+def test_decode_audio_real_wav(spark):
+    """r5: REAL audio decode in the container — a synthesized 16-bit
+    PCM WAV yields exact metadata and a hand-checkable amplitude
+    envelope; stereo mixes to mono; corrupt blobs get the NULL row."""
+    # 1600 frames at 8 kHz = 0.2 s; first half silent, second half at
+    # half amplitude → envelope bins 0-7 ~ 0.0, bins 8-15 ~ 0.5
+    mono = [0] * 800 + [16384] * 800
+    stereo = []
+    for v in [0] * 10 + [16384] * 10:  # L = v, R = -v → mixes to 0
+        stereo += [v, -v]
+    rows = [
+        (1, _wav_bytes(mono), "audio", "wav", 0),
+        (2, _wav_bytes(stereo, channels=2), "audio", "wav", 0),
+        (3, b"RIFFjunk", "audio", "wav", 0),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.decode_audio(df).collect()}
+    r1 = got[1]
+    assert (r1["n_channels"], r1["sample_rate"], r1["n_samples"]) == (1, 8000, 1600)
+    assert r1["duration_s"] == pytest.approx(0.2)
+    assert all(e == pytest.approx(0.0) for e in r1["envelope"][:8])
+    assert all(e == pytest.approx(0.5) for e in r1["envelope"][8:])
+    r2 = got[2]
+    assert r2["n_channels"] == 2 and r2["n_samples"] == 20
+    assert all(e == pytest.approx(0.0) for e in r2["envelope"])  # L+R cancel
+    assert got[3]["n_channels"] is None and got[3]["envelope"] is None

@@ -486,3 +486,21 @@ def test_builtin_media_decode_magic_prefixed_garbage(p6ish, bmish):
         if h is not None:  # parsed: dimensions and features are sane
             assert h > 0 and w > 0 and c in (1, 3)
             assert len(feats) == 16 and all(-1.0 <= f <= 1.0 for f in feats)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400).map(lambda b: b"RIFF" + b))
+def test_wav_parser_never_raises_unexpected(blob):
+    """Random RIFF-prefixed bytes either parse to a sane result or
+    raise ValueError (which decode_audio maps to the NULL row) — never
+    an unexpected exception type."""
+    import struct as _s
+
+    from iceberg_lakehouse_spark.functions.multimodal import _parse_wav
+
+    try:
+        ch, rate, n, samples = _parse_wav(blob)
+        assert ch >= 1 and rate >= 0 and n >= 0 and len(samples) == n
+        assert all(-1.0 <= s <= 1.0 for s in samples)
+    except (ValueError, IndexError, _s.error):
+        pass
