@@ -741,3 +741,26 @@ def test_decode_audio_real_wav(spark):
     assert r2["n_channels"] == 2 and r2["n_samples"] == 20
     assert all(e == pytest.approx(0.0) for e in r2["envelope"])  # L+R cancel
     assert got[3]["n_channels"] is None and got[3]["envelope"] is None
+
+
+def test_extract_frames_ppmv_container(spark):
+    """r5: video-frame plumbing with real pixels — a 3-frame PPMV
+    container (concatenated P6) samples every 2nd frame, features
+    reflect each frame's actual brightness, and a mid-container
+    corruption keeps the frames before it."""
+    def frame(v):  # 4×4 solid gray frame with value v
+        return _ppm_bytes(4, 4, [(v, v, v)] * 16)
+
+    video = frame(0) + frame(128) + frame(255)
+    rows = [(1, video, "video", "ppmv", 0),
+            (2, frame(64) + b"P6 oops", "video", "ppmv", 0)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = [r for r in mm.extract_frames(df, every_nth=2).collect()]
+    by_key = {(r["media_id"], r["frame_index"]): r for r in got}
+    assert set(by_key) == {(1, 0), (1, 2), (2, 0)}
+    assert by_key[(1, 0)]["features"] == pytest.approx([-1.0] * 16)
+    assert by_key[(1, 2)]["features"] == pytest.approx([1.0] * 16)
+    assert by_key[(2, 0)]["features"] == pytest.approx(
+        [64 / 255 * 2 - 1] * 16, abs=1e-6
+    )
+    assert all(r["height"] == 4 and r["width"] == 4 for r in got)
