@@ -92,16 +92,18 @@ def _pil_decode(content: bytes, fmt: str):
         return None, None, None, None
 
 
-def _parse_pnm(content: bytes):
-    """Binary PPM (P6, RGB) / PGM (P5, grayscale) parser — the
-    dependency-free real-decode tier. Returns (h, w, channels, pixels)
-    where pixels is a flat row-major list of (r, g, b) tuples; raises
+def _parse_pnm_at(content: bytes, start: int = 0):
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale) parser working at an
+    absolute offset (no slicing — a multi-frame container can iterate
+    without O(frames × bytes) copying). Returns (h, w, channels,
+    pixels, end_pos) with pixels a flat row-major list of (r, g, b)
+    tuples and end_pos the offset one past the raster; raises
     ValueError on truncation/malformation (callers map that to the
     corrupt-blob NULL contract). Handles whitespace and '#' comments in
     the header; maxval ≤ 255 only (16-bit PNM is out of scope)."""
-    magic = content[:2]
+    magic = content[start : start + 2]
     channels = 3 if magic == b"P6" else 1
-    pos = 2
+    pos = start + 2
     fields = []
     while len(fields) < 3:
         if pos >= len(content):
@@ -113,10 +115,10 @@ def _parse_pnm(content: bytes):
         elif chr(c).isspace():
             pos += 1
         elif chr(c).isdigit():
-            start = pos
+            fstart = pos
             while pos < len(content) and chr(content[pos]).isdigit():
                 pos += 1
-            fields.append(int(content[start:pos]))
+            fields.append(int(content[fstart:pos]))
         else:
             raise ValueError(f"bad PNM header byte {c!r}")
     w, h, maxval = fields
@@ -134,7 +136,31 @@ def _parse_pnm(content: bytes):
         ]
     else:
         px = [(v, v, v) for v in raster]
-    return h, w, channels, px
+    return h, w, channels, px, pos + need
+
+
+def _parse_pnm(content: bytes):
+    """Single-image convenience wrapper over ``_parse_pnm_at``."""
+    return _parse_pnm_at(content, 0)[:4]
+
+
+def _pool_features(px, h: int, w: int):
+    """4×4 block mean-luminance features (ITU-R 601-2 weights, the same
+    as Pillow's 'L'), scaled to [-1, 1]; an empty block (image narrower
+    than the grid) contributes -1.0. THE feature definition shared by
+    decode_media's builtin tier and extract_frames — one site, so the
+    similarity operators downstream always see consistent vectors."""
+    sums = [0.0] * FEATURE_DIM
+    counts = [0] * FEATURE_DIM
+    for i, (r, g, b) in enumerate(px):
+        rr, cc = divmod(i, w)
+        blk = min(3, rr * 4 // h) * 4 + min(3, cc * 4 // w)
+        sums[blk] += 0.299 * r + 0.587 * g + 0.114 * b
+        counts[blk] += 1
+    return [
+        ((sums[i] / counts[i]) / 255.0) * 2.0 - 1.0 if counts[i] else -1.0
+        for i in range(FEATURE_DIM)
+    ]
 
 
 def _parse_bmp(content: bytes):
@@ -188,18 +214,7 @@ def _builtin_decode(content: bytes, fmt: str):
             h, w, channels, px = _parse_pnm(content)
     except (ValueError, IndexError, struct.error):
         return None, None, None, None
-    sums = [0.0] * FEATURE_DIM
-    counts = [0] * FEATURE_DIM
-    for i, (r, g, b) in enumerate(px):
-        rr, cc = divmod(i, w)
-        blk = min(3, rr * 4 // h) * 4 + min(3, cc * 4 // w)
-        sums[blk] += 0.299 * r + 0.587 * g + 0.114 * b
-        counts[blk] += 1
-    feats = [
-        ((sums[i] / counts[i]) / 255.0) * 2.0 - 1.0 if counts[i] else -1.0
-        for i in range(FEATURE_DIM)
-    ]
-    return h, w, channels, feats
+    return h, w, channels, _pool_features(px, h, w)
 
 
 def _fake_decode(content: bytes, fmt: str):
@@ -292,11 +307,10 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
-def _parse_wav(content: bytes):
-    """RIFF/WAVE PCM parser (8- and 16-bit, any channel count) — the
-    dependency-free real-decode tier for audio. Returns (channels,
-    sample_rate, n_frames, samples) with samples a flat mono-mixed
-    float list in [-1, 1]; raises ValueError on malformation."""
+def _parse_wav_meta(content: bytes):
+    """RIFF/WAVE PCM header walk (8- and 16-bit, any channel count).
+    Returns (channels, sample_rate, bits, n_frames, data_bytes) without
+    decoding a single sample; raises ValueError on malformation."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, data = 12, None, None
@@ -316,7 +330,16 @@ def _parse_wav(content: bytes):
         raise ValueError("only 8/16-bit PCM supported")
     if block_align != channels * (bits // 8):
         raise ValueError("inconsistent block alignment")
-    n_frames = len(data) // block_align
+    return channels, rate, bits, len(data) // block_align, data
+
+
+def _parse_wav(content: bytes):
+    """Full decode: (channels, sample_rate, n_frames, samples) with
+    samples a flat mono-mixed float list in [-1, 1]. MATERIALIZES the
+    whole clip as Python objects — fine for tests/small clips; the
+    envelope pipeline (decode_audio) streams per bin instead and never
+    builds this list."""
+    channels, rate, bits, n_frames, data = _parse_wav_meta(content)
     samples = []
     if bits == 16:
         vals = struct.unpack_from(f"<{n_frames * channels}h", data, 0)
@@ -329,6 +352,33 @@ def _parse_wav(content: bytes):
             s = sum(frame) / channels
             samples.append((s - 128.0) / 128.0)
     return channels, rate, n_frames, samples
+
+
+def _wav_bin_means(data: bytes, channels: int, bits: int,
+                   n_frames: int, bins: int):
+    """Mean |mono-mixed amplitude| per time bin, computed bin-by-bin
+    with numpy over the raw buffer — peak memory is ONE bin's samples,
+    never the whole clip (an hour of 44.1 kHz stereo as Python floats
+    would be tens of GB of object overhead and kill the executor; at
+    100 TB big-but-valid blobs must be as survivable as corrupt ones)."""
+    import numpy as np
+
+    dt = np.dtype("<i2") if bits == 16 else np.dtype("u1")
+    frame_bytes = channels * dt.itemsize
+    out = []
+    for b in range(bins):
+        f0 = b * n_frames // bins
+        f1 = (b + 1) * n_frames // bins
+        if f1 <= f0:
+            out.append(0.0)
+            continue
+        seg = np.frombuffer(
+            data, dtype=dt, count=(f1 - f0) * channels, offset=f0 * frame_bytes
+        )
+        mix = seg.reshape(-1, channels).astype(np.float64).mean(axis=1)
+        mix = mix / 32768.0 if bits == 16 else (mix - 128.0) / 128.0
+        out.append(float(np.abs(mix).mean()))
+    return out
 
 
 def decode_audio(df: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
@@ -345,13 +395,8 @@ def decode_audio(df: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
                 try:
-                    ch, rate, n, samples = _parse_wav(raw)
-                    env = []
-                    for b in range(bins):
-                        seg = samples[b * n // bins : (b + 1) * n // bins]
-                        env.append(
-                            sum(abs(s) for s in seg) / len(seg) if seg else 0.0
-                        )
+                    ch, rate, bits, n, data = _parse_wav_meta(raw)
+                    env = _wav_bin_means(data, ch, bits, n, bins)
                     rows.append({
                         "media_id": media_id, "n_channels": ch,
                         "sample_rate": rate, "n_samples": n,
@@ -458,30 +503,13 @@ FRAMES_SCHEMA = T.StructType(
 def _iter_ppm_frames(content: bytes):
     """Frame iterator for the PPMV container: a video stand-in that is
     simply concatenated binary P6 frames (what an uncompressed capture
-    pipeline emits). Yields (offset-ordered) parsed frames; stops at
-    the first malformed boundary."""
+    pipeline emits). Offset-based single pass — no per-frame slicing of
+    the remaining buffer (that would be O(frames × bytes) memcpy on a
+    long clip); stops at the first malformed boundary."""
     pos = 0
     while pos + 2 <= len(content) and content[pos : pos + 2] == b"P6":
-        h, w, c, px = _parse_pnm(content[pos:])
-        # re-derive the consumed byte length: header up to raster start
-        # + raster — find raster start by re-scanning the header
-        sub = content[pos:]
-        hdr_pos, fields = 2, []
-        while len(fields) < 3:
-            ch = sub[hdr_pos]
-            if ch == ord("#"):
-                while hdr_pos < len(sub) and sub[hdr_pos] not in (10, 13):
-                    hdr_pos += 1
-            elif chr(ch).isspace():
-                hdr_pos += 1
-            else:
-                start = hdr_pos
-                while chr(sub[hdr_pos]).isdigit():
-                    hdr_pos += 1
-                fields.append(int(sub[start:hdr_pos]))
-        hdr_pos += 1  # whitespace after maxval
+        h, w, c, px, pos = _parse_pnm_at(content, pos)
         yield h, w, c, px
-        pos += hdr_pos + w * h * 3
 
 
 def extract_frames(df: DataFrame, every_nth: int = 1) -> DataFrame:
@@ -491,6 +519,11 @@ def extract_frames(df: DataFrame, every_nth: int = 1) -> DataFrame:
     mapInPandas signature; the container/batching/schema plumbing is
     what this exercises). Frames stream out of Arrow batches; a corrupt
     container contributes the frames parsed before the bad boundary."""
+    if every_nth < 1:
+        # fail fast on the driver — a ZeroDivisionError inside the
+        # executor would kill the whole job at runtime
+        raise ValueError(f"every_nth must be >= 1 (got {every_nth})")
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -500,21 +533,10 @@ def extract_frames(df: DataFrame, every_nth: int = 1) -> DataFrame:
                     for i, (h, w, _c, px) in enumerate(_iter_ppm_frames(raw)):
                         if i % every_nth:
                             continue
-                        sums = [0.0] * FEATURE_DIM
-                        counts = [0] * FEATURE_DIM
-                        for j, (r, g, b) in enumerate(px):
-                            rr, cc = divmod(j, w)
-                            blk = min(3, rr * 4 // h) * 4 + min(3, cc * 4 // w)
-                            sums[blk] += 0.299 * r + 0.587 * g + 0.114 * b
-                            counts[blk] += 1
-                        feats = [
-                            ((sums[k] / counts[k]) / 255.0) * 2.0 - 1.0
-                            if counts[k] else -1.0
-                            for k in range(FEATURE_DIM)
-                        ]
                         rows.append({
                             "media_id": media_id, "frame_index": i,
-                            "height": h, "width": w, "features": feats,
+                            "height": h, "width": w,
+                            "features": _pool_features(px, h, w),
                         })
                 except (ValueError, IndexError):
                     pass  # keep frames parsed before the corruption

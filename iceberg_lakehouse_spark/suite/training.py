@@ -1160,10 +1160,14 @@ def mixture_weighted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # GPT-2-style pre-tokenizer regex, restricted to the RE2-portable core
-# (no lookahead — DuckDB is RE2, Spark is java.util.regex; this subset
-# means identical matches on both): an optional leading space glued to
-# a letter run, a digit run, or a punctuation run.
-_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# (no lookahead — DuckDB is RE2, Spark is java.util.regex): an optional
+# leading space glued to a letter run, a digit run, or a punctuation
+# run. Whitespace is spelled as an EXPLICIT class, never \s — Java's
+# \s excludes \x0b while RE2's includes it (r5 review: 'a\x0bb'
+# tokenizes differently across engines under \s), so \s in a
+# hash-compared query is a latent oracle mismatch.
+_WS_CLASS = r"[ \t\n\x0b\f\r]"
+_BPE_RE = rf" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0b\f\r]+"
 
 
 @register(
@@ -1171,13 +1175,13 @@ _BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
     rf"""
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                ELSE CAST(length(regexp_split_to_array(trim(text), '{_WS_CLASS}+')) AS BIGINT)
            END AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
                AS n_bpe_tokens,
            ROUND(CASE WHEN trim(text) = '' THEN 0.0
                  ELSE CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE)
-                      / length(regexp_split_to_array(trim(text), '\s+'))
+                      / length(regexp_split_to_array(trim(text), '{_WS_CLASS}+'))
                  END, 6) AS pieces_per_word
     FROM documents
     """,
@@ -1194,7 +1198,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_tables(spark, sf_dir)["documents"]
     trimmed = F.trim(F.col("text"))
     ws = F.when(trimmed == "", 0).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, _WS_CLASS + "+"))
     ).cast("bigint")
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
     return docs.select(

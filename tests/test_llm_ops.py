@@ -764,3 +764,20 @@ def test_extract_frames_ppmv_container(spark):
         [64 / 255 * 2 - 1] * 16, abs=1e-6
     )
     assert all(r["height"] == 4 and r["width"] == 4 for r in got)
+
+
+def test_bpe_whitespace_class_handles_vertical_tab(spark):
+    """r5 review: the explicit whitespace class treats \\x0b as a
+    separator on the Spark side exactly as RE2 does — 'a\\x0bb' is two
+    words and two BPE pieces, so the oracle pair can't diverge on
+    documents containing vertical tabs (Java's \\s excludes \\x0b)."""
+    from iceberg_lakehouse_spark.suite.training import _BPE_RE, _WS_CLASS
+
+    df = spark.createDataFrame([("a\x0bb",)], "text string")
+    row = df.select(
+        F.size(F.split(F.trim("text"), _WS_CLASS + "+")).alias("ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+        ).alias("bpe"),
+    ).collect()[0]
+    assert (row["ws"], row["bpe"]) == (2, 2)
