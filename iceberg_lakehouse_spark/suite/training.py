@@ -1212,3 +1212,115 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pieces_per_word"),
     )
+
+
+@register(
+    "curation_funnel",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               md5(lower(trim(text))) AS fp,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\s+'))
+               END AS n_tokens,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    keepers AS (
+        SELECT doc_id, n_tokens, t
+        FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+              FROM toks)
+        WHERE doc_id = keeper
+    ),
+    lengthed AS (
+        SELECT doc_id, t FROM keepers
+        WHERE doc_id >= 50 AND n_tokens BETWEEN 20 AND 1000
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 5
+                    THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                       i -> array_to_string(t[i:i+4], ' ')))
+                    ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+    contaminated AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN bench b ON s.shingle = b.shingle
+        WHERE s.doc_id >= 50
+    )
+    SELECT stage, n_docs FROM (
+        SELECT 1 AS ord, 'raw' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks
+        UNION ALL
+        SELECT 2, 'exact_dedup_keepers',
+               CAST(COUNT(*) AS BIGINT) FROM keepers
+        UNION ALL
+        SELECT 3, 'training_pool_length_band',
+               CAST(COUNT(*) AS BIGINT) FROM lengthed
+        UNION ALL
+        SELECT 4, 'decontaminated',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lengthed l
+        WHERE l.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ) ORDER BY ord
+    """,
+    survey_ref="LLM-pipeline: curation funnel report (doc counts at "
+    "every stage of the curated_corpus composition)",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's yield report — the number a data lead
+    reads before training: documents surviving each stage of the
+    curated_corpus composition (raw → exact-dedup keepers → id/length
+    band → benchmark-decontaminated). Stage counts are single
+    aggregates over the same relations the capstone query builds; the
+    ORDER BY on the stage ordinal keeps the funnel readable and
+    cross-engine stable."""
+    from pyspark.sql import Window
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    norm = F.trim(F.lower(F.col("text")))
+    t = dt.tokens_col("text")
+    base = docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.when(F.trim("text") == "", 0)
+        .otherwise(F.size(t)).cast("bigint").alias("n_tokens"),
+        F.col("text"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    keepers = (
+        base.withColumn("_keeper", keeper)
+        .where(F.col("doc_id") == F.col("_keeper"))
+    )
+    lengthed = keepers.where(
+        (F.col("doc_id") >= 50) & F.col("n_tokens").between(20, 1000)
+    )
+    sh = docs.select(
+        "doc_id", F.explode(dt.shingles_col("text", n=5)).alias("shingle")
+    )
+    bench = sh.where(F.col("doc_id") < 50).select("shingle").distinct()
+    contaminated = (
+        sh.where(F.col("doc_id") >= 50)
+        .join(F.broadcast(bench), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    decontam = lengthed.join(contaminated, "doc_id", "left_anti")
+
+    def _stage(ord_, name, df):
+        return df.agg(
+            F.lit(ord_).alias("ord"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+
+    return (
+        _stage(1, "raw", docs)
+        .unionByName(_stage(2, "exact_dedup_keepers", keepers))
+        .unionByName(_stage(3, "training_pool_length_band", lengthed))
+        .unionByName(_stage(4, "decontaminated", decontam))
+        .orderBy("ord")
+        .select("stage", "n_docs")
+    )
