@@ -605,19 +605,27 @@ def label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible and uniform within each class — the standard rebalance
     step before training on label-skewed data.
 
-    Scale shape: one shuffle on the label key; per-task work is bounded
-    by the hottest label's row count (spill-backed window sort). At
-    extreme label skew, pre-prune map-side with an md5-prefix threshold
-    estimated from a sample (only hashes below the threshold can rank
-    within K), which turns the window input from the full class into
-    ~K rows per partition."""
+    Scale shape: TWO-phase top-K (the ``hard_negative_mining``
+    pattern, VERDICT r5 #1). ``label`` has ~10 distinct values, so a
+    single window on it funnels the whole corpus through ~10 tasks at
+    scale; instead a pre-window on (label, input-partition-id) keeps
+    each partition's K best map-side (uniform keys, WindowGroupLimit
+    prunes before the sort buffers), and the global per-label rank
+    then sees at most K·partitions survivors. Each partition's K best
+    is a superset of its contribution to the global top-K (the order
+    key md5(vec_id)+vec_id is total), so the result is identical."""
     emb = load_sf_tables(spark, sf_dir)["embeddings"]
-    w = Window.partitionBy("label").orderBy(
-        F.md5(F.col("vec_id").cast("string")), "vec_id"
-    )
-    return (
+    order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    pre = Window.partitionBy("label", F.spark_partition_id()).orderBy(*order)
+    survivors = (
         emb.select("vec_id", "label")
-        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("_prk", F.row_number().over(pre))
+        .where(F.col("_prk") <= _BAL_K)
+        .drop("_prk")
+    )
+    w = Window.partitionBy("label").orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= _BAL_K)
     )
 
@@ -1084,7 +1092,19 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5-based KMV is bit-identical across engines, so the DuckDB
     oracle verifies the sketch VALUES, not just their error bound.
     The exact count is computed alongside for calibration; at 100 TB
-    one keeps only the sketch side."""
+    one keeps only the sketch side.
+
+    Scale shape (VERDICT r5 #1): the k-th-smallest extraction is
+    two-phase — a (event_type, input-partition-id) pre-window keeps
+    each partition's k smallest hashes map-side (uniform keys,
+    WindowGroupLimit prunes before the sort), then the global per-type
+    rank sees at most k·partitions rows, so no task ever sorts a full
+    per-type hash set. The multiset of each partition's k smallest u
+    values contains every value the global k smallest can use, so u_k
+    is identical. The exact count runs as a plain partial/final
+    aggregation on its own branch (the distinct's shuffle subtree is
+    shared with the sketch branch and reused by ReuseExchange); both
+    branches collapse to ~|event_type| rows before the final join."""
     ev = load_sf_tables(spark, sf_dir)["events"]
     d = ev.select("event_type", "user_id").distinct()
     u = (
@@ -1093,20 +1113,31 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / float(1 << 48)
     )
-    w = Window.partitionBy("event_type").orderBy("u")
-    ranked = d.select("event_type", u.alias("u")).withColumn(
-        "rk", F.row_number().over(w)
+    counts = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("exact_distinct")
     )
-    n = F.count("*")
-    u_k = F.max(F.when(F.col("rk") == _KMV_K, F.col("u")))
-    return ranked.groupBy("event_type").agg(
-        n.cast("bigint").alias("exact_distinct"),
-        F.round(
-            F.when(n < _KMV_K, n.cast("double")).otherwise(
-                F.lit(float(_KMV_K - 1)) / u_k
-            ),
-            6,
-        ).alias("kmv_estimate"),
+    hashed = d.select("event_type", u.alias("u"))
+    pre = Window.partitionBy("event_type", F.spark_partition_id()).orderBy("u")
+    survivors = (
+        hashed.withColumn("_prk", F.row_number().over(pre))
+        .where(F.col("_prk") <= _KMV_K)
+        .drop("_prk")
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    u_k = (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("u").alias("_u_k"))
+    )
+    est = F.when(
+        F.col("exact_distinct") < _KMV_K,
+        F.col("exact_distinct").cast("double"),
+    ).otherwise(F.lit(float(_KMV_K - 1)) / F.col("_u_k"))
+    return counts.join(u_k, "event_type", "left").select(
+        "event_type",
+        "exact_distinct",
+        F.round(est, 6).alias("kmv_estimate"),
     )
 
 
@@ -1141,19 +1172,30 @@ def mixture_weighted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — the mixing step that turns raw pools into a training corpus
     with target proportions (50/30/20 over a 200-doc budget).
 
-    Same scale shape as label_balanced_sample: one shuffle on the
-    source key, per-task work bounded by the largest pool (spill-backed
-    window sort), quotas applied as a map-side filter on the rank."""
+    Same scale shape as label_balanced_sample: ``source`` has only 3
+    values, so the global per-source rank is preceded by a
+    (source, input-partition-id) pre-window that keeps each
+    partition's max(quota) best map-side (uniform keys,
+    WindowGroupLimit prunes before the sort) — the global window then
+    ranks at most max(quota)·partitions rows per source instead of
+    the whole pool. The pre-prune keeps a superset of every quota cut
+    (order key md5(doc_id)+doc_id is total), so output is identical."""
     docs = load_sf_tables(spark, sf_dir)["documents"]
     src = docs.select("doc_id", (F.col("doc_id") % 3).alias("source"))
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    max_quota = max(_MIX_QUOTAS.values())
+    pre = Window.partitionBy("source", F.spark_partition_id()).orderBy(*order)
+    survivors = (
+        src.withColumn("_prk", F.row_number().over(pre))
+        .where(F.col("_prk") <= max_quota)
+        .drop("_prk")
     )
+    w = Window.partitionBy("source").orderBy(*order)
     quota = F.create_map(
         *[F.lit(x) for kv in _MIX_QUOTAS.items() for x in kv]
     )
     return (
-        src.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        survivors.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= quota[F.col("source")])
         .select("doc_id", "source", "rk")
     )

@@ -329,10 +329,37 @@ def test_weighted_sample_is_shuffle_free_topk(spark):
 
 def test_balanced_sample_partitions_by_label(spark):
     """Per-class downsampling windows over hash(label) — never a
-    single-partition global sort."""
+    single-partition global sort — and runs the two-phase top-K:
+    a (label, partition-id) pre-window prunes map-side via
+    WindowGroupLimit before the global per-label rank (VERDICT r5 #1),
+    so no task sorts a full class at scale."""
     plan = plan_of(spark, "label_balanced_sample")
     assert "hashpartitioning(label" in plan
     assert "SinglePartition" not in plan
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert plan.count("WindowGroupLimit") >= 2  # pre + global phases
+
+
+def test_mixture_corpus_two_phase_topk(spark):
+    """Mixture resampling windows on a 3-value source key — must
+    pre-prune per (source, partition-id) with WindowGroupLimit before
+    the global per-source rank (VERDICT r5 #1)."""
+    plan = plan_of(spark, "mixture_weighted_corpus")
+    assert "SinglePartition" not in plan
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_kmv_sketch_two_phase_topk(spark):
+    """KMV k-th-smallest extraction windows on a ~5-value event_type
+    key — must pre-prune per (event_type, partition-id) with
+    WindowGroupLimit before the global per-type rank, and the exact
+    count must stay a partial/final aggregation (VERDICT r5 #1)."""
+    plan = plan_of(spark, "kmv_distinct_users")
+    assert "SinglePartition" not in plan
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "partial_count" in plan
 
 
 def test_hard_negative_mining_broadcast_and_two_phase_topk(spark):
