@@ -30,6 +30,7 @@ read/write paths are unchanged.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import re
@@ -229,11 +230,6 @@ def _cutoff_ms(older_than: str) -> int:
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
     return int(dt.timestamp() * 1000)
-
-
-def _read_token(path: str) -> bytes:
-    with open(path, "rb") as f:
-        return f.read()
 
 
 def retry_on_conflict(fn, retries: int = 3, backoff_s: float = 0.05):
@@ -637,9 +633,10 @@ class LakeTable:
         return os.path.join(self.root, "_meta", "commit.lock")
 
     def _touch_lock(self) -> None:
-        """Heartbeat for a HELD commit lock: refresh its mtime so a
-        long critical section isn't declared abandoned by waiters
-        (staleness is judged from the lockfile mtime)."""
+        """Heartbeat for a HELD commit lock. With the flock-based mutex
+        crash release is automatic, so this is diagnostics only (the
+        lockfile mtime shows the critical section is alive to humans
+        inspecting _meta); it no longer affects mutual exclusion."""
         try:
             os.utime(self._lock_path)
         except OSError:
@@ -647,79 +644,56 @@ class LakeTable:
 
     @contextmanager
     def _commit_lock(self, timeout_s: float = 15.0, stale_s: float = 60.0):
-        """Advisory commit mutex: O_CREAT|O_EXCL lockfile carrying a
-        unique token, bounded retry, so concurrent writers SERIALIZE
-        instead of one silently overwriting the other's snapshot
-        (last-writer-wins on the read-modify-write of snapshots.json).
+        """Advisory commit mutex, flock-based (r5 advice): concurrent
+        writers SERIALIZE instead of one silently overwriting the
+        other's snapshot (last-writer-wins on the read-modify-write of
+        snapshots.json).
 
-        A lock older than ``stale_s`` is presumed abandoned (crashed
-        writer) and broken — by atomic RENAME plus token verification,
-        never plain remove: the breaker quarantines the lockfile, then
-        re-reads its token; if the quarantined file is NOT the stale
-        lock it observed (a fresh writer re-created the path between
-        stat and rename), the breaker restores it via os.link and
-        retries. Release deletes the lock only while it still carries
-        this holder's token, so a holder whose lock was stolen can
-        never release someone else's. Residual window: between a
-        mistaken rename and its restore (microseconds), a third writer
-        could acquire — the fundamental limit of crash-breaking file
-        locks; a real deployment swaps this for a catalog-service CAS
-        (the docstring contract since round 5)."""
-        token = f"{os.getpid()}:{uuid.uuid4().hex}".encode()
+        The previous O_EXCL-lockfile design needed an mtime staleness
+        heuristic to break crashed holders' locks, which (a) could
+        steal the lock from a LIVE holder stalled past ``stale_s`` and
+        (b) had a rename/restore window in which a third writer could
+        acquire while the original holder still believed it held the
+        lock. ``flock`` removes the whole heuristic: the kernel drops
+        the lock when the holder's fd closes — including on crash — so
+        there is nothing to break and no steal path. The lockfile is
+        NEVER unlinked (unlink+recreate would let two writers hold
+        flocks on different inodes of the same path); holder pid:uuid
+        is written into it purely for diagnostics. ``stale_s`` is kept
+        in the signature for caller compatibility and ignored.
+
+        Scope: same-host mutual exclusion (flock over NFS is
+        unreliable). That matches this catalog's advisory-lock charter;
+        a real multi-host deployment swaps this for a catalog-service
+        CAS (the docstring contract since round 5). Threads in one
+        process are also excluded: each acquisition opens its own fd,
+        and flock excludes between open file descriptions."""
         deadline = time.monotonic() + timeout_s
-        while True:
-            try:
-                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, token)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    st = os.stat(self._lock_path)
-                    if time.time() - st.st_mtime > stale_s:
-                        broken = f"{self._lock_path}.stale.{uuid.uuid4().hex[:8]}"
-                        os.rename(self._lock_path, broken)
-                        try:
-                            # verify the QUARANTINED file itself (its
-                            # mtime is immutable once renamed — a token
-                            # read before the rename could belong to a
-                            # fresh lock created after our staleness
-                            # stat): only a genuinely stale quarantine
-                            # is discarded
-                            if time.time() - os.stat(broken).st_mtime > stale_s:
-                                os.remove(broken)  # truly abandoned
-                            else:
-                                # we quarantined a FRESH lock re-created
-                                # between stat and rename — give it back
-                                # (link fails harmlessly if a new lock
-                                # already took the path)
-                                try:
-                                    os.link(broken, self._lock_path)
-                                except OSError:
-                                    pass
-                                os.remove(broken)
-                        except OSError:
-                            pass
-                        continue
-                except OSError:
-                    continue  # lock vanished between open and stat — retry
-                if time.monotonic() > deadline:
-                    raise CommitConflictError(
-                        f"could not acquire commit lock {self._lock_path} "
-                        f"within {timeout_s}s (held by a concurrent writer?)"
-                    ) from None
-                time.sleep(0.01)
+        fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR, 0o644)
         try:
-            yield
-        finally:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() > deadline:
+                        raise CommitConflictError(
+                            f"could not acquire commit lock {self._lock_path} "
+                            f"within {timeout_s}s (held by a concurrent "
+                            "writer?)"
+                        ) from None
+                    time.sleep(0.01)
             try:
-                # token-guarded release: never delete a lock that is no
-                # longer ours (e.g. stolen by a mistaken stale-break and
-                # since re-acquired by another writer)
-                if _read_token(self._lock_path) == token:
-                    os.remove(self._lock_path)
-            except OSError:
-                pass
+                os.ftruncate(fd, 0)
+                os.write(fd, f"{os.getpid()}:{uuid.uuid4().hex}".encode())
+                yield
+            finally:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_UN)
+                except OSError:
+                    pass
+        finally:
+            os.close(fd)
 
     def _commit(
         self,
@@ -1514,16 +1488,26 @@ class LakeTable:
             return self.orphan_files(grace_seconds)
         return sorted(self._delete_unreferenced(grace_seconds))
 
-    def cleanup_orphans_report(self, dry_run: bool = True) -> dict:
+    def cleanup_orphans_report(
+        self, dry_run: bool = True, grace_seconds: int = 0
+    ) -> dict:
         """Reference-shaped orphan cleanup result (reference
-        catalog.py:2131-2189: found/removed/bytes_reclaimed/files)."""
-        orphans = self.orphan_files()
+        catalog.py:2131-2189: found/removed/bytes_reclaimed/files).
+        ``grace_seconds`` shields files younger than the window from
+        both the listing and the delete (see ``cleanup_orphans``)."""
+        orphans = self.orphan_files(grace_seconds)
         size = sum(
             os.path.getsize(os.path.join(self.root, f))
             for f in orphans
             if os.path.exists(os.path.join(self.root, f))
         )
-        removed = 0 if dry_run else len(self.cleanup_orphans(dry_run=False))
+        removed = (
+            0
+            if dry_run
+            else len(
+                self.cleanup_orphans(dry_run=False, grace_seconds=grace_seconds)
+            )
+        )
         return {
             "orphan_files_found": len(orphans),
             "orphan_files_removed": removed,

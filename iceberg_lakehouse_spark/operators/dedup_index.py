@@ -43,8 +43,30 @@ from ..functions import dedup_text as dt
 _PROPS = ("dedup.k", "dedup.bands", "dedup.ngram")
 
 
+_INTEGRAL = ("byte", "short", "int", "integer", "long", "bigint")
+
+
+def _check_id_type(df: DataFrame, id_col: str) -> None:
+    # The index schema stores ids as long. A string/UUID (or lossy
+    # float/decimal) id column would cast to all-NULL/truncated ids
+    # with no error, silently corrupting the index so every probe
+    # reports every near-dup as novel (r5 advice) — and the MCP server
+    # exposes id_column as a free-form argument. Validate the TYPE
+    # eagerly (no data scan): only integral ids are accepted.
+    dtype = dict(df.dtypes).get(id_col)
+    if dtype is None:
+        raise ValueError(f"id column {id_col!r} not found in batch schema")
+    if dtype not in _INTEGRAL:
+        raise ValueError(
+            f"dedup index requires an integral id column; {id_col!r} is "
+            f"{dtype} (a string/UUID id would cast to NULL and corrupt "
+            "the index — map it to a long id first)"
+        )
+
+
 def _banded(df: DataFrame, id_col: str, text_col: str,
             k: int, bands: int, n: int) -> DataFrame:
+    _check_id_type(df, id_col)
     sigs = dt.minhash_signatures(df, id_col, text_col, k=k, n=n)
     return dt._banded_keys(sigs, id_col, k, bands).select(
         F.col(id_col).cast("long").alias("id"),
@@ -68,6 +90,7 @@ def build_dedup_index(
         # validate BEFORE create_table: failing after would leave a
         # poisoned zero-row index with plausible-looking properties
         raise ValueError(f"bands must divide k (got k={k}, bands={bands})")
+    _check_id_type(df, id_col)
     t = catalog.create_table(
         name,
         [("id", "long"), ("band", "int"), ("band_key", "string")],

@@ -227,6 +227,8 @@ class LakehouseServer:
         )
 
         # -- maintenance ---------------------------------------------------
+        from .governance.policies import _ORPHAN_GRACE_S
+
         self._add(
             _tool("compact", "Compact small files (optionally cluster: "
                   "sort_by = linear range-cluster, zorder_by = bit-"
@@ -253,10 +255,19 @@ class LakehouseServer:
             )(*c.load_table(table).prune_files(filter)),
         )
         self._add(
+            # default grace matches the governance maintenance path
+            # (policies._ORPHAN_GRACE_S): an agent-invoked delete racing
+            # a concurrent writer's materialize-before-commit window
+            # must not remove not-yet-committed files (r5 advice). An
+            # explicit grace_seconds=0 restores immediate semantics.
             _tool("cleanup_orphans", "List/delete unreferenced files",
-                  {"table": _S, "delete": _B}, ["table"]),
-            lambda table, delete=False: c.load_table(
-                table).cleanup_orphans_report(dry_run=not delete),
+                  {"table": _S, "delete": _B, "grace_seconds": _I},
+                  ["table"]),
+            lambda table, delete=False, grace_seconds=None: c.load_table(
+                table).cleanup_orphans_report(
+                    dry_run=not delete,
+                    grace_seconds=_ORPHAN_GRACE_S
+                    if grace_seconds is None else grace_seconds),
         )
         self._add(
             _tool("partition_stats", "Per-partition files + size_bytes "

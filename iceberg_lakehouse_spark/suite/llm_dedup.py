@@ -31,12 +31,12 @@ _SQL_SHINGLES = """
 
 _SQL_CORPUS = """
     corpus AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
         FROM documents
         UNION ALL
         SELECT doc_id + 100000 AS doc_id,
                t2[4:len(t2)] AS toks
-        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t2
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t2
               FROM documents WHERE doc_id < 25)
     ),
     sh AS (
@@ -135,7 +135,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_fingerprints",
     """
     WITH toks AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
         FROM documents
     ),
     sums AS (

@@ -20,7 +20,7 @@ from . import register
     "repetition_scores",
     r"""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
         FROM documents
     ),
     grams AS (

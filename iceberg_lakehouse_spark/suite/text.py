@@ -26,7 +26,7 @@ _EN_STOP = ("the", "a", "of", "and", "to", "in")
            n_chars,
            length(trim(text)) AS measured_chars,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                ELSE length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens
     FROM documents
     """,
     survey_ref="LLM-text: token counting",
@@ -58,8 +58,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                length(trim(text)) AS len,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS toks,
-               len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    ELSE length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS toks,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                                w -> w IN ('the','a','of','and','to','in'))) AS stop_hits
         FROM documents
     )
@@ -106,8 +106,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT doc_id, lang,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS toks,
-               len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    ELSE length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS toks,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                                w -> w IN ('the','a','of','and','to','in'))) AS stop_hits
         FROM documents
     )
@@ -164,7 +164,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT word, cnt FROM (
         SELECT word, COUNT(*) AS cnt
         FROM (
-            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS word
             FROM documents WHERE trim(text) <> ''
         )
         GROUP BY word

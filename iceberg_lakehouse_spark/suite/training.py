@@ -38,12 +38,12 @@ _MAX_SHINGLE_DF = 64
     "ngram_jaccard_pairs",
     """
     WITH corpus AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
         FROM documents
         UNION ALL
         SELECT doc_id + 100000 AS doc_id,
                t2[4:len(t2)] AS toks
-        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t2
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t2
               FROM documents WHERE doc_id < 25)
     ),
     sh AS (
@@ -113,7 +113,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+               unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term
         FROM documents
     ),
     tf AS (
@@ -317,7 +317,7 @@ _CHUNK, _STRIDE = 32, 24  # 32-token windows, 8-token overlap
     "document_chunks",
     rf"""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
         FROM documents WHERE trim(text) <> ''
     ),
     idx AS (
@@ -435,7 +435,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benchmark_decontamination",
     """
     WITH corpus AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
         FROM documents
     ),
     sh AS (
@@ -493,9 +493,9 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                md5(lower(trim(text))) AS fp,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                    ELSE length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
                END AS n_tokens,
-               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
         FROM documents
     ),
     keepers AS (
@@ -647,7 +647,7 @@ _SQL_U48 = "(" + " + ".join(
     WITH t AS (
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                    ELSE length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
                END AS n_tokens,
                {_SQL_U48} AS u48
         FROM documents
@@ -964,7 +964,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram_lm_scores",
     r"""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
         FROM documents WHERE trim(text) <> ''
     ),
     bg AS (
@@ -1205,9 +1205,12 @@ def mixture_weighted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (no lookahead — DuckDB is RE2, Spark is java.util.regex): an optional
 # leading space glued to a letter run, a digit run, or a punctuation
 # run. Whitespace is spelled as an EXPLICIT class, never \s — Java's
-# \s excludes \x0b while RE2's includes it (r5 review: 'a\x0bb'
+# \s INCLUDES \x0b while RE2's EXCLUDES it (r5 review: 'a\x0bb'
 # tokenizes differently across engines under \s), so \s in a
-# hash-compared query is a latent oracle mismatch.
+# hash-compared query is a latent oracle mismatch. The class below is
+# exactly Java's \s set, so Spark-side Java \s is equivalent to it;
+# the DuckDB oracle side must spell it explicitly (r6: every suite
+# oracle's regexp_split now does).
 _WS_CLASS = r"[ \t\n\x0b\f\r]"
 _BPE_RE = rf" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0b\f\r]+"
 
@@ -1263,9 +1266,9 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                md5(lower(trim(text))) AS fp,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                    ELSE length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
                END AS n_tokens,
-               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
         FROM documents
     ),
     keepers AS (

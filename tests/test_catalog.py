@@ -530,27 +530,42 @@ def test_cow_commit_conflict_detected(catalog):
     t.replace_files(keep, replacement)
 
 
-def test_commit_lock_stale_break_and_timeout(catalog):
-    """An abandoned lockfile older than stale_s is broken; a live lock
-    inside the timeout window raises CommitConflictError."""
+def test_commit_lock_crash_release_and_live_holder(catalog):
+    """flock semantics (r5 advice): a crashed writer's lockfile is NOT
+    a lock — acquisition is immediate, no staleness wait — while a
+    LIVE holder (however long it stalls) is never stolen from: waiters
+    get CommitConflictError after their own timeout."""
+    import fcntl
     import os
+    import time
 
     from iceberg_lakehouse_spark.catalog import CommitConflictError
 
     t = catalog.create_table("cc_lock", SCHEMA)
-    # abandoned lock (mtime backdated past stale_s) → broken, commit OK
+    # crashed writer: file exists with a token but nobody holds flock
+    # (kernel released it when the process died) → commit proceeds
+    # without any stale_s wait
     with open(t._lock_path, "w") as f:
-        f.write("dead")
-    os.utime(t._lock_path, (1, 1))
+        f.write("99999999:deadbeef")
+    t0 = time.monotonic()
     crud.insert_rows(t, ROWS[:1])
+    assert time.monotonic() - t0 < 10.0  # no 60s staleness heuristic
     assert t.current_snapshot() is not None
-    # live lock → bounded wait then conflict error
-    with open(t._lock_path, "w") as f:
-        f.write("live")
-    with pytest.raises(CommitConflictError, match="commit lock"):
-        with t._commit_lock(timeout_s=0.2, stale_s=60.0):
-            pass
-    os.remove(t._lock_path)
+    # live holder: hold flock on the path ourselves; a waiter must get
+    # a bounded-timeout conflict, NOT steal the lock — even with a
+    # stale_s it would previously have used to break a stalled holder
+    fd = os.open(t._lock_path, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(CommitConflictError, match="commit lock"):
+            with t._commit_lock(timeout_s=0.2, stale_s=0.01):
+                pass
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    # released → next commit succeeds
+    crud.insert_rows(t, ROWS[1:2])
+    assert t.scan().count() == 2
 
 
 def test_overwrite_cas_guards_compact_and_upsert(catalog):

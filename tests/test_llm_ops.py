@@ -673,6 +673,23 @@ def test_dedup_index_probe_guards_and_gates(spark, tmp_warehouse):
         di.build_dedup_index(cat, "bad_lsh", corpus, "doc_id", "text",
                              k=16, bands=5)
     assert not cat.table_exists("bad_lsh")
+    # r6 (r5 advice): a string/UUID id column would cast to all-NULL
+    # index ids and silently corrupt the index — rejected eagerly, at
+    # build, extend, and probe (the MCP server passes id_column through
+    # as a free-form argument)
+    str_ids = spark.createDataFrame(
+        [("a3f9c1d2", boiler)], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        di.build_dedup_index(cat, "str_lsh", str_ids, "doc_id", "text")
+    assert not cat.table_exists("str_lsh")
+    with pytest.raises(ValueError, match="integral id"):
+        di.extend_dedup_index(idx, str_ids, "doc_id", "text")
+    with pytest.raises(ValueError, match="integral id"):
+        di.probe_dedup_index(idx, str_ids, corpus, "doc_id", "text")
+    with pytest.raises(ValueError, match="not found in batch"):
+        di.build_dedup_index(cat, "no_id_lsh", corpus, "missing_id", "text")
+    assert not cat.table_exists("no_id_lsh")
 
 
 def test_resize_media_real_pixels(spark):
@@ -768,9 +785,11 @@ def test_extract_frames_ppmv_container(spark):
 
 def test_bpe_whitespace_class_handles_vertical_tab(spark):
     """r5 review: the explicit whitespace class treats \\x0b as a
-    separator on the Spark side exactly as RE2 does — 'a\\x0bb' is two
-    words and two BPE pieces, so the oracle pair can't diverge on
-    documents containing vertical tabs (Java's \\s excludes \\x0b)."""
+    separator — 'a\\x0bb' is two words and two BPE pieces. Java's \\s
+    INCLUDES \\x0b while RE2's (DuckDB) EXCLUDES it, so a bare \\s in a
+    hash-compared oracle pair diverges on documents containing vertical
+    tabs; the explicit class (= Java's \\s set) pins both engines to
+    the same split."""
     from iceberg_lakehouse_spark.suite.training import _BPE_RE, _WS_CLASS
 
     df = spark.createDataFrame([("a\x0bb",)], "text string")
@@ -781,3 +800,37 @@ def test_bpe_whitespace_class_handles_vertical_tab(spark):
         ).alias("bpe"),
     ).collect()[0]
     assert (row["ws"], row["bpe"]) == (2, 2)
+
+
+def test_graded_fixtures_have_no_overflow_buckets(spark):
+    """r5 advice: the capped LSH and simhash pair paths emit star edges
+    for buckets over max_bucket, while their DuckDB oracles enumerate
+    ALL in-bucket pairs — the two agree only while no graded bucket
+    overflows. Pin that invariant for the oracle-graded fixture corpora
+    (sf0.001 fast path, sf0.01 driver-graded) so a future fixture or
+    hashing change diverges loudly here instead of as a silent oracle
+    hash mismatch."""
+    from iceberg_lakehouse_spark.suite.llm_dedup import (
+        _BANDS,
+        _K,
+        _corpus_with_mutants,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        corpus = _corpus_with_mutants(spark, sf)
+        sigs = dt.minhash_signatures(corpus, "doc_id", "text", k=_K, n=3)
+        stats = dt.lsh_bucket_stats(sigs, "doc_id", k=_K, bands=_BANDS)
+        assert stats.where("overflow").count() == 0, sf
+        # simhash pigeonhole segments (4 × 16-bit over the 64-bit md5
+        # fingerprint, as simhash_near_dup_pairs runs them)
+        fps = dt.simhash64(corpus, "doc_id", "text", hash_fn="md5")
+        seg_counts = (
+            fps.selectExpr(
+                "explode(array(substring(simhash, 1, 16), "
+                "substring(simhash, 17, 16), substring(simhash, 33, 16), "
+                "substring(simhash, 49, 16))) AS seg_key"
+            )
+            .groupBy("seg_key")
+            .count()
+        )
+        assert seg_counts.where("count > 1024").count() == 0, sf
