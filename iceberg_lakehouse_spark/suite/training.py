@@ -1318,10 +1318,21 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline's yield report — the number a data lead
     reads before training: documents surviving each stage of the
     curated_corpus composition (raw → exact-dedup keepers → id/length
-    band → benchmark-decontaminated). Stage counts are single
-    aggregates over the same relations the capstone query builds; the
-    ORDER BY on the stage ordinal keeps the funnel readable and
-    cross-engine stable."""
+    band → benchmark-decontaminated).
+
+    Single-pass shape (VERDICT r5 #5 — the previous version evaluated
+    the shared pipeline once per stage, 4+ scans): per-doc stage FLAGS
+    are computed in one pipeline and the funnel is one aggregation of
+    conditional counts, so `documents` is scanned exactly twice —
+    once for the doc-level flags (fingerprint window), once for the
+    shingle explosion that decides contamination. The contamination
+    side uses a max-over-shingle window (did ANY bench doc produce
+    this shingle?) instead of the capstone's broadcast-probe join
+    precisely so the bench shingle set needs no third scan; the
+    capstone (curated_corpus) keeps the broadcast probe, which is the
+    better shape when the bench set is reused across queries. Stage
+    rows come from inline() over one aggregated row — order is the
+    array order, deterministic."""
     from pyspark.sql import Window
 
     docs = load_sf_tables(spark, sf_dir)["documents"]
@@ -1332,40 +1343,43 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp"),
         F.when(F.trim("text") == "", 0)
         .otherwise(F.size(t)).cast("bigint").alias("n_tokens"),
-        F.col("text"),
     )
     keeper = F.min("doc_id").over(Window.partitionBy("fp"))
-    keepers = (
-        base.withColumn("_keeper", keeper)
-        .where(F.col("doc_id") == F.col("_keeper"))
-    )
-    lengthed = keepers.where(
-        (F.col("doc_id") >= 50) & F.col("n_tokens").between(20, 1000)
+    flags = base.withColumn("_keeper", keeper).select(
+        "doc_id",
+        (F.col("doc_id") == F.col("_keeper")).alias("is_keeper"),
+        (
+            (F.col("doc_id") == F.col("_keeper"))
+            & (F.col("doc_id") >= 50)
+            & F.col("n_tokens").between(20, 1000)
+        ).alias("in_band"),
     )
     sh = docs.select(
         "doc_id", F.explode(dt.shingles_col("text", n=5)).alias("shingle")
     )
-    bench = sh.where(F.col("doc_id") < 50).select("shingle").distinct()
+    has_bench = F.max(
+        F.when(F.col("doc_id") < 50, 1).otherwise(0)
+    ).over(Window.partitionBy("shingle"))
     contaminated = (
-        sh.where(F.col("doc_id") >= 50)
-        .join(F.broadcast(bench), "shingle")
+        sh.withColumn("_hb", has_bench)
+        .where((F.col("doc_id") >= 50) & (F.col("_hb") == 1))
         .select("doc_id")
         .distinct()
+        .withColumn("_contam", F.lit(True))
     )
-    decontam = lengthed.join(contaminated, "doc_id", "left_anti")
-
-    def _stage(ord_, name, df):
-        return df.agg(
-            F.lit(ord_).alias("ord"),
-            F.lit(name).alias("stage"),
-            F.count("*").cast("bigint").alias("n_docs"),
-        )
-
-    return (
-        _stage(1, "raw", docs)
-        .unionByName(_stage(2, "exact_dedup_keepers", keepers))
-        .unionByName(_stage(3, "training_pool_length_band", lengthed))
-        .unionByName(_stage(4, "decontaminated", decontam))
-        .orderBy("ord")
-        .select("stage", "n_docs")
+    flagged = flags.join(contaminated, "doc_id", "left")
+    row = flagged.agg(
+        F.count("*").alias("raw"),
+        F.count(F.when(F.col("is_keeper"), 1)).alias("keepers"),
+        F.count(F.when(F.col("in_band"), 1)).alias("banded"),
+        F.count(
+            F.when(F.col("in_band") & F.col("_contam").isNull(), 1)
+        ).alias("decon"),
+    )
+    return row.selectExpr(
+        "inline(array("
+        "struct('raw' AS stage, raw AS n_docs), "
+        "struct('exact_dedup_keepers' AS stage, keepers AS n_docs), "
+        "struct('training_pool_length_band' AS stage, banded AS n_docs), "
+        "struct('decontaminated' AS stage, decon AS n_docs)))"
     )

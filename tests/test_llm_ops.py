@@ -834,3 +834,17 @@ def test_graded_fixtures_have_no_overflow_buckets(spark):
             .count()
         )
         assert seg_counts.where("count > 1024").count() == 0, sf
+
+
+def test_connected_components_chain_pointer_halving(spark):
+    """VERDICT r5 #6: pointer halving makes label propagation
+    O(log diameter) — a 101-node chain (diameter 100) must converge
+    within the DEFAULT max_iters budget, which plain one-hop min
+    propagation (O(diameter) rounds) cannot do."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "left_id long, right_id long"
+    )
+    comp = dt.connected_components(edges)  # default max_iters
+    rows = comp.collect()
+    assert len(rows) == 101
+    assert all(r["comp"] == 0 for r in rows)

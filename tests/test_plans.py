@@ -350,6 +350,20 @@ def test_mixture_corpus_two_phase_topk(spark):
     assert plan.count("WindowGroupLimit") >= 2
 
 
+def test_curation_funnel_two_scans_single_agg(spark):
+    """VERDICT r5 #5: the funnel must compute per-doc stage flags in
+    ONE pipeline and aggregate conditional counts — `documents` is
+    scanned exactly twice (doc-level flags + shingle contamination),
+    not once per stage, and there is a single final aggregate feeding
+    the inline() stage expansion."""
+    import re
+
+    plan = plan_of(spark, "curation_funnel")
+    scan_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Scan parquet", plan)}
+    assert len(scan_ids) == 2, f"expected 2 document scans, got {scan_ids}"
+    assert "CartesianProduct" not in plan
+
+
 def test_kmv_sketch_two_phase_topk(spark):
     """KMV k-th-smallest extraction windows on a ~5-value event_type
     key — must pre-prune per (event_type, partition-id) with
