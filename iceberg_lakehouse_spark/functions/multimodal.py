@@ -9,11 +9,12 @@ driver (``_resolve_codec``):
     4×4 grayscale mean-pool as the feature vector; a corrupt blob
     yields NULL dims/features instead of failing the job.
   * Pillow absent (this container) → pure-Python REAL decode for
-    uncompressed formats (binary PPM/PGM, 24-bit BMP — parsers below,
-    no dependency), deterministic fake derived from the content hash
-    for everything else — stable across runs/engines, so pipelines are
-    testable end-to-end; pass ``require_codec=True`` to get the
-    honest ``NotImplementedError`` instead of any fabricated values.
+    binary PPM/PGM, 24-bit BMP, AND non-interlaced 8-bit PNG (zlib is
+    stdlib — parsers below, no dependency), deterministic fake derived
+    from the content hash for everything else (JPEG etc.) — stable
+    across runs/engines, so pipelines are testable end-to-end; pass
+    ``require_codec=True`` to get the honest ``NotImplementedError``
+    instead of any fabricated values.
   * ``codec=`` accepts any picklable ``(content, fmt) -> (h, w,
     channels, features|None)`` callable — resolution happens on the
     driver, so injected codecs ship to executors via cloudpickle.
@@ -32,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -191,12 +193,108 @@ def _parse_bmp(content: bytes):
     return h, w, 3, px
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# IHDR color type → (raw channels per pixel, reported n_channels —
+# matching Pillow's len(getbands()): L=1, RGB=3, palette=1, LA=2,
+# RGBA=4)
+_PNG_TYPES = {0: (1, 1), 2: (3, 3), 3: (1, 1), 4: (2, 2), 6: (4, 4)}
+
+
+def _parse_png(content: bytes):
+    """Dependency-free PNG decoder (VERDICT r5 #3): zlib is stdlib, so
+    a COMPRESSED format runs the real pixel path even without Pillow.
+    Scope: 8-bit depth, non-interlaced, color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters
+    (None/Sub/Up/Average/Paeth). Returns (h, w, n_channels, pixels)
+    with pixels row-major (r, g, b) tuples (alpha dropped — the
+    feature pool is luminance, same as the Pillow tier's convert('L')).
+    Raises ValueError on anything else; chunk CRCs are not validated
+    (a corrupt raster already fails in zlib or length checks)."""
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, meta, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth != 8 or comp != 0 or filt != 0 or interlace != 0
+                    or color not in _PNG_TYPES or w <= 0 or h <= 0):
+                raise ValueError("unsupported PNG variant")
+            meta = (w, h, color)
+        elif ctype == b"PLTE":
+            plte = [tuple(data[i : i + 3]) for i in range(0, len(data) - 2, 3)]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, color = meta
+    if color == 3 and not plte:
+        raise ValueError("palette PNG without PLTE")
+    nch, reported = _PNG_TYPES[color]
+    stride = w * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    px = []
+    prev = bytearray(stride)
+    rpos = 0
+    for _ in range(h):
+        f = raw[rpos]
+        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        rpos += 1 + stride
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        prev = line
+        for cidx in range(w):
+            o = cidx * nch
+            if color == 2 or color == 6:
+                px.append((line[o], line[o + 1], line[o + 2]))
+            elif color == 3:
+                if line[o] >= len(plte):
+                    raise ValueError("palette index out of range")
+                px.append(plte[line[o]])
+            else:  # 0 / 4: grayscale (+alpha dropped)
+                v = line[o]
+                px.append((v, v, v))
+    return h, w, reported, px
+
+
 def _builtin_decode(content: bytes, fmt: str):
-    """Dependency-free REAL decode for uncompressed formats (PPM/PGM by
-    P6/P5 magic, 24-bit BMP by BM magic) — the middle tier between
-    Pillow and the deterministic fake, so the real pixel path executes
-    even where Pillow isn't installed. Returns None when the format
-    isn't one it parses (caller falls through to the next tier);
+    """Dependency-free REAL decode (PPM/PGM by P6/P5 magic, 24-bit BMP
+    by BM magic, 8-bit non-interlaced PNG by its signature) — the
+    middle tier between Pillow and the deterministic fake, so the real
+    pixel path executes even where Pillow isn't installed, including
+    for a COMPRESSED format (PNG via stdlib zlib). Returns None when
+    the format isn't one it parses (caller falls through to the next
+    tier);
     corrupt blobs of a RECOGNIZED format yield the all-None row, same
     contract as the Pillow tier.
 
@@ -205,14 +303,16 @@ def _builtin_decode(content: bytes, fmt: str):
     (min(3, r*4//h), min(3, c*4//w)), and a block with no pixels
     (image narrower than 4) contributes -1.0."""
     magic = content[:2] if content else b""
-    if magic not in (b"P6", b"P5", b"BM"):
+    if magic not in (b"P6", b"P5", b"BM", _PNG_MAGIC[:2]):
         return None
     try:
-        if magic == b"BM":
+        if magic == _PNG_MAGIC[:2]:
+            h, w, channels, px = _parse_png(content)
+        elif magic == b"BM":
             h, w, channels, px = _parse_bmp(content)
         else:
             h, w, channels, px = _parse_pnm(content)
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, struct.error, zlib.error):
         return None, None, None, None
     return h, w, channels, _pool_features(px, h, w)
 
@@ -226,7 +326,7 @@ def _fake_decode(content: bytes, fmt: str):
 
 
 def _builtin_or_fake(content: bytes, fmt: str):
-    """No-Pillow default: real pixel decode for PPM/PGM/BMP via the
+    """No-Pillow default: real pixel decode for PPM/PGM/BMP/PNG via the
     pure-Python parsers, deterministic fake for everything else."""
     out = _builtin_decode(content or b"", fmt)
     if out is None:
@@ -236,7 +336,7 @@ def _builtin_or_fake(content: bytes, fmt: str):
 
 def _resolve_codec(deterministic_fake: bool, require_codec: bool, codec):
     """Driver-time codec choice: explicit codec > forced fake > real
-    PIL when importable > pure-Python PPM/PGM/BMP decode with fake
+    PIL when importable > pure-Python PPM/PGM/BMP/PNG decode with fake
     fallback for other formats (or NotImplementedError when
     ``require_codec`` — the full-format real path needs Pillow)."""
     if codec is not None:

