@@ -209,11 +209,14 @@ def test_multimodal_decode_pipeline(spark):
     if not mm._pil_available():
         with pytest.raises(NotImplementedError, match="Pillow"):
             mm.decode_media(df, require_codec=True)
-        # default resolution falls back to the deterministic fake —
-        # same output as the forced-fake path
+        # default resolution: row 1's blob carries the PNG signature
+        # prefix, so since r6 the builtin tier claims it as a corrupt
+        # PNG → NULL decode (not the fake); the unrecognized-format
+        # rows still fall back to the deterministic fake
         auto = {r["media_id"]: r for r in mm.decode_media(df).collect()}
-        assert auto[1]["features"] == got[1]["features"]
-        assert auto[1]["height"] == got[1]["height"]
+        assert auto[1]["features"] is None and auto[1]["height"] is None
+        assert auto[2]["features"] == got[2]["features"]
+        assert auto[3]["height"] == got[3]["height"]
 
     stats = mm.media_stats(df).collect()
     assert {(r["media_type"], r["format"]) for r in stats} == {
