@@ -1,0 +1,223 @@
+"""Persisted IVF (inverted-file) ANN index: centroids + cell-partitioned
+vector assignments stored in LakeTables so similarity search probes a
+stored index instead of re-running k-means per query (VERDICT r5 #4 —
+the ``ann_ivf_topk`` registry entry previously re-clustered per call;
+this is the build/probe/extend shape proven by ``operators.dedup_index``
+applied to embeddings).
+
+    idx = build_ann_index(catalog, "default.docs_ivf", emb,
+                          "vec_id", "embedding", n_cells=16)
+    top = probe_ann_index(catalog, "default.docs_ivf", query_vec, k=10,
+                          nprobe=4)            # no k-means, no full scan
+    extend_ann_index(catalog, "default.docs_ivf", new_emb,
+                     "vec_id", "embedding")    # incremental assign
+
+Storage layout — two ordinary snapshot tables:
+  * ``<name>``            (id long, cell long, vec array<double>), the
+    inverted lists, PARTITIONED BY cell: a probe's ``cell IN (...)``
+    filter prunes to the probed lists' files at plan time (the
+    catalog's stat-pruned scan), so a probe reads nprobe/n_cells of
+    the index — the IVF contract — instead of the whole corpus.
+  * ``<name>__centroids`` (cell long, vec array<double>), n_cells rows;
+    a probe collects ONLY this table (centroid-sized, not data-sized)
+    to route the query.
+
+Index parameters (n_cells, dim, metric) persist as table properties and
+are validated on every extend/probe, so an index can never be silently
+probed or extended with mismatched geometry; vector dimension is
+checked against the stored ``ivf.dim`` before any append (one count
+action — a single wrong-width vector would otherwise poison cosine
+math with NULLs downstream).
+
+Scale shape: build is the distributed Lloyd refinement from
+``functions.similarity.build_ivf_index`` (assignment map-only over
+broadcast centroid literals; update shuffles n_cells×dim partial sums,
+never vectors); extend is a map-only assign + append (no re-cluster —
+``ann_index_stats`` reports per-cell counts so a caller can rebuild
+when drift skews the lists); probe is a file-pruned scan + exact cosine
++ TakeOrdered top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import LakehouseCatalog, LakeTable
+from ..functions.similarity import _nearest_cell, build_ivf_index, cosine
+from .dedup_index import _check_id_type
+
+_PROPS = ("ivf.n_cells", "ivf.dim", "ivf.metric")
+
+_ASSIGN_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("cell", T.LongType()),
+    T.StructField("vec", T.ArrayType(T.DoubleType())),
+])
+_CENTROID_SCHEMA = T.StructType([
+    T.StructField("cell", T.LongType()),
+    T.StructField("vec", T.ArrayType(T.DoubleType())),
+])
+
+
+def _centroids_name(name: str) -> str:
+    return f"{name}__centroids"
+
+
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    bad = df.where(
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != dim)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} vector(s) are NULL or not {dim}-dimensional — the "
+            "index geometry is fixed at build time"
+        )
+
+
+def build_ann_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    kmeans_iters: int = 3,
+) -> LakeTable:
+    """Cluster the corpus and persist centroids + assignments. Returns
+    the assignments LakeTable (the centroids table rides alongside)."""
+    if n_cells <= 0:
+        raise ValueError(f"n_cells must be positive (got {n_cells})")
+    _check_id_type(df, id_col)
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot build an ANN index over an empty corpus")
+    dim = int(first["d"])
+    _check_dim(df, vec_col, dim)
+    assigned, centroids = build_ivf_index(
+        df, id_col, vec_col, n_cells=n_cells, kmeans_iters=kmeans_iters
+    )
+    props = {
+        "ivf.n_cells": str(n_cells),
+        "ivf.dim": str(dim),
+        "ivf.metric": "cosine",
+    }
+    at = catalog.create_table(
+        name, _ASSIGN_SCHEMA, partition_by=["cell"], properties=props
+    )
+    ct = catalog.create_table(_centroids_name(name), _CENTROID_SCHEMA)
+    spark = df.sparkSession
+    ct.append(
+        spark.createDataFrame(
+            [(int(c["cell"]), [float(x) for x in c["vec"]])
+             for c in centroids],
+            _CENTROID_SCHEMA,
+        )
+    )
+    at.append(
+        assigned.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+    )
+    return at
+
+
+def _load(
+    catalog: LakehouseCatalog, name: str
+) -> tuple[LakeTable, LakeTable, int, int]:
+    at = catalog.load_table(name)
+    props = at.properties()
+    missing = [p for p in _PROPS if p not in props]
+    if missing:
+        raise ValueError(
+            f"table {name} is not an ANN index (missing properties: "
+            f"{missing})"
+        )
+    ct = catalog.load_table(_centroids_name(name))
+    return at, ct, int(props["ivf.n_cells"]), int(props["ivf.dim"])
+
+
+def extend_ann_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> int:
+    """Assign a new batch to the STORED centroids (map-only over
+    broadcast centroid literals) and append. Returns rows added."""
+    at, ct, _, dim = _load(catalog, name)
+    _check_id_type(new_df, id_col)
+    _check_dim(new_df, vec_col, dim)
+    centroids = [
+        {"cell": int(r["cell"]), "vec": [float(x) for x in r["vec"]]}
+        for r in ct.scan().collect()
+    ]
+    rows = new_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _nearest_cell(F.col(vec_col).cast("array<double>"), centroids)
+        .cast("long")
+        .alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).persist()
+    try:
+        n_rows = rows.count()
+        at.append(rows)
+    finally:
+        rows.unpersist()
+    return n_rows
+
+
+def probe_ann_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k (id, cosine_sim) for the query: route via the collected
+    centroids (n_cells rows), file-pruned scan of the probed cells'
+    inverted lists, exact cosine, TakeOrdered top-k."""
+    import math
+
+    at, ct, n_cells, dim = _load(catalog, name)
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"query vector has {len(query_vec)} dims, index has {dim}"
+        )
+    nprobe = max(1, min(nprobe, n_cells))
+
+    def cos_py(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    cents = ct.scan().collect()
+    probe = sorted(
+        cents, key=lambda r: -cos_py([float(x) for x in r["vec"]], query_vec)
+    )[:nprobe]
+    cells = ", ".join(str(int(r["cell"])) for r in probe)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        at.scan(filter=f"cell IN ({cells})")
+        .select("id", F.round(cosine(F.col("vec"), q), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "id")
+        .limit(k)
+    )
+
+
+def ann_index_stats(catalog: LakehouseCatalog, name: str) -> DataFrame:
+    """Per-cell list sizes + a skew marker (cell > 4× the mean list
+    size) — the rebuild signal: extend never re-clusters, so drifted
+    data piles into few cells and probe selectivity degrades."""
+    at, _, n_cells, _ = _load(catalog, name)
+    counts = at.scan().groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    total = at.scan().count()
+    mean = max(total / max(n_cells, 1), 1.0)
+    return counts.withColumn(
+        "skewed", F.col("n_vectors") > 4.0 * F.lit(mean)
+    ).orderBy("cell")

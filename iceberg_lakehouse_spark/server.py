@@ -555,6 +555,66 @@ class LakehouseServer:
             ),
         )
 
+        from .operators import ann_index as _ai
+
+        _VEC = {"type": "array", "items": _N}
+        self._add(
+            _tool("ann_index_build",
+                  "Persist an IVF ANN index (centroids + cell-"
+                  "partitioned vector lists) over a table's embedding "
+                  "column for repeated similarity probes",
+                  {"table": _S, "index_table": _S, "id_column": _S,
+                   "vector_column": _S, "n_cells": _I},
+                  ["table", "index_table", "id_column", "vector_column"]),
+            lambda table, index_table, id_column, vector_column,
+                   n_cells=16: {
+                "index_table": index_table,
+                "rows": _ai.build_ann_index(
+                    c, index_table, c.load_table(table).scan(),
+                    id_column, vector_column, n_cells=n_cells,
+                ).scan().count(),
+                "message": f"ANN index {index_table} built from {table}",
+            },
+        )
+        self._add(
+            _tool("ann_index_probe",
+                  "Top-k most-similar indexed vectors for a query "
+                  "vector (stored-centroid routing + file-pruned "
+                  "cell scan + exact cosine)",
+                  {"index_table": _S, "query_vector": _VEC, "k": _I,
+                   "nprobe": _I},
+                  ["index_table", "query_vector"]),
+            lambda index_table, query_vector, k=10, nprobe=4: rows_of(
+                _ai.probe_ann_index(
+                    c, index_table, [float(v) for v in query_vector],
+                    k=k, nprobe=nprobe,
+                )
+            ),
+        )
+        self._add(
+            _tool("ann_index_extend",
+                  "Assign a new batch's vectors to the stored centroids "
+                  "and append to the index (no re-clustering)",
+                  {"index_table": _S, "batch_table": _S, "id_column": _S,
+                   "vector_column": _S},
+                  ["index_table", "batch_table", "id_column",
+                   "vector_column"]),
+            lambda index_table, batch_table, id_column, vector_column: {
+                "index_table": index_table,
+                "rows_added": _ai.extend_ann_index(
+                    c, index_table, c.load_table(batch_table).scan(),
+                    id_column, vector_column,
+                ),
+            },
+        )
+        self._add(
+            _tool("ann_index_stats",
+                  "Per-cell inverted-list sizes + skew markers (the "
+                  "rebuild signal after many extends)",
+                  {"index_table": _S}, ["index_table"]),
+            lambda index_table: rows_of(_ai.ann_index_stats(c, index_table)),
+        )
+
         # -- dashboard -----------------------------------------------------
         from .governance.advisor import dashboard as dash
         from .governance.audit import AuditLog as _AuditLog

@@ -567,3 +567,51 @@ def test_dedup_index_extend_tool(server):
         "id_column": "doc_id", "text_column": "text",
     })
     assert not is_err and res["rows_added"] == 2 * 4
+
+
+def test_ann_index_tools(server):
+    """r6: build a persisted IVF index over a vector table, probe a
+    query vector, extend with a batch, and read per-cell stats — all
+    through the RPC surface."""
+    # the RPC create_table schema surface has no array type, so seed
+    # the vector table through the server's own catalog directly
+    import math
+
+    from pyspark.sql import types as T
+
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    cat = server.catalog
+    spark = cat.spark
+    rows = [(i, [math.cos(i / 3.0), math.sin(i / 3.0), float(i % 5)])
+            for i in range(40)]
+    t = cat.create_table("mcp_vecs", vec_schema)
+    t.append(spark.createDataFrame(rows, vec_schema))
+    is_err, built, _ = call(server, "ann_index_build", {
+        "table": "mcp_vecs", "index_table": "mcp_ivf",
+        "id_column": "vec_id", "vector_column": "embedding",
+        "n_cells": 4,
+    })
+    assert not is_err and built["rows"] == 40
+    q = rows[7][1]
+    is_err, top, _ = call(server, "ann_index_probe", {
+        "index_table": "mcp_ivf", "query_vector": q, "k": 5, "nprobe": 2,
+    })
+    assert not is_err and top[0]["id"] == 7
+    t2 = cat.create_table("mcp_vecs2", vec_schema)
+    t2.append(spark.createDataFrame(
+        [(100, [v * 1.001 for v in q])], vec_schema))
+    is_err, ext, _ = call(server, "ann_index_extend", {
+        "index_table": "mcp_ivf", "batch_table": "mcp_vecs2",
+        "id_column": "vec_id", "vector_column": "embedding",
+    })
+    assert not is_err and ext["rows_added"] == 1
+    is_err, top2, _ = call(server, "ann_index_probe", {
+        "index_table": "mcp_ivf", "query_vector": q, "k": 2, "nprobe": 2,
+    })
+    assert not is_err and {r["id"] for r in top2} == {7, 100}
+    is_err, st, _ = call(server, "ann_index_stats",
+                         {"index_table": "mcp_ivf"})
+    assert not is_err and sum(r["n_vectors"] for r in st) == 41
