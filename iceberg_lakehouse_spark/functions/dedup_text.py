@@ -327,6 +327,53 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC overlap for candidate pairs: containment(A in B) =
+    |A∩B| / |A| (and the mirror) plus Jaccard. Jaccard alone misses
+    subset duplication — a short document wholly contained in a longer
+    one scores |A|/|B| ≈ 0 Jaccard but 1.0 containment; curation wants
+    those (quote farms, concatenated dumps, boilerplate wrappers).
+    Same melt-join shape as ``jaccard_pairs`` (shingle pipeline
+    evaluated once, arrays travel only for candidate docs); shingle
+    sets are never empty (an empty text contributes one '' shingle),
+    so the ratios are total."""
+    sets = _widen_if_narrow(df).selectExpr(
+        f"`{id_col}` AS _doc", f"{_shingles_sql(text_col, n)} AS sh"
+    )
+    melted = pairs.selectExpr(
+        "left_id", "right_id", "explode(array(left_id, right_id)) AS _doc"
+    )
+    folded = (
+        melted.join(sets, "_doc")
+        .groupBy("left_id", "right_id")
+        .agg(
+            F.expr(
+                "first(CASE WHEN _doc = left_id THEN sh END, true) AS sh_a"
+            ),
+            F.expr(
+                "first(CASE WHEN _doc = right_id THEN sh END, true) AS sh_b"
+            ),
+        )
+        .where(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
+    )
+    return folded.selectExpr(
+        "left_id",
+        "right_id",
+        "cast(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_a)"
+        " AS left_containment",
+        "cast(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_b)"
+        " AS right_containment",
+        "cast(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"
+        " / size(array_union(sh_a, sh_b)) AS jaccard",
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

@@ -1417,3 +1417,226 @@ def ann_index_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=8, kmeans_iters=1,
     )
     return probe_ann_index(cat, "default.emb_ivf", query, k=10, nprobe=3)
+
+
+@register(
+    "containment_near_dup_pairs",
+    "WITH " + _SQL_CORPUS + _SQL_LSH_JPAIRS + """
+    SELECT c.left_id, c.right_id,
+           ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                 / len(sa.sh), 6) AS left_containment,
+           ROUND(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                 / len(sb.sh), 6) AS right_containment
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.left_id
+    JOIN sets sb ON sb.doc_id = c.right_id
+    WHERE GREATEST(
+        CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+            / len(sa.sh),
+        CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+            / len(sb.sh)) >= 0.8
+    """,
+    survey_ref="LLM-dedup: asymmetric containment over LSH candidates "
+    "(subset-duplication detection Jaccard misses)",
+)
+def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplication detection: containment(A in B) = |A∩B|/|A|
+    over the MinHash+LSH candidate pairs. A short document wholly
+    embedded in a longer one (quote farms, concatenation dumps) has
+    near-zero Jaccard but containment ≈ 1 on the short side — the
+    pairs exact-Jaccard dedup keeps and curation wants dropped.
+
+    Scale shape: identical to minhash_near_dup_pairs (bounded LSH
+    candidates, melt-join verify touching candidate docs only); the
+    filter keeps pairs where EITHER side is ≥ 0.8 contained."""
+    corpus = _corpus_with_mutants(spark, sf_dir)
+    sigs = dt.minhash_signatures(corpus, "doc_id", "text", k=_K, n=3)
+    cands = dt.lsh_candidate_pairs(sigs, "doc_id", k=_K, bands=_BANDS)
+    pairs = dt.containment_pairs(corpus, cands, "doc_id", "text", n=3)
+    return (
+        pairs.where(
+            F.greatest("left_containment", "right_containment") >= 0.8
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.round("left_containment", 6).alias("left_containment"),
+            F.round("right_containment", 6).alias("right_containment"),
+        )
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    r"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                            '[ \t\n\x0b\f\r]+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ),
+    prs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, CAST(i AS INT), 2))) AS pair
+        FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM prs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+    survey_ref="LLM-tokenizer: BPE merge-candidate statistics "
+    "(top adjacent-symbol-pair frequencies, the BPE training inner loop)",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer TRAINING: count every adjacent
+    character pair inside words across the corpus and rank — the top
+    pair is the next merge a byte-pair encoder would learn. At 100 TB
+    this is the step tokenizer training actually distributes.
+
+    Scale shape: map-side pair explosion (one expression, no Python),
+    hash aggregation on the pair key (bounded domain: |alphabet|² keys,
+    so map-side partial combine collapses virtually everything before
+    the shuffle), TakeOrdered top-k — the same plan family as
+    word_frequency_topk."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    words = (
+        docs.where(F.trim("text") != "")
+        .select(F.explode(dt.tokens_col("text")).alias("w"))
+        .where(F.length("w") >= 2)
+    )
+    prs = words.selectExpr(
+        "explode(transform(sequence(1, length(w) - 1), "
+        "i -> substring(w, i, 2))) AS pair"
+    )
+    return (
+        prs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "train_val_test_split_counts",
+    """
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE length(regexp_split_to_array(trim(text),
+                                                  '[ \\t\\n\\x0b\\f\\r]+'))
+                END) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT text,
+               CASE WHEN v < 205 THEN 'train'
+                    WHEN v < 230 THEN 'val' ELSE 'test' END AS split
+        FROM (
+            SELECT text,
+                   (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS v
+            FROM documents
+        )
+    )
+    GROUP BY split
+    """,
+    survey_ref="LLM-pipeline: deterministic train/val/test split "
+    "(hash-bucketed ~80/10/10, leakage-free by construction)",
+)
+def train_val_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: the first md5(doc_id) byte buckets each
+    document into train (<205, ~80.1%), val (<230, ~9.8%), or test —
+    membership is a pure function of the id, so re-running the pipeline
+    (or splitting on another machine) can never leak a document across
+    splits, unlike random splits that depend on seed+partitioning.
+    Reported per split: document and token totals, the numbers a
+    training run budgets against.
+
+    Scale shape: map-only hash + classify, then a 3-group partial/final
+    aggregation — one pass, one tiny shuffle."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    t = dt.tokens_col("text")
+    n_tokens = F.when(F.trim("text") == "", 0).otherwise(F.size(t))
+    split = (
+        F.when(v < 205, "train").when(v < 230, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), n_tokens.alias("_nt"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "corpus_overlap_minhash",
+    "WITH toks AS (\n"
+    "        SELECT source, regexp_split_to_array(trim(lower(text)),\n"
+    "                                             '[ \\t\\n\\x0b\\f\\r]+') AS toks\n"
+    "        FROM documents\n"
+    "    ),\n"
+    "    sh AS (\n"
+    "        SELECT source, unnest(" + _SQL_SHINGLES + ") AS shingle FROM toks\n"
+    "    ),\n"
+    "    mins AS (\n"
+    "        SELECT source,\n"
+    + ",\n".join(
+        f"               min(substr(md5('{i // 4}:' || shingle), "
+        f"{1 + 8 * (i % 4)}, 8)) AS h{i}"
+        for i in range(16)
+    )
+    + "\n        FROM sh GROUP BY source\n"
+    "    )\n"
+    "    SELECT a.source AS source_a, b.source AS source_b,\n"
+    "           ROUND(("
+    + " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    + ") / 16.0, 6) AS jaccard_estimate\n"
+    "    FROM mins a JOIN mins b ON a.source < b.source\n",
+    survey_ref="Novel sketch: corpus-level MinHash overlap estimate "
+    "(pairwise Jaccard between sources from k=16 mergeable minima)",
+)
+def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-pair overlap WITHOUT pairwise set intersection: per
+    source, keep the k=16 MinHash minima of its shingle set (a
+    mergeable, constant-size sketch — union of corpora = elementwise
+    min); the Jaccard estimate between two sources is the fraction of
+    hash slots whose minima agree. The pre-mixing diagnostic a data
+    lead reads before combining pools — at 100 TB the sketches are 16
+    strings per corpus while the exact intersection would shuffle every
+    shingle.
+
+    The md5-chunked hashes are bit-identical to the DuckDB oracle, so
+    the sketch VALUES are verified, not just an error bound. Scale
+    shape: shingle explosion → per-source partial/final min aggregation
+    (20 uniform keys, map-side combine collapses to one row per
+    source×partition) → broadcast self-join of 20 sketch rows."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    sh = docs.select(
+        "source", F.explode(dt.shingles_col("text", n=3)).alias("shingle")
+    )
+    aggs = [
+        F.expr(
+            f"min(substring(md5(concat('{i // 4}:', shingle)), "
+            f"{1 + 8 * (i % 4)}, 8)) AS h{i}"
+        )
+        for i in range(16)
+    ]
+    mins = sh.groupBy("source").agg(*aggs)
+    a, b = mins.alias("a"), mins.alias("b")
+    match = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.round(match / 16.0, 6).alias("jaccard_estimate"),
+        )
+    )

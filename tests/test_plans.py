@@ -403,3 +403,33 @@ def test_curated_corpus_single_corpus_shuffle(spark):
     plan = plan_of(spark, "curated_corpus")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_merge_candidates_partial_agg_topk(spark):
+    """BPE pair counting must be map-side pair explosion + partial/final
+    hash aggregation (bounded |alphabet|² key domain) + TakeOrdered —
+    never a global sort of the pair stream."""
+    plan = plan_of(spark, "bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_split_counts_map_only_then_agg(spark):
+    """The hash split is a pure map classify + 3-group aggregation: one
+    exchange (the group-by), no window, no join."""
+    plan = plan_of(spark, "train_val_test_split_counts")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_corpus_overlap_broadcast_sketch_join(spark):
+    """Corpus overlap compares constant-size sketches: per-source mins
+    via partial/final aggregation, then a BROADCAST self-join of the
+    20 sketch rows — the shingle stream itself is never joined."""
+    plan = plan_of(spark, "corpus_overlap_minhash")
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

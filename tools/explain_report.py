@@ -68,8 +68,10 @@ SHOW = [
      "Priority sampling (round 5): map-only integer-exact scoring + "
      "TakeOrderedAndProject — zero Exchange, one pass over the corpus."),
     ("label_balanced_sample",
-     "Per-class balanced downsampling: window over hash(label) — never a "
-     "single-partition sort; cap-K rank in deterministic md5 order."),
+     "Per-class balanced downsampling (round 6): TWO-phase top-K — "
+     "(label, partition-id) pre-window prunes map-side via WindowGroupLimit "
+     "before the global per-label rank, so the ~10-value key never funnels "
+     "the corpus through 10 tasks; identical output, md5-deterministic."),
     ("asof_join_bucketed_purchase_view",
      "Skew-resistant as-of join (round 5): merge window partitioned by "
      "(key, hour bucket) with per-bucket last-right aggregates and a carry "
@@ -84,12 +86,23 @@ SHOW = [
      "→ hash joins → per-doc aggregate; no Window, decimal-exact log-prob "
      "sums keep the result shuffle-order-independent."),
     ("kmv_distinct_users",
-     "KMV distinct sketch: distinct → md5 rank window per group → one "
-     "aggregate; bounded mergeable state (k hashes per group), the shape "
-     "that replaces exact COUNT(DISTINCT) at high key cardinality."),
+     "KMV distinct sketch (round 6 two-phase): distinct → per-(type, "
+     "partition) k-smallest pre-window (WindowGroupLimit) → global rank "
+     "over ≤ k·partitions survivors → join with the exact-count "
+     "aggregation branch; bounded mergeable state, no per-type full sort."),
     ("mixture_weighted_corpus",
-     "Target-mixture resampling: window over hash(source) + quota map "
-     "filter — fixed per-source draws in deterministic hash order."),
+     "Target-mixture resampling (round 6 two-phase): (source, partition-id) "
+     "pre-window caps each partition at max(quota) before the global "
+     "per-source rank + quota map filter — 3-value key, no hot-task sort."),
+    ("curation_funnel",
+     "Curation yield report (round 6 single-pass): per-doc stage flags in "
+     "one pipeline + one conditional-count aggregate + inline() stage "
+     "expansion — documents scanned exactly TWICE (flags + shingle "
+     "contamination window), not once per stage."),
+    ("ann_index_persisted_topk",
+     "Persisted IVF probe (round 6): stored centroids route the query, the "
+     "cell IN (...) filter file-prunes the cell-partitioned index scan, "
+     "exact cosine + TakeOrdered top-k — no k-means per query."),
 ]
 
 
