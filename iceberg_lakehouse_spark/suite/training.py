@@ -1640,3 +1640,263 @@ def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(match / 16.0, 6).alias("jaccard_estimate"),
         )
     )
+
+
+@register(
+    "large_order_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_name, l.l_orderkey,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+    FROM lineitem l
+    JOIN big ON big.l_orderkey = l.l_orderkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_name, l.l_orderkey
+    ORDER BY total_qty DESC, l.l_orderkey LIMIT 100
+    """,
+    survey_ref="Relational breadth: TPC-H Q18 shape "
+    "(IN over a grouped-HAVING subquery -> semi join)",
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose line quantities
+    sum past a threshold, re-joined to name the customer. The IN
+    (SELECT ... GROUP BY ... HAVING) subquery becomes an aggregated
+    key set semi-joined back to the fact — the qualifying-order set is
+    tiny, so AQE broadcasts it and the big side is never re-shuffled
+    for the membership test. Decimal quantity sums keep the threshold
+    and output shuffle-order-independent."""
+    t = load_sf_tables(spark, sf_dir)
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "l_orderkey")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "l_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "big_spender_idle_customers",
+    """
+    WITH t AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                   AS tot,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_custkey, c_name,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+    FROM customer, t
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > tot
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+    survey_ref="Relational breadth: TPC-H Q22 shape "
+    "(scalar aggregate subquery + NOT IN anti join)",
+)
+def big_spender_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global-sales-opportunity): customers with an
+    above-average positive balance and no FINISHED order (every
+    fixture customer has SOME order, so the classic no-order predicate
+    is vacuous; the finished-status variant keeps the Q22 shape with a
+    non-degenerate answer). The scalar
+    AVG subquery is compared multiplication-side (bal x count > total,
+    decimal-exact) so no engine ever divides — cross-engine averages of
+    doubles differ in the last ulp, a silent hash-mismatch source. The
+    NOT IN becomes a broadcast left-anti join on the order keys; the
+    global aggregate broadcasts as a one-row literal join."""
+    t = load_sf_tables(spark, sf_dir)
+    cust, orders = t["customer"], t["orders"]
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    tot = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal).cast("decimal(28,2)").alias("tot"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(tot))
+        .where((bal * F.col("cnt")) > F.col("tot"))
+        .join(
+            orders.where(F.col("o_orderstatus") == "F")
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", bal.cast("double").alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "top_value_parts_global_share",
+    """
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(28,2)) AS val
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(val) AS DECIMAL(38,2)) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS np FROM pv)
+    SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE val * np * 10 > 12 * t
+    ORDER BY part_value DESC, partkey LIMIT 100
+    """,
+    survey_ref="Relational breadth: TPC-H Q11 shape "
+    "(HAVING against a global scalar subquery)",
+)
+def top_value_parts_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose revenue exceeds 1.2x
+    the average per-part share — a scale-free threshold (TPC-H's fixed
+    0.01% fraction empties under fixture growth). The fraction test
+    runs multiplication-side (val x n_parts x 10 > 12 x total,
+    decimal-exact) so no engine ever divides; the global
+    total is a one-row broadcast against the per-part aggregate, so
+    the threshold pass is map-side over the already-aggregated rows —
+    the fact table shuffles exactly once (the part-key aggregation)."""
+    t = load_sf_tables(spark, sf_dir)
+    li = t["lineitem"]
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(price).cast("decimal(28,2)").alias("val"))
+    )
+    tot = pv.agg(
+        F.sum("val").cast("decimal(38,2)").alias("t"),
+        F.count("*").cast("bigint").alias("np"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(F.col("val") * F.col("np") * 10 > F.col("t") * 12)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "suppliers_kept_waiting",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate > TIMESTAMP '1999-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > TIMESTAMP '1999-01-01')
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+    survey_ref="Relational breadth: TPC-H Q21 shape "
+    "(correlated EXISTS + NOT EXISTS self-joins)",
+)
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): on finished
+    multi-supplier orders, count lines that shipped late while every
+    OTHER supplier on the order shipped on time — the supplier solely
+    responsible for the delay. The correlated EXISTS becomes a
+    left-semi self-join on the order key (any other-supplier line) and
+    the NOT EXISTS a left-anti self-join (no other-supplier LATE line);
+    both shuffle on the uniform order key, the same key as the orders
+    join, so AQE coalesces the exchanges rather than re-partitioning."""
+    t = load_sf_tables(spark, sf_dir)
+    li, orders, supp = t["lineitem"], t["orders"], t["supplier"]
+    cutoff = "1999-01-01"
+    late = li.where(F.col("l_shipdate") > cutoff)
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    l1 = (
+        late.join(
+            orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            late["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = l1.join(
+        others,
+        (l1["l_orderkey"] == others["_ok"]) & (l1["l_suppkey"] != others["_sk"]),
+        "left_semi",
+    )
+    l1 = l1.join(
+        late_others,
+        (l1["l_orderkey"] == late_others["_ok"])
+        & (l1["l_suppkey"] != late_others["_sk"]),
+        "left_anti",
+    )
+    return (
+        l1.join(supp, l1["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "event_value_log2_histogram",
+    """
+    SELECT event_type,
+           CAST(length(bin(CAST(floor(value * 100) AS BIGINT))) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE value IS NOT NULL AND value > 0
+    GROUP BY event_type, bucket
+    """,
+    survey_ref="Novel sketch: mergeable log2 value histogram "
+    "(integer-exact buckets, the fixed-size quantile-sketch family)",
+)
+def event_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distribution sketch: per event type, counts in
+    power-of-two value buckets (bucket = bit length of the value in
+    centi-units). Fixed-size state (types x ~15 buckets), merged by
+    adding counts — the shape that replaces exact percentile sorts for
+    monitoring at 100 TB; any quantile is then read off the cumulative
+    histogram with bounded relative error.
+
+    The bucket uses BIN() string length, not floor(log2(x)) — log/ln
+    are libm calls whose last ulp differs across engines, while the
+    binary-digit count of an integer is exact everywhere. One
+    partial/final aggregation over a bounded key domain; map-side
+    combine collapses virtually all rows before the shuffle."""
+    ev = load_sf_tables(spark, sf_dir)["events"]
+    bucket = F.length(
+        F.bin(F.floor(F.col("value") * 100).cast("bigint"))
+    ).cast("bigint")
+    return (
+        ev.where(F.col("value").isNotNull() & (F.col("value") > 0))
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

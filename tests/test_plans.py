@@ -433,3 +433,43 @@ def test_corpus_overlap_broadcast_sketch_join(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_large_order_customers_semi_join_broadcast(spark):
+    """Q18 shape: the HAVING-qualified order-key set is tiny and must
+    reach the fact side as a broadcast (AQE or static), never a
+    cartesian; decimal sums for order-independence."""
+    plan = plan_of(spark, "large_order_customers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_suppliers_kept_waiting_semi_anti_no_cartesian(spark):
+    """Q21 shape: correlated EXISTS/NOT EXISTS become LeftSemi/LeftAnti
+    self-joins on the order key — no cartesian, no nested-loop over the
+    fact table."""
+    plan = plan_of(spark, "suppliers_kept_waiting")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_shapes_broadcast_one_row(spark):
+    """Q11/Q22 shapes: the global aggregate joins as a broadcast
+    one-row relation; thresholds compare multiplication-side in
+    decimals (no division anywhere in the plan's predicates)."""
+    for name in ("top_value_parts_global_share",
+                 "big_spender_idle_customers"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_log2_histogram_single_agg(spark):
+    """The histogram sketch is ONE partial/final aggregation over a
+    bounded key domain — no window, no join, no second shuffle."""
+    plan = plan_of(spark, "event_value_log2_histogram")
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
