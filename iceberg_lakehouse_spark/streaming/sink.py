@@ -118,3 +118,84 @@ def curate_documents_stream(
         checkpoint_dir=checkpoint_dir,
         available_now=available_now,
     )
+
+
+def near_dup_stream_to_table(
+    stream: DataFrame,
+    table: LakeTable,
+    index: LakeTable,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming NEAR-duplicate curation against the whole corpus
+    history — the incremental pipeline the persisted MinHash index
+    exists for (``operators.dedup_index``). Per micro-batch:
+
+      1. new-vs-new: ``dedup_corpus`` over the batch alone (exact +
+         near dedup inside the batch, keeper = smallest id);
+      2. idempotence: ids already landed are dropped (at-least-once
+         upstream replays add nothing);
+      3. new-vs-old: the batch probes the persisted band-key index —
+         the batch's band keys BROADCAST, the index scans map-side,
+         exact Jaccard verifies candidates only — and near-dups of any
+         previously landed document are dropped;
+      4. survivors append to ``table`` and their band keys extend the
+         index, so batch N+1 probes against batch N's survivors
+         without ever re-signaturing the corpus.
+
+    Per-batch cost is bounded by batch size (signatures, probe,
+    verify) plus the pruned index join — never a corpus re-scan for
+    signatures. ``curate_documents_stream`` is the EXACT-dedup twin;
+    this one catches mutated boilerplate and re-crawled pages whose
+    fingerprints differ.
+
+    ``index`` must be a dedup index over ``table``'s current content
+    (``build_dedup_index``), and the stream's columns must match
+    ``table``'s schema."""
+    from ..functions.dedup_text import dedup_corpus
+    from ..operators.dedup_index import (
+        _params,
+        extend_dedup_index,
+        probe_dedup_index,
+    )
+
+    k, bands, n = _params(index)  # fail fast at wiring time, not batch 1
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch.isEmpty():
+            return
+        batch = dedup_corpus(
+            batch, id_col, text_col, k=k, bands=bands, n=n,
+            threshold=threshold,
+        )
+        existing = table.scan().select(id_col)
+        batch = batch.join(existing, id_col, "left_anti")
+        if batch.isEmpty():
+            return
+        pairs = probe_dedup_index(
+            index, batch, table.scan(), id_col, text_col,
+            threshold=threshold,
+        )
+        losers = pairs.select(
+            F.col("right_id").cast("long").alias(id_col)
+        ).distinct()
+        survivors = batch.join(losers, id_col, "left_anti").persist()
+        try:
+            if survivors.isEmpty():
+                return
+            table.append(survivors)
+            extend_dedup_index(index, survivors, id_col, text_col)
+        finally:
+            survivors.unpersist()
+
+    writer = stream.writeStream.foreachBatch(land).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

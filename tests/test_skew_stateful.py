@@ -451,3 +451,84 @@ def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
     key = ("2024-01-01 10:00:00", "click")
     assert key in got, f"10:00 window never emitted: {got}"
     assert got[key] == 2, "late event must be dropped, not counted"
+
+
+class TestNearDupStreamSink:
+    """Streaming near-dup curation against the persisted MinHash index
+    (r6): batch N+1 is deduped against batch N's survivors without
+    re-signaturing the corpus."""
+
+    BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def _corpus_and_index(self, spark, tmp_warehouse):
+        from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+        from iceberg_lakehouse_spark.operators.dedup_index import (
+            build_dedup_index,
+        )
+
+        cat = LakehouseCatalog(spark, tmp_warehouse)
+        t = cat.create_table(
+            "near_corpus", [("doc_id", "long"), ("text", "string")]
+        )
+        t.append(spark.createDataFrame(
+            [(1, self.BASE),
+             (2, "completely different seed content here now")],
+            "doc_id long, text string",
+        ))
+        idx = build_dedup_index(
+            cat, "near_corpus_lsh", t.scan(), "doc_id", "text",
+            k=8, bands=4,
+        )
+        return t, idx
+
+    def test_cross_batch_near_dedup(self, spark, tmp_path, tmp_warehouse):
+        from iceberg_lakehouse_spark.streaming.sink import (
+            near_dup_stream_to_table,
+        )
+
+        t, idx = self._corpus_and_index(spark, tmp_warehouse)
+        # batch: an exact intra-batch dup pair (10, 11), a near-dup of
+        # the INDEXED doc 1 (12), and a genuinely novel doc (13)
+        d = str(tmp_path / "nd_src")
+        rows = [
+            (10, "fresh unique words one two three four five six"),
+            (11, "fresh unique words one two three four five six"),
+            (12, self.BASE.replace("kappa", "lambda")),
+            (13, "another novel document mentioning parquet files"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(d)
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(d)
+        q = near_dup_stream_to_table(
+            stream, t, idx, "doc_id", "text", threshold=0.5,
+            checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(180)
+        landed = sorted(r["doc_id"] for r in t.scan().collect())
+        # 11 lost intra-batch (keeper 10); 12 lost to indexed doc 1
+        assert landed == [1, 2, 10, 13]
+        # the index grew by the survivors' band keys (2 docs × 4 bands)
+        assert idx.scan().count() == 2 * 4 + 2 * 4
+        # replay: at-least-once upstream adds nothing
+        q2 = near_dup_stream_to_table(
+            spark.readStream.schema("doc_id long, text string").parquet(d),
+            t, idx, "doc_id", "text", threshold=0.5,
+            checkpoint_dir=str(tmp_path / "ckpt2"), available_now=True,
+        )
+        q2.awaitTermination(180)
+        assert sorted(r["doc_id"] for r in t.scan().collect()) == [1, 2, 10, 13]
+        # a second batch near-duplicating batch-1 SURVIVOR 10 is dropped
+        # via the extended index — cross-batch near dedup
+        d2 = str(tmp_path / "nd_src2")
+        spark.createDataFrame(
+            [(20, "fresh unique words one two three four five seven")],
+            "doc_id long, text string",
+        ).write.parquet(d2)
+        q3 = near_dup_stream_to_table(
+            spark.readStream.schema("doc_id long, text string").parquet(d2),
+            t, idx, "doc_id", "text", threshold=0.5,
+            checkpoint_dir=str(tmp_path / "ckpt3"), available_now=True,
+        )
+        q3.awaitTermination(180)
+        assert sorted(r["doc_id"] for r in t.scan().collect()) == [1, 2, 10, 13]
