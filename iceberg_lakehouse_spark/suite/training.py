@@ -1900,3 +1900,83 @@ def event_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", bucket.alias("bucket"))
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@register(
+    "embedding_int8_quantization",
+    """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM base
+    ),
+    quant AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                   ELSE CAST(floor(x / scale * 127 + 0.5) AS INT) END) AS q
+        FROM scaled
+    ),
+    recon AS (
+        SELECT vec_id, v, scale,
+               list_transform(q, y -> y * scale / 127) AS r
+        FROM quant
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           ROUND(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[CAST(i AS INT)] - r[CAST(i AS INT)]))), 6)
+               AS max_abs_err,
+           ROUND(list_dot_product(v, r)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(r, r))), 6) AS recon_cosine
+    FROM recon
+    """,
+    survey_ref="LLM-similarity: int8 scalar quantization of embeddings "
+    "(4x compression for 100 TB vector stores, per-vector error report)",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization — the compression a 100 TB embedding
+    store applies before anything else (4x smaller than float32, 8x
+    smaller than the double shuffle representation): per vector,
+    symmetric scale = max |v_i|, q_i = round(v_i/scale x 127) stored as
+    int8, reconstruction q_i x scale / 127. Reported per vector: the
+    scale, the max absolute reconstruction error (bounded by
+    scale/254), and the cosine between original and reconstruction
+    (≈1 — quantized search is near-lossless for cosine retrieval).
+
+    Rounding is spelled floor(x + 0.5), never round(): engines differ
+    on round-half behavior, floor is exact everywhere. All math is
+    per-row array folds (order-deterministic, no shuffle); the whole
+    query is map-only."""
+    from ..functions.similarity import cosine
+
+    emb = load_sf_tables(spark, sf_dir)["embeddings"]
+    quant = (
+        emb.selectExpr(
+            "vec_id", "cast(embedding AS array<double>) AS v"
+        )
+        .selectExpr(
+            "vec_id", "v",
+            "array_max(transform(v, x -> abs(x))) AS scale",
+        )
+        .selectExpr(
+            "vec_id", "v", "scale",
+            "transform(v, x -> CASE WHEN scale = 0 THEN 0 "
+            "ELSE cast(floor(x / scale * 127 + 0.5) AS INT) END) AS q",
+        )
+        .selectExpr(
+            "vec_id", "v", "scale",
+            "transform(q, y -> y * scale / 127) AS r",
+        )
+    )
+    return quant.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(
+            F.expr("array_max(zip_with(v, r, (a, b) -> abs(a - b)))"), 6
+        ).alias("max_abs_err"),
+        F.round(cosine(F.col("v"), F.col("r")), 6).alias("recon_cosine"),
+    )

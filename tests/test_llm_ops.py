@@ -1056,3 +1056,39 @@ def test_ann_index_guards(spark, tmp_warehouse):
     empty = ok.where("vec_id < 0")
     with pytest.raises(ValueError, match="empty corpus"):
         ai.build_ann_index(cat, "e_ivf", empty, "vec_id", "embedding")
+
+
+def test_int8_quantization_error_bound(spark, emb):
+    """Symmetric int8 quantization: reconstruction error is bounded by
+    scale/254 (half a quantization step), endpoints are exact, and the
+    reconstruction cosine stays ≈ 1 for real embeddings."""
+    from iceberg_lakehouse_spark.suite.training import (
+        embedding_int8_quantization,
+    )
+
+    rows = embedding_int8_quantization(spark, SF).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        # both fields are ROUNDed to 6dp, so allow rounding slop
+        assert r["max_abs_err"] <= r["scale"] / 254 + 1e-6, r
+        assert r["recon_cosine"] >= 0.999, r
+    # hand-checked vector: scale 2.0, v = [2.0, -1.0, 0.5] →
+    # q = [127, -63, 32] (floor(x/scale*127 + .5)) → recon errors
+    # [0, 1/127 - 0 ... ] — endpoint exact, interior ≤ scale/254
+    df = spark.createDataFrame(
+        [(1, [2.0, -1.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    import iceberg_lakehouse_spark.suite.training as tr
+    import iceberg_lakehouse_spark.session as sess
+    orig = sess.load_sf_tables
+    try:
+        sess_tables = {"embeddings": df}
+        tr.load_sf_tables = lambda s, d: sess_tables
+        row = embedding_int8_quantization(spark, SF).collect()[0]
+    finally:
+        tr.load_sf_tables = orig
+    assert row["scale"] == 2.0
+    # q = [127, -63, 32]; recon = [2.0, -0.992126, 0.503937]
+    assert row["max_abs_err"] == pytest.approx(
+        max(abs(-1.0 + 63 * 2.0 / 127), abs(0.5 - 32 * 2.0 / 127)), abs=1e-6
+    )
