@@ -501,6 +501,28 @@ class LakehouseServer:
                    "threshold": _N}, ["table", "id_column", "text_column"]),
             _dedup_corpus_summary,
         )
+        self._add(
+            _tool("containment_pairs",
+                  "Asymmetric containment (|A∩B|/|A|) over MinHash+LSH "
+                  "candidates — subset duplication Jaccard misses "
+                  "(quote farms, concatenated dumps)",
+                  {"table": _S, "id_column": _S, "text_column": _S,
+                   "threshold": _N},
+                  ["table", "id_column", "text_column"]),
+            lambda table, id_column, text_column, threshold=0.8: rows_of(
+                (lambda src: dt.containment_pairs(
+                    src,
+                    dt.lsh_candidate_pairs(
+                        dt.minhash_signatures(src, id_column, text_column),
+                        id_column,
+                    ),
+                    id_column, text_column,
+                ).where(
+                    f"greatest(left_containment, right_containment) "
+                    f">= {float(threshold)}"
+                ))(c.load_table(table).scan())
+            ),
+        )
         from .operators import dedup_index as _di
 
         self._add(

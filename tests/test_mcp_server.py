@@ -615,3 +615,32 @@ def test_ann_index_tools(server):
     is_err, st, _ = call(server, "ann_index_stats",
                          {"index_table": "mcp_ivf"})
     assert not is_err and sum(r["n_vectors"] for r in st) == 41
+
+
+def test_containment_pairs_tool(server):
+    """r6: subset-duplication detection through the RPC surface — a
+    short doc wholly contained in a longer one scores low Jaccard but
+    containment 1.0 on its side."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + (" filler" + " more words of padding content") * 3
+    call(server, "create_table", {
+        "table": "contain_t",
+        "schema": [["doc_id", "long"], ["text", "string"]],
+    })
+    call(server, "insert", {
+        "table": "contain_t",
+        "rows": [{"doc_id": 1, "text": short},
+                 {"doc_id": 2, "text": long_},
+                 {"doc_id": 3, "text": "entirely unrelated other content"}],
+    })
+    is_err, pairs, _ = call(server, "containment_pairs", {
+        "table": "contain_t", "id_column": "doc_id",
+        "text_column": "text", "threshold": 0.8,
+    })
+    assert not is_err
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    if got:  # LSH candidates are probabilistic at k=16 on tiny docs
+        assert got == {(1, 2)}
+        row = pairs[0]
+        assert row["left_containment"] >= 0.8
+        assert row["jaccard"] < row["left_containment"]
