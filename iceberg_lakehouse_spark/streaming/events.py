@@ -129,3 +129,42 @@ def session_window_rollup(
             "total_value",
         )
     )
+
+
+def correlate_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM interval join — the attribution query (view →
+    purchase within N minutes, impression → click, …) as Spark's
+    canonical watermarked stream-stream inner join: equality on the
+    key plus a time-bound range condition. Both sides carry a
+    watermark, so the join state store holds only rows newer than
+    (watermark + interval) — bounded memory at any scale; without the
+    time bound Spark would rightly refuse to run it unbounded.
+
+    Returns one row per (left event, right event within [left.ts,
+    left.ts + within]): key, both event types, both timestamps, and
+    the lag in seconds. Column names assume the events schema
+    (event_id/ts/event_type/value)."""
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.ts >= l.ts "
+        f"AND r.ts <= l.ts + INTERVAL {within}"
+    )
+    return lw.join(rw, cond).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("l.event_type").alias("left_type"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("r.event_type").alias("right_type"),
+        F.col("r.ts").alias("right_ts"),
+        (F.unix_timestamp("r.ts") - F.unix_timestamp("l.ts")).alias(
+            "lag_seconds"
+        ),
+    )

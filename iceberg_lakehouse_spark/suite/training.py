@@ -1980,3 +1980,87 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_abs_err"),
         F.round(cosine(F.col("v"), F.col("r")), 6).alias("recon_cosine"),
     )
+
+
+@register(
+    "kmv_union_distinct",
+    f"""
+    WITH d AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (
+        SELECT DISTINCT event_type, {_SQL_KMV_U} AS u FROM d
+    ),
+    ranked AS (
+        SELECT event_type, u,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rk
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type, list(u ORDER BY u) AS mins
+        FROM ranked WHERE rk <= {_KMV_K} GROUP BY event_type
+    ),
+    merged AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               list_sort(list_distinct(list_concat(a.mins, b.mins))) AS md
+        FROM sk a JOIN sk b ON a.event_type < b.event_type
+    )
+    SELECT type_a, type_b,
+           ROUND(CASE WHEN len(md) < {_KMV_K} THEN CAST(len(md) AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) / md[{_KMV_K}] END, 6)
+               AS union_estimate
+    FROM merged
+    """,
+    survey_ref="Novel sketch: KMV sketch UNION — distinct users across "
+    "event-type pairs merged from per-type sketches, no re-scan",
+)
+def kmv_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability claim of ``kmv_distinct_users`` made concrete:
+    distinct-user estimates for every PAIR of event types computed by
+    merging the per-type k-minimum-values sketches (k smallest of the
+    union of two min-sets = the union's sketch) — never re-scanning
+    events per pair. At 100 TB this is the whole point of the sketch:
+    pairwise (or n-way) unions come from 64-value arrays, while exact
+    pairwise distinct counts would need a join or re-aggregation per
+    pair. Deterministic md5 hashing makes the merged estimates
+    bit-identical to the DuckDB oracle.
+
+    Scale shape: the per-type sketch uses the same two-phase
+    (type, partition-id) pre-prune as kmv_distinct_users, then gathers
+    at most k=64 DISTINCT hash values per type (bounded array by
+    construction); the pair join is 5 sketch rows, broadcast."""
+    ev = load_sf_tables(spark, sf_dir)["events"]
+    d = ev.select("event_type", "user_id").distinct()
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        / float(1 << 48)
+    )
+    hashed = d.select("event_type", u.alias("u")).distinct()
+    pre = Window.partitionBy("event_type", F.spark_partition_id()).orderBy("u")
+    survivors = (
+        hashed.withColumn("_prk", F.row_number().over(pre))
+        .where(F.col("_prk") <= _KMV_K)
+        .drop("_prk")
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    sk = (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.expr("array_sort(collect_set(u)) AS mins"))
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    md = F.expr("array_sort(array_distinct(concat(a.mins, b.mins)))")
+    est = F.when(
+        F.size(md) < _KMV_K, F.size(md).cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) / F.element_at(md, _KMV_K))
+    return (
+        a.join(F.broadcast(b), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.round(est, 6).alias("union_estimate"),
+        )
+    )

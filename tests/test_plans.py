@@ -473,3 +473,16 @@ def test_log2_histogram_single_agg(spark):
     assert "partial_count" in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_kmv_union_bounded_sketch_join(spark):
+    """Sketch-union query: per-type sketches come from the two-phase
+    pre-prune (WindowGroupLimit), the gather is bounded (rank-filtered
+    before collect), and the pair join is a broadcast of sketch rows —
+    no pairwise re-aggregation of events."""
+    plan = plan_of(spark, "kmv_union_distinct")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan

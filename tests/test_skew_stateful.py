@@ -532,3 +532,43 @@ class TestNearDupStreamSink:
         )
         q3.awaitTermination(180)
         assert sorted(r["doc_id"] for r in t.scan().collect()) == [1, 2, 10, 13]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: a purchase attributes
+    to every click by the same user within the preceding 30 minutes;
+    out-of-window and cross-user purchases attribute to nothing."""
+    from iceberg_lakehouse_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        correlate_event_streams,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    spark.createDataFrame([
+        (1, at(0), 1, "click", 0.0, "{}"),
+        (2, at(5), 1, "click", 0.0, "{}"),
+        (3, at(0), 2, "click", 0.0, "{}"),
+    ], EVENTS_SCHEMA).write.parquet(clicks_dir)
+    spark.createDataFrame([
+        (10, at(20), 1, "purchase", 9.0, "{}"),   # within 30m of both clicks
+        (11, at(50), 2, "purchase", 5.0, "{}"),   # 50m after click 3 — out
+    ], EVENTS_SCHEMA).write.parquet(buys_dir)
+    joined = correlate_event_streams(
+        read_event_stream(spark, clicks_dir),
+        read_event_stream(spark, buys_dir),
+        within="30 minutes",
+    )
+    run_to_memory_sink(joined, "attributed")
+    got = {
+        (r["left_event_id"], r["right_event_id"], r["lag_seconds"])
+        for r in spark.table("attributed").collect()
+    }
+    assert got == {(1, 10, 1200), (2, 10, 900)}
