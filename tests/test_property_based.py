@@ -504,3 +504,67 @@ def test_wav_parser_never_raises_unexpected(blob):
         assert all(-1.0 <= s <= 1.0 for s in samples)
     except (ValueError, IndexError, _s.error):
         pass
+
+
+# ------------------------------------------------- PNG decoder (r6)
+
+
+@given(
+    st.integers(min_value=1, max_value=9),   # width
+    st.integers(min_value=1, max_value=9),   # height
+    st.sampled_from([0, 2, 6]),              # gray / RGB / RGBA
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_random_pixels_and_filters(w, h, color, data):
+    """Any 8-bit image encoded with ANY per-row filter choice decodes
+    to exactly the source pixels — the scanline filter reconstruction
+    (Sub/Up/Average/Paeth) is the error-prone part of a PNG reader and
+    a single off-by-one survives spot tests with gradient images."""
+    from iceberg_lakehouse_spark.functions.multimodal import _parse_png
+    from tests.test_llm_ops import _png_bytes
+
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    px = [
+        tuple(
+            data.draw(st.integers(min_value=0, max_value=255))
+            for _ in range(nch)
+        )
+        if nch > 1
+        else data.draw(st.integers(min_value=0, max_value=255))
+        for _ in range(w * h)
+    ]
+    filters = [
+        data.draw(st.integers(min_value=0, max_value=4)) for _ in range(h)
+    ]
+    blob = _png_bytes(w, h, px, color=color, filters=filters)
+    gh, gw, gch, got = _parse_png(blob)
+    assert (gh, gw) == (h, w)
+    expect = []
+    for v in px:
+        if color == 0:
+            expect.append((v, v, v))
+        else:
+            expect.append(tuple(v[:3]))
+    assert got == expect, f"filters={filters}"
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_png_parser_never_crashes_on_garbage(blob):
+    """Garbage prefixed with the PNG signature must raise ValueError
+    (mapped to the NULL-row contract upstream), never escape with a
+    different exception type or hang."""
+    import zlib
+
+    from iceberg_lakehouse_spark.functions.multimodal import (
+        _PNG_MAGIC,
+        _parse_png,
+    )
+
+    import struct
+
+    try:
+        _parse_png(_PNG_MAGIC + blob)
+    except (ValueError, zlib.error, IndexError, struct.error):
+        pass
