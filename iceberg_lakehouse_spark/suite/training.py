@@ -1320,19 +1320,19 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated_corpus composition (raw → exact-dedup keepers → id/length
     band → benchmark-decontaminated).
 
-    Single-pass shape (VERDICT r5 #5 — the previous version evaluated
-    the shared pipeline once per stage, 4+ scans): per-doc stage FLAGS
-    are computed in one pipeline and the funnel is one aggregation of
-    conditional counts, so `documents` is scanned exactly twice —
-    once for the doc-level flags (fingerprint window), once for the
-    shingle explosion that decides contamination. The contamination
-    side uses a max-over-shingle window (did ANY bench doc produce
-    this shingle?) instead of the capstone's broadcast-probe join
-    precisely so the bench shingle set needs no third scan; the
-    capstone (curated_corpus) keeps the broadcast probe, which is the
-    better shape when the bench set is reused across queries. Stage
-    rows come from inline() over one aggregated row — order is the
-    array order, deterministic."""
+    Single-pass flags (VERDICT r5 #5), broadcast-probe contamination
+    (VERDICT r6 #1): per-doc stage FLAGS are computed in one pipeline
+    and the funnel is one aggregation of conditional counts. The
+    contamination side mirrors the capstone's (curated_corpus) shape:
+    the benchmark shingle set comes from a `doc_id < 50` stats-pruned
+    scan (near-zero I/O — min/max doc_id stats skip almost every
+    file), is broadcast, and training-doc shingles probe it with a
+    map-side LEFT SEMI join. The previous max-over-shingle window
+    saved that third scan but shuffled the ENTIRE shingle explosion
+    partitioned by the raw Zipfian shingle key — a hot boilerplate
+    5-gram becomes one giant sort group on one task at 100× scale.
+    Stage rows come from inline() over one aggregated row — order is
+    the array order, deterministic."""
     from pyspark.sql import Window
 
     docs = load_sf_tables(spark, sf_dir)["documents"]
@@ -1357,12 +1357,14 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(dt.shingles_col("text", n=5)).alias("shingle")
     )
-    has_bench = F.max(
-        F.when(F.col("doc_id") < 50, 1).otherwise(0)
-    ).over(Window.partitionBy("shingle"))
+    bench = (
+        docs.where(F.col("doc_id") < 50)
+        .select(F.explode(dt.shingles_col("text", n=5)).alias("shingle"))
+        .distinct()
+    )
     contaminated = (
-        sh.withColumn("_hb", has_bench)
-        .where((F.col("doc_id") >= 50) & (F.col("_hb") == 1))
+        sh.where(F.col("doc_id") >= 50)
+        .join(F.broadcast(bench), "shingle", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("_contam", F.lit(True))

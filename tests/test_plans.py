@@ -350,17 +350,28 @@ def test_mixture_corpus_two_phase_topk(spark):
     assert plan.count("WindowGroupLimit") >= 2
 
 
-def test_curation_funnel_two_scans_single_agg(spark):
-    """VERDICT r5 #5: the funnel must compute per-doc stage flags in
-    ONE pipeline and aggregate conditional counts — `documents` is
-    scanned exactly twice (doc-level flags + shingle contamination),
-    not once per stage, and there is a single final aggregate feeding
-    the inline() stage expansion."""
+def test_curation_funnel_broadcast_probe_single_agg(spark):
+    """VERDICT r5 #5 + r6 #1: the funnel computes per-doc stage flags
+    in ONE pipeline and aggregates conditional counts; contamination
+    must use the capstone's broadcast-probe shape — the bench shingle
+    set from a stats-pruned `doc_id < 50` scan, broadcast, probed via
+    LEFT SEMI join — NOT a Window over the raw Zipfian shingle key
+    (a hot boilerplate 5-gram would pile the whole explosion onto one
+    task). The only Window allowed is the fingerprint-keeper one.
+    Scans = 3 (flags + training shingles + near-empty bench scan)."""
     import re
 
     plan = plan_of(spark, "curation_funnel")
     scan_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Scan parquet", plan)}
-    assert len(scan_ids) == 2, f"expected 2 document scans, got {scan_ids}"
+    assert len(scan_ids) == 3, f"expected 3 document scans, got {scan_ids}"
+    # bench scan is stats-pruned; training shingles pushed doc_id >= 50
+    assert "LessThan(doc_id,50)" in plan
+    assert "GreaterThanOrEqual(doc_id,50)" in plan
+    assert re.search(r"BroadcastHashJoin LeftSemi", plan)
+    # exactly one Window node (min-doc_id keeper over fp), none on shingle
+    windows = re.findall(r"\(\d+\) Window\n", plan)
+    assert len(windows) == 1, f"expected 1 Window, got {len(windows)}"
+    assert not re.search(r"windowspecdefinition\(shingle", plan)
     assert "CartesianProduct" not in plan
 
 
