@@ -47,8 +47,31 @@ def _widen_if_narrow(df: DataFrame) -> DataFrame:
 # identical — only the construction path changes.
 
 
+def _check_cols(df: DataFrame, *names: str) -> None:
+    """Validate caller-supplied column names (they arrive free-form via
+    MCP tool args) against the actual schema BEFORE interpolating them
+    into F.expr SQL strings: an unknown name — including an injection
+    attempt like "x`) = 1 OR (`y" — fails with a clean column-not-found
+    error instead of a confusing parse error (ADVICE r6). ``_qname``
+    still escapes embedded backticks as defense in depth."""
+    for name in names:
+        if name not in df.columns:
+            raise ValueError(
+                f"column {name!r} not found; available: {df.columns}"
+            )
+
+
+def _qname(name: str) -> str:
+    """Quote an identifier for interpolation into an F.expr/selectExpr
+    SQL string. Column names arrive free-form via MCP tool args
+    (id_column/text_column): doubling embedded backticks keeps a name
+    containing a backtick a quoted identifier instead of letting it
+    break out of the quoting and inject arbitrary SQL (ADVICE r6)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _tokens_sql(name: str) -> str:
-    return f"split(trim(lower(`{name}`)), '\\\\s+')"
+    return f"split(trim(lower({_qname(name)})), '\\\\s+')"
 
 
 def tokens_col(text: F.Column | str) -> F.Column:
@@ -109,6 +132,7 @@ def shingle_candidate_pairs(
     which computes Jaccard over the FULL shingle sets — the df cap
     affects which pairs are proposed, never the similarity value.
     """
+    _check_cols(df, id_col, text_col)
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
     )
@@ -152,9 +176,10 @@ def minhash_signatures(
     hex == numeric min). 4x less digest CPU than one md5 per hash, and
     the signature shrinks from 32 to 8 chars per column (4x smaller
     shuffle + band keys)."""
+    _check_cols(df, id_col, text_col)
     df = _widen_if_narrow(df)
     exploded = df.selectExpr(
-        f"`{id_col}`", f"explode({_shingles_sql(text_col, n)}) AS shingle"
+        f"{_qname(id_col)}", f"explode({_shingles_sql(text_col, n)}) AS shingle"
     )
     aggs = [
         F.expr(
@@ -188,7 +213,7 @@ def _banded_keys(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
         )
         for b in range(bands)
     )
-    return sigs.selectExpr(f"`{id_col}`", f"inline(array({structs}))")
+    return sigs.selectExpr(f"{_qname(id_col)}", f"inline(array({structs}))")
 
 
 def lsh_candidate_pairs(
@@ -250,7 +275,7 @@ def lsh_candidate_pairs(
     buckets = (
         sized.where(F.col("_n") <= max_bucket)
         .groupBy("band", "band_key")
-        .agg(F.expr(f"array_sort(collect_set(`{id_col}`)) AS _ids"))
+        .agg(F.expr(f"array_sort(collect_set({_qname(id_col)})) AS _ids"))
     )
     small = buckets.selectExpr(
         "inline(flatten(transform(_ids, (x, i) -> transform("
@@ -299,8 +324,9 @@ def jaccard_pairs(
     joins would evaluate the shingle pipeline twice — Spark doesn't
     cache common subtrees), then folds back per pair. Shingle arrays
     still travel only for candidate docs."""
+    _check_cols(df, id_col, text_col)
     sets = _widen_if_narrow(df).selectExpr(
-        f"`{id_col}` AS _doc", f"{_shingles_sql(text_col, n)} AS sh"
+        f"{_qname(id_col)} AS _doc", f"{_shingles_sql(text_col, n)} AS sh"
     )
     melted = pairs.selectExpr(
         "left_id", "right_id", "explode(array(left_id, right_id)) AS _doc"
@@ -343,8 +369,9 @@ def containment_pairs(
     evaluated once, arrays travel only for candidate docs); shingle
     sets are never empty (an empty text contributes one '' shingle),
     so the ratios are total."""
+    _check_cols(df, id_col, text_col)
     sets = _widen_if_narrow(df).selectExpr(
-        f"`{id_col}` AS _doc", f"{_shingles_sql(text_col, n)} AS sh"
+        f"{_qname(id_col)} AS _doc", f"{_shingles_sql(text_col, n)} AS sh"
     )
     melted = pairs.selectExpr(
         "left_id", "right_id", "explode(array(left_id, right_id)) AS _doc"
@@ -429,6 +456,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token votes ±1 by whether md5(token)[p] ≥ '8'; fingerprint is the
     16-char sign bitstring. Engine-portable (identical in the DuckDB
     oracle); a production variant widens to xxhash64 bits."""
+    _check_cols(df, id_col, text_col)
     df = _widen_if_narrow(df)
     # map-only single pass: fold the row's token hashes into a 16-slot
     # vote array — no explode/groupBy/shuffle (cf. minhash_signatures)
@@ -440,7 +468,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "(a, b) -> a + b))"
     )
     return df.selectExpr(
-        f"`{id_col}`",
+        f"{_qname(id_col)}",
         f"concat_ws('', transform({votes}, "
         "v -> CASE WHEN v > 0 THEN '1' ELSE '0' END)) AS simhash",
     )
@@ -470,6 +498,7 @@ def simhash64(
         )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|md5)")
+    _check_cols(df, id_col, text_col)
     df = _widen_if_narrow(df)
     votes = (
         f"aggregate({hashes}, array_repeat(0, 64), "
@@ -478,7 +507,7 @@ def simhash64(
         "(a, b) -> a + b))"
     )
     return df.selectExpr(
-        f"`{id_col}`",
+        f"{_qname(id_col)}",
         f"concat_ws('', transform({votes}, "
         "v -> CASE WHEN v > 0 THEN '1' ELSE '0' END)) AS simhash",
     )
@@ -514,7 +543,7 @@ def simhash_hamming_pairs(
         for s in range(segs)
     )
     banded = fingerprints.selectExpr(
-        f"`{id_col}`", "simhash", f"inline(array({seg_structs}))"
+        f"{_qname(id_col)}", "simhash", f"inline(array({seg_structs}))"
     )
     wn = Window.partitionBy("seg", "seg_key")
     sized = banded.select(
@@ -535,7 +564,7 @@ def simhash_hamming_pairs(
         .agg(
             F.expr(
                 "array_sort(collect_set("
-                f"struct(`{id_col}` AS id, simhash))) AS _m"
+                f"struct({_qname(id_col)} AS id, simhash))) AS _m"
             )
         )
     )
@@ -562,7 +591,7 @@ def simhash_hamming_pairs(
         )
         .selectExpr(
             "_mn AS left_id",
-            f"`{id_col}` AS right_id",
+            f"{_qname(id_col)} AS right_id",
             f"{_hamming_sql('_mn_sim', 'simhash')} AS hamming",
         )
     )

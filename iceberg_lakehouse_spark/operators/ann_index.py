@@ -90,9 +90,19 @@ def build_ann_index(
     if n_cells <= 0:
         raise ValueError(f"n_cells must be positive (got {n_cells})")
     _check_id_type(df, id_col)
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    # first NON-NULL vector: size(NULL) is NULL, so deriving dim from
+    # an arbitrary first row would raise TypeError (or -1 under legacy
+    # sizeOfNull) when that row's vector is missing (ADVICE r6)
+    first = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     if first is None:
-        raise ValueError("cannot build an ANN index over an empty corpus")
+        raise ValueError(
+            "cannot build an ANN index: corpus is empty or every "
+            f"{vec_col} is NULL"
+        )
     dim = int(first["d"])
     _check_dim(df, vec_col, dim)
     assigned, centroids = build_ivf_index(

@@ -150,10 +150,19 @@ def correlate_event_streams(
     left.ts + within]): key, both event types, both timestamps, and
     the lag in seconds. Column names assume the events schema
     (event_id/ts/event_type/value)."""
+    if key not in left.columns or key not in right.columns:
+        # key arrives free-form via MCP tool args: fail with a clean
+        # "column not found" instead of interpolating an arbitrary
+        # string into the join-condition SQL (ADVICE r6)
+        raise ValueError(
+            f"join key {key!r} not present in both streams "
+            f"(left: {left.columns}, right: {right.columns})"
+        )
+    q = "`" + key.replace("`", "``") + "`"
     lw = left.withWatermark("ts", watermark).alias("l")
     rw = right.withWatermark("ts", watermark).alias("r")
     cond = F.expr(
-        f"l.{key} = r.{key} AND r.ts >= l.ts "
+        f"l.{q} = r.{q} AND r.ts >= l.ts "
         f"AND r.ts <= l.ts + INTERVAL {within}"
     )
     return lw.join(rw, cond).select(

@@ -142,9 +142,12 @@ def near_dup_stream_to_table(
          the batch's band keys BROADCAST, the index scans map-side,
          exact Jaccard verifies candidates only — and near-dups of any
          previously landed document are dropped;
-      4. survivors append to ``table`` and their band keys extend the
-         index, so batch N+1 probes against batch N's survivors
-         without ever re-signaturing the corpus.
+      4. survivors' band keys extend the index, THEN survivors append
+         to ``table`` — index-before-table because the two commits are
+         not atomic and index-ahead is the self-repairing direction
+         (replay re-lands the batch; a not-yet-indexed filter makes
+         the re-extend a no-op). Batch N+1 probes against batch N's
+         survivors without ever re-signaturing the corpus.
 
     Per-batch cost is bounded by batch size (signatures, probe,
     verify) plus the pruned index join — never a corpus re-scan for
@@ -188,8 +191,31 @@ def near_dup_stream_to_table(
         try:
             if survivors.isEmpty():
                 return
+            # index FIRST (ADVICE r6): the two commits are not atomic.
+            # Index-ahead (crash after extend, before append) is the
+            # repairable direction — this replay path re-lands the
+            # batch, the already-indexed filter below keeps the
+            # re-extend a no-op, and the probe tolerates index entries
+            # whose texts ride in the batch union. The old
+            # append-then-extend order left landed docs' band keys out
+            # of the index FOREVER on a crash: replay anti-joined
+            # their ids away without indexing them, so future
+            # near-dups of those docs silently passed.
+            surv_ids = survivors.select(
+                F.col(id_col).cast("long").alias("id")
+            ).distinct()
+            already = (
+                index.scan()
+                .select("id")
+                .join(F.broadcast(surv_ids), "id")
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            to_index = survivors.join(
+                F.broadcast(already), id_col, "left_anti"
+            )
+            extend_dedup_index(index, to_index, id_col, text_col)
             table.append(survivors)
-            extend_dedup_index(index, survivors, id_col, text_col)
         finally:
             survivors.unpersist()
 

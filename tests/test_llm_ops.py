@@ -1092,3 +1092,58 @@ def test_int8_quantization_error_bound(spark, emb):
     assert row["max_abs_err"] == pytest.approx(
         max(abs(-1.0 + 63 * 2.0 / 127), abs(0.5 - 32 * 2.0 / 127)), abs=1e-6
     )
+
+
+def test_hostile_column_names_quoted_or_rejected(spark):
+    """ADVICE r6: id/text column names arrive free-form via MCP tool
+    args and are interpolated into F.expr SQL strings — an unknown
+    name (including an injection attempt that tries to break out of
+    the backtick quoting) must fail with a clean column-not-found
+    error, never a confusing parse error or silent injection."""
+    import pytest as _pytest
+
+    from iceberg_lakehouse_spark.functions import dedup_text as dt
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    inj = "text`)), '') AS x FROM t; --"
+    for bad_id, bad_text in [("nope", "text"), ("doc_id", inj)]:
+        with _pytest.raises(ValueError, match="not found"):
+            dt.minhash_signatures(df, bad_id, bad_text, k=8, n=3)
+        with _pytest.raises(ValueError, match="not found"):
+            dt.simhash16(df, bad_id, bad_text)
+        with _pytest.raises(ValueError, match="not found"):
+            dt.simhash64(df, bad_id, bad_text)
+        with _pytest.raises(ValueError, match="not found"):
+            dt.shingle_candidate_pairs(df, bad_id, bad_text)
+    pairs_in = spark.createDataFrame(
+        [(1, 2)], "left_id long, right_id long"
+    )
+    with _pytest.raises(ValueError, match="not found"):
+        dt.jaccard_pairs(df, pairs_in, "doc_id", inj)
+    with _pytest.raises(ValueError, match="not found"):
+        dt.containment_pairs(df, pairs_in, "doc_id", inj)
+    # sane names keep working through the same validated path
+    assert dt.minhash_signatures(df, "doc_id", "text", k=8, n=3).count() == 2
+    got = dt.jaccard_pairs(df, pairs_in, "doc_id", "text", n=3).collect()
+    assert len(got) == 1 and got[0]["jaccard"] == 1.0
+
+
+def test_correlate_event_streams_rejects_unknown_key(spark, tmp_path):
+    """ADVICE r6: a free-form join key absent from the stream schema
+    fails fast with a clean error instead of being interpolated into
+    the join-condition SQL."""
+    import pytest as _pytest
+
+    from iceberg_lakehouse_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        correlate_event_streams,
+    )
+
+    d = str(tmp_path / "evt")
+    spark.createDataFrame([], EVENTS_SCHEMA).write.parquet(d)
+    s = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    with _pytest.raises(ValueError, match="not present in both"):
+        correlate_event_streams(s, s, key="nope = 1 OR user_id")

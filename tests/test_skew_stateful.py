@@ -533,6 +533,53 @@ class TestNearDupStreamSink:
         q3.awaitTermination(180)
         assert sorted(r["doc_id"] for r in t.scan().collect()) == [1, 2, 10, 13]
 
+    def test_replay_repairs_index_ahead_crash(
+        self, spark, tmp_path, tmp_warehouse
+    ):
+        """ADVICE r6: the sink extends the index BEFORE appending to
+        the table, so a crash between the two commits leaves the index
+        AHEAD of the corpus — the direction replay repairs. Simulate
+        the crash state (band keys indexed, docs never landed), then
+        replay the batch: the docs must land, and the re-extend must
+        be a no-op (no duplicate index rows)."""
+        from iceberg_lakehouse_spark.operators.dedup_index import (
+            extend_dedup_index,
+        )
+        from iceberg_lakehouse_spark.streaming.sink import (
+            near_dup_stream_to_table,
+        )
+
+        t, idx = self._corpus_and_index(spark, tmp_warehouse)
+        survivors = [
+            (10, "fresh unique words one two three four five six"),
+            (13, "another novel document mentioning parquet files"),
+        ]
+        # crash state: pre-extend the index with the survivors' keys,
+        # as if the process died after extend and before table.append
+        extend_dedup_index(
+            idx,
+            spark.createDataFrame(survivors, "doc_id long, text string"),
+            "doc_id", "text",
+        )
+        assert 13 not in {r["doc_id"] for r in t.scan().collect()}
+        n_idx_after_crash = idx.scan().count()
+        d = str(tmp_path / "nd_replay")
+        spark.createDataFrame(
+            survivors, "doc_id long, text string"
+        ).write.parquet(d)
+        q = near_dup_stream_to_table(
+            spark.readStream.schema("doc_id long, text string").parquet(d),
+            t, idx, "doc_id", "text", threshold=0.5,
+            checkpoint_dir=str(tmp_path / "ckpt_replay"),
+            available_now=True,
+        )
+        q.awaitTermination(180)
+        # replay landed the docs whose keys were already indexed…
+        assert sorted(r["doc_id"] for r in t.scan().collect()) \
+            == [1, 2, 10, 13]
+        # …and did NOT duplicate their index rows
+        assert idx.scan().count() == n_idx_after_crash
+
 
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream interval join: a purchase attributes
