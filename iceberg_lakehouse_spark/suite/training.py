@@ -2066,3 +2066,286 @@ def kmv_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est, 6).alias("union_estimate"),
         )
     )
+
+
+# round-7 additions (VERDICT r6 #3): the remaining classic TPC-H
+# shapes — Q2 / Q15 / Q17 / Q20 — adapted to the fixture schema (no
+# partsupp table: lineitem serves as the part-supplier fact). Same
+# cross-engine conventions as the r6 Q11/Q18/Q21/Q22 batch: scalar
+# thresholds compared MULTIPLICATION-side in decimals (never a
+# division), scale-free fractions, correlated subqueries decorrelated
+# to single joins/windows, semi/anti joins for IN/EXISTS.
+
+
+@register(
+    "min_cost_supplier_per_part",
+    """
+    WITH cost AS (
+        SELECT l.l_partkey, l.l_suppkey, e.s_name, e.n_name,
+               MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS cost
+        FROM lineitem l
+        JOIN (SELECT s.s_suppkey, s.s_name, n.n_name
+              FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE') e
+          ON e.s_suppkey = l.l_suppkey
+        GROUP BY l.l_partkey, l.l_suppkey, e.s_name, e.n_name
+    )
+    SELECT p.p_partkey AS partkey, p.p_name AS part_name,
+           c.s_name AS supp_name, c.n_name AS nation,
+           CAST(c.cost AS DOUBLE) AS min_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    WHERE p.p_type = 'LARGE'
+      AND c.cost = (SELECT MIN(c2.cost) FROM cost c2
+                    WHERE c2.l_partkey = p.p_partkey)
+    ORDER BY min_cost, partkey, supp_name
+    LIMIT 100
+    """,
+    survey_ref="Relational breadth: TPC-H Q2 shape "
+    "(correlated MIN subquery -> per-key window minimum)",
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for every LARGE part, the
+    EUROPE supplier(s) quoting the lowest price, where a quote is the
+    supplier's minimum line price for the part (the fixture has no
+    partsupp table — lineitem is the part-supplier fact).
+
+    The correlated MIN subquery decorrelates to a window minimum over
+    the per-(part, supplier) aggregate: lineitem is filtered map-side
+    by the broadcast EUROPE supplier dim BEFORE aggregating (100-row
+    dim — the fact table never shuffles for the filter), aggregated
+    once on the uniform (partkey, suppkey) key, and the per-part min
+    is a window over the high-cardinality-uniform partkey — no second
+    scan, no self-join. The part dim joins broadcast at the end."""
+    t = load_sf_tables(spark, sf_dir)
+    li, part, supp = t["lineitem"], t["part"], t["supplier"]
+    nat, reg = t["nation"], t["region"]
+    eu = (
+        supp.join(
+            F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"]
+        )
+        .join(
+            F.broadcast(reg.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    cost = (
+        li.join(F.broadcast(eu), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(F.min(price).alias("cost"))
+    )
+    wn = Window.partitionBy("l_partkey")
+    best = cost.withColumn("_minc", F.min("cost").over(wn)).where(
+        F.col("cost") == F.col("_minc")
+    )
+    return (
+        best.join(
+            F.broadcast(
+                part.where(F.col("p_type") == "LARGE")
+                .select("p_partkey", "p_name")
+            ),
+            best["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+        .orderBy("min_cost", "partkey", "supp_name")
+        .limit(100)
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(3,2))))
+                    AS DECIMAL(38,4)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY suppkey
+    """,
+    survey_ref="Relational breadth: TPC-H Q15 shape "
+    "(top-revenue view / scalar MAX subquery)",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) whose Q1-1997 discounted
+    revenue equals the maximum over all suppliers. Revenue stays
+    DECIMAL end to end (price(18,2) x (1 - discount(3,2)) summed at
+    scale 4), so the equality against the scalar MAX is exact on both
+    engines — a double SUM would tie-break on last-ulp noise. The
+    scalar MAX is a one-row broadcast against the per-supplier
+    aggregate; the date window is a pushed-down scan predicate."""
+    t = load_sf_tables(spark, sf_dir)
+    li, supp = t["lineitem"], t["supplier"]
+    one = F.lit("1.00").cast("decimal(3,2)")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(amount).cast("decimal(38,4)").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    """
+    SELECT CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS small_lot_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (
+        SELECT l.l_extendedprice, l.l_quantity,
+               SUM(CAST(l.l_quantity AS DECIMAL(12,2)))
+                   OVER (PARTITION BY l.l_partkey) AS sq,
+               COUNT(*) OVER (PARTITION BY l.l_partkey) AS cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+    ) f
+    WHERE CAST(f.l_quantity AS DECIMAL(12,2)) * 5 * f.cnt < f.sq
+    """,
+    survey_ref="Relational breadth: TPC-H Q17 shape "
+    "(correlated AVG threshold, multiplication-side)",
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): total revenue of
+    Brand#23 lines whose quantity is below 20% of that part's average
+    line quantity. The correlated AVG decorrelates to per-part window
+    sums over the brand-filtered fact (qty x 5 x count < sum — the
+    comparison runs multiplication-side in exact decimals, no engine
+    ever divides), so lineitem is scanned ONCE: broadcast part-dim
+    filter map-side, one shuffle on the uniform partkey for the
+    window, map-side threshold, global aggregate."""
+    t = load_sf_tables(spark, sf_dir)
+    li, part = t["lineitem"], t["part"]
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    wn = Window.partitionBy("l_partkey")
+    flt = (
+        li.join(
+            F.broadcast(
+                part.where(F.col("p_brand") == "Brand#23")
+                .select("p_partkey")
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            "l_extendedprice",
+            qty.alias("_q"),
+            F.sum(qty).over(wn).alias("sq"),
+            F.count("*").over(wn).alias("cnt"),
+        )
+        .where(F.col("_q") * 5 * F.col("cnt") < F.col("sq"))
+    )
+    return flt.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("small_lot_revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+@register(
+    "concentrated_shipment_suppliers",
+    """
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+           n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red %')
+        GROUP BY l_partkey, l_suppkey
+        HAVING 2 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                             AND l_shipdate < TIMESTAMP '1998-01-01'
+                            THEN CAST(l_quantity AS DECIMAL(12,2))
+                            ELSE CAST(0 AS DECIMAL(12,2)) END)
+              > SUM(CAST(l_quantity AS DECIMAL(12,2)))
+    )
+    ORDER BY suppkey
+    """,
+    survey_ref="Relational breadth: TPC-H Q20 shape "
+    "(nested IN with quantity threshold -> chained semi joins)",
+)
+def concentrated_shipment_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 (excess-concentration suppliers): suppliers who, for
+    some red part, shipped MORE than half of their all-time quantity
+    of that part during 1997 alone — the demand-concentration signal
+    Q20's availqty>half-of-shipped predicate probes, re-expressed
+    without the fixture-absent partsupp table. Both nested INs become
+    semi joins: the part-name filter broadcasts into the fact scan
+    (StringStartsWith pushes to parquet), the HAVING runs on the
+    uniform (partkey, suppkey) aggregate with the half-threshold
+    compared multiplication-side in exact decimals (2 x window-sum >
+    total-sum), and the surviving supplier keys semi-join the
+    100-row supplier dim."""
+    t = load_sf_tables(spark, sf_dir)
+    li, part, supp, nat = (
+        t["lineitem"], t["part"], t["supplier"], t["nation"]
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    in_window = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    zero = F.lit("0").cast("decimal(12,2)")
+    red = (
+        part.where(F.col("p_name").startswith("red "))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    hot = (
+        li.join(F.broadcast(red), "l_partkey", "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_window, qty).otherwise(zero)).alias("wq"),
+            F.sum(qty).alias("tq"),
+        )
+        .where(F.col("wq") * 2 > F.col("tq"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        supp.join(hot, "s_suppkey", "left_semi")
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy("suppkey")
+    )

@@ -497,3 +497,52 @@ def test_kmv_union_bounded_sketch_join(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_q2_shape_window_min_broadcast_dims(spark):
+    """TPC-H Q2 shape (r7): the correlated MIN decorrelates to one
+    window over the uniform partkey; EUROPE supplier dim and part dim
+    broadcast; the part-type filter reaches the parquet scan."""
+    plan = plan_of(spark, "min_cost_supplier_per_part")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    import re
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
+    assert "EqualTo(p_type,LARGE)" in plan
+
+
+def test_q15_shape_scalar_max_broadcast(spark):
+    """TPC-H Q15 shape (r7): the scalar MAX is a one-row broadcast
+    (nested-loop on a single row is by design, not a data cartesian);
+    the date window is pushed into the lineitem scan."""
+    plan = plan_of(spark, "top_revenue_supplier")
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan  # supplier dim
+
+
+def test_q17_shape_single_scan_window(spark):
+    """TPC-H Q17 shape (r7): lineitem is scanned ONCE (the correlated
+    AVG is a window over the brand-filtered fact, not a self-join);
+    the brand filter broadcasts; no division anywhere in the plan."""
+    import re
+
+    plan = plan_of(spark, "small_quantity_part_revenue")
+    li_scans = [
+        m for m in re.finditer(r"Location: InMemoryFileIndex \[[^\]]*lineitem", plan)
+    ]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_shape_chained_semi_joins(spark):
+    """TPC-H Q20 shape (r7): both nested INs become semi joins (part
+    names broadcast into the fact, surviving supplier keys semi-join
+    the dim); the name prefix filter pushes to parquet."""
+    plan = plan_of(spark, "concentrated_shipment_suppliers")
+    assert plan.count("LeftSemi") >= 2
+    assert "StringStartsWith(p_name,red )" in plan
+    assert "CartesianProduct" not in plan
