@@ -636,6 +636,20 @@ class LakehouseServer:
                   {"index_table": _S}, ["index_table"]),
             lambda index_table: rows_of(_ai.ann_index_stats(c, index_table)),
         )
+        self._add(
+            _tool("ann_index_rebalance",
+                  "Split cells grown past max_ratio x the median list "
+                  "size via in-cell 2-means (recall-preserving "
+                  "maintenance after drifting extends)",
+                  {"index_table": _S, "max_ratio": _N, "kmeans_iters": _I,
+                   "max_splits": _I},
+                  ["index_table"]),
+            lambda index_table, max_ratio=4.0, kmeans_iters=2,
+                   max_splits=16: _ai.rebalance_ann_index(
+                c, index_table, max_ratio=max_ratio,
+                kmeans_iters=kmeans_iters, max_splits=max_splits,
+            ),
+        )
 
         # -- dashboard -----------------------------------------------------
         from .governance.advisor import dashboard as dash

@@ -1147,3 +1147,83 @@ def test_correlate_event_streams_rejects_unknown_key(spark, tmp_path):
     s = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
     with _pytest.raises(ValueError, match="not present in both"):
         correlate_event_streams(s, s, key="nope = 1 OR user_id")
+
+
+def test_ann_index_rebalance_recovers_recall(spark, tmp_warehouse):
+    """VERDICT r6 #2: index lifecycle. Drift the corpus (three extend
+    batches concentrated in one region of the space — extend assigns
+    to FROZEN centroids, so one cell balloons), then rebalance: the
+    hot cell splits, sizes even out, probe recall vs brute force stays
+    above the pinned floor, and the splits survive another extend."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import ann_index as ai
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    emb = load_sf_tables(spark, SF)["embeddings"]
+    dim = len(emb.first()["embedding"])
+    ai.build_ann_index(
+        cat, "rb_ivf", emb, "vec_id", "embedding", n_cells=6,
+        kmeans_iters=2,
+    )
+    base = emb.count()
+    # drift: 3 batches clustered tightly around one corpus vector —
+    # frozen centroids funnel all of them into that vector's cell
+    anchor = [float(x) for x in
+              emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    bid = 1_000_000
+    for b in range(3):
+        rows = [
+            (bid + b * 1000 + i,
+             [v * (1.0 + 0.0001 * ((i + b) % 7)) for v in anchor])
+            for i in range(40)
+        ]
+        ai.extend_ann_index(
+            cat, "rb_ivf",
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ),
+            "vec_id", "embedding",
+        )
+    st = {r["cell"]: r["n_vectors"]
+          for r in ai.ann_index_stats(cat, "rb_ivf").collect()}
+    assert max(st.values()) >= 120  # the drift really concentrated
+    rep = ai.rebalance_ann_index(cat, "rb_ivf", max_ratio=2.0)
+    assert rep["split_cells"], f"nothing split: {rep} sizes={st}"
+    assert rep["n_cells_after"] == 6 + len(rep["split_cells"])
+    # geometry bookkeeping: property updated, every vector accounted for
+    at = cat.load_table("rb_ivf")
+    assert at.properties()["ivf.n_cells"] == str(rep["n_cells_after"])
+    st2 = {r["cell"]: r["n_vectors"]
+           for r in ai.ann_index_stats(cat, "rb_ivf").collect()}
+    assert sum(st2.values()) == base + 120
+    # the hot cell actually shed load to its twin
+    for c, twin in zip(rep["split_cells"], rep["new_cells"]):
+        assert st2[c] < st[c] and st2.get(twin, 0) > 0
+    # recall floor after rebalance: probe a NON-drifted query — its
+    # cell routing must have survived the rewrite
+    for qid in (3, 11, 42):
+        q = [float(x) for x in
+             emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        exact = [r["vec_id"] for r in sim.knn_bruteforce(
+            emb, "vec_id", "embedding", q, k=10).collect()]
+        got = [r["id"] for r in ai.probe_ann_index(
+            cat, "rb_ivf", q, k=10, nprobe=4).collect()]
+        assert got[0] == qid
+        assert len(set(got) & set(exact)) >= 5, (qid, got, exact)
+    # and the drifted region itself is probeable with good recall
+    gotd = [r["id"] for r in ai.probe_ann_index(
+        cat, "rb_ivf", anchor, k=5, nprobe=4).collect()]
+    assert 7 in gotd
+    # extend still works against the post-split geometry
+    ai.extend_ann_index(
+        cat, "rb_ivf",
+        spark.createDataFrame(
+            [(2_000_000, anchor)], "vec_id long, embedding array<double>"
+        ),
+        "vec_id", "embedding",
+    )
+    assert ai.ann_index_stats(cat, "rb_ivf").agg(
+        F.sum("n_vectors")).first()[0] == base + 121
+    # balanced index: rebalance is a no-op report
+    rep2 = ai.rebalance_ann_index(cat, "rb_ivf", max_ratio=1000.0)
+    assert rep2["split_cells"] == [] and "deferred_cells" not in rep2
