@@ -137,6 +137,11 @@ class Snapshot:
     # None on snapshots written before this field existed — readers fall
     # back to timestamp resolution against schema_history.
     schema_version: int | None = None
+    # merge-on-read position-delete files (Iceberg v2 delete-file
+    # analogue): parquet files of (_file basename, _pos row_index) keys
+    # the scan anti-joins away. Empty on CoW-only tables and on
+    # snapshots written before MoR existed.
+    delete_files: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return {
@@ -147,6 +152,7 @@ class Snapshot:
             "parent_id": self.parent_id,
             "summary": self.summary,
             "schema_version": self.schema_version,
+            "delete_files": self.delete_files,
         }
 
 
@@ -605,6 +611,7 @@ class LakeTable:
                 s.get("parent_id"),
                 s.get("summary", {}),
                 s.get("schema_version"),
+                s.get("delete_files", []),
             )
             for s in _read_json(self._snap_path, [])
         ]
@@ -703,6 +710,8 @@ class LakeTable:
         add_files: list[str] | None = None,
         expected_parent_id: int | None = None,
         check_parent: bool = False,
+        delete_files: list[str] | None = None,
+        add_delete_files: list[str] | None = None,
     ) -> Snapshot:
         """Serialized optimistic commit. Exactly one of ``files``
         (absolute file list — overwrite/rollback) or ``add_files``
@@ -715,7 +724,17 @@ class LakeTable:
         file list was derived from a snapshot read earlier: if another
         writer committed since, raise CommitConflictError instead of
         silently dropping their files (the caller re-plans and
-        retries, Iceberg-style)."""
+        retries, Iceberg-style).
+
+        Merge-on-read delete files: ``add_delete_files`` appends to the
+        parent's delete-file list (MoR delete/update commits);
+        ``delete_files`` sets the list absolutely (rollback restoring a
+        historical snapshot). When neither is given, an additive commit
+        (add_files) INHERITS the parent's delete files — appended data
+        is untouched by existing position deletes (keys are per-file) —
+        while an absolute-files commit (overwrite/compact/CoW rewrite
+        planned over a MERGED scan) drops them: the rewrite already
+        folded the deletes into its output."""
         if (files is None) == (add_files is None):
             raise ValueError(
                 "_commit requires exactly one of files= or add_files= "
@@ -733,6 +752,17 @@ class LakeTable:
             if add_files is not None:
                 parent_files = snaps[-1]["files"] if snaps else []
                 files = list(parent_files) + list(add_files)
+            parent_dels = (
+                list(snaps[-1].get("delete_files", [])) if snaps else []
+            )
+            if delete_files is not None:
+                dels = list(delete_files)
+            elif add_delete_files is not None:
+                dels = parent_dels + list(add_delete_files)
+            elif add_files is not None:
+                dels = parent_dels  # additive commits inherit
+            else:
+                dels = []  # full/partial rewrite planned over merged scan
             snap = Snapshot(
                 snapshot_id=(snaps[-1]["snapshot_id"] + 1) if snaps else 1,
                 timestamp_ms=int(time.time() * 1000),
@@ -741,6 +771,7 @@ class LakeTable:
                 parent_id=parent,
                 summary=summary or {},
                 schema_version=self.meta().get("schema", {}).get("version", 1),
+                delete_files=dels,
             )
             snaps.append(snap.to_json())
             _atomic_write_json(self._snap_path, snaps)
@@ -954,6 +985,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         as_of: str | int | None = None,
         filter: str | None = None,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Lazy DataFrame over the resolved snapshot's files.
 
@@ -965,7 +997,7 @@ class LakeTable:
         never lists or opens the rest of the snapshot."""
         snap = self._resolve(snapshot_id, as_of)
         if snap is None or not snap.files:
-            return self.spark.createDataFrame([], self.schema())
+            return self.scan_files([], with_pos=with_pos)
         # time travel across a schema change reads with the snapshot's
         # OWN schema (Iceberg semantics): after rename b→c, snapshot-1
         # files physically carry 'b' — reading them with the current
@@ -988,11 +1020,21 @@ class LakeTable:
             # mixing current names with historical files would either
             # error or silently prune wrong
             kept, _total = self.prune_files(filter, snap, schema=schema)
-            return self.scan_files(kept, schema=schema).where(filter)
-        return self.scan_files(snap.files, schema=schema)
+            return self.scan_files(
+                kept, schema=schema, with_pos=with_pos,
+                merge_deletes=snap.delete_files,
+            ).where(filter)
+        return self.scan_files(
+            snap.files, schema=schema, with_pos=with_pos,
+            merge_deletes=snap.delete_files,
+        )
 
     def scan_files(
-        self, files: list[str], schema: T.StructType | None = None
+        self,
+        files: list[str],
+        schema: T.StructType | None = None,
+        with_pos: bool = False,
+        merge_deletes: list[str] | None = None,
     ) -> DataFrame:
         """Lazy DataFrame over an explicit subset of a snapshot's data
         files (relative paths) — the read side of file-pruned CoW and
@@ -1006,25 +1048,74 @@ class LakeTable:
         anyway. A snapshot may mix formats (write.format.default
         switched mid-history): read each format group lazily and
         union. ``schema`` overrides the current table schema for
-        time-travel reads across a schema change."""
+        time-travel reads across a schema change.
+
+        ``with_pos`` appends the merge-on-read position key — the
+        file's full ``_metadata.file_path`` URI as ``_mor_file`` and
+        ``_metadata.row_index`` as ``_mor_pos``. The FULL path, not the
+        basename: a partitioned write emits the SAME part-file name
+        into every partition directory one task touches, so basenames
+        collide across partition dirs of one job. Both the delete
+        records and the scan key derive from the same reader-reported
+        URI, so encoding is self-consistent; the recorded URIs pin the
+        warehouse location (physically relocating a table invalidates
+        PENDING delete files — compact() folds them first; backup/
+        clone/restore materialize through merged scans and carry no
+        delete files). ``merge_deletes`` (relative delete-file paths)
+        anti-joins those keys against the broadcast position-delete
+        set — map-side, no shuffle: delete files are small by MoR's
+        premise (compact() folds them when they accumulate)."""
         schema = schema or self.schema()
         if not files:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if with_pos:
+                df = df.withColumn(
+                    "_mor_file", F.lit(None).cast("string")
+                ).withColumn("_mor_pos", F.lit(None).cast("long"))
+            return df
+        need_pos = with_pos or bool(merge_deletes)
         paths = [os.path.join(self.root, f) for f in files]
         cols = [f.name for f in schema.fields]
         parts = []
         for fmt, ext in (("parquet", ".parquet"), ("orc", ".orc")):
             group = [p for p in paths if p.endswith(ext)]
             if group:
+                sel = list(cols)
+                if need_pos:
+                    # parquet exposes _metadata.row_index; ORC does not
+                    # (this Spark) — a NULL _mor_pos never equals a
+                    # delete key, so ORC rows pass the anti-join
+                    # untouched (the MoR write path is parquet-gated,
+                    # so no delete ever references an ORC file)
+                    sel += [
+                        F.col("_metadata.file_path").alias("_mor_file"),
+                        (
+                            F.col("_metadata.row_index")
+                            if fmt == "parquet"
+                            else F.lit(None).cast("long")
+                        ).alias("_mor_pos"),
+                    ]
                 reader = (
                     self.spark.read.schema(schema)
                     .option("recursiveFileLookup", "true")
                     .format(fmt)
                 )
-                parts.append(reader.load(group).select(*cols))
+                parts.append(reader.load(group).select(*sel))
         df = parts[0]
         for extra in parts[1:]:
             df = df.unionByName(extra)
+        if merge_deletes:
+            dels = self.spark.read.schema(
+                "_file string, _pos long"
+            ).parquet(*[os.path.join(self.root, f) for f in merge_deletes])
+            df = df.join(
+                F.broadcast(dels),
+                (df["_mor_file"] == dels["_file"])
+                & (df["_mor_pos"] == dels["_pos"]),
+                "left_anti",
+            )
+        if need_pos and not with_pos:
+            df = df.drop("_mor_file", "_mor_pos")
         return df
 
     def replace_files(
@@ -1042,7 +1133,19 @@ class LakeTable:
         ``expected_snapshot_id`` (the snapshot the keep/rewrite split
         was planned against) arms conflict detection: if another writer
         committed meanwhile, the commit raises CommitConflictError
-        instead of silently dropping their files."""
+        instead of silently dropping their files.
+
+        The parent's MoR delete files are INHERITED: kept files may
+        still have live position deletes. Entries keyed by rewritten
+        files' basenames go stale but match nothing (the basenames left
+        the file list) — callers must rewrite from a delete-merged scan
+        (``scan_files(..., merge_snapshot=...)``) so deleted rows are
+        not resurrected in the new files."""
+        base = (
+            self.snapshot_by_id(expected_snapshot_id)
+            if expected_snapshot_id is not None
+            else self.current_snapshot()
+        )
         aligned = self._align(replacement)
         new_files = self._materialize(aligned)
         return self._commit(
@@ -1050,6 +1153,77 @@ class LakeTable:
             sorted(keep_files) + new_files,
             {**(summary or {}), "kept_files": len(keep_files),
              "added_files": len(new_files)},
+            expected_parent_id=expected_snapshot_id,
+            check_parent=expected_snapshot_id is not None,
+            delete_files=list(base.delete_files) if base else [],
+        )
+
+    def write_position_deletes(self, keys_df: DataFrame) -> list[str]:
+        """Materialize a position-delete file set (merge-on-read write
+        path): ``keys_df`` must carry ``_file`` (data-file basename)
+        and ``_pos`` (row index within that file). Returns the new
+        delete files' relative paths — pass to
+        ``commit_position_deletes`` / ``commit_mor_update``."""
+        sub = f"deletes/{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.root, sub)
+        (
+            keys_df.select(
+                F.col("_file").cast("string").alias("_file"),
+                F.col("_pos").cast("long").alias("_pos"),
+            )
+            .coalesce(1)  # delete sets are small by MoR's premise
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        files = []
+        for dirpath, _d, filenames in os.walk(out):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(dirpath, fn), self.root)
+                    )
+        return sorted(files)
+
+    def commit_position_deletes(
+        self,
+        new_delete_files: list[str],
+        summary: dict | None = None,
+        expected_snapshot_id: int | None = None,
+    ) -> Snapshot:
+        """Merge-on-read DELETE commit: data files unchanged, the new
+        position-delete files append to the snapshot's delete list. CAS
+        against the snapshot the positions were computed from."""
+        return self._commit(
+            "delete",
+            add_files=[],
+            summary={**(summary or {}), "mode": "merge-on-read",
+                     "added_delete_files": len(new_delete_files)},
+            add_delete_files=new_delete_files,
+            expected_parent_id=expected_snapshot_id,
+            check_parent=expected_snapshot_id is not None,
+        )
+
+    def commit_mor_update(
+        self,
+        replacement: DataFrame,
+        new_delete_files: list[str],
+        summary: dict | None = None,
+        expected_snapshot_id: int | None = None,
+    ) -> Snapshot:
+        """Merge-on-read UPDATE commit: the updated rows land as NEW
+        data files while their old versions are position-deleted — a
+        one-row update writes one small file + one delete file instead
+        of rewriting every matched data file (CoW). compact() folds the
+        accumulated deletes back into plain data files."""
+        aligned = self._align(replacement)
+        new_files = self._materialize(aligned)
+        return self._commit(
+            "update",
+            add_files=new_files,
+            summary={**(summary or {}), "mode": "merge-on-read",
+                     "added_files": len(new_files),
+                     "added_delete_files": len(new_delete_files)},
+            add_delete_files=new_delete_files,
             expected_parent_id=expected_snapshot_id,
             check_parent=expected_snapshot_id is not None,
         )
@@ -1299,7 +1473,9 @@ class LakeTable:
                  "added_files": len(new_files)},
             )
         return self._commit(
-            "rollback", target.files, {"restored_snapshot": target.snapshot_id}
+            "rollback", target.files,
+            {"restored_snapshot": target.snapshot_id},
+            delete_files=list(target.delete_files),
         )
 
     # -- maintenance (reference catalog.py:909-2189, G10-G16) -------------
@@ -1374,10 +1550,18 @@ class LakeTable:
             "kept": [s.snapshot_id for s in kept],
         }
 
+    def _walk_data_and_deletes(self):
+        """os.walk over both file stores — data/ and the MoR deletes/
+        dir — so orphan report/cleanup see unreferenced delete files
+        too (expired snapshots release them like data files)."""
+        for sub in ("data", "deletes"):
+            yield from os.walk(os.path.join(self.root, sub))
+
     def _referenced_files(self) -> set[str]:
         refs: set[str] = set()
         for s in self.snapshots():
             refs.update(s.files)
+            refs.update(s.delete_files)
         return refs
 
     def _delete_unreferenced(self, grace_seconds: int = 0) -> list[str]:
@@ -1392,9 +1576,8 @@ class LakeTable:
         user-invoked cleanup, and tests)."""
         refs = self._referenced_files()
         removed = []
-        data_dir = os.path.join(self.root, "data")
         now = time.time()
-        for dirpath, _d, filenames in os.walk(data_dir):
+        for dirpath, _d, filenames in self._walk_data_and_deletes():
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
@@ -1455,9 +1638,8 @@ class LakeTable:
         user-invoked inspection, reference parity)."""
         refs = self._referenced_files()
         orphans = []
-        data_dir = os.path.join(self.root, "data")
         now = time.time()
-        for dirpath, _d, filenames in os.walk(data_dir):
+        for dirpath, _d, filenames in self._walk_data_and_deletes():
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)

@@ -58,17 +58,49 @@ def _matched_files(
     scale the probe touches candidate files only, which is what makes
     CoW update/delete file-pruned instead of whole-table rewrites.
     ``snapshot_id`` pins the probe to the snapshot the caller will CAS
-    its commit against."""
-    src = table.scan(snapshot_id=snapshot_id, filter=filter_expr)
+    its commit against.
+
+    The probe groups on the ``_mor_file`` metadata file path, not
+    ``input_file_name()``: once a snapshot carries MoR delete files the
+    scan has a second source and Spark rejects input_file_name outright
+    — and counting over the MERGED scan is also what keeps ``matched``
+    honest (already-deleted rows are not re-counted)."""
+    src = table.scan(snapshot_id=snapshot_id, filter=filter_expr,
+                     with_pos=True)
     per_file = (
         src
-        .groupBy(F.input_file_name().alias("_f"))
+        .groupBy(F.col("_mor_file").alias("_f"))
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()  # one row per touched FILE — bounded by file count
     )
     matched = sum(r["_n"] for r in per_file)
     files = sorted({table.relativize_file(r["_f"]) for r in per_file})
     return matched, files
+
+
+def _write_mode(table: LakeTable, kind: str) -> str:
+    """Mutation mode from Iceberg's table-property names:
+    ``write.delete.mode`` / ``write.update.mode`` in {copy-on-write,
+    merge-on-read}; copy-on-write is the default (oracle parity — MoR
+    is the 100 TB amortization for small mutations). MoR requires
+    parquet data files: the position key uses parquet's
+    _metadata.row_index, which ORC does not expose."""
+    mode = table.properties().get(f"write.{kind}.mode", "copy-on-write")
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(
+            f"write.{kind}.mode must be copy-on-write or merge-on-read "
+            f"(got {mode!r})"
+        )
+    if mode == "merge-on-read":
+        cur = table.current_snapshot()
+        if table.write_format() != "parquet" or (
+            cur and any(f.endswith(".orc") for f in cur.files)
+        ):
+            raise ValueError(
+                "merge-on-read requires parquet data files "
+                "(_metadata.row_index is parquet-only)"
+            )
+    return mode
 
 
 def update_rows(table: LakeTable, filter_expr: str, updates: dict[str, Any]) -> int:
@@ -94,12 +126,16 @@ def update_rows(table: LakeTable, filter_expr: str, updates: dict[str, Any]) -> 
     cur = table.current_snapshot()
     if cur is None:
         return 0
+    if _write_mode(table, "update") == "merge-on-read":
+        return _mor_update(table, filter_expr, updates, schema, cur)
     matched, touched = _matched_files(table, filter_expr, cur.snapshot_id)
     if matched == 0:
         return 0
     touched_set = set(touched)
     keep = [f for f in cur.files if f not in touched_set]
-    sub = table.scan_files(touched)
+    # merge pending MoR deletes: rewriting a file WITHOUT applying its
+    # position deletes would resurrect deleted rows (mixed-mode tables)
+    sub = table.scan_files(touched, merge_deletes=cur.delete_files)
     cols = []
     for f in schema.fields:
         if f.name in updates:
@@ -133,18 +169,91 @@ def delete_rows(table: LakeTable, filter_expr: str) -> int:
     cur = table.current_snapshot()
     if cur is None:
         return 0
+    if _write_mode(table, "delete") == "merge-on-read":
+        return _mor_delete(table, filter_expr, cur)
     matched, touched = _matched_files(table, filter_expr, cur.snapshot_id)
     if matched == 0:
         return 0
     touched_set = set(touched)
     keep = [f for f in cur.files if f not in touched_set]
-    sub = table.scan_files(touched)
+    sub = table.scan_files(
+        touched, merge_deletes=cur.delete_files
+    )
     table.replace_files(
         keep,
         sub.where(~F.coalesce(cond, F.lit(False))),
         {"deleted_rows": matched},
         expected_snapshot_id=cur.snapshot_id,
     )
+    return matched
+
+
+def _mor_delete(table: LakeTable, filter_expr: str, cur) -> int:
+    """Merge-on-read DELETE: instead of rewriting every matched data
+    file, record the matched rows' (file path, row index) keys in
+    a position-delete file; scans anti-join them away. A one-row
+    delete on a 100 TB table writes one tiny file. The scan below is
+    stats-pruned by the filter AND already merges earlier delete
+    files, so re-deleting rows twice records no duplicate keys."""
+    src = table.scan(
+        snapshot_id=cur.snapshot_id, filter=filter_expr, with_pos=True
+    )
+    keys = src.select(
+        F.col("_mor_file").alias("_file"), F.col("_mor_pos").alias("_pos")
+    ).persist()
+    try:
+        matched = keys.count()
+        if matched == 0:
+            return 0
+        del_files = table.write_position_deletes(keys)
+        table.commit_position_deletes(
+            del_files,
+            {"deleted_rows": matched},
+            expected_snapshot_id=cur.snapshot_id,
+        )
+    finally:
+        keys.unpersist()
+    return matched
+
+
+def _mor_update(
+    table: LakeTable,
+    filter_expr: str,
+    updates: dict[str, Any],
+    schema,
+    cur,
+) -> int:
+    """Merge-on-read UPDATE: matched rows are position-deleted and
+    their updated versions appended as new data files, in ONE commit
+    (files + delete files advance together — no torn state). Matched
+    rows all satisfy the filter, so the update is a plain projection,
+    not the CoW CASE rewrite."""
+    src = table.scan(
+        snapshot_id=cur.snapshot_id, filter=filter_expr, with_pos=True
+    ).persist()
+    try:
+        matched = src.count()
+        if matched == 0:
+            return 0
+        keys = src.select(
+            F.col("_mor_file").alias("_file"),
+            F.col("_mor_pos").alias("_pos"),
+        )
+        cols = [
+            F.lit(updates[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in updates
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+        del_files = table.write_position_deletes(keys)
+        table.commit_mor_update(
+            src.select(*cols),
+            del_files,
+            {"updated_rows": matched},
+            expected_snapshot_id=cur.snapshot_id,
+        )
+    finally:
+        src.unpersist()
     return matched
 
 

@@ -137,19 +137,28 @@ def correlate_event_streams(
     key: str = "user_id",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-STREAM interval join — the attribution query (view →
     purchase within N minutes, impression → click, …) as Spark's
-    canonical watermarked stream-stream inner join: equality on the
+    canonical watermarked stream-stream join: equality on the
     key plus a time-bound range condition. Both sides carry a
     watermark, so the join state store holds only rows newer than
     (watermark + interval) — bounded memory at any scale; without the
     time bound Spark would rightly refuse to run it unbounded.
 
-    Returns one row per (left event, right event within [left.ts,
-    left.ts + within]): key, both event types, both timestamps, and
-    the lag in seconds. Column names assume the events schema
-    (event_id/ts/event_type/value)."""
+    ``how='inner'`` (default) returns one row per (left event, right
+    event within [left.ts, left.ts + within]): key, both event types,
+    both timestamps, and the lag in seconds. ``how='left_outer'`` is
+    the attribution-LOSS report (VERDICT r6 #7): a left event with NO
+    matching right event inside its interval emits once — right
+    columns NULL — but only after the watermark passes the interval's
+    end, when the state store can PROVE no match is coming and evicts
+    the row. Until the watermark advances that far, unmatched rows
+    stay pending in state (exactly-once, no premature emission).
+    Column names assume the events schema (event_id/ts/event_type)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer (got {how!r})")
     if key not in left.columns or key not in right.columns:
         # key arrives free-form via MCP tool args: fail with a clean
         # "column not found" instead of interpolating an arbitrary
@@ -165,7 +174,7 @@ def correlate_event_streams(
         f"l.{q} = r.{q} AND r.ts >= l.ts "
         f"AND r.ts <= l.ts + INTERVAL {within}"
     )
-    return lw.join(rw, cond).select(
+    return lw.join(rw, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col("l.event_id").alias("left_event_id"),
         F.col("l.event_type").alias("left_type"),

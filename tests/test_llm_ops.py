@@ -1227,3 +1227,54 @@ def test_ann_index_rebalance_recovers_recall(spark, tmp_warehouse):
     # balanced index: rebalance is a no-op report
     rep2 = ai.rebalance_ann_index(cat, "rb_ivf", max_ratio=1000.0)
     assert rep2["split_cells"] == [] and "deferred_cells" not in rep2
+
+
+@pytest.mark.parametrize("n_hot", [120, 400])
+def test_lsh_worst_case_majority_band_key_stays_linear(spark, n_hot):
+    """VERDICT r6 #6: skew gate for the LSH band-key path. Worst case:
+    the MAJORITY of the corpus (>50%) shares one band key in every
+    band (mass-duplicated text). The size gate must keep candidate
+    generation LINEAR in the hot-bucket size (star edges to the bucket
+    min, never a quadratic gather), lsh_bucket_stats must flag the
+    overflow, and connected components over the star edges must still
+    resolve the whole hot cluster as ONE component — the production
+    recall semantics for mass-dup buckets. Doubling n_hot (120→400)
+    pins linearity structurally: pair count == n_hot - 1 + distinct
+    pairs, not O(n_hot²)."""
+    max_bucket = 16
+    hot_text = "mass duplicated boilerplate header text body"
+    n_cold = max(20, n_hot // 10)  # hot share >= 85% — way past 50%
+    rows = [(i, hot_text) for i in range(n_hot)] + [
+        (n_hot + j, f"distinct document number {j} with words {j * 7}")
+        for j in range(n_cold)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dt.minhash_signatures(df, "doc_id", "text", k=8, n=3)
+    # the monitoring twin flags the overflow before anything gathers
+    st = dt.lsh_bucket_stats(
+        sigs, "doc_id", k=8, bands=4, max_bucket=max_bucket
+    ).collect()
+    over = [r for r in st if r["overflow"]]
+    assert over and all(r["n_ids"] == n_hot for r in over)
+    pairs = dt.lsh_candidate_pairs(
+        sigs, "doc_id", k=8, bands=4, max_bucket=max_bucket
+    ).persist()
+    try:
+        hot_pairs = pairs.where(
+            (F.col("left_id") < n_hot) & (F.col("right_id") < n_hot)
+        ).count()
+        # LINEAR: every hot doc star-edges the bucket min (doc 0) once
+        # (distinct across bands) — n-1 edges, never ~n²/2
+        assert hot_pairs == n_hot - 1, hot_pairs
+        star = pairs.where(F.col("left_id") == 0).count()
+        assert star == n_hot - 1
+        # the star edges connect the WHOLE hot cluster as one component
+        comp = dt.connected_components(
+            pairs.where(
+                (F.col("left_id") < n_hot) & (F.col("right_id") < n_hot)
+            )
+        ).collect()
+        labels = {r["node"]: r["comp"] for r in comp}
+        assert len(labels) == n_hot and len(set(labels.values())) == 1
+    finally:
+        pairs.unpersist()

@@ -619,3 +619,85 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.table("attributed").collect()
     }
     assert got == {(1, 10, 1200), (2, 10, 900)}
+
+
+def test_stream_stream_left_outer_join_state_expiry(spark, tmp_path):
+    """VERDICT r6 #7: left-outer stream-stream interval join — the
+    attribution-LOSS report. A click with no purchase inside its
+    interval emits with NULL right columns, but only AFTER the
+    watermark passes the interval end (the state store proves no match
+    is coming and evicts the row). Pinned across a RESTART: phase 1
+    leaves the unmatched row pending in checkpointed state; phase 2
+    (same checkpoint, new input advancing the watermark) recovers the
+    state and emits it exactly once."""
+    from iceberg_lakehouse_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        correlate_event_streams,
+        read_event_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    clicks_dir = str(tmp_path / "lo_clicks")
+    buys_dir = str(tmp_path / "lo_buys")
+    out_dir = str(tmp_path / "lo_out")
+    ckpt = str(tmp_path / "lo_ckpt")
+    spark.createDataFrame([
+        (1, at(0), 1, "click", 0.0, "{}"),   # matched by purchase 10
+        (3, at(0), 3, "click", 0.0, "{}"),   # NEVER matched → loss row
+    ], EVENTS_SCHEMA).write.parquet(clicks_dir)
+    spark.createDataFrame([
+        (10, at(20), 1, "purchase", 9.0, "{}"),
+    ], EVENTS_SCHEMA).write.parquet(buys_dir)
+
+    def _run():
+        joined = correlate_event_streams(
+            read_event_stream(spark, clicks_dir),
+            read_event_stream(spark, buys_dir),
+            within="30 minutes",
+            watermark="10 minutes",
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _run()
+    got1 = {r["left_event_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    # the inner match emits; the unmatched click must NOT have emitted
+    # yet — watermark (max 20m − 10m = 10m) has not passed its
+    # interval end (0m + 30m), so the row is still pending in state
+    assert 1 in got1 and got1[1]["right_event_id"] == 10
+    assert 3 not in got1
+    # RESTART with watermark-advancing events on BOTH streams (the
+    # global watermark is the MIN across the two watermark operators —
+    # advancing only one side holds eviction back, by design)
+    spark.createDataFrame([
+        (99, at(120), 1, "purchase", 1.0, "{}"),
+    ], EVENTS_SCHEMA).write.parquet(buys_dir, mode="append")
+    spark.createDataFrame([
+        (98, at(120), 9, "click", 0.0, "{}"),
+    ], EVENTS_SCHEMA).write.parquet(clicks_dir, mode="append")
+    _run()
+    rows = spark.read.parquet(out_dir).collect()
+    loss = [r for r in rows if r["left_event_id"] == 3]
+    assert len(loss) == 1, rows  # exactly once, recovered across restart
+    assert loss[0]["right_event_id"] is None
+    assert loss[0]["right_ts"] is None
+    assert loss[0]["lag_seconds"] is None
+    assert loss[0]["user_id"] == 3
+    # the matched click never duplicates
+    assert len([r for r in rows if r["left_event_id"] == 1
+                and r["right_event_id"] == 10]) == 1
+    # no spurious matches ever appear for the loss click
+    assert all(r["right_event_id"] is None
+               for r in rows if r["left_event_id"] == 3)
