@@ -2349,3 +2349,503 @@ def concentrated_shipment_suppliers(
         )
         .orderBy("suppkey")
     )
+
+
+# round-7 batch 2: the remaining classic TPC-H query shapes the
+# registry lacked — Q4/Q6/Q7/Q8/Q9/Q10/Q13/Q16/Q19 — adapted to the
+# fixture schema (no commitdate/receiptdate/shipmode/partsupp/comment
+# columns; lineitem doubles as the part-supplier fact, p_retailprice
+# as the cost proxy). Same conventions: decimal-exact money math,
+# ROUND only at the output edge, scale-free predicates, YEAR() cast
+# identically on both engines, semi/anti joins for EXISTS/NOT IN.
+
+_AMT_SQL = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(3,2)))")
+
+
+def _amount():
+    one = F.lit("1.00").cast("decimal(3,2)")
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+
+
+@register(
+    "late_shipment_priority_orders",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY priority ORDER BY priority
+    """,
+    survey_ref="Relational breadth: TPC-H Q4 shape "
+    "(EXISTS with a cross-table date condition -> semi join)",
+)
+def late_shipment_priority_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 (order priority checking): 1997 orders with at least
+    one line shipped more than 30 days after the order date, counted
+    per priority (the fixture has no commit/receipt dates — ship-lag
+    vs order date is the late-line predicate). The correlated EXISTS
+    is a left-semi join on the uniform order key whose compound
+    condition carries the date comparison; the order-date window is a
+    pushed-down scan predicate."""
+    t = load_sf_tables(spark, sf_dir)
+    orders, li = t["orders"], t["lineitem"]
+    o = orders.where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.expr("o_orderdate + INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+@register(
+    "forecast_revenue_delta",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+               AS forecast_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey_ref="Relational breadth: TPC-H Q6 shape "
+    "(scan-only predicate aggregate, fully pushed down)",
+)
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the would-be revenue
+    delta of dropping small discounts on low-quantity 1997 lines. Pure
+    scan + pushed predicates + one partial/final aggregate — the
+    simplest possible plan, gated as such. Money math in decimals."""
+    li = load_sf_tables(spark, sf_dir)["lineitem"]
+    amt = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(3,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(amt).cast("double").alias("forecast_revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "bilateral_trade_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_AMT_SQL}) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    survey_ref="Relational breadth: TPC-H Q7 shape "
+    "(bilateral nation-pair volume, snowflake join + disjunction)",
+)
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): yearly trade volume between two
+    nations in both directions. Snowflake shape: the fact joins two
+    broadcast dimension chains (supplier→nation, orders→customer→
+    nation); the nation-pair disjunction filters AFTER both chains
+    resolve map-side — the fact table shuffles only for the final
+    group-by on the 2×years key space."""
+    t = load_sf_tables(spark, sf_dir)
+    li, supp, nat = t["lineitem"], t["supplier"], t["nation"]
+    orders, cust = t["orders"], t["customer"]
+    sn = (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cn), F.col("o_custkey") == cn["c_custkey"])
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_amount()).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "market_share_volumes",
+    f"""
+    SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN {_AMT_SQL}
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS nation_volume,
+           CAST(SUM({_AMT_SQL}) AS DOUBLE) AS total_volume
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+    GROUP BY o_year ORDER BY o_year
+    """,
+    survey_ref="Relational breadth: TPC-H Q8 shape "
+    "(market share: conditional vs total volume per year)",
+)
+def market_share_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of PROMO-part
+    volume sold into the ASIA customer market, per order year — emitted
+    as (nation_volume, total_volume) pairs rather than the ratio, so
+    no engine ever divides (cross-engine double division diverges in
+    the last ulp; the caller divides). Every dimension chain
+    broadcasts; the fact shuffles once for the per-year aggregate."""
+    t = load_sf_tables(spark, sf_dir)
+    li, part, supp, nat = t["lineitem"], t["part"], t["supplier"], t["nation"]
+    orders, cust, reg = t["orders"], t["customer"], t["region"]
+    sn = (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    asia_cust = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(
+            F.broadcast(reg.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    zero = F.lit("0").cast("decimal(18,2)")
+    amt = _amount()
+    return (
+        li.join(
+            F.broadcast(
+                part.where(F.col("p_type") == "PROMO").select("p_partkey")
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(asia_cust),
+            F.col("o_custkey") == asia_cust["c_custkey"],
+        )
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", amt)
+                .otherwise(zero)
+            ).cast("double").alias("nation_volume"),
+            F.sum(amt).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "synthetic_profit_by_nation_year",
+    """
+    SELECT sn.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                         (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                         AS DECIMAL(30,6))
+                  - CAST(CAST(l.l_quantity AS DECIMAL(12,2)) *
+                         CAST(p.p_retailprice AS DECIMAL(18,2)) *
+                         CAST(0.10 AS DECIMAL(3,2))
+                         AS DECIMAL(30,6))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+                AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    survey_ref="Relational breadth: TPC-H Q9 shape "
+    "(product-line profit by supplier nation and year)",
+)
+def synthetic_profit_by_nation_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q9 (product type profit): per supplier nation and order
+    year, discounted revenue minus a 10%-of-retail holding-cost proxy
+    on gear parts (the fixture has no partsupp.ps_supplycost —
+    p_retailprice stands in). Both sides of the subtraction are cast
+    to the SAME decimal scale before subtracting, so the arithmetic is
+    bit-identical across engines; the name filter pushes into the part
+    scan and broadcasts."""
+    t = load_sf_tables(spark, sf_dir)
+    li, part, supp, nat = t["lineitem"], t["part"], t["supplier"], t["nation"]
+    orders = t["orders"]
+    sn = (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    rev = _amount().cast("decimal(30,6)")
+    cost = (
+        F.col("l_quantity").cast("decimal(12,2)")
+        * F.col("p_retailprice").cast("decimal(18,2)")
+        * F.lit("0.10").cast("decimal(3,2)")
+    ).cast("decimal(30,6)")
+    return (
+        li.join(
+            F.broadcast(
+                part.where(F.col("p_name").like("%gear%"))
+                .select("p_partkey", "p_retailprice")
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.sum(rev - cost).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "returned_item_top_customers",
+    f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
+           CAST(SUM({_AMT_SQL}) AS DOUBLE) AS revenue,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY custkey, cust_name, nation
+    ORDER BY CAST(SUM({_AMT_SQL}) AS DECIMAL(38,4)) DESC, custkey
+    LIMIT 20
+    """,
+    survey_ref="Relational breadth: TPC-H Q10 shape "
+    "(returned-item revenue ranking, top 20)",
+)
+def returned_item_top_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): customers who returned the
+    most revenue in H1-1997. Revenue stays decimal through the SORT
+    key (ordering by a double would tie-break on last-ulp noise);
+    top-20 is TakeOrdered, never a global sort. The returnflag
+    predicate pushes into the lineitem scan, the date window into
+    orders; customer/nation broadcast."""
+    t = load_sf_tables(spark, sf_dir)
+    li, orders, cust, nat = (
+        t["lineitem"], t["orders"], t["customer"], t["nation"]
+    )
+    cn = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select("c_custkey", "c_name", "n_name")
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1997-07-01")
+            ).select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cn), F.col("o_custkey") == cn["c_custkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(_amount()).alias("_rev"))
+        .orderBy(F.desc(F.col("_rev").cast("decimal(38,4)")), "custkey")
+        .limit(20)
+        .select(
+            "custkey", "cust_name",
+            F.col("_rev").cast("double").alias("revenue"), "nation",
+        )
+    )
+
+
+@register(
+    "order_count_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    survey_ref="Relational breadth: TPC-H Q13 shape "
+    "(customer order-count distribution, filtered outer join)",
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly N non-low-priority orders — the filtered LEFT OUTER join
+    keeps zero-order customers (COUNT of the null-extended side is 0,
+    never 1). Two aggregates: per-customer on the uniform custkey,
+    then the distribution on the tiny count domain."""
+    t = load_sf_tables(spark, sf_dir)
+    cust, orders = t["customer"], t["orders"]
+    per_cust = (
+        cust.join(
+            orders.where(F.col("o_orderpriority") != "5-LOW")
+            .select("o_custkey", "o_orderkey"),
+            cust["c_custkey"] == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "supplier_variety_count",
+    """
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY brand, type, size
+    ORDER BY supplier_cnt DESC, brand, type, size
+    LIMIT 100
+    """,
+    survey_ref="Relational breadth: TPC-H Q16 shape "
+    "(distinct-supplier variety count + NOT IN anti join)",
+)
+def supplier_variety_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct suppliers per
+    (brand, type, size) for selected sizes, excluding one brand and
+    suppliers in the red (the fixture's stand-in for the complaints
+    NOT IN). lineitem is the part-supplier fact; the NOT IN is a
+    broadcast left-anti join; COUNT(DISTINCT) expands to Spark's
+    two-phase distinct aggregate on the uniform group key."""
+    t = load_sf_tables(spark, sf_dir)
+    li, part, supp = t["lineitem"], t["part"], t["supplier"]
+    sizes = [1, 4, 9, 16, 25, 36, 49]
+    pdim = part.where(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supp.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(pdim), li["l_partkey"] == pdim["p_partkey"])
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct("l_suppkey").cast("bigint")
+             .alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
+        .limit(100)
+    )
+
+
+@register(
+    "bracketed_discount_revenue",
+    f"""
+    SELECT CAST(SUM({_AMT_SQL}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey_ref="Relational breadth: TPC-H Q19 shape "
+    "(disjunction of cross-table bracket predicates)",
+)
+def bracketed_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue from three OR'd
+    brand/size/quantity brackets — the canonical disjunctive predicate
+    spanning both join sides, which can only be applied post-join. The
+    part dim broadcasts (the OR's part-only footprint — three brands —
+    could pre-filter it, but the full dim is already broadcast-sized);
+    the whole filter+aggregate runs map-side over the fact scan."""
+    t = load_sf_tables(spark, sf_dir)
+    li, part = t["lineitem"], t["part"]
+    bracket = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .where(bracket)
+        .agg(
+            F.sum(_amount()).cast("double").alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )

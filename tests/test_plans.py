@@ -546,3 +546,62 @@ def test_q20_shape_chained_semi_joins(spark):
     assert plan.count("LeftSemi") >= 2
     assert "StringStartsWith(p_name,red )" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_shape_scan_only_aggregate(spark):
+    """TPC-H Q6 shape (r7): pure scan + pushed predicates + one
+    partial/final aggregate — no join, no shuffle beyond the final
+    single-row agg; date, discount, and quantity all reach the scan."""
+    plan = plan_of(spark, "forecast_revenue_delta")
+    assert "Join" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity,24" in plan
+    assert "partial_sum" in plan
+
+
+def test_q7_q8_snowflake_broadcast_chains(spark):
+    """TPC-H Q7/Q8 shapes (r7): every dimension chain broadcasts; the
+    fact shuffles only for the final aggregate; no cartesian."""
+    for name in ("bilateral_trade_volume", "market_share_volumes"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 2, name
+        assert "partial_sum" in plan, name
+
+
+def test_q10_take_ordered_decimal_sort(spark):
+    """TPC-H Q10 shape (r7): top-20 via TakeOrderedAndProject (never a
+    global sort), returnflag pushed into the lineitem scan."""
+    plan = plan_of(spark, "returned_item_top_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_preserves_zero_customers(spark):
+    """TPC-H Q13 shape (r7): the priority filter rides the join (LEFT
+    OUTER survives — an inner join would drop zero-order customers)."""
+    plan = plan_of(spark, "order_count_distribution")
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_anti_join_and_distinct_agg(spark):
+    """TPC-H Q16 shape (r7): NOT IN as broadcast anti join; distinct
+    supplier count as a two-phase aggregate; size/brand pushed."""
+    plan = plan_of(spark, "supplier_variety_count")
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "In(p_size, [1,16,25,36,4,49,9])" in plan \
+        or "In(p_size" in plan
+    assert plan.count("HashAggregate") >= 3  # distinct expansion
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_with_date_condition(spark):
+    """TPC-H Q4 shape (r7): EXISTS as a semi join whose condition
+    carries the cross-table date comparison; the order window pushed."""
+    plan = plan_of(spark, "late_shipment_priority_orders")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
