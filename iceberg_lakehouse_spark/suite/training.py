@@ -2849,3 +2849,137 @@ def bracketed_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )
+
+
+@register(
+    "mor_update_delete_semantics",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'MOTOR'
+                ELSE c_mktsegment END AS c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer
+    WHERE NOT (c_acctbal < 0)
+    ORDER BY c_custkey
+    """,
+    survey_ref="C2/C3 merge-on-read twin (r7): delete+update as "
+    "position-delete files, scan merges transparently",
+)
+def mor_update_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ mutation semantics, end-to-end against the oracle:
+    customer lands in a throwaway warehouse table with
+    write.delete.mode = write.update.mode = merge-on-read, a delete
+    (negative balances) and an update (segment rename) commit as
+    position-delete files + new data files — NO matched data file is
+    rewritten — and the returned scan merges them transparently. The
+    copy-on-write twin is update_projection_semantics /
+    delete_filter_semantics; same oracle discipline, different storage
+    strategy (the 100 TB amortization for small mutations)."""
+    import tempfile
+
+    from ..catalog import LakehouseCatalog
+    from ..operators import crud
+
+    cust = load_sf_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    cat = LakehouseCatalog(spark, tempfile.mkdtemp(prefix="mor_sem_"))
+    t = cat.create_table(
+        "default.cust_mor",
+        [("c_custkey", "long"), ("c_name", "string"),
+         ("c_mktsegment", "string"), ("c_acctbal", "double")],
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.update.mode": "merge-on-read"},
+    )
+    t.append(cust)
+    crud.delete_rows(t, "c_acctbal < 0")
+    crud.update_rows(
+        t, "c_mktsegment = 'AUTOMOBILE'", {"c_mktsegment": "MOTOR"}
+    )
+    assert t.current_snapshot().delete_files  # really merge-on-read
+    return (
+        t.scan()
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+_PACK_WINDOW = 2048
+
+
+@register(
+    "sequence_packing_manifest",
+    f"""
+    SELECT doc_id, n_tokens, shard, start_token,
+           CAST(FLOOR(start_token / {_PACK_WINDOW}) AS BIGINT)
+               AS first_window,
+           CAST(FLOOR((start_token + n_tokens - 1) / {_PACK_WINDOW})
+               AS BIGINT) AS last_window
+    FROM (
+        SELECT doc_id, n_tokens, shard,
+               COALESCE(CAST(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) AS start_token
+        FROM (
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(text)),
+                                 '[ \\t\\n\\x0b\\f\\r]+')) END AS BIGINT)
+                       AS n_tokens,
+                   CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                        AS INT) AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS ord
+            FROM documents
+        )
+        WHERE n_tokens > 0
+    )
+    ORDER BY shard, start_token, doc_id
+    """,
+    survey_ref="LLM-pipeline: concat-and-chunk sequence packing "
+    "manifest (per-shard token offsets -> context-window spans)",
+)
+def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing, the concat-and-chunk variant: docs
+    are deterministically shuffled (md5 order), concatenated into 16
+    independent token streams (shard = first md5 nibble), and every
+    doc's span is mapped to the 2048-token context windows it lands
+    in — the manifest a packing dataloader consumes. COALESCE-free:
+    empty docs are dropped before packing.
+
+    Scale shape: the only shuffle is the window partitioned by the
+    16-way uniform shard key — each shard is an independent packing
+    stream (exactly how distributed packing runs at 100 TB: one
+    stream per writer task, no global order). The cumulative sum is a
+    running-total frame within the shard; window ids are pure map-side
+    arithmetic on the offsets."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    t = dt.tokens_col("text")
+    base = docs.select(
+        "doc_id",
+        F.when(F.trim("text") == "", 0)
+        .otherwise(F.size(t)).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    ).where(F.col("n_tokens") > 0)
+    base = base.withColumn(
+        "shard", F.conv(F.substring("ord", 1, 1), 16, 10).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.withColumn(
+        "start_token", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "shard",
+        F.col("start_token").cast("bigint").alias("start_token"),
+        F.floor(F.col("start_token") / _PACK_WINDOW)
+        .cast("bigint").alias("first_window"),
+        F.floor((F.col("start_token") + F.col("n_tokens") - 1)
+                / _PACK_WINDOW)
+        .cast("bigint").alias("last_window"),
+    ).orderBy("shard", "start_token", "doc_id")

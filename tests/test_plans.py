@@ -605,3 +605,14 @@ def test_q4_semi_join_with_date_condition(spark):
     assert "LeftSemi" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_sharded_window(spark):
+    """Sequence packing (r7): the running token offset windows over the
+    16-way uniform shard key — never a single-partition global cumsum;
+    window ids are map-side arithmetic above it."""
+    plan = plan_of(spark, "sequence_packing_manifest")
+    assert "SinglePartition" not in plan
+    import re
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
+    assert "hashpartitioning(shard" in plan

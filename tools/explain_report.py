@@ -95,14 +95,37 @@ SHOW = [
      "pre-window caps each partition at max(quota) before the global "
      "per-source rank + quota map filter — 3-value key, no hot-task sort."),
     ("curation_funnel",
-     "Curation yield report (round 6 single-pass): per-doc stage flags in "
-     "one pipeline + one conditional-count aggregate + inline() stage "
-     "expansion — documents scanned exactly TWICE (flags + shingle "
-     "contamination window), not once per stage."),
+     "Curation yield report (round 7 broadcast-probe): per-doc stage flags "
+     "in one pipeline + one conditional-count aggregate + inline() stage "
+     "expansion; contamination now mirrors the capstone — bench shingles "
+     "from a stats-pruned doc_id<50 scan, broadcast, probed with a LEFT "
+     "SEMI join (the former max-over-shingle window shuffled the whole "
+     "Zipfian explosion onto hot-shingle tasks)."),
     ("ann_index_persisted_topk",
      "Persisted IVF probe (round 6): stored centroids route the query, the "
      "cell IN (...) filter file-prunes the cell-partitioned index scan, "
      "exact cosine + TakeOrdered top-k — no k-means per query."),
+    ("min_cost_supplier_per_part",
+     "TPC-H Q2 (round 7): the correlated MIN subquery decorrelates to one "
+     "window minimum over the per-(part, supplier) aggregate; the EUROPE "
+     "supplier dim broadcast-filters the fact BEFORE aggregation, part dim "
+     "broadcasts at the end — no self-join, no second fact scan."),
+    ("small_quantity_part_revenue",
+     "TPC-H Q17 (round 7): correlated AVG as per-part window sums over the "
+     "brand-filtered fact — ONE lineitem scan, one uniform-partkey shuffle, "
+     "threshold compared multiplication-side in decimals (no division)."),
+    ("forecast_revenue_delta",
+     "TPC-H Q6 (round 7): the degenerate-plan baseline — scan with all "
+     "three predicates pushed + one partial/final aggregate, no join, no "
+     "data-bearing exchange."),
+    ("market_share_volumes",
+     "TPC-H Q8 (round 7): every dimension chain broadcasts (part filter, "
+     "supplier→nation, customer→nation→region); market share emitted as "
+     "(nation_volume, total_volume) so no engine ever divides."),
+    ("order_count_distribution",
+     "TPC-H Q13 (round 7): the priority filter rides the LEFT OUTER join "
+     "(zero-order customers survive), per-customer count on the uniform "
+     "custkey, then the distribution aggregate on the tiny count domain."),
 ]
 
 
