@@ -1707,6 +1707,7 @@ class LakeTable:
             for f in orphans
             if os.path.exists(os.path.join(self.root, f))
         )
+        cur = self.current_snapshot()
         return {
             "table": f"{self.namespace}.{self.table}",
             "data_files": fs["file_count"],
@@ -1715,6 +1716,9 @@ class LakeTable:
             "snapshots": fs["snapshot_count"],
             "orphan_files": len(orphans),
             "orphan_bytes": orphan_bytes,
+            # merge-on-read debt: pending position-delete files compact()
+            # would fold — the rewrite-scheduling signal for MoR tables
+            "delete_files": len(cur.delete_files) if cur else 0,
         }
 
     def _file_row_counts(self, files: list[str]) -> int | None:

@@ -80,8 +80,8 @@ def _matched_files(
 
 def _write_mode(table: LakeTable, kind: str) -> str:
     """Mutation mode from Iceberg's table-property names:
-    ``write.delete.mode`` / ``write.update.mode`` in {copy-on-write,
-    merge-on-read}; copy-on-write is the default (oracle parity — MoR
+    ``write.delete.mode`` / ``write.update.mode`` / ``write.merge.mode``
+    in {copy-on-write, merge-on-read}; copy-on-write is the default (oracle parity — MoR
     is the 100 TB amortization for small mutations). MoR requires
     parquet data files: the position key uses parquet's
     _metadata.row_index, which ORC does not expose."""
@@ -262,7 +262,9 @@ def upsert_rows(
 ) -> dict[str, int]:
     """C4: MERGE semantics — matched rows replaced, new rows appended
     (reference catalog.py:1180-1344: inner-join count, left-anti keep,
-    UNION ALL incoming, overwrite)."""
+    UNION ALL incoming, overwrite). With ``write.merge.mode =
+    merge-on-read`` the matched rows are position-deleted and the
+    incoming batch appends in one commit — no table rewrite."""
     if not key_columns:
         raise ValueError("key_columns must not be empty")
     schema = table.schema()
@@ -291,6 +293,32 @@ def upsert_rows(
     # table holds duplicate key values, counting the existing side could
     # exceed len(rows) and make `inserted` negative
     updated = incoming.join(existing, key_columns, "left_semi").count()
+    if _write_mode(table, "merge") == "merge-on-read":
+        # MoR MERGE: matched existing rows become position-delete keys
+        # and the whole incoming batch appends — ONE commit, no data
+        # file rewritten. The CoW path below overwrites the ENTIRE
+        # table (kept ∪ incoming), which at 100 TB turns a 10-row
+        # merge into a full rewrite; MoR makes it two tiny files.
+        src = table.scan(
+            snapshot_id=base.snapshot_id if base else None, with_pos=True
+        ).join(
+            F.broadcast(incoming.select(*key_columns).distinct()),
+            key_columns,
+            "left_semi",
+        )
+        keys_df = src.select(
+            F.col("_mor_file").alias("_file"),
+            F.col("_mor_pos").alias("_pos"),
+        )
+        del_files = table.write_position_deletes(keys_df)
+        table.commit_mor_update(
+            incoming,
+            del_files,
+            {"updated_rows": updated,
+             "inserted_rows": len(rows) - updated},
+            expected_snapshot_id=base.snapshot_id if base else None,
+        )
+        return {"updated": updated, "inserted": len(rows) - updated}
     kept = existing.join(F.broadcast(incoming), key_columns, "left_anti")
     table.overwrite(
         kept.unionByName(incoming),

@@ -615,6 +615,25 @@ def test_ann_index_tools(server):
     is_err, st, _ = call(server, "ann_index_stats",
                          {"index_table": "mcp_ivf"})
     assert not is_err and sum(r["n_vectors"] for r in st) == 41
+    # r7: rebalance through the RPC surface — skew a cell with a tight
+    # near-duplicate batch, split it, every vector still accounted for
+    t3 = cat.create_table("mcp_vecs3", vec_schema)
+    t3.append(spark.createDataFrame(
+        [(200 + i, [v * (1.0 + 0.0001 * i) for v in q])
+         for i in range(50)], vec_schema))
+    is_err, _ext2, _ = call(server, "ann_index_extend", {
+        "index_table": "mcp_ivf", "batch_table": "mcp_vecs3",
+        "id_column": "vec_id", "vector_column": "embedding",
+    })
+    assert not is_err
+    is_err, rep, _ = call(server, "ann_index_rebalance", {
+        "index_table": "mcp_ivf", "max_ratio": 2.0,
+    })
+    assert not is_err and rep["split_cells"], rep
+    assert rep["n_cells_after"] == 4 + len(rep["split_cells"])
+    is_err, st2, _ = call(server, "ann_index_stats",
+                          {"index_table": "mcp_ivf"})
+    assert not is_err and sum(r["n_vectors"] for r in st2) == 91
 
 
 def test_containment_pairs_tool(server):

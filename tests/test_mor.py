@@ -223,3 +223,46 @@ def test_mor_scan_plan_broadcasts_delete_set(spark, tmp_warehouse):
     plan = buf.getvalue()
     assert "BroadcastHashJoin LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mor_merge_upsert_no_table_rewrite(spark, tmp_warehouse):
+    """write.merge.mode=merge-on-read: upsert position-deletes the
+    matched rows and appends the incoming batch in ONE commit — the
+    CoW path overwrites the whole table. Results must be identical to
+    the CoW twin; data files must be untouched."""
+    props = dict(MOR_PROPS)
+    props["write.merge.mode"] = "merge-on-read"
+    _, t = _table(spark, tmp_warehouse, props=props)
+    files_before = list(t.current_snapshot().files)
+    pre = t.current_snapshot().snapshot_id
+    res = crud.upsert_rows(
+        t,
+        [{"id": 5, "v": "FIVE"}, {"id": 100, "v": "hundred"}],
+        ["id"],
+    )
+    assert res == {"updated": 1, "inserted": 1}
+    snap = t.current_snapshot()
+    assert snap.operation == "update" and snap.parent_id == pre
+    assert set(files_before) <= set(snap.files)  # nothing rewritten
+    assert len(snap.delete_files) == 1
+    rows = {r["id"]: r["v"] for r in t.scan().collect()}
+    assert rows[5] == "FIVE" and rows[100] == "hundred"
+    assert len(rows) == 21
+    # CoW twin produces the identical logical table
+    cat2 = LakehouseCatalog(spark, tmp_warehouse)
+    t2 = cat2.create_table(
+        "default.cow_twin", [("id", "long"), ("v", "string")]
+    )
+    t2.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, v string"))
+    crud.upsert_rows(
+        t2, [{"id": 5, "v": "FIVE"}, {"id": 100, "v": "hundred"}], ["id"]
+    )
+    assert {(r["id"], r["v"]) for r in t.scan().collect()} == {
+        (r["id"], r["v"]) for r in t2.scan().collect()
+    }
+    # duplicate-key existing rows: ALL matched copies die
+    t.append(spark.createDataFrame([(100, "dup")], "id long, v string"))
+    crud.upsert_rows(t, [{"id": 100, "v": "final"}], ["id"])
+    assert [r["v"] for r in t.scan().where("id = 100").collect()] \
+        == ["final"]
