@@ -186,6 +186,11 @@ class MaintenanceManager:
         "auto_expire_retain_last": 5,
         "auto_expire_older_than": None,
         "auto_cleanup_orphans": True,
+        # merge-on-read debt trigger (r7, no reference analogue): when
+        # set, pending position-delete files >= this ALSO schedule a
+        # compact (which folds them back into plain data files). None
+        # preserves the reference's exact trigger set.
+        "auto_compact_delete_files": None,
     }
 
     def __init__(self, store_path: str):
@@ -235,7 +240,12 @@ class MaintenanceManager:
                 "needs_orphan_cleanup": False, "actions_needed": [],
                 "stats": fs,
             }
-        needs_compact = fs["file_count"] >= pol["auto_compact_threshold"]
+        n_dels = (
+            len(table.current_snapshot().delete_files)
+            if table.current_snapshot() else 0
+        )
+        del_thresh = pol.get("auto_compact_delete_files")
+        needs_compact = fs["file_count"] >= pol["auto_compact_threshold"]             or (del_thresh is not None and n_dels >= del_thresh)
         needs_expire = fs["snapshot_count"] > pol["auto_expire_retain_last"]
         # detection must use the SAME grace window the automated cleanup
         # applies (r5 review): counting grace-shielded fresh files would
@@ -248,10 +258,16 @@ class MaintenanceManager:
         needs_orphans = graced_orphans > 0
         actions = []
         if needs_compact:
-            actions.append(
-                f"compact ({fs['file_count']} files >= "
-                f"{pol['auto_compact_threshold']} threshold)"
-            )
+            if fs["file_count"] >= pol["auto_compact_threshold"]:
+                actions.append(
+                    f"compact ({fs['file_count']} files >= "
+                    f"{pol['auto_compact_threshold']} threshold)"
+                )
+            else:
+                actions.append(
+                    f"compact ({n_dels} merge-on-read delete files >= "
+                    f"{del_thresh} threshold)"
+                )
         if needs_expire:
             actions.append(
                 f"expire_snapshots ({fs['snapshot_count']} snapshots > "

@@ -299,6 +299,9 @@ def upsert_rows(
         # file rewritten. The CoW path below overwrites the ENTIRE
         # table (kept ∪ incoming), which at 100 TB turns a 10-row
         # merge into a full rewrite; MoR makes it two tiny files.
+        if updated == 0:
+            table.append(incoming)  # pure insert: no delete file at all
+            return {"updated": 0, "inserted": len(rows)}
         src = table.scan(
             snapshot_id=base.snapshot_id if base else None, with_pos=True
         ).join(

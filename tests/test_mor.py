@@ -266,3 +266,34 @@ def test_mor_merge_upsert_no_table_rewrite(spark, tmp_warehouse):
     crud.upsert_rows(t, [{"id": 100, "v": "final"}], ["id"])
     assert [r["v"] for r in t.scan().where("id = 100").collect()] \
         == ["final"]
+
+
+def test_mor_delete_file_debt_triggers_maintenance_compact(
+    spark, tmp_warehouse, tmp_path
+):
+    """Governance tie-in (r7): auto_compact_delete_files schedules a
+    compact once merge-on-read delete files accumulate; running the
+    policy folds them and clears the trigger. Default None keeps the
+    reference's exact trigger set."""
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+
+    _, t = _table(spark, tmp_warehouse)
+    mm = MaintenanceManager(str(tmp_path / "pol.json"))
+    mm.set_policy(
+        "default.mor", auto_compact_threshold=1000,
+        auto_compact_delete_files=2, auto_cleanup_orphans=False,
+    )
+    crud.delete_rows(t, "id = 1")
+    chk = mm.check_needed(t)
+    assert not chk["needs_compact"]  # 1 delete file < 2
+    crud.delete_rows(t, "id = 2")
+    chk = mm.check_needed(t)
+    assert chk["needs_compact"]
+    assert any("merge-on-read delete files" in a
+               for a in chk["actions_needed"])
+    t.compact()
+    chk = mm.check_needed(t)
+    assert not chk["needs_compact"]
+    assert t.current_snapshot().delete_files == []
