@@ -297,3 +297,70 @@ def test_mor_delete_file_debt_triggers_maintenance_compact(
     chk = mm.check_needed(t)
     assert not chk["needs_compact"]
     assert t.current_snapshot().delete_files == []
+
+
+def test_mor_on_partitioned_table(spark, tmp_warehouse):
+    """MoR over hidden partitioning: partitioned writes reuse part-file
+    basenames across partition dirs, which is exactly why the position
+    key is the FULL file path. Delete + update + compact on a
+    partitioned MoR table stay correct."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table(
+        "default.pmor", [("id", "long"), ("grp", "string"), ("v", "long")],
+        partition_by=["grp"], properties=dict(MOR_PROPS),
+    )
+    rows = [(i, "even" if i % 2 == 0 else "odd", i * 10) for i in range(40)]
+    t.append(spark.createDataFrame(rows, "id long, grp string, v long"))
+    # delete rows straddling both partitions; same in-partition offsets
+    # exist on both sides, so a basename-keyed delete would kill twins
+    assert crud.delete_rows(t, "id IN (0, 1, 2, 3)") == 4
+    ids = sorted(r["id"] for r in t.scan().collect())
+    assert ids == list(range(4, 40))
+    assert crud.update_rows(t, "id = 10", {"v": -1}) == 1
+    got = {r["id"]: r["v"] for r in t.scan().collect()}
+    assert got[10] == -1 and got[11] == 110 and len(got) == 36
+    # partition pruning still works through the merge
+    evens = t.scan(filter="grp = 'even'")
+    assert sorted(r["id"] for r in evens.collect()) == \
+        [i for i in range(4, 40) if i % 2 == 0]
+    t.compact()
+    assert t.current_snapshot().delete_files == []
+    assert sorted(r["id"] for r in t.scan().collect()) == list(range(4, 40))
+
+
+def test_mor_after_add_column(spark, tmp_warehouse):
+    """Schema evolution over MoR: a column added after data landed
+    reads as NULL through the delete-merged scan, and new MoR
+    mutations keep working against the widened schema."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table(
+        "default.emor", [("id", "long"), ("v", "string")],
+        properties=dict(MOR_PROPS),
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"))
+    assert crud.delete_rows(t, "id = 0") == 1
+    t.add_column("score", "double")
+    rows = {r["id"]: r for r in t.scan().collect()}
+    assert 0 not in rows and rows[1]["score"] is None
+    assert crud.update_rows(t, "id = 1", {"score": 9.5}) == 1
+    rows = {r["id"]: r for r in t.scan().collect()}
+    assert rows[1]["score"] == 9.5 and rows[2]["score"] is None
+    assert len(t.current_snapshot().delete_files) == 2
+
+
+def test_cow_upsert_folds_pending_mor_deletes(spark, tmp_warehouse):
+    """A CoW upsert over a table with pending MoR deletes reads the
+    MERGED scan and overwrites — deleted rows stay dead and the delete
+    files fold away."""
+    cat, t = _table(
+        spark, tmp_warehouse,
+        props={"write.delete.mode": "merge-on-read"},  # merge stays CoW
+    )
+    assert crud.delete_rows(t, "id = 7") == 1
+    res = crud.upsert_rows(t, [{"id": 3, "v": "three"}], ["id"])
+    assert res == {"updated": 1, "inserted": 0}
+    snap = t.current_snapshot()
+    assert snap.delete_files == []  # folded by the overwrite
+    rows = {r["id"]: r["v"] for r in t.scan().collect()}
+    assert 7 not in rows and rows[3] == "three" and len(rows) == 19
