@@ -2983,3 +2983,248 @@ def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / _PACK_WINDOW)
         .cast("bigint").alias("last_window"),
     ).orderBy("shard", "start_token", "doc_id")
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+    SELECT n.n_name AS nation, CAST(SUM({_AMT_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY nation
+    ORDER BY CAST(SUM({_AMT_SQL}) AS DECIMAL(38,4)) DESC, nation
+    """,
+    survey_ref="Relational breadth: TPC-H Q5 shape "
+    "(local supplier volume — same-nation customer+supplier)",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 1997 revenue where customer
+    and supplier share a nation, per ASIA nation. The same-nation
+    equality rides the customer join condition; nation+region broadcast
+    and the revenue sort key stays decimal (the output double would
+    tie-break on ulp noise)."""
+    t = load_sf_tables(spark, sf_dir)
+    li, supp, orders, cust = (
+        t["lineitem"], t["supplier"], t["orders"], t["customer"]
+    )
+    nat, reg = t["nation"], t["region"]
+    asia_nat = nat.join(
+        F.broadcast(reg.where(F.col("r_name") == "ASIA")),
+        nat["n_regionkey"] == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    sn = supp.join(
+        F.broadcast(asia_nat), supp["s_nationkey"] == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ).select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_amount()).alias("_rev"))
+        .orderBy(F.desc(F.col("_rev").cast("decimal(38,4)")), "nation")
+        .select("nation", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "priority_shipping_split",
+    """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY returnflag ORDER BY returnflag
+    """,
+    survey_ref="Relational breadth: TPC-H Q12 shape "
+    "(two-bucket priority split per category)",
+)
+def priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): per return flag
+    (the fixture's stand-in for l_shipmode), how many 1997 lines
+    belong to urgent/high-priority orders vs the rest — the canonical
+    conditional two-bucket aggregate over a fact-dimension join. The
+    date window pushes into the lineitem scan; counts are exact
+    integers, immune to engine drift."""
+    t = load_sf_tables(spark, sf_dir)
+    li, orders = t["lineitem"], t["orders"]
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@register(
+    "context_window_fill",
+    f"""
+    WITH packed AS (
+        SELECT doc_id, n_tokens, shard,
+               COALESCE(CAST(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) AS start_token
+        FROM (
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(text)),
+                                 '[ \\t\\n\\x0b\\f\\r]+')) END AS BIGINT)
+                       AS n_tokens,
+                   CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                        AS INT) AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS ord
+            FROM documents
+        )
+        WHERE n_tokens > 0
+    )
+    SELECT shard, CAST(w AS BIGINT) AS window_id,
+           CAST(SUM(LEAST(start_token + n_tokens, (w + 1) * {_PACK_WINDOW})
+                    - GREATEST(start_token, w * {_PACK_WINDOW}))
+                AS BIGINT) AS tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT p.*, unnest(range(
+            CAST(FLOOR(start_token / {_PACK_WINDOW}) AS BIGINT),
+            CAST(FLOOR((start_token + n_tokens - 1) / {_PACK_WINDOW})
+                 AS BIGINT) + 1)) AS w
+        FROM packed p
+    )
+    GROUP BY shard, window_id
+    ORDER BY shard, window_id
+    """,
+    survey_ref="LLM-pipeline: context-window fill report "
+    "(per-window token occupancy + doc spans over the packing)",
+)
+def context_window_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing observability: for every 2048-token context window of
+    every shard stream, how many tokens it holds and how many docs
+    touch it (a doc spanning a boundary counts in both windows; the
+    per-window contribution is the span intersection). The dataloader
+    sanity report — every window except each shard's last should read
+    exactly 2048 tokens.
+
+    Scale shape: reuses the packing window (one shuffle on the uniform
+    shard key), then a map-side explode of each doc's window RANGE
+    (bounded by doc length / window size) and a hash aggregate on the
+    uniform (shard, window) key."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    t = dt.tokens_col("text")
+    base = docs.select(
+        "doc_id",
+        F.when(F.trim("text") == "", 0)
+        .otherwise(F.size(t)).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    ).where(F.col("n_tokens") > 0)
+    base = base.withColumn(
+        "shard", F.conv(F.substring("ord", 1, 1), 16, 10).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.withColumn(
+        "start_token", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    W = _PACK_WINDOW
+    spans = packed.select(
+        "shard", "n_tokens", "start_token",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_token") / W),
+                F.floor((F.col("start_token") + F.col("n_tokens") - 1) / W),
+            )
+        ).alias("w"),
+    )
+    contrib = F.least(
+        F.col("start_token") + F.col("n_tokens"), (F.col("w") + 1) * W
+    ) - F.greatest(F.col("start_token"), F.col("w") * W)
+    return (
+        spans.groupBy("shard", F.col("w").cast("bigint").alias("window_id"))
+        .agg(
+            F.sum(contrib).cast("bigint").alias("tokens"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("shard", "window_id")
+    )
+
+
+@register(
+    "stopword_discovery",
+    """
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(lower(text)),
+                             '[ \\t\\n\\x0b\\f\\r]+')) AS toks
+        FROM documents WHERE trim(text) <> ''
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM docs), total
+    GROUP BY tok, total.n
+    HAVING 2 * COUNT(*) >= total.n
+    ORDER BY doc_freq DESC, tok
+    """,
+    survey_ref="LLM-pipeline: corpus stopword discovery "
+    "(document-frequency >= half the corpus)",
+)
+def stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword list: tokens appearing in at least half
+    of all (non-empty) documents — the document-frequency twin of
+    word_frequency_topk (which counts OCCURRENCES; df-based lists are
+    what TF-IDF and quality filters consume). The threshold is
+    compared multiplication-side (2·df ≥ N) so no engine divides.
+
+    Scale shape: distinct tokens per doc map-side (array_distinct),
+    one hash aggregate on the uniform token key, the corpus count a
+    one-row broadcast."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    toks = docs.where(F.trim("text") != "").select(
+        F.array_distinct(dt.tokens_col("text")).alias("toks")
+    )
+    n = toks.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("doc_freq"))
+        .crossJoin(F.broadcast(n))
+        .where(F.col("doc_freq") * 2 >= F.col("n"))
+        .select("tok", "doc_freq")
+        .orderBy(F.desc("doc_freq"), "tok")
+    )

@@ -616,3 +616,25 @@ def test_sequence_packing_sharded_window(spark):
     import re
     assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
     assert "hashpartitioning(shard" in plan
+
+
+def test_q5_same_nation_rides_join_condition(spark):
+    """TPC-H Q5 shape (r7): the same-nation equality is part of the
+    customer join condition (no post-join filter explosion); dims
+    broadcast; no cartesian."""
+    plan = plan_of(spark, "local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan or "Sort" in plan
+
+
+def test_context_window_fill_bounded_explode(spark):
+    """Packing fill report (r7): one sharded window (no
+    SinglePartition), then a map-side sequence explode + uniform-key
+    hash aggregate."""
+    import re
+
+    plan = plan_of(spark, "context_window_fill")
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
+    assert "Generate" in plan and "partial_sum" in plan
