@@ -105,38 +105,32 @@ def incremental_read(
         empty = table.spark.createDataFrame([], table.schema())
         return empty, {"mode": "none", "from": wm["snapshot_id"], "to": cur.snapshot_id}
 
-    # append-only fast path: scan exactly the files added since the
-    # watermark (no diff job at all)
+    # additive fast path: scan exactly the files added since the
+    # watermark (no diff job at all). Safe for append AND merge-on-read
+    # delete/update commits: MoR never rewrites old files, so the
+    # added-rows-still-live set is precisely the new files with the
+    # head snapshot's position deletes merged (new versions of MoR
+    # updates are in the new files; rows deleted since the watermark
+    # were present AT the watermark, so — like the EXCEPT diff below —
+    # they are simply absent from the result). A CoW rewrite commits
+    # as "overwrite" and still takes the diff path.
     snaps = table.snapshots()
     try:
         wm_idx = next(i for i, s in enumerate(snaps) if s.snapshot_id == wm["snapshot_id"])
     except StopIteration:
         wm_idx = None
     if wm_idx is not None and all(
-        s.operation == "append" for s in snaps[wm_idx + 1 :]
+        s.operation in ("append", "delete", "update")
+        for s in snaps[wm_idx + 1 :]
     ):
         old_files = set(snaps[wm_idx].files)
         new_files = [f for f in snaps[-1].files if f not in old_files]
         if not new_files:
             df = table.spark.createDataFrame([], table.schema())
         else:
-            schema = table.schema()
-            cols = [f.name for f in schema.fields]
-            paths = [os.path.join(table.root, f) for f in new_files]
-            parts = []
-            for fmt, ext in (("parquet", ".parquet"), ("orc", ".orc")):
-                group = [p for p in paths if p.endswith(ext)]
-                if group:
-                    parts.append(
-                        table.spark.read.schema(schema)
-                        .option("recursiveFileLookup", "true")
-                        .format(fmt)
-                        .load(group)
-                        .select(*cols)
-                    )
-            df = parts[0]
-            for extra in parts[1:]:
-                df = df.unionByName(extra)
+            df = table.scan_files(
+                new_files, merge_deletes=snaps[-1].delete_files
+            )
         return df, {
             "mode": "append_files",
             "from": wm["snapshot_id"],

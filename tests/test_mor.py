@@ -130,8 +130,9 @@ def test_mor_cdc_sees_deletes_and_updates(spark, tmp_warehouse):
 
 
 def test_mor_incremental_general_path(spark, tmp_warehouse):
-    """MoR commits are not 'append' ops, so incremental_read leaves
-    the append-only fast path and still reports correct new rows."""
+    """Incremental reads over MoR commit chains take the additive fast
+    path (MoR never rewrites old files): new rows = new files with the
+    head's position deletes merged — no EXCEPT diff job."""
     from iceberg_lakehouse_spark.governance.incremental import (
         WatermarkStore,
         incremental_read,
@@ -148,6 +149,12 @@ def test_mor_incremental_general_path(spark, tmp_warehouse):
     df2, info2 = incremental_read(t, store, "p1")
     got = {r["id"] for r in df2.collect()}
     assert 100 in got and 0 not in got
+    assert info2["mode"] == "append_files"  # no diff job over MoR chain
+    # an updated row's NEW version flows through the fast path
+    crud.update_rows(t, "id = 100", {"v": "newer"})
+    df3, info3 = incremental_read(t, store, "p1")
+    assert info3["mode"] == "append_files"
+    assert {(r["id"], r["v"]) for r in df3.collect()} == {(100, "newer")}
 
 
 def test_mor_delete_files_referenced_then_expire(spark, tmp_warehouse):
