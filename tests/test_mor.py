@@ -371,3 +371,76 @@ def test_cow_upsert_folds_pending_mor_deletes(spark, tmp_warehouse):
     assert snap.delete_files == []  # folded by the overwrite
     rows = {r["id"]: r["v"] for r in t.scan().collect()}
     assert 7 not in rows and rows[3] == "three" and len(rows) == 19
+
+
+def test_mor_randomized_mutations_match_model(spark, tmp_warehouse):
+    """Chaos, deterministic seed: a 30-op random sequence of MoR
+    inserts/deletes/updates/upserts with interleaved compactions
+    tracks a plain dict model exactly at every step, and a snapshot
+    pinned mid-sequence time-travels back to the model state recorded
+    at that point."""
+    import random
+
+    rng = random.Random(7)
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table(
+        "default.chaos", [("id", "long"), ("v", "long")],
+        properties={**MOR_PROPS, "write.merge.mode": "merge-on-read"},
+    )
+    model: dict[int, int] = {}
+    next_id = 0
+    pinned = None  # (snapshot_id, model copy)
+
+    def check():
+        got = {r["id"]: r["v"] for r in t.scan().collect()}
+        assert got == model, (
+            f"divergence: extra={set(got) - set(model)}, "
+            f"missing={set(model) - set(got)}, "
+            f"wrong={[k for k in got if k in model and got[k] != model[k]]}"
+        )
+
+    for step in range(30):
+        op = rng.choice(["insert", "delete", "update", "upsert", "compact"])
+        if op == "insert" or not model:
+            rows = [(next_id + i, rng.randrange(1000)) for i in range(3)]
+            next_id += 3
+            t.append(spark.createDataFrame(rows, "id long, v long"))
+            model.update(dict(rows))
+        elif op == "delete":
+            ids = rng.sample(sorted(model), min(2, len(model)))
+            n = crud.delete_rows(
+                t, f"id IN ({', '.join(map(str, ids))})"
+            )
+            assert n == len(ids)
+            for i in ids:
+                del model[i]
+        elif op == "update":
+            lo = rng.choice(sorted(model))
+            val = rng.randrange(1000)
+            n = crud.update_rows(t, f"id >= {lo}", {"v": val})
+            hits = [k for k in model if k >= lo]
+            assert n == len(hits)
+            for k in hits:
+                model[k] = val
+        elif op == "upsert":
+            old = rng.sample(sorted(model), min(1, len(model)))
+            rows = [{"id": k, "v": rng.randrange(1000)} for k in old]
+            rows.append({"id": next_id, "v": rng.randrange(1000)})
+            next_id += 1
+            res = crud.upsert_rows(t, rows, ["id"])
+            assert res["updated"] == len(old)
+            for r in rows:
+                model[r["id"]] = r["v"]
+        else:
+            t.compact()
+            assert t.current_snapshot().delete_files == []
+        if step % 7 == 3:
+            check()
+        if step == 15:
+            pinned = (t.current_snapshot().snapshot_id, dict(model))
+    check()
+    # time travel to the mid-sequence snapshot reads its model state
+    snap_id, old_model = pinned
+    got = {r["id"]: r["v"]
+           for r in t.scan(snapshot_id=snap_id).collect()}
+    assert got == old_model
