@@ -3228,3 +3228,278 @@ def stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "doc_freq")
         .orderBy(F.desc("doc_freq"), "tok")
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "daily_event_type_pivot",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events
+    GROUP BY day ORDER BY day
+    """,
+    survey_ref="Relational breadth: PIVOT (wide per-category columns "
+    "via the native DataFrame pivot API)",
+)
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event counts pivoted to one column per event type —
+    Spark's native ``groupBy().pivot()`` with the value list given
+    EXPLICITLY: with known values the pivot is a single partial/final
+    aggregate pass (values omitted would cost an extra distinct job
+    and make the output schema data-dependent — both wrong at 100 TB).
+    Zero-count cells must read 0, not NULL."""
+    ev = load_sf_tables(spark, sf_dir)["events"]
+    df = (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return df.select(
+        "day",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in _EVENT_TYPES],
+    ).orderBy("day")
+
+
+@register(
+    "event_type_stats_unpivot",
+    """
+    WITH wide AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, stat, val FROM (
+        SELECT event_type, 'n_events' AS stat, n_events AS val FROM wide
+        UNION ALL
+        SELECT event_type, 'n_users', n_users FROM wide
+        UNION ALL
+        SELECT event_type, 'total_value', total_value FROM wide
+    )
+    ORDER BY event_type, stat
+    """,
+    survey_ref="Relational breadth: UNPIVOT/melt (wide stats row -> "
+    "long (stat, value) pairs via the native unpivot API)",
+)
+def event_type_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-type stats melted to (event_type, stat, val) rows via
+    Spark's native ``unpivot`` — the inverse of the pivot entry and
+    the shape metric stores ingest. The melt is a map-side Expand over
+    the already-aggregated 5-row relation: the fact table is touched
+    once by the stats aggregate, never by the reshape."""
+    ev = load_sf_tables(spark, sf_dir)["events"]
+    wide = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.count_distinct("user_id").cast("double").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double").alias("total_value"),
+    )
+    return (
+        wide.unpivot(
+            ["event_type"],
+            ["n_events", "n_users", "total_value"],
+            "stat",
+            "val",
+        )
+        .orderBy("event_type", "stat")
+    )
+
+
+@register(
+    "nations_with_both_parties_intersect",
+    """
+    SELECT n_name AS nation, nationkey
+    FROM (SELECT c_nationkey AS nationkey FROM customer
+          WHERE c_acctbal > 1000
+          INTERSECT
+          SELECT s_nationkey AS nationkey FROM supplier
+          WHERE s_acctbal > 1000) t
+    JOIN nation ON n_nationkey = nationkey
+    ORDER BY nation
+    """,
+    survey_ref="§2.8 set operations: INTERSECT (completes the "
+    "EXCEPT/UNION ALL/INTERSECT trio)",
+)
+def nations_with_both_parties_intersect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nations hosting BOTH a high-balance customer AND a high-balance
+    supplier — native ``DataFrame.intersect`` (distinct set semantics,
+    the SQL INTERSECT contract). Spark compiles it to partial-distinct
+    aggregates on each side followed by a left-semi hash join on the
+    key — both sides shrink to distinct nation keys (≤ 25 rows) BEFORE
+    any shuffle, so at 100 TB the set op moves kilobytes. The nation
+    name lookup is a broadcast join."""
+    t = load_sf_tables(spark, sf_dir)
+    cust = (
+        t["customer"].where(F.col("c_acctbal") > 1000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp = (
+        t["supplier"].where(F.col("s_acctbal") > 1000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return (
+        cust.intersect(supp)
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "nationkey")
+        .orderBy("nation")
+    )
+
+
+@register(
+    "revenue_grouping_sets",
+    """
+    SELECT COALESCE(n_name, 'ALL') AS nation,
+           COALESCE(CAST(CAST(EXTRACT(year FROM o_orderdate) AS INT)
+                         AS VARCHAR), 'ALL') AS order_year,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name),
+                            (CAST(EXTRACT(year FROM o_orderdate) AS INT)),
+                            ())
+    ORDER BY nation, order_year
+    """,
+    survey_ref="§2.6 aggregation breadth: GROUPING SETS (the general "
+    "form behind the existing ROLLUP and CUBE entries)",
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue totalled along two INDEPENDENT axes plus the grand
+    total in one pass — native ``DataFrame.groupingSets`` ((nation),
+    (year), ()), the general form ROLLUP and CUBE desugar to. The
+    plan is one fact scan + Expand(3 projections) + a single hash
+    aggregate: at 100 TB this beats three separate aggregates by
+    reading the fact table once (Expand triples rows AFTER the
+    map-side projection of just the two grouping columns + measure).
+    NULL markers from un-grouped columns are folded to 'ALL'
+    (fixture names are never NULL, so the marker is unambiguous)."""
+    t = load_sf_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+    return (
+        joined.groupingSets(
+            [["n_name"], ["yr"], []], "n_name", "yr"
+        )
+        .agg(
+            F.sum("price").cast("double").alias("revenue"),
+            F.count("*").cast("bigint").alias("order_count"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL"))
+            .alias("order_year"),
+            "revenue",
+            "order_count",
+        )
+        .orderBy("nation", "order_year")
+    )
+
+
+@register(
+    "customer_balance_ntile_deciles",
+    """
+    WITH d AS (
+        SELECT c_acctbal,
+               CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey)
+                    AS INT) AS decile
+        FROM customer
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_bal
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    survey_ref="§2.7 ranking windows: NTILE — scale-safe two-pass "
+    "global quantile bucketing (no single-partition window)",
+)
+def customer_balance_ntile_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer-balance deciles with EXACT ``NTILE(10)`` semantics but
+    NO ``Exchange SinglePartition``: a naive global NTILE window
+    funnels the whole table through one task (the 100 TB scale-killer
+    ``operators/rownum.py`` exists to avoid). Instead: two-pass global
+    row number under (c_acctbal, c_custkey) via range buckets of the
+    leading sort key, then the NTILE bucket is pure arithmetic on
+    (rn, N) — the first N mod 10 buckets get ceil(N/10) rows —
+    evaluated map-side. Bit-identical to the window-function NTILE
+    because the ordering is a total order (custkey tie-break)."""
+    from ..operators.rownum import range_bucket, with_global_row_number
+
+    cust = load_sf_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_acctbal"
+    )
+    st = cust.agg(
+        F.min("c_acctbal").alias("mn"),
+        F.max("c_acctbal").alias("mx"),
+        F.count("*").alias("n"),
+    ).first()
+    n = int(st["n"] or 0)
+    numbered = with_global_row_number(
+        cust,
+        range_bucket(F.col("c_acctbal"), st["mn"], st["mx"]),
+        [F.col("c_acctbal").asc_nulls_first(), F.col("c_custkey")],
+        out_col="rn",
+    )
+    q, rem = divmod(n, 10)
+    r = F.col("rn") - 1  # 0-based global position
+    if q == 0:  # fewer rows than buckets: row i → bucket i+1
+        decile = (r + 1).cast("int")
+    else:
+        big = F.lit((q + 1) * rem)  # rows covered by the ceil buckets
+        decile = (
+            F.when(r < big, F.floor(r / (q + 1)))
+            .otherwise(rem + F.floor((r - big) / q))
+            .cast("int") + 1
+        )
+    return (
+        numbered.select(
+            decile.alias("decile"),
+            F.col("c_acctbal"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").alias("sum_bal"),
+        )
+        .orderBy("decile")
+    )

@@ -638,3 +638,57 @@ def test_context_window_fill_bounded_explode(spark):
     assert "SinglePartition" not in plan
     assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
     assert "Generate" in plan and "partial_sum" in plan
+
+
+def test_pivot_single_aggregate_pass(spark):
+    """PIVOT with explicit values (r7): one partial/final aggregate
+    pass — no extra distinct-values job, no second events scan."""
+    import re
+
+    plan = plan_of(spark, "daily_event_type_pivot")
+    scans = re.findall(r"Location: InMemoryFileIndex \[[^\]]*events", plan)
+    assert len(scans) == 1
+    assert "partial_" in plan and "CartesianProduct" not in plan
+
+
+def test_unpivot_expand_above_aggregate(spark):
+    """UNPIVOT (r7): the melt is an Expand over the aggregated 5-row
+    relation — it must sit ABOVE the aggregate, never below it."""
+    plan = plan_of(spark, "event_type_stats_unpivot")
+    assert "Expand" in plan
+    assert plan.index("Expand") < plan.index("HashAggregate")
+
+
+def test_intersect_distinct_before_join(spark):
+    """INTERSECT (r7): both sides collapse to distinct keys via hash
+    aggregates before the semi join; the name lookup broadcasts; no
+    cartesian."""
+    plan = plan_of(spark, "nations_with_both_parties_intersect")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    # acctbal filters pushed to both scans
+    assert "GreaterThan(c_acctbal,1000" in plan
+    assert "GreaterThan(s_acctbal,1000" in plan
+
+
+def test_grouping_sets_single_pass(spark):
+    """GROUPING SETS (r7): one orders scan + Expand(3 projections) +
+    one partial/final aggregate — never three separate fact scans."""
+    import re
+
+    plan = plan_of(spark, "revenue_grouping_sets")
+    scans = re.findall(r"Location: InMemoryFileIndex \[[^\]]*orders", plan)
+    assert len(scans) == 1
+    assert "Expand" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ntile_no_single_partition_window(spark):
+    """Scale-safe NTILE (r7): the global row number comes from the
+    two-pass range-bucket scheme — the Window must be partitioned
+    (shuffles on the bucket key), never ``Exchange SinglePartition``."""
+    plan = plan_of(spark, "customer_balance_ntile_deciles")
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
