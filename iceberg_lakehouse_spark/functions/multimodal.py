@@ -9,9 +9,10 @@ driver (``_resolve_codec``):
     4×4 grayscale mean-pool as the feature vector; a corrupt blob
     yields NULL dims/features instead of failing the job.
   * Pillow absent (this container) → pure-Python REAL decode for
-    binary PPM/PGM, 24-bit BMP, AND non-interlaced 8-bit PNG (zlib is
-    stdlib — parsers below, no dependency), deterministic fake derived
-    from the content hash for everything else (JPEG etc.) — stable
+    binary PPM/PGM, 24-bit BMP, non-interlaced 8-bit PNG (zlib is
+    stdlib — parsers below, no dependency), AND baseline JPEG/SOF0
+    (``functions.jpeg`` — stdlib + numpy IDCT), deterministic fake
+    derived from the content hash for everything else — stable
     across runs/engines, so pipelines are testable end-to-end; pass
     ``require_codec=True`` to get the honest ``NotImplementedError``
     instead of any fabricated values.
@@ -289,10 +290,11 @@ def _parse_png(content: bytes):
 
 def _builtin_decode(content: bytes, fmt: str):
     """Dependency-free REAL decode (PPM/PGM by P6/P5 magic, 24-bit BMP
-    by BM magic, 8-bit non-interlaced PNG by its signature) — the
-    middle tier between Pillow and the deterministic fake, so the real
-    pixel path executes even where Pillow isn't installed, including
-    for a COMPRESSED format (PNG via stdlib zlib). Returns None when
+    by BM magic, 8-bit non-interlaced PNG by its signature, baseline
+    JPEG by SOI) — the middle tier between Pillow and the
+    deterministic fake, so the real pixel path executes even where
+    Pillow isn't installed, including for COMPRESSED formats (PNG via
+    stdlib zlib; SOF0 JPEG via ``functions.jpeg``). Returns None when
     the format isn't one it parses (caller falls through to the next
     tier);
     corrupt blobs of a RECOGNIZED format yield the all-None row, same
@@ -303,11 +305,15 @@ def _builtin_decode(content: bytes, fmt: str):
     (min(3, r*4//h), min(3, c*4//w)), and a block with no pixels
     (image narrower than 4) contributes -1.0."""
     magic = content[:2] if content else b""
-    if magic not in (b"P6", b"P5", b"BM", _PNG_MAGIC[:2]):
+    if magic not in (b"P6", b"P5", b"BM", _PNG_MAGIC[:2], b"\xff\xd8"):
         return None
     try:
         if magic == _PNG_MAGIC[:2]:
             h, w, channels, px = _parse_png(content)
+        elif magic == b"\xff\xd8":
+            from .jpeg import parse_jpeg
+
+            h, w, channels, px = parse_jpeg(content)
         elif magic == b"BM":
             h, w, channels, px = _parse_bmp(content)
         else:
