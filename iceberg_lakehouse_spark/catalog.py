@@ -142,6 +142,18 @@ class Snapshot:
     # the scan anti-joins away. Empty on CoW-only tables and on
     # snapshots written before MoR existed.
     delete_files: list[str] = field(default_factory=list)
+    # merge-on-read EQUALITY-delete files (Iceberg v2's second delete
+    # kind): each entry {"path": rel, "seq": int, "cols": [names]} — a
+    # parquet file of key VALUES that logically deletes every data row
+    # matching on ``cols`` in files whose sequence is OLDER than the
+    # delete's (Iceberg data-sequence-number semantics: re-inserting a
+    # deleted key after the delete is visible).
+    eq_delete_files: list[dict] = field(default_factory=list)
+    # data-file relpath → sequence (the snapshot_id of the commit that
+    # first added the file). Stored explicitly per snapshot — deriving
+    # it by walking history would silently inflate sequences after
+    # snapshot expiry and resurrect equality-deleted rows.
+    file_seqs: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -153,6 +165,8 @@ class Snapshot:
             "summary": self.summary,
             "schema_version": self.schema_version,
             "delete_files": self.delete_files,
+            "eq_delete_files": self.eq_delete_files,
+            "file_seqs": self.file_seqs,
         }
 
 
@@ -612,6 +626,8 @@ class LakeTable:
                 s.get("summary", {}),
                 s.get("schema_version"),
                 s.get("delete_files", []),
+                s.get("eq_delete_files", []),
+                s.get("file_seqs", {}),
             )
             for s in _read_json(self._snap_path, [])
         ]
@@ -712,6 +728,9 @@ class LakeTable:
         check_parent: bool = False,
         delete_files: list[str] | None = None,
         add_delete_files: list[str] | None = None,
+        eq_delete_files: list[dict] | None = None,
+        add_eq_deletes: list[dict] | None = None,
+        file_seqs_override: dict[str, int] | None = None,
     ) -> Snapshot:
         """Serialized optimistic commit. Exactly one of ``files``
         (absolute file list — overwrite/rollback) or ``add_files``
@@ -734,7 +753,18 @@ class LakeTable:
         is untouched by existing position deletes (keys are per-file) —
         while an absolute-files commit (overwrite/compact/CoW rewrite
         planned over a MERGED scan) drops them: the rewrite already
-        folded the deletes into its output."""
+        folded the deletes into its output.
+
+        Equality deletes follow the same inheritance rules through
+        ``eq_delete_files`` (absolute — rollback) / ``add_eq_deletes``
+        (entries {"path", "cols"}; the commit stamps ``"seq"`` with its
+        own snapshot id, so the delete applies exactly to data files
+        that exist BEFORE it — Iceberg data-sequence semantics).
+        ``file_seqs`` (file → adding-commit's snapshot id) is
+        maintained here: carried over for files the parent knew,
+        stamped with the new id for fresh files;
+        ``file_seqs_override`` substitutes the lookup source (rollback
+        restoring a historical snapshot's sequence map)."""
         if (files is None) == (add_files is None):
             raise ValueError(
                 "_commit requires exactly one of files= or add_files= "
@@ -763,8 +793,29 @@ class LakeTable:
                 dels = parent_dels  # additive commits inherit
             else:
                 dels = []  # full/partial rewrite planned over merged scan
+            new_id = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+            parent_eq = (
+                list(snaps[-1].get("eq_delete_files", [])) if snaps else []
+            )
+            if eq_delete_files is not None:
+                eqs = list(eq_delete_files)
+            elif add_eq_deletes is not None:
+                eqs = parent_eq + [
+                    {"path": d["path"], "cols": list(d["cols"]),
+                     "seq": new_id}
+                    for d in add_eq_deletes
+                ]
+            elif add_files is not None:
+                eqs = parent_eq  # additive commits inherit
+            else:
+                eqs = []  # rewrite planned over merged scan folded them
+            seq_src = (
+                file_seqs_override
+                if file_seqs_override is not None
+                else (snaps[-1].get("file_seqs", {}) if snaps else {})
+            )
             snap = Snapshot(
-                snapshot_id=(snaps[-1]["snapshot_id"] + 1) if snaps else 1,
+                snapshot_id=new_id,
                 timestamp_ms=int(time.time() * 1000),
                 operation=operation,
                 files=files,
@@ -772,6 +823,8 @@ class LakeTable:
                 summary=summary or {},
                 schema_version=self.meta().get("schema", {}).get("version", 1),
                 delete_files=dels,
+                eq_delete_files=eqs,
+                file_seqs={f: seq_src.get(f, new_id) for f in files},
             )
             snaps.append(snap.to_json())
             _atomic_write_json(self._snap_path, snaps)
@@ -1022,11 +1075,11 @@ class LakeTable:
             kept, _total = self.prune_files(filter, snap, schema=schema)
             return self.scan_files(
                 kept, schema=schema, with_pos=with_pos,
-                merge_deletes=snap.delete_files,
+                merge_snapshot=snap,
             ).where(filter)
         return self.scan_files(
             snap.files, schema=schema, with_pos=with_pos,
-            merge_deletes=snap.delete_files,
+            merge_snapshot=snap,
         )
 
     def scan_files(
@@ -1035,6 +1088,9 @@ class LakeTable:
         schema: T.StructType | None = None,
         with_pos: bool = False,
         merge_deletes: list[str] | None = None,
+        eq_deletes: list[dict] | None = None,
+        file_seqs: dict[str, int] | None = None,
+        merge_snapshot: "Snapshot | None" = None,
     ) -> DataFrame:
         """Lazy DataFrame over an explicit subset of a snapshot's data
         files (relative paths) — the read side of file-pruned CoW and
@@ -1064,7 +1120,24 @@ class LakeTable:
         delete files). ``merge_deletes`` (relative delete-file paths)
         anti-joins those keys against the broadcast position-delete
         set — map-side, no shuffle: delete files are small by MoR's
-        premise (compact() folds them when they accumulate)."""
+        premise (compact() folds them when they accumulate).
+
+        ``eq_deletes`` + ``file_seqs`` (or ``merge_snapshot``, which
+        supplies all three merge inputs from one snapshot) apply
+        EQUALITY deletes: files are grouped by their applicable delete
+        subset — a delete applies only to files with an OLDER sequence
+        — using driver-side metadata alone (no URI↔relpath mapping at
+        runtime), then each group anti-joins the broadcast key values
+        null-safely. Groups number at most n_deletes+1 and deletes are
+        compacted away as debt accumulates, so the plan stays a union
+        of a few scan+broadcast-anti-join branches — map-side, no
+        shuffle, format-agnostic (equality keys need no row index, so
+        ORC tables take equality deletes even though position deletes
+        are parquet-gated)."""
+        if merge_snapshot is not None:
+            merge_deletes = merge_snapshot.delete_files
+            eq_deletes = merge_snapshot.eq_delete_files
+            file_seqs = merge_snapshot.file_seqs
         schema = schema or self.schema()
         if not files:
             df = self.spark.createDataFrame([], schema)
@@ -1074,6 +1147,82 @@ class LakeTable:
                 ).withColumn("_mor_pos", F.lit(None).cast("long"))
             return df
         need_pos = with_pos or bool(merge_deletes)
+        if eq_deletes:
+            seqs = file_seqs or {}
+            groups: dict[tuple[int, ...], list[str]] = {}
+            for f in files:
+                key = tuple(
+                    i
+                    for i, d in enumerate(eq_deletes)
+                    if d["seq"] > seqs.get(f, 0)
+                )
+                groups.setdefault(key, []).append(f)
+            parts = []
+            for key, grp in groups.items():
+                gdf = self._read_files(grp, schema, need_pos)
+                by_cols: dict[tuple[str, ...], list[str]] = {}
+                for i in key:
+                    by_cols.setdefault(
+                        tuple(eq_deletes[i]["cols"]), []
+                    ).append(eq_deletes[i]["path"])
+                for cols_key, dpaths in by_cols.items():
+                    missing = [
+                        c for c in cols_key if c not in gdf.columns
+                    ]
+                    if missing:
+                        raise ValueError(
+                            f"equality-delete key column(s) {missing} "
+                            "absent from the scan schema — key columns "
+                            "were renamed/dropped after the delete; "
+                            "compact() the table to fold its equality "
+                            "deletes before evolving key columns"
+                        )
+                    keys_df = (
+                        self.spark.read.parquet(
+                            *[os.path.join(self.root, p) for p in dpaths]
+                        )
+                        .select(
+                            *[
+                                F.col(c).alias(f"_eqd_{c}")
+                                for c in cols_key
+                            ]
+                        )
+                    )
+                    cond = None
+                    for c in cols_key:
+                        term = gdf[c].eqNullSafe(keys_df[f"_eqd_{c}"])
+                        cond = term if cond is None else (cond & term)
+                    gdf = gdf.join(F.broadcast(keys_df), cond, "left_anti")
+                parts.append(gdf)
+            df = parts[0]
+            for extra in parts[1:]:
+                df = df.unionByName(extra)
+        else:
+            df = self._read_files(files, schema, need_pos)
+        if merge_deletes:
+            dels = self.spark.read.schema(
+                "_file string, _pos long"
+            ).parquet(*[os.path.join(self.root, f) for f in merge_deletes])
+            df = df.join(
+                F.broadcast(dels),
+                (df["_mor_file"] == dels["_file"])
+                & (df["_mor_pos"] == dels["_pos"]),
+                "left_anti",
+            )
+        if need_pos and not with_pos:
+            df = df.drop("_mor_file", "_mor_pos")
+        return df
+
+    def _read_files(
+        self, files: list[str], schema: T.StructType, need_pos: bool
+    ) -> DataFrame:
+        """Lazy per-format union reader over data files (the body every
+        scan path shares). ``need_pos`` appends the merge-on-read
+        position key columns; parquet exposes ``_metadata.row_index``,
+        ORC does not (this Spark) — a NULL ``_mor_pos`` never equals a
+        delete key, so ORC rows pass the position anti-join untouched
+        (the MoR position-delete write path is parquet-gated, so no
+        position delete ever references an ORC file)."""
         paths = [os.path.join(self.root, f) for f in files]
         cols = [f.name for f in schema.fields]
         parts = []
@@ -1082,11 +1231,6 @@ class LakeTable:
             if group:
                 sel = list(cols)
                 if need_pos:
-                    # parquet exposes _metadata.row_index; ORC does not
-                    # (this Spark) — a NULL _mor_pos never equals a
-                    # delete key, so ORC rows pass the anti-join
-                    # untouched (the MoR write path is parquet-gated,
-                    # so no delete ever references an ORC file)
                     sel += [
                         F.col("_metadata.file_path").alias("_mor_file"),
                         (
@@ -1104,18 +1248,6 @@ class LakeTable:
         df = parts[0]
         for extra in parts[1:]:
             df = df.unionByName(extra)
-        if merge_deletes:
-            dels = self.spark.read.schema(
-                "_file string, _pos long"
-            ).parquet(*[os.path.join(self.root, f) for f in merge_deletes])
-            df = df.join(
-                F.broadcast(dels),
-                (df["_mor_file"] == dels["_file"])
-                & (df["_mor_pos"] == dels["_pos"]),
-                "left_anti",
-            )
-        if need_pos and not with_pos:
-            df = df.drop("_mor_file", "_mor_pos")
         return df
 
     def replace_files(
@@ -1156,6 +1288,11 @@ class LakeTable:
             expected_parent_id=expected_snapshot_id,
             check_parent=expected_snapshot_id is not None,
             delete_files=list(base.delete_files) if base else [],
+            # equality deletes are inherited too: kept files keep their
+            # (older) sequences so live deletes still apply to them,
+            # while the rewritten files get the NEW commit's sequence
+            # and are exempt by construction
+            eq_delete_files=list(base.eq_delete_files) if base else [],
         )
 
     def write_position_deletes(self, keys_df: DataFrame) -> list[str]:
@@ -1199,6 +1336,56 @@ class LakeTable:
             summary={**(summary or {}), "mode": "merge-on-read",
                      "added_delete_files": len(new_delete_files)},
             add_delete_files=new_delete_files,
+            expected_parent_id=expected_snapshot_id,
+            check_parent=expected_snapshot_id is not None,
+        )
+
+    def write_eq_deletes(
+        self, keys_df: DataFrame, cols: list[str]
+    ) -> list[str]:
+        """Materialize an equality-delete file set: ``keys_df`` carries
+        the key VALUES (one row per deleted key) on exactly ``cols``.
+        Returns relative paths — pass to ``commit_eq_deletes``."""
+        sub = f"deletes/eq-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.root, sub)
+        (
+            keys_df.select(*cols)
+            .dropDuplicates()
+            .coalesce(1)  # delete key sets are small by MoR's premise
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        files = []
+        for dirpath, _d, filenames in os.walk(out):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(dirpath, fn), self.root)
+                    )
+        return sorted(files)
+
+    def commit_eq_deletes(
+        self,
+        new_eq_files: list[str],
+        cols: list[str],
+        summary: dict | None = None,
+        expected_snapshot_id: int | None = None,
+    ) -> Snapshot:
+        """Equality-delete commit (Iceberg v2's second delete kind):
+        data files unchanged; the key-value files append to the
+        snapshot's equality-delete list stamped with the NEW commit's
+        sequence — they logically delete matching rows only in files
+        that existed before this commit, so re-inserting a deleted key
+        afterwards is visible (data-sequence-number semantics)."""
+        return self._commit(
+            "delete",
+            add_files=[],
+            summary={**(summary or {}), "mode": "merge-on-read",
+                     "equality_delete": True,
+                     "added_eq_delete_files": len(new_eq_files)},
+            add_eq_deletes=[
+                {"path": p, "cols": list(cols)} for p in new_eq_files
+            ],
             expected_parent_id=expected_snapshot_id,
             check_parent=expected_snapshot_id is not None,
         )
@@ -1476,6 +1663,8 @@ class LakeTable:
             "rollback", target.files,
             {"restored_snapshot": target.snapshot_id},
             delete_files=list(target.delete_files),
+            eq_delete_files=list(target.eq_delete_files),
+            file_seqs_override=dict(target.file_seqs),
         )
 
     # -- maintenance (reference catalog.py:909-2189, G10-G16) -------------
@@ -1562,6 +1751,7 @@ class LakeTable:
         for s in self.snapshots():
             refs.update(s.files)
             refs.update(s.delete_files)
+            refs.update(d["path"] for d in s.eq_delete_files)
         return refs
 
     def _delete_unreferenced(self, grace_seconds: int = 0) -> list[str]:
@@ -1719,6 +1909,7 @@ class LakeTable:
             # merge-on-read debt: pending position-delete files compact()
             # would fold — the rewrite-scheduling signal for MoR tables
             "delete_files": len(cur.delete_files) if cur else 0,
+            "eq_delete_files": len(cur.eq_delete_files) if cur else 0,
         }
 
     def _file_row_counts(self, files: list[str]) -> int | None:

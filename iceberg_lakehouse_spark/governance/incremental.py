@@ -128,9 +128,7 @@ def incremental_read(
         if not new_files:
             df = table.spark.createDataFrame([], table.schema())
         else:
-            df = table.scan_files(
-                new_files, merge_deletes=snaps[-1].delete_files
-            )
+            df = table.scan_files(new_files, merge_snapshot=snaps[-1])
         return df, {
             "mode": "append_files",
             "from": wm["snapshot_id"],

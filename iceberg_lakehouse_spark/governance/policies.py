@@ -240,9 +240,11 @@ class MaintenanceManager:
                 "needs_orphan_cleanup": False, "actions_needed": [],
                 "stats": fs,
             }
+        cur_snap = table.current_snapshot()
+        # both MoR delete kinds count as read-amplification debt
         n_dels = (
-            len(table.current_snapshot().delete_files)
-            if table.current_snapshot() else 0
+            len(cur_snap.delete_files) + len(cur_snap.eq_delete_files)
+            if cur_snap else 0
         )
         del_thresh = pol.get("auto_compact_delete_files")
         needs_compact = fs["file_count"] >= pol["auto_compact_threshold"]             or (del_thresh is not None and n_dels >= del_thresh)

@@ -17,6 +17,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import LakeTable
 
@@ -135,7 +136,7 @@ def update_rows(table: LakeTable, filter_expr: str, updates: dict[str, Any]) -> 
     keep = [f for f in cur.files if f not in touched_set]
     # merge pending MoR deletes: rewriting a file WITHOUT applying its
     # position deletes would resurrect deleted rows (mixed-mode tables)
-    sub = table.scan_files(touched, merge_deletes=cur.delete_files)
+    sub = table.scan_files(touched, merge_snapshot=cur)
     cols = []
     for f in schema.fields:
         if f.name in updates:
@@ -176,9 +177,7 @@ def delete_rows(table: LakeTable, filter_expr: str) -> int:
         return 0
     touched_set = set(touched)
     keep = [f for f in cur.files if f not in touched_set]
-    sub = table.scan_files(
-        touched, merge_deletes=cur.delete_files
-    )
+    sub = table.scan_files(touched, merge_snapshot=cur)
     table.replace_files(
         keep,
         sub.where(~F.coalesce(cond, F.lit(False))),
@@ -213,6 +212,71 @@ def _mor_delete(table: LakeTable, filter_expr: str, cur) -> int:
         )
     finally:
         keys.unpersist()
+    return matched
+
+
+def delete_rows_by_key(
+    table: LakeTable,
+    keys: list[dict[str, Any]],
+    cols: list[str] | None = None,
+) -> int:
+    """Equality delete (Iceberg v2 equality-delete-file analogue): the
+    streaming-CDC ingestion primitive — delete every row whose key
+    columns match any of ``keys``, WITHOUT touching a single data file
+    and WITHOUT knowing row positions. A key-value parquet file joins
+    the snapshot's equality-delete list stamped with the commit's
+    sequence; scans anti-join it against data files with an OLDER
+    sequence only, so re-inserting a deleted key later is visible.
+
+    Unlike position deletes this needs no ``_metadata.row_index``, so
+    it works on ORC tables too, and it never scans the table on the
+    write path — the only job below is the matched-row COUNT kept for
+    the reference CRUD contract (delete_rows returns affected rows).
+
+    ``cols`` defaults to the union of the key dicts' fields; every key
+    dict must bind exactly those columns. NULL key values match
+    null-safely (a key {"k": None} deletes rows where k IS NULL)."""
+    if not keys:
+        return 0
+    cols = list(cols) if cols else sorted({c for row in keys for c in row})
+    schema = table.schema()
+    known = {f.name for f in schema.fields}
+    unknown = [c for c in cols if c not in known]
+    if unknown:
+        raise ValueError(f"unknown key columns: {unknown}")
+    for row in keys:
+        if set(row) - set(cols):
+            raise ValueError(
+                f"key row {row} binds columns outside {cols}"
+            )
+    cur = table.current_snapshot()
+    if cur is None or not cur.files:
+        return 0  # no data files can be older than this delete
+    sub_schema = [f for f in schema.fields if f.name in set(cols)]
+    key_df = table.spark.createDataFrame(
+        [tuple(_coerce(r.get(f.name), f.dataType.simpleString())
+               for f in sub_schema) for r in keys],
+        schema=T.StructType(sub_schema),
+    )
+    # matched count against the MERGED view of the pinned snapshot
+    # (rows already deleted by earlier position/equality deletes must
+    # not be counted again)
+    scan = table.scan(snapshot_id=cur.snapshot_id)
+    probe = key_df.select(
+        *[F.col(c).alias(f"_k_{c}") for c in cols]
+    ).dropDuplicates()
+    cond = None
+    for c in cols:
+        term = scan[c].eqNullSafe(probe[f"_k_{c}"])
+        cond = term if cond is None else (cond & term)
+    matched = scan.join(F.broadcast(probe), cond, "left_semi").count()
+    eq_files = table.write_eq_deletes(key_df, cols)
+    table.commit_eq_deletes(
+        eq_files,
+        cols,
+        {"deleted_rows": matched, "key_rows": len(keys)},
+        expected_snapshot_id=cur.snapshot_id,
+    )
     return matched
 
 

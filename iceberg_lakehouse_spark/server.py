@@ -185,6 +185,20 @@ class LakehouseServer:
             lambda table, filter: {"deleted": crud.delete_rows(c.load_table(table), filter)},
         )
         self._add(
+            _tool("delete_by_key",
+                  "Equality-delete rows matching key values (Iceberg v2 "
+                  "equality-delete files: no data file rewrite, "
+                  "re-inserting a deleted key later is visible)",
+                  {"table": _S, "keys": {"type": "array"},
+                   "key_columns": {"type": "array"}},
+                  ["table", "keys"]),
+            lambda table, keys, key_columns=None: {
+                "deleted": crud.delete_rows_by_key(
+                    c.load_table(table), keys, key_columns
+                )
+            },
+        )
+        self._add(
             _tool("upsert", "Upsert rows by key columns",
                   {"table": _S, "rows": {"type": "array"}, "key_columns": {"type": "array"}},
                   ["table", "rows", "key_columns"]),

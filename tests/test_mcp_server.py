@@ -663,3 +663,28 @@ def test_containment_pairs_tool(server):
         row = pairs[0]
         assert row["left_containment"] >= 0.8
         assert row["jaccard"] < row["left_containment"]
+
+
+def test_delete_by_key_tool(server):
+    """Equality-delete through the MCP surface: keys vanish, a later
+    re-insert of a deleted key is visible (sequence semantics)."""
+    call(server, "create_table", {
+        "table": "eqdel_t", "schema": [["id", "long"], ["v", "string"]],
+    })
+    call(server, "insert", {
+        "table": "eqdel_t",
+        "rows": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"},
+                 {"id": 3, "v": "c"}],
+    })
+    is_err, p, _ = call(server, "delete_by_key", {
+        "table": "eqdel_t", "keys": [{"id": 2}, {"id": 9}],
+    })
+    assert not is_err and p == {"deleted": 1}
+    is_err, rows, _ = call(server, "query", {
+        "sql": "SELECT id FROM eqdel_t ORDER BY id"})
+    assert not is_err and [r["id"] for r in rows] == [1, 3]
+    call(server, "insert", {"table": "eqdel_t",
+                            "rows": [{"id": 2, "v": "reborn"}]})
+    is_err, rows, _ = call(server, "query", {
+        "sql": "SELECT v FROM eqdel_t WHERE id = 2"})
+    assert not is_err and [r["v"] for r in rows] == ["reborn"]
