@@ -3503,3 +3503,160 @@ def customer_balance_ntile_deciles(
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "rolling_7day_active_users",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+              FROM events)
+    SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
+               AS active_users
+    FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+    survey_ref="LLM-pipeline / temporal: rolling 7-day distinct actives "
+    "(COUNT DISTINCT over a sliding window — not window-expressible; "
+    "bounded explode + hash distinct aggregate)",
+)
+def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per event day — the
+    canonical retention metric. ``COUNT(DISTINCT)`` is not a window
+    function in Spark, and collecting per-day user sets into arrays
+    blows up on wide user bases; the scale shape is: distinct
+    (day, user) pairs (one hash aggregate over the fact table), each
+    pair EXPLODED to the ≤7 window days it serves (bounded, map-side),
+    then one distinct-count aggregate keyed by window day. Work is
+    linear in pairs×7 and shuffles on the uniform (day, user) domain;
+    the real-days filter is a 30-row broadcast semi join."""
+    ev = load_sf_tables(spark, sf_dir)["events"]
+    pairs = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    days = pairs.select("day").distinct()
+    windowed = pairs.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6))")
+        ).alias("wday"),
+        "user_id",
+    )
+    return (
+        windowed.join(
+            F.broadcast(days), windowed["wday"] == days["day"], "left_semi"
+        )
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").cast("bigint")
+             .alias("active_users"))
+        .select(F.col("wday").alias("day"), "active_users")
+        .orderBy("day")
+    )
+
+
+@register(
+    "event_type_distinct_users_salted",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ref="Scale pattern: salted two-phase COUNT DISTINCT on a "
+    "hot low-cardinality key (each user hashes to exactly one salt "
+    "bucket, so per-bucket distinct counts SUM to the exact answer)",
+)
+def event_type_distinct_users_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact distinct users per event type via SALTED two-phase
+    aggregation: ``event_type`` has ~5 values, so a plain
+    ``count_distinct`` funnels each type's entire user set through a
+    handful of reducers — the classic hot-key skew at 100 TB. The salt
+    is ``pmod(hash(user_id), 64)``: a pure function of the DISTINCT
+    key, so each user lands in exactly one (type, salt) cell and the
+    per-cell distinct counts are disjoint — summing them per type is
+    exact, never approximate. Phase 1 shuffles on the 64×-wider
+    (type, salt) key; phase 2 reduces 5×64 rows."""
+    ev = load_sf_tables(spark, sf_dir)["events"]
+    per_salt = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.pmod(F.hash("user_id"), F.lit(64)).alias("_salt"),
+        )
+        .groupBy("event_type", "_salt")
+        .agg(F.count_distinct("user_id").alias("_part"))
+    )
+    return (
+        per_salt.groupBy("event_type")
+        .agg(F.sum("_part").cast("bigint").alias("distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "gap_filled_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY day
+    ),
+    bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+    spine AS (
+        SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM bounds
+    )
+    SELECT s.day,
+           CAST(f.revenue AS DOUBLE) AS filled_revenue,
+           CAST(CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_gap
+    FROM spine s
+    ASOF JOIN daily f ON s.day >= f.day
+    LEFT JOIN daily d ON s.day = d.day
+    ORDER BY s.day
+    """,
+    survey_ref="Temporal: calendar gap-fill + forward-fill (hypertable "
+    "time_bucket_gapfill/locf analogue: generated date spine, last "
+    "non-null carried forward)",
+)
+def gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue on a COMPLETE calendar spine with gaps
+    forward-filled from the last trading day (timescale
+    ``time_bucket_gapfill`` + ``locf``). The spine is generated
+    (``sequence`` over the min/max one-row aggregate, exploded), the
+    daily aggregate joins back broadcast, and the forward fill is
+    ``last(ignorenulls)`` over an unpartitioned running window — which
+    is safe ONLY because its input is one row per calendar day
+    (calendar-bounded, not data-bounded; same sanctioned shape as
+    daily_revenue_moving_avg)."""
+    orders = load_sf_tables(spark, sf_dir)["orders"]
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("day")
+        .agg(F.sum("price").cast("double").alias("revenue"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(F.explode(F.expr("sequence(mn, mx)")).alias("day"))
+    )
+    joined = spine.join(F.broadcast(daily), "day", "left")
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.select(
+            "day",
+            F.last("revenue", ignorenulls=True).over(w)
+            .alias("filled_revenue"),
+            F.when(F.col("revenue").isNull(), 1).otherwise(0)
+            .cast("int").alias("is_gap"),
+        )
+        .orderBy("day")
+    )

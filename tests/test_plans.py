@@ -692,3 +692,40 @@ def test_ntile_no_single_partition_window(spark):
     plan = plan_of(spark, "customer_balance_ntile_deciles")
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rolling_actives_no_window_no_collect_set(spark):
+    """Rolling 7-day distinct actives (r7): bounded explode + hash
+    distinct aggregate — no Window at all (COUNT DISTINCT isn't
+    window-able), no per-day user-set arrays, real-days filter is a
+    broadcast semi join."""
+    plan = plan_of(spark, "rolling_7day_active_users")
+    assert "Window" not in plan
+    assert "collect_set" not in plan and "collect_list" not in plan
+    assert "Generate" in plan  # the ≤7-day explode
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_distinct_two_phase(spark):
+    """Salted COUNT DISTINCT (r7): phase 1 shuffles on the widened
+    (event_type, _salt) key — the hashpartitioning expression must
+    include the salt — and no Expand-based planner distinct runs."""
+    plan = plan_of(spark, "event_type_distinct_users_salted")
+    import re
+
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert any("_salt" in p for p in parts), parts
+    assert "Expand" not in plan
+
+
+def test_gap_fill_window_sits_above_daily_aggregate(spark):
+    """Gap-fill forward-fill (r7): the unpartitioned running window is
+    sanctioned ONLY over the calendar-bounded spine — it must consume
+    the generated spine join, never the orders fact table (the Window
+    sits above both the Generate and the HashAggregate)."""
+    plan = plan_of(spark, "gap_filled_daily_revenue")
+    assert "Window" in plan and "Generate" in plan
+    assert plan.index("Window") < plan.index("Generate")
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "BroadcastHashJoin" in plan
