@@ -471,6 +471,9 @@ class LakeTable:
         self.namespace = namespace
         self.table = table
         self.root = os.path.join(catalog.warehouse, namespace, table)
+        # branch this handle writes to / reads from; None = "main".
+        # Set via for_branch(), never directly.
+        self._branch: str | None = None
 
     # -- metadata ----------------------------------------------------------
 
@@ -481,6 +484,14 @@ class LakeTable:
     @property
     def _snap_path(self) -> str:
         return os.path.join(self.root, "_meta", "snapshots.json")
+
+    @property
+    def _refs_path(self) -> str:
+        # snapshot refs (Iceberg branches/tags): {"branches": {name:
+        # snapshot_id}, "tags": {...}}. "main" is IMPLICIT (= the log
+        # tail) until the first branch commit pins it — legacy tables
+        # need no migration. Written only under the commit lock.
+        return os.path.join(self.root, "_meta", "refs.json")
 
     @property
     def _stats_path(self) -> str:
@@ -506,7 +517,10 @@ class LakeTable:
         are still current; lets QueryEngine skip re-registration (and
         metadata-view rebuilds) per query."""
         out = []
-        for p in (self._meta_path, self._snap_path, self._stats_dir, self._stats_path):
+        for p in (self._meta_path, self._snap_path, self._stats_dir,
+                  self._stats_path, self._refs_path):
+            # refs.json included: fast_forward moves main WITHOUT a new
+            # snapshot — a stamp ignoring it would serve stale views
             try:
                 out.append(os.stat(p).st_mtime_ns)
             except OSError:
@@ -633,8 +647,172 @@ class LakeTable:
         ]
 
     def current_snapshot(self) -> Snapshot | None:
+        """Head of this handle's branch — the implicit-or-pinned main
+        for plain handles, the branch ref for ``for_branch`` views."""
         snaps = self.snapshots()
-        return snaps[-1] if snaps else None
+        if not snaps:
+            return None
+        head = self._head_id(
+            [s.to_json() for s in snaps], self._branch or "main"
+        )
+        if head is None:
+            raise ValueError(f"branch {self._branch!r} not found")
+        by_id = {s.snapshot_id: s for s in snaps}
+        if head not in by_id:
+            raise ValueError(
+                f"ref target snapshot {head} missing from the log"
+            )
+        return by_id[head]
+
+    # -- refs (branches / tags) -------------------------------------------
+
+    def _refs(self) -> dict:
+        refs = _read_json(self._refs_path, {})
+        refs.setdefault("branches", {})
+        refs.setdefault("tags", {})
+        return refs
+
+    def _head_id(self, snaps_json: list[dict], branch: str) -> int | None:
+        """Branch head snapshot id. ``main`` falls back to the log tail
+        when not pinned (legacy tables); other branches must exist."""
+        refs = self._refs()
+        if branch in refs["branches"]:
+            return refs["branches"][branch]
+        if branch == "main":
+            return snaps_json[-1]["snapshot_id"] if snaps_json else None
+        return None
+
+    def for_branch(self, name: str) -> "LakeTable":
+        """A handle whose reads AND writes target branch ``name`` —
+        the write side of write-audit-publish: write to the branch,
+        audit it with any scan/validation, then ``fast_forward`` main.
+        The handle shares the table's storage; only head resolution
+        differs. ``for_branch("main")`` returns a plain handle."""
+        t = LakeTable(self.catalog, self.namespace, self.table)
+        t._branch = None if name == "main" else name
+        if t._branch is not None and name not in self._refs()["branches"]:
+            raise ValueError(f"branch {name!r} not found")
+        return t
+
+    def create_branch(
+        self, name: str, from_snapshot_id: int | None = None
+    ) -> dict:
+        """Iceberg branch: a named mutable ref starting at the current
+        head (or a historical snapshot). Commits through
+        ``for_branch(name)`` advance only this ref."""
+        if not name or name == "main":
+            raise ValueError("branch name must be non-empty and not 'main'")
+        with self._commit_lock():
+            snaps = _read_json(self._snap_path, [])
+            refs = self._refs()
+            if name in refs["branches"] or name in refs["tags"]:
+                raise ValueError(f"ref {name!r} already exists")
+            target = (
+                from_snapshot_id
+                if from_snapshot_id is not None
+                else self._head_id(snaps, "main")
+            )
+            if target is None:
+                raise ValueError("cannot branch an empty table")
+            if target not in {s["snapshot_id"] for s in snaps}:
+                raise ValueError(f"snapshot {target} not found")
+            refs["branches"][name] = target
+            _atomic_write_json(self._refs_path, refs)
+        return {"branch": name, "snapshot_id": target}
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Iceberg tag: a named IMMUTABLE snapshot pointer (release
+        labels). Tagged snapshots are protected from expiry."""
+        if not name or name == "main":
+            raise ValueError("tag name must be non-empty and not 'main'")
+        with self._commit_lock():
+            snaps = _read_json(self._snap_path, [])
+            refs = self._refs()
+            if name in refs["branches"] or name in refs["tags"]:
+                raise ValueError(f"ref {name!r} already exists")
+            target = (
+                snapshot_id
+                if snapshot_id is not None
+                else self._head_id(snaps, "main")
+            )
+            if target is None or target not in {
+                s["snapshot_id"] for s in snaps
+            }:
+                raise ValueError(f"snapshot {target} not found")
+            refs["tags"][name] = target
+            _atomic_write_json(self._refs_path, refs)
+        return {"tag": name, "snapshot_id": target}
+
+    def drop_branch(self, name: str) -> dict:
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        with self._commit_lock():
+            refs = self._refs()
+            if name not in refs["branches"]:
+                raise ValueError(f"branch {name!r} not found")
+            target = refs["branches"].pop(name)
+            _atomic_write_json(self._refs_path, refs)
+        return {"dropped": name, "was_at": target}
+
+    def drop_tag(self, name: str) -> dict:
+        with self._commit_lock():
+            refs = self._refs()
+            if name not in refs["tags"]:
+                raise ValueError(f"tag {name!r} not found")
+            target = refs["tags"].pop(name)
+            _atomic_write_json(self._refs_path, refs)
+        return {"dropped": name, "was_at": target}
+
+    def list_refs(self) -> dict:
+        """All refs with resolved heads; main always listed."""
+        snaps = _read_json(self._snap_path, [])
+        refs = self._refs()
+        out = {
+            "branches": dict(refs["branches"]),
+            "tags": dict(refs["tags"]),
+        }
+        out["branches"].setdefault("main", self._head_id(snaps, "main"))
+        return out
+
+    def _is_ancestor(self, ancestor_id: int, descendant_id: int) -> bool:
+        """Walk parent_id links (the commit DAG spans branches even
+        though the log is one list)."""
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        cur = descendant_id
+        seen = set()
+        while cur is not None and cur not in seen:
+            if cur == ancestor_id:
+                return True
+            seen.add(cur)
+            s = by_id.get(cur)
+            cur = s.parent_id if s else None
+        return False
+
+    def fast_forward(self, to_branch: str, from_branch: str) -> dict:
+        """Publish step of write-audit-publish: move ``to_branch`` to
+        ``from_branch``'s head. Requires the target's current head to
+        be an ANCESTOR of the source head (Iceberg fast_forward
+        contract) — diverged branches need a rewrite-merge, not a ref
+        move, or audited-but-stale data would silently drop commits."""
+        with self._commit_lock():
+            snaps = _read_json(self._snap_path, [])
+            refs = self._refs()
+            src = self._head_id(snaps, from_branch)
+            if src is None:
+                raise ValueError(f"branch {from_branch!r} not found")
+            dst = self._head_id(snaps, to_branch)
+            if dst is None and to_branch != "main":
+                raise ValueError(f"branch {to_branch!r} not found")
+            if dst is not None and dst != src and not self._is_ancestor(
+                dst, src
+            ):
+                raise ValueError(
+                    f"cannot fast-forward {to_branch!r}: its head {dst} "
+                    f"is not an ancestor of {from_branch!r}'s head {src}"
+                )
+            refs["branches"][to_branch] = src
+            _atomic_write_json(self._refs_path, refs)
+        return {"branch": to_branch, "from": dst, "to": src}
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         for s in self.snapshots():
@@ -772,7 +950,16 @@ class LakeTable:
             )
         with self._commit_lock():
             snaps = _read_json(self._snap_path, [])
-            parent = snaps[-1]["snapshot_id"] if snaps else None
+            # parent = THIS handle's branch head, not the log tail:
+            # branch commits append to the same log (ids stay global
+            # and time travel by id keeps working) but chain their
+            # parent_id off the branch ref (Iceberg refs model)
+            branch = self._branch or "main"
+            parent = self._head_id(snaps, branch)
+            if branch != "main" and parent is None:
+                raise ValueError(f"branch {branch!r} not found")
+            by_id = {s["snapshot_id"]: s for s in snaps}
+            parent_snap = by_id.get(parent) if parent is not None else None
             if check_parent and parent != expected_parent_id:
                 raise CommitConflictError(
                     f"concurrent commit detected: expected parent "
@@ -780,10 +967,11 @@ class LakeTable:
                     "against the current snapshot and retry"
                 )
             if add_files is not None:
-                parent_files = snaps[-1]["files"] if snaps else []
+                parent_files = parent_snap["files"] if parent_snap else []
                 files = list(parent_files) + list(add_files)
             parent_dels = (
-                list(snaps[-1].get("delete_files", [])) if snaps else []
+                list(parent_snap.get("delete_files", []))
+                if parent_snap else []
             )
             if delete_files is not None:
                 dels = list(delete_files)
@@ -795,7 +983,8 @@ class LakeTable:
                 dels = []  # full/partial rewrite planned over merged scan
             new_id = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
             parent_eq = (
-                list(snaps[-1].get("eq_delete_files", [])) if snaps else []
+                list(parent_snap.get("eq_delete_files", []))
+                if parent_snap else []
             )
             if eq_delete_files is not None:
                 eqs = list(eq_delete_files)
@@ -812,7 +1001,8 @@ class LakeTable:
             seq_src = (
                 file_seqs_override
                 if file_seqs_override is not None
-                else (snaps[-1].get("file_seqs", {}) if snaps else {})
+                else (parent_snap.get("file_seqs", {})
+                      if parent_snap else {})
             )
             snap = Snapshot(
                 snapshot_id=new_id,
@@ -826,8 +1016,21 @@ class LakeTable:
                 eq_delete_files=eqs,
                 file_seqs={f: seq_src.get(f, new_id) for f in files},
             )
+            refs = self._refs()
+            if branch != "main":
+                # the log tail is about to stop being main's head: pin
+                # the implicit main BEFORE appending the branch commit
+                if "main" not in refs["branches"]:
+                    refs["branches"]["main"] = (
+                        snaps[-1]["snapshot_id"] if snaps else None
+                    )
+                refs["branches"][branch] = new_id
+            elif "main" in refs["branches"]:
+                refs["branches"]["main"] = new_id
             snaps.append(snap.to_json())
             _atomic_write_json(self._snap_path, snaps)
+            if branch != "main" or "main" in refs["branches"]:
+                _atomic_write_json(self._refs_path, refs)
             return snap
 
     # -- write path --------------------------------------------------------
@@ -1039,15 +1242,28 @@ class LakeTable:
         as_of: str | int | None = None,
         filter: str | None = None,
         with_pos: bool = False,
+        ref: str | None = None,
     ) -> DataFrame:
         """Lazy DataFrame over the resolved snapshot's files.
 
         ``as_of`` follows the reference's resolution order (catalog.py:
         240-288): try int snapshot-id first, else ISO timestamp.
+        ``ref`` reads a named branch or tag head (Iceberg
+        ``VERSION AS OF 'ref'``).
 
         ``filter`` applies the predicate AND plans the scan over only
         the files whose stats intersect it — at scale a selective query
         never lists or opens the rest of the snapshot."""
+        if ref is not None:
+            refs = self._refs()
+            target = refs["tags"].get(ref, refs["branches"].get(ref))
+            if target is None and ref == "main":
+                target = self._head_id(
+                    [s.to_json() for s in self.snapshots()], "main"
+                )
+            if target is None:
+                raise ValueError(f"ref {ref!r} not found")
+            snapshot_id = target
         snap = self._resolve(snapshot_id, as_of)
         if snap is None or not snap.files:
             return self.scan_files([], with_pos=with_pos)
@@ -1696,6 +1912,16 @@ class LakeTable:
             )
         def _plan(snaps):
             keep_ids = {snaps[-1].snapshot_id}  # never current
+            # refs retain their targets (Iceberg: branch heads and
+            # tagged snapshots never expire while the ref lives) —
+            # including pinned main, which may not be the log tail
+            refs = self._refs()
+            keep_ids.update(
+                t for t in refs["branches"].values() if t is not None
+            )
+            keep_ids.update(
+                t for t in refs["tags"].values() if t is not None
+            )
             if retain_last:
                 keep_ids.update(s.snapshot_id for s in snaps[-retain_last:])
             expired = [

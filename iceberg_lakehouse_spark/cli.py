@@ -415,6 +415,12 @@ _TREE: dict[str, dict[str, str]] = {
         "run": "execute_join", "to-table": "join_to_table",
         "suggest": "suggest_joins",
     },
+    "refs": {
+        "branch": "branch_create", "tag": "tag_create",
+        "list": "refs_list", "fast-forward": "branch_fast_forward",
+        "drop-branch": "branch_drop", "drop-tag": "tag_drop",
+        "insert": "insert_into_branch", "query": "query_branch",
+    },
 }
 
 # top-level generated commands (tool name -> command name)
@@ -428,6 +434,7 @@ _TOP_LEVEL = {
 }
 
 _GROUP_HELP = {
+    "refs": "Branches + tags (write-audit-publish).",
     "snapshots": "Snapshot history, diff, rollback, expiry.",
     "namespace": "Namespace admin.",
     "schema": "Schema evolution: history, diff, migration, compatibility.",

@@ -230,6 +230,71 @@ class LakehouseServer:
             .to_json(),
         )
         self._add(
+            _tool("branch_create",
+                  "Create a branch ref at the current head (or a given "
+                  "snapshot) — the write side of write-audit-publish",
+                  {"table": _S, "name": _S, "from_snapshot_id": _I},
+                  ["table", "name"]),
+            lambda table, name, from_snapshot_id=None: c.load_table(
+                table).create_branch(name, from_snapshot_id),
+        )
+        self._add(
+            _tool("tag_create",
+                  "Create an immutable tag ref (release label); tagged "
+                  "snapshots never expire while the tag lives",
+                  {"table": _S, "name": _S, "snapshot_id": _I},
+                  ["table", "name"]),
+            lambda table, name, snapshot_id=None: c.load_table(
+                table).create_tag(name, snapshot_id),
+        )
+        self._add(
+            _tool("refs_list", "All branch/tag refs with resolved heads",
+                  {"table": _S}, ["table"]),
+            lambda table: c.load_table(table).list_refs(),
+        )
+        self._add(
+            _tool("branch_fast_forward",
+                  "Publish step of write-audit-publish: move to_branch "
+                  "to from_branch's head (ancestor-checked)",
+                  {"table": _S, "to_branch": _S, "from_branch": _S},
+                  ["table", "to_branch", "from_branch"]),
+            lambda table, to_branch, from_branch: c.load_table(
+                table).fast_forward(to_branch, from_branch),
+        )
+        self._add(
+            _tool("branch_drop", "Drop a branch ref (data stays in the log)",
+                  {"table": _S, "name": _S}, ["table", "name"]),
+            lambda table, name: c.load_table(table).drop_branch(name),
+        )
+        self._add(
+            _tool("tag_drop", "Drop a tag ref",
+                  {"table": _S, "name": _S}, ["table", "name"]),
+            lambda table, name: c.load_table(table).drop_tag(name),
+        )
+        self._add(
+            _tool("insert_into_branch",
+                  "Append rows to a BRANCH head (write-audit-publish "
+                  "staging write; main is untouched until fast-forward)",
+                  {"table": _S, "branch": _S, "rows": {"type": "array"}},
+                  ["table", "branch", "rows"]),
+            lambda table, branch, rows: {
+                "inserted": crud.insert_rows(
+                    c.load_table(table).for_branch(branch), rows
+                )
+            },
+        )
+        self._add(
+            _tool("query_branch",
+                  "Read a branch or tag head (audit step of "
+                  "write-audit-publish); returns up to `limit` rows",
+                  {"table": _S, "ref": _S, "limit": _I}, ["table", "ref"]),
+            lambda table, ref, limit=100: [
+                r.asDict(recursive=True)
+                for r in c.load_table(table).scan(ref=ref).limit(limit)
+                .collect()
+            ],
+        )
+        self._add(
             _tool("expire_snapshots", "Expire old snapshots (retain_last "
                   "and/or older_than '30d'/'24h'/'90m'=minutes/'45s'/ISO)",
                   {"table": _S, "retain_last": _I, "older_than": _S,

@@ -688,3 +688,39 @@ def test_delete_by_key_tool(server):
     is_err, rows, _ = call(server, "query", {
         "sql": "SELECT v FROM eqdel_t WHERE id = 2"})
     assert not is_err and [r["v"] for r in rows] == ["reborn"]
+
+
+def test_refs_wap_flow_through_rpc(server):
+    """Branch → staged write → audit read → fast-forward → publish,
+    all through the MCP surface."""
+    call(server, "create_table", {
+        "table": "wap_t", "schema": [["id", "long"], ["v", "string"]],
+    })
+    call(server, "insert", {"table": "wap_t",
+                            "rows": [{"id": 1, "v": "a"}]})
+    is_err, p, _ = call(server, "branch_create",
+                        {"table": "wap_t", "name": "audit"})
+    assert not is_err and p["branch"] == "audit"
+    is_err, p, _ = call(server, "insert_into_branch", {
+        "table": "wap_t", "branch": "audit",
+        "rows": [{"id": 2, "v": "staged"}]})
+    assert not is_err and p == {"inserted": 1}
+    # audit read sees the staged row; main does not
+    is_err, rows, _ = call(server, "query_branch",
+                           {"table": "wap_t", "ref": "audit"})
+    assert not is_err and sorted(r["id"] for r in rows) == [1, 2]
+    is_err, rows, _ = call(server, "query",
+                           {"sql": "SELECT id FROM wap_t"})
+    assert not is_err and [r["id"] for r in rows] == [1]
+    is_err, p, _ = call(server, "branch_fast_forward", {
+        "table": "wap_t", "to_branch": "main", "from_branch": "audit"})
+    assert not is_err
+    is_err, rows, _ = call(server, "query",
+                           {"sql": "SELECT id FROM wap_t ORDER BY id"})
+    assert not is_err and [r["id"] for r in rows] == [1, 2]
+    is_err, p, _ = call(server, "refs_list", {"table": "wap_t"})
+    assert not is_err and "audit" in p["branches"]
+    call(server, "branch_drop", {"table": "wap_t", "name": "audit"})
+    call(server, "tag_create", {"table": "wap_t", "name": "v1"})
+    is_err, p, _ = call(server, "refs_list", {"table": "wap_t"})
+    assert not is_err and "v1" in p["tags"]
