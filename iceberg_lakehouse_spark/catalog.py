@@ -574,6 +574,37 @@ class LakeTable:
             for p in self.meta().get("partition_spec", [])
         ]
 
+    def evolve_partition_spec(self, partition_by: list[str]) -> dict:
+        """Iceberg partition evolution: change the spec for FUTURE
+        writes without rewriting a single existing file. Old files keep
+        their old directory layout and new files get the new one —
+        scans are layout-agnostic by construction here (recursive file
+        listing + stats-based pruning on *persisted per-file column
+        stats*, never on directory names), so mixed-spec snapshots read
+        correctly and still prune. ``[]`` unpartitions future writes.
+        The previous spec is appended to ``partition_spec_history``
+        (audit trail, reference-style history shape). ``compact()``
+        rewrites everything under the current spec when physical
+        realignment is wanted."""
+        parsed = [PartitionField.parse(p) for p in partition_by]
+        known = {f.name for f in self.schema().fields}
+        for pf in parsed:
+            if pf.column not in known:
+                raise ValueError(
+                    f"partition column {pf.column!r} not in table schema"
+                )
+        meta = self.meta()
+        old = meta.get("partition_spec", [])
+        new = [pf.to_json() for pf in parsed]
+        if new == old:
+            return {"changed": False, "spec": old}
+        meta.setdefault("partition_spec_history", []).append(
+            {"spec": old, "ts": int(time.time() * 1000)}
+        )
+        meta["partition_spec"] = new
+        self._write_meta(meta)
+        return {"changed": True, "previous": old, "spec": new}
+
     def partitions_info(self) -> dict:
         """Partition-spec description (reference get_partitions,
         catalog.py:2362-2412): source column + transform per field."""

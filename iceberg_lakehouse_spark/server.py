@@ -161,6 +161,16 @@ class LakehouseServer:
             ),
         )
         self._add(
+            _tool("evolve_partition_spec",
+                  "Change the partition spec for FUTURE writes without "
+                  "rewriting existing files (Iceberg partition "
+                  "evolution); [] unpartitions",
+                  {"table": _S, "partition_by": {"type": "array"}},
+                  ["table", "partition_by"]),
+            lambda table, partition_by: c.load_table(
+                table).evolve_partition_spec(partition_by),
+        )
+        self._add(
             _tool("drop_table", "Drop a table", {"table": _S}, ["table"]),
             lambda table: (c.drop_table(table), {"dropped": table})[1],
         )

@@ -222,3 +222,97 @@ class TestPartitionStatsEdges:
         jan = t.scan().where("d < DATE'2025-02-01'")
         assert jan.count() == 2
         assert {r["name"] for r in jan.collect()} == {"alice", "bob"}
+
+
+# ---------------------------------------------------- partition evolution
+
+class TestPartitionEvolution:
+    def _mk(self, catalog, spark, spec=None):
+        t = catalog.create_table(
+            "default.pevo",
+            [("id", "long"), ("cat", "string"), ("ts", "timestamp")],
+            partition_by=spec,
+        )
+        t.append(spark.createDataFrame(
+            [(1, "a", datetime.datetime(2024, 1, 5)),
+             (2, "b", datetime.datetime(2024, 2, 5))],
+            "id long, cat string, ts timestamp"))
+        return t
+
+    def test_evolve_changes_future_writes_only(self, catalog, spark):
+        """Old files keep their layout, new files get the new one,
+        scans read both correctly — zero rewrites (Iceberg partition
+        evolution)."""
+        t = self._mk(catalog, spark, spec=["cat"])
+        files_before = list(t.current_snapshot().files)
+        res = t.evolve_partition_spec(["month(ts)"])
+        assert res["changed"] is True
+        assert t.current_snapshot().files == files_before  # no rewrite
+        t.append(spark.createDataFrame(
+            [(3, "c", datetime.datetime(2024, 3, 5))],
+            "id long, cat string, ts timestamp"))
+        snap = t.current_snapshot()
+        old = [f for f in snap.files if "_p_cat=" in f]
+        new = [f for f in snap.files if "_p_month_ts=" in f]
+        assert old and new  # mixed layouts coexist
+        assert sorted(r["id"] for r in t.scan().collect()) == [1, 2, 3]
+        # filtered scan across mixed layouts stays correct
+        assert t.scan(filter="id >= 2").count() == 2
+        info = t.partitions_info()
+        assert info["fields"][0]["transform"] == "month"
+        assert t.meta().get("partition_spec_history")
+
+    def test_evolve_to_unpartitioned_and_back(self, catalog, spark):
+        t = self._mk(catalog, spark, spec=["cat"])
+        t.evolve_partition_spec([])
+        t.append(spark.createDataFrame(
+            [(3, "c", datetime.datetime(2024, 3, 5))],
+            "id long, cat string, ts timestamp"))
+        assert t.scan().count() == 3
+        t.evolve_partition_spec(["bucket(4, id)"])
+        t.append(spark.createDataFrame(
+            [(4, "d", datetime.datetime(2024, 4, 5))],
+            "id long, cat string, ts timestamp"))
+        assert sorted(r["id"] for r in t.scan().collect()) == [1, 2, 3, 4]
+        assert any("_p_bucket4_id=" in f for f in t.current_snapshot().files)
+
+    def test_evolve_unknown_column_raises(self, catalog, spark):
+        t = self._mk(catalog, spark)
+        with pytest.raises(ValueError, match="not in table schema"):
+            t.evolve_partition_spec(["nope"])
+
+    def test_evolve_noop_same_spec(self, catalog, spark):
+        t = self._mk(catalog, spark, spec=["cat"])
+        assert t.evolve_partition_spec(["cat"]) == {
+            "changed": False,
+            "spec": [{"transform": "identity", "column": "cat",
+                      "param": None}],
+        }
+
+    def test_compact_realigns_under_current_spec(self, catalog, spark):
+        t = self._mk(catalog, spark, spec=["cat"])
+        t.evolve_partition_spec(["month(ts)"])
+        t.compact()
+        snap = t.current_snapshot()
+        assert all("_p_cat=" not in f for f in snap.files)
+        assert any("_p_month_ts=" in f for f in snap.files)
+        assert t.scan().count() == 2
+
+    def test_evolution_with_mor_deletes(self, catalog, spark):
+        """Position deletes recorded before an evolution keep applying
+        (full-path keys are layout-independent), and equality deletes
+        span mixed layouts."""
+        t = catalog.create_table(
+            "default.pevomor",
+            [("id", "long"), ("cat", "string")],
+            partition_by=["cat"],
+            properties={"write.delete.mode": "merge-on-read"},
+        )
+        t.append(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "id long, cat string"))
+        crud.delete_rows(t, "id = 1")  # position delete, old layout
+        t.evolve_partition_spec(["bucket(2, id)"])
+        t.append(spark.createDataFrame(
+            [(4, "c"), (5, "d")], "id long, cat string"))
+        crud.delete_rows_by_key(t, [{"id": 2}, {"id": 4}])
+        assert sorted(r["id"] for r in t.scan().collect()) == [3, 5]
