@@ -1637,6 +1637,37 @@ class LakeTable:
             check_parent=expected_snapshot_id is not None,
         )
 
+    def commit_eq_upsert(
+        self,
+        replacement: DataFrame,
+        new_eq_files: list[str],
+        cols: list[str],
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """CDC-apply commit (the Flink→Iceberg changelog pattern): one
+        ATOMIC commit that equality-deletes the incoming keys' old
+        versions AND appends their new rows. Sequence semantics make it
+        self-consistent: the delete and the data files share this
+        commit's sequence, and a delete applies only to STRICTLY older
+        files — so the rows appended here are exempt while every prior
+        version of the keys dies. Per-batch cost is O(batch): no table
+        scan, no data-file rewrite, no position lookup. Both sides are
+        additive, so no CAS is needed (concurrent appends compose under
+        the commit lock)."""
+        aligned = self._align(replacement)
+        new_files = self._materialize(aligned)
+        return self._commit(
+            "update",
+            add_files=new_files,
+            summary={**(summary or {}), "mode": "merge-on-read",
+                     "equality_delete": True,
+                     "added_files": len(new_files),
+                     "added_eq_delete_files": len(new_eq_files)},
+            add_eq_deletes=[
+                {"path": p, "cols": list(cols)} for p in new_eq_files
+            ],
+        )
+
     def commit_mor_update(
         self,
         replacement: DataFrame,
