@@ -3660,3 +3660,78 @@ def gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "order_status_listagg",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ','
+                      ORDER BY o_orderstatus) AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    survey_ref="§2.5 aggregation breadth: LISTAGG / string_agg "
+    "(ordered DISTINCT string aggregation, SQL:2016 T625)",
+)
+def order_status_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted distinct order statuses per priority as one delimited
+    string — the SQL-standard LISTAGG shape, built as
+    ``collect_set → array_sort → array_join`` so the output is
+    deterministic regardless of partial-aggregation order (a bare
+    listagg over a shuffled input is not). Safe at scale ONLY because
+    the aggregated domain is bounded (order status has 3 values); an
+    unbounded listagg is an anti-pattern at 100 TB regardless of
+    engine."""
+    orders = load_sf_tables(spark, sf_dir)["orders"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "price_quantity_stats_by_flag",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 2)
+               AS price_qty_covar,
+           ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    survey_ref="§2.5 aggregation breadth: statistical aggregates "
+    "(corr / covar_samp / stddev_samp — one-pass co-moment "
+    "aggregation, map-side combinable)",
+)
+def price_quantity_stats_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlation / sample covariance / standard deviation of price
+    vs quantity per return flag — Spark's built-in one-pass co-moment
+    aggregates (Chan et al. parallel merge formula), so the whole thing
+    is a single partial/final hash aggregate with map-side combine.
+    Rounded to fixed decimals on BOTH engines: co-moment accumulation
+    order differs across partitionings, so the last ulps of a raw
+    double are not comparable cross-engine — the fixed-point value
+    is."""
+    li = load_sf_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4)
+            .alias("price_qty_corr"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2)
+            .alias("price_qty_covar"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -719,6 +719,21 @@ def test_salted_distinct_two_phase(spark):
     assert "Expand" not in plan
 
 
+def test_comoment_stats_single_pass(spark):
+    """corr/covar/stddev (r7): one partial/final hash aggregate with
+    map-side combine — never a second lineitem scan, never a window."""
+    import re
+
+    plan = plan_of(spark, "price_quantity_stats_by_flag")
+    scans = re.findall(r"Location: InMemoryFileIndex \[[^\]]*lineitem", plan)
+    assert len(scans) == 1
+    assert "partial_corr" in plan or "partial_" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+    # column pruning: only the two measure columns + the key are read
+    assert "l_extendedprice" in plan and "l_tax" not in plan
+
+
 def test_gap_fill_window_sits_above_daily_aggregate(spark):
     """Gap-fill forward-fill (r7): the unpartitioned running window is
     sanctioned ONLY over the calendar-bounded spine — it must consume
