@@ -1082,17 +1082,49 @@ class LakeTable:
 
         Partitioned tables write with partitionBy on transform columns —
         emulating Iceberg hidden partitioning: derived `_p_*` columns
-        exist only on disk layout, never in the logical schema."""
+        exist only on disk layout, never in the logical schema.
+
+        Two write-clustering table properties (Iceberg analogues):
+        ``write.sort.order`` ("col1,col2") range-clusters + sorts every
+        write on those columns, so per-file/row-group min-max stats are
+        tight from birth — predicates on the sort keys prune without
+        waiting for a compact(sort_by=...); ``write.bloom.columns``
+        enables parquet bloom filters on the named columns, giving
+        point-lookup file skipping on high-cardinality keys that
+        min-max stats cannot serve."""
         fmt = self.write_format()
         sub = f"data/{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.root, sub)
         pfields = self.partition_fields()
+        props = self.properties()
         writer_df = df
+        sort_order = [
+            c.strip()
+            for c in props.get("write.sort.order", "").split(",")
+            if c.strip()
+        ]
+        if sort_order:
+            known = set(writer_df.columns)
+            bad = [c for c in sort_order if c not in known]
+            if bad:
+                raise ValueError(
+                    f"write.sort.order references unknown columns {bad}"
+                )
+            writer_df = writer_df.repartitionByRange(
+                *sort_order
+            ).sortWithinPartitions(*sort_order)
         pcols = []
         for pf in pfields:
             pcols.append(pf.name)
             writer_df = writer_df.withColumn(pf.name, pf.expr())
         writer = writer_df.write.mode("overwrite").format(fmt)
+        if fmt == "parquet":
+            for c in props.get("write.bloom.columns", "").split(","):
+                c = c.strip()
+                if c:
+                    writer = writer.option(
+                        f"parquet.bloom.filter.enabled#{c}", "true"
+                    )
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.save(out)
