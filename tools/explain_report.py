@@ -126,6 +126,30 @@ SHOW = [
      "TPC-H Q13 (round 7): the priority filter rides the LEFT OUTER join "
      "(zero-order customers survive), per-customer count on the uniform "
      "custkey, then the distribution aggregate on the tiny count domain."),
+    ("daily_event_type_pivot",
+     "Native PIVOT with explicit values (round 7): ONE partial/final "
+     "aggregate pass over one events scan — no distinct-values job, no "
+     "data-dependent schema."),
+    ("revenue_grouping_sets",
+     "GROUPING SETS (round 7): one fact scan + Expand(3 projections) + a "
+     "single hash aggregate — three rollup axes for one read, the Expand "
+     "applied AFTER the 3-column map-side projection."),
+    ("customer_balance_ntile_deciles",
+     "Scale-safe exact NTILE (round 7): two-pass range-bucket global row "
+     "number — the Window shuffles on the bucket key; no Exchange "
+     "SinglePartition anywhere."),
+    ("rolling_7day_active_users",
+     "Sliding COUNT DISTINCT (round 7): bounded 7-day explode + hash "
+     "distinct aggregate — no Window, no per-day user-set arrays; the "
+     "real-days filter is a 30-row broadcast semi join."),
+    ("event_type_distinct_users_salted",
+     "Salted two-phase COUNT DISTINCT (round 7): phase-1 shuffle on the "
+     "64x-wider (type, salt) key — hashpartitioning shows the salt — then "
+     "a 5x64-row final reduce; exact, not approximate."),
+    ("price_quantity_stats_by_flag",
+     "Co-moment statistics (round 7): corr/covar/stddev in one "
+     "partial/final pass with map-side combine; ReadSchema pruned to the "
+     "two measures + key."),
 ]
 
 
