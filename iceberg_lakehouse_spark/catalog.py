@@ -2594,6 +2594,77 @@ class LakeTable:
         ]
         return self.spark.createDataFrame(rows, schema)
 
+    def refs_df(self) -> DataFrame:
+        """``<table>__refs``: Iceberg refs metadata table — one row per
+        named ref (main + branches + tags) with its resolved head."""
+        schema = T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("snapshot_id", T.LongType()),
+            ]
+        )
+        refs = self.list_refs()
+        rows = [
+            (n, "BRANCH", sid) for n, sid in sorted(refs["branches"].items())
+        ] + [(n, "TAG", sid) for n, sid in sorted(refs["tags"].items())]
+        return self.spark.createDataFrame(rows, schema)
+
+    def delete_files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """``<table>__delete_files``: one row per live delete file of a
+        snapshot (default current), both Iceberg v2 kinds — position
+        deletes (content='POSITION_DELETES') and equality deletes
+        (content='EQUALITY_DELETES', with their key columns and the
+        data sequence that bounds which data files they apply to)."""
+        schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType()),
+                T.StructField("content", T.StringType()),
+                T.StructField("size_bytes", T.LongType()),
+                T.StructField("equality_columns", T.ArrayType(T.StringType())),
+                T.StructField("data_sequence", T.LongType()),
+                T.StructField("snapshot_id", T.LongType()),
+            ]
+        )
+        snap = (
+            self.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
+        if snap is None:
+            return self.spark.createDataFrame([], schema)
+
+        def _size(rel: str) -> int:
+            p = os.path.join(self.root, rel)
+            return os.path.getsize(p) if os.path.exists(p) else 0
+
+        rows = [
+            (f, "POSITION_DELETES", _size(f), None, None, snap.snapshot_id)
+            for f in snap.delete_files
+        ] + [
+            (d["path"], "EQUALITY_DELETES", _size(d["path"]),
+             list(d["cols"]), int(d["seq"]), snap.snapshot_id)
+            for d in snap.eq_delete_files
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def partitions_df(self) -> DataFrame:
+        """``<table>__partitions``: per-partition file count + bytes of
+        the current snapshot (driver-side dir-name parse, same source
+        as ``partition_stats``)."""
+        schema = T.StructType(
+            [
+                T.StructField("partition", T.StringType()),
+                T.StructField("file_count", T.IntegerType()),
+                T.StructField("size_bytes", T.LongType()),
+            ]
+        )
+        rows = [
+            (e["partition"], e["file_count"], e["bytes"])
+            for e in self.partition_stats()
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
 
 def _parse_type(s: str) -> T.DataType:
     mapping = {

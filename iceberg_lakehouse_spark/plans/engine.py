@@ -91,7 +91,8 @@ class QueryEngine:
         for full in [n for n in self._reg_stamps if n not in current]:
             ns, t = full.split(".", 1)
             for v in (t, f"{ns}__{t}", f"{t}__snapshots", f"{t}__files",
-                      f"{t}__history"):
+                      f"{t}__history", f"{t}__refs", f"{t}__delete_files",
+                      f"{t}__partitions"):
                 try:
                     self.spark.catalog.dropTempView(v)
                 except Exception:  # noqa: BLE001
@@ -125,6 +126,11 @@ class QueryEngine:
                 table.snapshots_df().createOrReplaceTempView(f"{t}__snapshots")
                 table.files_df().createOrReplaceTempView(f"{t}__files")
                 table.history_df().createOrReplaceTempView(f"{t}__history")
+                table.refs_df().createOrReplaceTempView(f"{t}__refs")
+                table.delete_files_df().createOrReplaceTempView(
+                    f"{t}__delete_files")
+                table.partitions_df().createOrReplaceTempView(
+                    f"{t}__partitions")
             except Exception:  # noqa: BLE001 — metadata views best-effort
                 pass
             self._reg_stamps[full] = stamp

@@ -262,6 +262,40 @@ class LakehouseServer:
                   {"table": _S}, ["table"]),
             lambda table: c.load_table(table).list_refs(),
         )
+
+        def _inspect_metadata(table, name, snapshot_id=None):
+            t = c.load_table(table)
+            dispatch = {
+                "snapshots": t.snapshots_df,
+                "files": lambda: t.files_df(snapshot_id),
+                "history": t.history_df,
+                "refs": t.refs_df,
+                "delete_files": lambda: t.delete_files_df(snapshot_id),
+                "partitions": t.partitions_df,
+            }
+            if name not in dispatch:
+                raise ValueError(
+                    f"unknown metadata table {name!r}; one of "
+                    f"{sorted(dispatch)}")
+            rows = dispatch[name]().collect()
+            out = []
+            for r in rows:
+                d = r.asDict(recursive=True)
+                for k, v in d.items():
+                    if hasattr(v, "isoformat"):
+                        d[k] = v.isoformat()
+                out.append(d)
+            return out
+
+        self._add(
+            _tool("inspect_metadata_table",
+                  "Rows of an Iceberg-style metadata table: snapshots | "
+                  "files | history | refs | delete_files | partitions "
+                  "(also SQL-queryable as <table>__<name> views)",
+                  {"table": _S, "name": _S, "snapshot_id": _I},
+                  ["table", "name"]),
+            _inspect_metadata,
+        )
         self._add(
             _tool("branch_fast_forward",
                   "Publish step of write-audit-publish: move to_branch "
