@@ -1137,6 +1137,17 @@ class LakeTable:
                     )
         files = sorted(files)
         self._record_file_stats(files)
+        if str(props.get("write.bloom.index", "")).lower() == "true":
+            # file-level bloom index (plans/bloom.py): one extra
+            # column-pruned pass over exactly the files just written;
+            # best-effort like stats — a failed build degrades pruning,
+            # never the write
+            try:
+                from .plans.bloom import build_bloom_sidecar
+
+                build_bloom_sidecar(self, files)
+            except Exception:  # noqa: BLE001
+                pass
         return files
 
     # consolidate shards into the base map once this many accumulate:
@@ -1288,16 +1299,34 @@ class LakeTable:
         against the persisted per-file min/max/null stats and return
         (surviving files, total files). Conservative — a file is dropped
         only when provably predicate-free; see plans/pruning.py."""
-        from .plans.pruning import prune_files as _prune
+        from .plans.pruning import parse_conjuncts, prune_files as _prune
 
         snap = snap if snap is not None else self.current_snapshot()
         if snap is None or not snap.files:
             return [], 0
         stats = self._file_column_stats(snap)
-        return (
-            _prune(snap.files, stats, schema or self.schema(), filter_expr),
-            len(snap.files),
-        )
+        kept = _prune(snap.files, stats, schema or self.schema(), filter_expr)
+        # file-level bloom consult (plans/bloom.py, opt-in via
+        # write.bloom.index): equality/IN conjuncts on indexed columns
+        # drop files whose bitsets prove the value absent. The isdir
+        # probe keeps non-indexed tables at zero extra cost.
+        if kept and os.path.isdir(os.path.join(self.root, "_meta", "bloom")):
+            conj = parse_conjuncts(filter_expr)
+            if conj:
+                types = {f.name: f.dataType
+                         for f in (schema or self.schema()).fields}
+                probes = []
+                for c in conj:
+                    if c.op not in ("=", "in") or c.col not in types:
+                        continue
+                    tagged = c.value if c.op == "in" else [c.value]
+                    vals = [v for _kind, v in tagged]
+                    probes.append((c.col, types[c.col], vals))
+                if probes:
+                    from .plans.bloom import bloom_prune
+
+                    kept = bloom_prune(self, kept, probes)
+        return kept, len(snap.files)
 
     def scan(
         self,
