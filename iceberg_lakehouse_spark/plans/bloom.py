@@ -75,11 +75,21 @@ def bloom_index_config(props: dict) -> tuple[list[str], int, int] | None:
 def _positions_sql(h1_sql: str, h2_sql: str, nbits_sql: str,
                    k_sql: str) -> str:
     """SQL for the k bloom bit positions of one value: double hashing
-    pmod(h1 + i*h2, nbits), h2 | 1 so the stride is odd (never cycles
-    through a strict subset of an even-sized table)."""
+    (h1 + i*h2) mod nbits, h2 | 1 so the stride is odd (never cycles
+    through a strict subset of an even-sized table).
+
+    Each operand is reduced mod nbits BEFORE the add/multiply: the raw
+    64-bit hashes would overflow int64 at i >= 1, which Java silently
+    wraps but ANSI mode (the Spark 4 default, and the driver's session)
+    turns into ARITHMETIC_OVERFLOW. The reduced form is mathematically
+    the same residue, overflow-free for any nbits < 2^56, and — the
+    property that actually matters — IDENTICAL on build and probe
+    because both render through this one function."""
     return (
         f"transform(sequence(0, {k_sql} - 1), "
-        f"i -> pmod(({h1_sql}) + cast(i as bigint) * (({h2_sql}) | 1), "
+        f"i -> pmod(pmod({h1_sql}, cast({nbits_sql} as bigint)) "
+        f"+ cast(i as bigint) "
+        f"* pmod(({h2_sql}) | 1, cast({nbits_sql} as bigint)), "
         f"cast({nbits_sql} as bigint)))"
     )
 
@@ -302,9 +312,12 @@ def bloom_prune(
         present_any = F.lit(False)
         for h1, h2 in hashes:
             pos = _positions_sql(f"{h1}L", f"{h2}L", "nbits", "nhashes")
+            # try_element_at, not element_at: a missing word means the
+            # bit is 0, but ANSI mode makes bare element_at THROW on an
+            # absent map key instead of returning NULL
             present_any = present_any | F.expr(
                 f"forall({pos}, p -> "
-                f"(shiftright(coalesce(element_at(words, "
+                f"(shiftright(coalesce(try_element_at(words, "
                 f"cast(p div 64 as int)), 0L), cast(p % 64 as int)) & 1) "
                 f"= 1)")
         pruned = (

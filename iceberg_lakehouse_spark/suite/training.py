@@ -3735,3 +3735,59 @@ def price_quantity_stats_by_flag(
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "bloom_index_point_lookup",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey IN (1, 7)
+    ORDER BY o_orderkey
+    """,
+    survey_ref="file-level bloom index (r7): point lookups on an "
+    "unclustered high-cardinality key prune whole files where min/max "
+    "stats cannot",
+)
+def bloom_index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END bloom-index semantics against the oracle: orders
+    lands in a throwaway warehouse table with ``write.bloom.index``
+    enabled, appended as three chunks whose o_orderkey ranges FULLY
+    overlap (chunk i holds keys ≡ i mod 3) — so per-file min/max stats
+    can prove nothing and every file survives interval pruning. The
+    point lookup then plans through the bloom bitsets and provably
+    drops non-holding files before the reader is built (asserted), and
+    the scan's rows must still match DuckDB exactly — the conservative
+    contract (false positives keep files, never false negatives) made
+    observable. The probed keys (1, 7 — both ≡ 1 mod 3) touch only
+    chunk 1, so chunks 0 and 2 are provably prunable. Runs under the
+    driver's BARE ANSI session — the overflow-free position math and
+    try_element_at probe are load-bearing here."""
+    import tempfile
+
+    from ..catalog import LakehouseCatalog
+
+    orders = load_sf_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    cat = LakehouseCatalog(spark, tempfile.mkdtemp(prefix="bloom_lookup_"))
+    t = cat.create_table(
+        "default.orders_bloom",
+        [("o_orderkey", "long"), ("o_custkey", "long"),
+         ("o_totalprice", "double"), ("o_orderstatus", "string")],
+        properties={"write.bloom.columns": "o_orderkey",
+                    "write.bloom.index": "true"},
+    )
+    for i in range(3):
+        t.append(orders.where(F.pmod(F.col("o_orderkey"), F.lit(3)) == i))
+    pred = "o_orderkey IN (1, 7)"
+    kept, total = t.prune_files(pred)
+    assert 0 < len(kept) < total, (len(kept), total)  # bloom really pruned
+    return (
+        t.scan(filter=pred)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )

@@ -167,6 +167,28 @@ def test_cow_update_correct_under_bloom_pruning(cat):
     assert t.scan().count() == 399
 
 
+def test_ansi_mode_build_and_probe(cat, spark):
+    """The driver's session runs ANSI mode (Spark 4 default; our test
+    session disables it) — the hash position math must be
+    overflow-free and the bitset probe must use try_element_at, or
+    builds die with ARITHMETIC_OVERFLOW / probes with a map-key error
+    under ANSI. Regression for the real failure found in check_oracle."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        t = _interleaved(cat, name="default.bloom_ansi", files=3, n=90)
+        kept, total = t.prune_files("id = 4")
+        assert total == 3 and len(kept) == 1
+        assert [r["id"] for r in t.scan(filter="id = 4").collect()] == [4]
+        # widened literal: ANSI cast throws inside the probe → caught →
+        # conservative keep-all, and the scan still answers correctly
+        kept, _ = t.prune_files("id = 4.5")
+        assert len(kept) == 3
+        assert t.scan(filter="id = 4.5").count() == 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_sidecar_consolidation(cat):
     """Consolidation merges sidecars into one, keeps rows for every
     on-disk file, drops rows for files deleted by expire+cleanup, and
