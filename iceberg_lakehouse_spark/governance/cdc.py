@@ -22,6 +22,7 @@ import json
 from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import LakeTable
 from ..operators import crud
@@ -292,3 +293,145 @@ def replay_changes(target: LakeTable, changes: dict) -> dict:
 
 def _plain(rows: list[dict]) -> list[dict]:
     return [dict(r) for r in rows]
+
+
+def changelog_view(
+    table: LakeTable,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> "DataFrame":
+    """Iceberg ``create_changelog_view`` analogue: ONE LAZY DataFrame of
+    row-level changes across the snapshot range (from_snapshot,
+    to_snapshot], stamped with ``_change_type`` ('insert' | 'delete'),
+    ``_commit_snapshot_id`` and ``_change_ordinal`` (1-based commit
+    position within the range). Updates surface as delete+insert pairs
+    — Iceberg's default changelog granularity without pre/post images.
+
+    Unlike ``capture_changes`` (the reference's collected-dict report,
+    max_rows-capped), this never collects: each commit contributes a
+    metadata-planned branch —
+
+    * additive commits (append / MoR delete / MoR update / equality
+      delete): inserts = a scan of exactly the files the commit added;
+      deletes = the commit's NEW delete keys joined back against the
+      parent snapshot's live rows (position keys on the reader-reported
+      (_mor_file, _mor_pos); equality keys null-safe on their columns).
+      No diff job, no full-table read — O(changed data), the property
+      that makes a changelog usable on a 100 TB table.
+    * rewriting commits (overwrite / CoW update / compact / rollback):
+      schema-conformed EXCEPT both ways — compaction nets to zero rows.
+
+    The union stays a plan; consumers filter/aggregate/stream it like
+    any DataFrame."""
+    from pyspark.sql import DataFrame  # noqa: F401  (annotation only)
+
+    spark = table.spark
+    snaps = table.snapshots()
+    by_id = {s.snapshot_id: s for s in snaps}
+    if to_snapshot is None:
+        cur = table.current_snapshot()
+        if cur is None:
+            raise ValueError("empty table has no changelog")
+        to_snapshot = cur.snapshot_id
+    if from_snapshot not in by_id or to_snapshot not in by_id:
+        raise ValueError("snapshot not found")
+    # walk parent links back from `to` until `from` (ancestor check)
+    chain: list = []
+    cur_id = to_snapshot
+    while cur_id is not None and cur_id != from_snapshot:
+        s = by_id.get(cur_id)
+        if s is None:
+            break
+        chain.append(s)
+        cur_id = s.parent_id
+    if cur_id != from_snapshot:
+        raise ValueError(
+            f"snapshot {from_snapshot} is not an ancestor of {to_snapshot}")
+    chain.reverse()
+
+    import os as _os
+
+    schema = table.schema()
+    cols = [f.name for f in schema.fields]
+    meta = [
+        ("_change_type", "string"),
+        ("_commit_snapshot_id", "long"),
+        ("_change_ordinal", "int"),
+    ]
+    empty = spark.createDataFrame(
+        [], T.StructType(
+            list(schema.fields)
+            + [T.StructField(n, _parse_meta_t(t)) for n, t in meta]))
+
+    def _stamp(df, kind: str, snap_id: int, ordinal: int):
+        return df.select(*cols).withColumns({
+            "_change_type": F.lit(kind),
+            "_commit_snapshot_id": F.lit(snap_id).cast("long"),
+            "_change_ordinal": F.lit(ordinal).cast("int"),
+        })
+
+    parts = []
+    prev = by_id[from_snapshot]
+    for ordinal, snap in enumerate(chain, start=1):
+        prev_files = set(prev.files)
+        added = [f for f in snap.files if f not in prev_files]
+        removed = [f for f in prev.files if f not in set(snap.files)]
+        new_pos = [d for d in snap.delete_files
+                   if d not in set(prev.delete_files)]
+        prev_eq_paths = {d["path"] for d in prev.eq_delete_files}
+        new_eq = [d for d in snap.eq_delete_files
+                  if d["path"] not in prev_eq_paths]
+        same_schema = (
+            table._snapshot_schema_version(snap)
+            == table._snapshot_schema_version(prev)
+        )
+        if removed or not same_schema:
+            # rewrite (or mid-chain schema change): conformed EXCEPT
+            new_df = table.scan_conformed(snap.snapshot_id)
+            old_df = table.scan_conformed(prev.snapshot_id)
+            parts.append(_stamp(new_df.exceptAll(old_df), "insert",
+                                snap.snapshot_id, ordinal))
+            parts.append(_stamp(old_df.exceptAll(new_df), "delete",
+                                snap.snapshot_id, ordinal))
+        else:
+            if added:
+                parts.append(_stamp(
+                    table.scan_files(added), "insert",
+                    snap.snapshot_id, ordinal))
+            if new_pos or new_eq:
+                live_prev = table.scan_files(
+                    prev.files, with_pos=bool(new_pos),
+                    merge_snapshot=prev)
+                if new_pos:
+                    keys = spark.read.parquet(
+                        *[_os.path.join(table.root, d) for d in new_pos])
+                    dead = live_prev.join(
+                        keys,
+                        (live_prev["_mor_file"] == keys["_file"])
+                        & (live_prev["_mor_pos"] == keys["_pos"]),
+                        "left_semi",
+                    )
+                    parts.append(_stamp(dead, "delete",
+                                        snap.snapshot_id, ordinal))
+                for d in new_eq:
+                    keys = spark.read.parquet(
+                        _os.path.join(table.root, d["path"]))
+                    cond = None
+                    for c in d["cols"]:
+                        t_ = live_prev[c].eqNullSafe(keys[c])
+                        cond = t_ if cond is None else (cond & t_)
+                    parts.append(_stamp(
+                        live_prev.join(keys, cond, "left_semi"), "delete",
+                        snap.snapshot_id, ordinal))
+        prev = snap
+    if not parts:
+        return empty
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _parse_meta_t(t: str):
+    return {"string": T.StringType(), "long": T.LongType(),
+            "int": T.IntegerType()}[t]
