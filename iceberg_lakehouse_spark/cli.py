@@ -365,7 +365,7 @@ _TREE: dict[str, dict[str, str]] = {
     "cdc": {
         "capture": "capture_changes", "log": "get_change_log",
         "summary": "get_change_summary", "export": "export_changes",
-        "replay": "replay_changes",
+        "replay": "replay_changes", "changelog": "changelog_view",
     },
     "sample": {
         "random": "random_sample", "stratified": "stratified_sample",

@@ -550,6 +550,20 @@ class LakehouseServer:
                 c.load_table(table), from_snapshot, to_snapshot, key_columns
             ),
         )
+        from .governance.cdc import changelog_view
+
+        self._add(
+            _tool("changelog_view",
+                  "Row-level changes across a snapshot range "
+                  "(_change_type/_commit_snapshot_id/_change_ordinal; "
+                  "updates appear as delete+insert pairs)",
+                  {"table": _S, "from_snapshot": _I, "to_snapshot": _I},
+                  ["table", "from_snapshot"]),
+            lambda table, from_snapshot, to_snapshot=None: rows_of(
+                changelog_view(c.load_table(table), from_snapshot, to_snapshot)
+                .orderBy("_change_ordinal", "_change_type")
+            ),
+        )
 
         # -- LLM-pipeline operators ---------------------------------------
         from .functions import dedup_text as dt

@@ -3791,3 +3791,78 @@ def bloom_index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "changelog_view_semantics",
+    """
+    WITH c1 AS (
+        SELECT 'insert' AS _change_type, 1 AS _change_ordinal,
+               o_orderkey, o_custkey, o_orderstatus
+        FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey <= 4000
+    ), c2 AS (
+        SELECT 'delete', 2, o_orderkey, o_custkey, o_orderstatus
+        FROM orders WHERE o_orderkey % 8 = 0 AND o_orderkey <= 4000
+    ), c3d AS (
+        SELECT 'delete', 3, o_orderkey, o_custkey, o_orderstatus
+        FROM orders
+        WHERE o_orderkey % 4 = 1 AND o_custkey % 3 = 0 AND o_orderkey <= 4000
+    ), c3i AS (
+        SELECT 'insert', 3, o_orderkey, o_custkey, 'X'
+        FROM orders
+        WHERE o_orderkey % 4 = 1 AND o_custkey % 3 = 0 AND o_orderkey <= 4000
+    )
+    SELECT * FROM c1 UNION ALL SELECT * FROM c2
+    UNION ALL SELECT * FROM c3d UNION ALL SELECT * FROM c3i
+    ORDER BY _change_ordinal, _change_type, o_orderkey
+    """,
+    survey_ref="lazy changelog view (r7): row-level changes across a "
+    "snapshot range, additive commits planned from metadata alone",
+)
+def changelog_view_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END changelog semantics against the oracle: a throwaway
+    MoR warehouse table seeded with the mod-4==0 slice of orders, then
+    three commits — append (mod-4==1), merge-on-read delete (mod-8==0,
+    all within the seeded slice), merge-on-read update (status := 'X'
+    on mod-4==1 rows with mod-3 custkeys). The changelog over that
+    range must reproduce: commit 1 as pure inserts, commit 2 as
+    pre-image deletes, commit 3 as delete+insert pairs — and because
+    every commit is additive (MoR never rewrites), the view is planned
+    from snapshot metadata alone: inserts scan exactly the appended
+    files, deletes join the commit's new position keys against the
+    parent's live rows. The DuckDB oracle reconstructs all four change
+    sets from raw orders by pure SQL. ``_commit_snapshot_id`` is
+    timestamp-derived, so the comparison projects it away."""
+    import tempfile
+
+    from ..catalog import LakehouseCatalog
+    from ..operators import crud
+
+    orders = (
+        load_sf_tables(spark, sf_dir)["orders"]
+        .where(F.col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+    cat = LakehouseCatalog(spark, tempfile.mkdtemp(prefix="changelog_"))
+    t = cat.create_table(
+        "default.orders_cl",
+        [("o_orderkey", "long"), ("o_custkey", "long"),
+         ("o_orderstatus", "string")],
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.update.mode": "merge-on-read"},
+    )
+    t.append(orders.where(F.col("o_orderkey") % 4 == 0))
+    s0 = t.current_snapshot().snapshot_id
+    t.append(orders.where(F.col("o_orderkey") % 4 == 1))
+    crud.delete_rows(t, "o_orderkey % 8 = 0")
+    crud.update_rows(
+        t, "o_orderkey % 4 = 1 AND o_custkey % 3 = 0",
+        {"o_orderstatus": "X"})
+    from ..governance.cdc import changelog_view
+
+    return (
+        changelog_view(t, s0)
+        .select("_change_type", "_change_ordinal",
+                "o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("_change_ordinal", "_change_type", "o_orderkey")
+    )

@@ -724,3 +724,19 @@ def test_refs_wap_flow_through_rpc(server):
     call(server, "tag_create", {"table": "wap_t", "name": "v1"})
     is_err, p, _ = call(server, "refs_list", {"table": "wap_t"})
     assert not is_err and "v1" in p["tags"]
+
+
+def test_changelog_view_tool(server):
+    ok(server, "create_table",
+       {"table": "clv", "schema": [["id", "long"], ["v", "string"]]})
+    ok(server, "insert", {"table": "clv", "rows": [
+        {"id": 1, "v": "a"}, {"id": 2, "v": "b"}]})
+    s0 = ok(server, "list_snapshots", {"table": "clv"})[-1]["snapshot_id"]
+    ok(server, "insert", {"table": "clv", "rows": [{"id": 3, "v": "c"}]})
+    ok(server, "delete", {"table": "clv", "filter": "id = 1"})
+    rows = ok(server, "changelog_view", {"table": "clv", "from_snapshot": s0})
+    assert [(r["_change_type"], r["_change_ordinal"], r["id"]) for r in rows] \
+        == [("insert", 1, 3), ("delete", 2, 1)]
+    is_err, _, result = call(server, "changelog_view",
+                             {"table": "clv", "from_snapshot": 999999})
+    assert is_err and "not found" in result["content"][0]["text"]
