@@ -3866,3 +3866,60 @@ def changelog_view_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("_change_ordinal", "_change_type", "o_orderkey")
     )
+
+
+@register(
+    "python_datasource_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= 4000 AND o_orderkey % 2 = 0
+      AND o_orderkey % 16 != 0 AND o_custkey <= 1200
+    ORDER BY o_orderkey
+    """,
+    survey_ref="Python Data Source (r7): format('lakehouse') batch "
+    "reader — snapshot pinning, stats-pruned pushdown, MoR deletes "
+    "applied Arrow-side",
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END Python-Data-Source semantics against the oracle: a
+    throwaway MoR warehouse table (even orderkeys <= 4000 from orders)
+    takes a merge-on-read delete (mod-16 keys), then is read back NOT
+    through LakeTable.scan but through Spark's own
+    ``format("lakehouse")`` V2 path — schema from the snapshot log,
+    per-file Arrow partitions, position deletes masked batch-side, and
+    the ``o_custkey <= 1200`` predicate travelling Spark's
+    filter-pushdown channel into stats-based file pruning. The DuckDB
+    oracle reconstructs the surviving rows from raw orders by pure
+    SQL, so a single dropped-or-resurrected row anywhere in that chain
+    (delete-file resolution, URI mapping, Arrow conform, pushdown
+    correctness) fails the value hash."""
+    import tempfile
+
+    from ..catalog import LakehouseCatalog
+    from ..operators import crud
+    from ..sources.datasource import register_lakehouse_source
+
+    orders = (
+        load_sf_tables(spark, sf_dir)["orders"]
+        .where((F.col("o_orderkey") <= 4000)
+               & (F.col("o_orderkey") % 2 == 0))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+    wh = tempfile.mkdtemp(prefix="pyds_")
+    cat = LakehouseCatalog(spark, wh)
+    t = cat.create_table(
+        "default.orders_ds",
+        [("o_orderkey", "long"), ("o_custkey", "long"),
+         ("o_orderstatus", "string")],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(orders)
+    crud.delete_rows(t, "o_orderkey % 16 = 0")
+    register_lakehouse_source(spark)
+    return (
+        spark.read.format("lakehouse").option("warehouse", wh)
+        .load("default.orders_ds")
+        .where(F.col("o_custkey") <= 1200)
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,319 @@
+"""Python Data Source surface (sources/datasource.py): the
+``format("lakehouse")`` batch + streaming reader. Batch reads must
+match `LakeTable.scan` exactly (incl. merge-on-read deletes, equality
+deletes, time travel); pushed filters must provably PRUNE files
+(asserted by making a should-be-pruned file unreadable); the stream
+must tail the commit log across restarts and honor the rewrite
+contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+from iceberg_lakehouse_spark.operators import crud
+from iceberg_lakehouse_spark.sources.datasource import (
+    LakehouseDataSource,
+    register_lakehouse_source,
+)
+
+MOR = {"write.delete.mode": "merge-on-read",
+       "write.update.mode": "merge-on-read"}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_lakehouse_source(spark)
+
+
+def _read(spark, wh, table, **opts):
+    r = spark.read.format("lakehouse").option("warehouse", wh)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(table)
+
+
+def _seed(spark, wh, props=None, name="default.ds"):
+    cat = LakehouseCatalog(spark, wh)
+    t = cat.create_table(name, [("id", "long"), ("v", "string")],
+                         properties=dict(props or {}))
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string"))
+    return t
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_batch_matches_scan(spark, tmp_warehouse):
+    t = _seed(spark, tmp_warehouse)
+    t.append(spark.createDataFrame([(100, "x"), (101, "y")],
+                                   "id long, v string"))
+    df = _read(spark, tmp_warehouse, "default.ds")
+    assert df.schema == t.scan().schema
+    assert sorted(map(tuple, df.collect())) == \
+        sorted(map(tuple, t.scan().collect()))
+
+
+def test_mor_deletes_applied(spark, tmp_warehouse):
+    t = _seed(spark, tmp_warehouse, props=MOR)
+    crud.delete_rows(t, "id < 10")
+    crud.update_rows(t, "id = 50", {"v": "FIFTY"})
+    df = _read(spark, tmp_warehouse, "default.ds")
+    got = {r["id"]: r["v"] for r in df.collect()}
+    assert len(got) == 90 and 0 not in got and got[50] == "FIFTY"
+    assert sorted(map(tuple, df.collect())) == \
+        sorted(map(tuple, t.scan().collect()))
+
+
+def test_equality_delete_sequence_semantics(spark, tmp_warehouse):
+    """A key re-inserted AFTER its equality delete stays visible —
+    data-sequence semantics must survive the Python reader."""
+    t = _seed(spark, tmp_warehouse)
+    crud.delete_rows_by_key(t, [{"id": 7}])
+    t.append(spark.createDataFrame([(7, "reborn")], "id long, v string"))
+    got = {r["id"]: r["v"]
+           for r in _read(spark, tmp_warehouse, "default.ds").collect()}
+    assert got[7] == "reborn" and len(got) == 100
+
+
+def test_filter_pushdown_prunes_files(spark, tmp_warehouse):
+    """Two appends with disjoint id ranges → two files with disjoint
+    stats. Corrupt the high-range file on disk: a selective low-range
+    read only succeeds if pruning really dropped the file BEFORE any
+    byte of it was opened."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.pr", [("id", "long"), ("v", "string")])
+    t.append(spark.createDataFrame(
+        [(i, "lo") for i in range(100)], "id long, v string"))
+    t.append(spark.createDataFrame(
+        [(i, "hi") for i in range(1000, 1100)], "id long, v string"))
+    hi_files = [f for f in t.current_snapshot().files
+                if f not in t.snapshots()[0].files]
+    assert hi_files
+    for f in hi_files:
+        with open(os.path.join(t.root, f), "wb") as fh:
+            fh.write(b"corrupt")
+    df = _read(spark, tmp_warehouse, "default.pr").where("id < 50")
+    assert _ids(df) == list(range(50))
+    with pytest.raises(Exception):  # unprunable read must hit the corruption
+        _read(spark, tmp_warehouse, "default.pr").count()
+
+
+def test_time_travel_and_ref(spark, tmp_warehouse):
+    t = _seed(spark, tmp_warehouse)
+    s0 = t.current_snapshot().snapshot_id
+    t.create_tag("v1", snapshot_id=s0)
+    t.append(spark.createDataFrame([(100, "x")], "id long, v string"))
+    assert len(_ids(_read(spark, tmp_warehouse, "default.ds"))) == 101
+    assert len(_ids(_read(spark, tmp_warehouse, "default.ds",
+                          snapshot_id=s0))) == 100
+    assert len(_ids(_read(spark, tmp_warehouse, "default.ds",
+                          ref="v1"))) == 100
+
+
+def test_schema_conformance_old_files(spark, tmp_warehouse):
+    """Files written before an add_column are null-filled by the
+    Arrow-side conform step, same as the JVM reader."""
+    t = _seed(spark, tmp_warehouse)
+    t.add_column("note", "string")
+    t.append(spark.createDataFrame([(200, "x", "n")],
+                                   "id long, v string, note string"))
+    rows = {r["id"]: r["note"]
+            for r in _read(spark, tmp_warehouse, "default.ds").collect()}
+    assert rows[200] == "n" and rows[0] is None
+
+
+def test_errors(spark, tmp_warehouse):
+    with pytest.raises(Exception, match="not a lakehouse table"):
+        _read(spark, tmp_warehouse, "default.nope").collect()
+    _seed(spark, tmp_warehouse)
+    with pytest.raises(Exception, match="not found"):
+        _read(spark, tmp_warehouse, "default.ds", ref="ghost").collect()
+
+
+def test_stream_tails_commits(spark, tmp_warehouse):
+    t = _seed(spark, tmp_warehouse, name="default.st")
+    q = (spark.readStream.format("lakehouse")
+         .option("warehouse", tmp_warehouse).load("default.st")
+         .writeStream.format("memory").queryName("lk_tail")
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+        assert spark.table("lk_tail").count() == 100
+        t.append(spark.createDataFrame([(100, "x"), (101, "y")],
+                                       "id long, v string"))
+        q.processAllAvailable()
+        assert spark.table("lk_tail").count() == 102
+    finally:
+        q.stop()
+
+
+def test_stream_resumes_from_checkpoint(spark, tmp_warehouse, tmp_path):
+    t = _seed(spark, tmp_warehouse, name="default.ck")
+    ck = str(tmp_path / "ck")
+    seen: list[list[int]] = []  # one entry per non-empty micro-batch
+
+    def start():
+        return (spark.readStream.format("lakehouse")
+                .option("warehouse", tmp_warehouse).load("default.ck")
+                .writeStream.foreachBatch(
+                    lambda df, _id: seen.append(
+                        sorted(r["id"] for r in df.collect())) or None)
+                .option("checkpointLocation", ck)
+                .trigger(processingTime="0 seconds").start())
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert [i for b in seen for i in b] == list(range(100))
+    finally:
+        q.stop()
+    t.append(spark.createDataFrame([(100, "x")], "id long, v string"))
+    seen.clear()
+    q = start()
+    try:
+        q.processAllAvailable()
+        # the restarted stream must emit ONLY the new commit — its
+        # start offset came from the checkpoint, not initialOffset
+        assert [i for b in seen for i in b] == [100]
+    finally:
+        q.stop()
+
+
+def test_stream_rewrite_contract(spark, tmp_warehouse):
+    t = _seed(spark, tmp_warehouse, name="default.rw")
+    q = (spark.readStream.format("lakehouse")
+         .option("warehouse", tmp_warehouse).load("default.rw")
+         .writeStream.format("memory").queryName("lk_rw")
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+        crud.update_rows(t, "id = 1", {"v": "ONE"})  # CoW rewrite
+        with pytest.raises(Exception, match="append-only|rewrote"):
+            q.processAllAvailable()
+            raise RuntimeError(str(q.exception() or "no failure"))
+    finally:
+        q.stop()
+    # skip mode sails past the rewrite and picks up later appends
+    q2 = (spark.readStream.format("lakehouse")
+          .option("warehouse", tmp_warehouse)
+          .option("on_rewrite", "skip").load("default.rw")
+          .writeStream.format("memory").queryName("lk_rw2")
+          .trigger(processingTime="0 seconds").start())
+    try:
+        q2.processAllAvailable()
+        t.append(spark.createDataFrame([(500, "z")], "id long, v string"))
+        q2.processAllAvailable()
+        assert 500 in _ids(spark.table("lk_rw2"))
+    finally:
+        q2.stop()
+
+
+def _write(df, wh, table, mode="append"):
+    (df.write.format("lakehouse").option("warehouse", wh)
+     .mode(mode).save(table))
+
+
+def test_batch_write_append_and_overwrite(spark, tmp_warehouse):
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.w", [("id", "long"), ("v", "string")])
+    _write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+           tmp_warehouse, "default.w")
+    _write(spark.createDataFrame([(3, "c")], "id long, v string"),
+           tmp_warehouse, "default.w")
+    assert _ids(t.scan()) == [1, 2, 3]
+    snaps = t.snapshots()
+    assert [s.operation for s in snaps] == ["append", "append"]
+    assert snaps[-1].summary["via"] == "python-datasource"
+    assert snaps[-1].summary["added_rows"] == 1
+    # stats were recorded at write time → a selective scan file-prunes
+    kept, total = t.prune_files("id = 1")
+    assert total >= 2 and len(kept) < total
+    _write(spark.createDataFrame([(9, "z")], "id long, v string"),
+           tmp_warehouse, "default.w", mode="overwrite")
+    assert _ids(t.scan()) == [9]
+    assert t.snapshots()[-1].operation == "overwrite"
+    # time travel across the overwrite still sees the old rows
+    assert _ids(t.scan(snapshot_id=snaps[-1].snapshot_id)) == [1, 2, 3]
+
+
+def test_batch_write_schema_mismatch_rejected(spark, tmp_warehouse):
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    cat.create_table("default.w2", [("id", "long"), ("v", "string")])
+    with pytest.raises(Exception, match="schema mismatch"):
+        _write(spark.createDataFrame([(1,)], "id long"),
+               tmp_warehouse, "default.w2")
+
+
+def test_batch_write_roundtrip_with_catalog_writer(spark, tmp_warehouse):
+    """DS-writer commits interleave with catalog commits through the
+    same flock+CAS transaction — both land, nothing is lost."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.w3", [("id", "long"), ("v", "string")])
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    _write(spark.createDataFrame([(2, "b")], "id long, v string"),
+           tmp_warehouse, "default.w3")
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert _ids(t.scan()) == [1, 2, 3]
+    assert len(t.snapshots()) == 3
+
+
+def test_stream_write_sink(spark, tmp_warehouse, tmp_path):
+    """Lakehouse→lakehouse streaming: tail one table's commit log,
+    land each micro-batch as one atomic append in another."""
+    src = _seed(spark, tmp_warehouse, name="default.src")
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    dst = cat.create_table("default.dst", [("id", "long"), ("v", "string")])
+    q = (spark.readStream.format("lakehouse")
+         .option("warehouse", tmp_warehouse).load("default.src")
+         .writeStream.format("lakehouse")
+         .option("warehouse", tmp_warehouse)
+         .option("table", "default.dst")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+        assert _ids(dst.scan()) == list(range(100))
+        src.append(spark.createDataFrame([(100, "x")], "id long, v string"))
+        q.processAllAvailable()
+        assert _ids(dst.scan()) == list(range(101))
+        marker = dst.snapshots()[-1].summary["streaming"]
+        assert marker["stream_id"] == "default" and "batch_id" in marker
+    finally:
+        q.stop()
+
+
+def test_stream_write_replayed_epoch_is_idempotent(spark, tmp_warehouse):
+    """At-least-once replay: committing the SAME epoch twice must land
+    exactly one snapshot — the second commit finds the epoch marker in
+    the log, discards its files, and leaves the table untouched."""
+    import pyarrow as pa
+
+    from iceberg_lakehouse_spark.sources.datasource import (
+        LakehouseStreamWriter,
+    )
+    from pyspark.sql import types as T
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.rp", [("id", "long"), ("v", "string")])
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    opts = {"warehouse": tmp_warehouse, "table": "default.rp"}
+    batch = pa.record_batch({"id": [1, 2], "v": ["a", "b"]})
+
+    w = LakehouseStreamWriter(opts, schema)
+    w.commit([w.write(iter([batch]))], batchId=7)
+    assert _ids(t.scan()) == [1, 2] and len(t.snapshots()) == 1
+    # replay of epoch 7 (crash after commit, before checkpoint ack)
+    w2 = LakehouseStreamWriter(opts, schema)
+    msg = w2.write(iter([batch]))
+    w2.commit([msg], batchId=7)
+    assert _ids(t.scan()) == [1, 2] and len(t.snapshots()) == 1
+    assert not os.path.exists(os.path.join(t.root, msg.rel_path))
+    # the NEXT epoch lands normally
+    w2.commit([w2.write(iter([batch]))], batchId=8)
+    assert _ids(t.scan()) == [1, 1, 2, 2] and len(t.snapshots()) == 2
