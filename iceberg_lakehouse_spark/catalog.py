@@ -1754,6 +1754,125 @@ class LakeTable:
             check_parent=expected_snapshot_id is not None,
         )
 
+    def rewrite_delete_files(self) -> dict:
+        """Iceberg ``RewritePositionDeleteFiles`` analogue — MINOR
+        compaction: consolidate the head snapshot's accumulated
+        position-delete files into one and drop DEAD state, without
+        touching a single data file. Every MoR delete/update commit
+        adds one small delete file; after thousands of commits the
+        scan's broadcast anti-join unions thousands of tiny reads.
+        Full ``compact()`` folds them but rewrites data files — at
+        100 TB that is a massive job for what is a metadata problem.
+        This rewrite is O(delete data) only.
+
+        Dropped as dead: keys whose data-file URI no longer resolves
+        to a live file (the file was since compacted/rewritten away),
+        duplicate (file, pos) keys from repeated overlapping deletes,
+        and equality-delete entries whose sequence is ≤ every live
+        file's sequence floor — they can never match again.
+
+        CAS-guarded against the planned-from snapshot: a concurrent
+        MoR commit's fresh delete files must not be silently dropped
+        by this absolute delete-list replacement."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return {"rewritten_delete_files": 0, "kept_keys": 0,
+                    "dropped_keys": 0, "dropped_eq_deletes": 0}
+        new_files: list[str] = []
+        kept_n = total = 0
+        if cur.delete_files:
+            dels = self.spark.read.schema("_file string, _pos long").parquet(
+                *[os.path.join(self.root, f) for f in cur.delete_files]
+            )
+            # distinct URIs are bounded by the data-file count; the
+            # URI→relpath mapping is Python-side, so resolve the small
+            # set driver-side and filter with isin
+            uris = [r["_file"]
+                    for r in dels.select("_file").distinct().collect()]
+            live = set(cur.files)
+            live_uris = [u for u in uris
+                         if u is not None and self.relativize_file(u) in live]
+            total = dels.count()
+            if live_uris:
+                kept = (
+                    dels.where(F.col("_file").isin(live_uris))
+                    .dropDuplicates(["_file", "_pos"])
+                )
+                kept_n = kept.count()
+                if kept_n:
+                    new_files = self.write_position_deletes(kept)
+        seq_floor = min(
+            (cur.file_seqs.get(f, 0) for f in cur.files), default=0
+        )
+        live_eq = [d for d in cur.eq_delete_files if d["seq"] > seq_floor]
+        if (not cur.delete_files and
+                len(live_eq) == len(cur.eq_delete_files)):
+            return {"rewritten_delete_files": 0, "kept_keys": 0,
+                    "dropped_keys": 0, "dropped_eq_deletes": 0}
+        self._commit(
+            "rewrite_deletes",
+            add_files=[],
+            delete_files=new_files,
+            eq_delete_files=live_eq,
+            file_seqs_override=dict(cur.file_seqs),
+            summary={
+                "consolidated_delete_files": len(cur.delete_files),
+                "kept_keys": kept_n,
+                "dropped_keys": total - kept_n,
+                "dropped_eq_deletes":
+                    len(cur.eq_delete_files) - len(live_eq),
+            },
+            expected_parent_id=cur.snapshot_id,
+            check_parent=True,
+        )
+        return {"rewritten_delete_files": len(cur.delete_files),
+                "kept_keys": kept_n, "dropped_keys": total - kept_n,
+                "dropped_eq_deletes":
+                    len(cur.eq_delete_files) - len(live_eq)}
+
+    def cherry_pick(self, snapshot_id: int) -> Snapshot:
+        """Iceberg cherry-pick: re-apply ONE additive commit (append /
+        MoR delete / MoR update / equality delete) onto the CURRENT
+        head — the single-commit half of write-audit-publish
+        (``fast_forward`` publishes a whole branch; cherry-pick
+        publishes one audited commit, e.g. staged on a WAP branch).
+        The commit's DELTA against its own parent — added data files,
+        added position-delete files, added equality deletes — is
+        re-committed on the head; equality deletes are re-stamped with
+        the new sequence, so they apply to everything that exists
+        before the pick, exactly Iceberg's re-application semantics.
+        Rewriting commits (overwrite / CoW update / compact /
+        rollback) are rejected: their absolute file list is only
+        meaningful against their own parent."""
+        src = self.snapshot_by_id(snapshot_id)
+        parent = (self.snapshot_by_id(src.parent_id)
+                  if src.parent_id is not None else None)
+        pfiles = set(parent.files) if parent else set()
+        if pfiles - set(src.files):
+            raise ValueError(
+                f"snapshot {snapshot_id} ({src.operation}) rewrote files; "
+                "cherry-pick supports additive commits only")
+        added = [f for f in src.files if f not in pfiles]
+        cur = self.current_snapshot()
+        if cur is not None and added and set(added) <= set(cur.files):
+            raise ValueError(
+                f"snapshot {snapshot_id} is already applied on the head")
+        pdels = set(parent.delete_files) if parent else set()
+        added_dels = [d for d in src.delete_files if d not in pdels]
+        peq = {d["path"] for d in (parent.eq_delete_files if parent else [])}
+        added_eq = [{"path": d["path"], "cols": list(d["cols"])}
+                    for d in src.eq_delete_files if d["path"] not in peq]
+        return self._commit(
+            "cherry_pick",
+            add_files=added,
+            add_delete_files=added_dels or None,
+            add_eq_deletes=added_eq or None,
+            summary={"source_snapshot_id": snapshot_id,
+                     "added_files": len(added),
+                     "added_delete_files": len(added_dels),
+                     "added_eq_delete_files": len(added_eq)},
+        )
+
     def relativize_file(self, path: str) -> str:
         """Normalize Spark's input_file_name() URI to a snapshot-log
         relative path. input_file_name() returns a percent-encoded URI

@@ -271,6 +271,7 @@ _TREE: dict[str, dict[str, str]] = {
     "snapshots": {
         "list": "list_snapshots", "diff": "snapshot_diff",
         "rollback": "rollback", "expire": "expire_snapshots",
+        "cherry-pick": "cherry_pick",
     },
     "namespace": {
         "list": "list_namespaces", "create": "create_namespace",
@@ -314,6 +315,7 @@ _TREE: dict[str, dict[str, str]] = {
         "set-policy": "set_maintenance_policy", "check": "check_maintenance",
         "run": "run_maintenance", "status": "maintenance_status",
         "compact": "compact", "orphans": "cleanup_orphans",
+        "rewrite-deletes": "rewrite_delete_files",
         "scan-plan": "scan_plan",
         "partitions": "get_partitions",
     },

@@ -119,8 +119,12 @@ def incremental_read(
         wm_idx = next(i for i, s in enumerate(snaps) if s.snapshot_id == wm["snapshot_id"])
     except StopIteration:
         wm_idx = None
+    # rewrite_deletes only CONSOLIDATES the delete list (same logical
+    # deletions, no file changes) and cherry_pick re-applies an
+    # additive delta — both preserve the fast path's invariant
     if wm_idx is not None and all(
-        s.operation in ("append", "delete", "update")
+        s.operation in ("append", "delete", "update",
+                        "rewrite_deletes", "cherry_pick")
         for s in snaps[wm_idx + 1 :]
     ):
         old_files = set(snaps[wm_idx].files)

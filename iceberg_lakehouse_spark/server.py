@@ -366,6 +366,23 @@ class LakehouseServer:
             ),
         )
         self._add(
+            _tool("rewrite_delete_files",
+                  "Minor compaction: consolidate MoR position-delete "
+                  "files and drop dead delete state without touching "
+                  "data files",
+                  {"table": _S}, ["table"]),
+            lambda table: c.load_table(table).rewrite_delete_files(),
+        )
+        self._add(
+            _tool("cherry_pick",
+                  "Re-apply one additive commit (e.g. staged on a WAP "
+                  "branch) onto the current head",
+                  {"table": _S, "snapshot_id": _I},
+                  ["table", "snapshot_id"]),
+            lambda table, snapshot_id: c.load_table(table)
+            .cherry_pick(snapshot_id).to_json(),
+        )
+        self._add(
             _tool("scan_plan", "Preview stats-based file pruning for a "
                   "predicate: surviving files vs snapshot total",
                   {"table": _S, "filter": _S}, ["table", "filter"]),

@@ -740,3 +740,26 @@ def test_changelog_view_tool(server):
     is_err, _, result = call(server, "changelog_view",
                              {"table": "clv", "from_snapshot": 999999})
     assert is_err and "not found" in result["content"][0]["text"]
+
+
+def test_rewrite_deletes_and_cherry_pick_tools(server):
+    ok(server, "create_table",
+       {"table": "rdcp", "schema": [["id", "long"], ["v", "string"]]})
+    ok(server, "set_table_property",
+       {"table": "rdcp", "key": "write.delete.mode",
+        "value": "merge-on-read"})
+    ok(server, "insert", {"table": "rdcp", "rows": [
+        {"id": i, "v": f"v{i}"} for i in range(10)]})
+    ok(server, "delete", {"table": "rdcp", "filter": "id = 1"})
+    ok(server, "delete", {"table": "rdcp", "filter": "id = 2"})
+    rep = ok(server, "rewrite_delete_files", {"table": "rdcp"})
+    assert rep["rewritten_delete_files"] == 2 and rep["kept_keys"] == 2
+    ok(server, "branch_create", {"table": "rdcp", "name": "wap"})
+    ok(server, "insert_into_branch",
+       {"table": "rdcp", "branch": "wap", "rows": [{"id": 50, "v": "s"}]})
+    staged = ok(server, "list_snapshots", {"table": "rdcp"})[-1]["snapshot_id"]
+    snap = ok(server, "cherry_pick", {"table": "rdcp", "snapshot_id": staged})
+    assert snap["operation"] == "cherry_pick"
+    rows = ok(server, "query", {"sql":
+              "SELECT id FROM rdcp WHERE id = 50"})
+    assert len(rows) == 1
