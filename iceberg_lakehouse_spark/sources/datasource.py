@@ -48,6 +48,18 @@ breaks append-only semantics: ``on_rewrite=fail`` (default) raises,
 ``on_rewrite=skip`` ignores that commit's changes. Offsets are
 snapshot ids — monotonic by construction (the log allocates
 ``last+1``), so restart resume is exact.
+
+``read_changes=true`` turns the stream into a CHANGE DATA FEED (the
+Delta CDF / Iceberg changelog-stream analogue, streaming twin of
+``governance.cdc.changelog_view``): appends emit ``insert`` events,
+MoR position deletes emit ``delete`` events carrying the pre-image
+row (read back from the still-present data file at the deleted
+positions), MoR updates emit delete+insert pairs, equality deletes
+emit the parent-live matching rows (masked by the parent's delete
+state so a dead row is never re-emitted). Rows carry
+``_change_type`` / ``_commit_snapshot_id`` / ``_change_ordinal``.
+All of it is planned from the broadcast-small delete files —
+O(changed data) per micro-batch, no diff job.
 """
 
 from __future__ import annotations
@@ -82,6 +94,15 @@ _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 # -- metadata access (pure Python: runs on the driver at planning time
 # and must not touch a SparkSession) ----------------------------------------
+
+
+def _truthy(v) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
+
+
+_CDC_FIELDS = [("_change_type", T.StringType()),
+               ("_commit_snapshot_id", T.LongType()),
+               ("_change_ordinal", T.IntegerType())]
 
 
 def _read_json(path: str, default):
@@ -281,36 +302,99 @@ def _conform(tbl, arrow_schema):
 
 
 class _FilePart(InputPartition):
-    """One data file + the delete state resolved for it at planning
-    time. Picklable plain data only — it ships to Python workers."""
+    """One data file + the delete/emit state resolved for it at
+    planning time. Picklable plain data only — it ships to workers.
+
+    ``kind``:
+    * ``data`` — emit the file's rows minus masked deletes (batch
+      scan, and stream inserts).
+    * ``emit_pos`` — CDF delete events: emit ONLY the rows at
+      ``emit_positions`` (a commit's new position-delete keys; those
+      rows were live at the parent by construction).
+    * ``emit_eq`` — CDF delete events for an equality delete: emit
+      rows matching ``emit_keys`` that were live at the parent
+      (``del_positions``/``eq_specs`` carry the PARENT's delete state
+      as a mask).
+    ``stamps`` appends the changelog metadata columns."""
 
     def __init__(self, path: str, del_positions: list[int] | None,
-                 eq_specs: list[tuple[list[str], list[tuple]]] | None):
+                 eq_specs: list[tuple[list[str], list[tuple]]] | None,
+                 kind: str = "data",
+                 stamps: dict | None = None,
+                 emit_positions: list[int] | None = None,
+                 emit_keys: tuple[list[str], list[tuple]] | None = None):
         self.path = path
         self.del_positions = del_positions or []
         self.eq_specs = eq_specs or []
+        self.kind = kind
+        self.stamps = stamps
+        self.emit_positions = emit_positions or []
+        self.emit_keys = emit_keys
+
+
+def _null_safe_in(tbl, cols: list[str], keys) -> list[bool]:
+    """Row-membership mask: tuple equality treats None == None —
+    exactly the null-safe match the JVM eq-delete anti-join uses."""
+    keyset = set(keys)
+    col_lists = [tbl.column(c).to_pylist() for c in cols]
+    return [tuple(vals) in keyset for vals in zip(*col_lists)]
+
+
+def _stamp_columns(tbl, stamps: dict, arrow_schema):
+    """Append the changelog metadata columns and re-target the schema
+    (the last three fields of ``arrow_schema`` are the stamps)."""
+    import pyarrow as pa
+
+    n = tbl.num_rows
+    base = arrow_schema.field
+    tbl = tbl.append_column(
+        base(len(arrow_schema) - 3),
+        pa.array([stamps["change_type"]] * n,
+                 base(len(arrow_schema) - 3).type))
+    tbl = tbl.append_column(
+        base(len(arrow_schema) - 2),
+        pa.array([stamps["snapshot_id"]] * n,
+                 base(len(arrow_schema) - 2).type))
+    return tbl.append_column(
+        base(len(arrow_schema) - 1),
+        pa.array([stamps["ordinal"]] * n,
+                 base(len(arrow_schema) - 1).type))
 
 
 def _read_partition(part: _FilePart, arrow_schema):
     import numpy as np
     import pyarrow as pa
 
+    data_schema = arrow_schema
+    if part.stamps is not None:
+        import pyarrow as _pa
+
+        data_schema = _pa.schema(list(arrow_schema)[:-3])
     tbl = _read_arrow(part.path)
-    if part.del_positions:
-        mask = np.ones(tbl.num_rows, dtype=bool)
-        pos = np.asarray(part.del_positions, dtype=np.int64)
-        mask[pos[pos < tbl.num_rows]] = False
-        tbl = tbl.filter(pa.array(mask))
-    for cols, keys in part.eq_specs:
-        if not all(c in tbl.column_names for c in cols):
-            continue
-        keyset = set(keys)
-        col_lists = [tbl.column(c).to_pylist() for c in cols]
-        # tuple equality treats None == None — exactly the null-safe
-        # match the JVM eq-delete anti-join uses
-        mask = [tuple(vals) not in keyset for vals in zip(*col_lists)]
-        tbl = tbl.filter(pa.array(mask))
-    yield from _conform(tbl, arrow_schema).to_batches()
+    if part.kind == "emit_pos":
+        pos = [p for p in part.emit_positions if p < tbl.num_rows]
+        tbl = tbl.take(pa.array(sorted(pos), type=pa.int64()))
+    else:
+        if part.del_positions:
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            pos = np.asarray(part.del_positions, dtype=np.int64)
+            mask[pos[pos < tbl.num_rows]] = False
+            tbl = tbl.filter(pa.array(mask))
+        for cols, keys in part.eq_specs:
+            if not all(c in tbl.column_names for c in cols):
+                continue
+            hit = _null_safe_in(tbl, cols, keys)
+            tbl = tbl.filter(pa.array([not h for h in hit], type=pa.bool_()))
+        if part.kind == "emit_eq":
+            cols, keys = part.emit_keys
+            if all(c in tbl.column_names for c in cols):
+                tbl = tbl.filter(pa.array(_null_safe_in(tbl, cols, keys), type=pa.bool_()))
+            else:
+                tbl = tbl.slice(0, 0)
+    out = _conform(tbl, data_schema)
+    if part.stamps is not None:
+        out = _stamp_columns(out, part.stamps, arrow_schema)
+    yield from out.to_batches()
 
 
 def _plan_delete_state(root: str, snap: dict):
@@ -398,6 +482,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self._on_rewrite = (options.get("on_rewrite") or "fail").lower()
         if self._on_rewrite not in ("fail", "skip"):
             raise ValueError("on_rewrite must be 'fail' or 'skip'")
+        self._cdc = _truthy(options.get("read_changes"))
 
     def initialOffset(self):
         return {"snapshot_id": self._start}
@@ -425,7 +510,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
             return []
         by_id = {x["snapshot_id"]: x for x in _snapshots(self._root)}
         parts: list[_FilePart] = []
-        for snap in self._chain(s, e):
+        for ordinal, snap in enumerate(self._chain(s, e), start=1):
             parent = by_id.get(snap.get("parent_id") or 0)
             prev_files = set(parent["files"]) if parent else set()
             removed = prev_files - set(snap["files"])
@@ -435,12 +520,72 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     f"({snap.get('operation')}) rewrote "
                     f"{len(removed)} file(s); the stream is append-only "
                     "— set on_rewrite=skip to ignore rewrites")
-            if not removed:
-                for rel in snap["files"]:
-                    if rel not in prev_files:
-                        parts.append(_FilePart(
-                            os.path.normpath(os.path.join(self._root, rel)),
-                            None, None))
+            if removed:
+                continue
+            stamp = (lambda t, sid=snap["snapshot_id"], o=ordinal:
+                     {"change_type": t, "snapshot_id": sid, "ordinal": o}
+                     ) if self._cdc else (lambda t: None)
+            for rel in snap["files"]:
+                if rel not in prev_files:
+                    parts.append(_FilePart(
+                        os.path.normpath(os.path.join(self._root, rel)),
+                        None, None, stamps=stamp("insert")))
+            if self._cdc:
+                parts.extend(self._cdc_delete_parts(snap, parent, stamp))
+        return parts
+
+    def _cdc_delete_parts(self, snap: dict, parent: dict | None, stamp):
+        """CDF delete events for one additive commit: its NEW position
+        keys become emit-rows-at-positions partitions (live at the
+        parent by construction — a position can only be deleted once);
+        its NEW equality deletes emit parent-live rows matching the
+        keys from every file the delete's sequence covers, masked by
+        the PARENT's delete state so an already-dead row is never
+        re-emitted. All key resolution is the broadcast-small delete
+        files — no diff job, O(changed data), the same plan shape as
+        governance.cdc.changelog_view."""
+        parts: list[_FilePart] = []
+        prev_pos = set(parent.get("delete_files", [])) if parent else set()
+        new_pos = [d for d in snap.get("delete_files", [])
+                   if d not in prev_pos]
+        if new_pos:
+            by_path: dict[str, list[int]] = {}
+            for rel in new_pos:
+                t = _read_arrow(os.path.join(self._root, rel))
+                for uri, pos in zip(t.column("_file").to_pylist(),
+                                    t.column("_pos").to_pylist()):
+                    by_path.setdefault(
+                        os.path.normpath(_uri_to_path(uri)), []).append(pos)
+            for path, positions in by_path.items():
+                parts.append(_FilePart(
+                    path, None, None, kind="emit_pos",
+                    stamps=stamp("delete"), emit_positions=positions))
+        prev_eq = ({d["path"] for d in parent.get("eq_delete_files", [])}
+                   if parent else set())
+        new_eq = [d for d in snap.get("eq_delete_files", [])
+                  if d["path"] not in prev_eq]
+        if new_eq and parent:
+            mask_pos, mask_eq = _plan_delete_state(self._root, parent)
+            seqs = parent.get("file_seqs", {})
+            for d in new_eq:
+                t = _read_arrow(os.path.join(self._root, d["path"]))
+                cols = list(d["cols"])
+                keys = list(zip(*[t.column(c).to_pylist() for c in cols])) \
+                    if t.num_rows else []
+                if not keys:
+                    continue
+                for rel in parent["files"]:
+                    if seqs.get(rel, 0) >= d["seq"]:
+                        continue
+                    path = os.path.normpath(os.path.join(self._root, rel))
+                    parent_eq = [
+                        (c, k) for sq, c, k in mask_eq
+                        if sq > seqs.get(rel, 0) and k and sq < d["seq"]
+                    ]
+                    parts.append(_FilePart(
+                        path, mask_pos.get(path), parent_eq,
+                        kind="emit_eq", stamps=stamp("delete"),
+                        emit_keys=(cols, keys)))
         return parts
 
     def read(self, partition: _FilePart):
@@ -613,11 +758,19 @@ class LakehouseDataSource(DataSource):
     def schema(self) -> T.StructType:
         root = _table_root(self.options)
         snap = _resolve_snapshot(root, self.options)
-        if snap is None:
-            return _fields_to_struct(_meta(root)["schema"]["fields"])
-        return _snapshot_schema(root, snap)
+        base = (_fields_to_struct(_meta(root)["schema"]["fields"])
+                if snap is None else _snapshot_schema(root, snap))
+        if _truthy(self.options.get("read_changes")):
+            return T.StructType(
+                list(base.fields)
+                + [T.StructField(n, t, True) for n, t in _CDC_FIELDS])
+        return base
 
     def reader(self, schema: T.StructType) -> LakehouseBatchReader:
+        if _truthy(self.options.get("read_changes")):
+            raise ValueError(
+                "read_changes is a STREAMING option (readStream); for a "
+                "batch changelog use governance.cdc.changelog_view")
         return LakehouseBatchReader(self.options, schema)
 
     def streamReader(self, schema: T.StructType) -> LakehouseStreamReader:

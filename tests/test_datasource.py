@@ -317,3 +317,76 @@ def test_stream_write_replayed_epoch_is_idempotent(spark, tmp_warehouse):
     # the NEXT epoch lands normally
     w2.commit([w2.write(iter([batch]))], batchId=8)
     assert _ids(t.scan()) == [1, 1, 2, 2] and len(t.snapshots()) == 2
+
+
+def test_stream_read_changes_cdf(spark, tmp_warehouse):
+    """Streaming change-data-feed (read_changes=true): inserts for
+    appends, delete events for MoR position deletes (pre-image
+    values), delete+insert pairs for MoR updates, delete events for
+    equality deletes — the streaming twin of
+    governance.cdc.changelog_view, resolved file-side from the
+    broadcast-small delete files."""
+    t = _seed(spark, tmp_warehouse, props=MOR, name="default.cdf")
+    q = (spark.readStream.format("lakehouse")
+         .option("warehouse", tmp_warehouse)
+         .option("read_changes", "true").load("default.cdf")
+         .writeStream.format("memory").queryName("lk_cdf")
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+        base = spark.table("lk_cdf")
+        assert base.count() == 100
+        assert base.where("_change_type = 'insert'").count() == 100
+        crud.delete_rows(t, "id < 3")
+        crud.update_rows(t, "id = 50", {"v": "FIFTY"})
+        crud.delete_rows_by_key(t, [{"id": 60}, {"id": 999}])
+        q.processAllAvailable()
+        ev = [(r["_change_type"], r["id"], r["v"])
+              for r in spark.table("lk_cdf").collect()
+              if r["_commit_snapshot_id"] > 1]
+        assert sorted(ev) == [
+            ("delete", 0, "v0"), ("delete", 1, "v1"), ("delete", 2, "v2"),
+            ("delete", 50, "v50"), ("delete", 60, "v60"),
+            ("insert", 50, "FIFTY"),
+        ]
+        # snapshot ids line up with the commit log
+        snaps = {s.snapshot_id for s in t.snapshots()}
+        got = {r["_commit_snapshot_id"]
+               for r in spark.table("lk_cdf").collect()}
+        assert got <= snaps
+    finally:
+        q.stop()
+
+
+def test_cdf_does_not_reemit_dead_rows(spark, tmp_warehouse):
+    """An equality delete whose key row was ALREADY position-deleted
+    must not re-emit it; re-inserting afterwards emits a fresh
+    insert."""
+    t = _seed(spark, tmp_warehouse, props=MOR, name="default.cdf2")
+    crud.delete_rows(t, "id = 5")          # position delete
+    q = (spark.readStream.format("lakehouse")
+         .option("warehouse", tmp_warehouse)
+         .option("read_changes", "true")
+         .load("default.cdf2")
+         .writeStream.format("memory").queryName("lk_cdf2")
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+        n0 = spark.table("lk_cdf2").count()
+        crud.delete_rows_by_key(t, [{"id": 5}])  # eq-delete the SAME key
+        q.processAllAvailable()
+        assert spark.table("lk_cdf2").count() == n0  # nothing re-emitted
+        t.append(spark.createDataFrame([(5, "back")], "id long, v string"))
+        q.processAllAvailable()
+        new = [(r["_change_type"], r["id"], r["v"])
+               for r in spark.table("lk_cdf2").collect()][n0:]
+        assert new == [("insert", 5, "back")]
+    finally:
+        q.stop()
+
+
+def test_read_changes_is_streaming_only(spark, tmp_warehouse):
+    _seed(spark, tmp_warehouse)
+    with pytest.raises(Exception, match="STREAMING option"):
+        _read(spark, tmp_warehouse, "default.ds",
+              read_changes="true").collect()
