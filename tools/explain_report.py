@@ -150,6 +150,22 @@ SHOW = [
      "Co-moment statistics (round 7): corr/covar/stddev in one "
      "partial/final pass with map-side combine; ReadSchema pruned to the "
      "two measures + key."),
+    ("bloom_index_point_lookup",
+     "File-level bloom index (round 7): three fully-overlapping mod-3 "
+     "chunks defeat min/max stats, yet the scan lists ONE file — the "
+     "point-lookup planned through the per-file bloom bitsets before the "
+     "reader was built; the IN predicate is still pushed and re-applied."),
+    ("changelog_view_semantics",
+     "Lazy changelog view (round 7): a union of per-commit branches — "
+     "added-file scans for inserts, the commit's (broadcast-small) new "
+     "delete keys joined against the parent's live rows for deletes; NO "
+     "full-table diff anywhere in the plan, O(changed data) by shape."),
+    ("python_datasource_scan",
+     "Python Data Source (round 7): BatchScan over the 'lakehouse' V2 "
+     "format — planning pinned the snapshot and stats-pruned the file "
+     "list driver-side; each surviving file is one Arrow partition and "
+     "the custkey predicate is re-applied above the scan (pruning is "
+     "I/O-only, never semantic)."),
 ]
 
 
