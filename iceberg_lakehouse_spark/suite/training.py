@@ -3923,3 +3923,92 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_custkey") <= 1200)
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           (CAST(e.ts AS DATE) - f.cohort_day) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    WHERE (CAST(e.ts AS DATE) - f.cohort_day) BETWEEN 0 AND 7
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY f.cohort_day, day_offset
+    """,
+    survey_ref="cohort retention (r7): first-touch cohort x day-offset "
+    "distinct actives — the canonical product-analytics retention matrix",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix. Scale shape: per-user first-day is one
+    partial/final aggregate on the UNIFORM user key; the cohort join
+    shuffles both sides on that same uniform key (no broadcast needed,
+    no skew — user_id is high-cardinality); the final COUNT DISTINCT
+    grid is (30 cohorts x 8 offsets) — tiny. Exactly two shuffles
+    total; no window over a hot key anywhere."""
+    events = load_sf_tables(spark, sf_dir)["events"].select(
+        "user_id", F.col("ts").cast("date").alias("day"))
+    firsts = events.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day"))
+    return (
+        events.join(firsts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .where(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "event_funnel_conversion",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+        COUNT(CASE WHEN t_view > t_signup THEN 1 END) AS n_view,
+        COUNT(CASE WHEN t_click > t_view AND t_view > t_signup THEN 1 END)
+            AS n_click,
+        COUNT(CASE WHEN t_buy > t_click AND t_click > t_view
+                    AND t_view > t_signup THEN 1 END) AS n_purchase
+    FROM per_user
+    """,
+    survey_ref="ordered-step funnel (r7): signup->view->click->purchase "
+    "conversion, each step's first touch strictly after the previous",
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel. ONE partial/final aggregate over the uniform
+    user key collapses the event log to 4 first-touch timestamps per
+    user (conditional MIN — map-side combinable), then a single global
+    aggregate of 4 counts; NULL comparisons are falsy in both engines,
+    so missing steps drop out identically. No joins, no windows, two
+    shuffles (second carries one row per user, final carries 4 longs
+    per partition)."""
+    events = load_sf_tables(spark, sf_dir)["events"]
+    per_user = events.groupBy("user_id").agg(
+        *[F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(a)
+          for t, a in [("signup", "t_signup"), ("view", "t_view"),
+                       ("click", "t_click"), ("purchase", "t_buy")]])
+    c = F.count  # noqa: E741 — count(when(...)) skips NULLs, matching SQL
+    return per_user.agg(
+        c(F.when(F.col("t_signup").isNotNull(), 1)).alias("n_signup"),
+        c(F.when(F.col("t_view") > F.col("t_signup"), 1)).alias("n_view"),
+        c(F.when((F.col("t_click") > F.col("t_view"))
+                 & (F.col("t_view") > F.col("t_signup")), 1)
+          ).alias("n_click"),
+        c(F.when((F.col("t_buy") > F.col("t_click"))
+                 & (F.col("t_click") > F.col("t_view"))
+                 & (F.col("t_view") > F.col("t_signup")), 1)
+          ).alias("n_purchase"),
+    )
