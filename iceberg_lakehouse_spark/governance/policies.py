@@ -191,6 +191,12 @@ class MaintenanceManager:
         # compact (which folds them back into plain data files). None
         # preserves the reference's exact trigger set.
         "auto_compact_delete_files": None,
+        # cheaper MoR debt response (r7): when set, position-delete
+        # files >= this schedule rewrite_delete_files — the MINOR
+        # compaction that consolidates delete files and drops dead
+        # keys WITHOUT rewriting data. A needed full compact takes
+        # precedence (it folds the deletes anyway).
+        "auto_rewrite_delete_files": None,
     }
 
     def __init__(self, store_path: str):
@@ -275,11 +281,23 @@ class MaintenanceManager:
                 f"expire_snapshots ({fs['snapshot_count']} snapshots > "
                 f"{pol['auto_expire_retain_last']} retained)"
             )
+        rw_thresh = pol.get("auto_rewrite_delete_files")
+        n_pos = len(cur_snap.delete_files) if cur_snap else 0
+        needs_rewrite = (
+            not needs_compact
+            and rw_thresh is not None and n_pos >= rw_thresh
+        )
+        if needs_rewrite:
+            actions.append(
+                f"rewrite_delete_files ({n_pos} position-delete files >= "
+                f"{rw_thresh} threshold)"
+            )
         if needs_orphans:
             actions.append(f"cleanup_orphans ({graced_orphans} orphans)")
         return {
             "table": name, "has_policy": True,
             "needs_compact": needs_compact, "needs_expire": needs_expire,
+            "needs_rewrite_deletes": needs_rewrite,
             "needs_orphan_cleanup": needs_orphans,
             "actions_needed": actions, "stats": fs,
         }
@@ -300,6 +318,16 @@ class MaintenanceManager:
 
                 res = retry_on_conflict(table.compact)
                 actions.append({"action": "compact", "status": "completed", **res})
+        if needed.get("needs_rewrite_deletes"):
+            if dry_run:
+                actions.append({"action": "rewrite_delete_files",
+                                "status": "dry_run"})
+            else:
+                from ..catalog import retry_on_conflict
+
+                res = retry_on_conflict(table.rewrite_delete_files)
+                actions.append({"action": "rewrite_delete_files",
+                                "status": "completed", **res})
         if needed["needs_expire"]:
             if dry_run:
                 actions.append({"action": "expire", "status": "dry_run"})

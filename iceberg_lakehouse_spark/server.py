@@ -1206,7 +1206,9 @@ class LakehouseServer:
         self._add(
             _tool("set_maintenance_policy", "Compaction/expiry thresholds",
                   {"table": _S, "auto_compact_threshold": _I,
-                   "auto_expire_retain_last": _I, "auto_cleanup_orphans": _B},
+                   "auto_expire_retain_last": _I, "auto_cleanup_orphans": _B,
+                   "auto_compact_delete_files": _I,
+                   "auto_rewrite_delete_files": _I},
                   ["table"]),
             lambda table, **kw: maintenance.set_policy(table, **kw),
         )

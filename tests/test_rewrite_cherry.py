@@ -188,3 +188,42 @@ def test_cherry_pick_eq_delete_resequenced(spark, tmp_warehouse):
     assert sorted(r[1] for r in _rows(t) if r[0] == 7) == ["dup", "v7"]
     t.cherry_pick(staged)
     assert [r for r in _rows(t) if r[0] == 7] == []
+
+
+def test_maintenance_policy_schedules_minor_rewrite(spark, tmp_warehouse):
+    """auto_rewrite_delete_files triggers the MINOR compaction when
+    position-delete debt crosses the threshold and a full compact is
+    not itself needed; a needed compact takes precedence (it folds the
+    deletes anyway)."""
+    import os
+
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+
+    t = _t(spark, tmp_warehouse)
+    mm = MaintenanceManager(os.path.join(tmp_warehouse, "maint.json"))
+    mm.set_policy("default.rd", auto_compact_threshold=10_000,
+                  auto_expire_retain_last=10_000,
+                  auto_cleanup_orphans=False,
+                  auto_rewrite_delete_files=3)
+    crud.delete_rows(t, "id = 0")
+    crud.delete_rows(t, "id = 1")
+    chk = mm.check_needed(t)
+    assert not chk["needs_rewrite_deletes"] and not chk["needs_compact"]
+    crud.delete_rows(t, "id = 2")
+    chk = mm.check_needed(t)
+    assert chk["needs_rewrite_deletes"]
+    assert any("rewrite_delete_files" in a for a in chk["actions_needed"])
+    rep = mm.run(t)
+    acts = {a["action"]: a for a in rep["actions"]}
+    assert acts["rewrite_delete_files"]["status"] == "completed"
+    assert acts["rewrite_delete_files"]["rewritten_delete_files"] == 3
+    assert len(t.current_snapshot().delete_files) == 1
+    # full-compact precedence: drop the file threshold so compact fires
+    mm.set_policy("default.rd", auto_compact_threshold=1,
+                  auto_expire_retain_last=10_000,
+                  auto_cleanup_orphans=False,
+                  auto_rewrite_delete_files=1)
+    chk = mm.check_needed(t)
+    assert chk["needs_compact"] and not chk["needs_rewrite_deletes"]
