@@ -390,3 +390,45 @@ def test_read_changes_is_streaming_only(spark, tmp_warehouse):
     with pytest.raises(Exception, match="STREAMING option"):
         _read(spark, tmp_warehouse, "default.ds",
               read_changes="true").collect()
+
+
+def test_concurrent_ds_commits_all_land(spark, tmp_warehouse):
+    """8 threads race pure-metadata DS-writer commits against catalog
+    appends; the flock+CAS transaction must serialize them — every
+    commit lands, no snapshot lost, row count exact."""
+    import threading
+
+    import pyarrow as pa
+
+    from iceberg_lakehouse_spark.sources.datasource import (
+        LakehouseBatchWriter,
+    )
+    from pyspark.sql import types as T
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.race", [("id", "long"), ("v", "string")])
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    opts = {"warehouse": tmp_warehouse, "table": "default.race"}
+    errors = []
+
+    def ds_commit(i):
+        try:
+            w = LakehouseBatchWriter(opts, schema, overwrite=False)
+            msg = w.write(iter([pa.record_batch(
+                {"id": [1000 + i], "v": [f"t{i}"]})]))
+            w.commit([msg])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=ds_commit, args=(i,))
+               for i in range(8)]
+    for th in threads:
+        th.start()
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    for th in threads:
+        th.join()
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert not errors
+    assert len(t.snapshots()) == 10  # 8 DS + 2 catalog commits
+    assert _ids(t.scan()) == [1, 2] + [1000 + i for i in range(8)]

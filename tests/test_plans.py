@@ -744,3 +744,29 @@ def test_gap_fill_window_sits_above_daily_aggregate(spark):
     assert plan.index("Window") < plan.index("Generate")
     assert plan.index("Window") < plan.index("HashAggregate")
     assert "BroadcastHashJoin" in plan
+
+
+def test_retention_cohorts_two_shuffles_no_broadcast_needed(spark):
+    """Cohort retention: both shuffles key on the uniform user_id (the
+    first-touch aggregate reuses the join's partitioning where AQE
+    allows); the 30x8 output grid never funnels data through a single
+    partition and nothing goes cartesian."""
+    plan = plan_of(spark, "user_retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # events scan pruned to the two columns the query touches
+    assert "event_id" not in plan and "props" not in plan
+
+
+def test_funnel_single_conditional_min_pass(spark):
+    """Ordered funnel: ONE partial/final aggregate over user_id (the
+    conditional MINs combine map-side), then the global 4-count reduce
+    — no join, no window, no second events scan."""
+    import re
+
+    plan = plan_of(spark, "event_funnel_conversion")
+    assert "CartesianProduct" not in plan
+    # exactly one scan NODE (formatted output repeats it in the detail)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine of the step MINs
