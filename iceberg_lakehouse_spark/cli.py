@@ -403,6 +403,8 @@ _TREE: dict[str, dict[str, str]] = {
         "create": "create_materialized_view", "list": "list_materialized_views",
         "query": "query_materialized_view", "refresh": "refresh_materialized_view",
         "drop": "drop_materialized_view", "freshness": "matview_freshness",
+        "create-aggregate": "create_aggregate_matview",
+        "refresh-incremental": "refresh_matview_incremental",
     },
     "pipeline": {
         "create": "create_pipeline", "list": "list_pipelines",

@@ -150,8 +150,14 @@ class MatviewManager:
             raise ValueError(f"materialized view {name!r} does not exist")
         mv = mviews[name]
         rows_before = mv.get("row_count")
-        df = self.engine.execute(mv["sql"], max_rows=MV_MAX_ROWS)
         table = self.catalog.load_table(mv["backing_table"])
+        if mv.get("kind") == "aggregate":
+            src = self.catalog.load_table(mv["table"])
+            df = self._aggregate_df(src, mv)
+            cur = src.current_snapshot()
+            mv["last_snapshot_id"] = cur.snapshot_id if cur else None
+        else:
+            df = self.engine.execute(mv["sql"], max_rows=MV_MAX_ROWS)
         table.overwrite(table._align(df))
         rows_after = table.scan().count()
         sources = extract_tables(mv["sql"], self.catalog.list_tables())
@@ -173,7 +179,226 @@ class MatviewManager:
         mviews = self.store.load()
         if name not in mviews:
             raise ValueError(f"materialized view {name!r} does not exist")
-        return self.catalog.load_table(mviews[name]["backing_table"]).scan()
+        df = self.catalog.load_table(mviews[name]["backing_table"]).scan()
+        if mviews[name].get("kind") == "aggregate":
+            # maintenance columns (_mv_rows group size, _mv_nn_* sum
+            # null-restore counts) are internal state
+            df = df.select([c for c in df.columns
+                            if not c.startswith("_mv_")])
+        return df
+
+    # -- incremental aggregate matviews (r7; reference analogue: none —
+    # the reference recomputes every matview on refresh) -----------------
+    #
+    # A declared GROUP BY + {sum, count, count_star} spec is
+    # SELF-MAINTAINABLE: the row-level changelog between two snapshots
+    # converts to signed deltas (+1 insert / −1 delete — updates arrive
+    # as pairs), one small aggregate over ONLY the changed rows yields
+    # per-group deltas, and a single atomic equality-delete + append
+    # commit replaces just the touched groups in the backing table.
+    # Refresh cost is O(changed data + changed groups), never
+    # O(source table) — the property that makes a matview on a 100 TB
+    # fact maintainable. Hidden state per group: _mv_rows (group
+    # liveness — a group whose count reaches 0 is deleted) and
+    # _mv_nn_<out> per SUM (non-null count, so an all-NULL group's sum
+    # stays NULL exactly like a recompute). MIN/MAX are deliberately
+    # unsupported: they are not self-maintainable under deletes.
+
+    _AGG_FNS = ("sum", "count", "count_star")
+
+    def _agg_exprs(self, mv: dict):
+        from pyspark.sql import functions as F
+
+        cols = []
+        for a in mv["aggs"]:
+            fn, col, out = a["fn"], a.get("col"), a["as"]
+            if fn == "sum":
+                cols.append(F.sum(F.col(col)).alias(out))
+            elif fn == "count":
+                cols.append(F.count(F.col(col)).alias(out))
+            else:
+                cols.append(F.count(F.lit(1)).alias(out))
+        for a in mv["aggs"]:
+            if a["fn"] == "sum":
+                cols.append(
+                    F.count(F.col(a["col"])).alias(f"_mv_nn_{a['as']}"))
+        cols.append(F.count(F.lit(1)).alias("_mv_rows"))
+        return cols
+
+    def _aggregate_df(self, table, mv: dict) -> DataFrame:
+        return table.scan().groupBy(*mv["group_by"]).agg(
+            *self._agg_exprs(mv))
+
+    def create_aggregate(
+        self,
+        name: str,
+        table: str,
+        group_by: list[str],
+        aggs: list[dict],
+        description: str | None = None,
+    ) -> dict:
+        """``aggs``: [{"fn": "sum"|"count"|"count_star", "col": ...,
+        "as": out_name}, ...]."""
+        import re as _re
+
+        _require_name_sql(name, table, "materialized view")
+        mviews = self.store.load()
+        if name in mviews:
+            raise ValueError(f"materialized view {name!r} already exists")
+        t = self.catalog.load_table(table)
+        known = {f.name for f in t.schema().fields}
+        if not group_by or not set(group_by) <= known:
+            raise ValueError(f"group_by must be non-empty columns of {table}")
+        if not aggs:
+            raise ValueError("aggs must be non-empty")
+        seen = set(group_by)
+        for a in aggs:
+            if a.get("fn") not in self._AGG_FNS:
+                raise ValueError(
+                    f"unsupported agg fn {a.get('fn')!r} (self-maintainable "
+                    f"fns: {self._AGG_FNS}; MIN/MAX cannot be incrementally "
+                    "maintained under deletes)")
+            if a["fn"] != "count_star" and a.get("col") not in known:
+                raise ValueError(f"agg column {a.get('col')!r} not in {table}")
+            out = a.get("as") or ""
+            if (not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", out)
+                    or out.startswith("_mv_") or out in seen):
+                raise ValueError(f"bad or duplicate output name {out!r}")
+            seen.add(out)
+        mv = {"kind": "aggregate", "table": table,
+              "group_by": list(group_by), "aggs": [dict(a) for a in aggs]}
+        df = self._aggregate_df(t, mv)
+        backing = self._backing(name)
+        if self.catalog.table_exists(backing):
+            raise ValueError(f"backing table {backing!r} already exists")
+        bt = self.catalog.create_table(backing, df.schema)
+        bt.append(df)
+        cur = t.current_snapshot()
+        mviews[name] = {
+            **mv,
+            "sql": f"-- aggregate matview over {table}",
+            "description": description,
+            "backing_table": backing,
+            "row_count": bt.scan().count(),
+            "last_snapshot_id": cur.snapshot_id if cur else None,
+            "source_snapshot_ids": {table: cur.snapshot_id if cur else None},
+            "created_at": datetime.now(timezone.utc).isoformat(),
+            "last_refreshed": datetime.now(timezone.utc).isoformat(),
+        }
+        self.store.save(mviews)
+        if self.lineage:
+            self.lineage.record([table], backing, "matview",
+                                mviews[name]["sql"])
+        return {"name": name, **mviews[name],
+                "message": f"Aggregate materialized view '{name}' created"}
+
+    def refresh_incremental(self, name: str) -> dict:
+        """Apply the source-table changelog since the last refresh as
+        per-group deltas; touched groups are replaced in ONE atomic
+        equality-delete + append commit. Falls back to a full rebuild
+        when the changelog range is gone (expired snapshots)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        mviews = self.store.load()
+        if name not in mviews:
+            raise ValueError(f"materialized view {name!r} does not exist")
+        mv = mviews[name]
+        if mv.get("kind") != "aggregate":
+            raise ValueError(
+                f"{name!r} is a SQL matview — incremental refresh needs an "
+                "aggregate matview (create_aggregate); use refresh()")
+        t = self.catalog.load_table(mv["table"])
+        cur = t.current_snapshot()
+        head = cur.snapshot_id if cur else None
+        last = mv.get("last_snapshot_id")
+        backing = self.catalog.load_table(mv["backing_table"])
+        if head == last:
+            return {"name": name, "mode": "noop", "changed_groups": 0,
+                    "row_count": mv.get("row_count")}
+        mode, changed = "incremental", 0
+        delta = None
+        if last is not None and head is not None:
+            try:
+                from .cdc import changelog_view
+
+                delta = changelog_view(t, last, head)
+            except ValueError:
+                delta = None  # range expired / rewritten away
+        if delta is None:
+            mode = "full"
+            backing.overwrite(backing._align(self._aggregate_df(t, mv)))
+        else:
+            gb_cols, sign = mv["group_by"], F.when(
+                F.col("_change_type") == "insert", F.lit(1)
+            ).otherwise(F.lit(-1))
+            d_aggs = []
+            for a in mv["aggs"]:
+                fn, col, out = a["fn"], a.get("col"), a["as"]
+                if fn == "sum":
+                    d_aggs.append(F.sum(sign * F.col(col)).alias(f"_d_{out}"))
+                    d_aggs.append(F.sum(
+                        F.when(F.col(col).isNotNull(), sign).otherwise(0)
+                    ).alias(f"_d_nn_{out}"))
+                elif fn == "count":
+                    d_aggs.append(F.sum(
+                        F.when(F.col(col).isNotNull(), sign).otherwise(0)
+                    ).alias(f"_d_{out}"))
+                else:
+                    d_aggs.append(F.sum(sign).alias(f"_d_{out}"))
+            d_aggs.append(F.sum(sign).alias("_d_rows"))
+            g = delta.groupBy(*gb_cols).agg(*d_aggs).alias("g")
+            o = backing.scan().alias("o")
+            # null-safe group-key join: a NULL group key is a real group
+            cond = reduce(lambda x, y: x & y,
+                          [F.col(f"g.{c}").eqNullSafe(F.col(f"o.{c}"))
+                           for c in gb_cols])
+            j = g.join(o, cond, "left")
+            out_cols = [F.col(f"g.{c}").alias(c) for c in gb_cols]
+            for a in mv["aggs"]:
+                fn, out = a["fn"], a["as"]
+                if fn == "sum":
+                    nn = (F.coalesce(F.col(f"o._mv_nn_{out}"), F.lit(0))
+                          + F.coalesce(F.col(f"g._d_nn_{out}"), F.lit(0)))
+                    val = F.when(nn == 0, F.lit(None)).otherwise(
+                        F.coalesce(F.col(f"o.{out}"), F.lit(0))
+                        + F.coalesce(F.col(f"g._d_{out}"), F.lit(0)))
+                    out_cols.append(val.alias(out))
+                else:
+                    out_cols.append(
+                        (F.coalesce(F.col(f"o.{out}"), F.lit(0))
+                         + F.coalesce(F.col(f"g._d_{out}"), F.lit(0))
+                         ).alias(out))
+            for a in mv["aggs"]:
+                if a["fn"] == "sum":
+                    out = a["as"]
+                    out_cols.append(
+                        (F.coalesce(F.col(f"o._mv_nn_{out}"), F.lit(0))
+                         + F.coalesce(F.col(f"g._d_nn_{out}"), F.lit(0))
+                         ).alias(f"_mv_nn_{out}"))
+            new_rows = (F.coalesce(F.col("o._mv_rows"), F.lit(0))
+                        + F.col("g._d_rows"))
+            out_cols.append(new_rows.alias("_mv_rows"))
+            survivors = j.select(*out_cols).where(F.col("_mv_rows") > 0)
+            keys = g.select(*[F.col(f"g.{c}").alias(c) for c in gb_cols])
+            changed = keys.count()
+            if changed:
+                eq_files = backing.write_eq_deletes(keys, gb_cols)
+                backing.commit_eq_upsert(
+                    backing._align(survivors), eq_files, gb_cols,
+                    summary={"matview_incremental": True,
+                             "changed_groups": changed})
+            else:
+                mode = "noop"
+        mv["last_snapshot_id"] = head
+        mv["source_snapshot_ids"] = {mv["table"]: head}
+        mv["row_count"] = backing.scan().count()
+        mv["last_refreshed"] = datetime.now(timezone.utc).isoformat()
+        self.store.save(mviews)
+        self.engine.refresh()
+        return {"name": name, "mode": mode, "changed_groups": changed,
+                "row_count": mv["row_count"]}
 
     def freshness(self, name: str) -> dict:
         """I8: stale if any source table has moved past the stored

@@ -517,6 +517,24 @@ class LakehouseServer:
             lambda name: matviews.freshness(name),
         )
         self._add(
+            _tool("create_aggregate_matview",
+                  "Self-maintainable GROUP BY matview (sum/count/"
+                  "count_star) refreshable from the changelog",
+                  {"name": _S, "table": _S,
+                   "group_by": {"type": "array", "items": _S},
+                   "aggs": {"type": "array"}},
+                  ["name", "table", "group_by", "aggs"]),
+            lambda name, table, group_by, aggs: matviews.create_aggregate(
+                name, table, group_by, aggs),
+        )
+        self._add(
+            _tool("refresh_matview_incremental",
+                  "Apply the source changelog as per-group deltas — "
+                  "O(changed data), one atomic commit",
+                  {"name": _S}, ["name"]),
+            lambda name: matviews.refresh_incremental(name),
+        )
+        self._add(
             _tool("create_pipeline", "Create a multi-step SQL pipeline",
                   {"name": _S, "steps": {"type": "array"}}, ["name", "steps"]),
             lambda name, steps: pipelines.create(name, steps),

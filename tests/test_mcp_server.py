@@ -763,3 +763,24 @@ def test_rewrite_deletes_and_cherry_pick_tools(server):
     rows = ok(server, "query", {"sql":
               "SELECT id FROM rdcp WHERE id = 50"})
     assert len(rows) == 1
+
+
+def test_aggregate_matview_tools(server):
+    ok(server, "create_table",
+       {"table": "amv", "schema": [["k", "string"], ["v", "long"]]})
+    ok(server, "insert", {"table": "amv", "rows": [
+        {"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 3}]})
+    res = ok(server, "create_aggregate_matview",
+             {"name": "amv_sum", "table": "amv", "group_by": ["k"],
+              "aggs": [{"fn": "sum", "col": "v", "as": "total"}]})
+    assert res["kind"] == "aggregate" and res["row_count"] == 2
+    ok(server, "insert", {"table": "amv", "rows": [{"k": "b", "v": 10}]})
+    rep = ok(server, "refresh_matview_incremental", {"name": "amv_sum"})
+    assert rep["mode"] == "incremental" and rep["changed_groups"] == 1
+    rows = ok(server, "query_materialized_view", {"name": "amv_sum"})
+    assert sorted((r["k"], r["total"]) for r in rows) == [("a", 3), ("b", 13)]
+    is_err, _, result = call(server, "create_aggregate_matview",
+                             {"name": "bad", "table": "amv",
+                              "group_by": ["k"],
+                              "aggs": [{"fn": "max", "col": "v", "as": "m"}]})
+    assert is_err and "MIN/MAX" in result["content"][0]["text"]
