@@ -125,7 +125,15 @@ class AutoRefreshManager:
                         action["table"]
                     )
                 elif action["action"] == "refresh_matview" and self.matviews:
-                    self.matviews.refresh(action["matview"])
+                    mv = self.matviews.store.load().get(action["matview"], {})
+                    if mv.get("kind") == "aggregate":
+                        # changelog-delta refresh: O(changed data), the
+                        # point of declaring the matview as an aggregate
+                        rep = self.matviews.refresh_incremental(
+                            action["matview"])
+                        entry["mode"] = rep["mode"]
+                    else:
+                        self.matviews.refresh(action["matview"])
                     entry["refreshed"] = True
                 elif action["action"] == "rerun_pipeline" and self.pipelines:
                     entry["run"] = self.pipelines.run(action["pipeline"])["status"]

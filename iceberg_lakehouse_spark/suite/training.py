@@ -4012,3 +4012,67 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & (F.col("t_view") > F.col("t_signup")), 1)
           ).alias("n_purchase"),
     )
+
+
+@register(
+    "incremental_matview_semantics",
+    """
+    WITH state AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS st,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey <= 4000 AND o_orderkey % 5 != 0
+    )
+    SELECT st AS o_orderstatus, SUM(cents) AS total_cents,
+           COUNT(*) AS n_orders
+    FROM state GROUP BY st ORDER BY st
+    """,
+    survey_ref="incremental aggregate matview (r7): changelog-delta "
+    "maintenance equals a full recompute, value-exact",
+)
+def incremental_matview_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END incremental-matview semantics against the oracle: a
+    throwaway MoR table seeded from orders (prices as exact bigint
+    cents), an aggregate matview grouped by status, then two
+    merge-on-read mutations — a delete (mod-5 keys) and an UPDATE
+    THAT MOVES ROWS BETWEEN GROUPS (status := 'X' on mod-7 keys; the
+    changelog's delete+insert pair debits the old group and credits
+    the new one). One incremental refresh (asserted incremental, not
+    a silent full rebuild) must land the matview exactly where
+    DuckDB's from-scratch reconstruction of the final state puts it."""
+    import tempfile
+
+    from ..catalog import LakehouseCatalog
+    from ..governance.views import MatviewManager
+    from ..operators import crud
+    from ..plans.engine import QueryEngine
+
+    orders = (
+        load_sf_tables(spark, sf_dir)["orders"]
+        .where(F.col("o_orderkey") <= 4000)
+        .selectExpr("o_orderkey", "o_orderstatus",
+                    "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+    )
+    wh = tempfile.mkdtemp(prefix="incmv_")
+    cat = LakehouseCatalog(spark, wh)
+    t = cat.create_table(
+        "default.orders_mv",
+        [("o_orderkey", "long"), ("o_orderstatus", "string"),
+         ("cents", "long")],
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.update.mode": "merge-on-read"},
+    )
+    t.append(orders)
+    mv = MatviewManager(f"{wh}/mv.json", cat, QueryEngine(cat))
+    mv.create_aggregate(
+        "status_totals", "default.orders_mv", ["o_orderstatus"],
+        [{"fn": "sum", "col": "cents", "as": "total_cents"},
+         {"fn": "count_star", "as": "n_orders"}],
+    )
+    crud.delete_rows(t, "o_orderkey % 5 = 0")
+    crud.update_rows(t, "o_orderkey % 7 = 0", {"o_orderstatus": "X"})
+    rep = mv.refresh_incremental("status_totals")
+    assert rep["mode"] == "incremental", rep
+    return mv.query("status_totals").orderBy("o_orderstatus")

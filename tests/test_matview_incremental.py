@@ -173,3 +173,26 @@ def test_validation(spark, catalog, mv, source):
     mv.create("plain", "SELECT 1 AS one")  # classic matviews reject it
     with pytest.raises(ValueError, match="SQL matview"):
         mv.refresh_incremental("plain")
+
+
+def test_auto_refresh_cascade_uses_incremental(spark, catalog, mv, source,
+                                               tmp_path):
+    """The refresh cascade routes aggregate matviews through the
+    changelog-delta path instead of a recompute."""
+    from iceberg_lakehouse_spark.governance.auto_refresh import (
+        AutoRefreshManager,
+    )
+    from iceberg_lakehouse_spark.governance.lineage import LineageManager
+
+    lineage = LineageManager(str(tmp_path / "lin.json"))
+    mv.lineage = lineage
+    mv.create_aggregate("agg", "default.sales", ["category"], AGGS)
+    ar = AutoRefreshManager(str(tmp_path / "ar.json"), lineage, matviews=mv)
+    ar.configure("default.sales")
+    source.append(spark.createDataFrame(
+        [(500, "a", 1)], "id long, category string, amount long"))
+    res = ar.execute("default.sales")
+    acts = [a for a in res["actions"]
+            if a.get("action") == "refresh_matview"]
+    assert acts and acts[0]["mode"] == "incremental"
+    _check(mv, source)
