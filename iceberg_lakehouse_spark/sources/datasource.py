@@ -710,7 +710,10 @@ class LakehouseStreamWriter(_WriterCore, DataSourceStreamArrowWriter):
     detected in the snapshot log (same ``stream_id`` + ``batch_id``
     in a commit summary) and its files are discarded instead of
     committed. Restart-safe: the epoch stamp survives in the log, not
-    in writer memory. Multiple concurrent streams into one table need
+    in writer memory. Caveat (same as Delta's txn retention): snapshot
+    expiry that removes the marker's commit before a crashed epoch is
+    replayed would let the replay double-apply — retain more
+    snapshots than the longest plausible recovery gap. Multiple concurrent streams into one table need
     distinct ``stream_id`` options (defaults to the checkpoint-scoped
     query's run — collisions only if two different queries share a
     table AND neither sets stream_id AND their batch ids collide)."""
