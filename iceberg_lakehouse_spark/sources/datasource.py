@@ -431,6 +431,41 @@ def _file_partitions(root: str, snap: dict,
     return parts
 
 
+class _MultiPart(InputPartition):
+    """Several coalesced small files read by one task."""
+
+    def __init__(self, parts: list[_FilePart]):
+        self.parts = parts
+
+
+DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _coalesce_parts(parts: list[_FilePart], max_bytes: int):
+    """Greedy small-file packing (the `spark.sql.files
+    .maxPartitionBytes` analogue): one task per FILE is the right unit
+    for large files, but a 10k-small-file table must not become 10k
+    tasks — scheduler overhead would dwarf the reads. Files pack into
+    partitions up to ``max_bytes``; an unstat-able file gets its own
+    partition (conservative)."""
+    out: list = []
+    cur: list[_FilePart] = []
+    size = 0
+    for p in parts:
+        try:
+            sz = os.path.getsize(p.path)
+        except OSError:
+            sz = max_bytes
+        if cur and size + sz > max_bytes:
+            out.append(cur[0] if len(cur) == 1 else _MultiPart(cur))
+            cur, size = [], 0
+        cur.append(p)
+        size += sz
+    if cur:
+        out.append(cur[0] if len(cur) == 1 else _MultiPart(cur))
+    return out
+
+
 # -- the data source ---------------------------------------------------------
 
 
@@ -440,6 +475,8 @@ class LakehouseBatchReader(DataSourceReader):
         self._snap = _resolve_snapshot(self._root, options)
         self._schema = schema
         self._pruned: list[str] | None = None
+        self._max_bytes = int(options.get("max_partition_bytes",
+                                          DEFAULT_PARTITION_BYTES))
 
     def pushFilters(self, filters):
         """Stats-based file pruning through Spark's own pushdown: the
@@ -463,12 +500,18 @@ class LakehouseBatchReader(DataSourceReader):
             return []
         files = (self._pruned if self._pruned is not None
                  else self._snap["files"])
-        return _file_partitions(self._root, self._snap, files)
+        return _coalesce_parts(
+            _file_partitions(self._root, self._snap, files),
+            self._max_bytes)
 
-    def read(self, partition: _FilePart):
+    def read(self, partition):
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        yield from _read_partition(partition, to_arrow_schema(self._schema))
+        schema = to_arrow_schema(self._schema)
+        subs = (partition.parts if isinstance(partition, _MultiPart)
+                else [partition])
+        for sub in subs:
+            yield from _read_partition(sub, schema)
 
 
 class LakehouseStreamReader(DataSourceStreamReader):
@@ -483,6 +526,8 @@ class LakehouseStreamReader(DataSourceStreamReader):
         if self._on_rewrite not in ("fail", "skip"):
             raise ValueError("on_rewrite must be 'fail' or 'skip'")
         self._cdc = _truthy(options.get("read_changes"))
+        self._max_bytes = int(options.get("max_partition_bytes",
+                                          DEFAULT_PARTITION_BYTES))
 
     def initialOffset(self):
         return {"snapshot_id": self._start}
@@ -532,7 +577,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
                         None, None, stamps=stamp("insert")))
             if self._cdc:
                 parts.extend(self._cdc_delete_parts(snap, parent, stamp))
-        return parts
+        # pack small insert files; each sub-part keeps its own stamps,
+        # so packing across commits stays correct in CDF mode
+        data = [p for p in parts if p.kind == "data"]
+        other = [p for p in parts if p.kind != "data"]
+        return _coalesce_parts(data, self._max_bytes) + other
 
     def _cdc_delete_parts(self, snap: dict, parent: dict | None, stamp):
         """CDF delete events for one additive commit: its NEW position
@@ -588,10 +637,14 @@ class LakehouseStreamReader(DataSourceStreamReader):
                         emit_keys=(cols, keys)))
         return parts
 
-    def read(self, partition: _FilePart):
+    def read(self, partition):
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        yield from _read_partition(partition, to_arrow_schema(self._schema))
+        schema = to_arrow_schema(self._schema)
+        subs = (partition.parts if isinstance(partition, _MultiPart)
+                else [partition])
+        for sub in subs:
+            yield from _read_partition(sub, schema)
 
     def commit(self, end):
         pass

@@ -432,3 +432,25 @@ def test_concurrent_ds_commits_all_land(spark, tmp_warehouse):
     assert not errors
     assert len(t.snapshots()) == 10  # 8 DS + 2 catalog commits
     assert _ids(t.scan()) == [1, 2] + [1000 + i for i in range(8)]
+
+
+def test_small_file_coalescing(spark, tmp_warehouse):
+    """Many small files pack into few read partitions (the
+    maxPartitionBytes analogue) — correctness unchanged, incl. MoR
+    deletes applied inside a packed partition."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.co", [("id", "long"), ("v", "string")],
+                         properties=dict(MOR))
+    for i in range(4):
+        t.append(spark.createDataFrame(
+            [(i * 10 + j, "x") for j in range(10)],
+            "id long, v string").coalesce(1))
+    assert len(t.current_snapshot().files) == 4
+    crud.delete_rows(t, "id = 15")
+    big = _read(spark, tmp_warehouse, "default.co")  # default 128MB cap
+    assert big.rdd.getNumPartitions() == 1
+    assert _ids(big) == [i for i in range(40) if i != 15]
+    tiny = _read(spark, tmp_warehouse, "default.co",
+                 max_partition_bytes="1")
+    assert tiny.rdd.getNumPartitions() == 4
+    assert _ids(tiny) == _ids(big)
