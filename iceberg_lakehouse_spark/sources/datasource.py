@@ -539,13 +539,24 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
     def _chain(self, start_id: int, end_id: int) -> list[dict]:
         """Main-branch parent chain covering (start, end] — commit
-        order, branch commits excluded by construction."""
+        order, branch commits excluded by construction.
+
+        A non-zero start offset whose snapshot has been EXPIRED away
+        raises instead of silently re-emitting the oldest retained
+        snapshot's full file list as 'new' (the Delta/Iceberg
+        'offset no longer exists' failure mode). start=0 is the
+        stream-from-genesis case: there the oldest retained snapshot's
+        files ARE the correct backfill."""
         by_id = {s["snapshot_id"]: s for s in _snapshots(self._root)}
         chain: list[dict] = []
         cur = end_id
         while cur and cur != start_id and cur in by_id:
             chain.append(by_id[cur])
             cur = by_id[cur]["parent_id"] or 0
+        if start_id and cur != start_id:
+            raise ValueError(
+                f"stream offset snapshot {start_id} no longer exists "
+                "(expired); restart the stream from a fresh checkpoint")
         chain.reverse()
         return chain
 

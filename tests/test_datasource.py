@@ -454,3 +454,34 @@ def test_small_file_coalescing(spark, tmp_warehouse):
                  max_partition_bytes="1")
     assert tiny.rdd.getNumPartitions() == 4
     assert _ids(tiny) == _ids(big)
+
+
+def test_stream_expired_offset_fails_loudly(spark, tmp_warehouse, tmp_path):
+    """A checkpointed offset whose snapshot was expired must raise —
+    NOT silently re-emit the oldest retained snapshot's files."""
+    t = _seed(spark, tmp_warehouse, name="default.exo")
+    ck = str(tmp_path / "ck")
+
+    def start():
+        return (spark.readStream.format("lakehouse")
+                .option("warehouse", tmp_warehouse).load("default.exo")
+                .writeStream.foreachBatch(lambda df, _id: None)
+                .option("checkpointLocation", ck)
+                .trigger(processingTime="0 seconds").start())
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    for i in range(3):
+        t.append(spark.createDataFrame([(200 + i, "x")],
+                                       "id long, v string"))
+    t.expire_snapshots(retain_last=1)
+    q = start()
+    try:
+        with pytest.raises(Exception, match="no longer exists|expired"):
+            q.processAllAvailable()
+            raise RuntimeError(str(q.exception() or "no failure"))
+    finally:
+        q.stop()
