@@ -205,6 +205,7 @@ class MatviewManager:
     # unsupported: they are not self-maintainable under deletes.
 
     _AGG_FNS = ("sum", "count", "count_star")
+    _BACKING_COMPACT_EQ = 16  # fold backing-table delete debt past this
 
     def _agg_exprs(self, mv: dict):
         from pyspark.sql import functions as F
@@ -389,6 +390,13 @@ class MatviewManager:
                     backing._align(survivors), eq_files, gb_cols,
                     summary={"matview_incremental": True,
                              "changed_groups": changed})
+                # every refresh adds one eq-delete file and the scan
+                # plan grows a branch per delete — fold the debt
+                # periodically (the backing table is aggregate-sized,
+                # so this compact is cheap)
+                if len(backing.current_snapshot().eq_delete_files) \
+                        >= self._BACKING_COMPACT_EQ:
+                    backing.compact()
             else:
                 mode = "noop"
         mv["last_snapshot_id"] = head

@@ -196,3 +196,18 @@ def test_auto_refresh_cascade_uses_incremental(spark, catalog, mv, source,
             if a.get("action") == "refresh_matview"]
     assert acts and acts[0]["mode"] == "incremental"
     _check(mv, source)
+
+
+def test_backing_delete_debt_folds(spark, catalog, mv, source, monkeypatch):
+    """Every refresh adds one eq-delete file to the backing table (and
+    a scan branch with it) — past the threshold a cheap compact folds
+    the debt; values stay recompute-exact throughout."""
+    monkeypatch.setattr(MatviewManager, "_BACKING_COMPACT_EQ", 2)
+    mv.create_aggregate("agg", "default.sales", ["category"], AGGS)
+    backing = catalog.load_table(mv.store.load()["agg"]["backing_table"])
+    for i in range(3):
+        source.append(spark.createDataFrame(
+            [(900 + i, "a", 1)], "id long, category string, amount long"))
+        assert mv.refresh_incremental("agg")["mode"] == "incremental"
+        _check(mv, source)
+    assert len(backing.current_snapshot().eq_delete_files) < 2
