@@ -485,3 +485,27 @@ def test_stream_expired_offset_fails_loudly(spark, tmp_warehouse, tmp_path):
             raise RuntimeError(str(q.exception() or "no failure"))
     finally:
         q.stop()
+
+
+def test_batch_write_abort_removes_files(spark, tmp_warehouse):
+    """Spark calls abort() when a write job fails — staged part files
+    must be removed and no snapshot committed."""
+    import pyarrow as pa
+
+    from iceberg_lakehouse_spark.sources.datasource import (
+        LakehouseBatchWriter,
+    )
+    from pyspark.sql import types as T
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.ab", [("id", "long"), ("v", "string")])
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    w = LakehouseBatchWriter(
+        {"warehouse": tmp_warehouse, "table": "default.ab"}, schema, False)
+    msg = w.write(iter([pa.record_batch({"id": [1], "v": ["a"]})]))
+    staged = os.path.join(t.root, msg.rel_path)
+    assert os.path.exists(staged)
+    w.abort([msg, None])  # None = a task that never produced a message
+    assert not os.path.exists(staged)
+    assert t.current_snapshot() is None and t.scan().count() == 0
