@@ -4076,3 +4076,46 @@ def incremental_matview_semantics(spark: SparkSession, sf_dir: str) -> DataFrame
     rep = mv.refresh_incremental("status_totals")
     assert rep["mode"] == "incremental", rep
     return mv.query("status_totals").orderBy("o_orderstatus")
+
+
+@register(
+    "repeat_purchase_gaps",
+    """
+    WITH p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), g AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts)) AS gap_us
+        FROM p
+    )
+    SELECT COUNT(*) AS n_gaps,
+           SUM(gap_us) AS total_gap_us,
+           COUNT(DISTINCT user_id) AS n_repeat_users
+    FROM g WHERE gap_us IS NOT NULL
+    """,
+    survey_ref="repeat-purchase interval analysis (r7): per-user LAG "
+    "on the uniform key, exact integer microsecond gaps",
+)
+def repeat_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-between-purchases. The LAG window partitions by the
+    UNIFORM high-cardinality user key (one shuffle, no hot task); the
+    final reduce carries three integers. Gaps are exact integer
+    microseconds (``unix_micros`` / ``epoch_us``) summed as BIGINT —
+    no floating division anywhere, so the value hash can't drift
+    cross-engine. Ties in ts are harmless: consecutive differences of
+    a sorted multiset don't depend on tie order."""
+    events = load_sf_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .withColumn("gap_us", F.unix_micros("ts")
+                    - F.unix_micros(F.lag("ts").over(w)))
+        .where(F.col("gap_us").isNotNull())
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        F.countDistinct("user_id").alias("n_repeat_users"),
+    )
