@@ -430,7 +430,7 @@ _TREE: dict[str, dict[str, str]] = {
 # top-level generated commands (tool name -> command name)
 _TOP_LEVEL = {
     "insert": "insert", "update": "update", "delete": "delete",
-    "delete_by_key": "delete-by-key",
+    "delete_by_key": "delete-by-key", "replace_where": "replace-where",
     "upsert": "upsert", "batch": "batch", "dashboard": "dashboard",
     "convert_format": "convert", "query_file": "query-file",
     "table_to_orc": "table-to-orc", "knn_search": "knn",

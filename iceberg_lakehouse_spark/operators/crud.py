@@ -187,6 +187,69 @@ def delete_rows(table: LakeTable, filter_expr: str) -> int:
     return matched
 
 
+def replace_where(
+    table: LakeTable,
+    filter_expr: str,
+    df: DataFrame,
+    enforce: bool = True,
+) -> dict[str, int]:
+    """Filtered overwrite in ONE atomic commit (Delta ``replaceWhere``
+    / Iceberg ``overwrite(overwrite_filter=...)`` analogue; the
+    reference has no equivalent — its overwrite is whole-table,
+    reference catalog.py:500-1344): delete every row matching
+    ``filter_expr`` and insert ``df``, with no intermediate snapshot
+    where the partition is missing or doubled. This is the idempotent
+    partition-reload primitive — a backfill job recomputes one day and
+    swaps it in atomically; rerunning the job converges instead of
+    duplicating.
+
+    Copy-on-write and file-pruned: the probe plans over only the files
+    whose persisted stats intersect the predicate, untouched files
+    carry into the new snapshot by reference, and the rewrite scans
+    candidates through the delete-merged reader (pending MoR deletes
+    are folded, not resurrected). ``enforce=True`` (default, Delta
+    semantics) rejects incoming rows that do NOT satisfy the filter —
+    otherwise a bad backfill silently leaks rows into partitions the
+    commit claims not to touch. Returns ``{"deleted_rows": n,
+    "inserted_rows": m}``. Raises CommitConflictError on a concurrent
+    commit (callers wrap in ``retry_on_conflict``)."""
+    if not filter_expr or not filter_expr.strip():
+        raise ValueError("Filter expression is required for replace_where")
+    cond = F.expr(filter_expr)
+    aligned = table._align(df)
+    if enforce:
+        bad = aligned.where(~F.coalesce(cond, F.lit(False))).limit(1).count()
+        if bad:
+            raise ValueError(
+                "replace_where: incoming rows do not satisfy the filter "
+                f"{filter_expr!r} (pass enforce=False to allow)"
+            )
+    inserted = aligned.count()
+    cur = table.current_snapshot()
+    if cur is None or not cur.files:
+        table.append(aligned)
+        return {"deleted_rows": 0, "inserted_rows": inserted}
+    matched, touched = _matched_files(table, filter_expr, cur.snapshot_id)
+    touched_set = set(touched)
+    keep = [f for f in cur.files if f not in touched_set]
+    if matched:
+        preserved = (
+            table.scan_files(touched, merge_snapshot=cur)
+            .where(~F.coalesce(cond, F.lit(False)))
+        )
+        replacement = preserved.unionByName(aligned)
+    else:
+        replacement = aligned
+    table.replace_files(
+        keep,
+        replacement,
+        {"operation_detail": "replace_where",
+         "deleted_rows": matched, "inserted_rows": inserted},
+        expected_snapshot_id=cur.snapshot_id,
+    )
+    return {"deleted_rows": matched, "inserted_rows": inserted}
+
+
 def _mor_delete(table: LakeTable, filter_expr: str, cur) -> int:
     """Merge-on-read DELETE: instead of rewriting every matched data
     file, record the matched rows' (file path, row index) keys in

@@ -209,6 +209,21 @@ class LakehouseServer:
             },
         )
         self._add(
+            _tool("replace_where",
+                  "Atomically replace every row matching a SQL filter "
+                  "with the given rows in ONE commit (Delta replaceWhere "
+                  "analogue — the idempotent partition-reload primitive). "
+                  "enforce=true (default) rejects rows outside the filter",
+                  {"table": _S, "filter": _S, "rows": {"type": "array"},
+                   "enforce": {"type": "boolean"}},
+                  ["table", "filter", "rows"]),
+            lambda table, filter, rows, enforce=True: (
+                lambda t: crud.replace_where(
+                    t, filter, crud.rows_to_df(t, rows), enforce=enforce
+                )
+            )(c.load_table(table)),
+        )
+        self._add(
             _tool("upsert", "Upsert rows by key columns",
                   {"table": _S, "rows": {"type": "array"}, "key_columns": {"type": "array"}},
                   ["table", "rows", "key_columns"]),

@@ -4119,3 +4119,377 @@ def repeat_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_us").alias("total_gap_us"),
         F.countDistinct("user_id").alias("n_repeat_users"),
     )
+
+
+@register(
+    "replace_where_semantics",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F'
+                THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 2
+                ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           END AS cents
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    survey_ref="beyond-reference (r8): replace_where — filtered "
+    "overwrite in one atomic commit (Delta replaceWhere / Iceberg "
+    "overwrite-filter analogue), file-pruned CoW",
+)
+def replace_where_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end replace_where: orders land in a throwaway table, the
+    'F' slice is atomically swapped for a doubled-cents replacement in
+    ONE commit (no intermediate snapshot missing or doubling the
+    slice), and the scan reflects exactly old-minus-slice plus
+    replacement. The probe is stats-pruned (only files whose min/max
+    intersect the predicate are rewritten; the rest carry into the new
+    snapshot by reference) — the idempotent partition-backfill
+    primitive at 100 TB. Money stays in integer cents via
+    FLOOR(x*100+0.5) (Spark CAST truncates, DuckDB rounds — FLOOR
+    sidesteps the divergence)."""
+    import tempfile
+
+    from ..catalog import LakehouseCatalog
+    from ..operators import crud
+
+    src = load_sf_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cat = LakehouseCatalog(spark, tempfile.mkdtemp(prefix="rw_sem_"))
+    t = cat.create_table(
+        "default.orders_rw",
+        [("o_orderkey", "long"), ("o_orderstatus", "string"),
+         ("cents", "long")],
+    )
+    t.append(src)
+    repl = src.where(F.col("o_orderstatus") == "F").withColumn(
+        "cents", F.col("cents") * 2
+    )
+    res = crud.replace_where(t, "o_orderstatus = 'F'", repl)
+    assert res["deleted_rows"] == res["inserted_rows"] > 0
+    snap = t.current_snapshot()
+    assert snap.summary.get("operation_detail") == "replace_where"
+    return t.scan().orderBy("o_orderkey")
+
+
+@register(
+    "wap_publish_semantics",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'STAGED' ELSE c_mktsegment END
+               AS seg
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    survey_ref="beyond-reference (r8): write-audit-publish end-to-end "
+    "— stage on a branch, audit in isolation, fast_forward main",
+)
+def wap_publish_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish, end-to-end against the oracle: the
+    non-negative-balance customers land on main, the negative-balance
+    rows are staged on an 'audit' BRANCH (main provably does not see
+    them — asserted mid-flight), audited (no NULL segments), then
+    published by fast-forwarding main to the branch head. Publishing
+    moves a ref — zero data files are written at publish time, which
+    is what makes WAP the safe-ingestion pattern at 100 TB: the
+    expensive write happens once, unaudited data is never visible, and
+    a failed audit is a drop_branch, not a rollback rewrite."""
+    import tempfile
+
+    from ..catalog import LakehouseCatalog
+
+    cust = load_sf_tables(spark, sf_dir)["customer"]
+    base = cust.where(F.col("c_acctbal") >= 0).select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"))
+    staged = cust.where(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.lit("STAGED").alias("seg"))
+    cat = LakehouseCatalog(spark, tempfile.mkdtemp(prefix="wap_sem_"))
+    t = cat.create_table(
+        "default.cust_wap", [("c_custkey", "long"), ("seg", "string")])
+    t.append(base)
+    main_rows = t.scan().count()
+    t.create_branch("audit")
+    t.for_branch("audit").append(staged)
+    # audit in isolation: the branch sees staged rows, main does not
+    assert t.scan(ref="audit").count() > main_rows
+    assert t.scan().count() == main_rows
+    assert t.scan(ref="audit").where(F.col("seg").isNull()).count() == 0
+    t.fast_forward("main", "audit")
+    t.drop_branch("audit")
+    return t.scan().orderBy("c_custkey")
+
+
+@register(
+    "eq_delete_reinsert_semantics",
+    """
+    SELECT c_custkey, seg FROM (
+        SELECT c_custkey, c_mktsegment AS seg
+        FROM customer WHERE c_custkey % 7 <> 0
+        UNION ALL
+        SELECT c_custkey, 'BACK' AS seg
+        FROM customer WHERE c_custkey % 14 = 0
+    )
+    ORDER BY c_custkey, seg
+    """,
+    survey_ref="beyond-reference (r8): equality-delete sequence "
+    "semantics — delete by key without touching data files, "
+    "re-inserted keys are visible",
+)
+def eq_delete_reinsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete (Iceberg v2) SEQUENCE semantics end-to-end: the
+    streaming-CDC primitive deletes every customer whose key is a
+    multiple of 7 WITHOUT reading or rewriting a single data file (the
+    write path is one tiny key file), then the multiples of 14 are
+    re-inserted — and stay visible, because an equality delete applies
+    only to data files with an OLDER sequence number. The key batch is
+    a driver-side list by design (CDC batches are bounded); the scan
+    applies deletes as a broadcast null-safe anti-join, map-side."""
+    import tempfile
+
+    from ..catalog import LakehouseCatalog
+    from ..operators import crud
+
+    cust = load_sf_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"))
+    cat = LakehouseCatalog(spark, tempfile.mkdtemp(prefix="eqd_sem_"))
+    t = cat.create_table(
+        "default.cust_eqd", [("c_custkey", "long"), ("seg", "string")])
+    t.append(cust)
+    keys = [
+        {"c_custkey": r["c_custkey"]}
+        for r in cust.where(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey").collect()
+    ]
+    files_before = list(t.current_snapshot().files)
+    n = crud.delete_rows_by_key(t, keys, ["c_custkey"])
+    assert n == len(keys) > 0
+    snap = t.current_snapshot()
+    assert snap.files == files_before          # zero data files touched
+    assert snap.eq_delete_files                # really an equality delete
+    t.append(
+        cust.where(F.col("c_custkey") % 14 == 0)
+        .select("c_custkey", F.lit("BACK").alias("seg"))
+    )
+    return t.scan().orderBy("c_custkey", "seg")
+
+
+@register(
+    "ohlc_daily_value",
+    """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           arg_min(value, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS volume_cents
+    FROM events
+    GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    ORDER BY event_type, day
+    """,
+    survey_ref="beyond-reference (r8): OHLC time-series downsample "
+    "(candlestick rollup) as one partial-aggregatable pass",
+)
+def ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close downsample per (event_type, day) — the
+    canonical time-series rollup — as ONE hash aggregation with full
+    map-side partial aggregation: open/close are ``min_by``/``max_by``
+    on ``event_id``, which is assigned in timestamp order in this
+    corpus (pinned by test_timeseries.py; a unique ordering key also
+    makes the result deterministic by construction, where a raw
+    timestamp tie-break would not be). No window, no second shuffle:
+    at 100 TB this is a single scan + one exchange on the bucket key,
+    and volume stays in exact integer cents."""
+    events = load_sf_tables(spark, sf_dir)["events"]
+    return (
+        events.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("volume_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "time_weighted_value",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS next_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(us) - MIN(us) AS span_us,
+           CAST(SUM(cents * (next_us - us)) AS DECIMAL(38, 0))
+               AS num_cents_us,
+           ROUND(CAST(SUM(cents * (next_us - us)) AS DOUBLE)
+                 / (MAX(us) - MIN(us)) / 100.0, 6) AS twa_value
+    FROM e
+    GROUP BY user_id
+    HAVING MAX(us) > MIN(us)
+    ORDER BY user_id
+    """,
+    survey_ref="beyond-reference (r8): time-weighted average — "
+    "step-function integral per entity via LEAD, exact integer "
+    "microsecond x cents arithmetic",
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each event's value is
+    held until the next event (step-function/LOCF integral — the
+    metering/billing aggregate sampled rollups get wrong). One LEAD
+    window partitioned by the UNIFORM high-cardinality user key, then
+    one aggregation on the same key (no second shuffle). The
+    integrand is exact integers — cents x microseconds summed as
+    DECIMAL(38,0) so the value hash cannot drift on partial-agg order
+    — and only the final reported average divides."""
+    events = load_sf_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    e = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        "event_id",
+    ).withColumn("next_us", F.lead("us").over(w))
+    num = F.sum(
+        (F.col("cents") * (F.col("next_us") - F.col("us")))
+        .cast("decimal(38,0)")
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+            num.cast("decimal(38,0)").alias("num_cents_us"),
+            F.round(
+                num.cast("double")
+                / (F.max("us") - F.min("us")).cast("double") / 100.0,
+                6,
+            ).alias("twa_value"),
+        )
+        .where(F.col("span_us") > 0)
+        .orderBy("user_id")
+    )
+
+
+_BP_N = 8        # boilerplate span width (tokens)
+_BP_MIN_DF = 2   # a span in >= this many distinct docs is boilerplate
+
+
+@register(
+    "boilerplate_span_fraction",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)),
+                                     '[ \\t\\n\\x0b\\f\\r]+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(range(1, len(t) - {_BP_N - 2})) AS pos, t
+        FROM toks WHERE len(t) >= {_BP_N}
+    ),
+    g2 AS (
+        SELECT doc_id, pos,
+               array_to_string(t[pos:pos + {_BP_N - 1}], ' ') AS g
+        FROM grams
+    ),
+    dfreq AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS df FROM g2 GROUP BY g
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, cpos FROM (
+            SELECT doc_id, unnest(range(pos, pos + {_BP_N})) AS cpos
+            FROM g2
+            WHERE g IN (SELECT g FROM dfreq WHERE df >= {_BP_MIN_DF})
+        )
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered
+        FROM cov GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           COALESCE(a.covered, 0) AS covered_tokens,
+           ROUND(CAST(COALESCE(a.covered, 0) AS DOUBLE) / len(tk.t), 6)
+               AS boilerplate_fraction
+    FROM toks tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
+    ORDER BY tk.doc_id
+    """,
+    survey_ref="LLM-dedup (r8): cross-document boilerplate span "
+    "detection — repeated 8-gram position coverage per doc",
+)
+def boilerplate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the RefinedWeb/CCNet-style
+    repeated-span filter): an 8-token span appearing in >= 2 distinct
+    documents is boilerplate; each document reports the fraction of
+    its token positions covered by at least one such span. Pipeline:
+    positional 8-grams (map-side explode), distinct (gram, doc) pairs
+    before the document-frequency count (partial-aggregatable, and the
+    min_df filter bounds everything downstream — hot grams cost their
+    df, never a quadratic join), LEFT SEMI join flagged grams back,
+    explode each hit's 8 covered positions, distinct, count per doc.
+    All-integer arithmetic until the final reported fraction."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"[ \t\n\x0b\f\r]+").alias("t"),
+    )
+    g2 = (
+        toks.where(F.size("t") >= _BP_N)
+        .select(
+            "doc_id", "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (_BP_N - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id", "pos",
+            F.concat_ws(" ", F.slice("t", F.col("pos"), _BP_N)).alias("g"),
+        )
+    )
+    hot = (
+        g2.select("g", "doc_id").distinct()
+        .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= _BP_MIN_DF)
+        .select("g")
+    )
+    cov = (
+        g2.join(hot, "g", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_BP_N - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce(F.col("covered"), F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("boilerplate_fraction"),
+        )
+        .orderBy("doc_id")
+    )

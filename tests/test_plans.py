@@ -770,3 +770,44 @@ def test_funnel_single_conditional_min_pass(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Window" not in plan
     assert "partial_min" in plan  # map-side combine of the step MINs
+
+
+def test_ohlc_single_aggregation_pass(spark):
+    """OHLC downsample (r8): one partial/final hash aggregate on the
+    (event_type, day) bucket key — min_by/max_by combine map-side, so
+    there is no window, no join, and exactly one events scan."""
+    import re
+
+    plan = plan_of(spark, "ohlc_daily_value")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_max" in plan
+    assert "CartesianProduct" not in plan
+    # scan pruned: props/user_id never read
+    assert "props" not in plan and "user_id" not in plan
+
+
+def test_twa_one_shuffle_window_then_agg(spark):
+    """Time-weighted average (r8): the LEAD window and the per-user
+    aggregate share the uniform user_id key — the plan has no second
+    exchange between them, no SinglePartition funnel, one scan."""
+    import re
+
+    plan = plan_of(spark, "time_weighted_value")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    # one hash shuffle total: the aggregate reuses the window's
+    # user_id partitioning (the only other exchange is the output
+    # ORDER BY's range partitioning)
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+
+
+def test_boilerplate_semi_join_and_bounded_explodes(spark):
+    """Boilerplate spans (r8): flagged grams come back via LEFT SEMI
+    join (rows never multiply), and nothing goes cartesian or through
+    a single partition."""
+    plan = plan_of(spark, "boilerplate_span_fraction")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
