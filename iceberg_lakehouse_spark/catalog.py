@@ -2407,6 +2407,7 @@ class LakeTable:
         target_partitions: int | None = None,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        where: str | None = None,
     ) -> dict:
         """Small-file compaction: rewrite current snapshot into fewer
         files (reference catalog.py:2014-2084 reads-all-and-overwrites;
@@ -2427,7 +2428,19 @@ class LakeTable:
         any of them prune — a linear sort only serves its leading
         column. Numeric/date/timestamp columns map to 16-bit positions
         by min-max scaling (one tiny agg job); other types hash into
-        the same domain (equality locality only)."""
+        the same domain (equality locality only).
+
+        ``where`` makes the rewrite PARTIAL (Iceberg rewrite_data_files
+        filter): only the files whose persisted stats intersect the
+        predicate are read and rewritten — rows are never dropped; the
+        predicate selects FILES, not rows — and every other file
+        carries into the new snapshot by reference. At 100 TB this is
+        the difference between compacting one hot day's small-file
+        debt and rewriting the table; a maintenance job can walk
+        partitions incrementally, each pass an independent CAS commit.
+        Pending MoR deletes of rewritten files are folded (the subset
+        is read through the delete-merged reader); deletes of kept
+        files stay live via inheritance."""
         cur = self.current_snapshot()
         before = len(cur.files) if cur else 0
         if before == 0:
@@ -2437,12 +2450,28 @@ class LakeTable:
                 "files_before": 0, "files_after": 0, "rows": 0,
                 "message": "table is empty — nothing to compact",
             }
-        df = self.scan(snapshot_id=cur.snapshot_id)  # pinned for the CAS below
+        keep_files: list[str] = []
+        rewrite_n = before
+        if where:
+            cand, _total = self.prune_files(where, cur)
+            if not cand:
+                return {
+                    "files_before": before, "files_after": before,
+                    "rows": 0, "snapshot_id": cur.snapshot_id,
+                    "message": "no files match the predicate — "
+                               "nothing to compact",
+                }
+            cand_set = set(cand)
+            keep_files = [f for f in cur.files if f not in cand_set]
+            rewrite_n = len(cand)
+            df = self.scan_files(cand, merge_snapshot=cur)
+        else:
+            df = self.scan(snapshot_id=cur.snapshot_id)  # pinned for the CAS below
         pfields = self.partition_fields()
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
         if zorder_by:
-            n = target_partitions or max(1, min(before, 4))
+            n = target_partitions or max(1, min(rewrite_n, 4))
             z = _zvalue(df, zorder_by)
             df = (
                 df.withColumn("_z", z)
@@ -2451,7 +2480,7 @@ class LakeTable:
                 .drop("_z")
             )
         elif sort_by:
-            n = target_partitions or max(1, min(before, 4))
+            n = target_partitions or max(1, min(rewrite_n, 4))
             df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
         elif target_partitions:
             df = df.coalesce(target_partitions)
@@ -2460,10 +2489,17 @@ class LakeTable:
             # one output file per partition directory
             df = df.repartition(*[pf.expr() for pf in pfields])
         else:
-            df = df.coalesce(max(1, min(before, 4)))
+            df = df.coalesce(max(1, min(rewrite_n, 4)))
         # CAS: the rewrite reads the files of `cur`; a commit that lands
         # mid-compaction must surface as a conflict, not vanish
-        snap = self.overwrite(df, expected_snapshot_id=cur.snapshot_id)
+        if where:
+            snap = self.replace_files(
+                keep_files, df,
+                {"operation_detail": "compact_where", "predicate": where},
+                expected_snapshot_id=cur.snapshot_id,
+            )
+        else:
+            snap = self.overwrite(df, expected_snapshot_id=cur.snapshot_id)
         return {
             "files_before": before,
             "files_after": len(snap.files),
@@ -2472,6 +2508,8 @@ class LakeTable:
             "message": f"Compacted {before} → {len(snap.files)} files",
             **({"clustered_by": sort_by} if sort_by else {}),
             **({"zordered_by": zorder_by} if zorder_by else {}),
+            **({"predicate": where, "rewritten_files": rewrite_n}
+               if where else {}),
         }
 
     def file_stats(self) -> dict:
@@ -2506,6 +2544,66 @@ class LakeTable:
             if os.path.exists(p):
                 e["bytes"] += os.path.getsize(p)
         return sorted(agg.values(), key=lambda d: d["partition"])
+
+    # -- ANALYZE (column NDV statistics) ------------------------------------
+
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE analogue: ONE aggregation pass computing per-
+        column approximate distinct counts (HyperLogLog++, rsd 5%) and
+        null counts plus the exact row count, persisted per snapshot
+        under ``_meta/analyze.json``. These are the optimizer-food
+        stats file min/max cannot provide: join-side cardinality for
+        broadcast decisions, group-key NDV for aggregate sizing, and
+        hot-key skew detection (NDV << rows). One scan regardless of
+        column count — every estimator rides the same partial-agg
+        shuffle of a single row."""
+        cur = self.current_snapshot()
+        schema = self.schema()
+        known = {f.name for f in schema.fields}
+        cols = list(columns) if columns else [f.name for f in schema.fields]
+        bad = sorted(set(cols) - known)
+        if bad:
+            raise ValueError(f"unknown columns: {bad}")
+        if cur is None or not cur.files:
+            payload = {"snapshot_id": None, "row_count": 0,
+                       "columns": {c: {"ndv": 0, "nulls": 0} for c in cols}}
+        else:
+            df = self.scan(snapshot_id=cur.snapshot_id)
+            aggs = [F.count(F.lit(1)).alias("_rows")]
+            for c in cols:
+                aggs.append(F.approx_count_distinct(c, 0.05).alias(f"_ndv_{c}"))
+                aggs.append(
+                    F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nul_{c}")
+                )
+            row = df.agg(*aggs).collect()[0]
+            payload = {
+                "snapshot_id": cur.snapshot_id,
+                "row_count": row["_rows"],
+                "columns": {
+                    c: {"ndv": int(row[f"_ndv_{c}"]),
+                        "nulls": int(row[f"_nul_{c}"])}
+                    for c in cols
+                },
+            }
+        payload["computed_at_ms"] = int(time.time() * 1000)
+        _atomic_write_json(os.path.join(self.root, "_meta", "analyze.json"),
+                           payload)
+        return payload
+
+    def analyzed_stats(self) -> dict | None:
+        """The last ANALYZE result, with ``stale`` flagged when the
+        table has committed past the analyzed snapshot (callers decide
+        whether stale NDVs are still useful — they usually are for
+        strategy decisions, never for correctness)."""
+        p = os.path.join(self.root, "_meta", "analyze.json")
+        stats = _read_json(p, None)
+        if stats is None:
+            return None
+        cur = self.current_snapshot()
+        stats["stale"] = (
+            (cur.snapshot_id if cur else None) != stats.get("snapshot_id")
+        )
+        return stats
 
     def partition_stats_report(self) -> dict:
         """Reference get_partition_stats result shape (reference

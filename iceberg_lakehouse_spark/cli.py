@@ -304,7 +304,8 @@ _TREE: dict[str, dict[str, str]] = {
     "stats": {
         "show": "get_table_stats", "refresh": "refresh_table_stats",
         "all": "get_all_stats", "anomalies": "detect_anomalies",
-        "profile": "profile_table",
+        "profile": "profile_table", "analyze": "analyze_table",
+        "analyzed": "analyzed_stats",
     },
     "quality": {"score": "quality_score", "report": "quality_report"},
     "retention": {
@@ -346,6 +347,7 @@ _TREE: dict[str, dict[str, str]] = {
     "optimize": {
         "patterns": "analyze_query_patterns", "suggest": "suggest_optimizations",
         "report": "optimization_report", "cost": "estimate_query_cost",
+        "join-strategy": "join_strategy", "explain": "explain_query",
     },
     "cache": {
         "stats": "get_cache_stats", "list": "list_cached_queries",
@@ -431,6 +433,7 @@ _TREE: dict[str, dict[str, str]] = {
 _TOP_LEVEL = {
     "insert": "insert", "update": "update", "delete": "delete",
     "delete_by_key": "delete-by-key", "replace_where": "replace-where",
+    "overwrite_partitions": "overwrite-partitions",
     "upsert": "upsert", "batch": "batch", "dashboard": "dashboard",
     "convert_format": "convert", "query_file": "query-file",
     "table_to_orc": "table-to-orc", "knn_search": "knn",

@@ -278,3 +278,97 @@ def dashboard(catalog, stats_cache, audit=None, saved=None,
         "history_entries_count": len(saved.history(1000)) if saved else 0,
         "unhealthy": [t["name"] for t in tables if t["health"] != "Good"],
     }
+
+
+# -- physical join planning advice (round 8, beyond-reference) --------------
+
+BROADCAST_THRESHOLD_BYTES = 64 * 1024 * 1024  # AQE-era comfortable default
+
+
+def join_strategy(
+    catalog,
+    left: str,
+    right: str,
+    on: list[str],
+    broadcast_threshold: int = BROADCAST_THRESHOLD_BYTES,
+) -> dict:
+    """Recommend the physical join strategy for two catalog tables from
+    persisted metadata alone (file sizes + the latest ANALYZE NDVs) —
+    no data is read. The decision tree mirrors what a 1000-executor
+    plan review applies by hand:
+
+    * a side under the broadcast threshold → broadcast it (no shuffle
+      of the big side at all);
+    * both sides big → shuffle join; if the key NDV supports it,
+      suggest bucketing both tables on the key so the shuffle
+      disappears from every future join;
+    * key NDV << row count on the probe side → flag skew (salting /
+      AQE skew-join advice), because a hot key turns one task into the
+      whole job's critical path.
+
+    NDVs may be stale (ANALYZE is point-in-time); strategy advice
+    degrades gracefully — staleness is reported, never fatal."""
+    lt, rt = catalog.load_table(left), catalog.load_table(right)
+    for side, t in (("left", lt), ("right", rt)):
+        known = {f.name for f in t.schema().fields}
+        missing = sorted(set(on) - known)
+        if missing:
+            raise ValueError(
+                f"join column(s) {missing} not in {side} table {t.table!r}"
+            )
+    lb = lt.file_stats()["total_bytes"]
+    rb = rt.file_stats()["total_bytes"]
+    la, ra = lt.analyzed_stats(), rt.analyzed_stats()
+
+    def _ndv(stats, col):
+        if not stats:
+            return None
+        c = stats.get("columns", {}).get(col)
+        return c.get("ndv") if c else None
+
+    reasons: list[str] = []
+    skew: list[dict] = []
+    for side, stats, nbytes in (("left", la, lb), ("right", ra, rb)):
+        if stats is None:
+            reasons.append(f"{side} table has no ANALYZE stats "
+                           "(run analyze_table for NDV-aware advice)")
+            continue
+        if stats.get("stale"):
+            reasons.append(f"{side} ANALYZE stats are stale "
+                           "(advice still directionally sound)")
+        rows = stats.get("row_count") or 0
+        for c in on:
+            ndv = _ndv(stats, c)
+            if ndv and rows and rows / max(ndv, 1) > 10_000:
+                skew.append({
+                    "side": side, "column": c, "rows": rows, "ndv": ndv,
+                    "advice": "rows-per-key > 10k: salt the key or rely "
+                              "on AQE skew-join splitting",
+                })
+    small, small_bytes = None, None
+    if min(lb, rb) <= broadcast_threshold:
+        small = "left" if lb <= rb else "right"
+        small_bytes = min(lb, rb)
+        strategy = "broadcast"
+        reasons.insert(0, f"{small} side is {small_bytes:,} bytes "
+                          f"(<= {broadcast_threshold:,}): broadcast it — "
+                          "the big side never shuffles")
+    else:
+        strategy = "shuffle"
+        reasons.insert(0, "both sides exceed the broadcast threshold: "
+                          "shuffle join on the key")
+        ndvs = [n for n in (_ndv(la, c) for c in on) if n]
+        if ndvs and min(ndvs) >= 32:
+            reasons.append(
+                "key NDV supports bucketing: bucket BOTH tables on "
+                f"{on} (operators/bucketed.py) to eliminate this "
+                "shuffle from every future join"
+            )
+    return {
+        "left": left, "right": right, "on": on,
+        "left_bytes": lb, "right_bytes": rb,
+        "strategy": strategy,
+        **({"broadcast_side": small} if small else {}),
+        "skew_warnings": skew,
+        "reasons": reasons,
+    }

@@ -250,6 +250,86 @@ def replace_where(
     return {"deleted_rows": matched, "inserted_rows": inserted}
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def overwrite_partitions(table: LakeTable, df: DataFrame) -> dict[str, int]:
+    """Dynamic partition overwrite (Spark ``partitionOverwriteMode =
+    dynamic`` / Iceberg ``overwrite_partitions`` analogue): atomically
+    replace exactly the partitions PRESENT in ``df`` — whole partition
+    directories swap out, untouched partitions carry by reference, all
+    in one commit. This is the other idempotent backfill primitive
+    next to ``replace_where``: the job does not even need to know
+    which partitions it recomputed.
+
+    File matching is pure driver-side metadata: hidden-partitioning
+    writes encode the transform values in the data-file paths
+    (``_p_day=2024-01-01/part-...``), so the touched-file set comes
+    from the incoming batch's distinct partition tuples (one small
+    distinct job, bounded by the number of touched partitions) matched
+    against path segments — no table scan at any scale. Files written
+    under an OLDER partition spec hold rows from many current
+    partitions and cannot be swapped wholesale; they raise with a
+    pointer to ``compact()`` (which rewrites into the current spec).
+    Raises CommitConflictError on a concurrent commit."""
+    from urllib.parse import unquote
+
+    pfields = table.partition_fields()
+    if not pfields:
+        raise ValueError(
+            "overwrite_partitions requires a partitioned table "
+            "(use replace_where on unpartitioned tables)"
+        )
+    aligned = table._align(df)
+    tuples = {
+        tuple(_HIVE_NULL if v is None else v for v in r)
+        for r in aligned.select(
+            *[pf.expr().cast("string").alias(pf.name) for pf in pfields]
+        ).distinct().collect()
+    }
+    inserted = aligned.count()
+    cur = table.current_snapshot()
+    if cur is None or not cur.files or not tuples:
+        if inserted:
+            table.append(aligned)
+        return {"replaced_partitions": 0, "dropped_files": 0,
+                "inserted_rows": inserted}
+
+    names = [pf.name for pf in pfields]
+
+    def _file_tuple(rel: str) -> tuple | None:
+        vals: dict[str, str] = {}
+        for seg in rel.split("/"):
+            k, eq, v = seg.partition("=")
+            if eq:
+                vals[k] = unquote(v)
+        if any(n not in vals for n in names):
+            return None  # written under an older partition spec
+        return tuple(vals[n] for n in names)
+
+    matched: list[str] = []
+    keep: list[str] = []
+    for f in cur.files:
+        ft = _file_tuple(f)
+        if ft is None:
+            raise ValueError(
+                f"data file {f!r} predates the current partition spec — "
+                "run compact() to rewrite it before overwrite_partitions"
+            )
+        (matched if ft in tuples else keep).append(f)
+    table.replace_files(
+        keep,
+        aligned,
+        {"operation_detail": "overwrite_partitions",
+         "replaced_partitions": len(tuples),
+         "dropped_files": len(matched),
+         "inserted_rows": inserted},
+        expected_snapshot_id=cur.snapshot_id,
+    )
+    return {"replaced_partitions": len(tuples),
+            "dropped_files": len(matched), "inserted_rows": inserted}
+
+
 def _mor_delete(table: LakeTable, filter_expr: str, cur) -> int:
     """Merge-on-read DELETE: instead of rewriting every matched data
     file, record the matched rows' (file path, row index) keys in

@@ -40,6 +40,19 @@ _B = {"type": "boolean"}
 _O = {"type": "object"}
 
 
+def _explain_text(df, mode: str = "formatted") -> str:
+    """df.explain(mode) prints to stdout; capture it for RPC transport."""
+    import contextlib
+    import io
+
+    if mode not in ("simple", "extended", "codegen", "cost", "formatted"):
+        raise ValueError(f"unknown explain mode {mode!r}")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
 def _scan_or_missing(catalog, table: str):
     """Table scan, or the reference's ValueError for preview on a
     missing table (masking.py:207-210)."""
@@ -118,6 +131,7 @@ class LakehouseServer:
         self._tools[spec["name"]] = (spec, fn)
 
     def _register_tools(self) -> None:  # noqa: PLR0915 — flat registry
+        from .governance import advisor
         from .operators import crud
         c, eng = self.catalog, self.engine
 
@@ -220,6 +234,20 @@ class LakehouseServer:
             lambda table, filter, rows, enforce=True: (
                 lambda t: crud.replace_where(
                     t, filter, crud.rows_to_df(t, rows), enforce=enforce
+                )
+            )(c.load_table(table)),
+        )
+        self._add(
+            _tool("overwrite_partitions",
+                  "Dynamic partition overwrite: atomically replace "
+                  "exactly the partitions present in the given rows "
+                  "(whole partition directories swap; untouched "
+                  "partitions carry by reference)",
+                  {"table": _S, "rows": {"type": "array"}},
+                  ["table", "rows"]),
+            lambda table, rows: (
+                lambda t: crud.overwrite_partitions(
+                    t, crud.rows_to_df(t, rows)
                 )
             )(c.load_table(table)),
         )
@@ -370,14 +398,17 @@ class LakehouseServer:
         self._add(
             _tool("compact", "Compact small files (optionally cluster: "
                   "sort_by = linear range-cluster, zorder_by = bit-"
-                  "interleaved multi-column locality)",
+                  "interleaved multi-column locality; where = partial "
+                  "rewrite of only the files matching the predicate)",
                   {"table": _S, "target_partitions": _I,
                    "sort_by": {"type": "array", "items": _S},
-                   "zorder_by": {"type": "array", "items": _S}}, ["table"]),
-            lambda table, target_partitions=None, sort_by=None, zorder_by=None:
+                   "zorder_by": {"type": "array", "items": _S},
+                   "where": _S}, ["table"]),
+            lambda table, target_partitions=None, sort_by=None,
+            zorder_by=None, where=None:
             c.load_table(table).compact(
                 target_partitions=target_partitions, sort_by=sort_by,
-                zorder_by=zorder_by,
+                zorder_by=zorder_by, where=where,
             ),
         )
         self._add(
@@ -396,6 +427,53 @@ class LakehouseServer:
                   ["table", "snapshot_id"]),
             lambda table, snapshot_id: c.load_table(table)
             .cherry_pick(snapshot_id).to_json(),
+        )
+        self._add(
+            _tool("analyze_table",
+                  "ANALYZE: one-pass per-column approximate NDV + null "
+                  "counts + exact row count, persisted per snapshot — "
+                  "optimizer food for broadcast/bucketing/skew decisions",
+                  {"table": _S, "columns": {"type": "array", "items": _S}},
+                  ["table"]),
+            lambda table, columns=None: c.load_table(table).analyze(columns),
+        )
+        self._add(
+            _tool("analyzed_stats",
+                  "Last ANALYZE result (stale-flagged when the table "
+                  "committed past the analyzed snapshot)",
+                  {"table": _S}, ["table"]),
+            lambda table: c.load_table(table).analyzed_stats()
+            or {"message": "no ANALYZE stats — run analyze_table"},
+        )
+        self._add(
+            _tool("join_strategy",
+                  "Physical join-strategy advice for two tables from "
+                  "metadata alone: broadcast vs shuffle, bucketing "
+                  "suggestion, hot-key skew warnings (uses file sizes "
+                  "+ ANALYZE NDVs; reads no data)",
+                  {"left": _S, "right": _S,
+                   "on": {"type": "array", "items": _S},
+                   "broadcast_threshold": _I},
+                  ["left", "right", "on"]),
+            lambda left, right, on, broadcast_threshold=None:
+            advisor.join_strategy(
+                c, left, right, on,
+                **({"broadcast_threshold": broadcast_threshold}
+                   if broadcast_threshold is not None else {}),
+            ),
+        )
+        self._add(
+            _tool("explain_query",
+                  "Formatted physical plan for a SQL query (pushdown, "
+                  "pruned read schemas, join strategies, exchanges)",
+                  {"sql": _S, "mode": _S}, ["sql"]),
+            lambda sql, mode="formatted": {
+                "sql": sql,
+                "mode": mode,
+                "plan": _explain_text(
+                    self.engine.execute(sql, max_rows=0), mode
+                ),
+            },
         )
         self._add(
             _tool("scan_plan", "Preview stats-based file pruning for a "

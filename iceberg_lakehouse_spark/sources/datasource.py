@@ -528,6 +528,19 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self._cdc = _truthy(options.get("read_changes"))
         self._max_bytes = int(options.get("max_partition_bytes",
                                           DEFAULT_PARTITION_BYTES))
+        # admission control (Delta maxFilesPerTrigger analogue): cap how
+        # many NEW data files one micro-batch admits, so a backlog (or a
+        # bursty writer) drains as several right-sized batches instead
+        # of one giant one. The cursor tracks the last offset this
+        # reader handed out or planned; the Python stream API does not
+        # pass the checkpoint position into latestOffset, so the FIRST
+        # batch after a (re)start is unbounded — the cursor locks on
+        # from its partitions() call and every later batch is capped.
+        mft = options.get("max_files_per_trigger")
+        self._max_files = int(mft) if mft is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("max_files_per_trigger must be >= 1")
+        self._cursor: int | None = None
 
     def initialOffset(self):
         return {"snapshot_id": self._start}
@@ -535,7 +548,26 @@ class LakehouseStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         snaps = _snapshots(self._root)
         head = _main_head(self._root, snaps)
-        return {"snapshot_id": head if head is not None else self._start}
+        head = head if head is not None else self._start
+        if self._max_files is None or self._cursor is None:
+            return {"snapshot_id": head}
+        if head <= self._cursor:
+            return {"snapshot_id": self._cursor}
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        admitted = self._cursor
+        budget = self._max_files
+        for snap in self._chain(self._cursor, head):
+            parent = by_id.get(snap.get("parent_id") or 0)
+            prev = set(parent["files"]) if parent else set()
+            added = sum(1 for f in snap["files"] if f not in prev)
+            if added > budget and admitted != self._cursor:
+                break  # batch full — later commits wait their turn
+            admitted = snap["snapshot_id"]
+            budget -= added
+            if budget <= 0:
+                break
+        self._cursor = admitted
+        return {"snapshot_id": admitted}
 
     def _chain(self, start_id: int, end_id: int) -> list[dict]:
         """Main-branch parent chain covering (start, end] — commit
@@ -562,6 +594,10 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         s, e = start["snapshot_id"], end["snapshot_id"]
+        # lock the admission cursor onto the engine's actual position
+        # (snapshot ids are monotone): after a checkpoint restart the
+        # first planned batch teaches the reader where the stream is
+        self._cursor = max(self._cursor or 0, s, e)
         if e <= s:
             return []
         by_id = {x["snapshot_id"]: x for x in _snapshots(self._root)}
@@ -658,7 +694,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
             yield from _read_partition(sub, schema)
 
     def commit(self, end):
-        pass
+        self._cursor = max(self._cursor or 0, end["snapshot_id"])
 
 
 # -- the write side ----------------------------------------------------------

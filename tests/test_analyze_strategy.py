@@ -1,0 +1,115 @@
+"""ANALYZE column statistics + metadata-only join-strategy advice +
+the explain_query MCP surface (round 8)."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+from iceberg_lakehouse_spark.governance import advisor
+
+
+def _cat(spark, warehouse):
+    cat = LakehouseCatalog(spark, warehouse)
+    dim = cat.create_table("default.dim", [("k", "long"), ("name", "string")])
+    dim.append(spark.createDataFrame(
+        [(i, f"n{i}") for i in range(50)], "k long, name string"))
+    fact = cat.create_table(
+        "default.fact", [("k", "long"), ("v", "double"), ("cat", "string")])
+    # skewed: half the rows share k=0
+    rows = [(0, float(i), f"c{i % 3}") for i in range(500)] + \
+           [(i % 50, float(i), None) for i in range(500)]
+    fact.append(spark.createDataFrame(rows, "k long, v double, cat string"))
+    return cat, dim, fact
+
+
+def test_analyze_persists_and_is_one_pass(spark, tmp_warehouse):
+    _, _, fact = _cat(spark, tmp_warehouse)
+    res = fact.analyze()
+    assert res["row_count"] == 1000
+    cols = res["columns"]
+    assert set(cols) == {"k", "v", "cat"}
+    # HLL rsd 5%: k has exactly 50 distinct values
+    assert 45 <= cols["k"]["ndv"] <= 55
+    assert cols["cat"]["nulls"] == 500
+    assert cols["k"]["nulls"] == 0
+    stored = fact.analyzed_stats()
+    assert stored["stale"] is False
+    assert stored["snapshot_id"] == fact.current_snapshot().snapshot_id
+
+
+def test_analyze_stale_flag_and_column_subset(spark, tmp_warehouse):
+    _, dim, fact = _cat(spark, tmp_warehouse)
+    fact.analyze(columns=["k"])
+    assert set(fact.analyzed_stats()["columns"]) == {"k"}
+    fact.append(fact.spark.createDataFrame(
+        [(99, 1.0, "x")], "k long, v double, cat string"))
+    assert fact.analyzed_stats()["stale"] is True
+    with pytest.raises(ValueError, match="unknown columns"):
+        dim.analyze(columns=["nope"])
+
+
+def test_analyze_empty_table(spark, tmp_warehouse):
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.empty", [("a", "long")])
+    res = t.analyze()
+    assert res["row_count"] == 0
+    assert res["columns"]["a"] == {"ndv": 0, "nulls": 0}
+
+
+def test_join_strategy_broadcasts_small_side_and_flags_skew(
+    spark, tmp_warehouse
+):
+    cat, dim, fact = _cat(spark, tmp_warehouse)
+    dim.analyze()
+    fact.analyze()
+    res = advisor.join_strategy(cat, "default.fact", "default.dim", ["k"])
+    assert res["strategy"] == "broadcast"
+    # both tiny here; the smaller side is chosen
+    assert res["broadcast_side"] in ("left", "right")
+    assert res["left_bytes"] > 0 and res["right_bytes"] > 0
+    # fact has 1000 rows over ~51 keys — not skewed enough for the
+    # 10k-rows-per-key flag; force it with a tighter synthetic check
+    res2 = advisor.join_strategy(
+        cat, "default.fact", "default.dim", ["k"], broadcast_threshold=0)
+    assert res2["strategy"] == "shuffle"
+    assert any("bucket" in r for r in res2["reasons"])
+
+
+def test_join_strategy_skew_warning_fires(spark, tmp_warehouse):
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    hot = cat.create_table("default.hot", [("k", "long"), ("v", "long")])
+    hot.append(spark.createDataFrame(
+        [(0, i) for i in range(20001)], "k long, v long"))
+    other = cat.create_table("default.oth", [("k", "long")])
+    other.append(spark.createDataFrame([(0,)], "k long"))
+    hot.analyze()
+    res = advisor.join_strategy(cat, "default.hot", "default.oth", ["k"])
+    assert res["skew_warnings"]
+    w = res["skew_warnings"][0]
+    assert w["side"] == "left" and w["column"] == "k"
+
+
+def test_join_strategy_validates_columns_and_degrades_without_analyze(
+    spark, tmp_warehouse
+):
+    cat, dim, fact = _cat(spark, tmp_warehouse)
+    with pytest.raises(ValueError, match="join column"):
+        advisor.join_strategy(cat, "default.fact", "default.dim", ["nope"])
+    res = advisor.join_strategy(cat, "default.fact", "default.dim", ["k"])
+    assert any("no ANALYZE stats" in r for r in res["reasons"])
+
+
+def test_explain_query_tool(spark, tmp_warehouse, tmp_path):
+    from iceberg_lakehouse_spark.server import LakehouseServer
+
+    srv = LakehouseServer(home=str(tmp_path / "home"))
+    srv.catalog.create_table("default.ex", [("a", "long")]).append(
+        spark.createDataFrame([(1,), (2,)], "a long"))
+    srv.engine.refresh()
+    out = srv._tools["explain_query"][1](
+        sql="SELECT a FROM ex WHERE a > 1")
+    assert "PushedFilters" in out["plan"] or "Filter" in out["plan"]
+    assert out["mode"] == "formatted"
+    with pytest.raises(ValueError, match="explain mode"):
+        srv._tools["explain_query"][1](sql="SELECT 1", mode="bogus")

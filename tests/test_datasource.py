@@ -509,3 +509,79 @@ def test_batch_write_abort_removes_files(spark, tmp_warehouse):
     w.abort([msg, None])  # None = a task that never produced a message
     assert not os.path.exists(staged)
     assert t.current_snapshot() is None and t.scan().count() == 0
+
+
+def test_stream_max_files_per_trigger(spark, tmp_warehouse):
+    """Admission control: with max_files_per_trigger=1, a backlog of
+    several one-file commits drains as several micro-batches — each
+    batch carries exactly one commit's rows, in commit order, with
+    nothing lost or duplicated."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.mft", [("id", "long"), ("v", "string")])
+    batches: list[list[int]] = []
+    q = (spark.readStream.format("lakehouse")
+         .option("warehouse", tmp_warehouse)
+         .option("max_files_per_trigger", "1")
+         .load("default.mft")
+         .writeStream.foreachBatch(
+             lambda df, _id: batches.append(
+                 sorted(r["id"] for r in df.collect())) or None)
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+        # build a 3-commit backlog while the stream idles between
+        # triggers, then let it drain
+        for k in range(3):
+            t.append(spark.createDataFrame(
+                [(k, f"v{k}")], "id long, v string").repartition(1))
+        q.processAllAvailable()
+        non_empty = [b for b in batches if b]
+        # one commit per batch: the backlog was NOT coalesced into one
+        assert non_empty == [[0], [1], [2]]
+    finally:
+        q.stop()
+
+
+def test_stream_max_files_never_splits_a_commit(spark, tmp_warehouse):
+    """A single commit larger than the cap is admitted whole (offsets
+    are snapshot ids — a commit is atomic), and the stream still
+    drains everything."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.mftbig", [("id", "long"), ("v", "string")])
+    batches: list[list[int]] = []
+    q = (spark.readStream.format("lakehouse")
+         .option("warehouse", tmp_warehouse)
+         .option("max_files_per_trigger", "2")
+         .load("default.mftbig")
+         .writeStream.foreachBatch(
+             lambda df, _id: batches.append(
+                 sorted(r["id"] for r in df.collect())) or None)
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+        t.append(spark.createDataFrame(
+            [(i, f"v{i}") for i in range(4)], "id long, v string")
+            .repartition(4))               # one 4-file commit > cap
+        t.append(spark.createDataFrame(
+            [(9, "x")], "id long, v string").repartition(1))
+        q.processAllAvailable()
+        non_empty = [b for b in batches if b]
+        assert non_empty[0] == [0, 1, 2, 3]    # admitted whole
+        assert [i for b in non_empty for i in b] == [0, 1, 2, 3, 9]
+    finally:
+        q.stop()
+
+
+def test_stream_max_files_rejects_nonpositive(spark, tmp_warehouse):
+    _seed(spark, tmp_warehouse, name="default.mftbad")
+    q = (spark.readStream.format("lakehouse")
+         .option("warehouse", tmp_warehouse)
+         .option("max_files_per_trigger", "0")
+         .load("default.mftbad")
+         .writeStream.format("memory").queryName("mft_bad")
+         .trigger(processingTime="0 seconds").start())
+    try:
+        with pytest.raises(Exception, match="max_files_per_trigger"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
