@@ -916,6 +916,74 @@ class LakehouseServer:
             ),
         )
 
+        from .operators import pq as _pq
+
+        self._add(
+            _tool("pq_index_build",
+                  "Persist a product-quantization index (m-subspace "
+                  "codebook + per-vector codes): dim x 8 bytes -> m "
+                  "bytes per vector, so the index fits executor memory "
+                  "at corpus scale",
+                  {"table": _S, "index_table": _S, "id_column": _S,
+                   "vector_column": _S, "m": _I, "ksub": _I},
+                  ["table", "index_table", "id_column", "vector_column"]),
+            lambda table, index_table, id_column, vector_column,
+                   m=8, ksub=16: {
+                "index_table": index_table,
+                "rows": _pq.build_pq_index(
+                    c, index_table, c.load_table(table).scan(),
+                    id_column, vector_column, m=m, ksub=ksub,
+                ).scan().count(),
+                **_pq.pq_index_stats(c, index_table),
+            },
+        )
+        self._add(
+            _tool("pq_index_probe",
+                  "Top-k by asymmetric distance (ADC: m lookups per "
+                  "candidate, no per-row vector math); pass "
+                  "refine_table to re-rank the top candidates by exact "
+                  "cosine against the original vectors",
+                  {"index_table": _S, "query_vector": _VEC, "k": _I,
+                   "refine_table": _S, "id_column": _S,
+                   "vector_column": _S, "refine_factor": _I},
+                  ["index_table", "query_vector"]),
+            lambda index_table, query_vector, k=10, refine_table=None,
+                   id_column="vec_id", vector_column="embedding",
+                   refine_factor=4: rows_of(
+                _pq.probe_pq_index(
+                    c, index_table, [float(v) for v in query_vector],
+                    k=k,
+                    refine_with=(c.load_table(refine_table).scan()
+                                 if refine_table else None),
+                    id_col=id_column, vec_col=vector_column,
+                    refine_factor=refine_factor,
+                )
+            ),
+        )
+        self._add(
+            _tool("pq_index_extend",
+                  "Encode a new batch against the frozen codebook "
+                  "(map-only) and append",
+                  {"index_table": _S, "batch_table": _S, "id_column": _S,
+                   "vector_column": _S},
+                  ["index_table", "batch_table", "id_column",
+                   "vector_column"]),
+            lambda index_table, batch_table, id_column, vector_column: {
+                "index_table": index_table,
+                "rows_added": _pq.extend_pq_index(
+                    c, index_table, c.load_table(batch_table).scan(),
+                    id_column, vector_column,
+                ),
+            },
+        )
+        self._add(
+            _tool("pq_index_stats",
+                  "Compression ratio + per-subspace code utilization "
+                  "(dead codes = rebuild signal on a drifted corpus)",
+                  {"index_table": _S}, ["index_table"]),
+            lambda index_table: _pq.pq_index_stats(c, index_table),
+        )
+
         # -- dashboard -----------------------------------------------------
         from .governance.advisor import dashboard as dash
         from .governance.audit import AuditLog as _AuditLog

@@ -4493,3 +4493,38 @@ def boilerplate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pq_ann_refined_topk",
+    None,  # index build + ADC probe is stateful/approximate — rows-only
+    survey_ref="beyond-reference (r8): product-quantization ANN — "
+    "64x-compressed codes, ADC probe, exact re-rank of bounded "
+    "candidates",
+)
+def pq_ann_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted PQ index end-to-end: train an 8-subspace/16-code
+    codebook over the embeddings (every Lloyd iteration one job,
+    shuffling codebook-sized partial sums, never vectors), encode the
+    corpus to 8 bytes/vector (64x compression), probe by asymmetric
+    distance (m array lookups per candidate — no per-row vector math),
+    then re-rank the bounded candidate set by exact cosine via a
+    broadcast semi-join. The recall contract vs brute force is pinned
+    in tests/test_pq_index.py; this entry proves the full
+    build/encode/probe/refine pipeline runs against real tables."""
+    import tempfile
+
+    from ..catalog import LakehouseCatalog
+    from ..operators import pq
+
+    emb = load_sf_tables(spark, sf_dir)["embeddings"]
+    cat = LakehouseCatalog(spark, tempfile.mkdtemp(prefix="pq_ann_"))
+    pq.build_pq_index(
+        cat, "default.pq_emb", emb, "vec_id", "embedding",
+        m=8, ksub=16, kmeans_iters=1,
+    )
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return pq.probe_pq_index(
+        cat, "default.pq_emb", qvec, k=10,
+        refine_with=emb, refine_factor=8,
+    )

@@ -166,6 +166,20 @@ SHOW = [
      "list driver-side; each surviving file is one Arrow partition and "
      "the custkey predicate is re-applied above the scan (pruning is "
      "I/O-only, never semantic)."),
+    ("ohlc_daily_value",
+     "OHLC downsample (round 8): ONE partial/final hash aggregate on "
+     "(event_type, day) — min_by/max_by combine map-side, no window, "
+     "single scan pruned to the four touched columns."),
+    ("time_weighted_value",
+     "Time-weighted average (round 8): LEAD window and per-user "
+     "aggregate share the uniform user_id hash partitioning — one "
+     "hash exchange total; the integrand is exact integer cents x "
+     "microseconds summed as DECIMAL(38,0)."),
+    ("boilerplate_span_fraction",
+     "Boilerplate spans (round 8): positional 8-grams exploded "
+     "map-side, (gram, doc) distinct before the df count, flagged "
+     "grams return via LEFT SEMI (rows never multiply), coverage "
+     "positions exploded only for flagged hits."),
 ]
 
 
