@@ -2545,6 +2545,81 @@ class LakeTable:
                 e["bytes"] += os.path.getsize(p)
         return sorted(agg.values(), key=lambda d: d["partition"])
 
+    # -- zero-copy onboarding -------------------------------------------------
+
+    def add_files(self, paths: list[str], link: bool = True) -> "Snapshot":
+        """Zero-copy import (Iceberg ``add_files`` / migrate analogue):
+        register EXISTING parquet files as one append commit without
+        reading or rewriting their data — at 100 TB, onboarding a
+        directory someone else already wrote is a metadata operation,
+        not a copy job. Files are hardlinked into the table's data dir
+        (``link=True``; silently falls back to copy across
+        filesystems), their footers feed the same per-file min/max
+        stats shard every write records (so stats pruning works on
+        adopted files exactly like native ones), and the commit is a
+        plain delta append under the usual lock.
+
+        The files' schema must match the table schema exactly (name ->
+        type); a mismatched file would poison every future scan, so
+        this validates BEFORE anything is linked. Partitioned tables
+        are rejected: adopted files lack the hidden-partition directory
+        layout that partition-wise operations (overwrite_partitions,
+        partition_stats) parse — import into an unpartitioned table or
+        rewrite through append()."""
+        if self.partition_fields():
+            raise ValueError(
+                "add_files requires an unpartitioned table (adopted "
+                "files lack the hidden-partition directory layout); "
+                "import through append() instead"
+            )
+        fmt = self.write_format()
+        if fmt != "parquet":
+            raise ValueError("add_files supports parquet tables only")
+        if not paths:
+            raise ValueError("no files to add")
+        for p in paths:
+            if not os.path.isfile(p):
+                raise ValueError(f"not a file: {p}")
+            if not p.endswith(".parquet"):
+                raise ValueError(f"not a parquet file: {p}")
+        incoming = self.spark.read.parquet(*paths).schema
+        table_fields = {f.name: f.dataType for f in self.schema().fields}
+        in_fields = {f.name: f.dataType for f in incoming.fields}
+        if in_fields != table_fields:
+            extra = sorted(set(in_fields) - set(table_fields))
+            missing = sorted(set(table_fields) - set(in_fields))
+            drift = sorted(
+                n for n in set(in_fields) & set(table_fields)
+                if in_fields[n] != table_fields[n]
+            )
+            raise ValueError(
+                "file schema does not match table schema "
+                f"(extra: {extra}, missing: {missing}, "
+                f"type-mismatch: {drift})"
+            )
+        sub = f"data/adopted-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.root, sub)
+        os.makedirs(out, exist_ok=True)
+        rels = []
+        for i, p in enumerate(sorted(paths)):
+            dest = os.path.join(out, f"{i:05d}-{os.path.basename(p)}")
+            if link:
+                try:
+                    os.link(p, dest)
+                except OSError:
+                    shutil.copy2(p, dest)  # cross-device fallback
+            else:
+                shutil.copy2(p, dest)
+            rels.append(os.path.relpath(dest, self.root))
+        rels = sorted(rels)
+        self._record_file_stats(rels)
+        return self._commit(
+            "append",
+            add_files=rels,
+            summary={"added_files": len(rels),
+                     "operation_detail": "add_files"},
+        )
+
     # -- ANALYZE (column NDV statistics) ------------------------------------
 
     def analyze(self, columns: list[str] | None = None) -> dict:

@@ -434,6 +434,7 @@ _TOP_LEVEL = {
     "insert": "insert", "update": "update", "delete": "delete",
     "delete_by_key": "delete-by-key", "replace_where": "replace-where",
     "overwrite_partitions": "overwrite-partitions",
+    "add_files": "add-files",
     "upsert": "upsert", "batch": "batch", "dashboard": "dashboard",
     "convert_format": "convert", "query_file": "query-file",
     "table_to_orc": "table-to-orc", "knn_search": "knn",

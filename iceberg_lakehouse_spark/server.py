@@ -429,6 +429,18 @@ class LakehouseServer:
             .cherry_pick(snapshot_id).to_json(),
         )
         self._add(
+            _tool("add_files",
+                  "Zero-copy import: register existing parquet files "
+                  "as one append commit (hardlinked, footer stats "
+                  "recorded — no data read or rewritten). Schema must "
+                  "match the table exactly; unpartitioned tables only",
+                  {"table": _S, "paths": {"type": "array", "items": _S},
+                   "link": _B},
+                  ["table", "paths"]),
+            lambda table, paths, link=True:
+            c.load_table(table).add_files(paths, link=link).to_json(),
+        )
+        self._add(
             _tool("analyze_table",
                   "ANALYZE: one-pass per-column approximate NDV + null "
                   "counts + exact row count, persisted per snapshot — "

@@ -4528,3 +4528,81 @@ def pq_ann_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat, "default.pq_emb", qvec, k=10,
         refine_with=emb, refine_factor=8,
     )
+
+
+_BASKET_CAP = 64  # users with more distinct items never generate pairs
+
+
+@register(
+    "copurchase_pairs_topk",
+    f"""
+    WITH p AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+        WHERE event_type = 'purchase' AND props IS NOT NULL
+    ),
+    capped AS (
+        SELECT user_id, item FROM (
+            SELECT user_id, item,
+                   COUNT(*) OVER (PARTITION BY user_id) AS basket
+            FROM p
+        ) WHERE basket <= {_BASKET_CAP}
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY a.item, b.item
+    )
+    SELECT item_a, item_b, n_users
+    FROM pairs
+    ORDER BY n_users DESC, item_a, item_b
+    LIMIT 50
+    """,
+    survey_ref="beyond-reference (r8): market-basket co-occurrence — "
+    "capped-basket self-join, the 'users who bought X also bought Y' "
+    "primitive",
+)
+def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased item pairs. The self-join rides the EQUALITY on
+    the uniform user key, and — the scale guard — baskets are CAPPED
+    first: a user with more than 64 distinct items generates ZERO
+    pairs instead of a quadratic blowup (the same df-cap discipline as
+    the shingle-equality dedup path; a bot account with 10^5 purchases
+    would otherwise own the job). Pair counting is a bounded-domain
+    hash aggregate; the final top-50 is TakeOrdered, not a global
+    sort. Oracle expresses the identical cap."""
+    events = load_sf_tables(spark, sf_dir)["events"]
+    p = (
+        events.where(
+            (F.col("event_type") == "purchase") & F.col("props").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    capped = (
+        p.withColumn("basket", F.count(F.lit(1)).over(w))
+        .where(F.col("basket") <= _BASKET_CAP)
+        .select("user_id", "item")
+    )
+    b = capped.select(
+        F.col("user_id").alias("user_id_b"), F.col("item").alias("item_b")
+    )
+    pairs = (
+        capped.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("item") < F.col("item_b")),
+        )
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return pairs.orderBy(
+        F.desc("n_users"), "item_a", "item_b"
+    ).limit(50)

@@ -811,3 +811,15 @@ def test_boilerplate_semi_join_and_bounded_explodes(spark):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_copurchase_capped_equality_join_topk(spark):
+    """Co-purchase pairs (r8): the self-join rides the user_id
+    EQUALITY (no cartesian), baskets are capped before pair
+    generation (Window above the distinct), and the final top-50 is
+    TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "copurchase_pairs_topk")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
