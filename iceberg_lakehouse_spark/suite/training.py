@@ -4225,10 +4225,10 @@ def wap_publish_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, seg FROM (
         SELECT c_custkey, c_mktsegment AS seg
-        FROM customer WHERE c_custkey % 7 <> 0
+        FROM customer WHERE NOT (c_custkey % 7 = 0 AND c_custkey < 1400)
         UNION ALL
         SELECT c_custkey, 'BACK' AS seg
-        FROM customer WHERE c_custkey % 14 = 0
+        FROM customer WHERE c_custkey % 14 = 0 AND c_custkey < 1400
     )
     ORDER BY c_custkey, seg
     """,
@@ -4243,8 +4243,11 @@ def eq_delete_reinsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     write path is one tiny key file), then the multiples of 14 are
     re-inserted — and stay visible, because an equality delete applies
     only to data files with an OLDER sequence number. The key batch is
-    a driver-side list by design (CDC batches are bounded); the scan
-    applies deletes as a broadcast null-safe anti-join, map-side."""
+    a driver-side list by design (the streaming-CDC write path hands
+    the engine a bounded batch of keys) and the entry keeps it
+    CONSTANT-sized at any SF (custkey < 1400 — ~200 keys), so the
+    collect below never grows with the table; the scan applies deletes
+    as a broadcast null-safe anti-join, map-side."""
     import tempfile
 
     from ..catalog import LakehouseCatalog
@@ -4258,8 +4261,9 @@ def eq_delete_reinsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(cust)
     keys = [
         {"c_custkey": r["c_custkey"]}
-        for r in cust.where(F.col("c_custkey") % 7 == 0)
-        .select("c_custkey").collect()
+        for r in cust.where(
+            (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") < 1400)
+        ).select("c_custkey").collect()
     ]
     files_before = list(t.current_snapshot().files)
     n = crud.delete_rows_by_key(t, keys, ["c_custkey"])
@@ -4268,8 +4272,9 @@ def eq_delete_reinsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert snap.files == files_before          # zero data files touched
     assert snap.eq_delete_files                # really an equality delete
     t.append(
-        cust.where(F.col("c_custkey") % 14 == 0)
-        .select("c_custkey", F.lit("BACK").alias("seg"))
+        cust.where(
+            (F.col("c_custkey") % 14 == 0) & (F.col("c_custkey") < 1400)
+        ).select("c_custkey", F.lit("BACK").alias("seg"))
     )
     return t.scan().orderBy("c_custkey", "seg")
 
@@ -4606,3 +4611,271 @@ def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("n_users"), "item_a", "item_b"
     ).limit(50)
+
+
+@register(
+    "nation_year_revenue_rank_rollup",
+    """
+    WITH agg AS (
+        SELECT n_name,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name,
+                        CAST(EXTRACT(year FROM o_orderdate) AS INT))
+    )
+    SELECT n_name, yr, rev_cents,
+           CAST(RANK() OVER (
+               PARTITION BY n_name
+               ORDER BY rev_cents DESC, yr ASC NULLS FIRST
+           ) AS INT) AS rnk
+    FROM agg
+    WHERE n_name IS NOT NULL
+    ORDER BY n_name, rnk, yr NULLS FIRST
+    """,
+    survey_ref="beyond-reference (r8): rank over rollup output (the "
+    "TPC-DS q67 shape) — subtotal rows rank alongside detail rows",
+)
+def nation_year_revenue_rank_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue rank WITHIN each nation over the ROLLUP output — detail
+    (nation, year) rows and the nation subtotal row rank together (the
+    analytic shape TPC-DS q67 popularized). One rollup aggregation
+    (partial-aggregated per grouping set), then a rank window whose
+    partition key is the nation — bounded cardinality per partition
+    (years + 1 rows), so the window never concentrates data. Money in
+    integer cents end-to-end."""
+    t = load_sf_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(t["customer"],
+              t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            .alias("cents"),
+        )
+    )
+    agg = joined.rollup("n_name", "yr").agg(
+        F.sum("cents").alias("rev_cents"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("rev_cents"), F.col("yr").asc_nulls_first())
+    return (
+        agg.where(F.col("n_name").isNotNull())
+        .withColumn("rnk", F.rank().over(w).cast("int"))
+        .orderBy("n_name", "rnk", F.col("yr").asc_nulls_first())
+    )
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', MAX(o_orderdate),
+                         (SELECT MAX(o_orderdate) FROM orders))
+                   AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey, monetary_cents,
+               CAST(NTILE(5) OVER (ORDER BY recency_days, custkey)
+                    AS INT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency, custkey)
+                    AS INT) AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary_cents, custkey)
+                    AS INT) AS m_score
+        FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(monetary_cents) AS total_cents
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    survey_ref="beyond-reference (r8): RFM customer segmentation — "
+    "three exact global NTILEs via the two-pass row-number machinery, "
+    "no single-partition window",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation: per-customer order
+    aggregates scored into quintiles on each axis, reported as segment
+    sizes. NTILE semantics are exact, but none of the three global
+    rankings funnels through one task: each reuses the two-pass
+    range-bucketed row-number machinery (``operators/rownum.py``) and
+    derives the quintile by arithmetic on (rn, N) — the same scheme
+    the decile entry pins — so the plan stays shuffle-bounded at any
+    customer count. The per-customer aggregate itself is one hash
+    aggregation on the uniform customer key."""
+    from ..operators.rownum import range_bucket, with_global_row_number
+
+    orders = load_sf_tables(spark, sf_dir)["orders"]
+    max_date = orders.agg(F.max("o_orderdate")).first()[0]
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(F.lit(max_date), F.max("o_orderdate"))
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .alias("monetary_cents"),
+    ).persist()
+    try:
+        n = base.count()
+
+        def ntile5(df, metric):
+            st = df.agg(F.min(metric).alias("mn"),
+                        F.max(metric).alias("mx")).first()
+            numbered = with_global_row_number(
+                df,
+                range_bucket(F.col(metric), st["mn"], st["mx"]),
+                [F.col(metric).asc_nulls_first(), F.col("custkey")],
+                out_col="rn",
+            )
+            q, rem = divmod(n, 5)
+            r = F.col("rn") - 1
+            if q == 0:
+                score = (r + 1).cast("int")
+            else:
+                big = F.lit((q + 1) * rem)
+                score = (
+                    F.when(r < big, F.floor(r / (q + 1)))
+                    .otherwise(rem + F.floor((r - big) / q))
+                    .cast("int") + 1
+                )
+            return numbered.select("custkey", score.alias("score"))
+
+        r = ntile5(base.select("custkey", "recency_days"), "recency_days") \
+            .withColumnRenamed("score", "r_score")
+        f = ntile5(base.select("custkey", "frequency"), "frequency") \
+            .withColumnRenamed("score", "f_score")
+        m = ntile5(base.select("custkey", "monetary_cents"),
+                   "monetary_cents").withColumnRenamed("score", "m_score")
+        scored = (
+            base.select("custkey", "monetary_cents")
+            .join(r, "custkey").join(f, "custkey").join(m, "custkey")
+        )
+        return (
+            scored.groupBy("r_score", "f_score", "m_score")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum("monetary_cents").alias("total_cents"),
+            )
+            .orderBy("r_score", "f_score", "m_score")
+        )
+    finally:
+        base.unpersist()
+
+
+@register(
+    "daily_event_count_anomalies",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS days,
+               SUM(n) AS s,
+               SUM(n * n) AS ssq
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.n,
+           (d.days * d.n - d.s) * (d.days * d.n - d.s)
+               > 4 * (d.days * d.ssq - d.s * d.s) AS is_anomaly
+    FROM (SELECT daily.*, stats.days, stats.s, stats.ssq
+          FROM daily JOIN stats USING (event_type)) d
+    ORDER BY d.event_type, day
+    """,
+    survey_ref="beyond-reference (r8): z-score anomaly flags in EXACT "
+    "integer arithmetic — no floating stddev, no cross-engine drift",
+)
+def daily_event_count_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Volume-anomaly flags per (event_type, day): |count - mean| >
+    2 x stddev, evaluated WITHOUT ever computing a floating-point mean
+    or stddev. With integer day-counts, z > 2 is equivalent to
+    (days*n - s)^2 > 4*(days*ssq - s^2) — pure BIGINT
+    cross-multiplication, so the flag can never flip on partial-agg
+    order or libm differences between engines (the usual reason
+    stddev-based oracles are untestable). Two bounded aggregations:
+    daily counts (hash agg on a calendar-bounded key), per-type
+    moments (a handful of rows), broadcast back."""
+    events = load_sf_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ssq"),
+    )
+    dev = F.col("days") * F.col("n") - F.col("s")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            "n",
+            (dev * dev > 4 * (F.col("days") * F.col("ssq")
+                              - F.col("s") * F.col("s")))
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY from_type, to_type
+    """,
+    survey_ref="beyond-reference (r8): per-user event transition "
+    "matrix (Markov first-order) — LEAD on the uniform key, "
+    "bounded-domain aggregate",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition counts: for every consecutive
+    pair of events a user emits (ordered by the ts-monotone event_id),
+    count (from_type -> to_type). One LEAD window on the uniform
+    user key, then a hash aggregate over the tiny type x type domain —
+    the foundation for session next-step prediction and funnel-escape
+    analysis, and the plan is the same one-shuffle shape as
+    repeat_purchase_gaps at any scale."""
+    events = load_sf_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = events.select(
+        "user_id", "event_type", "event_id"
+    ).withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )

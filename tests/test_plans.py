@@ -823,3 +823,23 @@ def test_copurchase_capped_equality_join_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rollup_rank_bounded_window_partitions(spark):
+    """Rollup-rank (r8): the rank window partitions by nation (bounded
+    rows per partition — years + subtotal), never a single partition;
+    the nation dim broadcasts."""
+    plan = plan_of(spark, "nation_year_revenue_rank_rollup")
+    assert "Expand" in plan  # rollup grouping sets
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_no_single_partition_ntile(spark):
+    """RFM (r8): three exact global NTILEs with ZERO
+    Exchange SinglePartition — each rides the two-pass range-bucketed
+    row-number scheme."""
+    plan = plan_of(spark, "rfm_segments")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
