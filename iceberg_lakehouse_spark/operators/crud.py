@@ -217,14 +217,17 @@ def replace_where(
         raise ValueError("Filter expression is required for replace_where")
     cond = F.expr(filter_expr)
     aligned = table._align(df)
-    if enforce:
-        bad = aligned.where(~F.coalesce(cond, F.lit(False))).limit(1).count()
-        if bad:
-            raise ValueError(
-                "replace_where: incoming rows do not satisfy the filter "
-                f"{filter_expr!r} (pass enforce=False to allow)"
-            )
-    inserted = aligned.count()
+    # one pass over the incoming batch: row count + violation count
+    stats = aligned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias("bad"),
+    ).first()
+    inserted = int(stats["n"])
+    if enforce and stats["bad"]:
+        raise ValueError(
+            "replace_where: incoming rows do not satisfy the filter "
+            f"{filter_expr!r} (pass enforce=False to allow)"
+        )
     cur = table.current_snapshot()
     if cur is None or not cur.files:
         table.append(aligned)

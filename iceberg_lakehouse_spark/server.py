@@ -1129,11 +1129,20 @@ class LakehouseServer:
         _validated("insert")
         _validated("update")
         _validated("upsert")
+        # replace_where / overwrite_partitions carry "rows" payloads
+        # like insert; uniqueness-vs-existing is skipped (the incoming
+        # slice legitimately replaces existing keys)
+        _validated("replace_where")
+        _validated("overwrite_partitions")
 
         _audited("insert", "insert", "inserted")
         _audited("update", "update", "updated")
         _audited("delete", "delete", "deleted")
         _audited("upsert", "upsert", None)
+        _audited("replace_where", "replace_where", "inserted_rows")
+        _audited("overwrite_partitions", "overwrite_partitions",
+                 "inserted_rows")
+        _audited("add_files", "add_files", None)
         _audited("import_file", "import", "rows")
         _audited("export_table", "export", "rows")
         _audited("rollback", "rollback", None)

@@ -180,6 +180,18 @@ SHOW = [
      "map-side, (gram, doc) distinct before the df count, flagged "
      "grams return via LEFT SEMI (rows never multiply), coverage "
      "positions exploded only for flagged hits."),
+    ("copurchase_pairs_topk",
+     "Market-basket pairs (round 8): basket-cap Window above the "
+     "distinct, self-join rides the user_id EQUALITY, pair counts "
+     "hash-aggregate over the bounded item domain, TakeOrdered final."),
+    ("rfm_segments",
+     "RFM quintiles (round 8): three exact global NTILEs with zero "
+     "Exchange SinglePartition — each is the two-pass range-bucketed "
+     "row-number scheme plus map-side bucket arithmetic."),
+    ("daily_event_count_anomalies",
+     "Integer-exact anomaly flags (round 8): two bounded hash "
+     "aggregates and a broadcast join back; the z>2 test is BIGINT "
+     "cross-multiplication, so no floating-point stddev anywhere."),
 ]
 
 
