@@ -197,6 +197,10 @@ class MaintenanceManager:
         # keys WITHOUT rewriting data. A needed full compact takes
         # precedence (it folds the deletes anyway).
         "auto_rewrite_delete_files": None,
+        # truthy: re-run ANALYZE (column NDV stats) whenever the table
+        # has committed past the last analyzed snapshot — keeps
+        # join_strategy / optimizer food fresh without manual calls
+        "auto_analyze": None,
     }
 
     def __init__(self, store_path: str):
@@ -294,11 +298,22 @@ class MaintenanceManager:
             )
         if needs_orphans:
             actions.append(f"cleanup_orphans ({graced_orphans} orphans)")
+        needs_analyze = False
+        if pol.get("auto_analyze"):
+            a = table.analyzed_stats()
+            needs_analyze = a is None or a.get("stale", True)
+            if needs_analyze:
+                actions.append(
+                    "analyze (no column stats)" if a is None
+                    else "analyze (stats stale — table committed past "
+                         "the analyzed snapshot)"
+                )
         return {
             "table": name, "has_policy": True,
             "needs_compact": needs_compact, "needs_expire": needs_expire,
             "needs_rewrite_deletes": needs_rewrite,
             "needs_orphan_cleanup": needs_orphans,
+            "needs_analyze": needs_analyze,
             "actions_needed": actions, "stats": fs,
         }
 
@@ -336,6 +351,14 @@ class MaintenanceManager:
                     retain_last=pol["auto_expire_retain_last"]
                 )
                 actions.append({"action": "expire", "status": "completed", **res})
+        if needed.get("needs_analyze"):
+            if dry_run:
+                actions.append({"action": "analyze", "status": "dry_run"})
+            else:
+                res = table.analyze()
+                actions.append({"action": "analyze", "status": "completed",
+                                "row_count": res["row_count"],
+                                "columns": len(res["columns"])})
         if needed["needs_orphan_cleanup"]:
             # AUTOMATED deletion path: the grace window shields a
             # concurrent writer's just-materialized (not-yet-committed)

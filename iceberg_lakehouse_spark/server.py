@@ -1408,7 +1408,8 @@ class LakehouseServer:
                   {"table": _S, "auto_compact_threshold": _I,
                    "auto_expire_retain_last": _I, "auto_cleanup_orphans": _B,
                    "auto_compact_delete_files": _I,
-                   "auto_rewrite_delete_files": _I},
+                   "auto_rewrite_delete_files": _I,
+                   "auto_analyze": _B},
                   ["table"]),
             lambda table, **kw: maintenance.set_policy(table, **kw),
         )

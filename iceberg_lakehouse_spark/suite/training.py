@@ -4879,3 +4879,85 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "ngram_novelty_rate",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)),
+                                     '[ \\t\\n\\x0b\\f\\r]+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t
+        FROM toks WHERE len(t) >= 8
+    ),
+    g2 AS (
+        SELECT doc_id, array_to_string(t[pos:pos + 7], ' ') AS g
+        FROM grams
+    ),
+    first_seen AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM g2 GROUP BY g
+    ),
+    per_doc AS (
+        SELECT g2.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) FILTER (
+                   WHERE f.first_doc = g2.doc_id) AS BIGINT) AS novel
+        FROM g2 JOIN first_seen f ON g2.g = f.g
+        GROUP BY g2.doc_id
+    )
+    SELECT doc_id, n_grams, novel,
+           ROUND(CAST(novel AS DOUBLE) / n_grams, 6) AS novelty_rate
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    survey_ref="LLM-dedup (r8): corpus n-gram novelty curve — per-doc "
+    "fraction of 8-grams first seen in that doc (redundancy-growth "
+    "telemetry for dataset construction)",
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's 8-gram
+    occurrences whose FIRST corpus occurrence (smallest doc_id) is this
+    document — the standard telemetry for how fast a growing corpus
+    goes redundant (falling novelty = diminishing returns per ingested
+    byte). Shape: map-side positional grams, one (gram -> min doc_id)
+    hash aggregate (partial min combines map-side, so a Zipf-hot gram
+    costs its partials, never a sort group), an equality join of the
+    occurrence stream against the 1-row-per-gram first-seen relation,
+    and a per-doc count. All integers until the reported rate."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"[ \t\n\x0b\f\r]+").alias("t"),
+    )
+    g2 = (
+        toks.where(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 7)).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("t", F.col("pos"), 8)).alias("g"),
+        )
+    )
+    first_seen = g2.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g2.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .alias("novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "novel",
+            F.round(F.col("novel").cast("double") / F.col("n_grams"), 6)
+            .alias("novelty_rate"),
+        )
+        .orderBy("doc_id")
+    )

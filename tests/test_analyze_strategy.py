@@ -113,3 +113,39 @@ def test_explain_query_tool(spark, tmp_warehouse, tmp_path):
     assert out["mode"] == "formatted"
     with pytest.raises(ValueError, match="explain mode"):
         srv._tools["explain_query"][1](sql="SELECT 1", mode="bogus")
+
+
+def test_auto_analyze_maintenance_policy(spark, tmp_warehouse, tmp_path):
+    """auto_analyze: maintenance re-runs ANALYZE exactly when the table
+    committed past the analyzed snapshot; fresh stats are a no-op."""
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.auto", [("k", "long")])
+    t.append(spark.createDataFrame([(1,), (2,)], "k long"))
+    mm = MaintenanceManager(str(tmp_path / "maint.json"))
+    mm.set_policy("default.auto", auto_analyze=True,
+                  auto_compact_threshold=10_000,
+                  auto_expire_retain_last=10_000)
+    need = mm.check_needed(t)
+    assert need["needs_analyze"] is True       # never analyzed
+    res = mm.run(t)
+    assert any(a["action"] == "analyze" and a["status"] == "completed"
+               for a in res["actions"])
+    assert t.analyzed_stats()["stale"] is False
+    # fresh: nothing to do
+    assert mm.check_needed(t)["needs_analyze"] is False
+    assert not any(a["action"] == "analyze"
+                   for a in mm.run(t)["actions"])
+    # commit → stale → dry-run reports, real run refreshes
+    t.append(spark.createDataFrame([(3,)], "k long"))
+    assert mm.check_needed(t)["needs_analyze"] is True
+    dry = mm.run(t, dry_run=True)
+    assert any(a["action"] == "analyze" and a["status"] == "dry_run"
+               for a in dry["actions"])
+    assert t.analyzed_stats()["stale"] is True  # dry run changed nothing
+    mm.run(t)
+    assert t.analyzed_stats()["stale"] is False
+    assert t.analyzed_stats()["row_count"] == 3
