@@ -4961,3 +4961,86 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "streaming_hourly_event_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    survey_ref="beyond-reference (r8): Structured Streaming windowed "
+    "aggregation, value-hash-checked against the batch SQL oracle",
+)
+def streaming_hourly_event_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A REAL Structured Streaming query graded by the same DuckDB
+    oracle as every batch entry: the events parquet is read through
+    ``readStream`` (file-source micro-batches), aggregated per
+    (1-hour tumbling window, event_type) in COMPLETE output mode into
+    a memory sink, and the drained sink table is returned. Complete
+    mode (not append+watermark) is what makes the tail windows
+    deterministic: append mode would hold back every window the
+    watermark never passes after the source runs dry — the classic
+    missing-last-window pitfall. At production scale the same topology
+    runs append mode with a watermark because the stream never ends;
+    the state store holds one row per open (window, type). The nanos
+    timestamp conversion mirrors load_sf_tables exactly, so stream and
+    batch read byte-identical instants."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    load_sf_tables(spark, sf_dir)  # ensures the nanos conf is set
+    raw_schema = spark.read.parquet(path).schema
+    # the file source streams DIRECTORIES; events.parquet is a single
+    # file, so stream its parent with a glob pinned to exactly it
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .alias("value_cents"),
+        )
+    )
+    name = f"stream_hourly_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events", "value_cents",
+        )
+        .orderBy("window_start", "event_type")
+    )
