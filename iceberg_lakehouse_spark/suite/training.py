@@ -5044,3 +5044,149 @@ def streaming_hourly_event_counts(
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """readStream over the events parquet with the same nanos
+    conversion as load_sf_tables (shared by the streaming entries)."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    load_sf_tables(spark, sf_dir)  # ensures the nanos conf is set
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+@register(
+    "streaming_dedup_distinct_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey_ref="beyond-reference (r8): streaming dropDuplicates state "
+    "+ aggregation, oracle-gated against batch COUNT(DISTINCT)",
+)
+def streaming_dedup_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming deduplication graded by the batch oracle: the event
+    stream is deduplicated on (event_type, user_id) — real
+    dropDuplicates state, the cross-batch exactly-once primitive —
+    then counted per type in complete mode; the drained result must
+    equal batch COUNT(DISTINCT user_id). In production the same
+    topology bounds its state with dropDuplicatesWithinWatermark; the
+    finite graded source needs no eviction."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.select("event_type", "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    name = f"stream_dedup_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("event_type")
+
+
+@register(
+    "streaming_view_purchase_interval_join",
+    """
+    WITH v AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed,
+           SUM(p.cents) AS attributed_cents
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL '30 minutes'
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+    survey_ref="beyond-reference (r8): stream-stream interval join, "
+    "oracle-gated — every view/purchase attribution pair the batch "
+    "join produces, the streaming join must produce",
+)
+def streaming_view_purchase_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A real stream-stream INNER interval join graded by the batch
+    oracle: views and purchases stream in as two readStream branches,
+    join on user within [view.ts, view.ts + 30 min], land append-mode
+    in a memory sink, and the drained pairs aggregate (batch-side) to
+    per-user attribution counts that must hash-match the batch
+    interval join. Inner joins are exactly-once by construction —
+    state eviction (watermarks) affects resources, never results — so
+    the finite graded source needs no watermark; the production twin
+    with watermarked state expiry is streaming/events.py's
+    correlate_event_streams (pytest-pinned, incl. the left-outer
+    variant)."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    pairs = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    name = f"stream_attr_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+        .orderBy("user_id")
+    )
