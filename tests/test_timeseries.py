@@ -100,3 +100,19 @@ def test_boilerplate_fraction_bounds_and_duplicate_docs_covered(spark):
     for d in dup_ids:
         if res[d]["n_tokens"] >= 8:
             assert res[d]["covered_tokens"] == res[d]["n_tokens"]
+
+
+def test_streaming_entries_reentrant_same_session(spark):
+    """The driver may invoke a registry entry more than once in one
+    session: the streaming entries re-run their memory-sink query under
+    the same name — re-registration must work and results must be
+    stable across invocations."""
+    for name in (
+        "streaming_hourly_event_counts",
+        "streaming_dedup_distinct_users",
+        "streaming_view_purchase_interval_join",
+    ):
+        fn = REGISTRY[name].fn
+        first = [tuple(r) for r in fn(spark, SF).collect()]
+        second = [tuple(r) for r in fn(spark, SF).collect()]
+        assert first == second and first, name
