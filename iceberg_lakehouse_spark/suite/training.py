@@ -5190,3 +5190,147 @@ def streaming_view_purchase_interval_join(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "pareto_customers_for_80pct",
+    """
+    WITH per_cust AS (
+        SELECT n_name, c_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, c_custkey
+    ),
+    ranked AS (
+        SELECT n_name, cents,
+               SUM(cents) OVER (
+                   PARTITION BY n_name
+                   ORDER BY cents DESC, c_custkey
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cents) OVER (PARTITION BY n_name) AS total,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n_name
+                   ORDER BY cents DESC, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY n_name) AS n_customers
+        FROM per_cust
+    )
+    SELECT n_name,
+           CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rn END)
+                AS BIGINT) AS customers_for_80pct,
+           CAST(MAX(n_customers) AS BIGINT) AS n_customers,
+           MAX(total) AS total_cents
+    FROM ranked
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    survey_ref="beyond-reference (r8): exact Pareto concentration — "
+    "customers covering 80% of revenue, computed scale-safe (bucketed "
+    "prefix sums, no big low-cardinality-key window)",
+)
+def pareto_customers_for_80pct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How many top customers cover 80% of each nation's revenue — the
+    Pareto-concentration report — with NTILE-style exactness but no
+    scale-killer plan. The naive shape (the oracle's) windows the full
+    per-customer relation partitioned by the 25-value nation key: at
+    100 TB that is 25 giant sort groups (the exact low-cardinality-key
+    window r5 flagged elsewhere). Instead: (1) per-customer revenue
+    hash-agg; (2) 256 range buckets of the revenue key; (3) bucket-
+    level sums/counts — nations x 256 rows, so the cumulative window
+    over THEM is trivially small; (4) pick each nation's threshold
+    bucket by integer cross-multiply (cum*5 >= total*4 — no floating
+    80%); (5) sort ONLY the threshold bucket's customers (bounded by
+    one bucket's width) to resolve the exact crossing row. Every
+    comparison stays in BIGINT cents, so the answer is bit-identical
+    to the oracle's full-window formulation."""
+    from ..operators.rownum import range_bucket
+
+    t = load_sf_tables(spark, sf_dir)
+    per_cust = (
+        t["orders"]
+        .join(t["customer"],
+              t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.col("c_custkey").alias("custkey"))
+        .agg(F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("cents"))
+    ).persist()
+    try:
+        mm = per_cust.agg(F.min("cents").alias("mn"),
+                          F.max("cents").alias("mx")).first()
+        bucketed = per_cust.withColumn(
+            "b", range_bucket(F.col("cents"), mm["mn"], mm["mx"]))
+        blevel = bucketed.groupBy("n_name", "b").agg(
+            F.sum("cents").alias("b_sum"),
+            F.count(F.lit(1)).alias("b_cnt"),
+        )
+        wdesc = (
+            Window.partitionBy("n_name").orderBy(F.desc("b"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("n_name")
+        marked = (
+            blevel.withColumn("cum_incl", F.sum("b_sum").over(wdesc))
+            .withColumn("cnt_incl", F.sum("b_cnt").over(wdesc))
+            .withColumn("total", F.sum("b_sum").over(wall))
+            .withColumn("n_customers", F.sum("b_cnt").over(wall))
+        )
+        # per nation: the HIGHEST qualifying bucket (qualifying rows are
+        # a suffix in descending-bucket order, so max(b) is the first
+        # crossing) — one struct-max aggregate, no self-join
+        thresh = (
+            marked.where(F.col("cum_incl") * 5 >= F.col("total") * 4)
+            .groupBy("n_name")
+            .agg(F.max(F.struct(
+                F.col("b").alias("tb"),
+                (F.col("cum_incl") - F.col("b_sum")).alias("cum_above"),
+                (F.col("cnt_incl") - F.col("b_cnt")).alias("n_above"),
+                F.col("total").alias("total"),
+                F.col("n_customers").alias("n_customers"),
+            )).alias("s"))
+            .select("n_name", "s.tb", "s.cum_above", "s.n_above",
+                    "s.total", "s.n_customers")
+        )
+        # resolve the crossing INSIDE the threshold bucket only
+        # (rename the join keys: thresh derives from bucketed, and
+        # same-lineage column refs are ambiguous to the analyzer)
+        tr = thresh.select(
+            F.col("n_name").alias("_tn"), F.col("tb").alias("_tb"),
+            "cum_above", "n_above", "total", "n_customers",
+        )
+        sub = bucketed.join(
+            F.broadcast(tr),
+            (F.col("n_name") == F.col("_tn")) & (F.col("b") == F.col("_tb")),
+        ).select(
+            "n_name", "cents", "custkey",
+            "cum_above", "n_above", "total", "n_customers",
+        )
+        win = Window.partitionBy("n_name").orderBy(
+            F.desc("cents"), F.col("custkey"))
+        resolved = (
+            sub.withColumn(
+                "pref",
+                F.sum("cents").over(
+                    win.rowsBetween(Window.unboundedPreceding,
+                                    Window.currentRow)),
+            )
+            .withColumn("rn", F.row_number().over(win))
+            .where((F.col("cum_above") + F.col("pref")) * 5
+                   >= F.col("total") * 4)
+            .groupBy("n_name")
+            .agg(
+                (F.min(F.col("n_above") + F.col("rn")))
+                .cast("bigint").alias("customers_for_80pct"),
+                F.max("n_customers").cast("bigint").alias("n_customers"),
+                F.max("total").alias("total_cents"),
+            )
+        )
+        return resolved.orderBy("n_name")
+    finally:
+        per_cust.unpersist()

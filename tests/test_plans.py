@@ -843,3 +843,20 @@ def test_rfm_no_single_partition_ntile(spark):
     plan = plan_of(spark, "rfm_segments")
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_windows_only_bucket_level_and_threshold_subset(spark):
+    """Pareto-80% (r8): the big per-customer relation is never
+    windowed by the 25-value nation key — windows run over the
+    bucket-level aggregate (nations x 256 rows) and the threshold-
+    bucket subset only. Gate: every Window sits above a HashAggregate
+    or the broadcast-joined subset; no SinglePartition, no cartesian."""
+    plan = plan_of(spark, "pareto_customers_for_80pct")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # nation dim + threshold subset
+    # the first Window in the tree (top-down formatted output) belongs
+    # to the in-bucket resolution which consumes the broadcast join of
+    # the tiny threshold relation — the full per_cust relation feeds
+    # HashAggregates only
+    assert plan.count("Window") >= 1
