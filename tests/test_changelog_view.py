@@ -139,3 +139,52 @@ def test_lazy_plan_no_full_scan_for_additive_chain(spark, tmp_warehouse):
     df = changelog_view(t, s0)
     scanned = {f for f in df.inputFiles()}
     assert not any(any(ff in s for s in scanned) for ff in first_files)
+
+
+def test_replace_where_changelog_is_exact_diff(spark, tmp_warehouse):
+    """A replace_where commit surfaces in the changelog as exactly the
+    slice's deletes plus the replacement's inserts — untouched rows
+    never appear (the conformed-EXCEPT rewrite path)."""
+    from iceberg_lakehouse_spark.operators import crud
+
+    t = _t(spark, tmp_warehouse)
+    t.append(spark.createDataFrame(
+        [(1, "keep"), (2, "old"), (3, "old")], "id long, v string"))
+    s0 = t.current_snapshot().snapshot_id
+    crud.replace_where(
+        t, "v = 'old'",
+        spark.createDataFrame([(9, "old")], "id long, v string"))
+    log = changelog_view(t, s0).collect()
+    changes = sorted((r["_change_type"], r["id"]) for r in log)
+    assert changes == [("delete", 2), ("delete", 3), ("insert", 9)]
+
+
+def test_overwrite_partitions_changelog_is_exact_diff(spark, tmp_warehouse):
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import crud
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table(
+        "default.clop", [("id", "long"), ("day", "string")],
+        partition_by=["day"])
+    t.append(spark.createDataFrame(
+        [(1, "d1"), (2, "d2"), (3, "d2")], "id long, day string"))
+    s0 = t.current_snapshot().snapshot_id
+    crud.overwrite_partitions(
+        t, spark.createDataFrame([(9, "d2")], "id long, day string"))
+    log = changelog_view(t, s0).collect()
+    changes = sorted((r["_change_type"], r["id"]) for r in log)
+    assert changes == [("delete", 2), ("delete", 3), ("insert", 9)]
+
+
+def test_compact_where_changelog_nets_zero(spark, tmp_warehouse):
+    """Partial compaction rewrites files, not rows: the changelog over
+    a compact(where=) commit is empty."""
+    t = _t(spark, tmp_warehouse)
+    for k in range(3):
+        t.append(spark.createDataFrame(
+            [(k, f"v{k}")], "id long, v string").repartition(1))
+    s0 = t.current_snapshot().snapshot_id
+    res = t.compact(where="id <= 1", target_partitions=1)
+    assert res["rewritten_files"] >= 2
+    assert changelog_view(t, s0).count() == 0
