@@ -211,3 +211,39 @@ def test_backing_delete_debt_folds(spark, catalog, mv, source, monkeypatch):
         assert mv.refresh_incremental("agg")["mode"] == "incremental"
         _check(mv, source)
     assert len(backing.current_snapshot().eq_delete_files) < 2
+
+
+def test_incremental_refresh_over_replace_where(spark, tmp_warehouse, tmp_path):
+    """A replace_where commit on the backing table routes through the
+    changelog (delete+insert deltas), so the incremental refresh stays
+    exact: group totals reflect the replaced slice, and a group whose
+    rows all left dies."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.governance.views import MatviewManager
+    from iceberg_lakehouse_spark.operators import crud
+    from iceberg_lakehouse_spark.plans.engine import QueryEngine
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table(
+        "default.rwmv", [("k", "string"), ("cents", "long")])
+    t.append(spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k string, cents long"))
+    mv = MatviewManager(str(tmp_path / "mv.json"), cat, QueryEngine(cat))
+    mv.create_aggregate(
+        "totals", "default.rwmv", ["k"],
+        [{"fn": "sum", "col": "cents", "as": "total"},
+         {"fn": "count_star", "as": "n"}])
+    crud.replace_where(
+        t, "k = 'b'",
+        spark.createDataFrame([("b", 100), ("b", 1)], "k string, cents long"))
+    rep = mv.refresh_incremental("totals")
+    rows = {r["k"]: (r["total"], r["n"])
+            for r in mv.query("totals").collect()}
+    assert rows == {"a": (30, 2), "b": (101, 2)}, (rep, rows)
+    # replace the whole 'a' slice with nothing -> group death
+    crud.replace_where(
+        t, "k = 'a'", spark.createDataFrame([], "k string, cents long"))
+    mv.refresh_incremental("totals")
+    rows = {r["k"]: (r["total"], r["n"])
+            for r in mv.query("totals").collect()}
+    assert rows == {"b": (101, 2)}
