@@ -192,6 +192,12 @@ SHOW = [
      "Integer-exact anomaly flags (round 8): two bounded hash "
      "aggregates and a broadcast join back; the z>2 test is BIGINT "
      "cross-multiplication, so no floating-point stddev anywhere."),
+    ("pareto_customers_for_80pct",
+     "Exact Pareto-80% (round 8): the cumulative window runs over the "
+     "nations x 256 bucket-level aggregate, the threshold bucket comes "
+     "back via broadcast join, and only that bucket's customers sort — "
+     "the per-customer relation itself is never windowed by the "
+     "25-value nation key."),
 ]
 
 
