@@ -5334,3 +5334,55 @@ def pareto_customers_for_80pct(
         return resolved.orderBy("n_name")
     finally:
         per_cust.unpersist()
+
+
+@register(
+    "event_band_matrix_single_scan",
+    """
+    SELECT
+      CAST(COUNT(*) FILTER (WHERE value < 5
+               AND event_type IN ('view', 'click')) AS BIGINT) AS lo_engage,
+      CAST(COUNT(*) FILTER (WHERE value < 5
+               AND event_type NOT IN ('view', 'click')) AS BIGINT) AS lo_other,
+      CAST(COUNT(*) FILTER (WHERE value >= 5 AND value < 20
+               AND event_type IN ('view', 'click')) AS BIGINT) AS mid_engage,
+      CAST(COUNT(*) FILTER (WHERE value >= 5 AND value < 20
+               AND event_type NOT IN ('view', 'click')) AS BIGINT) AS mid_other,
+      CAST(COUNT(*) FILTER (WHERE value >= 20 AND value < 100
+               AND event_type IN ('view', 'click')) AS BIGINT) AS hi_engage,
+      CAST(COUNT(*) FILTER (WHERE value >= 20 AND value < 100
+               AND event_type NOT IN ('view', 'click')) AS BIGINT) AS hi_other,
+      CAST(COUNT(*) FILTER (WHERE value >= 100
+               AND event_type IN ('view', 'click')) AS BIGINT) AS top_engage,
+      CAST(COUNT(*) FILTER (WHERE value >= 100
+               AND event_type NOT IN ('view', 'click')) AS BIGINT) AS top_other
+    FROM events
+    """,
+    survey_ref="beyond-reference (r8): TPC-DS q88 shape — eight "
+    "band-conditional counts in ONE scan and ONE aggregate",
+)
+def event_band_matrix_single_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TPC-DS q88 pattern: a dashboard wants eight banded counts
+    (4 value bands x engagement/other) and the naive implementation
+    runs eight filtered scans (q88 literally writes eight subqueries).
+    Here all eight are conditional counts in ONE aggregation over ONE
+    scan — at 100 TB the difference between reading the fact table
+    once and eight times. Plan-gated: exactly one scan node, one
+    partial/final aggregate pair, no joins."""
+    events = load_sf_tables(spark, sf_dir)["events"]
+    engage = F.col("event_type").isin("view", "click")
+    bands = [
+        ("lo", F.col("value") < 5),
+        ("mid", (F.col("value") >= 5) & (F.col("value") < 20)),
+        ("hi", (F.col("value") >= 20) & (F.col("value") < 100)),
+        ("top", F.col("value") >= 100),
+    ]
+    aggs = []
+    for name, band in bands:
+        aggs.append(
+            F.count(F.when(band & engage, 1)).alias(f"{name}_engage"))
+        aggs.append(
+            F.count(F.when(band & ~engage, 1)).alias(f"{name}_other"))
+    return events.agg(*aggs)

@@ -860,3 +860,14 @@ def test_pareto_windows_only_bucket_level_and_threshold_subset(spark):
     # the tiny threshold relation — the full per_cust relation feeds
     # HashAggregates only
     assert plan.count("Window") >= 1
+
+
+def test_band_matrix_one_scan_one_aggregate(spark):
+    """q88 shape (r8): eight banded counts ride ONE scan and ONE
+    partial/final aggregate — never eight filtered scans."""
+    import re
+
+    plan = plan_of(spark, "event_band_matrix_single_scan")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "partial_count" in plan  # map-side combine of all 8 counts
