@@ -5386,3 +5386,73 @@ def event_band_matrix_single_scan(
         aggs.append(
             F.count(F.when(band & ~engage, 1)).alias(f"{name}_other"))
     return events.agg(*aggs)
+
+
+@register(
+    "char_entropy_scores",
+    """
+    WITH chars AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) + 1)) AS i
+              FROM documents WHERE length(text) > 0)
+    ),
+    counts AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, ch
+    ),
+    lens AS (
+        SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(MAX(l.n) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+           ROUND(CAST(SUM(
+               CAST(ROUND(-(CAST(c.c AS DOUBLE) / l.n)
+                          * ln(CAST(c.c AS DOUBLE) / l.n), 9)
+                    AS DECIMAL(18,9))
+           ) AS DOUBLE), 6) AS char_entropy
+    FROM counts c JOIN lens l ON c.doc_id = l.doc_id
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    survey_ref="LLM-quality (r8): character-level Shannon entropy per "
+    "document — the gibberish/low-diversity filter signal",
+)
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (nats) —
+    low entropy flags repeated-character junk, high entropy flags
+    random-byte gibberish; the cheap complement to the token-level
+    quality scores. Shape: positional character explode (map-side),
+    per-(doc, char) hash count, per-doc reduce — the same two-level
+    aggregation as every token op, linear at corpus scale. Cross-
+    engine determinism uses the bigram-LM technique: each term
+    -(p ln p) is rounded to 9dp and summed as DECIMAL (exact,
+    order-independent), so shuffle order can never wiggle the hash."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    chars = (
+        docs.where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c"))
+    lens = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    return (
+        counts.join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).alias("distinct_chars"),
+            F.round(F.sum(term).cast("double"), 6).alias("char_entropy"),
+        )
+        .orderBy("doc_id")
+    )
