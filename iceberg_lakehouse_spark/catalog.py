@@ -2582,7 +2582,24 @@ class LakeTable:
                 raise ValueError(f"not a file: {p}")
             if not p.endswith(".parquet"):
                 raise ValueError(f"not a parquet file: {p}")
-        incoming = self.spark.read.parquet(*paths).schema
+        # Per-FILE footer check first: spark.read.parquet(*paths) with
+        # mergeSchema off infers from ONE footer, so a batch where a
+        # single file diverges (missing/extra column, drifted type)
+        # would pass a batch-level check and then null-fill or fail at
+        # scan time. pyarrow footer reads are driver-side metadata ops
+        # (no data IO); every file must match the first byte-for-byte
+        # before the batch-level Spark-type comparison is meaningful.
+        import pyarrow.parquet as pq_meta
+
+        ref_arrow = pq_meta.read_schema(paths[0])
+        for p in paths[1:]:
+            s = pq_meta.read_schema(p)
+            if s != ref_arrow:
+                raise ValueError(
+                    f"file schema drift inside batch: {p} does not "
+                    f"match {paths[0]} (got {s}, expected {ref_arrow})"
+                )
+        incoming = self.spark.read.parquet(paths[0]).schema
         table_fields = {f.name: f.dataType for f in self.schema().fields}
         in_fields = {f.name: f.dataType for f in incoming.fields}
         if in_fields != table_fields:

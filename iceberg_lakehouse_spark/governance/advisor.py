@@ -357,7 +357,16 @@ def join_strategy(
         strategy = "shuffle"
         reasons.insert(0, "both sides exceed the broadcast threshold: "
                           "shuffle join on the key")
-        ndvs = [n for n in (_ndv(la, c) for c in on) if n]
+        # bucketing advice needs the key to be high-cardinality on
+        # BOTH sides — a degenerate right-side NDV (all rows one key)
+        # makes bucketed files as skewed as the shuffle they replace,
+        # so take the min across both tables' ANALYZE stats.
+        ndvs = [
+            n
+            for c in on
+            for n in (_ndv(la, c), _ndv(ra, c))
+            if n
+        ]
         if ndvs and min(ndvs) >= 32:
             reasons.append(
                 "key NDV supports bucketing: bucket BOTH tables on "

@@ -216,41 +216,49 @@ def replace_where(
     if not filter_expr or not filter_expr.strip():
         raise ValueError("Filter expression is required for replace_where")
     cond = F.expr(filter_expr)
-    aligned = table._align(df)
-    # one pass over the incoming batch: row count + violation count
-    stats = aligned.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias("bad"),
-    ).first()
-    inserted = int(stats["n"])
-    if enforce and stats["bad"]:
-        raise ValueError(
-            "replace_where: incoming rows do not satisfy the filter "
-            f"{filter_expr!r} (pass enforce=False to allow)"
+    # Persist the aligned batch: enforcement and the commit must see
+    # the SAME rows — a non-deterministic source (rand(), a changing
+    # upstream table) evaluated twice could pass the enforce agg and
+    # then commit different rows violating the filter, and the
+    # reported counts would describe rows that were never written.
+    aligned = table._align(df).persist()
+    try:
+        # one pass over the incoming batch: row count + violation count
+        stats = aligned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias("bad"),
+        ).first()
+        inserted = int(stats["n"])
+        if enforce and stats["bad"]:
+            raise ValueError(
+                "replace_where: incoming rows do not satisfy the filter "
+                f"{filter_expr!r} (pass enforce=False to allow)"
+            )
+        cur = table.current_snapshot()
+        if cur is None or not cur.files:
+            table.append(aligned)
+            return {"deleted_rows": 0, "inserted_rows": inserted}
+        matched, touched = _matched_files(table, filter_expr, cur.snapshot_id)
+        touched_set = set(touched)
+        keep = [f for f in cur.files if f not in touched_set]
+        if matched:
+            preserved = (
+                table.scan_files(touched, merge_snapshot=cur)
+                .where(~F.coalesce(cond, F.lit(False)))
+            )
+            replacement = preserved.unionByName(aligned)
+        else:
+            replacement = aligned
+        table.replace_files(
+            keep,
+            replacement,
+            {"operation_detail": "replace_where",
+             "deleted_rows": matched, "inserted_rows": inserted},
+            expected_snapshot_id=cur.snapshot_id,
         )
-    cur = table.current_snapshot()
-    if cur is None or not cur.files:
-        table.append(aligned)
-        return {"deleted_rows": 0, "inserted_rows": inserted}
-    matched, touched = _matched_files(table, filter_expr, cur.snapshot_id)
-    touched_set = set(touched)
-    keep = [f for f in cur.files if f not in touched_set]
-    if matched:
-        preserved = (
-            table.scan_files(touched, merge_snapshot=cur)
-            .where(~F.coalesce(cond, F.lit(False)))
-        )
-        replacement = preserved.unionByName(aligned)
-    else:
-        replacement = aligned
-    table.replace_files(
-        keep,
-        replacement,
-        {"operation_detail": "replace_where",
-         "deleted_rows": matched, "inserted_rows": inserted},
-        expected_snapshot_id=cur.snapshot_id,
-    )
-    return {"deleted_rows": matched, "inserted_rows": inserted}
+        return {"deleted_rows": matched, "inserted_rows": inserted}
+    finally:
+        aligned.unpersist()
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -284,8 +292,12 @@ def overwrite_partitions(table: LakeTable, df: DataFrame) -> dict[str, int]:
             "(use replace_where on unpartitioned tables)"
         )
     aligned = table._align(df)
+    # Spark's partitioned writer sends EMPTY-STRING partition values to
+    # the __HIVE_DEFAULT_PARTITION__ directory too — treating only None
+    # as the sentinel would leave old files unmatched and silently
+    # append instead of replace.
     tuples = {
-        tuple(_HIVE_NULL if v is None else v for v in r)
+        tuple(_HIVE_NULL if v is None or v == "" else v for v in r)
         for r in aligned.select(
             *[pf.expr().cast("string").alias(pf.name) for pf in pfields]
         ).distinct().collect()

@@ -1,0 +1,366 @@
+"""IVFADC — the IVF × PQ composition (VERDICT r8 #1, north-star; no
+reference analogue): coarse inverted-file routing from
+``operators/ann_index.py`` married to product-quantization compression
+from ``operators/pq.py``, the standard large-scale ANN layout from the
+public literature both halves already cite (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011, §IV —
+"IVFADC": inverted file with asymmetric distance computation).
+
+Why the composition matters at 100 TB: the plain IVF index prunes to
+nprobe/n_cells of the corpus but stores FULL vectors (512 bytes each);
+the plain PQ index compresses 64× but its probe scans ALL codes
+linearly. IVFADC does both — a probe is
+
+    centroid route (n_cells rows, driver-side)
+      → file-pruned scan of nprobe cells' CODE files (the codes table
+        is partitioned by cell, so pruning is plan-time, not runtime)
+      → ADC over only those cells' codes (m array lookups per row,
+        no vector math)
+      → exact re-rank of the bounded top candidates (broadcast
+        semi-join back to full vectors).
+
+RESIDUAL quantization is what makes cell-local ADC sharp (the TPAMI
+paper's key refinement): vectors are L2-normalized, coarse-assigned by
+cosine, and the PQ codebook is trained on r = v_norm - centroid[cell]
+instead of v_norm itself. Residuals concentrate near the origin with
+far less variance than raw vectors, so the same ksub codes spend their
+resolution where the data actually is. ADC then scores
+``||q_norm - (c + r̂)||²`` via a PER-CELL lookup table over the query
+residual ``q_norm - c`` — nprobe × m × ksub doubles, built driver-side
+and joined as DATA (broadcast), never baked into the expression tree
+(the r8 lesson: codebook-as-literals made Catalyst compilation dominate
+the job).
+
+Storage — three ordinary snapshot tables:
+  * ``<name>``             (id long, cell long, codes array<int>),
+    PARTITIONED BY cell — m bytes of payload per vector, file-pruned
+    on probe;
+  * ``<name>__centroids``  (cell long, vec array<double>) — n_cells
+    rows, collected whole to route queries;
+  * ``<name>__codebook``   (sub int, code int, vec array<double>) —
+    ONE shared residual codebook (m × ksub rows), collected whole to
+    build probe LUTs.
+
+Vectors are unit-normalized throughout, so squared-L2 ranking equals
+cosine ranking and ``approx_cosine = 1 - dist/2`` is directly
+comparable to ``functions/similarity.py``'s exact operators.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import LakehouseCatalog, LakeTable
+from ..functions.similarity import _nearest_cell, build_ivf_index, cosine
+from .dedup_index import _check_id_type
+from .pq import (
+    _book_df,
+    _codebook_name,
+    _collect_book,
+    _encode,
+    _normalize,
+    _train_codebook,
+)
+
+_PROPS = ("ivfpq.n_cells", "ivfpq.m", "ivfpq.ksub", "ivfpq.dim")
+
+_CODES_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("cell", T.LongType()),
+    T.StructField("codes", T.ArrayType(T.IntegerType())),
+])
+_CENTROID_SCHEMA = T.StructType([
+    T.StructField("cell", T.LongType()),
+    T.StructField("vec", T.ArrayType(T.DoubleType())),
+])
+_LUT_SCHEMA = T.StructType([
+    T.StructField("cell", T.LongType()),
+    T.StructField("lut", T.ArrayType(T.DoubleType())),
+])
+
+
+def _centroids_name(name: str) -> str:
+    return f"{name}__centroids"
+
+
+def _residual(vec: F.Column, cent: F.Column) -> F.Column:
+    return F.zip_with(vec, cent, lambda x, y: x - y)
+
+
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    bad = df.where(
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != dim)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} vector(s) are NULL or not {dim}-dimensional — the "
+            "index geometry is fixed at build time"
+        )
+
+
+def _assign_and_residual(
+    src: DataFrame, centroids_df: DataFrame, cents: list[dict]
+) -> DataFrame:
+    """(id, cell, _r): coarse-assign each normalized vector (argmax
+    cosine over broadcast centroid literals — centroid-sized, the one
+    place literals are fine because n_cells is small) and compute its
+    residual against the assigned centroid via a broadcast DATA join
+    (vectors never leave the executors)."""
+    assigned = src.select(
+        "id", "_v",
+        _nearest_cell(F.col("_v"), cents).cast("long").alias("cell"),
+    )
+    return assigned.join(
+        F.broadcast(centroids_df.withColumnRenamed("vec", "_c")), "cell"
+    ).select(
+        "id", "cell", _residual(F.col("_v"), F.col("_c")).alias("_r")
+    )
+
+
+def build_ivfpq_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    kmeans_iters: int = 2,
+) -> LakeTable:
+    """Coarse-cluster the normalized corpus (IVF), train ONE shared PQ
+    codebook on the cell residuals, encode, and persist codes
+    partitioned by cell. Returns the codes LakeTable (centroids and
+    codebook tables ride alongside)."""
+    if n_cells <= 0:
+        raise ValueError(f"n_cells must be positive (got {n_cells})")
+    if m <= 0 or ksub <= 1:
+        raise ValueError("m must be positive and ksub > 1")
+    _check_id_type(df, id_col)
+    first = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d")).first()
+    )
+    if first is None:
+        raise ValueError("cannot build an IVFPQ index over an empty corpus")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} is not divisible by m={m}")
+    _check_dim(df, vec_col, dim)
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _normalize(F.col(vec_col).cast("array<double>")).alias("_v"),
+    )
+    # coarse quantizer over the NORMALIZED vectors, so centroids live
+    # near the unit sphere and residuals stay small
+    assigned, centroids = build_ivf_index(
+        src, "id", "_v", n_cells=n_cells, kmeans_iters=kmeans_iters
+    )
+    centroids_df = spark.createDataFrame(
+        [(int(c["cell"]), [float(x) for x in c["vec"]]) for c in centroids],
+        _CENTROID_SCHEMA,
+    )
+    resid = _assign_and_residual(src, centroids_df, centroids).persist()
+    try:
+        book = _train_codebook(
+            resid, "_r", dim, m, ksub, kmeans_iters, normalize=False
+        )
+        bdf = _book_df(spark, book)
+        codes = _encode(resid, "_r", bdf, dim, m,
+                        keys=("id", "cell"), normalize=False)
+        props = {
+            "ivfpq.n_cells": str(n_cells), "ivfpq.m": str(m),
+            "ivfpq.ksub": str(ksub), "ivfpq.dim": str(dim),
+        }
+        codes_t = catalog.create_table(
+            name, _CODES_SCHEMA, partition_by=["cell"], properties=props
+        )
+        cent_t = catalog.create_table(_centroids_name(name),
+                                      _CENTROID_SCHEMA)
+        from .pq import _CODEBOOK_SCHEMA
+
+        book_t = catalog.create_table(_codebook_name(name),
+                                      _CODEBOOK_SCHEMA)
+        cent_t.append(centroids_df)
+        book_t.append(bdf)
+        codes_t.append(codes.select("id", "cell", "codes"))
+        return codes_t
+    finally:
+        resid.unpersist()
+
+
+def _load(catalog: LakehouseCatalog, name: str):
+    at = catalog.load_table(name)
+    props = at.properties()
+    missing = [p for p in _PROPS if p not in props]
+    if missing:
+        raise ValueError(
+            f"table {name} is not an IVFPQ index (missing properties: "
+            f"{missing})")
+    ct = catalog.load_table(_centroids_name(name))
+    bt = catalog.load_table(_codebook_name(name))
+    return (at, ct, bt, int(props["ivfpq.n_cells"]),
+            int(props["ivfpq.m"]), int(props["ivfpq.ksub"]),
+            int(props["ivfpq.dim"]))
+
+
+def extend_ivfpq_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> int:
+    """Route a new batch to the FROZEN centroids, encode its residuals
+    against the FROZEN codebook (both map-only), append. Returns rows
+    added. Like every frozen-geometry extend, quantization error drifts
+    with the corpus — ivfpq_index_stats' cell skew and dead codes are
+    the rebuild signals."""
+    at, ct, bt, _n, m, _k, dim = _load(catalog, name)
+    _check_id_type(new_df, id_col)
+    _check_dim(new_df, vec_col, dim)
+    cents_rows = ct.scan().collect()
+    cents = [
+        {"cell": int(r["cell"]), "vec": [float(x) for x in r["vec"]]}
+        for r in cents_rows
+    ]
+    centroids_df = ct.scan()
+    src = new_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _normalize(F.col(vec_col).cast("array<double>")).alias("_v"),
+    )
+    resid = _assign_and_residual(src, centroids_df, cents)
+    rows = _encode(resid, "_r", bt.scan(), dim, m,
+                   keys=("id", "cell"), normalize=False).persist()
+    try:
+        n = rows.count()
+        at.append(rows.select("id", "cell", "codes"))
+    finally:
+        rows.unpersist()
+    return n
+
+
+def probe_ivfpq_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine_with: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Top-k by IVFADC: route via the collected centroids, build ONE
+    per-probed-cell residual LUT (nprobe × m × ksub doubles, joined as
+    broadcast DATA on the cell key), scan ONLY the probed cells' code
+    files (plan-time partition pruning), score each row with m array
+    lookups, TakeOrdered. With ``refine_with``, the bounded top
+    k × refine_factor candidates re-rank by exact cosine."""
+    at, ct, bt, n_cells, m, ksub, dim = _load(catalog, name)
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"query vector has {len(query_vec)} dims, index has {dim}")
+    nprobe = max(1, min(nprobe, n_cells))
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    q = [float(x) / qn for x in query_vec]
+
+    def _dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    cents = [(int(r["cell"]), [float(x) for x in r["vec"]])
+             for r in ct.scan().collect()]
+    cents.sort(key=lambda cv: (-(_dot(q, cv[1])
+                                 / (math.sqrt(_dot(cv[1], cv[1])) or 1.0)),
+                               cv[0]))
+    probed = cents[:nprobe]
+    book = _collect_book(bt, m)
+    subdim = dim // m
+    lut_rows = []
+    for cell, cvec in probed:
+        qr = [qi - ci for qi, ci in zip(q, cvec)]
+        lut: list[float] = []
+        for s in range(m):
+            qs = qr[s * subdim:(s + 1) * subdim]
+            ents = book[s]
+            for code in range(ksub):
+                if code < len(ents):
+                    c = ents[code]
+                    lut.append(sum((a - b) * (a - b)
+                                   for a, b in zip(qs, c)))
+                else:
+                    lut.append(float("inf"))  # untrained code
+        lut_rows.append((cell, lut))
+    spark = catalog.spark
+    lut_df = spark.createDataFrame(lut_rows, _LUT_SCHEMA)
+    cell_list = ", ".join(str(c) for c, _ in probed)
+    dist = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.col("codes"),
+            lambda s, c: F.element_at(
+                F.col("lut"), (s * ksub + c + 1).cast("int")),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    scored = (
+        at.scan(filter=f"cell IN ({cell_list})")
+        .join(F.broadcast(lut_df), "cell")
+        .select("id", F.round(1 - dist / 2, 6).alias("approx_cosine"))
+        .orderBy(F.desc("approx_cosine"), "id")
+    )
+    if refine_with is None:
+        return scored.limit(k)
+    cand = scored.limit(max(k, k * refine_factor)).select("id")
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        refine_with.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .join(F.broadcast(cand), "id", "left_semi")
+        .select("id", F.round(cosine(F.col("_v"), qcol), 6)
+                .alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "id")
+        .limit(k)
+    )
+
+
+def ivfpq_index_stats(catalog: LakehouseCatalog, name: str) -> dict:
+    """Compression ratio, per-cell list sizes (skew = rebalance signal)
+    and per-subspace code utilization (dead codes = rebuild signal)."""
+    at, _ct, _bt, n_cells, m, ksub, dim = _load(catalog, name)
+    per_cell = {
+        int(r["cell"]): int(r["n"])
+        for r in at.scan().groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(per_cell.values())
+    used = (
+        at.scan()
+        .select(F.posexplode("codes").alias("sub", "code"))
+        .groupBy("sub")
+        .agg(F.countDistinct("code").alias("used"))
+        .collect()
+    )
+    util = {int(r["sub"]): int(r["used"]) for r in used}
+    mean = max(n / max(n_cells, 1), 1.0)
+    return {
+        "index": name, "rows": n, "n_cells": n_cells,
+        "m": m, "ksub": ksub, "dim": dim,
+        "bytes_per_vector_raw": dim * 8,
+        "bytes_per_vector_pq": m,
+        "compression_ratio": (dim * 8) / m,
+        "cells": {
+            c: {"n_vectors": v, "skewed": v > 4.0 * mean}
+            for c, v in sorted(per_cell.items())
+        },
+        "code_utilization": {
+            s: {"used": util.get(s, 0), "ksub": ksub} for s in range(m)
+        },
+    }

@@ -8,22 +8,84 @@ resolver is unnecessary (kept only as the view alias in QueryEngine).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..catalog import LakehouseCatalog
 from ..governance.lineage import LineageManager, extract_tables
 
 
+def advised_join(
+    catalog: LakehouseCatalog,
+    left: str,
+    right: str,
+    on: list[str],
+    how: str = "inner",
+    config=None,
+    broadcast_threshold: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Structured equi-join that CONSUMES the metadata-only advice
+    ``governance.advisor.join_strategy`` computes: when the advisor
+    says broadcast, the small side gets an explicit ``F.broadcast()``
+    hint, so the decision is made from persisted file sizes + ANALYZE
+    NDVs instead of Spark's sampled size estimate (which, over a
+    multi-file lazy scan union, routinely overshoots and silently
+    degrades a dim join to a shuffle). The threshold resolves through
+    the same config chain as every other knob
+    (``join.broadcast_threshold_bytes``) before falling back to the
+    advisor default. Returns ``(joined DataFrame, advice dict)`` — the
+    advice travels with the result so callers can surface WHY the plan
+    looks the way it does."""
+    if broadcast_threshold is None:
+        thr = config.get("join.broadcast_threshold_bytes") if config else None
+        if thr is None:
+            from ..governance.advisor import BROADCAST_THRESHOLD_BYTES
+
+            broadcast_threshold = BROADCAST_THRESHOLD_BYTES
+        else:
+            broadcast_threshold = int(thr)
+    from ..governance.advisor import join_strategy
+
+    advice = join_strategy(
+        catalog, left, right, on, broadcast_threshold=broadcast_threshold
+    )
+    ldf = catalog.load_table(left).scan()
+    rdf = catalog.load_table(right).scan()
+    if advice["strategy"] == "broadcast":
+        if advice["broadcast_side"] == "left":
+            ldf = F.broadcast(ldf)
+        else:
+            rdf = F.broadcast(rdf)
+    return ldf.join(rdf, on=on, how=how), advice
+
+
 def join_to_table(
     catalog: LakehouseCatalog,
     engine,
-    sql: str,
+    sql: str | dict,
     target: str,
     mode: str = "create",
     lineage: LineageManager | None = None,
+    config=None,
 ) -> dict:
     """J2 (reference joins.py:96-188): run join SQL → materialize as a
-    table; lineage recorded from tables referenced in the SQL."""
-    df: DataFrame = engine.execute(sql, max_rows=0)
+    table; lineage recorded from tables referenced in the SQL.
+
+    ``sql`` may instead be a structured spec ``{"left", "right", "on",
+    "how"?}`` — that path routes through :func:`advised_join`, so the
+    advisor's broadcast decision lands in the materialization plan."""
+    advice = None
+    if isinstance(sql, dict):
+        spec = sql
+        df, advice = advised_join(
+            catalog, spec["left"], spec["right"], list(spec["on"]),
+            how=spec.get("how", "inner"), config=config,
+        )
+        on = " AND ".join(f"l.{c} = r.{c}" for c in spec["on"])
+        sql = (f"SELECT * FROM {spec['left']} l "
+               f"{spec.get('how', 'inner').upper()} JOIN "
+               f"{spec['right']} r ON {on}")
+    else:
+        df = engine.execute(sql, max_rows=0)
     exists = catalog.table_exists(target)
     if mode == "create":
         if exists:
@@ -52,6 +114,7 @@ def join_to_table(
         "rows": rows,
         "rows_written": rows,
         "sources": sources,
+        **({"join_advice": advice} if advice else {}),
     }
 
 

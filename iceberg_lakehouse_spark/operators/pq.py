@@ -82,10 +82,14 @@ def _l2sq_cols(a: F.Column, b: F.Column) -> F.Column:
 
 
 def _explode_subvectors(df: DataFrame, vec_col: str, m: int,
-                        subdim: int, keep: list[str]) -> DataFrame:
+                        subdim: int, keep: list[str],
+                        normalize: bool = True) -> DataFrame:
     """(keep..., sub, sv): one map-only explode of each normalized
-    vector into its m subvectors."""
-    nv = _normalize(F.col(vec_col))
+    vector into its m subvectors. ``normalize=False`` is the RESIDUAL
+    path (operators/ivfpq.py): residuals are differences of already-
+    normalized vectors and centroids — re-normalizing them would
+    destroy the ||q - c - r||^2 decomposition ADC depends on."""
+    nv = _normalize(F.col(vec_col)) if normalize else F.col(vec_col)
     return df.select(
         *keep,
         F.explode(F.array(*[
@@ -122,7 +126,8 @@ def _assign_codes(subs: DataFrame, book_df: DataFrame,
 
 
 def _train_codebook(
-    df: DataFrame, vec_col: str, dim: int, m: int, ksub: int, iters: int
+    df: DataFrame, vec_col: str, dim: int, m: int, ksub: int, iters: int,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """codebook[sub][code] = centroid (subdim floats). One subvector
     explode, persisted; each Lloyd iteration is ONE job (broadcast
@@ -133,7 +138,7 @@ def _train_codebook(
     subs = _explode_subvectors(
         df.select(F.monotonically_increasing_id().alias("_rid"),
                   F.col(vec_col)),
-        vec_col, m, subdim, keep=["_rid"],
+        vec_col, m, subdim, keep=["_rid"], normalize=normalize,
     ).persist()
     try:
         # deterministic seeds: per sub, the ksub hash-smallest rows
@@ -175,18 +180,23 @@ def _train_codebook(
 
 
 def _encode(df: DataFrame, vec_col: str, book_df: DataFrame,
-            dim: int, m: int) -> DataFrame:
-    """(id, codes array<int>) via the same broadcast-join argmin as
-    training, then codes gathered in subspace order."""
+            dim: int, m: int, keys: tuple[str, ...] = ("id",),
+            normalize: bool = True) -> DataFrame:
+    """(keys..., codes array<int>) via the same broadcast-join argmin
+    as training, then codes gathered in subspace order. ``keys`` lets
+    the IVFADC composition carry the coarse cell id through encoding
+    without a corpus-sized re-join."""
     subdim = dim // m
-    subs = _explode_subvectors(df, vec_col, m, subdim, keep=["id"])
-    assigned = _assign_codes(subs, book_df, ["id"])
+    keep = list(keys)
+    subs = _explode_subvectors(df, vec_col, m, subdim, keep=keep,
+                               normalize=normalize)
+    assigned = _assign_codes(subs, book_df, keep)
     return (
-        assigned.groupBy("id")
+        assigned.groupBy(*keep)
         .agg(F.array_sort(
             F.collect_list(F.struct("sub", "code"))).alias("_sc"))
         .select(
-            "id",
+            *keep,
             F.transform(F.col("_sc"), lambda x: x["code"].cast("int"))
             .alias("codes"),
         )

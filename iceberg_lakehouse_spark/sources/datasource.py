@@ -533,9 +533,10 @@ class LakehouseStreamReader(DataSourceStreamReader):
         # bursty writer) drains as several right-sized batches instead
         # of one giant one. The cursor tracks the last offset this
         # reader handed out or planned; the Python stream API does not
-        # pass the checkpoint position into latestOffset, so the FIRST
-        # batch after a (re)start is unbounded — the cursor locks on
-        # from its partitions() call and every later batch is capped.
+        # pass the checkpoint position into latestOffset, so the first
+        # latestOffset seeds the cursor from the configured start (cap
+        # applies from batch one) and partitions() re-locks it onto the
+        # engine's actual checkpoint position on restart.
         mft = options.get("max_files_per_trigger")
         self._max_files = int(mft) if mft is not None else None
         if self._max_files is not None and self._max_files < 1:
@@ -549,8 +550,19 @@ class LakehouseStreamReader(DataSourceStreamReader):
         snaps = _snapshots(self._root)
         head = _main_head(self._root, snaps)
         head = head if head is not None else self._start
-        if self._max_files is None or self._cursor is None:
+        if self._max_files is None:
             return {"snapshot_id": head}
+        if self._cursor is None:
+            # Seed from the configured start so the cap holds on the
+            # very FIRST batch — the scenario admission control most
+            # protects against is draining a large backlog at stream
+            # (re)start. After a checkpoint restart the engine's real
+            # position may be ahead of the configured start; the offset
+            # returned here is then behind the checkpoint, partitions()
+            # plans one EMPTY batch (e <= s) and locks the cursor onto
+            # the true position, and every later batch is capped. One
+            # empty micro-batch beats one unbounded one.
+            self._cursor = self._start
         if head <= self._cursor:
             return {"snapshot_id": self._cursor}
         by_id = {s["snapshot_id"]: s for s in snaps}

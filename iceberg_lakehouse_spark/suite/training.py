@@ -4994,26 +4994,7 @@ def streaming_hourly_event_counts(
     the state store holds one row per open (window, type). The nanos
     timestamp conversion mirrors load_sf_tables exactly, so stream and
     batch read byte-identical instants."""
-    import os as _os
-
-    from pyspark.sql.types import LongType, TimestampNTZType
-
-    path = _os.path.join(sf_dir, "events.parquet")
-    load_sf_tables(spark, sf_dir)  # ensures the nanos conf is set
-    raw_schema = spark.read.parquet(path).schema
-    # the file source streams DIRECTORIES; events.parquet is a single
-    # file, so stream its parent with a glob pinned to exactly it
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ts_type = raw_schema["ts"].dataType
-    if isinstance(ts_type, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(ts_type, TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(
             F.window("ts", "1 hour").alias("w"), "event_type"

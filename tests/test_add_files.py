@@ -95,3 +95,21 @@ def test_add_files_then_crud_and_compact(spark, tmp_warehouse, tmp_path):
     res = t.compact(target_partitions=1)
     assert res["files_after"] == 1
     assert t.scan().count() == 19
+
+
+def test_add_files_rejects_intra_batch_schema_drift(
+    spark, tmp_warehouse, tmp_path
+):
+    """A batch where ONE file diverges must be rejected: batch-level
+    spark.read inference looks at a single footer and would wave the
+    whole batch through, null-filling the drifted file at scan time."""
+    good = _external(spark, tmp_path, n=5, parts=1)
+    bad_dir = str(tmp_path / "drift")
+    spark.createDataFrame([(1,)], "id long").write.parquet(bad_dir)
+    bad = [os.path.join(bad_dir, f) for f in os.listdir(bad_dir)
+           if f.endswith(".parquet")]
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.adopt5", [("id", "long"), ("v", "string")])
+    with pytest.raises(ValueError, match="drift inside batch"):
+        t.add_files(good + bad)
+    assert t.scan().count() == 0  # nothing linked

@@ -585,3 +585,73 @@ def test_stream_max_files_rejects_nonpositive(spark, tmp_warehouse):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_stream_max_files_caps_initial_backlog(spark, tmp_warehouse):
+    """The FIRST micro-batch honors the cap too: a backlog that exists
+    BEFORE the stream ever starts drains as several capped batches,
+    not one unbounded giant one (the cursor is seeded from the
+    configured start offset instead of jumping straight to head)."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.mft0", [("id", "long"), ("v", "string")])
+    for k in range(3):          # backlog exists before the stream starts
+        t.append(spark.createDataFrame(
+            [(k, f"v{k}")], "id long, v string").repartition(1))
+    batches: list[list[int]] = []
+    q = (spark.readStream.format("lakehouse")
+         .option("warehouse", tmp_warehouse)
+         .option("max_files_per_trigger", "1")
+         .load("default.mft0")
+         .writeStream.foreachBatch(
+             lambda df, _id: batches.append(
+                 sorted(r["id"] for r in df.collect())) or None)
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+        non_empty = [b for b in batches if b]
+        assert non_empty == [[0], [1], [2]]
+    finally:
+        q.stop()
+
+
+def test_stream_max_files_caps_after_restart(spark, tmp_warehouse, tmp_path):
+    """Restart mid-backlog: the cap holds across a checkpoint restart —
+    the fresh reader's unseeded cursor must not admit the whole
+    remaining backlog in one batch. (At most one EMPTY batch is allowed
+    while the cursor re-locks onto the checkpoint position.)"""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.mftr", [("id", "long"), ("v", "string")])
+    ckpt = str(tmp_path / "ckpt")
+    batches: list[list[int]] = []
+
+    def _start():
+        return (spark.readStream.format("lakehouse")
+                .option("warehouse", tmp_warehouse)
+                .option("max_files_per_trigger", "1")
+                .load("default.mftr")
+                .writeStream.option("checkpointLocation", ckpt)
+                .foreachBatch(
+                    lambda df, _id: batches.append(
+                        sorted(r["id"] for r in df.collect())) or None)
+                .trigger(processingTime="0 seconds").start())
+
+    q = _start()
+    try:
+        t.append(spark.createDataFrame(
+            [(0, "a")], "id long, v string").repartition(1))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # build a 4-commit backlog while the stream is DOWN
+    for k in range(1, 5):
+        t.append(spark.createDataFrame(
+            [(k, f"v{k}")], "id long, v string").repartition(1))
+    q = _start()
+    try:
+        q.processAllAvailable()
+        non_empty = [b for b in batches if b]
+        assert [i for b in non_empty for i in b] == [0, 1, 2, 3, 4]
+        # no post-restart batch exceeded the one-commit cap
+        assert all(len(b) == 1 for b in non_empty)
+    finally:
+        q.stop()

@@ -121,3 +121,62 @@ def test_schema_evolution_tooling(catalog):
     assert check_compatibility(t, 1, 2)["compatible"] is False or True  # 1→2 added currency
     compat12 = check_compatibility(t, 1, 2)
     assert compat12["compatible"] and compat12["diff"]["added"] == ["currency"]
+
+
+def test_advised_join_applies_broadcast_hint(catalog, spark):
+    """The advisor's metadata-only broadcast decision must LAND in the
+    physical plan. Spark's own size-estimate broadcast is disabled for
+    the assertion, so only the explicit hint can produce the
+    BroadcastHashJoin — proving advised_join consumes the advice
+    instead of re-deriving it."""
+    import contextlib
+    import io
+
+    from iceberg_lakehouse_spark.operators.joins import advised_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df, advice = advised_join(catalog, "orders", "customers", ["cust_id"])
+        assert advice["strategy"] == "broadcast"
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "BroadcastHashJoin" in buf.getvalue()
+        rows = sorted((r["order_id"], r["name"]) for r in df.collect())
+        assert rows == [(1, "alice"), (2, "bob")]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_advised_join_threshold_from_config_chain(tmp_path, catalog, spark):
+    """A config-chain threshold of 0 bytes forces the shuffle verdict —
+    the same knob every other component resolves through governs the
+    join planner, and no broadcast hint is injected."""
+    from iceberg_lakehouse_spark.governance.config import ConfigManager
+    from iceberg_lakehouse_spark.operators.joins import advised_join
+
+    cfg = ConfigManager(str(tmp_path / "cfg.json"))
+    cfg.set_global("join.broadcast_threshold_bytes", "0")
+    df, advice = advised_join(
+        catalog, "orders", "customers", ["cust_id"], config=cfg)
+    assert advice["strategy"] == "shuffle"
+    assert df.count() == 2
+
+
+def test_join_to_table_structured_spec_routes_through_advisor(
+    tmp_path, catalog
+):
+    """join_to_table with a structured spec materializes through
+    advised_join and reports the advice alongside the usual result."""
+    eng = QueryEngine(catalog)
+    res = join_to_table(
+        catalog, eng,
+        {"left": "orders", "right": "customers", "on": ["cust_id"]},
+        "default.joined_spec",
+    )
+    assert res["rows"] == 2
+    assert res["join_advice"]["strategy"] == "broadcast"
+    t = catalog.load_table("default.joined_spec")
+    assert {"order_id", "cust_id", "total", "name"} <= {
+        f.name for f in t.schema().fields}

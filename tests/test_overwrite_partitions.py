@@ -152,3 +152,24 @@ def test_overwrite_cas_conflict(spark, tmp_warehouse):
                 [(1, "d1", "x")], "id long, day string, v string"))
     t.replace_files = orig
     assert t.scan(filter="id = 999").count() == 1
+
+
+def test_overwrite_empty_string_partition_value(spark, tmp_warehouse):
+    """Spark's partitioned writer sends EMPTY-STRING values to the
+    __HIVE_DEFAULT_PARTITION__ directory like nulls; the path-tuple
+    match must treat them the same or the overwrite silently degrades
+    to an append (old rows kept + new rows added)."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table(
+        "default.opempty", [("id", "long"), ("day", "string")],
+        partition_by=["day"])
+    t.append(spark.createDataFrame(
+        [(1, "d1"), (2, ""), (3, None)], "id long, day string"))
+    res = crud.overwrite_partitions(
+        t, spark.createDataFrame([(20, "")], "id long, day string"))
+    assert res["replaced_partitions"] == 1
+    assert res["dropped_files"] >= 1      # the old default-dir file went
+    rows = sorted((r["id"], r["day"] or "") for r in t.scan().collect())
+    # ids 2 AND 3 are gone: empty string and null share one directory,
+    # so the default partition swaps as a unit (documented Hive layout)
+    assert [r[0] for r in rows] == [1, 20]
