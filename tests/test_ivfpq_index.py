@@ -1,0 +1,145 @@
+"""IVFADC (IVF × PQ composition, round 9): build / probe / extend /
+stats, the recall contract vs exact brute-force cosine, and the IO
+contract — a probe must read ONLY the probed cells' code files (the
+whole point of composing the two indexes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+from iceberg_lakehouse_spark.operators import ivfpq
+from iceberg_lakehouse_spark.session import load_sf_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_sf_tables(spark, SF)["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def built(spark, emb, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("ivfpqwh"))
+    cat = LakehouseCatalog(spark, wh)
+    ivfpq.build_ivfpq_index(
+        cat, "default.ivfpqe", emb, "vec_id", "embedding",
+        n_cells=8, m=8, ksub=16, kmeans_iters=2)
+    return cat
+
+
+def _exact_topk(spark, emb, qvec, k):
+    import pyspark.sql.functions as F
+
+    from iceberg_lakehouse_spark.functions.similarity import cosine
+
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    return [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id", cosine(F.col("embedding"), q).alias("s"))
+        .orderBy(F.desc("s"), "vec_id").limit(k).collect()
+    ]
+
+
+def test_build_shapes_and_compression(built):
+    cat = built
+    t = cat.load_table("default.ivfpqe")
+    assert t.scan().count() == 500
+    row = t.scan().first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+    cents = cat.load_table("default.ivfpqe__centroids").scan().collect()
+    assert len(cents) == 8
+    book = cat.load_table("default.ivfpqe__codebook").scan().collect()
+    assert len(book) == 8 * 16
+    stats = ivfpq.ivfpq_index_stats(cat, "default.ivfpqe")
+    assert stats["compression_ratio"] == 64.0
+    assert sum(c["n_vectors"] for c in stats["cells"].values()) == 500
+    assert all(v["used"] >= 2 for v in stats["code_utilization"].values())
+
+
+def test_probe_reads_only_probed_cells_files(built):
+    """The IO contract: with nprobe=2 of 8 cells, the scanned parquet
+    files all come from the two probed cells' partition directories —
+    plan-time pruning, not a full scan filtered afterwards."""
+    cat = built
+    t = cat.load_table("default.ivfpqe")
+    qvec = [1.0] * 64
+    df = ivfpq.probe_ivfpq_index(cat, "default.ivfpqe", qvec,
+                                 k=5, nprobe=2)
+    files = df.inputFiles()
+    assert files, "probe plan reads no files?"
+    cells = {
+        seg.split("=", 1)[1]
+        for f in files for seg in f.split("/")
+        if seg.startswith("_p_cell=")
+    }
+    assert len(cells) == 2, f"probe read cells {sorted(cells)}"
+    # and fewer files than the whole index holds
+    assert len(set(files)) < len(t.current_snapshot().files)
+
+
+def test_probe_recall_and_refine(spark, built, emb):
+    cat = built
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    truth = _exact_topk(spark, emb, qvec, 10)
+    # generous nprobe on the tiny fixture: cell routing on isotropic
+    # noise is itself approximate; the ADC floor matches the PQ index
+    approx = [r["id"] for r in ivfpq.probe_ivfpq_index(
+        cat, "default.ivfpqe", qvec, k=10, nprobe=6).collect()]
+    overlap = len(set(truth) & set(approx))
+    assert overlap >= 2, f"ADC recall@10 too low: {overlap}/10"
+    # the query IS a corpus vector: residual-ADC must rank it first
+    assert approx[0] == truth[0]
+    refined = [r["id"] for r in ivfpq.probe_ivfpq_index(
+        cat, "default.ivfpqe", qvec, k=10, nprobe=6,
+        refine_with=emb, refine_factor=8).collect()]
+    overlap_r = len(set(truth) & set(refined))
+    assert overlap_r >= 8, f"refined recall@10 too low: {overlap_r}/10"
+    assert overlap_r >= overlap  # refine never hurts
+
+
+def test_extend_routes_and_encodes_frozen(spark, built, emb):
+    import pyspark.sql.functions as F
+
+    cat = built
+    before = cat.load_table("default.ivfpqe").scan().count()
+    batch = emb.limit(5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    n = ivfpq.extend_ivfpq_index(
+        cat, "default.ivfpqe", batch, "vec_id", "embedding")
+    assert n == 5
+    t = cat.load_table("default.ivfpqe")
+    assert t.scan().count() == before + 5
+    # a duplicated vector lands in the SAME cell with the SAME codes
+    orig = {r["id"]: (r["cell"], r["codes"]) for r in
+            t.scan(filter="id < 5").collect()}
+    ext = {r["id"] - 100000: (r["cell"], r["codes"]) for r in
+           t.scan(filter="id >= 100000").collect()}
+    assert ext == {k: orig[k] for k in ext}
+
+
+def test_geometry_validation(spark, built):
+    cat = built
+    with pytest.raises(ValueError, match="dims"):
+        ivfpq.probe_ivfpq_index(cat, "default.ivfpqe", [1.0, 2.0], k=3)
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dimensional"):
+        ivfpq.extend_ivfpq_index(
+            cat, "default.ivfpqe", bad, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="not an IVFPQ index"):
+        cat.create_table("default.notivfpq", [("id", "long")])
+        ivfpq.probe_ivfpq_index(cat, "default.notivfpq", [0.0] * 64)
+
+
+def test_build_rejects_bad_params(spark, tmp_warehouse, emb):
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    with pytest.raises(ValueError, match="divisible"):
+        ivfpq.build_ivfpq_index(
+            cat, "default.ivfpq7", emb, "vec_id", "embedding", m=7)
+    with pytest.raises(ValueError, match="n_cells"):
+        ivfpq.build_ivfpq_index(
+            cat, "default.ivfpq0", emb, "vec_id", "embedding", n_cells=0)
