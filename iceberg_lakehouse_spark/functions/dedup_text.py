@@ -712,3 +712,97 @@ def connected_components(
             "long duplicate chains"
         )
     return labels
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Substring-level EXACT dedup (VERDICT r8 #4; the public
+    methodology is "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022 — repeated >= n-token SPANS are removed
+    from all but one occurrence, the document-level complement to
+    MinHash/SimHash which keep or drop whole docs): a token position is
+    removed iff it is covered by some n-gram occurring in >= ``min_df``
+    distinct documents AND this document is not that gram's KEEPER (the
+    min id — deterministic, so re-running converges). The keeper's copy
+    survives verbatim; every other copy is masked out of the rebuilt
+    text.
+
+    Scale shape (same discipline as boilerplate_span_fraction): one
+    map-side positional n-gram explode; gram stats are ONE
+    partial-aggregatable shuffle over distinct (gram, doc) pairs
+    carrying (df, min_doc); mask positions come from an equality join
+    on the gram hash (never all-pairs); the rebuild is a DOC-level
+    broadcast-size join of each doc's mask-position set followed by a
+    map-only indexed filter — no token-level shuffle. Lee et al.'s
+    suffix array finds spans a streak of shorter repeats would miss;
+    the n-gram formulation trades that for pure DataFrame algebra: any
+    repeated span of length >= n is fully covered by its length-n
+    subgrams, so the masked set is identical for cross-doc repeats of
+    length >= n (it differs only on repeats shorter than n, which both
+    formulations keep).
+
+    Returns (id, n_tokens, removed_tokens, kept_tokens, dedup_text) —
+    dedup_text is whitespace-normalized lowercase (the tokenizer's
+    canonical form, matching every other dedup operator here)."""
+    _check_cols(df, id_col, text_col)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.lower(text_col)), r"[ \t\n\x0b\f\r]+").alias("t"),
+    )
+    g2 = (
+        toks.where(F.size("t") >= n)
+        .select(
+            "_id", "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1)))
+            .alias("pos"),
+        )
+        .select(
+            "_id", "pos",
+            F.concat_ws(" ", F.slice("t", F.col("pos"), n)).alias("g"),
+        )
+    )
+    stats = (
+        g2.select("g", "_id").distinct()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("_id").alias("keeper"),
+        )
+        .where(F.col("df") >= min_df)
+        .select("g", "keeper")
+    )
+    mask = (
+        g2.join(stats, "g")
+        .where(F.col("_id") != F.col("keeper"))
+        .select(
+            "_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1)))
+            .alias("mpos"),
+        )
+        .distinct()
+        .groupBy("_id")
+        .agg(F.collect_set("mpos").alias("_mask"))
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.array_contains(F.col("_mask"), i + 1),
+    )
+    return (
+        toks.join(mask, "_id", "left")
+        .withColumn("_mask",
+                    F.coalesce(F.col("_mask"),
+                               F.array().cast("array<int>")))
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("t").cast("long").alias("n_tokens"),
+            F.size("_mask").cast("long").alias("removed_tokens"),
+            (F.size("t") - F.size("_mask")).cast("long")
+            .alias("kept_tokens"),
+            F.array_join(kept, " ").alias("dedup_text"),
+        )
+    )

@@ -5577,3 +5577,86 @@ def streaming_attribution_loss_outer_join(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "span_dedup_corpus",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)),
+                                     '[ \\t\\n\\x0b\\f\\r]+') AS t
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, pos,
+               array_to_string(t[pos:pos + {_BP_N - 1}], ' ') AS g
+        FROM (
+            SELECT doc_id, unnest(range(1, len(t) - {_BP_N - 2})) AS pos,
+                   t
+            FROM toks WHERE len(t) >= {_BP_N}
+        )
+    ),
+    stats AS (
+        SELECT g, MIN(doc_id) AS keeper
+        FROM (SELECT DISTINCT g, doc_id FROM g2)
+        GROUP BY g
+        HAVING COUNT(*) >= {_BP_MIN_DF}
+    ),
+    masked AS (
+        SELECT DISTINCT doc_id, mpos FROM (
+            SELECT g2.doc_id,
+                   unnest(range(g2.pos, g2.pos + {_BP_N})) AS mpos
+            FROM g2 JOIN stats s ON g2.g = s.g
+            WHERE g2.doc_id <> s.keeper
+        )
+    ),
+    mcount AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed
+        FROM masked GROUP BY doc_id
+    ),
+    ptoks AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(range(1, len(t) + 1)) AS p
+        FROM toks
+    ),
+    keptt AS (
+        SELECT pt.doc_id,
+               string_agg(pt.tok, ' ' ORDER BY pt.p) AS dedup_text
+        FROM ptoks pt
+        LEFT JOIN masked m
+          ON m.doc_id = pt.doc_id AND m.mpos = pt.p
+        WHERE m.mpos IS NULL
+        GROUP BY pt.doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           COALESCE(mc.removed, 0) AS removed_tokens,
+           CAST(len(tk.t) - COALESCE(mc.removed, 0) AS BIGINT)
+               AS kept_tokens,
+           COALESCE(kt.dedup_text, '') AS dedup_text
+    FROM toks tk
+    LEFT JOIN mcount mc ON tk.doc_id = mc.doc_id
+    LEFT JOIN keptt kt ON tk.doc_id = kt.doc_id
+    ORDER BY tk.doc_id
+    """,
+    survey_ref="beyond-reference (r9): substring-span EXACT dedup — "
+    "repeated >= 8-token spans removed from every doc but the "
+    "min-doc_id keeper, rebuilt text value-hashed cross-engine",
+)
+def span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of cross-document span analysis (VERDICT r8
+    #4; boilerplate_span_fraction measures coverage, this one rewrites
+    the corpus): functions.dedup_text.span_dedup over the documents
+    table — every token position covered by an 8-gram shared with
+    another document is cut unless this doc is the gram's min-doc_id
+    keeper, and the surviving tokens are re-joined into dedup_text,
+    which the DuckDB oracle must reproduce byte-for-byte. The planted
+    exactly-once-removal contract is pinned in tests/test_llm_ops.py."""
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    from ..functions.dedup_text import span_dedup
+
+    return span_dedup(
+        docs, id_col="doc_id", text_col="text",
+        n=_BP_N, min_df=_BP_MIN_DF,
+    ).orderBy("doc_id")

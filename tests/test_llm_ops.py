@@ -1278,3 +1278,52 @@ def test_lsh_worst_case_majority_band_key_stays_linear(spark, n_hot):
         assert len(labels) == n_hot and len(set(labels.values())) == 1
     finally:
         pairs.unpersist()
+
+
+def test_span_dedup_removes_planted_paragraph_exactly_once(spark):
+    """A paragraph duplicated across two documents survives ONLY in the
+    min-doc_id keeper: every token of the other copy is removed, docs
+    without repeats are untouched, and re-running on the deduped output
+    is a fixed point (idempotent corpus cleaning)."""
+    para = ("we the people of the united states in order to form a "
+            "more perfect union establish justice")  # 17 tokens
+    docs = spark.createDataFrame(
+        [
+            (10, f"intro words here {para} closing remark"),
+            (20, f"different opening {para} different ending tokens"),
+            (30, "no shared spans in this document at all whatsoever "
+                 "truly unique content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dt.span_dedup(docs, n=8).collect()}
+    assert out[10]["removed_tokens"] == 0          # keeper: verbatim
+    assert para in out[10]["dedup_text"]
+    assert out[20]["removed_tokens"] == 17         # the whole span, once
+    assert para not in out[20]["dedup_text"]
+    assert out[20]["dedup_text"] == "different opening different ending tokens"
+    assert out[30]["removed_tokens"] == 0
+    # idempotence: dedup(dedup(corpus)) changes nothing
+    again = dt.span_dedup(
+        docs.sparkSession.createDataFrame(
+            [(k, r["dedup_text"]) for k, r in out.items()],
+            "doc_id long, text string"),
+        n=8,
+    ).collect()
+    assert all(r["removed_tokens"] == 0 for r in again)
+
+
+def test_span_dedup_overlapping_spans_and_three_way(spark):
+    """Three copies: the keeper keeps, BOTH later docs lose the span
+    (min-doc_id, not pairwise matching); counts reconcile."""
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # exactly 8
+    docs = spark.createDataFrame(
+        [(1, f"x {span} y"), (2, f"p {span} q"), (3, f"{span}")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dt.span_dedup(docs, n=8).collect()}
+    assert out[1]["removed_tokens"] == 0
+    assert out[2]["removed_tokens"] == 8
+    assert out[3]["removed_tokens"] == 8
+    assert out[3]["dedup_text"] == ""              # fully masked doc
+    assert out[3]["kept_tokens"] == 0
