@@ -5660,3 +5660,154 @@ def span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text",
         n=_BP_N, min_df=_BP_MIN_DF,
     ).orderBy("doc_id")
+
+
+_BPE_N_MERGES = 8
+_BPE_SYM_PAT = "chr(9) || '([^' || chr(9) || chr(10) || ']*)' || chr(10)"
+
+
+def _bpe_stage_ctes(n_merges: int) -> str:
+    """The DuckDB mirror of functions/bpe.py's training loop, as
+    chained CTEs (generated — SQL has no loops; every stage is the
+    same pair-count + argmax + greedy-replace algebra the Spark
+    trainer runs, with ties broken (cnt DESC, l, r) in both engines).
+    MATERIALIZED pins each stage so the chain is evaluated once, not
+    re-inlined exponentially through the scalar subqueries."""
+    ctes = ["""v0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', chr(9) || '\\1' || chr(10),
+                              'g') AS s,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                '[ \\t\\n\\x0b\\f\\r]+'))
+                   AS w
+            FROM documents WHERE trim(text) <> ''
+        )
+        WHERE length(w) >= 1
+        GROUP BY 1
+    )"""]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+        SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(syms[:len(syms)-1]) AS l,
+                   unnest(syms[2:]) AS r, freq
+            FROM (SELECT regexp_extract_all(s, {_BPE_SYM_PAT}, 1)
+                         AS syms, freq
+                  FROM v{i - 1})
+            WHERE len(syms) >= 2
+        )
+        GROUP BY l, r
+        ORDER BY cnt DESC, l, r
+        LIMIT 1
+    )""")
+        ctes.append(f"""v{i} AS MATERIALIZED (
+        SELECT replace(s,
+                       chr(9) || (SELECT l FROM p{i}) || chr(10) ||
+                       chr(9) || (SELECT r FROM p{i}) || chr(10),
+                       chr(9) || (SELECT l FROM p{i}) ||
+                       (SELECT r FROM p{i}) || chr(10)) AS s,
+               freq
+        FROM v{i - 1}
+    )""")
+    return ",\n    ".join(ctes)
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    sels = []
+    for i in range(1, n_merges + 1):
+        sels.append(f"""SELECT CAST({i} AS BIGINT) AS rank,
+               l AS left_sym, r AS right_sym, l || r AS merged_sym,
+               cnt AS pair_count,
+               (SELECT CAST(SUM(freq * (length(s) -
+                       length(replace(s, chr(10), '')))) AS BIGINT)
+                FROM v{i}) AS corpus_tokens_after
+        FROM p{i}""")
+    return ("WITH " + _bpe_stage_ctes(n_merges) + "\n    "
+            + "\n    UNION ALL ".join(sels) + "\n    ORDER BY rank")
+
+
+def _bpe_counts_oracle(n_merges: int) -> str:
+    expr = "regexp_replace(w, '(.)', chr(9) || '\\1' || chr(10), 'g')"
+    for i in range(1, n_merges + 1):
+        expr = (f"replace({expr}, chr(9) || (SELECT l FROM p{i}) || "
+                f"chr(10) || chr(9) || (SELECT r FROM p{i}) || chr(10), "
+                f"chr(9) || (SELECT l FROM p{i}) || "
+                f"(SELECT r FROM p{i}) || chr(10))")
+    return f"""WITH {_bpe_stage_ctes(n_merges)}
+    SELECT doc_id,
+           CAST(COALESCE(SUM(length(t) -
+                length(replace(t, chr(10), ''))), 0) AS BIGINT)
+               AS n_bpe_tokens
+    FROM (
+        SELECT doc_id, {expr} AS t
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '[ \\t\\n\\x0b\\f\\r]+'))
+                   AS w
+            FROM documents
+        )
+    )
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+_BPE_MERGES_SCHEMA = ("rank long, left_sym string, right_sym string, "
+                      "merged_sym string, pair_count long, "
+                      "corpus_tokens_after long")
+
+
+@register(
+    "bpe_train_merges_stats",
+    _bpe_merges_oracle(_BPE_N_MERGES),
+    survey_ref="beyond-reference (r9): BPE tokenizer TRAINING — the "
+    "iterated merge loop materializing the rank-ordered merge table, "
+    "value-hash verified against the same loop unrolled as DuckDB "
+    "CTE stages",
+)
+def bpe_train_merges_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE trainer (VERDICT r8 #5; bpe_merge_candidates is one
+    inner-loop iteration, this drives 8): per learned merge — rank,
+    the pair, its corpus adjacency count at selection time, and the
+    corpus token total once merges 1..rank apply. The corpus collapses
+    ONCE into the distinct-word vocabulary; each iteration is one
+    bounded-domain pair aggregation + one map-only greedy rewrite, and
+    the driver holds only this 8-row table. Ties break (count DESC,
+    left, right) identically in both engines."""
+    from ..functions.bpe import bpe_train_merges
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    merges = bpe_train_merges(docs, n_merges=_BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(m["rank"], m["left_sym"], m["right_sym"], m["merged_sym"],
+          m["pair_count"], m["corpus_tokens_after"]) for m in merges],
+        _BPE_MERGES_SCHEMA,
+    ).orderBy("rank")
+
+
+@register(
+    "bpe_token_counts_trained",
+    _bpe_counts_oracle(_BPE_N_MERGES),
+    survey_ref="beyond-reference (r9): per-document token counts under "
+    "the TRAINED BPE merges — the tokenizer surface end-to-end",
+)
+def bpe_token_counts_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the tokenizer loop: train the 8-merge table, then segment
+    every document with it (per-word wrapped-symbol rewrite chain — 8
+    literal replaces, map-only, merges can never leak across word
+    boundaries because each word is wrapped separately) and report
+    per-doc token counts. Unlike bpe_token_counts' fixed regex
+    heuristic, these counts move when the corpus changes — they are a
+    function of the LEARNED vocabulary."""
+    from ..functions.bpe import bpe_segment, bpe_train_merges
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    merges = bpe_train_merges(docs, n_merges=_BPE_N_MERGES)
+    return (
+        bpe_segment(docs, merges, text_col="text", out_col="bpe_toks")
+        .select("doc_id",
+                F.col("bpe_toks_n").alias("n_bpe_tokens"))
+        .orderBy("doc_id")
+    )

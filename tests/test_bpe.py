@@ -1,0 +1,77 @@
+"""BPE trainer (round 9): the iterated merge loop, greedy
+non-overlapping application semantics, segmentation under a trained
+table, and the early-stop guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_lakehouse_spark.functions import bpe
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_trains_textbook_merges(spark):
+    docs = _docs(spark, [
+        "low lower lowest low low",
+        "new newer newest new",
+        "low new lower newer",
+    ])
+    m = bpe.bpe_train_merges(docs, n_merges=5)
+    learned = [(x["left_sym"], x["right_sym"]) for x in m]
+    # the classic Sennrich toy progression: l+o, lo+w dominate
+    assert learned[0] == ("l", "o")
+    assert learned[1] == ("lo", "w")
+    assert all(x["pair_count"] >= 2 for x in m)
+    # token totals strictly decrease — every merge shrinks the corpus
+    totals = [x["corpus_tokens_after"] for x in m]
+    assert totals == sorted(totals, reverse=True)
+    assert len(set(totals)) == len(totals)
+
+
+def test_greedy_nonoverlapping_merge(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] — left-to-right
+    non-overlapping, the BPE contract — never [a, aa, a]."""
+    docs = _docs(spark, ["aaaa aaaa aaaa"])
+    m = bpe.bpe_train_merges(docs, n_merges=1)
+    assert (m[0]["left_sym"], m[0]["right_sym"]) == ("a", "a")
+    seg = bpe.bpe_segment(docs, m).first()
+    assert seg["bpe_tokens"] == ["aa", "aa"] * 3
+    assert seg["bpe_tokens_n"] == 6
+
+
+def test_segment_never_merges_across_words(spark):
+    """Words 'ab' and 'ba' adjacent in text: the (a,b) merge applies
+    inside words only — 'b a' across the boundary stays two tokens."""
+    docs = _docs(spark, ["ab ab ab ba"])
+    m = bpe.bpe_train_merges(docs, n_merges=1)
+    assert (m[0]["left_sym"], m[0]["right_sym"]) == ("a", "b")
+    seg = bpe.bpe_segment(docs, m).first()
+    assert seg["bpe_tokens"] == ["ab", "ab", "ab", "b", "a"]
+
+
+def test_early_stop_when_nothing_repeats(spark):
+    docs = _docs(spark, ["abc def ghi"])  # every pair occurs once
+    m = bpe.bpe_train_merges(docs, n_merges=5)
+    assert m == []
+
+
+def test_merge_table_feeds_later_merges(spark):
+    """A rank-2 merge may consume a rank-1 output symbol (lo + w) —
+    segmentation applies ranks in order so the chain composes."""
+    docs = _docs(spark, ["lowlow lowlow low w w"])
+    m = bpe.bpe_train_merges(docs, n_merges=3)
+    syms = {x["merged_sym"] for x in m}
+    assert "lo" in syms and "low" in syms
+    seg = bpe.bpe_segment(docs, m).first()
+    assert "low" in seg["bpe_tokens"]
+
+
+def test_rejects_bad_n(spark):
+    docs = _docs(spark, ["a b"])
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe.bpe_train_merges(docs, n_merges=0)
