@@ -60,7 +60,24 @@ def main() -> None:
     # timings so noise can be adjudicated from the artifact alone —
     # parallel test shards load this host for ~10 min after finishing,
     # and a high load1 marks the number as suspect without a re-run.
+    # Load GUARD (VERDICT r8 #2): r8's recorded number shipped from a
+    # load-4.67 host and read as a phantom 40% regression on
+    # byte-identical code. If the host is busy, wait (bounded) for it
+    # to drain before timing; if it never drains, still run — the
+    # driver needs its artifact — but stamp the result noisy so no one
+    # compares it across rounds without re-running.
+    guard_wait = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "180"))
+    deadline = time.monotonic() + guard_wait
+    waited = 0.0
+    while os.getloadavg()[0] > 1.0 and time.monotonic() < deadline:
+        time.sleep(5)
+        waited += 5
     load_before = os.getloadavg()
+    load_guard = {
+        "status": "quiet" if load_before[0] <= 1.0 else "noisy",
+        "waited_sec": round(waited, 1),
+        "threshold_load1": 1.0,
+    }
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -87,6 +104,7 @@ def main() -> None:
                     "before": [round(x, 2) for x in load_before],
                     "after": [round(x, 2) for x in os.getloadavg()],
                 },
+                "load_guard": load_guard,
                 "runs": runs,
             }
         )

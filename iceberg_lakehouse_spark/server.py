@@ -996,6 +996,107 @@ class LakehouseServer:
             lambda index_table: _pq.pq_index_stats(c, index_table),
         )
 
+        from .operators import ivfpq as _ivfpq
+
+        self._add(
+            _tool("ivfpq_index_build",
+                  "Persist an IVFADC index (IVF cell routing x PQ "
+                  "residual compression): codes partitioned by cell so "
+                  "a probe file-prunes to nprobe cells AND holds m "
+                  "bytes per vector",
+                  {"table": _S, "index_table": _S, "id_column": _S,
+                   "vector_column": _S, "n_cells": _I, "m": _I,
+                   "ksub": _I},
+                  ["table", "index_table", "id_column", "vector_column"]),
+            lambda table, index_table, id_column, vector_column,
+                   n_cells=16, m=8, ksub=16: {
+                "index_table": index_table,
+                "rows": _ivfpq.build_ivfpq_index(
+                    c, index_table, c.load_table(table).scan(),
+                    id_column, vector_column,
+                    n_cells=n_cells, m=m, ksub=ksub,
+                ).scan().count(),
+            },
+        )
+        self._add(
+            _tool("ivfpq_index_probe",
+                  "Top-k by IVFADC: centroid route -> file-pruned scan "
+                  "of nprobe cells' codes -> per-cell residual LUT ADC "
+                  "-> optional exact re-rank via refine_table",
+                  {"index_table": _S, "query_vector": _VEC, "k": _I,
+                   "nprobe": _I, "refine_table": _S, "id_column": _S,
+                   "vector_column": _S, "refine_factor": _I},
+                  ["index_table", "query_vector"]),
+            lambda index_table, query_vector, k=10, nprobe=4,
+                   refine_table=None, id_column="vec_id",
+                   vector_column="embedding", refine_factor=4: rows_of(
+                _ivfpq.probe_ivfpq_index(
+                    c, index_table, [float(v) for v in query_vector],
+                    k=k, nprobe=nprobe,
+                    refine_with=(c.load_table(refine_table).scan()
+                                 if refine_table else None),
+                    id_col=id_column, vec_col=vector_column,
+                    refine_factor=refine_factor,
+                )
+            ),
+        )
+        self._add(
+            _tool("ivfpq_index_extend",
+                  "Route a new batch to the frozen centroids and encode "
+                  "its residuals against the frozen codebook (map-only)",
+                  {"index_table": _S, "batch_table": _S, "id_column": _S,
+                   "vector_column": _S},
+                  ["index_table", "batch_table", "id_column",
+                   "vector_column"]),
+            lambda index_table, batch_table, id_column, vector_column: {
+                "index_table": index_table,
+                "rows_added": _ivfpq.extend_ivfpq_index(
+                    c, index_table, c.load_table(batch_table).scan(),
+                    id_column, vector_column,
+                ),
+            },
+        )
+        self._add(
+            _tool("ivfpq_index_stats",
+                  "Compression ratio, per-cell list sizes (skew) and "
+                  "code utilization (dead codes) for an IVFADC index",
+                  {"index_table": _S}, ["index_table"]),
+            lambda index_table: _ivfpq.ivfpq_index_stats(c, index_table),
+        )
+
+        from .functions.bpe import bpe_train_merges as _bpe_train
+        from .functions.dedup_text import span_dedup as _span_dedup
+
+        self._add(
+            _tool("span_dedup",
+                  "Substring-level exact dedup: remove every cross-doc "
+                  "repeated >= n-token span from all but its min-id "
+                  "keeper document; returns per-doc token counts and "
+                  "the rebuilt text",
+                  {"table": _S, "id_column": _S, "text_column": _S,
+                   "ngram": _I, "min_df": _I, "max_rows": _I},
+                  ["table"]),
+            lambda table, id_column="doc_id", text_column="text",
+                   ngram=8, min_df=2, max_rows=100: rows_of(
+                _span_dedup(
+                    c.load_table(table).scan(), id_col=id_column,
+                    text_col=text_column, n=ngram, min_df=min_df,
+                ).orderBy(id_column), cap=max_rows,
+            ),
+        )
+        self._add(
+            _tool("bpe_train",
+                  "Train a BPE merge table over a text column (N "
+                  "iterated merges; returns rank-ordered pairs with "
+                  "corpus token totals after each merge)",
+                  {"table": _S, "text_column": _S, "n_merges": _I},
+                  ["table"]),
+            lambda table, text_column="text", n_merges=8: _bpe_train(
+                c.load_table(table).scan(), text_col=text_column,
+                n_merges=n_merges,
+            ),
+        )
+
         # -- dashboard -----------------------------------------------------
         from .governance.advisor import dashboard as dash
         from .governance.audit import AuditLog as _AuditLog

@@ -784,3 +784,77 @@ def test_aggregate_matview_tools(server):
                               "group_by": ["k"],
                               "aggs": [{"fn": "max", "col": "v", "as": "m"}]})
     assert is_err and "MIN/MAX" in result["content"][0]["text"]
+
+
+def test_ivfpq_tools_roundtrip(server):
+    """IVFADC build/probe/extend/stats through the RPC surface (round
+    9): same shape as the ANN/PQ tool tests, with the composed index."""
+    import math
+
+    from pyspark.sql import types as T
+
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    cat = server.catalog
+    spark = cat.spark
+    rows = [(i, [math.cos(i / 3.0), math.sin(i / 3.0),
+                 math.cos(i / 7.0), math.sin(i / 7.0)])
+            for i in range(40)]
+    t = cat.create_table("mcp_vecs_pq", vec_schema)
+    t.append(spark.createDataFrame(rows, vec_schema))
+    is_err, built, _ = call(server, "ivfpq_index_build", {
+        "table": "mcp_vecs_pq", "index_table": "mcp_ivfpq",
+        "id_column": "vec_id", "vector_column": "embedding",
+        "n_cells": 4, "m": 2, "ksub": 8,
+    })
+    assert not is_err and built["rows"] == 40
+    q = rows[7][1]
+    is_err, top, _ = call(server, "ivfpq_index_probe", {
+        "index_table": "mcp_ivfpq", "query_vector": q, "k": 5,
+        "nprobe": 3, "refine_table": "mcp_vecs_pq",
+    })
+    assert not is_err and top[0]["id"] == 7
+    t2 = cat.create_table("mcp_vecs_pq2", vec_schema)
+    t2.append(spark.createDataFrame(
+        [(100, [v * 1.001 for v in q])], vec_schema))
+    is_err, ext, _ = call(server, "ivfpq_index_extend", {
+        "index_table": "mcp_ivfpq", "batch_table": "mcp_vecs_pq2",
+        "id_column": "vec_id", "vector_column": "embedding",
+    })
+    assert not is_err and ext["rows_added"] == 1
+    is_err, st, _ = call(server, "ivfpq_index_stats",
+                         {"index_table": "mcp_ivfpq"})
+    assert not is_err and st["rows"] == 41
+    assert st["compression_ratio"] == (4 * 8) / 2
+
+
+def test_span_dedup_and_bpe_tools(server):
+    cat = server.catalog
+    spark = cat.spark
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    para = "one two three four five six seven eight nine ten"
+    t = cat.create_table("mcp_docs_sd", schema)
+    t.append(spark.createDataFrame(
+        [(1, f"aa bb {para}"), (2, f"cc dd {para}"),
+         (3, "unique words only here really nothing shared at all")],
+        schema))
+    is_err, rows, _ = call(server, "span_dedup", {
+        "table": "mcp_docs_sd", "ngram": 8, "min_df": 2,
+    })
+    assert not is_err
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["removed_tokens"] == 0
+    assert by_id[2]["removed_tokens"] == 10
+    assert by_id[3]["removed_tokens"] == 0
+    is_err, merges, _ = call(server, "bpe_train", {
+        "table": "mcp_docs_sd", "n_merges": 3,
+    })
+    assert not is_err and len(merges) == 3
+    assert merges[0]["rank"] == 1 and merges[0]["pair_count"] >= 2
