@@ -871,3 +871,16 @@ def test_band_matrix_one_scan_one_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
     assert "partial_count" in plan  # map-side combine of all 8 counts
+
+
+def test_span_dedup_no_token_level_shuffle(spark):
+    """Span dedup (r9): the rebuild joins each doc's MASK SET at doc
+    level — the plan has no cartesian, no single-partition exchange,
+    and the kept-token filter is a map-side lambda (no per-token
+    shuffle join)."""
+    plan = plan_of(spark, "span_dedup_corpus")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # mask collection aggregates by doc — collect_set rides the same
+    # hash partitioning as the final doc-level join
+    assert "collect_set" in plan

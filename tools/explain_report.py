@@ -198,6 +198,17 @@ SHOW = [
      "back via broadcast join, and only that bucket's customers sort — "
      "the per-customer relation itself is never windowed by the "
      "25-value nation key."),
+    ("span_dedup_corpus",
+     "Substring-span exact dedup (round 9): positional 8-grams "
+     "map-side, ONE partial-aggregatable (df, min_doc) shuffle over "
+     "distinct (gram, doc) pairs, mask positions via gram-key equality "
+     "join, and the text REBUILD is a doc-level mask join + map-only "
+     "indexed filter — no token-level shuffle anywhere."),
+    ("bpe_token_counts_trained",
+     "Trained-BPE token counts (round 9): after the driver-looped "
+     "trainer, segmentation is a pure map-only expression chain — the "
+     "plan is one scan + 8 nested literal replaces per word + a "
+     "projection; the only exchange is the output ORDER BY."),
 ]
 
 
