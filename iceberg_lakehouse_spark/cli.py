@@ -421,6 +421,18 @@ _TREE: dict[str, dict[str, str]] = {
         "run": "execute_join", "to-table": "join_to_table",
         "suggest": "suggest_joins",
     },
+    "index": {
+        "ann-build": "ann_index_build", "ann-probe": "ann_index_probe",
+        "ann-extend": "ann_index_extend", "ann-stats": "ann_index_stats",
+        "ann-rebalance": "ann_index_rebalance",
+        "pq-build": "pq_index_build", "pq-probe": "pq_index_probe",
+        "pq-extend": "pq_index_extend", "pq-stats": "pq_index_stats",
+        "ivfpq-build": "ivfpq_index_build",
+        "ivfpq-probe": "ivfpq_index_probe",
+        "ivfpq-extend": "ivfpq_index_extend",
+        "ivfpq-stats": "ivfpq_index_stats",
+        "ivfpq-rebalance": "ivfpq_index_rebalance",
+    },
     "refs": {
         "branch": "branch_create", "tag": "tag_create",
         "list": "refs_list", "fast-forward": "branch_fast_forward",
@@ -439,6 +451,7 @@ _TOP_LEVEL = {
     "convert_format": "convert", "query_file": "query-file",
     "table_to_orc": "table-to-orc", "knn_search": "knn",
     "query_as_of": "query-as-of",
+    "span_dedup": "span-dedup", "bpe_train": "bpe-train",
 }
 
 _GROUP_HELP = {
@@ -475,6 +488,7 @@ _GROUP_HELP = {
     "pipeline": "Multi-step SQL pipelines.",
     "lineage": "Lineage edges, graph, impact.",
     "join": "Join execution + suggestions.",
+    "index": "Vector ANN indexes: IVF, PQ, and the IVFADC composition.",
 }
 
 

@@ -368,3 +368,180 @@ def ivfpq_index_stats(catalog: LakehouseCatalog, name: str) -> dict:
             s: {"used": util.get(s, 0), "ksub": ksub} for s in range(m)
         },
     }
+
+
+def _decode(codes_df: DataFrame, book_df: DataFrame, m: int) -> DataFrame:
+    """(id, cell, _vhat): PQ-decode each row's codes back to the
+    reconstructed residual and add the cell centroid — the standard PQ
+    reconstruction v̂ = c + concat(codebook[s][code_s]). Broadcast DATA
+    join on (sub, code) then an ordered re-assembly; no codebook
+    literals in the expression tree. ``codes_df`` must carry (id, cell,
+    codes) plus a ``_c`` centroid-vector column."""
+    exploded = codes_df.select(
+        "id", "cell",
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    # group by the scalar (id, cell) key; the centroid array comes
+    # back via a broadcast join on cell (cell-count-sized distinct)
+    # instead of riding the shuffle key as an array
+    return (
+        exploded.join(F.broadcast(book_df), ["sub", "code"])
+        .groupBy("id", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "vec")))
+             .alias("_sv"))
+        .join(F.broadcast(codes_df.select("cell", "_c").distinct()), "cell")
+        .select(
+            "id", "cell",
+            F.zip_with(
+                F.col("_c"),
+                F.flatten(F.transform(F.col("_sv"), lambda x: x["vec"])),
+                lambda c, r: c + r,
+            ).alias("_vhat"),
+        )
+    )
+
+
+def rebalance_ivfpq_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    max_ratio: float = 4.0,
+    kmeans_iters: int = 2,
+    max_splits: int = 16,
+) -> dict:
+    """Recall-preserving maintenance for the COMPOSED index — the
+    IVFPQ analogue of ``rebalance_ann_index``: split every cell whose
+    code list exceeds ``max_ratio`` × the median into two cells, so a
+    drifting corpus (``extend_ivfpq_index`` routes to frozen
+    centroids) stops piling into hot cells and probe selectivity
+    recovers.
+
+    The twist vs the plain-IVF rebalance: IVFPQ stores CODES, not
+    vectors, so the in-cell 2-means runs over PQ RECONSTRUCTIONS
+    (v̂ = centroid + decoded residual — self-contained, no access to
+    the original corpus required) and the split cells' rows re-encode
+    their residuals against the new centroids with the FROZEN shared
+    codebook. Reconstruction error compounds into the re-encoded
+    codes (bounded by twice the quantization error — documented
+    honestly; a full rebuild from source vectors is still the
+    highest-fidelity reset), but cell ROUTING fidelity is what
+    rebalancing protects, and that depends only on the coarse
+    centroids, which come out exact for the reconstructed population.
+
+    Scale shape: sizing is one groupBy; each hot cell decodes and
+    re-clusters over a file-pruned scan of that cell only (the codes
+    table is partitioned by cell); per-iteration driver traffic is
+    2 × dim means. The rewrite is a cell-pruned delete + append per
+    split. At most ``max_splits`` cells split per call."""
+    from ..functions.similarity import _nearest_cell
+    from .crud import delete_rows
+
+    at, ct, bt, n_cells, m, _ksub, dim = _load(catalog, name)
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in at.scan().groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    report: dict = {
+        "index": name, "max_ratio": max_ratio,
+        "split_cells": [], "new_cells": [],
+        "n_cells_before": n_cells, "n_cells_after": n_cells,
+    }
+    if not counts:
+        report["median"] = 0
+        return report
+    sizes = sorted(counts.values())
+    median = sizes[len(sizes) // 2]
+    report["median"] = median
+    hot = [
+        c for c, nn in sorted(counts.items())
+        if nn > max_ratio * max(median, 1) and nn >= 2
+    ]
+    if len(hot) > max_splits:
+        report["deferred_cells"] = hot[max_splits:]
+        hot = hot[:max_splits]
+    if not hot:
+        return report
+    cent_rows = {int(r["cell"]): [float(x) for x in r["vec"]]
+                 for r in ct.scan().collect()}
+    next_cell = max(set(cent_rows) | set(counts)) + 1
+    book_df = bt.scan()
+    spark = catalog.spark
+    for c in hot:
+        cvec = cent_rows[c]
+        cell_rows = at.scan(filter=f"cell = {c}").withColumn(
+            "_c", F.lit(cvec).cast("array<double>"))
+        recon = _decode(cell_rows, book_df, m).persist()
+        try:
+            seeds = (
+                recon.orderBy(F.md5(F.col("id").cast("string")), "id")
+                .limit(2).collect()
+            )
+            if len(seeds) < 2:
+                continue
+            cents = [
+                {"cell": i, "vec": [float(x) for x in r["_vhat"]]}
+                for i, r in enumerate(seeds)
+            ]
+            for _ in range(max(kmeans_iters, 0)):
+                # two selects: a generator (posexplode) in the SAME
+                # select as _nearest_cell strips the argmax struct's
+                # inner field aliases (Spark generator-rewrite quirk)
+                means = (
+                    recon.select(
+                        _nearest_cell(F.col("_vhat"), cents).alias("sub"),
+                        "_vhat",
+                    )
+                    .select("sub", F.posexplode("_vhat").alias("dim", "x"))
+                    .groupBy("sub", "dim")
+                    .agg(F.avg("x").alias("mu"))
+                    .collect()  # 2 x dim rows — centroid-sized
+                )
+                by_sub: dict[int, dict[int, float]] = {}
+                for r in means:
+                    by_sub.setdefault(int(r["sub"]), {})[
+                        int(r["dim"])] = float(r["mu"])
+                for cent in cents:
+                    if cent["cell"] in by_sub:
+                        dims = by_sub[cent["cell"]]
+                        cent["vec"] = [dims[d] for d in sorted(dims)]
+            new_id = next_cell
+            next_cell += 1
+            cents_df = spark.createDataFrame(
+                [(int(c), cents[0]["vec"]), (int(new_id), cents[1]["vec"])],
+                _CENTROID_SCHEMA,
+            )
+            # route each reconstruction to its new half, residual vs
+            # the NEW centroid, re-encode with the frozen codebook —
+            # all before the delete (the df binds to pre-delete files)
+            routed = recon.select(
+                "id", "_vhat",
+                F.when(_nearest_cell(F.col("_vhat"), cents) == 1,
+                       F.lit(new_id)).otherwise(F.lit(c))
+                .cast("long").alias("cell"),
+            ).join(
+                F.broadcast(cents_df.withColumnRenamed("vec", "_nc")),
+                "cell",
+            ).select(
+                "id", "cell",
+                _residual(F.col("_vhat"), F.col("_nc")).alias("_r"),
+            )
+            reencoded = _encode(
+                routed, "_r", book_df, dim, m,
+                keys=("id", "cell"), normalize=False,
+            ).select("id", "cell", "codes").persist()
+            try:
+                reencoded.count()
+                delete_rows(at, f"cell = {c}")
+                at.append(reencoded)
+            finally:
+                reencoded.unpersist()
+            delete_rows(ct, f"cell = {c}")
+            ct.append(cents_df)
+            report["split_cells"].append(int(c))
+            report["new_cells"].append(int(new_id))
+        finally:
+            recon.unpersist()
+    new_n = n_cells + len(report["split_cells"])
+    at.set_properties({"ivfpq.n_cells": str(new_n)})
+    report["n_cells_after"] = new_n
+    return report

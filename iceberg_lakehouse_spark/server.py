@@ -1063,6 +1063,21 @@ class LakehouseServer:
                   {"index_table": _S}, ["index_table"]),
             lambda index_table: _ivfpq.ivfpq_index_stats(c, index_table),
         )
+        self._add(
+            _tool("ivfpq_index_rebalance",
+                  "Split cells grown past max_ratio x the median code-"
+                  "list size via 2-means over PQ RECONSTRUCTIONS (no "
+                  "corpus access needed; split rows re-encode against "
+                  "the frozen codebook)",
+                  {"index_table": _S, "max_ratio": _N, "kmeans_iters": _I,
+                   "max_splits": _I},
+                  ["index_table"]),
+            lambda index_table, max_ratio=4.0, kmeans_iters=2,
+                   max_splits=16: _ivfpq.rebalance_ivfpq_index(
+                c, index_table, max_ratio=max_ratio,
+                kmeans_iters=kmeans_iters, max_splits=max_splits,
+            ),
+        )
 
         from .functions.bpe import bpe_train_merges as _bpe_train
         from .functions.dedup_text import span_dedup as _span_dedup

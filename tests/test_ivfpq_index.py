@@ -143,3 +143,58 @@ def test_build_rejects_bad_params(spark, tmp_warehouse, emb):
     with pytest.raises(ValueError, match="n_cells"):
         ivfpq.build_ivfpq_index(
             cat, "default.ivfpq0", emb, "vec_id", "embedding", n_cells=0)
+
+
+def test_rebalance_splits_hot_cell_from_reconstructions(spark, emb,
+                                                        tmp_path_factory):
+    """Extend-drift maintenance for the composed index: pile a tight
+    blob of near-identical vectors into one cell, rebalance, and the
+    hot cell splits into two via 2-means over PQ RECONSTRUCTIONS (the
+    index stores codes, not vectors — no corpus access needed). Probe
+    still finds an exact-duplicate query at rank 1 afterwards."""
+    import pyspark.sql.functions as F
+
+    wh = str(tmp_path_factory.mktemp("ivfpqreb"))
+    cat = LakehouseCatalog(spark, wh)
+    ivfpq.build_ivfpq_index(
+        cat, "default.reb", emb, "vec_id", "embedding",
+        n_cells=6, m=8, ksub=16, kmeans_iters=1)
+    n0 = cat.load_table("default.reb").scan().count()
+    # a 400-vector blob: one anchor vector + per-id microscopic jitter
+    anchor = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    blob = spark.range(200000, 200400).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            F.lit(v) + (F.col("id") % 7).cast("double") * 1e-4
+            for v in anchor
+        ]).alias("embedding"),
+    )
+    ivfpq.extend_ivfpq_index(cat, "default.reb", blob,
+                             "vec_id", "embedding")
+    stats = ivfpq.ivfpq_index_stats(cat, "default.reb")
+    sizes = sorted(c["n_vectors"] for c in stats["cells"].values())
+    median = sizes[len(sizes) // 2]
+    # the blob piled into one cell: max list > 3x the median — the
+    # rebalance trigger condition (median-relative, like the operator)
+    assert sizes[-1] > 3 * median, sizes
+    rep = ivfpq.rebalance_ivfpq_index(cat, "default.reb", max_ratio=3.0)
+    assert rep["split_cells"], rep
+    assert rep["n_cells_after"] > rep["n_cells_before"]
+    after = ivfpq.ivfpq_index_stats(cat, "default.reb")
+    assert after["rows"] == n0 + 400          # nothing lost in the rewrite
+    assert after["n_cells"] == rep["n_cells_after"]
+    # the split halves are real: both new+old hot cells hold rows
+    for cid in rep["new_cells"]:
+        assert after["cells"][cid]["n_vectors"] > 0
+    # routing fidelity: the blob's neighborhood still resolves after
+    # the split — every top-5 hit is the anchor (vec 0, which seeded
+    # the blob and quantizes to the same codes) or a blob member, and
+    # blob members do surface
+    top = ivfpq.probe_ivfpq_index(
+        cat, "default.reb",
+        [v + (200001 % 7) * 1e-4 for v in anchor], k=5, nprobe=3,
+    ).collect()
+    ids = [r["id"] for r in top]
+    blob_ids = set(range(200000, 200400))
+    assert all(i == 0 or i in blob_ids for i in ids), ids
+    assert any(i in blob_ids for i in ids), ids
