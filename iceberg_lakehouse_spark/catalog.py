@@ -2587,17 +2587,24 @@ class LakeTable:
         # single file diverges (missing/extra column, drifted type)
         # would pass a batch-level check and then null-fill or fail at
         # scan time. pyarrow footer reads are driver-side metadata ops
-        # (no data IO); every file must match the first byte-for-byte
-        # before the batch-level Spark-type comparison is meaningful.
+        # (no data IO). Comparison is by NAME -> TYPE, not full Schema
+        # equality: Spark's parquet reader resolves columns by name, so
+        # files differing only in column order, nullability flags, or
+        # footer metadata scan identically and must not be rejected.
         import pyarrow.parquet as pq_meta
 
-        ref_arrow = pq_meta.read_schema(paths[0])
+        def _shape(path: str) -> dict[str, str]:
+            s = pq_meta.read_schema(path)
+            return {f.name: str(f.type) for f in s}
+
+        ref_shape = _shape(paths[0])
         for p in paths[1:]:
-            s = pq_meta.read_schema(p)
-            if s != ref_arrow:
+            shape = _shape(p)
+            if shape != ref_shape:
                 raise ValueError(
                     f"file schema drift inside batch: {p} does not "
-                    f"match {paths[0]} (got {s}, expected {ref_arrow})"
+                    f"match {paths[0]} (got {shape}, expected "
+                    f"{ref_shape})"
                 )
         incoming = self.spark.read.parquet(paths[0]).schema
         table_fields = {f.name: f.dataType for f in self.schema().fields}

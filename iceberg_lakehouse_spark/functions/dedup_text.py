@@ -784,7 +784,9 @@ def span_dedup(
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1)))
             .alias("mpos"),
         )
-        .distinct()
+        # no distinct here: collect_set already deduplicates positions
+        # per doc AND partial-aggregates map-side — a distinct first
+        # would shuffle the largest intermediate in the operator twice
         .groupBy("_id")
         .agg(F.collect_set("mpos").alias("_mask"))
     )

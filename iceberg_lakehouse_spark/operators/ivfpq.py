@@ -335,9 +335,16 @@ def probe_ivfpq_index(
     )
 
 
-def ivfpq_index_stats(catalog: LakehouseCatalog, name: str) -> dict:
+def ivfpq_index_stats(
+    catalog: LakehouseCatalog, name: str, max_ratio: float = 4.0
+) -> dict:
     """Compression ratio, per-cell list sizes (skew = rebalance signal)
-    and per-subspace code utilization (dead codes = rebuild signal)."""
+    and per-subspace code utilization (dead codes = rebuild signal).
+    The ``skewed`` flag uses the SAME median-relative ``max_ratio``
+    definition ``rebalance_ivfpq_index`` splits on, so a flagged cell
+    is exactly one a rebalance at that ratio would touch (a mean-based
+    flag would disagree with the operator whenever many near-empty
+    cells drag the mean down)."""
     at, _ct, _bt, n_cells, m, ksub, dim = _load(catalog, name)
     per_cell = {
         int(r["cell"]): int(r["n"])
@@ -353,15 +360,19 @@ def ivfpq_index_stats(catalog: LakehouseCatalog, name: str) -> dict:
         .collect()
     )
     util = {int(r["sub"]): int(r["used"]) for r in used}
-    mean = max(n / max(n_cells, 1), 1.0)
+    sizes = sorted(per_cell.values())
+    median = sizes[len(sizes) // 2] if sizes else 0
     return {
         "index": name, "rows": n, "n_cells": n_cells,
         "m": m, "ksub": ksub, "dim": dim,
         "bytes_per_vector_raw": dim * 8,
         "bytes_per_vector_pq": m,
         "compression_ratio": (dim * 8) / m,
+        "median_cell_size": median,
+        "max_ratio": max_ratio,
         "cells": {
-            c: {"n_vectors": v, "skewed": v > 4.0 * mean}
+            c: {"n_vectors": v,
+                "skewed": v > max_ratio * max(median, 1)}
             for c, v in sorted(per_cell.items())
         },
         "code_utilization": {
@@ -384,10 +395,15 @@ def _decode(codes_df: DataFrame, book_df: DataFrame, m: int) -> DataFrame:
     # group by the scalar (id, cell) key; the centroid array comes
     # back via a broadcast join on cell (cell-count-sized distinct)
     # instead of riding the shuffle key as an array
+    # collect_SET: a retried extend can append duplicate (id, cell,
+    # codes) rows; the set collapses their identical (sub, vec) structs
+    # so the flattened residual stays dim-length instead of 2×dim
+    # (conflicting codes for one id remain undefined — that is corrupt
+    # input, not a retry artifact)
     return (
         exploded.join(F.broadcast(book_df), ["sub", "code"])
         .groupBy("id", "cell")
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "vec")))
+        .agg(F.array_sort(F.collect_set(F.struct("sub", "vec")))
              .alias("_sv"))
         .join(F.broadcast(codes_df.select("cell", "_c").distinct()), "cell")
         .select(

@@ -81,8 +81,12 @@ def join_to_table(
             how=spec.get("how", "inner"), config=config,
         )
         on = " AND ".join(f"l.{c} = r.{c}" for c in spec["on"])
+        # DataFrame join types use underscores (left_outer); the
+        # lineage-recorded SQL must spell them as words or replaying it
+        # fails to parse
+        how_sql = spec.get("how", "inner").upper().replace("_", " ")
         sql = (f"SELECT * FROM {spec['left']} l "
-               f"{spec.get('how', 'inner').upper()} JOIN "
+               f"{how_sql} JOIN "
                f"{spec['right']} r ON {on}")
     else:
         df = engine.execute(sql, max_rows=0)

@@ -532,36 +532,75 @@ class LakehouseStreamReader(DataSourceStreamReader):
         # many NEW data files one micro-batch admits, so a backlog (or a
         # bursty writer) drains as several right-sized batches instead
         # of one giant one. The cursor tracks the last offset this
-        # reader handed out or planned; the Python stream API does not
-        # pass the checkpoint position into latestOffset, so the first
-        # latestOffset seeds the cursor from the configured start (cap
-        # applies from batch one) and partitions() re-locks it onto the
-        # engine's actual checkpoint position on restart.
+        # reader handed out or planned. The Python stream API does not
+        # pass the checkpoint position into latestOffset, so seeding is
+        # FRESH-START ONLY: initialOffset() is called exactly on fresh
+        # starts, and there the configured start IS the engine position,
+        # so a capped walk from it can never sit behind the checkpoint.
+        # On a restart (no initialOffset call) the first batch is
+        # unbounded — returning a capped offset computed from the
+        # configured start could land BEHIND the engine's checkpoint,
+        # and Spark would record it and re-plan already-committed
+        # snapshots on the next trigger (duplicate delivery, the one
+        # thing worse than a big batch). partitions() locks the cursor
+        # onto the true position and every later batch is capped;
+        # _planned additionally floors every planned range so a
+        # behind-checkpoint start can never re-emit planned files.
         mft = options.get("max_files_per_trigger")
         self._max_files = int(mft) if mft is not None else None
         if self._max_files is not None and self._max_files < 1:
             raise ValueError("max_files_per_trigger must be >= 1")
         self._cursor: int | None = None
+        self._fresh_start = False
+        self._planned = 0
+
+    def _trace(self, msg: str) -> None:
+        import os as _os
+        p = _os.environ.get("SPARK_GRAFT_DS_TRACE")
+        if p:
+            with open(p, "a") as f:
+                f.write(f"{id(self)} {msg}\n")
 
     def initialOffset(self):
+        # only ever called on a FRESH start (no checkpoint): the
+        # configured start is authoritative, so the admission walk may
+        # safely seed from it
+        self._trace("initialOffset")
+        self._fresh_start = True
         return {"snapshot_id": self._start}
 
     def latestOffset(self):
+        self._trace(f"latestOffset cursor={self._cursor} fresh={self._fresh_start}")
         snaps = _snapshots(self._root)
         head = _main_head(self._root, snaps)
         head = head if head is not None else self._start
         if self._max_files is None:
             return {"snapshot_id": head}
         if self._cursor is None:
-            # Seed from the configured start so the cap holds on the
-            # very FIRST batch — the scenario admission control most
-            # protects against is draining a large backlog at stream
-            # (re)start. After a checkpoint restart the engine's real
-            # position may be ahead of the configured start; the offset
-            # returned here is then behind the checkpoint, partitions()
-            # plans one EMPTY batch (e <= s) and locks the cursor onto
-            # the true position, and every later batch is capped. One
-            # empty micro-batch beats one unbounded one.
+            if not self._fresh_start:
+                # first call of this reader's life, and the engine has
+                # not revealed whether a checkpoint exists (traced
+                # protocol: latestOffset is polled BEFORE initialOffset
+                # even on fresh starts). Any offset computed from the
+                # configured start could land BEHIND a checkpoint —
+                # Spark records whatever we return, and after a crash
+                # in that window the stream would resume from the
+                # regressed offset and re-deliver committed snapshots.
+                # head is the only value provably >= every possible
+                # checkpoint, so the first batch is unbounded
+                # (documented); partitions() locks the cursor and the
+                # cap binds from batch two. Duplicate delivery is the
+                # one thing worse than a big batch.
+                return {"snapshot_id": head}
+            # initialOffset() ran before this call, so this is provably
+            # a fresh start and the configured start IS the engine
+            # position — safe to seed and cap from batch one. NOTE:
+            # traced engine behavior (processingTime AND availableNow,
+            # Spark 4.1) polls latestOffset BEFORE initialOffset, so in
+            # practice the restart branch above handles the first call
+            # and this opportunistic seed binds only if a future engine
+            # reorders the protocol. It can never be wrong, merely
+            # unused.
             self._cursor = self._start
         if head <= self._cursor:
             return {"snapshot_id": self._cursor}
@@ -605,11 +644,20 @@ class LakehouseStreamReader(DataSourceStreamReader):
         return chain
 
     def partitions(self, start, end):
+        self._trace(f"partitions {start} {end}")
         s, e = start["snapshot_id"], end["snapshot_id"]
         # lock the admission cursor onto the engine's actual position
         # (snapshot ids are monotone): after a checkpoint restart the
         # first planned batch teaches the reader where the stream is
         self._cursor = max(self._cursor or 0, s, e)
+        # defense in depth against offset rollback: the START of any
+        # planned range is by definition already processed, so no later
+        # range may re-emit snapshots at or below the highest start
+        # seen — even if an anomalous latestOffset ever handed the
+        # engine an offset behind its checkpoint, the replayed span
+        # plans empty instead of delivering duplicates
+        s = max(s, self._planned)
+        self._planned = max(self._planned, s, e)
         if e <= s:
             return []
         by_id = {x["snapshot_id"]: x for x in _snapshots(self._root)}

@@ -5687,6 +5687,11 @@ def _bpe_stage_ctes(n_merges: int) -> str:
         GROUP BY 1
     )"""]
     for i in range(1, n_merges + 1):
+        # HAVING >= 2 mirrors the Spark trainer's early stop (a pair
+        # occurring once is not worth a merge; functions/bpe.py breaks
+        # there). An empty p{i} leaves v{i} = v{i-1} via the COALESCE
+        # pattern '\t\n\t\n', which can never match (symbols are never
+        # empty), and emits no stage row — exactly the Spark break.
         ctes.append(f"""p{i} AS MATERIALIZED (
         SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
         FROM (
@@ -5698,15 +5703,19 @@ def _bpe_stage_ctes(n_merges: int) -> str:
             WHERE len(syms) >= 2
         )
         GROUP BY l, r
+        HAVING SUM(freq) >= 2
         ORDER BY cnt DESC, l, r
         LIMIT 1
     )""")
         ctes.append(f"""v{i} AS MATERIALIZED (
         SELECT replace(s,
-                       chr(9) || (SELECT l FROM p{i}) || chr(10) ||
-                       chr(9) || (SELECT r FROM p{i}) || chr(10),
-                       chr(9) || (SELECT l FROM p{i}) ||
-                       (SELECT r FROM p{i}) || chr(10)) AS s,
+                       chr(9) || COALESCE((SELECT l FROM p{i}), '')
+                       || chr(10) ||
+                       chr(9) || COALESCE((SELECT r FROM p{i}), '')
+                       || chr(10),
+                       chr(9) || COALESCE((SELECT l FROM p{i}), '')
+                       || COALESCE((SELECT r FROM p{i}), '')
+                       || chr(10)) AS s,
                freq
         FROM v{i - 1}
     )""")
@@ -5730,10 +5739,14 @@ def _bpe_merges_oracle(n_merges: int) -> str:
 def _bpe_counts_oracle(n_merges: int) -> str:
     expr = "regexp_replace(w, '(.)', chr(9) || '\\1' || chr(10), 'g')"
     for i in range(1, n_merges + 1):
-        expr = (f"replace({expr}, chr(9) || (SELECT l FROM p{i}) || "
-                f"chr(10) || chr(9) || (SELECT r FROM p{i}) || chr(10), "
-                f"chr(9) || (SELECT l FROM p{i}) || "
-                f"(SELECT r FROM p{i}) || chr(10))")
+        # COALESCE: an early-stopped stage (empty p{i}) degrades the
+        # pattern to the never-matching '\t\n\t\n' instead of NULLing
+        # the whole expression chain
+        lsub = f"COALESCE((SELECT l FROM p{i}), '')"
+        rsub = f"COALESCE((SELECT r FROM p{i}), '')"
+        expr = (f"replace({expr}, chr(9) || {lsub} || "
+                f"chr(10) || chr(9) || {rsub} || chr(10), "
+                f"chr(9) || {lsub} || {rsub} || chr(10))")
     return f"""WITH {_bpe_stage_ctes(n_merges)}
     SELECT doc_id,
            CAST(COALESCE(SUM(length(t) -

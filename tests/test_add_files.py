@@ -113,3 +113,25 @@ def test_add_files_rejects_intra_batch_schema_drift(
     with pytest.raises(ValueError, match="drift inside batch"):
         t.add_files(good + bad)
     assert t.scan().count() == 0  # nothing linked
+
+
+def test_add_files_tolerates_column_order_and_metadata(
+    spark, tmp_warehouse, tmp_path
+):
+    """Files with the same name->type columns in a DIFFERENT footer
+    order scan identically (Spark resolves parquet columns by name) —
+    the per-file drift check must accept them."""
+    a = str(tmp_path / "ordA")
+    b = str(tmp_path / "ordB")
+    spark.createDataFrame([(1, "x")], "id long, v string").write.parquet(a)
+    spark.createDataFrame([("y", 2)], "v string, id long") \
+        .select("v", "id").write.parquet(b)
+    files = sorted(
+        os.path.join(d, f)
+        for d in (a, b) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.adopt6", [("id", "long"), ("v", "string")])
+    t.add_files(files)
+    rows = sorted((r["id"], r["v"]) for r in t.scan().collect())
+    assert rows == [(1, "x"), (2, "y")]

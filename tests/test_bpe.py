@@ -75,3 +75,36 @@ def test_rejects_bad_n(spark):
     docs = _docs(spark, ["a b"])
     with pytest.raises(ValueError, match="n_merges"):
         bpe.bpe_train_merges(docs, n_merges=0)
+
+
+def test_oracle_early_stop_parity(spark):
+    """The generated DuckDB oracle must implement the SAME early-stop
+    rule as the Spark trainer (best pair count < 2 -> no more merges):
+    on a corpus with no repeated pair both engines emit ZERO rows, and
+    on a corpus that exhausts repeats mid-way both stop at the same
+    rank."""
+    import duckdb
+
+    from iceberg_lakehouse_spark.suite.training import (
+        _bpe_counts_oracle,
+        _bpe_merges_oracle,
+    )
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT * FROM (VALUES "
+            "(1, 'abc def ghi'), (2, 'jkl mno pqr')) t(doc_id, text)")
+    assert con.sql(_bpe_merges_oracle(5)).fetchall() == []
+    counts = dict(con.sql(_bpe_counts_oracle(5)).fetchall())
+    # no merges learned -> per-doc counts are plain char counts
+    assert counts == {1: 9, 2: 9}
+    # partial exhaustion: 'aa bb' learns nothing (each pair once);
+    # 'aaaa aaaa' learns (a,a) then (aa,aa) then stops
+    con2 = duckdb.connect()
+    con2.sql("CREATE TABLE documents AS SELECT 1 AS doc_id, "
+             "'aaaa aaaa' AS text")
+    rows = con2.sql(_bpe_merges_oracle(5)).fetchall()
+    spark_rows = bpe.bpe_train_merges(
+        _docs(spark, ["aaaa aaaa"]), n_merges=5)
+    assert len(rows) == len(spark_rows)
+    assert [(r[1], r[2]) for r in rows] == [
+        (m["left_sym"], m["right_sym"]) for m in spark_rows]

@@ -587,11 +587,16 @@ def test_stream_max_files_rejects_nonpositive(spark, tmp_warehouse):
         q.stop()
 
 
-def test_stream_max_files_caps_initial_backlog(spark, tmp_warehouse):
-    """The FIRST micro-batch honors the cap too: a backlog that exists
-    BEFORE the stream ever starts drains as several capped batches,
-    not one unbounded giant one (the cursor is seeded from the
-    configured start offset instead of jumping straight to head)."""
+def test_stream_initial_backlog_exactly_once_then_capped(
+    spark, tmp_warehouse
+):
+    """A backlog that exists before the stream starts drains in ONE
+    (unbounded) first batch — the traced engine protocol polls
+    latestOffset BEFORE initialOffset, so the reader cannot yet prove
+    there is no checkpoint, and any offset behind a checkpoint would be
+    recorded by Spark and replayed after a crash (duplicate delivery —
+    strictly worse than a big batch). The cap binds from batch two, and
+    nothing is lost or duplicated."""
     cat = LakehouseCatalog(spark, tmp_warehouse)
     t = cat.create_table("default.mft0", [("id", "long"), ("v", "string")])
     for k in range(3):          # backlog exists before the stream starts
@@ -608,17 +613,27 @@ def test_stream_max_files_caps_initial_backlog(spark, tmp_warehouse):
          .trigger(processingTime="0 seconds").start())
     try:
         q.processAllAvailable()
-        non_empty = [b for b in batches if b]
-        assert non_empty == [[0], [1], [2]]
+        assert [i for b in batches for i in b] == [0, 1, 2]
+        # post-backlog commits are capped: one commit per micro-batch
+        t.append(spark.createDataFrame(
+            [(7, "x")], "id long, v string").repartition(1))
+        t.append(spark.createDataFrame(
+            [(8, "y")], "id long, v string").repartition(1))
+        q.processAllAvailable()
+        tail = [b for b in batches if b and set(b) & {7, 8}]
+        assert tail == [[7], [8]]
     finally:
         q.stop()
 
 
 def test_stream_max_files_caps_after_restart(spark, tmp_warehouse, tmp_path):
-    """Restart mid-backlog: the cap holds across a checkpoint restart —
-    the fresh reader's unseeded cursor must not admit the whole
-    remaining backlog in one batch. (At most one EMPTY batch is allowed
-    while the cursor re-locks onto the checkpoint position.)"""
+    """Restart mid-backlog: exactly-once BEATS the cap. The Python
+    stream API hides the checkpoint position from latestOffset, so a
+    capped offset computed from the configured start could land BEHIND
+    the checkpoint — Spark would record it and re-deliver committed
+    snapshots. The contract is therefore: the first post-restart batch
+    may exceed the cap (documented), every LATER batch is capped, and
+    no row is ever delivered twice."""
     cat = LakehouseCatalog(spark, tmp_warehouse)
     t = cat.create_table("default.mftr", [("id", "long"), ("v", "string")])
     ckpt = str(tmp_path / "ckpt")
@@ -649,9 +664,52 @@ def test_stream_max_files_caps_after_restart(spark, tmp_warehouse, tmp_path):
     q = _start()
     try:
         q.processAllAvailable()
+        # exactly-once across the restart: every id exactly once, in order
         non_empty = [b for b in batches if b]
         assert [i for b in non_empty for i in b] == [0, 1, 2, 3, 4]
-        # no post-restart batch exceeded the one-commit cap
-        assert all(len(b) == 1 for b in non_empty)
+        # the backlog drained as the (unbounded) catch-up batch; a NEW
+        # commit after the catch-up is capped again
+        t.append(spark.createDataFrame(
+            [(7, "x")], "id long, v string").repartition(1))
+        t.append(spark.createDataFrame(
+            [(8, "y")], "id long, v string").repartition(1))
+        q.processAllAvailable()
+        tail = [b for b in batches if b and set(b) & {7, 8}]
+        assert tail == [[7], [8]]      # capped, one commit per batch
     finally:
         q.stop()
+
+
+def test_stream_planned_floor_never_replays(tmp_warehouse, spark):
+    """Unit guard for offset rollback: even if the engine ever hands
+    partitions() a range starting BEHIND a previously planned end (the
+    replay span an anomalous offset would produce), the floored start
+    plans that span EMPTY instead of re-emitting committed files."""
+    from iceberg_lakehouse_spark.sources.datasource import (
+        LakehouseStreamReader,
+    )
+    from pyspark.sql import types as T
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("default.floor", [("id", "long")])
+    snaps = []
+    for k in range(3):
+        t.append(spark.createDataFrame([(k,)], "id long").repartition(1))
+        snaps.append(t.current_snapshot().snapshot_id)
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    r = LakehouseStreamReader(
+        {"warehouse": tmp_warehouse, "table": "default.floor"}, schema)
+    first = r.partitions({"snapshot_id": 0},
+                         {"snapshot_id": snaps[1]})
+    assert first                                    # s0+s1 files planned
+    # rollback attempt: a range that re-covers the already-planned s1
+    replay = r.partitions({"snapshot_id": snaps[0]},
+                          {"snapshot_id": snaps[2]})
+    got = {os.path.basename(p.path) for p in replay}
+    lt = cat.load_table("default.floor")
+    s1_files = {
+        os.path.basename(f)
+        for f in set(lt.snapshot_by_id(snaps[1]).files)
+        - set(lt.snapshot_by_id(snaps[0]).files)
+    }
+    assert s1_files and not (got & s1_files), "replayed planned files"
