@@ -201,6 +201,13 @@ class MaintenanceManager:
         # has committed past the last analyzed snapshot — keeps
         # join_strategy / optimizer food fresh without manual calls
         "auto_analyze": None,
+        # a max_ratio number (e.g. 4.0): when this table is an ANN
+        # index (ivf.* / ivfpq.* properties), split cells grown past
+        # max_ratio x the median inverted-list size — extends never
+        # re-cluster, so a drifting corpus needs this or probe
+        # selectivity decays (r9; ties the index surface into the same
+        # governance loop as auto_compact / auto_analyze)
+        "auto_rebalance_index": None,
     }
 
     def __init__(self, store_path: str):
@@ -308,14 +315,45 @@ class MaintenanceManager:
                     else "analyze (stats stale — table committed past "
                          "the analyzed snapshot)"
                 )
+        needs_rebalance = False
+        ratio = pol.get("auto_rebalance_index")
+        if ratio:
+            kind = self._index_kind(table)
+            if kind:
+                from pyspark.sql import functions as F
+
+                sizes = sorted(
+                    int(r["n"]) for r in table.scan().groupBy("cell")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()
+                )
+                if sizes:
+                    median = max(sizes[len(sizes) // 2], 1)
+                    hot = [s for s in sizes
+                           if s > float(ratio) * median and s >= 2]
+                    if hot:
+                        needs_rebalance = True
+                        actions.append(
+                            f"rebalance_{kind}_index ({len(hot)} cell(s) "
+                            f"> {ratio}x median list size {median})"
+                        )
         return {
             "table": name, "has_policy": True,
             "needs_compact": needs_compact, "needs_expire": needs_expire,
             "needs_rewrite_deletes": needs_rewrite,
             "needs_orphan_cleanup": needs_orphans,
             "needs_analyze": needs_analyze,
+            "needs_rebalance": needs_rebalance,
             "actions_needed": actions, "stats": fs,
         }
+
+    @staticmethod
+    def _index_kind(table: LakeTable) -> str | None:
+        props = table.properties()
+        if "ivfpq.n_cells" in props:
+            return "ivfpq"
+        if "ivf.n_cells" in props:
+            return "ann"
+        return None
 
     def run(self, table: LakeTable, dry_run: bool = False) -> dict:
         name = f"{table.namespace}.{table.table}"
@@ -359,6 +397,30 @@ class MaintenanceManager:
                 actions.append({"action": "analyze", "status": "completed",
                                 "row_count": res["row_count"],
                                 "columns": len(res["columns"])})
+        if needed.get("needs_rebalance"):
+            kind = self._index_kind(table)
+            if dry_run:
+                actions.append({"action": f"rebalance_{kind}_index",
+                                "status": "dry_run"})
+            else:
+                ratio = float(pol["auto_rebalance_index"])
+                full_name = f"{table.namespace}.{table.table}"
+                if kind == "ivfpq":
+                    from ..operators.ivfpq import rebalance_ivfpq_index
+
+                    res = rebalance_ivfpq_index(
+                        table.catalog, full_name, max_ratio=ratio)
+                else:
+                    from ..operators.ann_index import rebalance_ann_index
+
+                    res = rebalance_ann_index(
+                        table.catalog, full_name, max_ratio=ratio)
+                actions.append({
+                    "action": f"rebalance_{kind}_index",
+                    "status": "completed",
+                    "split_cells": res["split_cells"],
+                    "n_cells_after": res["n_cells_after"],
+                })
         if needed["needs_orphan_cleanup"]:
             # AUTOMATED deletion path: the grace window shields a
             # concurrent writer's just-materialized (not-yet-committed)

@@ -1525,7 +1525,8 @@ class LakehouseServer:
                    "auto_expire_retain_last": _I, "auto_cleanup_orphans": _B,
                    "auto_compact_delete_files": _I,
                    "auto_rewrite_delete_files": _I,
-                   "auto_analyze": _B},
+                   "auto_analyze": _B,
+                   "auto_rebalance_index": _N},
                   ["table"]),
             lambda table, **kw: maintenance.set_policy(table, **kw),
         )

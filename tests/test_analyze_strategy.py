@@ -149,3 +149,57 @@ def test_auto_analyze_maintenance_policy(spark, tmp_warehouse, tmp_path):
     mm.run(t)
     assert t.analyzed_stats()["stale"] is False
     assert t.analyzed_stats()["row_count"] == 3
+
+
+def test_auto_rebalance_index_maintenance_policy(spark, tmp_warehouse,
+                                                 tmp_path):
+    """auto_rebalance_index (r9): a maintenance policy on an ANN index
+    table splits hot cells exactly when the median-relative ratio
+    trips — the same governance loop auto_compact/auto_analyze ride.
+    Non-index tables with the key set are a no-op."""
+    import pyspark.sql.functions as F
+
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+    from iceberg_lakehouse_spark.operators import ann_index
+    from iceberg_lakehouse_spark.session import load_sf_tables
+
+    emb = load_sf_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    ann_index.build_ann_index(cat, "default.mnt_ivf", emb,
+                              "vec_id", "embedding", n_cells=6,
+                              kmeans_iters=1)
+    t = cat.load_table("default.mnt_ivf")
+    mm = MaintenanceManager(str(tmp_path / "maint.json"))
+    mm.set_policy("default.mnt_ivf", auto_rebalance_index=3.0,
+                  auto_compact_threshold=10_000,
+                  auto_expire_retain_last=10_000)
+    # balanced: nothing to do
+    assert mm.check_needed(t)["needs_rebalance"] is False
+    # drift: a 400-vector blob lands in one cell
+    anchor = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    blob = spark.range(300000, 300400).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in anchor]).alias("embedding"))
+    ann_index.extend_ann_index(cat, "default.mnt_ivf", blob,
+                               "vec_id", "embedding")
+    need = mm.check_needed(t)
+    assert need["needs_rebalance"] is True
+    assert any("rebalance_ann_index" in a for a in need["actions_needed"])
+    dry = mm.run(t, dry_run=True)
+    assert any(a["action"] == "rebalance_ann_index"
+               and a["status"] == "dry_run" for a in dry["actions"])
+    res = mm.run(t)
+    done = [a for a in res["actions"]
+            if a["action"] == "rebalance_ann_index"]
+    assert done and done[0]["status"] == "completed"
+    assert done[0]["split_cells"]
+    assert done[0]["n_cells_after"] > 6
+    # non-index table: the key is inert
+    t2 = cat.create_table("default.mnt_plain", [("k", "long")])
+    t2.append(spark.createDataFrame([(1,)], "k long"))
+    mm.set_policy("default.mnt_plain", auto_rebalance_index=3.0,
+                  auto_compact_threshold=10_000,
+                  auto_expire_retain_last=10_000)
+    assert mm.check_needed(t2)["needs_rebalance"] is False
