@@ -227,3 +227,59 @@ def cosine_near_dup_pairs(
         .select("left_id", "right_id", F.round(sim, 6).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def diverse_exemplars(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    kmeans_iters: int = 3,
+) -> DataFrame:
+    """Coverage-maximizing subset selection over an embedding column —
+    the embedding-space counterpart of stratified sampling, and the
+    standard cheap stand-in for k-center/greedy coreset selection in
+    training-data curation (cluster the corpus, keep each cluster's
+    most central member): k-means the vectors into ``k`` cells
+    (deterministic md5 seeding + distributed Lloyd refinement, the
+    same machinery the ANN indexes build on), then per cell pick the
+    member with the HIGHEST cosine to its centroid, deterministic
+    (similarity, id) tie-break. Returns one row per non-empty cell:
+    (cell, id, centroid_sim, n_covered) where n_covered is the cell
+    population the exemplar represents — the weights a
+    diversity-weighted training mixture needs.
+
+    Scale shape: the k-means build is bounded-iteration map-only
+    assignment + centroid-sized mean shuffles; exemplar selection is
+    ONE max_by aggregation over the assignment (map-side partial
+    maxima, k rows out). Nothing is ever collected but centroids."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    assigned, centroids = build_ivf_index(
+        df.select(F.col(id_col), F.col(vec_col)),
+        id_col, vec_col, n_cells=k, kmeans_iters=kmeans_iters,
+    )
+    cent_df = df.sparkSession.createDataFrame(
+        [(int(c["cell"]), [float(x) for x in c["vec"]]) for c in centroids],
+        "cell long, _cvec array<double>",
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("_cvec")), 9)
+    return (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .groupBy("cell")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(sim.alias("s"),
+                         (-F.col(id_col).cast("double")).alias("nid")),
+            ).alias("id"),
+            F.round(F.max(sim), 6).alias("centroid_sim"),
+            F.count(F.lit(1)).alias("n_covered"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("id").alias(id_col),
+            "centroid_sim", "n_covered",
+        )
+        .orderBy("cell")
+    )

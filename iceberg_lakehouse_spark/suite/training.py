@@ -5824,3 +5824,25 @@ def bpe_token_counts_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("bpe_toks_n").alias("n_bpe_tokens"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "diverse_exemplar_sample",
+    None,  # k-means clustering is iterative/stateful — rows-only
+    survey_ref="beyond-reference (r9): coverage-maximizing subset "
+    "selection — k-means cells, per-cell most-central exemplar with "
+    "population weights (the diversity-sampling half of curation)",
+)
+def diverse_exemplar_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse subset selection over the embeddings table
+    (functions.similarity.diverse_exemplars): 16 k-means cells,
+    per-cell most-central member, each weighted by the population it
+    represents. Selection contracts (ids distinct, weights sum to the
+    corpus, exemplar = true per-cell argmax, deterministic) are pinned
+    in tests/test_llm_ops.py; this entry proves the pipeline runs at
+    every graded SF."""
+    from ..functions.similarity import diverse_exemplars
+
+    emb = load_sf_tables(spark, sf_dir)["embeddings"]
+    return diverse_exemplars(emb, "vec_id", "embedding",
+                             k=16, kmeans_iters=2)

@@ -1327,3 +1327,36 @@ def test_span_dedup_overlapping_spans_and_three_way(spark):
     assert out[3]["removed_tokens"] == 8
     assert out[3]["dedup_text"] == ""              # fully masked doc
     assert out[3]["kept_tokens"] == 0
+
+
+def test_diverse_exemplars_contracts(spark):
+    """Coverage selection: one exemplar per non-empty cell, distinct
+    ids, weights sum to the corpus size, the exemplar IS the cell's
+    true argmax-centroid-cosine member, and the whole selection is
+    deterministic across runs."""
+    emb = load_sf_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    out = sim.diverse_exemplars(emb, "vec_id", "embedding",
+                                k=8, kmeans_iters=2).collect()
+    assert 1 <= len(out) <= 8
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == len(ids)
+    assert sum(r["n_covered"] for r in out) == emb.count()
+    assert all(-1.0 <= r["centroid_sim"] <= 1.0 for r in out)
+    # determinism: identical selection on a re-run
+    again = sim.diverse_exemplars(emb, "vec_id", "embedding",
+                                  k=8, kmeans_iters=2).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+    # exemplars cover distinct regions: pairwise cosine between chosen
+    # exemplar vectors stays below the near-duplicate band
+    vecs = {r["vec_id"]: None for r in out}
+    chosen = emb.where(F.col("vec_id").isin(list(vecs))).collect()
+    import math
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+    vv = [[float(x) for x in r["embedding"]] for r in chosen]
+    for i in range(len(vv)):
+        for j in range(i + 1, len(vv)):
+            assert cos(vv[i], vv[j]) < 0.95
