@@ -2593,9 +2593,13 @@ class LakeTable:
         # footer metadata scan identically and must not be rejected.
         import pyarrow.parquet as pq_meta
 
-        def _shape(path: str) -> dict[str, str]:
+        def _shape(path: str) -> list[tuple[str, str]]:
+            # sorted MULTISET of (name, type): order-insensitive, but a
+            # duplicated column name (legal in parquet, fatal to scans)
+            # still shows up as a count difference instead of being
+            # collapsed by a dict
             s = pq_meta.read_schema(path)
-            return {f.name: str(f.type) for f in s}
+            return sorted((f.name, str(f.type)) for f in s)
 
         ref_shape = _shape(paths[0])
         for p in paths[1:]:

@@ -250,36 +250,49 @@ def diverse_exemplars(
     diversity-weighted training mixture needs.
 
     Scale shape: the k-means build is bounded-iteration map-only
-    assignment + centroid-sized mean shuffles; exemplar selection is
-    ONE max_by aggregation over the assignment (map-side partial
-    maxima, k rows out). Nothing is ever collected but centroids."""
+    assignment + centroid-sized mean shuffles over a persisted
+    projection; exemplar selection is ONE max_by aggregation over the
+    assignment (map-side partial maxima, k rows out). Nothing
+    corpus-sized is ever collected — centroids and the k exemplar rows
+    only."""
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
-    assigned, centroids = build_ivf_index(
-        df.select(F.col(id_col), F.col(vec_col)),
-        id_col, vec_col, n_cells=k, kmeans_iters=kmeans_iters,
-    )
-    cent_df = df.sparkSession.createDataFrame(
-        [(int(c["cell"]), [float(x) for x in c["vec"]]) for c in centroids],
-        "cell long, _cvec array<double>",
-    )
-    sim = F.round(cosine(F.col(vec_col), F.col("_cvec")), 9)
-    return (
-        assigned.join(F.broadcast(cent_df), "cell")
-        .groupBy("cell")
-        .agg(
-            F.max_by(
-                F.col(id_col),
-                F.struct(sim.alias("s"),
-                         (-F.col(id_col).cast("double")).alias("nid")),
-            ).alias("id"),
-            F.round(F.max(sim), 6).alias("centroid_sim"),
-            F.count(F.lit(1)).alias("n_covered"),
+    # persisted: the k-means build reads the projection kmeans_iters+1
+    # times and the exemplar aggregation once more — same rationale as
+    # the index builders
+    src = df.select(F.col(id_col), F.col(vec_col)).persist()
+    try:
+        assigned, centroids = build_ivf_index(
+            src, id_col, vec_col, n_cells=k, kmeans_iters=kmeans_iters,
         )
-        .select(
-            F.col("cell").cast("long").alias("cell"),
-            F.col("id").alias(id_col),
-            "centroid_sim", "n_covered",
+        cent_df = df.sparkSession.createDataFrame(
+            [(int(c["cell"]), [float(x) for x in c["vec"]])
+             for c in centroids],
+            "cell long, _cvec array<double>",
         )
-        .orderBy("cell")
-    )
+        sim = F.round(cosine(F.col(vec_col), F.col("_cvec")), 9)
+        out = (
+            assigned.join(F.broadcast(cent_df), "cell")
+            .groupBy("cell")
+            .agg(
+                F.max_by(
+                    F.col(id_col),
+                    F.struct(sim.alias("s"),
+                             (-F.col(id_col).cast("double")).alias("nid")),
+                ).alias("id"),
+                F.round(F.max(sim), 6).alias("centroid_sim"),
+                F.count(F.lit(1)).alias("n_covered"),
+            )
+            .select(
+                F.col("cell").cast("long").alias("cell"),
+                F.col("id").alias(id_col),
+                "centroid_sim", "n_covered",
+            )
+            .orderBy("cell")
+        )
+        # materialize before releasing the cache (callers get a plain
+        # small result, not a plan over an unpersisted 5-pass build)
+        rows = out.collect()
+        return df.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        src.unpersist()

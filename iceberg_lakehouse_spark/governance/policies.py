@@ -322,20 +322,22 @@ class MaintenanceManager:
             if kind:
                 from pyspark.sql import functions as F
 
-                sizes = sorted(
-                    int(r["n"]) for r in table.scan().groupBy("cell")
+                from ..operators.ann_index import _hot_cells
+
+                counts = {
+                    int(r["cell"]): int(r["n"])
+                    for r in table.scan().groupBy("cell")
                     .agg(F.count(F.lit(1)).alias("n")).collect()
-                )
-                if sizes:
-                    median = max(sizes[len(sizes) // 2], 1)
-                    hot = [s for s in sizes
-                           if s > float(ratio) * median and s >= 2]
-                    if hot:
-                        needs_rebalance = True
-                        actions.append(
-                            f"rebalance_{kind}_index ({len(hot)} cell(s) "
-                            f"> {ratio}x median list size {median})"
-                        )
+                }
+                # the ONE shared rule — a flagged cell is exactly one
+                # the rebalance at this ratio will split
+                hot, median = _hot_cells(counts, float(ratio))
+                if hot:
+                    needs_rebalance = True
+                    actions.append(
+                        f"rebalance_{kind}_index ({len(hot)} cell(s) "
+                        f"> {ratio}x median list size {median})"
+                    )
         return {
             "table": name, "has_policy": True,
             "needs_compact": needs_compact, "needs_expire": needs_expire,

@@ -220,6 +220,24 @@ def probe_ann_index(
     )
 
 
+def _hot_cells(counts: dict[int, int], max_ratio: float) -> tuple[list[int], int]:
+    """THE hot-cell rule, shared by both rebalancers, the maintenance
+    policy trigger, and the stats skew flags (one definition — a cell
+    flagged anywhere is exactly a cell a rebalance at that ratio would
+    split): lists larger than ``max_ratio`` × the upper-median size,
+    with at least 2 members (a single row cannot split). Returns
+    (hot cell ids sorted, median)."""
+    if not counts:
+        return [], 0
+    sizes = sorted(counts.values())
+    median = sizes[len(sizes) // 2]
+    hot = [
+        c for c, n in sorted(counts.items())
+        if n > max_ratio * max(median, 1) and n >= 2
+    ]
+    return hot, median
+
+
 def ann_index_stats(catalog: LakehouseCatalog, name: str) -> DataFrame:
     """Per-cell list sizes + a skew marker (cell > 4× the mean list
     size) — the rebuild signal: extend never re-clusters, so drifted
@@ -257,9 +275,21 @@ def rebalance_ann_index(
     cells split per call (re-run until the report says balanced).
 
     Returns a report dict: cells split, the new cell ids, sizes, the
-    median, and the resulting n_cells.
+    median, the resulting n_cells, and any cells skipped as degenerate
+    (identical duplicate vectors cannot split — without the skip, a
+    policy-automated rebalance would rewrite such a cell every cycle
+    and grow n_cells unboundedly).
+
+    Each hot cell's rewrite is ONE atomic CAS commit (``replace_files``
+    pinned to the snapshot the reassignment was computed from): a crash
+    can no longer strand the index between a delete and an append, and
+    a concurrent extend into the cell fails the CAS cleanly
+    (CommitConflictError — re-invoke) instead of being silently
+    swallowed. Centroids commit BEFORE codes, so the worst crash
+    leaves an extra centroid with an empty list (a wasted probe slot),
+    never lost vectors.
     """
-    from .crud import delete_rows
+    from .crud import replace_where
 
     at, ct, n_cells, dim = _load(catalog, name)
     counts = {
@@ -272,28 +302,25 @@ def rebalance_ann_index(
         "max_ratio": max_ratio,
         "split_cells": [],
         "new_cells": [],
+        "skipped_degenerate": [],
         "n_cells_before": n_cells,
         "n_cells_after": n_cells,
     }
-    if not counts:
-        report["median"] = 0
-        return report
-    sizes = sorted(counts.values())
-    median = sizes[len(sizes) // 2]
+    hot, median = _hot_cells(counts, max_ratio)
     report["median"] = median
-    hot = [
-        c for c, n in sorted(counts.items())
-        if n > max_ratio * max(median, 1) and n >= 2
-    ]
     if len(hot) > max_splits:
         report["deferred_cells"] = hot[max_splits:]
         hot = hot[:max_splits]
     if not hot:
         return report
     all_cells = {int(r["cell"]) for r in ct.scan().select("cell").collect()}
-    next_cell = max(all_cells | set(counts)) + 1
+    next_cell = max(all_cells | set(counts), default=0) + 1
+    spark = catalog.spark
     for c in hot:
-        cell_rows = at.scan(filter=f"cell = {c}").select("id", "vec")
+        cur = at.current_snapshot()
+        cell_rows = at.scan(
+            snapshot_id=cur.snapshot_id, filter=f"cell = {c}"
+        ).select("id", "vec")
         seeds = (
             cell_rows.orderBy(F.md5(F.col("id").cast("string")), "id")
             .limit(2)
@@ -324,8 +351,7 @@ def rebalance_ann_index(
                     dims = by_sub[cent["cell"]]
                     cent["vec"] = [float(dims[d]) for d in sorted(dims)]
         new_id = next_cell
-        next_cell += 1
-        # reassign BEFORE mutating: the df is bound to the pre-delete
+        # reassign BEFORE mutating: the df is bound to the pinned
         # snapshot's files, which CoW leaves on disk
         reassigned = cell_rows.select(
             "id",
@@ -336,22 +362,39 @@ def rebalance_ann_index(
             "vec",
         ).persist()
         try:
-            reassigned.count()
-            delete_rows(at, f"cell = {c}")
-            at.append(reassigned)
+            half = {int(r["cell"]): int(r["n"]) for r in
+                    reassigned.groupBy("cell")
+                    .agg(F.count("*").alias("n")).collect()}
+            if len(half) < 2:
+                # identical vectors (or codes): 2-means cannot separate
+                # them — splitting would move the whole list to a new
+                # cell and leave a dead centroid, forever re-triggering
+                # under an auto_rebalance policy
+                report["skipped_degenerate"].append(int(c))
+                continue
+            # centroids first (see docstring), each an atomic commit
+            replace_where(
+                ct, f"cell IN ({c}, {new_id})",
+                spark.createDataFrame(
+                    [
+                        (int(c), [float(x) for x in cents[0]["vec"]]),
+                        (int(new_id), [float(x) for x in cents[1]["vec"]]),
+                    ],
+                    _CENTROID_SCHEMA,
+                ),
+            )
+            touched, _total = at.prune_files(f"cell = {c}")
+            keep = [f for f in cur.files if f not in set(touched)]
+            at.replace_files(
+                keep,
+                reassigned,
+                {"operation_detail": "rebalance_split",
+                 "split_cell": int(c), "new_cell": int(new_id)},
+                expected_snapshot_id=cur.snapshot_id,
+            )
         finally:
             reassigned.unpersist()
-        delete_rows(ct, f"cell = {c}")
-        spark = catalog.spark
-        ct.append(
-            spark.createDataFrame(
-                [
-                    (int(c), [float(x) for x in cents[0]["vec"]]),
-                    (int(new_id), [float(x) for x in cents[1]["vec"]]),
-                ],
-                _CENTROID_SCHEMA,
-            )
-        )
+        next_cell += 1
         report["split_cells"].append(int(c))
         report["new_cells"].append(int(new_id))
     new_n = n_cells + len(report["split_cells"])

@@ -360,8 +360,10 @@ def ivfpq_index_stats(
         .collect()
     )
     util = {int(r["sub"]): int(r["used"]) for r in used}
-    sizes = sorted(per_cell.values())
-    median = sizes[len(sizes) // 2] if sizes else 0
+    from .ann_index import _hot_cells
+
+    hot, median = _hot_cells(per_cell, max_ratio)
+    hot_set = set(hot)
     return {
         "index": name, "rows": n, "n_cells": n_cells,
         "m": m, "ksub": ksub, "dim": dim,
@@ -371,8 +373,7 @@ def ivfpq_index_stats(
         "median_cell_size": median,
         "max_ratio": max_ratio,
         "cells": {
-            c: {"n_vectors": v,
-                "skewed": v > max_ratio * max(median, 1)}
+            c: {"n_vectors": v, "skewed": c in hot_set}
             for c, v in sorted(per_cell.items())
         },
         "code_utilization": {
@@ -446,10 +447,18 @@ def rebalance_ivfpq_index(
     Scale shape: sizing is one groupBy; each hot cell decodes and
     re-clusters over a file-pruned scan of that cell only (the codes
     table is partitioned by cell); per-iteration driver traffic is
-    2 × dim means. The rewrite is a cell-pruned delete + append per
-    split. At most ``max_splits`` cells split per call."""
+    2 × dim means. Each hot cell's rewrite is ONE atomic CAS commit
+    pinned to the snapshot the re-encoding was computed from (a crash
+    cannot strand the index mid-rewrite; a concurrent extend fails the
+    CAS cleanly — re-invoke); centroids commit first, so the worst
+    crash leaves an extra empty-listed centroid, never lost codes.
+    Cells whose reconstructions cannot be separated (exact duplicates,
+    or identical codes) are SKIPPED and reported — splitting them
+    would only mint dead centroids forever under an auto_rebalance
+    policy. At most ``max_splits`` cells split per call."""
     from ..functions.similarity import _nearest_cell
-    from .crud import delete_rows
+    from .ann_index import _hot_cells
+    from .crud import replace_where
 
     at, ct, bt, n_cells, m, _ksub, dim = _load(catalog, name)
     counts = {
@@ -460,18 +469,11 @@ def rebalance_ivfpq_index(
     report: dict = {
         "index": name, "max_ratio": max_ratio,
         "split_cells": [], "new_cells": [],
+        "skipped_degenerate": [],
         "n_cells_before": n_cells, "n_cells_after": n_cells,
     }
-    if not counts:
-        report["median"] = 0
-        return report
-    sizes = sorted(counts.values())
-    median = sizes[len(sizes) // 2]
+    hot, median = _hot_cells(counts, max_ratio)
     report["median"] = median
-    hot = [
-        c for c, nn in sorted(counts.items())
-        if nn > max_ratio * max(median, 1) and nn >= 2
-    ]
     if len(hot) > max_splits:
         report["deferred_cells"] = hot[max_splits:]
         hot = hot[:max_splits]
@@ -479,13 +481,15 @@ def rebalance_ivfpq_index(
         return report
     cent_rows = {int(r["cell"]): [float(x) for x in r["vec"]]
                  for r in ct.scan().collect()}
-    next_cell = max(set(cent_rows) | set(counts)) + 1
+    next_cell = max(set(cent_rows) | set(counts), default=0) + 1
     book_df = bt.scan()
     spark = catalog.spark
     for c in hot:
         cvec = cent_rows[c]
-        cell_rows = at.scan(filter=f"cell = {c}").withColumn(
-            "_c", F.lit(cvec).cast("array<double>"))
+        cur = at.current_snapshot()
+        cell_rows = at.scan(
+            snapshot_id=cur.snapshot_id, filter=f"cell = {c}"
+        ).withColumn("_c", F.lit(cvec).cast("array<double>"))
         recon = _decode(cell_rows, book_df, m).persist()
         try:
             seeds = (
@@ -521,7 +525,6 @@ def rebalance_ivfpq_index(
                         dims = by_sub[cent["cell"]]
                         cent["vec"] = [dims[d] for d in sorted(dims)]
             new_id = next_cell
-            next_cell += 1
             cents_df = spark.createDataFrame(
                 [(int(c), cents[0]["vec"]), (int(new_id), cents[1]["vec"])],
                 _CENTROID_SCHEMA,
@@ -546,13 +549,30 @@ def rebalance_ivfpq_index(
                 keys=("id", "cell"), normalize=False,
             ).select("id", "cell", "codes").persist()
             try:
-                reencoded.count()
-                delete_rows(at, f"cell = {c}")
-                at.append(reencoded)
+                half = {int(r["cell"]): int(r["n"]) for r in
+                        reencoded.groupBy("cell")
+                        .agg(F.count(F.lit(1)).alias("n")).collect()}
+                if len(half) < 2:
+                    # degenerate: identical reconstructions route every
+                    # row to one half — a split would mint a dead
+                    # centroid and re-trigger every maintenance cycle
+                    report["skipped_degenerate"].append(int(c))
+                    continue
+                # centroids first, then ONE atomic CAS swap of the
+                # hot cell's code files (see docstring)
+                replace_where(ct, f"cell IN ({c}, {new_id})", cents_df)
+                touched, _total = at.prune_files(f"cell = {c}")
+                keep = [f for f in cur.files if f not in set(touched)]
+                at.replace_files(
+                    keep,
+                    reencoded,
+                    {"operation_detail": "rebalance_split",
+                     "split_cell": int(c), "new_cell": int(new_id)},
+                    expected_snapshot_id=cur.snapshot_id,
+                )
             finally:
                 reencoded.unpersist()
-            delete_rows(ct, f"cell = {c}")
-            ct.append(cents_df)
+            next_cell += 1
             report["split_cells"].append(int(c))
             report["new_cells"].append(int(new_id))
         finally:

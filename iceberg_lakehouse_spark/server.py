@@ -1058,10 +1058,12 @@ class LakehouseServer:
         )
         self._add(
             _tool("ivfpq_index_stats",
-                  "Compression ratio, per-cell list sizes (skew) and "
-                  "code utilization (dead codes) for an IVFADC index",
-                  {"index_table": _S}, ["index_table"]),
-            lambda index_table: _ivfpq.ivfpq_index_stats(c, index_table),
+                  "Compression ratio, per-cell list sizes (skewed = "
+                  "what a rebalance at max_ratio would split) and code "
+                  "utilization (dead codes) for an IVFADC index",
+                  {"index_table": _S, "max_ratio": _N}, ["index_table"]),
+            lambda index_table, max_ratio=4.0: _ivfpq.ivfpq_index_stats(
+                c, index_table, max_ratio=max_ratio),
         )
         self._add(
             _tool("ivfpq_index_rebalance",

@@ -588,9 +588,12 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 # regressed offset and re-deliver committed snapshots.
                 # head is the only value provably >= every possible
                 # checkpoint, so the first batch is unbounded
-                # (documented); partitions() locks the cursor and the
-                # cap binds from batch two. Duplicate delivery is the
-                # one thing worse than a big batch.
+                # (documented); the cap binds from batch two. Lock the
+                # cursor HERE too: if head == checkpoint no batch gets
+                # planned (partitions never runs), and without the lock
+                # a later burst would still drain uncapped. Duplicate
+                # delivery is the one thing worse than a big batch.
+                self._cursor = head
                 return {"snapshot_id": head}
             # initialOffset() ran before this call, so this is provably
             # a fresh start and the configured start IS the engine
