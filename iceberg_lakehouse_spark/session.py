@@ -39,7 +39,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Local parquet is small-file-heavy at test SF; don't over-split.
     "spark.sql.files.maxPartitionBytes": "128m",
-    "spark.driver.memory": "8g",
+    # local-mode driver == the whole JVM (all 32 executor threads share
+    # this heap). 8g survived the graded sf0.01 suite but died ~135
+    # queries into a full-registry sf0.1 session (GC death spiral →
+    # connection refused); 16g leaves headroom for three parallel test
+    # JVMs on the 128 GiB host.
+    "spark.driver.memory": "16g",
     "spark.ui.enabled": "false",
 }
 

@@ -5016,15 +5016,30 @@ def streaming_hourly_event_counts(
         q.processAllAvailable()
     finally:
         q.stop()
-    return (
+    return _materialize_and_drop_sink(
+        spark, name,
         spark.table(name)
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
             .alias("window_start"),
             "event_type", "n_events", "value_cents",
         )
-        .orderBy("window_start", "event_type")
+        .orderBy("window_start", "event_type"),
     )
+
+
+def _materialize_and_drop_sink(spark: SparkSession, name: str, df):
+    """Collect the (aggregate-sized) streaming result and DROP the
+    memory-sink temp view. Each memory sink retains its full output in
+    driver memory for the session's lifetime — a long verification
+    session running every registry entry at sf0.1 accumulates four of
+    them and eventually kills the JVM. The returned DataFrame is
+    materialized (local rows), so callers can collect/hash it after
+    the sink is gone."""
+    rows = df.collect()
+    schema = df.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
@@ -5091,7 +5106,8 @@ def streaming_dedup_distinct_users(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).orderBy("event_type")
+    return _materialize_and_drop_sink(
+        spark, name, spark.table(name).orderBy("event_type"))
 
 
 @register(
@@ -5162,14 +5178,15 @@ def streaming_view_purchase_interval_join(
         q.processAllAvailable()
     finally:
         q.stop()
-    return (
+    return _materialize_and_drop_sink(
+        spark, name,
         spark.table(name)
         .groupBy(F.col("v_user").alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_attributed"),
             F.sum("cents").alias("attributed_cents"),
         )
-        .orderBy("user_id")
+        .orderBy("user_id"),
     )
 
 
@@ -5568,14 +5585,15 @@ def streaming_attribution_loss_outer_join(
         .agg(F.max(F.col("right_event_id").isNotNull().cast("int"))
              .alias("converted"))
     )
-    return (
+    return _materialize_and_drop_sink(
+        spark, name,
         per_view.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_views_closed"),
             F.sum(1 - F.col("converted")).cast("bigint")
             .alias("n_unconverted"),
         )
-        .orderBy("user_id")
+        .orderBy("user_id"),
     )
 
 
