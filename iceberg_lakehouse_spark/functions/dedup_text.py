@@ -337,37 +337,60 @@ def jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over
-    distinct shingle sets. Melt-join shape: each pair explodes to one
-    row per side, joins the shingle sets ONCE (two separate left/right
-    joins would evaluate the shingle pipeline twice — Spark doesn't
-    cache common subtrees), then folds back per pair. Shingle arrays
-    still travel only for candidate docs."""
+    distinct shingle sets — computed without moving a single shingle
+    ARRAY through a shuffle. Per-doc distinct shingles explode once to
+    (doc, shingle) rows; the intersection is an equality join on
+    (right doc, shingle) COUNTED by hash aggregation; set sizes join
+    back as scalars, and |A∪B| = |A| + |B| - |A∩B|.
+
+    Why not the previous melt-join (explode each pair to two rows, fold
+    the two shingle ARRAYS back with first())? Folding whole arrays
+    forces a SORT aggregate whose rows are entire documents' shingle
+    sets — on long documents its spill-read buffers OOMed a 16g
+    32-thread local JVM at sf0.1 (r9 finding). The melt itself is kept
+    (it references ``pairs`` exactly ONCE — Spark does not share
+    common subtrees, and the candidate pipeline behind ``pairs`` is
+    expensive), but the fold is a two-level HASH aggregation over
+    scalar (pair, shingle) rows: level 1 marks each shingle's presence
+    per side, level 2 sums |A|, |B| and |A∩B|. Scalar rows spill
+    gracefully at any document length.
+
+    Semantics preserved exactly: a pair whose docs share no shingle
+    still yields a 0.0 row; a pair whose doc is absent from ``df``
+    drops (inner-join parity)."""
     _check_cols(df, id_col, text_col)
-    sets = _widen_if_narrow(df).selectExpr(
-        f"{_qname(id_col)} AS _doc", f"{_shingles_sql(text_col, n)} AS sh"
+    sh = _widen_if_narrow(df).selectExpr(
+        f"{_qname(id_col)} AS _doc",
+        f"explode({_shingles_sql(text_col, n)}) AS _s",
     )
     melted = pairs.selectExpr(
         "left_id", "right_id", "explode(array(left_id, right_id)) AS _doc"
     )
-    folded = (
-        melted.join(sets, "_doc")
-        .groupBy("left_id", "right_id")
+    lvl1 = (
+        melted.join(sh, "_doc")
+        .groupBy("left_id", "right_id", "_s")
         .agg(
-            F.expr(
-                "first(CASE WHEN _doc = left_id THEN sh END, true) AS sh_a"
-            ),
-            F.expr(
-                "first(CASE WHEN _doc = right_id THEN sh END, true) AS sh_b"
-            ),
+            F.max(F.expr("CASE WHEN _doc = left_id THEN 1 ELSE 0 END"))
+            .alias("_in_a"),
+            F.max(F.expr("CASE WHEN _doc = right_id THEN 1 ELSE 0 END"))
+            .alias("_in_b"),
         )
-        # inner-join parity: a pair whose doc is absent from df drops
-        .where(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
     )
-    return folded.selectExpr(
-        "left_id",
-        "right_id",
-        "cast(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"
-        " / size(array_union(sh_a, sh_b)) AS jaccard",
+    # inner-join parity: a pair whose doc is absent contributes no
+    # rows for that side and must drop entirely
+    return (
+        lvl1.groupBy("left_id", "right_id")
+        .agg(
+            F.sum("_in_a").alias("_na"),
+            F.sum("_in_b").alias("_nb"),
+            F.sum(F.col("_in_a") * F.col("_in_b")).alias("_i"),
+        )
+        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .selectExpr(
+            "left_id",
+            "right_id",
+            "cast(_i AS DOUBLE) / (_na + _nb - _i) AS jaccard",
+        )
     )
 
 
@@ -383,39 +406,44 @@ def containment_pairs(
     subset duplication — a short document wholly contained in a longer
     one scores |A|/|B| ≈ 0 Jaccard but 1.0 containment; curation wants
     those (quote farms, concatenated dumps, boilerplate wrappers).
-    Same melt-join shape as ``jaccard_pairs`` (shingle pipeline
-    evaluated once, arrays travel only for candidate docs); shingle
-    sets are never empty (an empty text contributes one '' shingle),
-    so the ratios are total."""
+    Same melt + scalar two-level hash-agg shape as ``jaccard_pairs``
+    (never an array fold — the old fold's sort aggregate OOMed on long
+    documents at sf0.1, r9 finding; and ``pairs`` is referenced exactly
+    once); shingle sets are never empty (an empty text contributes one
+    '' shingle), so the ratios are total."""
     _check_cols(df, id_col, text_col)
-    sets = _widen_if_narrow(df).selectExpr(
-        f"{_qname(id_col)} AS _doc", f"{_shingles_sql(text_col, n)} AS sh"
+    sh = _widen_if_narrow(df).selectExpr(
+        f"{_qname(id_col)} AS _doc",
+        f"explode({_shingles_sql(text_col, n)}) AS _s",
     )
     melted = pairs.selectExpr(
         "left_id", "right_id", "explode(array(left_id, right_id)) AS _doc"
     )
-    folded = (
-        melted.join(sets, "_doc")
-        .groupBy("left_id", "right_id")
+    lvl1 = (
+        melted.join(sh, "_doc")
+        .groupBy("left_id", "right_id", "_s")
         .agg(
-            F.expr(
-                "first(CASE WHEN _doc = left_id THEN sh END, true) AS sh_a"
-            ),
-            F.expr(
-                "first(CASE WHEN _doc = right_id THEN sh END, true) AS sh_b"
-            ),
+            F.max(F.expr("CASE WHEN _doc = left_id THEN 1 ELSE 0 END"))
+            .alias("_in_a"),
+            F.max(F.expr("CASE WHEN _doc = right_id THEN 1 ELSE 0 END"))
+            .alias("_in_b"),
         )
-        .where(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
     )
-    return folded.selectExpr(
-        "left_id",
-        "right_id",
-        "cast(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_a)"
-        " AS left_containment",
-        "cast(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_b)"
-        " AS right_containment",
-        "cast(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"
-        " / size(array_union(sh_a, sh_b)) AS jaccard",
+    return (
+        lvl1.groupBy("left_id", "right_id")
+        .agg(
+            F.sum("_in_a").alias("_na"),
+            F.sum("_in_b").alias("_nb"),
+            F.sum(F.col("_in_a") * F.col("_in_b")).alias("_i"),
+        )
+        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .selectExpr(
+            "left_id",
+            "right_id",
+            "cast(_i AS DOUBLE) / _na AS left_containment",
+            "cast(_i AS DOUBLE) / _nb AS right_containment",
+            "cast(_i AS DOUBLE) / (_na + _nb - _i) AS jaccard",
+        )
     )
 
 

@@ -47,8 +47,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BLOOM_SUBDIR = os.path.join("_meta", "bloom")
-DEFAULT_BITS = 131_072   # 16 KiB/file/column; ~1% fp at ~13k distinct
+DEFAULT_BITS = 131_072   # 16 KiB/file/column FLOOR; ~1% fp at ~13k distinct
 DEFAULT_HASHES = 7
+DEFAULT_MAX_BITS = 1 << 24   # 2 MiB/file/column auto-sizing ceiling
 _H2_SEED = -1989         # second-hash discriminator fed to xxhash64
 MAX_IN_VALUES = 16       # larger IN lists skip bloom pruning
 
@@ -122,34 +123,58 @@ def build_bloom_sidecar(table, new_files: list[str]) -> str | None:
         by_fmt.setdefault("orc" if f.endswith(".orc") else "parquet",
                           []).append(os.path.join(table.root, f))
     parts: list[DataFrame] = []
+    max_bits = int(table.properties().get(
+        "write.bloom.index.max_bits", DEFAULT_MAX_BITS))
     for fmt, paths in by_fmt.items():
         src = (spark.read.format(fmt).load(paths)
                .select(F.col("_metadata.file_path").alias("_bf_file"),
                        *[F.col(c) for c in cols]))
         for c in cols:
-            pos = _positions_sql(
-                f"xxhash64(`{c}`)", f"xxhash64(`{c}`, {_H2_SEED})",
-                str(nbits), str(nhashes))
-            parts.append(
+            # PER-FILE auto-sizing (r9: the fixed 16 KiB default
+            # saturated at sf0.1's ~50k keys/file — ~60% fp, zero
+            # pruning): size each file's bitset to ~10 bits per
+            # observed distinct key (~1% fp at k=7), power of two,
+            # floored at the configured nbits and capped at max_bits.
+            # The probe already reads nbits per sidecar ROW, so mixed
+            # sizes across files/commits are free.
+            sized = (
                 src.where(F.col(c).isNotNull())
-                .select("_bf_file",
-                        F.explode(F.expr(pos)).alias("_bf_pos"))
+                .groupBy("_bf_file")
+                .agg(F.approx_count_distinct(c).alias("_d"))
                 .select(
                     "_bf_file",
+                    F.expr(
+                        f"least(cast({max_bits} as bigint), "
+                        f"greatest(cast({nbits} as bigint), "
+                        f"shiftleft(1L, cast(ceil(log2(_d * 10 + 1)) "
+                        f"as int))))"
+                    ).alias("_bf_nbits"),
+                )
+            )
+            pos = _positions_sql(
+                f"xxhash64(`{c}`)", f"xxhash64(`{c}`, {_H2_SEED})",
+                "_bf_nbits", str(nhashes))
+            parts.append(
+                src.where(F.col(c).isNotNull())
+                .join(sized, "_bf_file")
+                .select("_bf_file", "_bf_nbits",
+                        F.explode(F.expr(pos)).alias("_bf_pos"))
+                .select(
+                    "_bf_file", "_bf_nbits",
                     F.expr("cast(_bf_pos div 64 as int)").alias("word_idx"),
                     F.expr("shiftleft(1L, cast(_bf_pos % 64 as int))")
                     .alias("bit"),
                 )
-                .groupBy("_bf_file", "word_idx")
+                .groupBy("_bf_file", "_bf_nbits", "word_idx")
                 .agg(F.expr("bit_or(bit)").alias("word"))
-                .groupBy("_bf_file")
+                .groupBy("_bf_file", "_bf_nbits")
                 .agg(F.map_from_entries(
                     F.collect_list(F.struct("word_idx", "word"))
                 ).alias("words"))
                 .select(
                     "_bf_file",
                     F.lit(c).alias("column"),
-                    F.lit(nbits).alias("nbits"),
+                    F.col("_bf_nbits").cast("int").alias("nbits"),
                     F.lit(nhashes).alias("nhashes"),
                     "words",
                 )

@@ -58,13 +58,21 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("check_oracle")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # sf0.1 full-sweep knob (r9): the default-heap bare session holds
+    # ~50 queries of accumulated JVM state before a spill-heavy query
+    # tips it over at sf0.1. The driver grades at sf0.01 where the
+    # bare default is fine — so the bump is OPT-IN and the default
+    # stays driver-identical.
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     con = duckdb.connect()
@@ -77,6 +85,10 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # long-session hygiene: a query that leaked a cached relation
+        # must not charge its memory to every query after it (this
+        # also covers the rows-only and error early-continues below)
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
