@@ -285,11 +285,17 @@ def rebalance_ann_index(
     can no longer strand the index between a delete and an append, and
     a concurrent extend into the cell fails the CAS cleanly
     (CommitConflictError — re-invoke) instead of being silently
-    swallowed. Centroids commit BEFORE codes, so the worst crash
-    leaves an extra centroid with an empty list (a wasted probe slot),
-    never lost vectors.
+    swallowed. Centroid ordering (ADVICE r9): only the NEW cell's
+    centroid pre-commits before the vectors CAS; the existing cell's
+    centroid moves to its half-mean AFTER the CAS succeeds, and a CAS
+    failure deletes the pre-committed new centroid before re-raising.
+    The worst crash therefore leaves either an extra empty-listed
+    centroid (wasted probe slot) or cell c still routing on its
+    full-cell mean (conservative routing, self-healing on the next
+    rebalance pass) — never a centroid that misrepresents a full,
+    unsplit list.
     """
-    from .crud import replace_where
+    from .crud import delete_rows, replace_where
 
     at, ct, n_cells, dim = _load(catalog, name)
     counts = {
@@ -372,25 +378,44 @@ def rebalance_ann_index(
                 # under an auto_rebalance policy
                 report["skipped_degenerate"].append(int(c))
                 continue
-            # centroids first (see docstring), each an atomic commit
+            # ONLY the new cell's centroid pre-commits (ADVICE r9):
+            # moving cell c's centroid before the vectors CAS left a
+            # window where a crash/conflict had the unsplit cell
+            # routing against a centroid that no longer represents its
+            # full list. Sequence: new centroid -> vectors CAS ->
+            # existing centroid; a crash before the CAS leaves only
+            # the documented extra empty-listed centroid, and a crash
+            # after it leaves cell c routing on the (conservative)
+            # full-cell mean until the next rebalance pass.
             replace_where(
-                ct, f"cell IN ({c}, {new_id})",
+                ct, f"cell = {new_id}",
                 spark.createDataFrame(
-                    [
-                        (int(c), [float(x) for x in cents[0]["vec"]]),
-                        (int(new_id), [float(x) for x in cents[1]["vec"]]),
-                    ],
+                    [(int(new_id), [float(x) for x in cents[1]["vec"]])],
                     _CENTROID_SCHEMA,
                 ),
             )
             touched, _total = at.prune_files(f"cell = {c}")
             keep = [f for f in cur.files if f not in set(touched)]
-            at.replace_files(
-                keep,
-                reassigned,
-                {"operation_detail": "rebalance_split",
-                 "split_cell": int(c), "new_cell": int(new_id)},
-                expected_snapshot_id=cur.snapshot_id,
+            try:
+                at.replace_files(
+                    keep,
+                    reassigned,
+                    {"operation_detail": "rebalance_split",
+                     "split_cell": int(c), "new_cell": int(new_id)},
+                    expected_snapshot_id=cur.snapshot_id,
+                )
+            except Exception:
+                # CAS lost (concurrent extend) or write failed: the
+                # vectors are untouched, so the pre-committed new
+                # centroid must not survive as a dead probe slot
+                delete_rows(ct, f"cell = {new_id}")
+                raise
+            replace_where(
+                ct, f"cell = {c}",
+                spark.createDataFrame(
+                    [(int(c), [float(x) for x in cents[0]["vec"]])],
+                    _CENTROID_SCHEMA,
+                ),
             )
         finally:
             reassigned.unpersist()

@@ -435,14 +435,21 @@ def rebalance_ivfpq_index(
     The twist vs the plain-IVF rebalance: IVFPQ stores CODES, not
     vectors, so the in-cell 2-means runs over PQ RECONSTRUCTIONS
     (v̂ = centroid + decoded residual — self-contained, no access to
-    the original corpus required) and the split cells' rows re-encode
-    their residuals against the new centroids with the FROZEN shared
-    codebook. Reconstruction error compounds into the re-encoded
-    codes (bounded by twice the quantization error — documented
-    honestly; a full rebuild from source vectors is still the
-    highest-fidelity reset), but cell ROUTING fidelity is what
-    rebalancing protects, and that depends only on the coarse
-    centroids, which come out exact for the reconstructed population.
+    the original corpus required). Because residuals ENCODE AGAINST
+    the stored centroid, the split cell's own centroid can never move
+    consistently with its codes across two separate table commits
+    (ADVICE r9 found exactly that window) — so it does not move at
+    all: rows that STAY in the hot cell keep their ORIGINAL codes and
+    original centroid (zero added reconstruction error, zero
+    inconsistency window), and only the MOVED half re-encodes its
+    residuals against the newly minted centroid with the FROZEN
+    shared codebook. The moved half's reconstruction error compounds
+    (bounded by twice the quantization error — documented honestly; a
+    full rebuild from source vectors is still the highest-fidelity
+    reset). The split cell keeps routing on its full-list mean —
+    slightly conservative (it sits between the halves), which
+    multi-cell probes absorb; what rebalancing protects is probe
+    SELECTIVITY, and that is restored by the size split alone.
 
     Scale shape: sizing is one groupBy; each hot cell decodes and
     re-clusters over a file-pruned scan of that cell only (the codes
@@ -450,15 +457,18 @@ def rebalance_ivfpq_index(
     2 × dim means. Each hot cell's rewrite is ONE atomic CAS commit
     pinned to the snapshot the re-encoding was computed from (a crash
     cannot strand the index mid-rewrite; a concurrent extend fails the
-    CAS cleanly — re-invoke); centroids commit first, so the worst
-    crash leaves an extra empty-listed centroid, never lost codes.
+    CAS cleanly — re-invoke); ONLY the new cell's centroid commits
+    first, so the worst crash leaves an extra empty-listed centroid,
+    never lost codes and never a centroid inconsistent with its
+    codes' residual basis; a CAS failure deletes the pre-committed
+    centroid before re-raising.
     Cells whose reconstructions cannot be separated (exact duplicates,
     or identical codes) are SKIPPED and reported — splitting them
     would only mint dead centroids forever under an auto_rebalance
     policy. At most ``max_splits`` cells split per call."""
     from ..functions.similarity import _nearest_cell
     from .ann_index import _hot_cells
-    from .crud import replace_where
+    from .crud import delete_rows, replace_where
 
     at, ct, bt, n_cells, m, _ksub, dim = _load(catalog, name)
     counts = {
@@ -525,32 +535,22 @@ def rebalance_ivfpq_index(
                         dims = by_sub[cent["cell"]]
                         cent["vec"] = [dims[d] for d in sorted(dims)]
             new_id = next_cell
-            cents_df = spark.createDataFrame(
-                [(int(c), cents[0]["vec"]), (int(new_id), cents[1]["vec"])],
-                _CENTROID_SCHEMA,
-            )
-            # route each reconstruction to its new half, residual vs
-            # the NEW centroid, re-encode with the frozen codebook —
-            # all before the delete (the df binds to pre-delete files)
+            new_vec = [float(x) for x in cents[1]["vec"]]
+            # route each reconstruction: half 1 moves to the new cell,
+            # half 0 STAYS — keeping its original codes (residuals vs
+            # cell c's unchanged centroid). Only the moved half
+            # re-encodes, residual vs the NEW centroid, with the
+            # frozen codebook — all before the delete (the df binds to
+            # pre-delete files)
             routed = recon.select(
                 "id", "_vhat",
                 F.when(_nearest_cell(F.col("_vhat"), cents) == 1,
                        F.lit(new_id)).otherwise(F.lit(c))
                 .cast("long").alias("cell"),
-            ).join(
-                F.broadcast(cents_df.withColumnRenamed("vec", "_nc")),
-                "cell",
-            ).select(
-                "id", "cell",
-                _residual(F.col("_vhat"), F.col("_nc")).alias("_r"),
-            )
-            reencoded = _encode(
-                routed, "_r", book_df, dim, m,
-                keys=("id", "cell"), normalize=False,
-            ).select("id", "cell", "codes").persist()
+            ).persist()
             try:
                 half = {int(r["cell"]): int(r["n"]) for r in
-                        reencoded.groupBy("cell")
+                        routed.groupBy("cell")
                         .agg(F.count(F.lit(1)).alias("n")).collect()}
                 if len(half) < 2:
                     # degenerate: identical reconstructions route every
@@ -558,20 +558,48 @@ def rebalance_ivfpq_index(
                     # centroid and re-trigger every maintenance cycle
                     report["skipped_degenerate"].append(int(c))
                     continue
-                # centroids first, then ONE atomic CAS swap of the
-                # hot cell's code files (see docstring)
-                replace_where(ct, f"cell IN ({c}, {new_id})", cents_df)
+                moved = routed.filter(F.col("cell") == new_id).select(
+                    "id", "cell",
+                    _residual(
+                        F.col("_vhat"),
+                        F.lit(new_vec).cast("array<double>"),
+                    ).alias("_r"),
+                )
+                moved_codes = _encode(
+                    moved, "_r", book_df, dim, m,
+                    keys=("id", "cell"), normalize=False,
+                ).select("id", "cell", "codes")
+                stay_codes = cell_rows.join(
+                    routed.filter(F.col("cell") == new_id).select("id"),
+                    "id", "left_anti",
+                ).select("id", "cell", "codes")
+                reencoded = stay_codes.unionByName(moved_codes)
+                # new centroid first, then ONE atomic CAS swap of the
+                # hot cell's code files; the split cell's centroid and
+                # surviving codes are untouched (see docstring)
+                replace_where(
+                    ct, f"cell = {new_id}",
+                    spark.createDataFrame(
+                        [(int(new_id), new_vec)], _CENTROID_SCHEMA),
+                )
                 touched, _total = at.prune_files(f"cell = {c}")
                 keep = [f for f in cur.files if f not in set(touched)]
-                at.replace_files(
-                    keep,
-                    reencoded,
-                    {"operation_detail": "rebalance_split",
-                     "split_cell": int(c), "new_cell": int(new_id)},
-                    expected_snapshot_id=cur.snapshot_id,
-                )
+                try:
+                    at.replace_files(
+                        keep,
+                        reencoded,
+                        {"operation_detail": "rebalance_split",
+                         "split_cell": int(c), "new_cell": int(new_id)},
+                        expected_snapshot_id=cur.snapshot_id,
+                    )
+                except Exception:
+                    # CAS lost (concurrent extend) or write failed:
+                    # codes are untouched, so the pre-committed new
+                    # centroid must not survive as a dead probe slot
+                    delete_rows(ct, f"cell = {new_id}")
+                    raise
             finally:
-                reencoded.unpersist()
+                routed.unpersist()
             next_cell += 1
             report["split_cells"].append(int(c))
             report["new_cells"].append(int(new_id))

@@ -80,14 +80,18 @@ def join_to_table(
             catalog, spec["left"], spec["right"], list(spec["on"]),
             how=spec.get("how", "inner"), config=config,
         )
-        on = " AND ".join(f"l.{c} = r.{c}" for c in spec["on"])
         # DataFrame join types use underscores (left_outer); the
         # lineage-recorded SQL must spell them as words or replaying it
-        # fails to parse
+        # fails to parse. USING (not ON) mirrors DataFrame.join(on=
+        # [cols]) semantics — the key columns appear once, coalesced
+        # for outer joins — so replaying the recorded SQL reproduces
+        # the materialized schema (ADVICE r9: the ON form yields
+        # duplicate/ambiguous key columns).
         how_sql = spec.get("how", "inner").upper().replace("_", " ")
-        sql = (f"SELECT * FROM {spec['left']} l "
+        using = ", ".join(spec["on"])
+        sql = (f"SELECT * FROM {spec['left']} "
                f"{how_sql} JOIN "
-               f"{spec['right']} r ON {on}")
+               f"{spec['right']} USING ({using})")
     else:
         df = engine.execute(sql, max_rows=0)
     exists = catalog.table_exists(target)

@@ -198,3 +198,75 @@ def test_rebalance_splits_hot_cell_from_reconstructions(spark, emb,
     blob_ids = set(range(200000, 200400))
     assert all(i == 0 or i in blob_ids for i in ids), ids
     assert any(i in blob_ids for i in ids), ids
+
+
+def test_rebalance_crash_consistency(spark, emb, tmp_path_factory,
+                                     monkeypatch):
+    """ADVICE r9 regression: a rebalance whose codes CAS FAILS must
+    leave the index exactly as it was — in particular no dead
+    pre-committed centroid for the aborted new cell, and the hot
+    cell's own centroid (the residual basis of its stored codes)
+    never moves, even on SUCCESS."""
+    import pyspark.sql.functions as F
+
+    from iceberg_lakehouse_spark.catalog import LakeTable
+
+    wh = str(tmp_path_factory.mktemp("ivfpqcrash"))
+    cat = LakehouseCatalog(spark, wh)
+    ivfpq.build_ivfpq_index(
+        cat, "default.crash", emb, "vec_id", "embedding",
+        n_cells=6, m=8, ksub=16, kmeans_iters=1)
+    anchor = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    blob = spark.range(300000, 300200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            F.lit(v) + (F.col("id") % 5).cast("double") * 1e-4
+            for v in anchor
+        ]).alias("embedding"),
+    )
+    ivfpq.extend_ivfpq_index(cat, "default.crash", blob,
+                             "vec_id", "embedding")
+    ct = cat.load_table("default.crash__centroids")
+    before = {int(r["cell"]): [float(x) for x in r["vec"]]
+              for r in ct.scan().collect()}
+    codes_before = sorted(
+        (int(r["id"]), int(r["cell"]), tuple(r["codes"]))
+        for r in cat.load_table("default.crash").scan().collect())
+
+    real = LakeTable.replace_files
+
+    def boom(self, *a, **k):
+        # fail ONLY the codes-table swap; centroid commits go through
+        if self.table.endswith("__centroids"):
+            return real(self, *a, **k)
+        raise RuntimeError("injected CAS failure")
+
+    monkeypatch.setattr(LakeTable, "replace_files", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        ivfpq.rebalance_ivfpq_index(cat, "default.crash", max_ratio=3.0)
+    monkeypatch.setattr(LakeTable, "replace_files", real)
+    # rollback: no dead centroid, originals byte-identical
+    after_fail = {int(r["cell"]): [float(x) for x in r["vec"]]
+                  for r in ct.scan().collect()}
+    assert after_fail == before
+    # successful run: new centroid appears, but the SPLIT cell's
+    # centroid is untouched (its surviving codes keep their residual
+    # basis) and the staying rows keep their ORIGINAL codes
+    rep = ivfpq.rebalance_ivfpq_index(cat, "default.crash", max_ratio=3.0)
+    assert rep["split_cells"], rep
+    after_ok = {int(r["cell"]): [float(x) for x in r["vec"]]
+                for r in ct.scan().collect()}
+    for c in rep["split_cells"]:
+        assert after_ok[c] == before[c]
+    for n in rep["new_cells"]:
+        assert n not in before and n in after_ok
+    moved_or_stayed = {
+        int(r["id"]): (int(r["cell"]), tuple(r["codes"]))
+        for r in cat.load_table("default.crash").scan().collect()}
+    split = set(rep["split_cells"])
+    stayed_same = [
+        (i, c, k) for i, c, k in codes_before
+        if c in split and moved_or_stayed[i][0] == c]
+    assert stayed_same, "split produced no staying rows"
+    for i, c, k in stayed_same:
+        assert moved_or_stayed[i][1] == k, f"staying row {i} re-encoded"

@@ -180,3 +180,30 @@ def test_join_to_table_structured_spec_routes_through_advisor(
     t = catalog.load_table("default.joined_spec")
     assert {"order_id", "cust_id", "total", "name"} <= {
         f.name for f in t.schema().fields}
+
+
+def test_join_spec_lineage_sql_replays_to_same_schema(tmp_path, catalog):
+    """ADVICE r9: the lineage-recorded SQL for a structured join spec
+    must REPRODUCE the materialized schema when replayed — USING
+    semantics (key columns once, coalesced for outer joins), not the
+    ON form, which duplicates the join keys."""
+    eng = QueryEngine(catalog)
+    lm = LineageManager(str(tmp_path / "lineage.json"))
+    for how, target in (("inner", "default.j_inner"),
+                        ("left_outer", "default.j_louter")):
+        res = join_to_table(
+            catalog, eng,
+            {"left": "orders", "right": "customers",
+             "on": ["cust_id"], "how": how},
+            target, lineage=lm,
+        )
+        mat_schema = [
+            (f.name, f.dataType.simpleString())
+            for f in catalog.load_table(target).schema().fields
+        ]
+        recorded = [e for e in lm.edges() if e["target"] == target][0]
+        replayed = eng.execute(recorded["sql"], max_rows=0)
+        assert [
+            (f.name, f.dataType.simpleString()) for f in replayed.schema.fields
+        ] == mat_schema, (how, recorded["sql"])
+        assert replayed.count() == res["rows"]

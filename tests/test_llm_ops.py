@@ -1229,6 +1229,64 @@ def test_ann_index_rebalance_recovers_recall(spark, tmp_warehouse):
     assert rep2["split_cells"] == [] and "deferred_cells" not in rep2
 
 
+def test_ann_index_rebalance_crash_consistency(spark, tmp_warehouse,
+                                               monkeypatch):
+    """ADVICE r9 regression for the plain-IVF rebalance: a failed
+    vectors CAS must roll back the pre-committed new centroid and
+    leave the hot cell's centroid untouched; on SUCCESS the hot
+    cell's centroid moves to its half-mean only AFTER the CAS (plain
+    IVF stores raw vectors, so the move is routing-only and safe
+    post-swap)."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog, LakeTable
+    from iceberg_lakehouse_spark.operators import ann_index as ai
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    emb = load_sf_tables(spark, SF)["embeddings"]
+    ai.build_ann_index(
+        cat, "cc_ivf", emb, "vec_id", "embedding", n_cells=6,
+        kmeans_iters=1,
+    )
+    anchor = [float(x) for x in
+              emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    rows = [
+        (3_000_000 + i, [v * (1.0 + 0.0001 * (i % 7)) for v in anchor])
+        for i in range(150)
+    ]
+    ai.extend_ann_index(
+        cat, "cc_ivf",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        "vec_id", "embedding",
+    )
+    ct = cat.load_table("cc_ivf__centroids")
+    before = {int(r["cell"]): [float(x) for x in r["vec"]]
+              for r in ct.scan().collect()}
+    n_before = cat.load_table("cc_ivf").scan().count()
+
+    real = LakeTable.replace_files
+
+    def boom(self, *a, **k):
+        if self.table.endswith("__centroids"):
+            return real(self, *a, **k)
+        raise RuntimeError("injected CAS failure")
+
+    monkeypatch.setattr(LakeTable, "replace_files", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        ai.rebalance_ann_index(cat, "cc_ivf", max_ratio=2.0)
+    monkeypatch.setattr(LakeTable, "replace_files", real)
+    after_fail = {int(r["cell"]): [float(x) for x in r["vec"]]
+                  for r in ct.scan().collect()}
+    assert after_fail == before           # no dead centroid, no move
+    assert cat.load_table("cc_ivf").scan().count() == n_before
+    rep = ai.rebalance_ann_index(cat, "cc_ivf", max_ratio=2.0)
+    assert rep["split_cells"], rep
+    after_ok = {int(r["cell"]): [float(x) for x in r["vec"]]
+                for r in ct.scan().collect()}
+    for c in rep["split_cells"]:
+        assert after_ok[c] != before[c]   # half-mean landed post-CAS
+    for n in rep["new_cells"]:
+        assert n not in before and n in after_ok
+
+
 @pytest.mark.parametrize("n_hot", [120, 400])
 def test_lsh_worst_case_majority_band_key_stays_linear(spark, n_hot):
     """VERDICT r6 #6: skew gate for the LSH band-key path. Worst case:
