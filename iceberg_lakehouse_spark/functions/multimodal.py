@@ -674,3 +674,195 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.sum("size_bytes").alias("total_bytes"),
         F.avg("size_bytes").alias("avg_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (round 10 — closes the dedup × multimodal cell
+# of the mandate's matrix; no reference analogue)
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("phash", T.StringType()),  # 64-char bitstring
+    ]
+)
+
+
+def _luma_grid(px, h: int, w: int, gh: int, gw: int):
+    """Block-mean luminance grid (gh × gw, row-major), ITU-R 601-2
+    weights — the generalized form of ``_pool_features``' 4×4 blocking
+    (same min-clamped block assignment, raw 0..255 means instead of
+    scaled features). An empty block (image narrower than the grid)
+    contributes 0.0 — deterministic, and the dHash gradient over two
+    adjacent empty blocks is then a stable 0-bit."""
+    sums = [0.0] * (gh * gw)
+    counts = [0] * (gh * gw)
+    for i, (r, g, b) in enumerate(px):
+        rr, cc = divmod(i, w)
+        blk = min(gh - 1, rr * gh // h) * gw + min(gw - 1, cc * gw // w)
+        sums[blk] += 0.299 * r + 0.587 * g + 0.114 * b
+        counts[blk] += 1
+    return [sums[i] / counts[i] if counts[i] else 0.0
+            for i in range(gh * gw)]
+
+
+def _dhash64(px, h: int, w: int) -> str:
+    """64-bit difference hash: 8×9 luminance grid, bit (r, c) = 1 iff
+    the cell right of (r, c) is brighter — horizontal gradient signs,
+    which survive uniform brightness/contrast shifts and resizes (the
+    classic dHash; public domain algorithm)."""
+    g = _luma_grid(px, h, w, 8, 9)
+    return "".join(
+        "1" if g[r * 9 + c + 1] > g[r * 9 + c] else "0"
+        for r in range(8) for c in range(8)
+    )
+
+
+def _ahash64(px, h: int, w: int) -> str:
+    """64-bit average hash: 8×8 luminance grid thresholded at its own
+    mean — cruder than dHash (sensitive to global gradients) but the
+    standard second opinion."""
+    g = _luma_grid(px, h, w, 8, 8)
+    m = sum(g) / 64.0
+    return "".join("1" if v >= m else "0" for v in g)
+
+
+def _fake_phash(content: bytes) -> str:
+    """Deterministic fake fingerprint for unrecognized formats (same
+    tier contract as ``_fake_decode``): first 64 bits of the content
+    sha256 — byte-identical content still dedups EXACTLY, which is the
+    honest behavior when the pixels cannot be read."""
+    d = hashlib.sha256(content or b"").digest()
+    return "".join(format(b, "08b") for b in d[:8])
+
+
+def _raw_pixels(content: bytes, fmt: str):
+    """(h, w, pixels) via the pure-Python parsers; None when the
+    format is unrecognized, (None, None, None) when a RECOGNIZED
+    format is corrupt (→ NULL phash, same contract as decode_media).
+    The builtin parsers run FIRST even when Pillow is importable so
+    the fingerprint bits are engine-stable across environments; Pillow
+    extends coverage to formats the builtins don't parse."""
+    magic = content[:2] if content else b""
+    if magic in (b"P6", b"P5", b"BM", _PNG_MAGIC[:2], b"\xff\xd8"):
+        try:
+            if magic == _PNG_MAGIC[:2]:
+                h, w, _c, px = _parse_png(content)
+            elif magic == b"\xff\xd8":
+                from .jpeg import parse_jpeg
+
+                h, w, _c, px = parse_jpeg(content)
+            elif magic == b"BM":
+                h, w, _c, px = _parse_bmp(content)
+            else:
+                h, w, _c, px = _parse_pnm(content)
+        except (ValueError, IndexError, struct.error, zlib.error):
+            return None, None, None
+        return h, w, px
+    if _pil_available():
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(content)) as img:
+                w, h = img.size
+                px = list(img.convert("RGB").getdata())
+            return h, w, px
+        except Exception:  # noqa: BLE001 — unrecognized, fall to fake
+            return None
+    return None
+
+
+def perceptual_hash(
+    df: DataFrame,
+    algo: str = "dhash",
+    deterministic_fake: bool = False,
+    require_codec: bool = False,
+) -> DataFrame:
+    """media table → 64-bit perceptual fingerprint per image, as a
+    bitstring column ``phash`` ready for the Hamming pigeonhole
+    blocking in ``dedup_text.simhash_hamming_pairs``.
+
+    Arrow-batched mapInPandas, same shape as ``decode_media``: the
+    blob never crosses executor→driver, the output drops it, and
+    downstream stages shuffle only (id, 64-char string). Tiering
+    mirrors ``_resolve_codec``: real pixels via the pure-Python
+    PPM/PGM/BMP/PNG/JPEG parsers (builtins FIRST so bits are stable
+    with or without Pillow), Pillow for other formats when present,
+    deterministic content-hash fake otherwise (or
+    ``NotImplementedError`` under ``require_codec=True``); a corrupt
+    blob of a recognized format yields a NULL phash, never a job
+    failure."""
+    if algo not in ("dhash", "ahash"):
+        raise ValueError(f"unknown algo {algo!r} (dhash|ahash)")
+    bits = _dhash64 if algo == "dhash" else _ahash64
+
+    def _one(content, fmt: str):
+        raw = bytes(content) if content is not None else b""
+        if deterministic_fake:
+            return _fake_phash(raw)
+        got = _raw_pixels(raw, fmt)
+        if got is None:
+            if require_codec:
+                raise NotImplementedError(
+                    f"no codec for format {fmt!r} (install Pillow or "
+                    "pass deterministic_fake=True)"
+                )
+            return _fake_phash(raw)
+        h, w, px = got
+        if h is None:
+            return None  # corrupt blob of a recognized format
+        return bits(px, h, w)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "phash": [
+                        _one(c, f or t)
+                        for c, t, f in zip(pdf["content"],
+                                           pdf["media_type"],
+                                           pdf["format"])
+                    ],
+                },
+                columns=[f.name for f in PHASH_SCHEMA.fields],
+            )
+
+    return df.mapInPandas(_batches, PHASH_SCHEMA)
+
+
+def media_near_dup_pairs(
+    df: DataFrame,
+    algo: str = "dhash",
+    max_distance: int = 6,
+    max_bucket: int = 1024,
+    deterministic_fake: bool = False,
+    require_codec: bool = False,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: 64-bit dHash/aHash →
+    Hamming distance ≤ ``max_distance`` via the SAME pigeonhole
+    segment blocking as text SimHash (``simhash_hamming_pairs``,
+    parameterized by fingerprint width since r2) — segment-equality
+    shuffle with size-gated buckets, NEVER an all-pairs join. Returns
+    (left_id, right_id, hamming). Scale shape: one Arrow-batched
+    decode pass + one hash-partitioned shuffle on (segment, key);
+    a mass-duplicated image degrades to star edges, not a quadratic
+    bucket gather."""
+    from .dedup_text import simhash_hamming_pairs
+
+    fps = (
+        perceptual_hash(
+            df, algo=algo, deterministic_fake=deterministic_fake,
+            require_codec=require_codec,
+        )
+        .where(F.col("phash").isNotNull())
+        .select("media_id", F.col("phash").alias("simhash"))
+    )
+    return simhash_hamming_pairs(
+        fps, "media_id", max_distance=max_distance, fp_len=64,
+        max_bucket=max_bucket,
+    )

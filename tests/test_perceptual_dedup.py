@@ -1,0 +1,142 @@
+"""Perceptual image dedup (round 10): dHash/aHash fingerprints over
+the real pure-Python pixel decode, near-dup pairs via the shared
+Hamming pigeonhole blocking, and the plan gate proving the comparison
+is blocked (segment-equality shuffle), never all-pairs.
+
+No reference analogue — this closes the dedup × multimodal cell of
+the LLM-pipeline mandate."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_lakehouse_spark.functions import multimodal as mm
+
+from tests.test_llm_ops import _bmp_bytes, _ppm_bytes
+
+
+def _gradient_px(h, w, step=10, bump=0):
+    """Pixels increasing left→right: dHash grid cells (one pixel each
+    at h=8, w=9) are strictly increasing, so every dhash bit is 1."""
+    return [
+        ((min(255, c * step + bump),) * 3)
+        for r in range(h) for c in range(w)
+    ]
+
+
+def test_dhash_bits_hand_computed(spark):
+    """8×9 image = one pixel per dHash grid cell: strictly increasing
+    rows → all 64 bits are 1; strictly decreasing → all 0; bumping the
+    single pixel (0,0) above its right neighbour flips EXACTLY bit
+    (0,0) → hamming 1."""
+    inc = _gradient_px(8, 9)
+    dec = [t for t in reversed(inc)]
+    bump = list(inc)
+    bump[0] = (200, 200, 200)  # > pixel (0,1)=10 → bit (0,0) flips
+    rows = [
+        (1, _ppm_bytes(9, 8, inc), "image", "ppm", 0),
+        (2, _ppm_bytes(9, 8, dec), "image", "ppm", 0),
+        (3, _ppm_bytes(9, 8, bump), "image", "ppm", 0),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["phash"]
+           for r in mm.perceptual_hash(df, algo="dhash").collect()}
+    assert got[1] == "1" * 64
+    assert len(got[2]) == 64 and got[2].count("1") == 0
+    assert sum(a != b for a, b in zip(got[1], got[3])) == 1
+
+
+def test_ahash_bits_hand_computed(spark):
+    """8×8 image, top half bright / bottom half dark → aHash is 32
+    ones then 32 zeros (cells above the global mean)."""
+    px = [((200,) * 3) if r < 4 else ((50,) * 3)
+          for r in range(8) for c in range(8)]
+    df = spark.createDataFrame(
+        [(1, _ppm_bytes(8, 8, px), "image", "ppm", 0)], mm.MEDIA_SCHEMA)
+    got = mm.perceptual_hash(df, algo="ahash").first()["phash"]
+    assert got == "1" * 32 + "0" * 32
+
+
+def test_dhash_invariances(spark):
+    """The properties that make dHash a DEDUP fingerprint rather than
+    a checksum: identical pixels through DIFFERENT containers (PPM vs
+    BMP) hash identically; a uniform brightness shift (no clamping)
+    hashes identically; a 2× upscale (block means preserved) hashes
+    identically."""
+    base = _gradient_px(8, 9)
+    up = [base[(r // 2) * 9 + (c // 2)]
+          for r in range(16) for c in range(18)]
+    rows = [
+        (1, _ppm_bytes(9, 8, base), "image", "ppm", 0),
+        (2, _bmp_bytes(9, 8, base), "image", "bmp", 0),
+        (3, _ppm_bytes(9, 8, _gradient_px(8, 9, bump=30)), "image", "ppm", 0),
+        (4, _ppm_bytes(18, 16, up), "image", "ppm", 0),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["phash"]
+           for r in mm.perceptual_hash(df).collect()}
+    assert got[1] == got[2] == got[3] == got[4]
+
+
+def test_media_near_dup_pairs_planted(spark):
+    """Planted corpus: an exact dup (hamming 0), a near dup (1 flipped
+    grid cell → hamming 1), a far image (inverted gradient), a corrupt
+    blob (NULL phash, silently excluded), and two byte-identical
+    unrecognized-format blobs (content-hash fake tier → exact dup).
+    Pairs at max_distance=6 must be exactly the planted ones."""
+    inc = _gradient_px(8, 9)
+    bump = list(inc)
+    bump[0] = (200, 200, 200)
+    rows = [
+        (1, _ppm_bytes(9, 8, inc), "image", "ppm", 0),
+        (2, _bmp_bytes(9, 8, inc), "image", "bmp", 0),          # exact dup
+        (3, _ppm_bytes(9, 8, bump), "image", "ppm", 0),         # near dup
+        (4, _ppm_bytes(9, 8, list(reversed(inc))), "image", "ppm", 0),
+        (5, _ppm_bytes(9, 8, inc)[:20], "image", "ppm", 0),     # corrupt
+        (6, b"GIF89a same bytes", "image", "gif", 0),           # fake tier
+        (7, b"GIF89a same bytes", "image", "gif", 0),           # fake tier
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in mm.media_near_dup_pairs(df, max_distance=6).collect()
+    }
+    assert pairs == {(1, 2): 0, (1, 3): 1, (2, 3): 1, (6, 7): 0}, pairs
+    # corrupt blob produced a NULL phash, not a crash / phantom pair
+    ph = {r["media_id"]: r["phash"]
+          for r in mm.perceptual_hash(df).collect()}
+    assert ph[5] is None
+    assert all(5 not in p for p in pairs)
+
+
+def test_media_near_dup_plan_is_blocked_not_all_pairs(spark):
+    """Plan gate: the pairs join is a segment-equality hash shuffle
+    (pigeonhole blocking) — the physical plan must contain NO
+    cartesian / nested-loop join, which is what an all-pairs hamming
+    comparison would compile to."""
+    rows = [(i, _ppm_bytes(9, 8, _gradient_px(8, 9, bump=i)), "image",
+             "ppm", 0) for i in range(8)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    plan = mm.media_near_dup_pairs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perceptual_hash_tiers_and_errors(spark):
+    """Contract edges: unknown algo raises; require_codec=True turns
+    the fake tier into the honest NotImplementedError; the
+    deterministic_fake tier is stable and content-keyed."""
+    with pytest.raises(ValueError, match="unknown algo"):
+        mm.perceptual_hash(spark.range(0).selectExpr(
+            "id AS media_id", "CAST(NULL AS BINARY) AS content",
+            "'image' AS media_type", "'ppm' AS format",
+            "0L AS size_bytes"), algo="md5")
+    rows = [(1, b"GIF89a no parser", "image", "gif", 0)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    if not mm._pil_available():
+        with pytest.raises(Exception, match="no codec"):
+            mm.perceptual_hash(df, require_codec=True).collect()
+    a = mm.perceptual_hash(df, deterministic_fake=True).first()["phash"]
+    b = mm.perceptual_hash(df, deterministic_fake=True).first()["phash"]
+    assert a == b and len(a) == 64 and set(a) <= {"0", "1"}
