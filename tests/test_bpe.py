@@ -108,3 +108,96 @@ def test_oracle_early_stop_parity(spark):
     assert len(rows) == len(spark_rows)
     assert [(r[1], r[2]) for r in rows] == [
         (m["left_sym"], m["right_sym"]) for m in spark_rows]
+
+
+def _synthetic_merges(n):
+    """Rank-ordered merge table where every rank consumes the previous
+    rank's output symbol (a+b->ab, ab+b->abb, ...): the worst case for
+    chained application — a word 'a' + 'b'*k walks the chain k deep."""
+    merges, left = [], "a"
+    for k in range(1, n + 1):
+        merges.append({"rank": k, "left_sym": left, "right_sym": "b",
+                       "merged_sym": left + "b"})
+        left += "b"
+    return merges
+
+
+def _py_reference(merges, words):
+    """Plain-Python rank-order application — the semantics oracle
+    (str.replace is left-to-right non-overlapping, same as both Spark
+    paths)."""
+    out = []
+    for w in words:
+        s = "".join(f"\t{c}\n" for c in w)
+        for m in sorted(merges, key=lambda x: x["rank"]):
+            pat = f"\t{m['left_sym']}\n\t{m['right_sym']}\n"
+            s = s.replace(pat, f"\t{m['merged_sym']}\n")
+        out.extend(s[1:-1].split("\n\t") if s else [])
+    return out
+
+
+def test_vocab_scale_apply_matches_expression_chain(spark):
+    """VERDICT r9 #2 equality half: at a depth BOTH paths can run
+    (40 merges — the chain still analyzes), the Arrow-batched memoized
+    apply must be value-identical to the pure-Column expression chain,
+    including null text, empty text, and words hitting no / some /
+    every merge."""
+    merges = _synthetic_merges(40)
+    docs = spark.createDataFrame(
+        [
+            (1, "a" + "b" * 60),              # walks the full 40-chain
+            (2, ("a" + "b" * 10 + " ") * 4),  # repeated word → memo hits
+            (3, "zzz qqq"),                   # no merge applies
+            (4, "ab abb ba b"),               # partial applications
+            (5, ""),                          # empty text
+            (6, None),                        # null text
+        ],
+        "doc_id long, text string",
+    )
+    fast = {
+        r["doc_id"]: (r["bpe_tokens"], r["bpe_tokens_n"])
+        for r in bpe.bpe_segment(docs, merges).collect()
+    }
+    slow = {
+        r["doc_id"]: (r["bpe_tokens"], r["bpe_tokens_n"])
+        for r in bpe.bpe_segment(
+            docs, merges, max_expr_merges=10**9).collect()
+    }
+    assert fast == slow
+    assert fast[1][0] == _py_reference(merges, ["a" + "b" * 60])
+
+
+def test_vocab_scale_apply_at_150_merges(spark):
+    """VERDICT r9 #2 scale half: 150 merges. The expression chain
+    cannot even ANALYZE at this depth (Catalyst resolution hits its
+    iteration cap — the precise failure mode that motivated the
+    rewrite), while the UDF path runs and matches the plain-Python
+    rank-order reference."""
+    merges = _synthetic_merges(150)
+    words = ["a" + "b" * 200, "a" + "b" * 149, "a" + "b" * 7, "bba"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string")
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe.bpe_segment(docs, merges).collect()}
+    for i, w in enumerate(words):
+        assert got[i] == _py_reference(merges, [w]), w[:20]
+    with pytest.raises(Exception, match="[Mm]ax iterations"):
+        bpe.bpe_segment(docs, merges, max_expr_merges=10**9).collect()
+
+
+def test_vocab_scale_apply_plan_is_one_udf_not_deep_chain(spark):
+    """Plan gate: above the threshold the physical plan contains ONE
+    Arrow-batched python UDF eval and NO replace() chain; below it,
+    the opposite. Both stay map-only (no exchange)."""
+    merges = _synthetic_merges(40)
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    big = bpe.bpe_segment(docs, merges)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_big or "PythonUDF" in plan_big
+    assert "replace(" not in plan_big
+    assert "Exchange" not in plan_big
+    small = bpe.bpe_segment(docs, merges[:4])
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan_small
+    assert "replace(" in plan_small
+    assert "Exchange" not in plan_small
