@@ -432,6 +432,8 @@ _TREE: dict[str, dict[str, str]] = {
         "ivfpq-extend": "ivfpq_index_extend",
         "ivfpq-stats": "ivfpq_index_stats",
         "ivfpq-rebalance": "ivfpq_index_rebalance",
+        "link-source": "index_link_source",
+        "sync-deletes": "index_sync_deletes",
     },
     "refs": {
         "branch": "branch_create", "tag": "tag_create",

@@ -208,6 +208,13 @@ class MaintenanceManager:
         # selectivity decays (r9; ties the index surface into the same
         # governance loop as auto_compact / auto_analyze)
         "auto_rebalance_index": None,
+        # truthy: when this table is an index LINKED to a source table
+        # (operators.index_sync.link_index_source), consume the
+        # source's delete events since the last sync and remove the
+        # matching index rows (one equality-delete commit) — without
+        # it a curation loop that deletes near-dups re-probes stale
+        # candidates forever (r10)
+        "auto_sync_index": None,
     }
 
     def __init__(self, store_path: str):
@@ -338,6 +345,29 @@ class MaintenanceManager:
                         f"rebalance_{kind}_index ({len(hot)} cell(s) "
                         f"> {ratio}x median list size {median})"
                     )
+        needs_sync = False
+        if pol.get("auto_sync_index"):
+            props = table.properties()
+            src_name = props.get("index.source_table")
+            if src_name:
+                try:
+                    src = table.catalog.load_table(src_name)
+                    scur = src.current_snapshot()
+                    synced = props.get("index.synced_snapshot_id")
+                    if (scur is not None and synced is not None
+                            and scur.snapshot_id != int(synced)):
+                        needs_sync = True
+                        actions.append(
+                            f"sync_index_deletes (source {src_name} at "
+                            f"snapshot {scur.snapshot_id}, index synced "
+                            f"to {synced})"
+                        )
+                except ValueError:
+                    # dropped source: surface rather than swallow — a
+                    # sync can never succeed again
+                    needs_sync = True
+                    actions.append(
+                        f"sync_index_deletes (source {src_name} missing)")
         return {
             "table": name, "has_policy": True,
             "needs_compact": needs_compact, "needs_expire": needs_expire,
@@ -345,6 +375,7 @@ class MaintenanceManager:
             "needs_orphan_cleanup": needs_orphans,
             "needs_analyze": needs_analyze,
             "needs_rebalance": needs_rebalance,
+            "needs_index_sync": needs_sync,
             "actions_needed": actions, "stats": fs,
         }
 
@@ -399,6 +430,24 @@ class MaintenanceManager:
                 actions.append({"action": "analyze", "status": "completed",
                                 "row_count": res["row_count"],
                                 "columns": len(res["columns"])})
+        if needed.get("needs_index_sync"):
+            # BEFORE rebalance: removals change cell sizes, so the
+            # split decision should see the post-sync distribution
+            if dry_run:
+                actions.append({"action": "sync_index_deletes",
+                                "status": "dry_run"})
+            else:
+                from ..operators.index_sync import sync_index_deletes
+
+                full_name = f"{table.namespace}.{table.table}"
+                res = sync_index_deletes(table.catalog, full_name)
+                actions.append({
+                    "action": "sync_index_deletes",
+                    "status": "completed",
+                    "deleted_ids": res["deleted_ids"],
+                    "removed_index_rows": res["removed_index_rows"],
+                    "reinserted_ids": res["reinserted_ids"],
+                })
         if needed.get("needs_rebalance"):
             kind = self._index_kind(table)
             if dry_run:

@@ -928,6 +928,30 @@ class LakehouseServer:
             ),
         )
 
+        from .operators import index_sync as _isync
+
+        self._add(
+            _tool("index_link_source",
+                  "Link an index (dedup/ANN/IVFPQ) to its source table "
+                  "and baseline the sync cursor at the source's current "
+                  "snapshot — prerequisite for index_sync_deletes",
+                  {"index_table": _S, "source_table": _S,
+                   "id_column": _S},
+                  ["index_table", "source_table", "id_column"]),
+            lambda index_table, source_table, id_column:
+                _isync.link_index_source(
+                    c, index_table, source_table, id_column),
+        )
+        self._add(
+            _tool("index_sync_deletes",
+                  "Remove index rows whose source rows were deleted "
+                  "since the last sync (changelog-driven, one "
+                  "equality-delete commit; updated ids are reported "
+                  "for re-extend)",
+                  {"index_table": _S}, ["index_table"]),
+            lambda index_table: _isync.sync_index_deletes(c, index_table),
+        )
+
         from .operators import pq as _pq
 
         self._add(

@@ -1,0 +1,215 @@
+"""Index lifecycle under source deletes (round 10, VERDICT r9 #3):
+link_index_source + sync_index_deletes over the changelog view, the
+stale-candidate regression the feature exists to kill, the update
+(reinsert) discipline, idempotency, and the auto_sync_index
+maintenance policy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+from iceberg_lakehouse_spark.operators import crud, dedup_index as di
+from iceberg_lakehouse_spark.operators import ann_index as ai
+from iceberg_lakehouse_spark.operators.index_sync import (
+    link_index_source,
+    sync_index_deletes,
+)
+
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "pack my box with five dozen liquor jugs for the long trip"),
+    (3, "sphinx of black quartz judge my vow before the night falls"),
+    (4, "how vexingly quick daft zebras jump over the sleeping fence"),
+    (5, "a completely different document about spark query planning"),
+]
+
+
+def _corpus(spark, cat, name="default.docs"):
+    t = cat.create_table(name, [("doc_id", "long"), ("text", "string")])
+    crud.insert_rows(t, [{"doc_id": i, "text": s} for i, s in _DOCS])
+    return t
+
+
+def test_sync_kills_stale_dedup_candidates(spark, tmp_warehouse):
+    """The motivating loop: delete a doc from the corpus, probe a
+    near-dup of it. Unsynced, the probe RAISES (its desync guard sees
+    an indexed candidate with no corpus text). Synced, the probe runs
+    clean and the deleted doc never surfaces as a candidate — while a
+    live doc's near-dup still does."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    idx = di.build_dedup_index(
+        cat, "default.docs_lsh", t.scan(), "doc_id", "text")
+    link_index_source(cat, "default.docs_lsh", "default.docs", "doc_id")
+    n_idx = idx.scan().count()
+
+    batch = spark.createDataFrame(
+        [(101, _DOCS[0][1] + " extra"),      # near-dup of doc 1 (deleted)
+         (102, _DOCS[2][1] + " tonight")],   # near-dup of doc 3 (live)
+        "doc_id long, text string")
+    crud.delete_rows(t, "doc_id = 1")
+    with pytest.raises(ValueError, match="out of sync"):
+        di.probe_dedup_index(
+            idx, batch, t.scan(), "doc_id", "text", threshold=0.5
+        ).collect()
+
+    rep = sync_index_deletes(cat, "default.docs_lsh")
+    assert rep["deleted_ids"] == 1
+    assert rep["reinserted_ids"] == 0
+    assert rep["removed_index_rows"] > 0
+    assert idx.scan().count() == n_idx - rep["removed_index_rows"]
+    assert idx.scan().where(F.col("id") == 1).count() == 0
+
+    pairs = di.probe_dedup_index(
+        idx, batch, t.scan(), "doc_id", "text", threshold=0.5).collect()
+    lefts = {r["left_id"] for r in pairs}
+    assert 1 not in lefts
+    assert 3 in lefts
+
+
+def test_sync_reports_updates_for_reextend(spark, tmp_warehouse):
+    """An UPDATE is delete+insert in the changelog: sync removes the
+    stale index rows and reports the id under reinserted_ids; after
+    the documented re-extend the index matches the NEW text, not the
+    old."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    idx = di.build_dedup_index(
+        cat, "default.docs_lsh", t.scan(), "doc_id", "text")
+    link_index_source(cat, "default.docs_lsh", "default.docs", "doc_id")
+    new_text = "rewritten content that shares nothing with the original"
+    crud.update_rows(t, "doc_id = 2", {"text": new_text})
+    rep = sync_index_deletes(cat, "default.docs_lsh")
+    assert rep["deleted_ids"] == 1 and rep["reinserted_ids"] == 1
+    assert idx.scan().where(F.col("id") == 2).count() == 0
+    di.extend_dedup_index(
+        idx, t.scan().where("doc_id = 2"), "doc_id", "text")
+    probe_new = di.probe_dedup_index(
+        idx,
+        spark.createDataFrame([(201, new_text + " too")],
+                              "doc_id long, text string"),
+        t.scan(), "doc_id", "text", threshold=0.5).collect()
+    assert {r["left_id"] for r in probe_new} == {2}
+    probe_old = di.probe_dedup_index(
+        idx,
+        spark.createDataFrame([(202, _DOCS[1][1] + " too")],
+                              "doc_id long, text string"),
+        t.scan(), "doc_id", "text", threshold=0.5).collect()
+    assert all(r["left_id"] != 2 for r in probe_old)
+
+
+def test_sync_idempotent_and_error_paths(spark, tmp_warehouse):
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    idx = di.build_dedup_index(
+        cat, "default.docs_lsh", t.scan(), "doc_id", "text")
+    with pytest.raises(ValueError, match="not linked"):
+        sync_index_deletes(cat, "default.docs_lsh")
+    link_index_source(cat, "default.docs_lsh", "default.docs", "doc_id")
+    rep = sync_index_deletes(cat, "default.docs_lsh")
+    assert rep.get("up_to_date") and rep["removed_index_rows"] == 0
+    crud.delete_rows(t, "doc_id = 4")
+    rep1 = sync_index_deletes(cat, "default.docs_lsh")
+    assert rep1["deleted_ids"] == 1
+    rep2 = sync_index_deletes(cat, "default.docs_lsh")
+    assert rep2.get("up_to_date")
+    # an append-only commit advances the cursor without any delete
+    crud.insert_rows(t, [{"doc_id": 9, "text": "brand new appended doc"}])
+    rep3 = sync_index_deletes(cat, "default.docs_lsh")
+    assert rep3["deleted_ids"] == 0 and "up_to_date" not in rep3
+    assert sync_index_deletes(cat, "default.docs_lsh").get("up_to_date")
+    # link validation
+    with pytest.raises(ValueError, match="integral"):
+        link_index_source(cat, "default.docs_lsh", "default.docs", "text")
+    with pytest.raises(ValueError, match="not found"):
+        link_index_source(cat, "default.docs_lsh", "default.docs", "nope")
+
+
+def test_sync_ann_index_removes_deleted_vectors(spark, tmp_warehouse):
+    """Same machinery over the IVF vectors table: delete source
+    vectors, sync, and the probe never returns them."""
+    import math
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    vecs = [(i, [math.sin(i * 1.7 + d) for d in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    t = cat.create_table("default.vecs", df.schema)
+    t.append(df)
+    ai.build_ann_index(cat, "default.vivf", t.scan(), "vec_id",
+                       "embedding", n_cells=4, kmeans_iters=1)
+    link_index_source(cat, "default.vivf", "default.vecs", "vec_id")
+    q = vecs[7][1]
+    before = [r["id"] for r in
+              ai.probe_ann_index(cat, "default.vivf", q, k=5, nprobe=4)
+              .collect()]
+    assert 7 in before
+    crud.delete_rows(t, "vec_id IN (7, 11)")
+    rep = sync_index_deletes(cat, "default.vivf")
+    assert rep["deleted_ids"] == 2
+    after = [r["id"] for r in
+             ai.probe_ann_index(cat, "default.vivf", q, k=40, nprobe=4)
+             .collect()]
+    assert 7 not in after and 11 not in after
+
+
+def test_auto_sync_index_policy(spark, tmp_warehouse, tmp_path):
+    """Governance loop: auto_sync_index schedules and runs the sync
+    exactly when the source has committed past the index cursor."""
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    idx = di.build_dedup_index(
+        cat, "default.docs_lsh", t.scan(), "doc_id", "text")
+    link_index_source(cat, "default.docs_lsh", "default.docs", "doc_id")
+    mm = MaintenanceManager(str(tmp_path / "maint.json"))
+    mm.set_policy("default.docs_lsh", auto_sync_index=True)
+    assert not mm.check_needed(idx)["needs_index_sync"]
+    crud.delete_rows(t, "doc_id = 5")
+    need = mm.check_needed(idx)
+    assert need["needs_index_sync"]
+    assert any("sync_index_deletes" in a for a in need["actions_needed"])
+    rec = mm.run(idx)
+    done = [a for a in rec["actions"]
+            if a["action"] == "sync_index_deletes"]
+    assert done and done[0]["status"] == "completed"
+    assert done[0]["deleted_ids"] == 1
+    assert idx.scan().where(F.col("id") == 5).count() == 0
+    assert not mm.check_needed(idx)["needs_index_sync"]
+
+
+def test_sync_ivfpq_codes_table(spark, tmp_warehouse):
+    """The composed index syncs through the same path (its codes table
+    is keyed id) — and the cell-pruned probe still honors the
+    equality delete."""
+    import math
+
+    from iceberg_lakehouse_spark.operators import ivfpq
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    vecs = [(i, [math.cos(i * 0.9 + d) for d in range(16)])
+            for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    t = cat.create_table("default.vecs", df.schema)
+    t.append(df)
+    ivfpq.build_ivfpq_index(cat, "default.vpq", t.scan(), "vec_id",
+                            "embedding", n_cells=4, m=8, ksub=8,
+                            kmeans_iters=1)
+    link_index_source(cat, "default.vpq", "default.vecs", "vec_id")
+    q = vecs[13][1]
+    before = [r["id"] for r in
+              ivfpq.probe_ivfpq_index(cat, "default.vpq", q, k=5,
+                                      nprobe=4).collect()]
+    assert 13 in before
+    crud.delete_rows(t, "vec_id = 13")
+    rep = sync_index_deletes(cat, "default.vpq")
+    assert rep["deleted_ids"] == 1 and rep["removed_index_rows"] == 1
+    after = [r["id"] for r in
+             ivfpq.probe_ivfpq_index(cat, "default.vpq", q, k=60,
+                                     nprobe=4).collect()]
+    assert 13 not in after

@@ -858,3 +858,49 @@ def test_span_dedup_and_bpe_tools(server):
     })
     assert not is_err and len(merges) == 3
     assert merges[0]["rank"] == 1 and merges[0]["pair_count"] >= 2
+
+
+def test_index_sync_tools(server):
+    """r10: link-source + sync-deletes through the RPC surface — the
+    index lifecycle loop (delete source rows -> sync -> probe clean)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    cat = server.catalog
+    spark = cat.spark
+    rows = [(i, [math.sin(i / 2.0), math.cos(i / 2.0), float(i % 7)])
+            for i in range(30)]
+    t = cat.create_table("sync_vecs", vec_schema)
+    t.append(spark.createDataFrame(rows, vec_schema))
+    is_err, _b, _ = call(server, "ann_index_build", {
+        "table": "sync_vecs", "index_table": "sync_ivf",
+        "id_column": "vec_id", "vector_column": "embedding",
+        "n_cells": 3,
+    })
+    assert not is_err
+    is_err, link, _ = call(server, "index_link_source", {
+        "index_table": "sync_ivf", "source_table": "sync_vecs",
+        "id_column": "vec_id",
+    })
+    assert not is_err and link["source"] == "default.sync_vecs"
+    from iceberg_lakehouse_spark.operators import crud
+
+    crud.delete_rows(cat.load_table("sync_vecs"), "vec_id IN (3, 9)")
+    is_err, rep, _ = call(server, "index_sync_deletes",
+                          {"index_table": "sync_ivf"})
+    assert not is_err and rep["deleted_ids"] == 2
+    assert rep["removed_index_rows"] == 2
+    is_err, top, _ = call(server, "ann_index_probe", {
+        "index_table": "sync_ivf", "query_vector": rows[3][1],
+        "k": 30, "nprobe": 3,
+    })
+    assert not is_err and all(r["id"] not in (3, 9) for r in top)
+    # cursor advanced: immediate re-sync is a no-op
+    is_err, rep2, _ = call(server, "index_sync_deletes",
+                           {"index_table": "sync_ivf"})
+    assert not is_err and rep2.get("up_to_date")
