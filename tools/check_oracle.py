@@ -6,6 +6,10 @@ names, and an order-insensitive value multiset (exact comparison after
 normalization). Use while iterating:
 
     python tools/check_oracle.py [sf_dir] [name ...]
+
+Set ``SPARK_GRAFT_SWEEP_JSON=/path/out.json`` to also emit a
+machine-readable per-entry record (VERDICT r9 #5: the sf0.1 sweep
+should be an adjudicable ARTIFACT like BENCH/CORRECTNESS, not prose).
 """
 
 from __future__ import annotations
@@ -82,6 +86,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures, n_checked = [], 0
+    records: dict[str, dict] = {}
+    t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -97,9 +103,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"  {name:38s} SPARK-ERR {e}")
+            records[name] = {"status": "spark_error", "err": str(e)[:300],
+                             "sec": round(time.time() - t0, 2)}
             continue
         if name not in oracles:
             print(f"  {name:38s} rows-only  {len(srows):>7} rows  {time.time()-t0:5.1f}s")
+            records[name] = {"status": "rows_only", "rows": len(srows),
+                             "sec": round(time.time() - t0, 2)}
             continue
         n_checked += 1
         try:
@@ -109,6 +119,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"  {name:38s} ORACLE-ERR {e}")
+            records[name] = {"status": "oracle_error", "err": str(e)[:300],
+                             "sec": round(time.time() - t0, 2)}
             continue
         status = []
         if len(srows) != len(orows):
@@ -127,8 +139,33 @@ def main() -> int:
         if status:
             failures.append((name, "; ".join(status)))
             print(f"  {name:38s} FAIL {'; '.join(status)[:220]}")
+            records[name] = {"status": "fail", "rows": len(srows),
+                             "err": "; ".join(status)[:300],
+                             "sec": round(time.time() - t0, 2)}
         else:
             print(f"  {name:38s} OK   {len(srows):>7} rows  {time.time()-t0:5.1f}s")
+            records[name] = {"status": "ok", "rows": len(srows),
+                             "sec": round(time.time() - t0, 2)}
+
+    out_json = os.environ.get("SPARK_GRAFT_SWEEP_JSON")
+    if out_json:
+        import json as _json
+        from datetime import datetime, timezone
+
+        payload = {
+            "sf_dir": sf_dir,
+            "started_at": datetime.fromtimestamp(
+                t_start, timezone.utc).isoformat(),
+            "wall_sec": round(time.time() - t_start, 1),
+            "driver_mem": mem,
+            "n_entries": len(records),
+            "n_oracle_checked": n_checked,
+            "n_failures": len(failures),
+            "entries": records,
+        }
+        with open(out_json, "w") as fh:
+            _json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"sweep record -> {out_json}")
 
     print(f"\n{n_checked} oracle-checked, {len(failures)} failures")
     for name, why in failures:
