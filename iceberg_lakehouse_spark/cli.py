@@ -432,6 +432,8 @@ _TREE: dict[str, dict[str, str]] = {
         "ivfpq-extend": "ivfpq_index_extend",
         "ivfpq-stats": "ivfpq_index_stats",
         "ivfpq-rebalance": "ivfpq_index_rebalance",
+        "ivfpq-recall": "ivfpq_recall_sample",
+        "ivfpq-rebuild": "ivfpq_index_rebuild",
         "link-source": "index_link_source",
         "sync-deletes": "index_sync_deletes",
     },

