@@ -434,6 +434,7 @@ _TREE: dict[str, dict[str, str]] = {
         "ivfpq-rebalance": "ivfpq_index_rebalance",
         "ivfpq-recall": "ivfpq_recall_sample",
         "ivfpq-rebuild": "ivfpq_index_rebuild",
+        "span-build": "span_index_build",
         "link-source": "index_link_source",
         "sync-deletes": "index_sync_deletes",
     },

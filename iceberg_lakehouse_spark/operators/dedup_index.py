@@ -210,3 +210,61 @@ def probe_dedup_index(
         )
     verified = dt.jaccard_pairs(texts, cand, id_col, text_col, n)
     return verified.where(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# Persisted span-gram index (round 10) — the substring-level sibling of
+# the MinHash band-key index above: one row per DISTINCT corpus n-gram,
+# (gh = xxhash64 of the canonical gram string, id = keeper doc).
+# Feeds streaming.span_dedup_stream_to_table; probes broadcast the
+# batch's gram hashes so the index side stays a map-side, two-long-
+# column pruned scan. Keyed ``id`` like every other index here, so
+# operators.index_sync works on it unchanged.
+
+_SPAN_PROPS = ("span.ngram",)
+
+
+def build_span_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> LakeTable:
+    """Create the span-gram index over an already-landed (and ideally
+    already span-deduped — ``functions.dedup_text.span_dedup``) corpus:
+    every distinct n-gram hash with its keeper (min doc id). Index
+    rows are O(corpus tokens) — by design: this is the structure that
+    makes per-batch substring dedup O(batch) instead of a corpus
+    re-scan."""
+    from ..functions.dedup_text import _span_grams, _span_tokens
+
+    if n < 2:
+        raise ValueError(f"span ngram must be >= 2 (got {n})")
+    _check_id_type(df, id_col)
+    t = catalog.create_table(
+        name,
+        [("gh", "long"), ("id", "long")],
+        properties={"span.ngram": str(n)},
+    )
+    grams = (
+        _span_grams(_span_tokens(df, id_col, text_col), n)
+        .select(F.xxhash64("g").alias("gh"),
+                F.col("_id").cast("long").alias("_id"))
+        .groupBy("gh")
+        .agg(F.min("_id").alias("id"))
+    )
+    t.append(grams)
+    return t
+
+
+def _span_params(index: LakeTable) -> int:
+    props = index.properties()
+    missing = [p for p in _SPAN_PROPS if p not in props]
+    if missing:
+        raise ValueError(
+            f"table {index.namespace}.{index.table} is not a span index "
+            f"(missing properties: {missing})"
+        )
+    return int(props["span.ngram"])

@@ -819,6 +819,23 @@ class LakehouseServer:
             },
         )
         self._add(
+            _tool("span_index_build",
+                  "Persist a span-gram index (distinct n-gram hash -> "
+                  "keeper doc) of a corpus table — feeds the streaming "
+                  "substring-level dedup sink",
+                  {"table": _S, "index_table": _S, "id_column": _S,
+                   "text_column": _S, "ngram": _I},
+                  ["table", "index_table", "id_column", "text_column"]),
+            lambda table, index_table, id_column, text_column, ngram=8: {
+                "index_table": index_table,
+                "rows": _di.build_span_index(
+                    c, index_table, c.load_table(table).scan(),
+                    id_column, text_column, n=ngram,
+                ).scan().count(),
+                "message": f"span index {index_table} built from {table}",
+            },
+        )
+        self._add(
             _tool("dedup_index_extend",
                   "Append an accepted batch's band keys to a dedup "
                   "index (completes the build → probe → extend loop)",

@@ -307,3 +307,81 @@ def cdc_stream_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def span_dedup_stream_to_table(
+    stream: DataFrame,
+    table: LakeTable,
+    index: LakeTable,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming SUBSTRING-level dedup (VERDICT r9 #7) — the third
+    rung of the streaming curation ladder: ``curate_documents_stream``
+    drops exact whole-doc duplicates, ``near_dup_stream_to_table``
+    drops near-duplicate whole docs, this one CUTS repeated >=n-token
+    spans out of otherwise-novel documents (the Lee et al. span
+    formulation, ``functions.dedup_text.span_dedup``) against the
+    whole landed history. Per micro-batch:
+
+      1. idempotence: ids already landed are dropped;
+      2. ``span_dedup_incremental``: batch tokens covered by an
+         n-gram already in the persisted span-gram index (keeper !=
+         this doc), or repeated intra-batch (min-id keeper), are
+         masked; texts rebuild map-side;
+      3. the REBUILT texts' not-yet-indexed gram hashes extend the
+         index, THEN the rebuilt docs append — index-ahead, the same
+         self-repairing direction as the near-dup sink, and SAFE here
+         because the unified keeper rule never masks a doc against
+         its own crashed-replay grams (keeper == its own id);
+      4. a doc whose every token was cut still lands (empty
+         dedup_text) — same contract as batch span_dedup, so corpus
+         accounting (removed vs kept tokens) stays visible.
+
+    Per-batch cost: O(batch) gram explode + one map-side pruned index
+    scan (batch gram hashes broadcast) + one anti-join for the index
+    extend — never a corpus re-read. The landed schema is span_dedup's
+    output shape: (id, n_tokens, removed_tokens, kept_tokens,
+    dedup_text); extra stream columns do not pass through (the rebuild
+    is a projection of the token array)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup_text import span_dedup_incremental
+    from ..operators.dedup_index import _span_params
+
+    n = _span_params(index)  # fail fast at wiring time, not batch 1
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        landed = table.scan().select(
+            F.col(id_col).cast("long").alias(id_col))
+        batch_new = batch.withColumn(
+            id_col, F.col(id_col).cast("long")
+        ).join(landed, id_col, "left_anti")
+        if batch_new.isEmpty():
+            return
+        rebuilt, new_grams = span_dedup_incremental(
+            batch_new, index.scan(), id_col, text_col,
+            n=n, min_df=min_df,
+        )
+        rebuilt = rebuilt.persist()
+        try:
+            # index FIRST (see near_dup_stream_to_table for the full
+            # argument); the anti-join keeps replays append-free
+            to_add = new_grams.join(
+                index.scan().select("gh"), "gh", "left_anti")
+            index.append(to_add)
+            table.append(rebuilt)
+        finally:
+            rebuilt.unpersist()
+
+    writer = stream.writeStream.foreachBatch(land).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -701,3 +701,147 @@ def test_stream_stream_left_outer_join_state_expiry(spark, tmp_path):
     # no spurious matches ever appear for the loss click
     assert all(r["right_event_id"] is None
                for r in rows if r["left_event_id"] == 3)
+
+
+class TestSpanDedupStream:
+    """Streaming substring-level dedup (r10): repeated >=n-token spans
+    from earlier batches (or the built corpus) are CUT from new docs,
+    replay-safe under the index-ahead discipline."""
+
+    CORPUS = ("alpha beta gamma delta epsilon zeta eta theta "
+              "iota kappa unique corpus tail words here")
+
+    def _corpus_and_index(self, spark, wh):
+        from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+        from iceberg_lakehouse_spark.operators.dedup_index import (
+            build_span_index,
+        )
+
+        cat = LakehouseCatalog(spark, wh)
+        t = cat.create_table(
+            "span_corpus",
+            [("doc_id", "long"), ("n_tokens", "long"),
+             ("removed_tokens", "long"), ("kept_tokens", "long"),
+             ("dedup_text", "string")],
+        )
+        toks = self.CORPUS.split()
+        t.append(spark.createDataFrame(
+            [(1, len(toks), 0, len(toks), self.CORPUS)],
+            t.scan().schema))
+        idx = build_span_index(
+            cat, "span_corpus_grams",
+            spark.createDataFrame([(1, self.CORPUS)],
+                                  "doc_id long, text string"),
+            "doc_id", "text", n=8)
+        return t, idx
+
+    def test_cross_batch_span_cut(self, spark, tmp_path, tmp_warehouse):
+        from iceberg_lakehouse_spark.streaming.sink import (
+            span_dedup_stream_to_table,
+        )
+
+        t, idx = self._corpus_and_index(spark, tmp_warehouse)
+        n_idx0 = idx.scan().count()
+        # batch 1: doc 10 embeds the corpus's first 8-token span inside
+        # novel prose (span cut, rest kept); docs 11/12 share a fresh
+        # 8-token span intra-batch (11 keeps it, 12 loses it); doc 13
+        # is fully novel
+        shared = "one two three four five six seven eight"
+        corpus_span = " ".join(self.CORPUS.split()[:8])
+        rows1 = [
+            (10, f"brand new opening {corpus_span} brand new closing"),
+            (11, f"{shared} eleven custom suffix trail"),
+            (12, f"{shared} twelve other suffix trail"),
+            (13, "thirteen totally original words nothing repeated at all"),
+        ]
+        d1 = str(tmp_path / "sp1")
+        spark.createDataFrame(rows1, "doc_id long, text string") \
+            .write.parquet(d1)
+        q = span_dedup_stream_to_table(
+            spark.readStream.schema("doc_id long, text string").parquet(d1),
+            t, idx, "doc_id", "text",
+            checkpoint_dir=str(tmp_path / "ck1"), available_now=True)
+        q.awaitTermination(180)
+        got = {r["doc_id"]: r for r in t.scan().collect()}
+        assert set(got) == {1, 10, 11, 12, 13}
+        assert got[10]["removed_tokens"] == 8
+        assert corpus_span not in got[10]["dedup_text"]
+        assert got[10]["dedup_text"].startswith("brand new opening")
+        assert got[11]["removed_tokens"] == 0       # intra-batch keeper
+        assert got[12]["removed_tokens"] == 8       # lost to keeper 11
+        assert shared in got[11]["dedup_text"]
+        assert shared not in got[12]["dedup_text"]
+        assert got[13]["removed_tokens"] == 0
+        assert idx.scan().count() > n_idx0          # index grew
+
+        # batch 2: doc 20 repeats batch-1 SURVIVOR 11's span → cut via
+        # the extended index (cross-batch); doc 21 novel
+        rows2 = [
+            (20, f"{shared} twenty brand different ending words"),
+            (21, "twenty one has nothing in common with anything"),
+        ]
+        d2 = str(tmp_path / "sp2")
+        spark.createDataFrame(rows2, "doc_id long, text string") \
+            .write.parquet(d2)
+        q2 = span_dedup_stream_to_table(
+            spark.readStream.schema("doc_id long, text string").parquet(d2),
+            t, idx, "doc_id", "text",
+            checkpoint_dir=str(tmp_path / "ck2"), available_now=True)
+        q2.awaitTermination(180)
+        got2 = {r["doc_id"]: r for r in t.scan().collect()}
+        assert got2[20]["removed_tokens"] == 8
+        assert shared not in got2[20]["dedup_text"]
+        assert got2[21]["removed_tokens"] == 0
+
+        # replay batch 2 (fresh checkpoint): landed ids filtered, no
+        # duplicate rows, no index growth
+        n_rows = t.scan().count()
+        n_idx = idx.scan().count()
+        q3 = span_dedup_stream_to_table(
+            spark.readStream.schema("doc_id long, text string").parquet(d2),
+            t, idx, "doc_id", "text",
+            checkpoint_dir=str(tmp_path / "ck3"), available_now=True)
+        q3.awaitTermination(180)
+        assert t.scan().count() == n_rows
+        assert idx.scan().count() == n_idx
+
+    def test_replay_after_index_ahead_crash_keeps_own_spans(
+        self, spark, tmp_path, tmp_warehouse
+    ):
+        """THE replay-safety property the unified keeper rule buys: a
+        crash that indexed a batch's grams but never landed its docs
+        must NOT cause the replay to cut the docs against their own
+        ghost grams."""
+        from iceberg_lakehouse_spark.streaming.sink import (
+            span_dedup_stream_to_table,
+        )
+
+        t, idx = self._corpus_and_index(spark, tmp_warehouse)
+        doc = (30, "thirty distinct tokens forming one long novel "
+                   "span that repeats nowhere else at all")
+        # crash state: grams indexed with keeper 30, doc never landed
+        from iceberg_lakehouse_spark.functions.dedup_text import (
+            _span_grams,
+            _span_tokens,
+        )
+        from pyspark.sql import functions as F
+
+        g = (_span_grams(_span_tokens(
+                spark.createDataFrame([doc], "doc_id long, text string"),
+                "doc_id", "text"), 8)
+             .select(F.xxhash64("g").alias("gh"),
+                     F.col("_id").cast("long").alias("id"))
+             .groupBy("gh").agg(F.min("id").alias("id")))
+        idx.append(g)
+        d = str(tmp_path / "sp_crash")
+        spark.createDataFrame([doc], "doc_id long, text string") \
+            .write.parquet(d)
+        q = span_dedup_stream_to_table(
+            spark.readStream.schema("doc_id long, text string").parquet(d),
+            t, idx, "doc_id", "text",
+            checkpoint_dir=str(tmp_path / "ckc"), available_now=True)
+        q.awaitTermination(180)
+        got = {r["doc_id"]: r for r in t.scan().collect()}
+        assert 30 in got
+        assert got[30]["removed_tokens"] == 0        # NOT self-masked
+        assert got[30]["dedup_text"].startswith("thirty distinct")
