@@ -890,7 +890,21 @@ def span_dedup_incremental(
     shape for the batch; new_grams = (gh, id) rows for the REBUILT
     texts' grams (what the caller extends the index with — the index
     must reflect landed text, including adjacencies the cuts create).
+
+    ``min_df`` is pinned at 2: the index stores each distinct gram
+    once with no document-frequency counter, so "any index hit means
+    a prior occurrence exists" is exactly the df>=2 rule — but a
+    HIGHER threshold cannot be honored across batches (an indexed
+    gram's true corpus df is unknown), and worse, a crash-replay
+    would see the batch's own grams as prior occurrences and cut
+    spans the crash-free run kept (r10 review finding). Cross-batch
+    min_df>2 needs per-gram df counters in the index; refused
+    loudly rather than silently degraded.
     """
+    if min_df != 2:
+        raise ValueError(
+            "span_dedup_incremental supports min_df=2 only (the "
+            f"span-gram index has no df counters; got {min_df})")
     _check_cols(batch_df, id_col, text_col)
     toks = _span_tokens(batch_df, id_col, text_col)
     g2 = _span_grams(toks, n).withColumn("gh", F.xxhash64("g"))

@@ -737,10 +737,12 @@ def _fake_phash(content: bytes) -> str:
     return "".join(format(b, "08b") for b in d[:8])
 
 
-def _raw_pixels(content: bytes, fmt: str):
+def _raw_pixels(content: bytes):
     """(h, w, pixels) via the pure-Python parsers; None when the
     format is unrecognized, (None, None, None) when a RECOGNIZED
     format is corrupt (→ NULL phash, same contract as decode_media).
+    Dispatch is purely magic-byte based — the declared format column
+    never routes decoding (a mislabeled blob decodes by content).
     The builtin parsers run FIRST even when Pillow is importable so
     the fingerprint bits are engine-stable across environments; Pillow
     extends coverage to formats the builtins don't parse."""
@@ -803,7 +805,7 @@ def perceptual_hash(
         raw = bytes(content) if content is not None else b""
         if deterministic_fake:
             return _fake_phash(raw)
-        got = _raw_pixels(raw, fmt)
+        got = _raw_pixels(raw)
         if got is None:
             if require_codec:
                 raise NotImplementedError(

@@ -137,6 +137,12 @@ def train_quality_classifier(
                 "*", f"{_z_sql(w, feat_names)} AS z"
             ).selectExpr("*", f"{_p_sql()} AS p")
             row = cur.selectExpr(*_grad_aggs(feat_names)).first()
+            if any(row[f"s{j}"] is None for j in range(len(w))):
+                # all-NULL text/labels: every gradient term is NULL and
+                # SUM returns NULL — say so instead of a TypeError
+                raise ValueError(
+                    "no usable training rows (every feature or label "
+                    "aggregated to NULL — check text/label columns)")
             w = [
                 w[j] - ((lr * (row[f"s{j}"] / 1e9)) / n)
                 for j in range(len(w))

@@ -440,14 +440,27 @@ class MaintenanceManager:
                 from ..operators.index_sync import sync_index_deletes
 
                 full_name = f"{table.namespace}.{table.table}"
-                res = sync_index_deletes(table.catalog, full_name)
-                actions.append({
-                    "action": "sync_index_deletes",
-                    "status": "completed",
-                    "deleted_ids": res["deleted_ids"],
-                    "removed_index_rows": res["removed_index_rows"],
-                    "reinserted_ids": res["reinserted_ids"],
-                })
+                try:
+                    res = sync_index_deletes(table.catalog, full_name)
+                except ValueError as e:
+                    # unrecoverable sync (dropped source, expired
+                    # cursor snapshot): record the failure and let the
+                    # REST of the maintenance run proceed — aborting
+                    # here lost the completed actions' report and
+                    # skipped rebalance every cycle (r10 review)
+                    actions.append({
+                        "action": "sync_index_deletes",
+                        "status": "failed",
+                        "error": str(e)[:300],
+                    })
+                else:
+                    actions.append({
+                        "action": "sync_index_deletes",
+                        "status": "completed",
+                        "deleted_ids": res["deleted_ids"],
+                        "removed_index_rows": res["removed_index_rows"],
+                        "reinserted_ids": res["reinserted_ids"],
+                    })
         if needed.get("needs_rebalance"):
             kind = self._index_kind(table)
             if dry_run:

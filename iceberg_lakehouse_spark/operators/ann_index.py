@@ -287,15 +287,17 @@ def rebalance_ann_index(
     (CommitConflictError — re-invoke) instead of being silently
     swallowed. Centroid ordering (ADVICE r9): only the NEW cell's
     centroid pre-commits before the vectors CAS; the existing cell's
-    centroid moves to its half-mean AFTER the CAS succeeds, and a CAS
-    failure deletes the pre-committed new centroid before re-raising.
-    The worst crash therefore leaves either an extra empty-listed
-    centroid (wasted probe slot) or cell c still routing on its
-    full-cell mean (conservative routing, self-healing on the next
-    rebalance pass) — never a centroid that misrepresents a full,
-    unsplit list.
+    centroid moves to its half-mean AFTER the CAS succeeds. A CAS
+    failure (like a crash) leaves the pre-committed new centroid in
+    place as an extra empty-listed probe slot — deliberately NOT
+    rolled back, because a concurrent extend may already have routed
+    vectors to it and deleting the centroid would orphan them (r10).
+    The worst outcome is therefore a wasted probe slot or cell c
+    still routing on its full-cell mean (conservative,
+    self-healing) — never a centroid that misrepresents a full,
+    unsplit list and never unreachable vectors.
     """
-    from .crud import delete_rows, replace_where
+    from .crud import replace_where
 
     at, ct, n_cells, dim = _load(catalog, name)
     counts = {
@@ -396,20 +398,20 @@ def rebalance_ann_index(
             )
             touched, _total = at.prune_files(f"cell = {c}")
             keep = [f for f in cur.files if f not in set(touched)]
-            try:
-                at.replace_files(
-                    keep,
-                    reassigned,
-                    {"operation_detail": "rebalance_split",
-                     "split_cell": int(c), "new_cell": int(new_id)},
-                    expected_snapshot_id=cur.snapshot_id,
-                )
-            except Exception:
-                # CAS lost (concurrent extend) or write failed: the
-                # vectors are untouched, so the pre-committed new
-                # centroid must not survive as a dead probe slot
-                delete_rows(ct, f"cell = {new_id}")
-                raise
+            # CAS failure leaves the pre-committed new centroid IN
+            # PLACE (an extra empty-listed probe slot, exactly the
+            # documented crash outcome). Deleting it here would race a
+            # concurrent extend that already routed vectors to new_id
+            # after reading the centroid table — those vectors would
+            # become unreachable forever (r10 review finding). An
+            # empty slot wastes one probe; an orphaned list loses data.
+            at.replace_files(
+                keep,
+                reassigned,
+                {"operation_detail": "rebalance_split",
+                 "split_cell": int(c), "new_cell": int(new_id)},
+                expected_snapshot_id=cur.snapshot_id,
+            )
             replace_where(
                 ct, f"cell = {c}",
                 spark.createDataFrame(

@@ -131,6 +131,18 @@ def sync_index_deletes(
     if cur is None or cur.snapshot_id == last:
         report["up_to_date"] = True
         return report
+    if last not in {s.snapshot_id for s in src.snapshots()}:
+        # the cursor snapshot was expired (e.g. auto_expire on the
+        # source): the delete history since the last sync is
+        # unrecoverable — fail with the remedy instead of a bare
+        # 'snapshot not found' from the changelog (r10 review finding)
+        raise ValueError(
+            f"index sync cursor snapshot {last} of "
+            f"{props['index.source_table']} has been expired — the "
+            "deletes since the last sync are unrecoverable from the "
+            "changelog. Rebuild the index from the current source "
+            "(then link_index_source again), and retain enough source "
+            "snapshots to cover the sync cadence.")
     ch = changelog_view(src, last, cur.snapshot_id)
     qid = "`" + id_col.replace("`", "``") + "`"
     events = ch.selectExpr(

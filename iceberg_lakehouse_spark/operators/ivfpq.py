@@ -668,17 +668,18 @@ def rebalance_ivfpq_index(
     pinned to the snapshot the re-encoding was computed from (a crash
     cannot strand the index mid-rewrite; a concurrent extend fails the
     CAS cleanly — re-invoke); ONLY the new cell's centroid commits
-    first, so the worst crash leaves an extra empty-listed centroid,
-    never lost codes and never a centroid inconsistent with its
-    codes' residual basis; a CAS failure deletes the pre-committed
-    centroid before re-raising.
+    first, so the worst crash OR CAS failure leaves an extra
+    empty-listed centroid (deliberately not rolled back — a
+    concurrent extend may already have routed codes to it, and
+    deleting it would orphan them, r10), never lost codes and never
+    a centroid inconsistent with its codes' residual basis.
     Cells whose reconstructions cannot be separated (exact duplicates,
     or identical codes) are SKIPPED and reported — splitting them
     would only mint dead centroids forever under an auto_rebalance
     policy. At most ``max_splits`` cells split per call."""
     from ..functions.similarity import _nearest_cell
     from .ann_index import _hot_cells
-    from .crud import delete_rows, replace_where
+    from .crud import replace_where
 
     at, ct, bt, n_cells, m, _ksub, dim = _load(catalog, name)
     counts = {
@@ -721,12 +722,25 @@ def rebalance_ivfpq_index(
         ).withColumn("_c", F.lit(cvec).cast("array<double>"))
         if src_norm is not None:
             recon = cell_rows.select("id").join(src_norm, "id").persist()
+            # guard against the PINNED snapshot's cell population (the
+            # pre-loop `counts` can be stale under a concurrent extend
+            # — r10 review finding: comparing against it let missing
+            # ids be silently dropped from the index), and against
+            # duplicate corpus ids (which would both mask missing ids
+            # and write duplicate code rows)
+            n_cell = cell_rows.select("id").distinct().count()
             n_join = recon.count()
-            if n_join < counts[c]:
+            n_join_ids = recon.select("id").distinct().count()
+            if n_join_ids < n_cell or n_join != n_join_ids:
                 recon.unpersist()
+                if n_join != n_join_ids:
+                    raise ValueError(
+                        f"corpus_df carries duplicate ids ({n_join} "
+                        f"rows for {n_join_ids} distinct ids in cell "
+                        f"{c}) — de-duplicate the corpus first")
                 raise ValueError(
-                    f"corpus_df is missing {counts[c] - n_join} of cell "
-                    f"{c}'s {counts[c]} indexed ids — a partial "
+                    f"corpus_df is missing {n_cell - n_join_ids} of "
+                    f"cell {c}'s {n_cell} indexed ids — a partial "
                     "source-based rebalance would corrupt the cell; "
                     "sync the index (operators.index_sync) or pass the "
                     "full corpus")
@@ -833,20 +847,18 @@ def rebalance_ivfpq_index(
                 )
                 touched, _total = at.prune_files(f"cell = {c}")
                 keep = [f for f in cur.files if f not in set(touched)]
-                try:
-                    at.replace_files(
-                        keep,
-                        reencoded,
-                        {"operation_detail": "rebalance_split",
-                         "split_cell": int(c), "new_cell": int(new_id)},
-                        expected_snapshot_id=cur.snapshot_id,
-                    )
-                except Exception:
-                    # CAS lost (concurrent extend) or write failed:
-                    # codes are untouched, so the pre-committed new
-                    # centroid must not survive as a dead probe slot
-                    delete_rows(ct, f"cell = {new_id}")
-                    raise
+                # CAS failure leaves the pre-committed new centroid in
+                # place — deleting it would orphan any codes a
+                # concurrent extend already routed to new_id (r10
+                # review finding; an empty probe slot is the documented
+                # crash outcome, an unreachable list is data loss)
+                at.replace_files(
+                    keep,
+                    reencoded,
+                    {"operation_detail": "rebalance_split",
+                     "split_cell": int(c), "new_cell": int(new_id)},
+                    expected_snapshot_id=cur.snapshot_id,
+                )
             finally:
                 routed.unpersist()
             next_cell += 1

@@ -1111,9 +1111,11 @@ class LakehouseServer:
                   "Split cells grown past max_ratio x the median code-"
                   "list size via 2-means over PQ RECONSTRUCTIONS (no "
                   "corpus access needed; split rows re-encode against "
-                  "the frozen codebook)",
+                  "the frozen codebook). Pass corpus_table to re-derive "
+                  "both halves from SOURCE vectors instead",
                   {"index_table": _S, "max_ratio": _N, "kmeans_iters": _I,
-                   "max_splits": _I},
+                   "max_splits": _I, "corpus_table": _S, "id_column": _S,
+                   "vector_column": _S},
                   ["index_table"]),
             lambda index_table, max_ratio=4.0, kmeans_iters=2,
                    max_splits=16, corpus_table=None, id_column="vec_id",

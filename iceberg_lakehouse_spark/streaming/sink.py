@@ -315,7 +315,6 @@ def span_dedup_stream_to_table(
     index: LakeTable,
     id_col: str = "doc_id",
     text_col: str = "text",
-    min_df: int = 2,
     checkpoint_dir: str | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -365,8 +364,7 @@ def span_dedup_stream_to_table(
         if batch_new.isEmpty():
             return
         rebuilt, new_grams = span_dedup_incremental(
-            batch_new, index.scan(), id_col, text_col,
-            n=n, min_df=min_df,
+            batch_new, index.scan(), id_col, text_col, n=n,
         )
         rebuilt = rebuilt.persist()
         try:

@@ -213,3 +213,45 @@ def test_sync_ivfpq_codes_table(spark, tmp_warehouse):
              ivfpq.probe_ivfpq_index(cat, "default.vpq", q, k=60,
                                      nprobe=4).collect()]
     assert 13 not in after
+
+
+def test_sync_expired_cursor_raises_actionable_error(spark, tmp_warehouse):
+    """r10 review: expiring the source snapshot the cursor points at
+    makes the delete history unrecoverable — the sync must say so (and
+    say what to do), not die inside the changelog walk."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    idx = di.build_dedup_index(
+        cat, "default.docs_lsh", t.scan(), "doc_id", "text")
+    link_index_source(cat, "default.docs_lsh", "default.docs", "doc_id")
+    crud.delete_rows(t, "doc_id = 1")
+    crud.insert_rows(t, [{"doc_id": 7, "text": "more rows to expire past"}])
+    t.expire_snapshots(retain_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        sync_index_deletes(cat, "default.docs_lsh")
+
+
+def test_maintenance_records_failed_sync_and_continues(
+    spark, tmp_warehouse, tmp_path
+):
+    """r10 review: an unrecoverable sync must land as a FAILED action
+    in the maintenance report, not abort the run."""
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    idx = di.build_dedup_index(
+        cat, "default.docs_lsh", t.scan(), "doc_id", "text")
+    link_index_source(cat, "default.docs_lsh", "default.docs", "doc_id")
+    crud.delete_rows(t, "doc_id = 1")
+    crud.insert_rows(t, [{"doc_id": 7, "text": "pad commit for expiry"}])
+    t.expire_snapshots(retain_last=1)
+    mm = MaintenanceManager(str(tmp_path / "maint.json"))
+    mm.set_policy("default.docs_lsh", auto_sync_index=True)
+    rec = mm.run(idx)  # must not raise
+    failed = [a for a in rec["actions"]
+              if a["action"] == "sync_index_deletes"]
+    assert failed and failed[0]["status"] == "failed"
+    assert "expired" in failed[0]["error"]

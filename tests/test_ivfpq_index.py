@@ -245,10 +245,22 @@ def test_rebalance_crash_consistency(spark, emb, tmp_path_factory,
     with pytest.raises(RuntimeError, match="injected"):
         ivfpq.rebalance_ivfpq_index(cat, "default.crash", max_ratio=3.0)
     monkeypatch.setattr(LakeTable, "replace_files", real)
-    # rollback: no dead centroid, originals byte-identical
+    # failure contract: every ORIGINAL centroid is byte-identical, the
+    # codes are untouched, and the only permitted residue is the
+    # pre-committed NEW centroid with an EMPTY list (deliberately not
+    # rolled back — deleting it could orphan a concurrent extend's
+    # codes; r10 review finding)
     after_fail = {int(r["cell"]): [float(x) for x in r["vec"]]
                   for r in ct.scan().collect()}
-    assert after_fail == before
+    assert {c: after_fail[c] for c in before} == before
+    residue = set(after_fail) - set(before)
+    codes_t = cat.load_table("default.crash")
+    for extra in residue:
+        assert codes_t.scan().where(
+            F.col("cell") == extra).count() == 0
+    assert sorted(
+        (int(r["id"]), int(r["cell"]), tuple(r["codes"]))
+        for r in codes_t.scan().collect()) == codes_before
     # successful run: new centroid appears, but the SPLIT cell's
     # centroid is untouched (its surviving codes keep their residual
     # basis) and the staying rows keep their ORIGINAL codes

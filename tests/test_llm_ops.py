@@ -1232,10 +1232,12 @@ def test_ann_index_rebalance_recovers_recall(spark, tmp_warehouse):
 def test_ann_index_rebalance_crash_consistency(spark, tmp_warehouse,
                                                monkeypatch):
     """ADVICE r9 regression for the plain-IVF rebalance: a failed
-    vectors CAS must roll back the pre-committed new centroid and
-    leave the hot cell's centroid untouched; on SUCCESS the hot
-    cell's centroid moves to its half-mean only AFTER the CAS (plain
-    IVF stores raw vectors, so the move is routing-only and safe
+    vectors CAS must leave every ORIGINAL centroid and all vectors
+    untouched — the only permitted residue is the pre-committed new
+    centroid with an empty list (deliberately kept: deleting it could
+    orphan a concurrent extend's vectors). On SUCCESS the hot cell's
+    centroid moves to its half-mean only AFTER the CAS (plain IVF
+    stores raw vectors, so the move is routing-only and safe
     post-swap)."""
     from iceberg_lakehouse_spark.catalog import LakehouseCatalog, LakeTable
     from iceberg_lakehouse_spark.operators import ann_index as ai
@@ -1275,8 +1277,11 @@ def test_ann_index_rebalance_crash_consistency(spark, tmp_warehouse,
     monkeypatch.setattr(LakeTable, "replace_files", real)
     after_fail = {int(r["cell"]): [float(x) for x in r["vec"]]
                   for r in ct.scan().collect()}
-    assert after_fail == before           # no dead centroid, no move
-    assert cat.load_table("cc_ivf").scan().count() == n_before
+    assert {c: after_fail[c] for c in before} == before  # no move
+    at = cat.load_table("cc_ivf")
+    for extra in set(after_fail) - set(before):  # residue: empty list
+        assert at.scan().where(F.col("cell") == extra).count() == 0
+    assert at.scan().count() == n_before
     rep = ai.rebalance_ann_index(cat, "cc_ivf", max_ratio=2.0)
     assert rep["split_cells"], rep
     after_ok = {int(r["cell"]): [float(x) for x in r["vec"]]

@@ -208,7 +208,24 @@ SHOW = [
      "Trained-BPE token counts (round 9): after the driver-looped "
      "trainer, segmentation is a pure map-only expression chain — the "
      "plan is one scan + 8 nested literal replaces per word + a "
-     "projection; the only exchange is the output ORDER BY."),
+     "projection; the only exchange is the output ORDER BY. (Above "
+     "16 merges bpe_segment switches to ONE Arrow-batched memoized "
+     "pandas UDF — round 10 — because a 30k-deep replace chain fails "
+     "Catalyst analysis; still map-only either way.)"),
+    ("media_perceptual_near_dups",
+     "Perceptual image dedup (round 10): Arrow-batched dHash decode "
+     "(blob never shuffles — the mapInPandas output carries only "
+     "id + 64-char fingerprint), then the SAME pigeonhole "
+     "segment-equality blocking as text SimHash — one hash shuffle "
+     "on (segment, key) with size-gated buckets, no cartesian or "
+     "nested-loop join anywhere in the plan."),
+    ("quality_classifier_scores",
+     "Trainable quality classifier (round 10): training ran as 8 "
+     "driver-looped single-aggregation passes (partial_sum of "
+     "fixed-point BIGINT gradients — order-independent, map-side "
+     "combined); this scoring plan is ONE whole-stage-codegen "
+     "projection over the feature expressions with literal weights — "
+     "no Python, no shuffle except the output ORDER BY."),
 ]
 
 
