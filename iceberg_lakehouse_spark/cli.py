@@ -425,6 +425,8 @@ _TREE: dict[str, dict[str, str]] = {
         "ann-build": "ann_index_build", "ann-probe": "ann_index_probe",
         "ann-extend": "ann_index_extend", "ann-stats": "ann_index_stats",
         "ann-rebalance": "ann_index_rebalance",
+        "ann-recall": "ann_recall_sample",
+        "ann-rebuild": "ann_index_rebuild",
         "pq-build": "pq_index_build", "pq-probe": "pq_index_probe",
         "pq-extend": "pq_index_extend", "pq-stats": "pq_index_stats",
         "ivfpq-build": "ivfpq_index_build",

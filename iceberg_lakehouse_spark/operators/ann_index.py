@@ -428,3 +428,119 @@ def rebalance_ann_index(
     at.set_properties({"ivf.n_cells": str(new_n)})
     report["n_cells_after"] = new_n
     return report
+
+
+def ann_recall_sample(
+    catalog: LakehouseCatalog,
+    name: str,
+    k: int = 10,
+    nprobe: int = 2,
+    sample: int = 8,
+) -> dict:
+    """MEASURED routing recall@k for the plain IVF index (r10, the
+    sibling of ``ivfpq_recall_sample``): queries are a deterministic
+    md5-ordered sample of the STORED vectors (plain IVF keeps raw
+    vectors, so this is the honest space — no reconstruction caveat),
+    ground truth is exact cosine over the whole index, measured is the
+    production cell-pruned probe. Within probed cells the probe
+    computes EXACT cosine over every row, so any loss here is pure
+    ROUTING: true neighbors living in cells the query's nprobe nearest
+    centroids miss. That is exactly what extend-drift causes (frozen
+    centroids stop matching the distribution, neighborhoods straddle
+    cells) and what ``rebuild_ann_index``'s re-cluster repairs."""
+    from pyspark.sql import Window
+
+    at, _ct, _n, _dim = _load(catalog, name)
+    space = at.scan().select("id", F.col("vec").alias("_v")).persist()
+    try:
+        qrows = (
+            space.orderBy(F.md5(F.col("id").cast("string")), "id")
+            .limit(sample).collect()
+        )
+        queries = [(int(r["id"]), [float(x) for x in r["_v"]])
+                   for r in qrows]
+        if not queries:
+            return {"k": k, "nprobe": nprobe, "sample": 0,
+                    "recall_at_k": None, "per_query": {}}
+        qdf = catalog.spark.createDataFrame(
+            queries, "qid long, qv array<double>")
+        wn = Window.partitionBy("qid").orderBy(F.desc("_s"), F.col("id"))
+        exact_rows = (
+            space.crossJoin(F.broadcast(qdf))  # sample-row broadcast
+            .select("qid", "id",
+                    cosine(F.col("_v"), F.col("qv")).alias("_s"))
+            .withColumn("_rk", F.row_number().over(wn))
+            .where(F.col("_rk") <= k)
+            .select("qid", "id")
+            .collect()
+        )
+        exact: dict[int, set] = {}
+        for r in exact_rows:
+            exact.setdefault(int(r["qid"]), set()).add(int(r["id"]))
+        per_query = {}
+        for qid, qv in queries:
+            got = {int(r["id"]) for r in probe_ann_index(
+                catalog, name, qv, k=k, nprobe=nprobe).collect()}
+            per_query[qid] = len(got & exact.get(qid, set())) / float(k)
+        return {
+            "k": k, "nprobe": nprobe, "sample": len(queries),
+            "recall_at_k": sum(per_query.values()) / len(per_query),
+            "per_query": per_query,
+        }
+    finally:
+        space.unpersist()
+
+
+def rebuild_ann_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    n_cells: int | None = None,
+    kmeans_iters: int = 3,
+) -> dict:
+    """Full re-cluster of the plain IVF index FROM ITS OWN stored
+    vectors (r10; self-contained — no corpus needed, unlike the IVFPQ
+    rebuild, because plain IVF stores raw vectors): fresh k-means over
+    everything, every vector reassigned. This is the remedy for the
+    drift class ``rebalance_ann_index`` cannot touch — a neighborhood
+    the frozen centroids SPLIT ACROSS CELLS stays split under any
+    number of cell splits (splits never merge lists), but a re-cluster
+    puts a centroid inside the drifted region and co-locates it.
+    ``ann_recall_sample`` before/after makes the repair measurable.
+
+    Commit order: new centroids overwrite first, then ONE codes CAS
+    pinned to the pre-rebuild snapshot (a concurrent extend fails the
+    CAS cleanly; a crash between the two leaves new centroids with the
+    old assignment — routing quality only, vectors intact, repaired by
+    re-running)."""
+    from ..functions.similarity import build_ivf_index
+
+    at, ct, old_cells, dim = _load(catalog, name)
+    eff = n_cells if n_cells is not None else old_cells
+    if eff <= 0:
+        raise ValueError(f"n_cells must be positive (got {eff})")
+    cur = at.current_snapshot()
+    src = at.scan(snapshot_id=cur.snapshot_id).select("id", "vec")
+    assigned, centroids = build_ivf_index(
+        src, "id", "vec", n_cells=eff, kmeans_iters=kmeans_iters)
+    reassigned = assigned.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("vec").cast("array<double>").alias("vec"),
+    ).localCheckpoint()  # bind rows before the tables mutate
+    n_rows = reassigned.count()
+    ct.overwrite(catalog.spark.createDataFrame(
+        [(int(c["cell"]), [float(x) for x in c["vec"]])
+         for c in centroids],
+        _CENTROID_SCHEMA,
+    ))
+    at.replace_files(
+        [], reassigned,
+        {"operation_detail": "rebuild", "rows": n_rows},
+        expected_snapshot_id=cur.snapshot_id,
+    )
+    at.set_properties({"ivf.n_cells": str(eff)})
+    return {
+        "index": name, "rows": n_rows,
+        "n_cells_before": old_cells, "n_cells_after": eff,
+        "dim": dim,
+    }

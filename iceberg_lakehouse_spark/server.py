@@ -945,6 +945,32 @@ class LakehouseServer:
             ),
         )
 
+        self._add(
+            _tool("ann_recall_sample",
+                  "MEASURED routing recall@k for the plain IVF index: "
+                  "sampled stored vectors vs exact brute force (any "
+                  "loss is cells-not-probed — the signal that says "
+                  "when a rebuild is due)",
+                  {"index_table": _S, "k": _I, "nprobe": _I,
+                   "sample": _I},
+                  ["index_table"]),
+            lambda index_table, k=10, nprobe=2, sample=8:
+                _ai.ann_recall_sample(c, index_table, k=k,
+                                      nprobe=nprobe, sample=sample),
+        )
+        self._add(
+            _tool("ann_index_rebuild",
+                  "Full re-cluster of the IVF index from its own "
+                  "stored vectors (self-contained): repairs the drift "
+                  "class splits cannot — neighborhoods the frozen "
+                  "centroids straddled across cells",
+                  {"index_table": _S, "n_cells": _I, "kmeans_iters": _I},
+                  ["index_table"]),
+            lambda index_table, n_cells=None, kmeans_iters=3:
+                _ai.rebuild_ann_index(c, index_table, n_cells=n_cells,
+                                      kmeans_iters=kmeans_iters),
+        )
+
         from .operators import index_sync as _isync
 
         self._add(

@@ -6027,3 +6027,91 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_sf_tables(spark, sf_dir)["documents"]
     model = train_quality_classifier(docs, lr=_QC_LR, iters=_QC_ITERS)
     return score_quality_classifier(docs, model).orderBy("doc_id")
+
+
+def _qc_filter_oracle() -> str:
+    from ..functions.quality_model import FEATURES, duckdb_training_ctes
+
+    ctes, final = duckdb_training_ctes(lr=_QC_LR, iters=_QC_ITERS)
+    z = f"(SELECT w0 FROM {final})"
+    for j, (name, _, _) in enumerate(FEATURES, start=1):
+        z = f"({z} + ((SELECT w{j} FROM {final}) * {name}))"
+    p = "(0.5 + (0.5 * (z / (1.0 + abs(z)))))"
+    mean = ("(CAST(SUM(CAST(floor(p * 1000000000.0) AS BIGINT)) "
+            "AS DOUBLE) / 1000000000.0) / COUNT(*)")
+    return f"""
+    WITH {ctes},
+    allscored AS MATERIALIZED (
+        SELECT s.doc_id, d.lang, s.p AS quality_score
+        FROM (SELECT doc_id, {p} AS p
+              FROM (SELECT *, {z} AS z FROM feats)) s
+        JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    thr AS MATERIALIZED (
+        SELECT {mean.replace('p *', 'quality_score *')} AS t
+        FROM allscored
+    ),
+    scored AS (
+        SELECT * FROM allscored
+        WHERE quality_score >= (SELECT t FROM thr)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           (CAST(SUM(CAST(floor(quality_score * 1000000000.0) AS BIGINT))
+                 AS DOUBLE) / 1000000000.0) / COUNT(*) AS mean_score,
+           MIN(quality_score) AS min_score,
+           MAX(quality_score) AS max_score
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@register(
+    "quality_filtered_by_lang",
+    _qc_filter_oracle(),
+    survey_ref="beyond-reference (r10): model-based corpus filtering — "
+    "the trained classifier DRIVES a curation decision (keep docs the "
+    "model accepts) with per-language accounting; mean scores stay "
+    "bit-exact cross-engine via the same fixed-point discipline as "
+    "the trainer (a double SUM would be partition-order dependent)",
+)
+def quality_filtered_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtering step a quality model exists for: train, score,
+    keep ABOVE-corpus-mean documents (a relative threshold — the
+    absolute 0.5 cut is meaningless under the squashed link at few
+    iterations), and report the surviving corpus per language —
+    count, mean/min/max score. Every mean (threshold and output)
+    aggregates floor(score*1e9) BIGINTs (exact, order-free) and
+    divides once at the end, so floats stay bit-identical to the
+    DuckDB oracle; min/max are order-free by nature."""
+    from ..functions.quality_model import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    model = train_quality_classifier(docs, lr=_QC_LR, iters=_QC_ITERS)
+    allscored = (
+        score_quality_classifier(docs, model)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .persist()
+    )
+    thr = allscored.selectExpr(
+        "(CAST(SUM(CAST(floor(quality_score * 1000000000.0) AS BIGINT)) "
+        "AS DOUBLE) / 1000000000.0) / COUNT(*) AS t"
+    ).first()["t"]
+    scored = allscored.where(F.col("quality_score") >= F.lit(thr))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.expr("COUNT(*)").alias("n_docs"),
+            F.expr(
+                "(CAST(SUM(CAST(floor(quality_score * 1000000000.0) "
+                "AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(*)"
+            ).alias("mean_score"),
+            F.expr("MIN(quality_score)").alias("min_score"),
+            F.expr("MAX(quality_score)").alias("max_score"),
+        )
+        .orderBy("lang")
+    )

@@ -1423,3 +1423,58 @@ def test_diverse_exemplars_contracts(spark):
     for i in range(len(vv)):
         for j in range(i + 1, len(vv)):
             assert cos(vv[i], vv[j]) < 0.95
+
+
+def test_ann_recall_telemetry_and_rebuild(spark, tmp_warehouse):
+    """r10 plain-IVF sibling of the IVFPQ recall work: routing recall
+    is MEASURED (the probe is exact within probed cells, so any loss
+    is cells-not-probed), a WIDE drifted blob that straddles the
+    frozen cells shows the loss at nprobe=1, and rebuild_ann_index
+    (self-contained re-cluster — plain IVF stores raw vectors) puts
+    centroids inside the drifted region and recovers it. Contrast with
+    IVFPQ, where the frozen codebook makes rebuild require the
+    corpus."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import ann_index as ai
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    emb = load_sf_tables(spark, SF)["embeddings"]
+    ai.build_ann_index(cat, "default.ar", emb, "vec_id", "embedding",
+                       n_cells=6, kmeans_iters=2)
+    anchor = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    base = [-v * 1.2 + 0.2 for v in anchor]
+    blob = spark.range(600000, 600600).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            F.lit(base[d])
+            + (((F.col("id") * (d + 2)) % 401).cast("double")
+               / 401.0 - 0.5) * F.lit(0.9)
+            for d in range(len(base))
+        ]).alias("embedding"),
+    )
+    ai.extend_ann_index(cat, "default.ar", blob, "vec_id", "embedding")
+    # the wide blob really straddles: its members landed in >= 3 cells
+    at = cat.load_table("default.ar")
+    straddle = at.scan().where("id >= 600000") \
+        .select("cell").distinct().count()
+    assert straddle >= 3, straddle
+    pre = ai.ann_recall_sample(cat, "default.ar", k=10, nprobe=1,
+                               sample=10)
+    blob_pre = {q: v for q, v in pre["per_query"].items()
+                if q >= 600000}
+    assert blob_pre, "md5 sample drew no blob queries — fixture drift"
+    assert all(v <= 0.5 for v in blob_pre.values()), blob_pre
+    rep = ai.rebuild_ann_index(cat, "default.ar", n_cells=8)
+    assert rep["rows"] == 500 + 600
+    assert at.properties()["ivf.n_cells"] == "8"
+    post = ai.ann_recall_sample(cat, "default.ar", k=10, nprobe=1,
+                                sample=10)
+    blob_post = {q: v for q, v in post["per_query"].items()
+                 if q >= 600000}
+    # the drifted region's neighborhoods are co-located again
+    assert set(blob_post) == set(blob_pre)
+    assert all(blob_post[q] > blob_pre[q] for q in blob_pre), (
+        blob_pre, blob_post)
+    assert all(v == 1.0 for v in blob_post.values()), blob_post
+    # and the index as a whole did not collapse
+    assert post["recall_at_k"] >= 0.5
