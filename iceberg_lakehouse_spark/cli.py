@@ -437,6 +437,9 @@ _TREE: dict[str, dict[str, str]] = {
         "ivfpq-recall": "ivfpq_recall_sample",
         "ivfpq-rebuild": "ivfpq_index_rebuild",
         "span-build": "span_index_build",
+        "phash-build": "phash_index_build",
+        "phash-probe": "phash_index_probe",
+        "phash-extend": "phash_index_extend",
         "link-source": "index_link_source",
         "sync-deletes": "index_sync_deletes",
     },

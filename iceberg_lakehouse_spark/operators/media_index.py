@@ -1,0 +1,156 @@
+"""Persisted PERCEPTUAL-HASH index (round 10): the image sibling of
+the MinHash band-key index — dHash/aHash fingerprints stored with
+their pigeonhole segments so incremental media batches probe for
+near-duplicate images against the whole landed corpus without ever
+re-decoding it.
+
+Layout: one LakeTable (id, seg, seg_key, phash) with (d+1) rows per
+image — by pigeonhole, any pair within Hamming distance d agrees on at
+least one of d+1 segments, so candidate generation is segment-key
+equality. The probe BROADCASTS the batch's segment keys (a batch is
+small by definition) so the index side is a map-side, column-pruned
+scan; verification is the row-wise Hamming distance against the full
+stored fingerprint (no bucket gathering — the candidate row already
+carries both fingerprints). Keyed ``id``, so
+``operators.index_sync.sync_index_deletes`` works on it unchanged.
+
+Index parameters (algo, max_distance → segment count, fp width)
+persist as table properties and are validated on every extend/probe —
+an index can never be silently probed with mismatched hashing.
+Reference analogue: none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import LakehouseCatalog, LakeTable
+
+_PROPS = ("phash.algo", "phash.max_distance")
+_FP_LEN = 64
+
+
+def _seg_rows(fps: DataFrame, max_distance: int) -> DataFrame:
+    """(id, seg, seg_key, phash): pigeonhole segment expansion of a
+    (media_id, phash) fingerprint set — same single-pass inline()
+    shape as ``simhash_hamming_pairs`` (never a union-of-selects,
+    which would re-evaluate the decode per segment)."""
+    segs = max_distance + 1
+    seg_len = _FP_LEN // segs
+    seg_structs = ", ".join(
+        f"struct({s} AS seg, "
+        f"substring(phash, {s * seg_len + 1}, {seg_len}) AS seg_key)"
+        for s in range(segs)
+    )
+    return fps.selectExpr(
+        "media_id AS id", "phash", f"inline(array({seg_structs}))"
+    ).select("id", "seg", "seg_key", "phash")
+
+
+def _hash_batch(media_df: DataFrame, algo: str,
+                deterministic_fake: bool = False) -> DataFrame:
+    from ..functions.multimodal import perceptual_hash
+
+    return (
+        perceptual_hash(media_df, algo=algo,
+                        deterministic_fake=deterministic_fake)
+        .where(F.col("phash").isNotNull())
+        .select("media_id", "phash")
+    )
+
+
+def build_phash_index(
+    catalog: LakehouseCatalog,
+    name: str,
+    media_df: DataFrame,
+    algo: str = "dhash",
+    max_distance: int = 6,
+    deterministic_fake: bool = False,
+) -> LakeTable:
+    """Create the index and load the corpus's fingerprints (one
+    Arrow-batched decode pass — the LAST time these blobs are read for
+    dedup purposes)."""
+    if not 0 < max_distance < _FP_LEN:
+        raise ValueError(
+            f"max_distance must be in (0, {_FP_LEN}) (got {max_distance})")
+    t = catalog.create_table(
+        name,
+        [("id", "long"), ("seg", "int"), ("seg_key", "string"),
+         ("phash", "string")],
+        properties={"phash.algo": algo,
+                    "phash.max_distance": str(max_distance)},
+    )
+    t.append(_seg_rows(
+        _hash_batch(media_df, algo, deterministic_fake), max_distance))
+    return t
+
+
+def _params(index: LakeTable) -> tuple[str, int]:
+    props = index.properties()
+    missing = [p for p in _PROPS if p not in props]
+    if missing:
+        raise ValueError(
+            f"table {index.namespace}.{index.table} is not a phash "
+            f"index (missing properties: {missing})")
+    return props["phash.algo"], int(props["phash.max_distance"])
+
+
+def extend_phash_index(
+    index: LakeTable, media_df: DataFrame,
+    deterministic_fake: bool = False,
+) -> int:
+    """Append an accepted batch's fingerprint segments. Returns index
+    rows added."""
+    algo, d = _params(index)
+    rows = _seg_rows(
+        _hash_batch(media_df, algo, deterministic_fake), d).persist()
+    try:
+        n = rows.count()
+        index.append(rows)
+    finally:
+        rows.unpersist()
+    return n
+
+
+def probe_phash_index(
+    index: LakeTable,
+    media_df: DataFrame,
+    max_distance: int | None = None,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs between a NEW media batch and the indexed
+    corpus: (left_id = indexed image, right_id = batch image, hamming).
+    Batch segment keys broadcast → map-side index scan → row-wise
+    Hamming verify at ``max_distance`` (defaults to, and may not
+    exceed, the index's blocking distance — the pigeonhole guarantee
+    only covers pairs within it). A batch image re-probing its own id
+    is excluded (idempotent replays)."""
+    algo, d = _params(index)
+    if max_distance is None:
+        max_distance = d
+    if max_distance > d:
+        raise ValueError(
+            f"probe distance {max_distance} exceeds the index blocking "
+            f"distance {d} — candidates beyond it are not guaranteed")
+    batch = _seg_rows(_hash_batch(media_df, algo, deterministic_fake), d)
+    ham = (
+        "size(filter(zip_with(split(l_phash, '(?!$)'), "
+        "split(r_phash, '(?!$)'), (x, y) -> x != y), v -> v))"
+    )
+    return (
+        index.scan()
+        .withColumnRenamed("id", "left_id")
+        .withColumnRenamed("phash", "l_phash")
+        .join(
+            F.broadcast(
+                batch.select(
+                    F.col("id").alias("right_id"), "seg", "seg_key",
+                    F.col("phash").alias("r_phash"))),
+            ["seg", "seg_key"],
+        )
+        .where(F.col("left_id") != F.col("right_id"))
+        .selectExpr("left_id", "right_id", f"{ham} AS hamming")
+        .distinct()
+        .where(F.col("hamming") <= max_distance)
+    )

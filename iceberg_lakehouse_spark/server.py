@@ -971,6 +971,55 @@ class LakehouseServer:
                                       kmeans_iters=kmeans_iters),
         )
 
+        from .operators import media_index as _mi
+
+        self._add(
+            _tool("phash_index_build",
+                  "Persist a perceptual-hash (dHash) index of a media "
+                  "table: one Arrow-batched decode, (d+1) pigeonhole "
+                  "segment rows per image — incremental image near-dup "
+                  "probing without re-decoding the corpus",
+                  {"table": _S, "index_table": _S, "max_distance": _I},
+                  ["table", "index_table"]),
+            lambda table, index_table, max_distance=6: {
+                "index_table": index_table,
+                "rows": _mi.build_phash_index(
+                    c, index_table, c.load_table(table).scan(),
+                    max_distance=max_distance,
+                ).scan().count(),
+                "message": f"phash index {index_table} built from {table}",
+            },
+        )
+        self._add(
+            _tool("phash_index_probe",
+                  "Near-duplicate image pairs between a media batch "
+                  "table and the indexed corpus (batch segment keys "
+                  "broadcast, index scanned map-side, row-wise Hamming "
+                  "verify)",
+                  {"index_table": _S, "batch_table": _S,
+                   "max_distance": _I, "max_rows": _I},
+                  ["index_table", "batch_table"]),
+            lambda index_table, batch_table, max_distance=None,
+                   max_rows=1000: rows_of(
+                _mi.probe_phash_index(
+                    c.load_table(index_table),
+                    c.load_table(batch_table).scan(),
+                    max_distance=max_distance,
+                ).limit(max_rows)),
+        )
+        self._add(
+            _tool("phash_index_extend",
+                  "Append an accepted media batch's fingerprint "
+                  "segments to a phash index",
+                  {"index_table": _S, "batch_table": _S},
+                  ["index_table", "batch_table"]),
+            lambda index_table, batch_table: {
+                "rows_added": _mi.extend_phash_index(
+                    c.load_table(index_table),
+                    c.load_table(batch_table).scan()),
+            },
+        )
+
         from .operators import index_sync as _isync
 
         self._add(

@@ -383,3 +383,114 @@ def span_dedup_stream_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def media_dedup_stream_to_table(
+    stream: DataFrame,
+    table: LakeTable,
+    index: LakeTable,
+    max_distance: int | None = None,
+    deterministic_fake: bool = False,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming PERCEPTUAL image dedup against the whole landed
+    corpus (round 10 — the multimodal rung of the curation ladder,
+    structurally the twin of ``near_dup_stream_to_table``): per
+    micro-batch of MEDIA_SCHEMA rows,
+
+      1. idempotence: media_ids already landed are dropped;
+      2. new-vs-new: one Arrow-batched dHash pass over the batch,
+         then ``media_near_dup_pairs``-style intra-batch Hamming
+         pairs drop every image whose near-dup keeper (min id) is also
+         in the batch; corrupt blobs (NULL phash) pass through — an
+         undecodable image cannot be fingerprint-deduped and silently
+         dropping it would bias the corpus;
+      3. new-vs-old: survivors probe the persisted phash index
+         (segment keys broadcast, index scanned map-side) and
+         near-dups of any previously landed image are dropped;
+      4. survivors' fingerprint segments extend the index, THEN
+         survivors (plus their phash column) append — index-ahead,
+         the established self-repairing direction (replay re-lands
+         the batch; the already-indexed filter keeps the re-extend a
+         no-op; a batch image never matches its own ghost entry
+         because the probe excludes equal ids).
+
+    Per-batch cost: one decode of the BATCH only (the corpus is never
+    re-decoded — that is the index's whole point), one broadcast
+    segment join, one anti-join. The target table needs MEDIA_SCHEMA
+    columns plus ``phash string``."""
+    from pyspark.sql import functions as F
+
+    from ..functions.multimodal import perceptual_hash
+    from ..operators.media_index import (
+        _params,
+        extend_phash_index,
+        probe_phash_index,
+    )
+
+    algo, d = _params(index)  # fail fast at wiring time, not batch 1
+    if max_distance is None:
+        max_distance = d
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        landed = table.scan().select("media_id")
+        batch_new = batch.join(landed, "media_id", "left_anti")
+        if batch_new.isEmpty():
+            return
+        fps = perceptual_hash(
+            batch_new, algo=algo, deterministic_fake=deterministic_fake
+        ).select("media_id", "phash").persist()
+        try:
+            from ..functions.dedup_text import simhash_hamming_pairs
+
+            intra = simhash_hamming_pairs(
+                fps.where(F.col("phash").isNotNull())
+                .select("media_id", F.col("phash").alias("simhash")),
+                "media_id", max_distance=max_distance, fp_len=64,
+            )
+            losers = intra.where(
+                F.col("left_id") < F.col("right_id")
+            ).select(F.col("right_id").alias("media_id")).distinct()
+            keep1 = batch_new.join(losers, "media_id", "left_anti")
+            old_pairs = probe_phash_index(
+                index, keep1, max_distance=max_distance,
+                deterministic_fake=deterministic_fake,
+            )
+            losers2 = old_pairs.select(
+                F.col("right_id").alias("media_id")).distinct()
+            survivors = (
+                keep1.join(losers2, "media_id", "left_anti")
+                .join(fps, "media_id", "left")
+                .persist()
+            )
+            try:
+                if survivors.isEmpty():
+                    return
+                # index FIRST (see near_dup_stream_to_table); only
+                # not-yet-indexed ids extend, so replays are no-ops
+                surv_ids = survivors.select("media_id").distinct()
+                already = (
+                    index.scan().select(F.col("id").alias("media_id"))
+                    .join(F.broadcast(surv_ids), "media_id")
+                    .distinct()
+                )
+                to_index = survivors.join(
+                    F.broadcast(already), "media_id", "left_anti")
+                extend_phash_index(
+                    index, to_index,
+                    deterministic_fake=deterministic_fake)
+                table.append(survivors)
+            finally:
+                survivors.unpersist()
+        finally:
+            fps.unpersist()
+
+    writer = stream.writeStream.foreachBatch(land).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

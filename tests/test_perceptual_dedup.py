@@ -140,3 +140,125 @@ def test_perceptual_hash_tiers_and_errors(spark):
     a = mm.perceptual_hash(df, deterministic_fake=True).first()["phash"]
     b = mm.perceptual_hash(df, deterministic_fake=True).first()["phash"]
     assert a == b and len(a) == 64 and set(a) <= {"0", "1"}
+
+
+def _media_rows(spark, rows):
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def _img(seed, bump_cell=None):
+    """9×8 PPM with a per-seed pseudo-random luminance grid; bump_cell
+    re-lights one grid cell (<=2 dHash bits — a re-encode artifact)."""
+    import hashlib
+
+    d = hashlib.sha256(f"img-{seed}".encode()).digest()
+    while len(d) < 72:
+        d += hashlib.sha256(d).digest()
+    cells = [10 + (b % 236) for b in d[:72]]
+    if bump_cell is not None:
+        i = bump_cell % 72
+        cells[i] = 10 + ((cells[i] - 10) + 118) % 236
+    return _ppm_bytes(9, 8, [(v, v, v) for v in cells])
+
+
+def test_phash_index_build_probe_extend(spark, tmp_warehouse):
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import media_index as mi
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    corpus = _media_rows(spark, [
+        (1, _img("a"), "image", "ppm", 0),
+        (2, _img("b"), "image", "ppm", 0),
+        (3, _img("c"), "image", "ppm", 0),
+    ])
+    idx = mi.build_phash_index(cat, "default.phash", corpus,
+                               max_distance=4)
+    assert idx.scan().count() == 3 * 5  # (d+1) segment rows per image
+    batch = _media_rows(spark, [
+        (10, _img("a", bump_cell=5), "image", "ppm", 0),  # near-dup of 1
+        (11, _img("zz"), "image", "ppm", 0),              # novel
+    ])
+    pairs = {(r["left_id"], r["right_id"]): r["hamming"]
+             for r in mi.probe_phash_index(idx, batch).collect()}
+    assert set(pairs) == {(1, 10)} and pairs[(1, 10)] <= 2, pairs
+    # extend with the novel image; a later near-dup of IT now matches
+    mi.extend_phash_index(idx, batch.where("media_id = 11"))
+    batch2 = _media_rows(spark, [
+        (20, _img("zz", bump_cell=9), "image", "ppm", 0)])
+    pairs2 = {(r["left_id"], r["right_id"])
+              for r in mi.probe_phash_index(idx, batch2).collect()}
+    assert pairs2 == {(11, 20)}
+    # contract edges
+    with pytest.raises(ValueError, match="exceeds the index"):
+        mi.probe_phash_index(idx, batch2, max_distance=60).collect()
+    other = cat.create_table("default.notphash", [("id", "long")])
+    with pytest.raises(ValueError, match="not a phash index"):
+        mi.probe_phash_index(other, batch2)
+
+
+def test_media_dedup_stream_two_batches(spark, tmp_path, tmp_warehouse):
+    """Streaming × multimodal × dedup end-to-end: intra-batch keeper
+    semantics, cross-batch near-dup drops via the extended index,
+    corrupt blobs passing through, and replay idempotence."""
+    from pyspark.sql import types as T
+
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import media_index as mi
+    from iceberg_lakehouse_spark.streaming.sink import (
+        media_dedup_stream_to_table,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    schema = T.StructType(
+        list(mm.MEDIA_SCHEMA.fields)
+        + [T.StructField("phash", T.StringType())])
+    t = cat.create_table("media_corpus", schema)
+    corpus = _media_rows(spark, [(1, _img("base"), "image", "ppm", 0)])
+    idx = mi.build_phash_index(cat, "default.phash", corpus,
+                               max_distance=4)
+    t.append(mm.perceptual_hash(corpus).select("media_id", "phash")
+             .join(corpus, "media_id").select(*[f.name for f in schema]))
+
+    rows1 = [
+        (10, _img("fresh"), "image", "ppm", 0),              # lands
+        (11, _img("base", bump_cell=3), "image", "ppm", 0),  # dup of 1
+        (12, _img("pair"), "image", "ppm", 0),               # keeper
+        (13, _img("pair", bump_cell=8), "image", "ppm", 0),  # dup of 12
+        (14, b"GIF89a undecodable", "image", "gif", 0),      # fake tier
+        (15, _img("x")[:20], "image", "ppm", 0),             # corrupt
+    ]
+    d1 = str(tmp_path / "m1")
+    _media_rows(spark, rows1).write.parquet(d1)
+    q = media_dedup_stream_to_table(
+        spark.readStream.schema(mm.MEDIA_SCHEMA).parquet(d1),
+        t, idx, checkpoint_dir=str(tmp_path / "ck1"), available_now=True)
+    q.awaitTermination(180)
+    got = {r["media_id"]: r["phash"] for r in t.scan().collect()}
+    assert set(got) == {1, 10, 12, 14, 15}, sorted(got)
+    assert got[15] is None                 # corrupt blob passed through
+    assert got[10] is not None and len(got[10]) == 64
+
+    # batch 2: near-dup of batch-1 SURVIVOR 12 drops via the extended
+    # index; novel image lands
+    rows2 = [
+        (20, _img("pair", bump_cell=30), "image", "ppm", 0),
+        (21, _img("novel2"), "image", "ppm", 0),
+    ]
+    d2 = str(tmp_path / "m2")
+    _media_rows(spark, rows2).write.parquet(d2)
+    q2 = media_dedup_stream_to_table(
+        spark.readStream.schema(mm.MEDIA_SCHEMA).parquet(d2),
+        t, idx, checkpoint_dir=str(tmp_path / "ck2"), available_now=True)
+    q2.awaitTermination(180)
+    assert set(r["media_id"] for r in t.scan().collect()) \
+        == {1, 10, 12, 14, 15, 21}
+
+    # replay batch 2 (fresh checkpoint): nothing new lands, index
+    # row count stable
+    n_idx = idx.scan().count()
+    q3 = media_dedup_stream_to_table(
+        spark.readStream.schema(mm.MEDIA_SCHEMA).parquet(d2),
+        t, idx, checkpoint_dir=str(tmp_path / "ck3"), available_now=True)
+    q3.awaitTermination(180)
+    assert t.scan().count() == 6
+    assert idx.scan().count() == n_idx
