@@ -215,6 +215,17 @@ class MaintenanceManager:
         # it a curation loop that deletes near-dups re-probes stale
         # candidates forever (r10)
         "auto_sync_index": None,
+        # a min-recall number in (0, 1]: when this table is an ANN /
+        # IVFPQ index whose MEASURED sampled recall@10 (nprobe=2,
+        # sample=8 — ann_recall_sample / ivfpq_recall_sample) falls
+        # below it, schedule a REBUILD — the repair splits cannot
+        # provide (straddled neighborhoods for plain IVF; for IVFPQ
+        # the rebuild retrains the codebook from the LINKED source,
+        # so it requires link_index_source(..., vec_col=...)). The
+        # IVFPQ check runs in reconstruction mode (routing health;
+        # self-contained) — codebook drift needs a corpus-mode
+        # ivfpq_recall_sample by hand, documented honestly (r10)
+        "auto_rebuild_index": None,
     }
 
     def __init__(self, store_path: str):
@@ -345,6 +356,31 @@ class MaintenanceManager:
                         f"rebalance_{kind}_index ({len(hot)} cell(s) "
                         f"> {ratio}x median list size {median})"
                     )
+        needs_rebuild = False
+        min_recall = pol.get("auto_rebuild_index")
+        if min_recall:
+            kind = self._index_kind(table)
+            if kind:
+                if kind == "ivfpq":
+                    from ..operators.ivfpq import ivfpq_recall_sample
+
+                    rec = ivfpq_recall_sample(
+                        table.catalog,
+                        f"{table.namespace}.{table.table}")
+                else:
+                    from ..operators.ann_index import ann_recall_sample
+
+                    rec = ann_recall_sample(
+                        table.catalog,
+                        f"{table.namespace}.{table.table}")
+                measured = rec.get("recall_at_k")
+                if measured is not None and measured < float(min_recall):
+                    needs_rebuild = True
+                    actions.append(
+                        f"rebuild_{kind}_index (sampled recall@"
+                        f"{rec['k']} = {measured:.2f} < "
+                        f"{float(min_recall):.2f})"
+                    )
         needs_sync = False
         if pol.get("auto_sync_index"):
             props = table.properties()
@@ -376,6 +412,7 @@ class MaintenanceManager:
             "needs_analyze": needs_analyze,
             "needs_rebalance": needs_rebalance,
             "needs_index_sync": needs_sync,
+            "needs_index_rebuild": needs_rebuild,
             "actions_needed": actions, "stats": fs,
         }
 
@@ -460,6 +497,53 @@ class MaintenanceManager:
                         "deleted_ids": res["deleted_ids"],
                         "removed_index_rows": res["removed_index_rows"],
                         "reinserted_ids": res["reinserted_ids"],
+                    })
+        if needed.get("needs_index_rebuild"):
+            kind = self._index_kind(table)
+            if dry_run:
+                actions.append({"action": f"rebuild_{kind}_index",
+                                "status": "dry_run"})
+            else:
+                full_name = f"{table.namespace}.{table.table}"
+                props = table.properties()
+                try:
+                    if kind == "ivfpq":
+                        src_name = props.get("index.source_table")
+                        vec_col = props.get("index.source_vec_col")
+                        if not src_name or not vec_col:
+                            raise ValueError(
+                                "IVFPQ rebuild needs the source corpus "
+                                "— link_index_source(..., vec_col=...) "
+                                "first (the frozen codebook cannot be "
+                                "retrained from reconstructions)")
+                        from ..operators.ivfpq import rebuild_ivfpq_index
+
+                        res = rebuild_ivfpq_index(
+                            table.catalog, full_name,
+                            table.catalog.load_table(src_name).scan(),
+                            id_col=props["index.source_id_col"],
+                            vec_col=vec_col,
+                        )
+                    else:
+                        from ..operators.ann_index import (
+                            rebuild_ann_index,
+                        )
+
+                        res = rebuild_ann_index(table.catalog, full_name)
+                    actions.append({
+                        "action": f"rebuild_{kind}_index",
+                        "status": "completed",
+                        "rows": res["rows"],
+                        "n_cells_after": res["n_cells_after"],
+                    })
+                    # a rebuild re-clusters everything — the pending
+                    # rebalance decision is stale, drop it this cycle
+                    needed["needs_rebalance"] = False
+                except ValueError as e:
+                    actions.append({
+                        "action": f"rebuild_{kind}_index",
+                        "status": "failed",
+                        "error": str(e)[:300],
                     })
         if needed.get("needs_rebalance"):
             kind = self._index_kind(table)

@@ -57,11 +57,15 @@ def link_index_source(
     index_name: str,
     source_table: str,
     id_col: str,
+    vec_col: str | None = None,
 ) -> dict:
     """Record which source table an index derives from and baseline
     the sync cursor at the source's current snapshot. Call right after
     ``build_*_index`` — deletes committed before the link are not
-    recoverable from the changelog."""
+    recoverable from the changelog. ``vec_col`` (vector indexes only)
+    additionally records where the source vectors live, which lets the
+    ``auto_rebuild_index`` maintenance policy run the IVFPQ
+    corpus-based rebuild unattended."""
     idx = catalog.load_table(index_name)
     src = catalog.load_table(source_table)
     dtype = dict(src.scan().dtypes).get(id_col)
@@ -78,11 +82,17 @@ def link_index_source(
     cur = src.current_snapshot()
     if cur is None:
         raise ValueError(f"source table {source_table} is empty")
-    idx.set_properties({
+    props = {
         "index.source_table": f"{src.namespace}.{src.table}",
         "index.source_id_col": id_col,
         "index.synced_snapshot_id": str(cur.snapshot_id),
-    })
+    }
+    if vec_col is not None:
+        if vec_col not in dict(src.scan().dtypes):
+            raise ValueError(
+                f"vector column {vec_col!r} not found in {source_table}")
+        props["index.source_vec_col"] = vec_col
+    idx.set_properties(props)
     return {
         "index": index_name,
         "source": f"{src.namespace}.{src.table}",

@@ -255,3 +255,126 @@ def test_maintenance_records_failed_sync_and_continues(
               if a["action"] == "sync_index_deletes"]
     assert failed and failed[0]["status"] == "failed"
     assert "expired" in failed[0]["error"]
+
+
+def test_sync_span_and_phash_indexes(spark, tmp_warehouse):
+    """The sync machinery really is index-family-generic: the r10
+    span-gram and perceptual-hash indexes (both keyed id) drop their
+    rows when source docs/images are deleted."""
+    from iceberg_lakehouse_spark.operators.dedup_index import (
+        build_span_index,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    sidx = build_span_index(cat, "default.docs_grams", t.scan(),
+                            "doc_id", "text", n=8)
+    link_index_source(cat, "default.docs_grams", "default.docs", "doc_id")
+    n0 = sidx.scan().count()
+    n_doc1 = sidx.scan().where(F.col("id") == 1).count()
+    assert n_doc1 > 0
+    crud.delete_rows(t, "doc_id = 1")
+    rep = sync_index_deletes(cat, "default.docs_grams")
+    assert rep["deleted_ids"] == 1
+    assert rep["removed_index_rows"] == n_doc1
+    assert sidx.scan().count() == n0 - n_doc1
+
+    # phash index over a media table
+    from iceberg_lakehouse_spark.functions import multimodal as mm
+    from iceberg_lakehouse_spark.operators import media_index as mi
+    from tests.test_perceptual_dedup import _img
+
+    media = spark.createDataFrame(
+        [(i, _img(f"s{i}"), "image", "ppm", 0) for i in range(4)],
+        mm.MEDIA_SCHEMA)
+    mt = cat.create_table("default.media", media.schema)
+    mt.append(media)
+    pidx = mi.build_phash_index(cat, "default.media_ph",
+                                mt.scan(), max_distance=4)
+    link_index_source(cat, "default.media_ph", "default.media",
+                      "media_id")
+    crud.delete_rows(mt, "media_id IN (0, 2)")
+    rep2 = sync_index_deletes(cat, "default.media_ph")
+    assert rep2["deleted_ids"] == 2
+    assert rep2["removed_index_rows"] == 2 * 5   # (d+1) rows per image
+    assert pidx.scan().where(F.col("id").isin([0, 2])).count() == 0
+    # probing a near-dup of a DELETED image returns nothing stale
+    probe = mi.probe_phash_index(
+        pidx,
+        spark.createDataFrame(
+            [(100, _img("s0", bump_cell=7), "image", "ppm", 0)],
+            mm.MEDIA_SCHEMA))
+    assert probe.collect() == []
+
+
+def test_auto_rebuild_index_policy(spark, tmp_warehouse, tmp_path):
+    """r10: recall-threshold-triggered rebuilds through the governance
+    loop — plain IVF rebuilds self-contained; IVFPQ requires the
+    vec_col link (failed action with the remedy otherwise, then
+    completes once linked). This pins the WIRING; the recall-recovery
+    semantics of the rebuilds themselves are pinned in
+    test_llm_ops.test_ann_recall_telemetry_and_rebuild and
+    test_ivfpq_index.test_recall_telemetry_and_rebuild_recovery."""
+    import math
+
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+    from iceberg_lakehouse_spark.operators import ivfpq
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    vecs = [(i, [math.sin(i * 1.3 + d) for d in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    t = cat.create_table("default.vecs", df.schema)
+    t.append(df)
+    ai.build_ann_index(cat, "default.rbp", t.scan(), "vec_id",
+                       "embedding", n_cells=4, kmeans_iters=2)
+    # wide drifted blob straddling cells → routing recall drops
+    base = [0.9 - 0.2 * d for d in range(8)]
+    blob = spark.range(700000, 700300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            F.lit(base[d])
+            + (((F.col("id") * (d + 2)) % 401).cast("double")
+               / 401.0 - 0.5) * F.lit(1.1)
+            for d in range(8)
+        ]).alias("embedding"),
+    )
+    ai.extend_ann_index(cat, "default.rbp", blob, "vec_id", "embedding")
+    mm_ = MaintenanceManager(str(tmp_path / "maint.json"))
+    idx = cat.load_table("default.rbp")
+    n_rows = idx.scan().count()
+    # a threshold no finite sampled recall can satisfy always fires —
+    # the wiring under test, independent of this fixture's geometry
+    mm_.set_policy("default.rbp", auto_rebuild_index=1.01)
+    need = mm_.check_needed(idx)
+    assert need["needs_index_rebuild"]
+    assert any("rebuild_ann_index" in a for a in need["actions_needed"])
+    rec = mm_.run(idx)
+    done = [a for a in rec["actions"] if a["action"] == "rebuild_ann_index"]
+    assert done and done[0]["status"] == "completed"
+    assert done[0]["rows"] == n_rows        # nothing lost in the rewrite
+    # below-threshold recall does NOT fire
+    mm_.set_policy("default.rbp", auto_rebuild_index=0.01)
+    assert not mm_.check_needed(idx)["needs_index_rebuild"]
+
+    # IVFPQ: triggers, but fails with the remedy until vec_col linked
+    ivfpq.build_ivfpq_index(cat, "default.rbq", t.scan(), "vec_id",
+                            "embedding", n_cells=4, m=8, ksub=8,
+                            kmeans_iters=1)
+    qidx = cat.load_table("default.rbq")
+    mm_.set_policy("default.rbq", auto_rebuild_index=1.01)  # always fire
+    assert mm_.check_needed(qidx)["needs_index_rebuild"]
+    rec2 = mm_.run(qidx)
+    failed = [a for a in rec2["actions"]
+              if a["action"] == "rebuild_ivfpq_index"]
+    assert failed and failed[0]["status"] == "failed"
+    assert "link_index_source" in failed[0]["error"]
+    link_index_source(cat, "default.rbq", "default.vecs", "vec_id",
+                      vec_col="embedding")
+    rec3 = mm_.run(qidx)
+    ok = [a for a in rec3["actions"]
+          if a["action"] == "rebuild_ivfpq_index"]
+    assert ok and ok[0]["status"] == "completed"
+    assert ok[0]["rows"] == 60
