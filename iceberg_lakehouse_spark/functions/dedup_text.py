@@ -559,6 +559,17 @@ def simhash64(
     )
 
 
+def _hamming_sql(a: str, b: str) -> str:
+    """Row-wise Hamming distance between two equal-length bitstring
+    SQL expressions — shared by text SimHash pairs and the perceptual
+    media index (one definition; the '(?!$)' split keeps the final
+    character, unlike a plain split on '')."""
+    return (
+        f"size(filter(zip_with(split({a}, '(?!$)'), "
+        f"split({b}, '(?!$)'), (x, y) -> x != y), v -> v))"
+    )
+
+
 def simhash_hamming_pairs(
     fingerprints: DataFrame,
     id_col: str,
@@ -614,12 +625,6 @@ def simhash_hamming_pairs(
             )
         )
     )
-
-    def _hamming_sql(a: str, b: str) -> str:
-        return (
-            f"size(filter(zip_with(split({a}, '(?!$)'), "
-            f"split({b}, '(?!$)'), (x, y) -> x != y), v -> v))"
-        )
 
     small = buckets.selectExpr(
         "inline(flatten(transform(_m, (x, i) -> transform("

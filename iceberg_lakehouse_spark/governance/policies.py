@@ -506,6 +506,8 @@ class MaintenanceManager:
             else:
                 full_name = f"{table.namespace}.{table.table}"
                 props = table.properties()
+                from ..catalog import retry_on_conflict
+
                 try:
                     if kind == "ivfpq":
                         src_name = props.get("index.source_table")
@@ -518,18 +520,22 @@ class MaintenanceManager:
                                 "retrained from reconstructions)")
                         from ..operators.ivfpq import rebuild_ivfpq_index
 
-                        res = rebuild_ivfpq_index(
-                            table.catalog, full_name,
-                            table.catalog.load_table(src_name).scan(),
-                            id_col=props["index.source_id_col"],
-                            vec_col=vec_col,
-                        )
+                        res = retry_on_conflict(
+                            lambda: rebuild_ivfpq_index(
+                                table.catalog, full_name,
+                                table.catalog.load_table(src_name)
+                                .scan(),
+                                id_col=props["index.source_id_col"],
+                                vec_col=vec_col,
+                            ))
                     else:
                         from ..operators.ann_index import (
                             rebuild_ann_index,
                         )
 
-                        res = rebuild_ann_index(table.catalog, full_name)
+                        res = retry_on_conflict(
+                            lambda: rebuild_ann_index(
+                                table.catalog, full_name))
                     actions.append({
                         "action": f"rebuild_{kind}_index",
                         "status": "completed",
@@ -539,7 +545,12 @@ class MaintenanceManager:
                     # a rebuild re-clusters everything — the pending
                     # rebalance decision is stale, drop it this cycle
                     needed["needs_rebalance"] = False
-                except ValueError as e:
+                except Exception as e:  # noqa: BLE001 — a failed
+                    # rebuild (unlinked source, exhausted CAS retries,
+                    # emptied index) must land as a FAILED action, not
+                    # abort the rest of the maintenance run (r10
+                    # review: ValueError-only let CommitConflictError
+                    # through)
                     actions.append({
                         "action": f"rebuild_{kind}_index",
                         "status": "failed",

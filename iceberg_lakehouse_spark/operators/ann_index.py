@@ -464,11 +464,17 @@ def ann_recall_sample(
                     "recall_at_k": None, "per_query": {}}
         qdf = catalog.spark.createDataFrame(
             queries, "qid long, qv array<double>")
-        wn = Window.partitionBy("qid").orderBy(F.desc("_s"), F.col("id"))
+        # rank ground truth EXACTLY like the probe ranks (round to
+        # 6 dp, id tiebreak) — unrounded ranking reported spurious
+        # recall misses on 6-dp ties at the rank-k boundary (r10
+        # review), which a threshold policy would chase forever
+        wn = Window.partitionBy("qid").orderBy(
+            F.desc("_s"), F.col("id"))
         exact_rows = (
             space.crossJoin(F.broadcast(qdf))  # sample-row broadcast
             .select("qid", "id",
-                    cosine(F.col("_v"), F.col("qv")).alias("_s"))
+                    F.round(cosine(F.col("_v"),
+                                   F.col("qv")), 6).alias("_s"))
             .withColumn("_rk", F.row_number().over(wn))
             .where(F.col("_rk") <= k)
             .select("qid", "id")
@@ -481,7 +487,12 @@ def ann_recall_sample(
         for qid, qv in queries:
             got = {int(r["id"]) for r in probe_ann_index(
                 catalog, name, qv, k=k, nprobe=nprobe).collect()}
-            per_query[qid] = len(got & exact.get(qid, set())) / float(k)
+            truth = exact.get(qid, set())
+            # an index smaller than k can never reach k hits — divide
+            # by the achievable count or a sub-k corpus triggers
+            # perpetual rebuild churn under a recall-threshold policy
+            denom = float(min(k, len(truth))) or 1.0
+            per_query[qid] = len(got & truth) / denom
         return {
             "k": k, "nprobe": nprobe, "sample": len(queries),
             "recall_at_k": sum(per_query.values()) / len(per_query),
@@ -519,6 +530,10 @@ def rebuild_ann_index(
     if eff <= 0:
         raise ValueError(f"n_cells must be positive (got {eff})")
     cur = at.current_snapshot()
+    if cur is None or at.scan(snapshot_id=cur.snapshot_id).limit(1)             .count() == 0:
+        raise ValueError(
+            "cannot rebuild an empty ANN index — re-populate (or drop) "
+            "it instead")
     src = at.scan(snapshot_id=cur.snapshot_id).select("id", "vec")
     assigned, centroids = build_ivf_index(
         src, "id", "vec", n_cells=eff, kmeans_iters=kmeans_iters)

@@ -539,12 +539,17 @@ def ivfpq_recall_sample(
             queries, "qid long, qv array<double>")
         # one job for every query's exact top-k: sample-row broadcast
         # (bounded, like the one-row aggregate crossJoins elsewhere)
+        # rank ground truth EXACTLY like the probe ranks (round to
+        # 6 dp, id tiebreak) — unrounded ranking reported spurious
+        # recall misses on 6-dp ties at the rank-k boundary (r10
+        # review), which a threshold policy would chase forever
         wn = Window.partitionBy("qid").orderBy(
             F.desc("_s"), F.col("id"))
         exact_rows = (
             space.crossJoin(F.broadcast(qdf))
-            .select("qid", "id", cosine(F.col("_vhat"),
-                                        F.col("qv")).alias("_s"))
+            .select("qid", "id",
+                    F.round(cosine(F.col("_vhat"),
+                                   F.col("qv")), 6).alias("_s"))
             .withColumn("_rk", F.row_number().over(wn))
             .where(F.col("_rk") <= k)
             .select("qid", "id")
@@ -563,7 +568,12 @@ def ivfpq_recall_sample(
                     catalog, name, qv, k=k, nprobe=nprobe,
                     refine_with=refine).collect()
             }
-            per_query[qid] = len(got & exact.get(qid, set())) / float(k)
+            truth = exact.get(qid, set())
+            # an index smaller than k can never reach k hits — divide
+            # by the achievable count or a sub-k corpus triggers
+            # perpetual rebuild churn under a recall-threshold policy
+            denom = float(min(k, len(truth))) or 1.0
+            per_query[qid] = len(got & truth) / denom
         return {
             "k": k, "nprobe": nprobe, "sample": len(queries),
             "mode": "corpus" if corpus_df is not None else "reconstruction",

@@ -97,14 +97,22 @@ def _params(index: LakeTable) -> tuple[str, int]:
 
 
 def extend_phash_index(
-    index: LakeTable, media_df: DataFrame,
+    index: LakeTable, media_df: DataFrame | None = None,
     deterministic_fake: bool = False,
+    fps: DataFrame | None = None,
 ) -> int:
     """Append an accepted batch's fingerprint segments. Returns index
-    rows added."""
+    rows added. Pass ``fps`` — precomputed (media_id, phash) rows — to
+    skip the decode (the streaming sink already hashed the batch once;
+    re-decoding the blobs is the dominant per-batch cost)."""
     algo, d = _params(index)
+    if fps is None:
+        if media_df is None:
+            raise ValueError("pass media_df or precomputed fps")
+        fps = _hash_batch(media_df, algo, deterministic_fake)
     rows = _seg_rows(
-        _hash_batch(media_df, algo, deterministic_fake), d).persist()
+        fps.where(F.col("phash").isNotNull())
+        .select("media_id", "phash"), d).persist()
     try:
         n = rows.count()
         index.append(rows)
@@ -115,9 +123,10 @@ def extend_phash_index(
 
 def probe_phash_index(
     index: LakeTable,
-    media_df: DataFrame,
+    media_df: DataFrame | None = None,
     max_distance: int | None = None,
     deterministic_fake: bool = False,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW media batch and the indexed
     corpus: (left_id = indexed image, right_id = batch image, hamming).
@@ -125,7 +134,11 @@ def probe_phash_index(
     Hamming verify at ``max_distance`` (defaults to, and may not
     exceed, the index's blocking distance — the pigeonhole guarantee
     only covers pairs within it). A batch image re-probing its own id
-    is excluded (idempotent replays)."""
+    is excluded (idempotent replays). ``fps`` as in
+    ``extend_phash_index`` — decode once, probe and extend from the
+    same fingerprints."""
+    from ..functions.dedup_text import _hamming_sql
+
     algo, d = _params(index)
     if max_distance is None:
         max_distance = d
@@ -133,11 +146,14 @@ def probe_phash_index(
         raise ValueError(
             f"probe distance {max_distance} exceeds the index blocking "
             f"distance {d} — candidates beyond it are not guaranteed")
-    batch = _seg_rows(_hash_batch(media_df, algo, deterministic_fake), d)
-    ham = (
-        "size(filter(zip_with(split(l_phash, '(?!$)'), "
-        "split(r_phash, '(?!$)'), (x, y) -> x != y), v -> v))"
-    )
+    if fps is None:
+        if media_df is None:
+            raise ValueError("pass media_df or precomputed fps")
+        fps = _hash_batch(media_df, algo, deterministic_fake)
+    batch = _seg_rows(
+        fps.where(F.col("phash").isNotNull())
+        .select("media_id", "phash"), d)
+    ham = _hamming_sql("l_phash", "r_phash")
     return (
         index.scan()
         .withColumnRenamed("id", "left_id")

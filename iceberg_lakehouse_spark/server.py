@@ -1026,13 +1026,17 @@ class LakehouseServer:
             _tool("index_link_source",
                   "Link an index (dedup/ANN/IVFPQ) to its source table "
                   "and baseline the sync cursor at the source's current "
-                  "snapshot — prerequisite for index_sync_deletes",
+                  "snapshot — prerequisite for index_sync_deletes; "
+                  "vector_column additionally enables the unattended "
+                  "IVFPQ auto_rebuild_index path",
                   {"index_table": _S, "source_table": _S,
-                   "id_column": _S},
+                   "id_column": _S, "vector_column": _S},
                   ["index_table", "source_table", "id_column"]),
-            lambda index_table, source_table, id_column:
+            lambda index_table, source_table, id_column,
+                   vector_column=None:
                 _isync.link_index_source(
-                    c, index_table, source_table, id_column),
+                    c, index_table, source_table, id_column,
+                    vec_col=vector_column),
         )
         self._add(
             _tool("index_sync_deletes",
@@ -1687,7 +1691,9 @@ class LakehouseServer:
                    "auto_compact_delete_files": _I,
                    "auto_rewrite_delete_files": _I,
                    "auto_analyze": _B,
-                   "auto_rebalance_index": _N},
+                   "auto_rebalance_index": _N,
+                   "auto_sync_index": _B,
+                   "auto_rebuild_index": _N},
                   ["table"]),
             lambda table, **kw: maintenance.set_policy(table, **kw),
         )

@@ -432,14 +432,23 @@ def media_dedup_stream_to_table(
     algo, d = _params(index)  # fail fast at wiring time, not batch 1
     if max_distance is None:
         max_distance = d
+    if max_distance > d:
+        raise ValueError(
+            f"probe distance {max_distance} exceeds the index blocking "
+            f"distance {d} — candidates beyond it are not guaranteed")
 
     def land(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         landed = table.scan().select("media_id")
-        batch_new = batch.join(landed, "media_id", "left_anti")
+        # same-id rows folded inside one batch (at-least-once upstream)
+        # must collapse BEFORE the anti-join, or the fps join below
+        # multiplies them into the corpus
+        batch_new = batch.dropDuplicates(["media_id"])             .join(landed, "media_id", "left_anti")
         if batch_new.isEmpty():
             return
+        # ONE decode for the whole batch: probe and extend below reuse
+        # these fingerprints instead of re-reading the blobs
         fps = perceptual_hash(
             batch_new, algo=algo, deterministic_fake=deterministic_fake
         ).select("media_id", "phash").persist()
@@ -456,8 +465,9 @@ def media_dedup_stream_to_table(
             ).select(F.col("right_id").alias("media_id")).distinct()
             keep1 = batch_new.join(losers, "media_id", "left_anti")
             old_pairs = probe_phash_index(
-                index, keep1, max_distance=max_distance,
-                deterministic_fake=deterministic_fake,
+                index, max_distance=max_distance,
+                fps=fps.join(keep1.select("media_id"), "media_id",
+                             "left_semi"),
             )
             losers2 = old_pairs.select(
                 F.col("right_id").alias("media_id")).distinct()
@@ -477,11 +487,11 @@ def media_dedup_stream_to_table(
                     .join(F.broadcast(surv_ids), "media_id")
                     .distinct()
                 )
-                to_index = survivors.join(
+                to_index = survivors.select("media_id").join(
                     F.broadcast(already), "media_id", "left_anti")
                 extend_phash_index(
-                    index, to_index,
-                    deterministic_fake=deterministic_fake)
+                    index,
+                    fps=fps.join(to_index, "media_id", "left_semi"))
                 table.append(survivors)
             finally:
                 survivors.unpersist()

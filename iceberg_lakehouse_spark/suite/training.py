@@ -6097,10 +6097,16 @@ def quality_filtered_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang"), "doc_id")
         .persist()
     )
-    thr = allscored.selectExpr(
-        "(CAST(SUM(CAST(floor(quality_score * 1000000000.0) AS BIGINT)) "
-        "AS DOUBLE) / 1000000000.0) / COUNT(*) AS t"
-    ).first()["t"]
+    try:
+        thr = allscored.selectExpr(
+            "(CAST(SUM(CAST(floor(quality_score * 1000000000.0) "
+            "AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(*) AS t"
+        ).first()["t"]
+    finally:
+        # lazy unpersist: the returned plan still references allscored
+        # (it just recomputes) — leaving the cache pinned would
+        # accumulate across a 140-entry sweep session (r10 review)
+        allscored.unpersist()
     scored = allscored.where(F.col("quality_score") >= F.lit(thr))
     return (
         scored.groupBy("lang")
