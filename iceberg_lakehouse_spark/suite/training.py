@@ -6121,3 +6121,88 @@ def quality_filtered_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: sequence packing (training-batch assembly)
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "sequence_packing_by_source",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(lower(text)),
+                                              '[ \\t\\n\\x0b\\f\\r]+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(floor(CAST(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                    / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM packed
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+    survey_ref="beyond-reference (r10): SEQUENCE PACKING — assembling "
+    "fixed-token-budget training contexts from variable-length "
+    "documents (offset-aligned bin assignment, per-source streams), "
+    "the batch-assembly step between curation and the trainer",
+)
+def sequence_packing_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each source's documents (in doc_id order — packing is
+    order-sensitive by definition) into {budget}-token bins: a doc's
+    bin is its START OFFSET's bin (floor((cum - own) / budget)), the
+    offset-aligned formulation that is pure window algebra in BOTH
+    engines — a doc straddling a boundary charges its start bin, so a
+    bin may exceed the budget by less than one max-doc (the standard
+    packing-with-overflow contract; exact first-fit is inherently
+    sequential recursion and buys ~nothing at training time).
+    Returns per (source, bin): doc count, token total, doc-id range.
+
+    Scale shape: ONE window partitioned by source (the packing
+    stream), one aggregation. A window partition is a source's whole
+    stream — order-sensitivity makes that irreducible per stream;
+    production shards streams first (e.g. source × hash-bucket) and
+    packs each shard, which is this same operator over a finer
+    partition column."""
+    from pyspark.sql import Window
+
+    from ..functions.dedup_text import tokens_col
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .cast("double") / float(_PACK_BUDGET)
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )
