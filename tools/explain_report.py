@@ -212,6 +212,12 @@ SHOW = [
      "16 merges bpe_segment switches to ONE Arrow-batched memoized "
      "pandas UDF — round 10 — because a 30k-deep replace chain fails "
      "Catalyst analysis; still map-only either way.)"),
+    ("sequence_packing_by_source",
+     "Sequence packing (round 10): one window exchange partitioned by "
+     "source (the packing stream — order-sensitive, irreducible per "
+     "stream) feeding a partial+final aggregation; no joins, no "
+     "Python. At production scale the same operator runs over a "
+     "finer (source × shard) partition column."),
     ("media_perceptual_near_dups",
      "Perceptual image dedup (round 10): Arrow-batched dHash decode "
      "(blob never shuffles — the mapInPandas output carries only "
