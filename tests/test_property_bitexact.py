@@ -1,0 +1,152 @@
+"""Property-based defense of the cross-engine BIT-EXACTNESS claims
+(hypothesis): the fixed fixtures in test_quality_model/test_bpe pin
+known cases; these generate adversarial ones — random corpora with
+unicode, whitespace runs, empty/long texts, random merge tables —
+and require exact agreement every time. Examples are derandomized
+(stable CI) and bounded (each example runs real Spark jobs)."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_lakehouse_spark.functions import bpe
+from iceberg_lakehouse_spark.functions import quality_model as qm
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# printable-ish text with vowels, consonants, digits, punctuation,
+# whitespace runs and a few non-ASCII letters
+_TEXT = st.text(
+    alphabet=st.sampled_from(
+        list("aeioubcdfgzx0159 .,!?;:\t") + ["é", "ß"]),
+    min_size=0, max_size=80,
+)
+_LANG = st.sampled_from(["en", "zh", "es", "de"])
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(_TEXT, _LANG), min_size=2, max_size=12))
+def test_quality_training_bit_exact_on_random_corpora(spark, rows):
+    """For ANY corpus: Spark's trained weights == DuckDB's CTE-unrolled
+    weights, repr-for-repr (the exact comparison the oracle harness
+    applies)."""
+    docs = spark.createDataFrame(
+        [(i, t, lg) for i, (t, lg) in enumerate(rows)],
+        "doc_id long, text string, lang string")
+    try:
+        w = qm.train_quality_classifier(docs, iters=4)["weights"]
+    except ValueError:
+        return  # all-NULL/degenerate corpus — the documented refusal
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+        "lang VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?)",
+        [(i, t, lg) for i, (t, lg) in enumerate(rows)])
+    ctes, final = qm.duckdb_training_ctes(iters=4)
+    cols = ", ".join(f"w{j}" for j in range(len(w)))
+    ow = con.execute(f"WITH {ctes} SELECT {cols} FROM {final}").fetchone()
+    assert [repr(x) for x in w] == [repr(x) for x in ow], rows
+
+
+@st.composite
+def _merge_tables(draw):
+    """Valid rank-ordered merge tables: each rank's pair uses symbols
+    that exist at that point (chars or earlier merged_syms)."""
+    alphabet = list("abc")
+    syms = list(alphabet)
+    merges = []
+    n = draw(st.integers(min_value=1, max_value=6))
+    for rank in range(1, n + 1):
+        left = draw(st.sampled_from(syms))
+        right = draw(st.sampled_from(syms))
+        merged = left + right
+        merges.append({"rank": rank, "left_sym": left,
+                       "right_sym": right, "merged_sym": merged})
+        if merged not in syms:
+            syms.append(merged)
+    return merges
+
+
+def _py_rank_order(merges, word):
+    s = "".join(f"\t{c}\n" for c in word)
+    for m in sorted(merges, key=lambda x: x["rank"]):
+        pat = f"\t{m['left_sym']}\n\t{m['right_sym']}\n"
+        s = s.replace(pat, f"\t{m['merged_sym']}\n")
+    return s[1:-1].split("\n\t") if s else []
+
+
+@settings(**_SETTINGS)
+@given(
+    _merge_tables(),
+    st.lists(st.text(alphabet=list("abc "), min_size=0, max_size=20),
+             min_size=1, max_size=6),
+)
+def test_bpe_paths_agree_on_random_tables(spark, merges, texts):
+    """For ANY (valid merge table, corpus): the expression chain, the
+    memoized Arrow UDF, and the plain-Python rank-order reference all
+    produce identical tokens."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    chain = {r["doc_id"]: r["bpe_tokens"]
+             for r in bpe.bpe_segment(docs, merges,
+                                      max_expr_merges=10**9).collect()}
+    udf = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe.bpe_segment(docs, merges,
+                                    max_expr_merges=0).collect()}
+    assert chain == udf, (merges, texts)
+    for i, t in enumerate(texts):
+        words = t.strip().lower().split()
+        if not words and t.strip() == "":
+            words = [""]
+        expect = [tok for w in words for tok in _py_rank_order(merges, w)]
+        assert chain[i] == expect, (merges, t)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.tuples(_TEXT, st.sampled_from(["s1", "s2"])),
+    min_size=1, max_size=15))
+def test_sequence_packing_bit_exact(spark, rows):
+    """Offset-aligned packing agrees across engines for any corpus —
+    the window algebra (cumsum, floor-division bin) has no
+    order-dependent float anywhere."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iceberg_lakehouse_spark.functions.dedup_text import tokens_col
+
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, source string")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    got = sorted(tuple(r) for r in docs.select(
+        "doc_id", "source",
+        F.size(tokens_col("text")).cast("long").alias("n"))
+        .withColumn("bin", F.floor(
+            (F.sum("n").over(w) - F.col("n")).cast("double") / 7.0
+        ).cast("long")).select("doc_id", "bin").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                "source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)",
+                    [(i, t, s) for i, (t, s) in enumerate(rows)])
+    exp = sorted(tuple(r) for r in con.execute(r"""
+        SELECT doc_id,
+               CAST(floor(CAST(SUM(n) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                        AS DOUBLE) / 7.0) AS BIGINT) AS bin
+        FROM (SELECT doc_id, source,
+                     CAST(len(regexp_split_to_array(trim(lower(text)),
+                          '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n
+              FROM documents)""").fetchall())
+    assert got == exp, rows
