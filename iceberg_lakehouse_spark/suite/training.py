@@ -6206,3 +6206,208 @@ def sequence_packing_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: oracle-gated STREAMING span dedup (two incremental batches
+# through the real sink, value-hashed against a pure-SQL unroll)
+
+_SSD_N = 8
+
+
+def _span_incr_ctes(stage: str, src: str, idx: str) -> str:
+    """One incremental span-dedup stage as DuckDB CTEs: mask ``src``'s
+    tokens against the gram index ``idx`` (columns g, keeper) plus
+    intra-batch repeats (min-id keeper), rebuild, and emit the landed
+    rows and the post-stage index. Mirrors
+    functions.dedup_text.span_dedup_incremental gram-for-gram (the
+    oracle compares gram STRINGS where the Spark index stores xxhash64
+    keys — same equalities modulo 64-bit hash collisions)."""
+    n = _SSD_N
+    return f"""
+    {stage}_toks AS MATERIALIZED (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)),
+                                     '[ \\t\\n\\x0b\\f\\r]+') AS t
+        FROM {src}
+    ),
+    {stage}_g2 AS MATERIALIZED (
+        SELECT doc_id, pos,
+               array_to_string(t[pos:pos + {n - 1}], ' ') AS g
+        FROM (
+            SELECT doc_id, unnest(range(1, len(t) - {n - 2})) AS pos, t
+            FROM {stage}_toks WHERE len(t) >= {n}
+        )
+    ),
+    {stage}_keep AS MATERIALIZED (
+        SELECT bg.g,
+               COALESCE(ix.keeper, bg.bkeep) AS keeper
+        FROM (
+            SELECT g, MIN(doc_id) AS bkeep, COUNT(*) AS df
+            FROM (SELECT DISTINCT g, doc_id FROM {stage}_g2)
+            GROUP BY g
+        ) bg
+        LEFT JOIN {idx} ix ON ix.g = bg.g
+        WHERE ix.keeper IS NOT NULL OR bg.df >= 2
+    ),
+    {stage}_masked AS MATERIALIZED (
+        SELECT DISTINCT doc_id, mpos FROM (
+            SELECT g2.doc_id,
+                   unnest(range(g2.pos, g2.pos + {n})) AS mpos
+            FROM {stage}_g2 g2 JOIN {stage}_keep k ON g2.g = k.g
+            WHERE g2.doc_id <> k.keeper
+        )
+    ),
+    {stage}_out AS MATERIALIZED (
+        SELECT tk.doc_id,
+               CAST(len(tk.t) AS BIGINT) AS n_tokens,
+               COALESCE(mc.removed, 0) AS removed_tokens,
+               CAST(len(tk.t) - COALESCE(mc.removed, 0) AS BIGINT)
+                   AS kept_tokens,
+               COALESCE(kt.dedup_text, '') AS dedup_text
+        FROM {stage}_toks tk
+        LEFT JOIN (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed
+            FROM {stage}_masked GROUP BY doc_id
+        ) mc ON tk.doc_id = mc.doc_id
+        LEFT JOIN (
+            SELECT pt.doc_id,
+                   string_agg(pt.tok, ' ' ORDER BY pt.p) AS dedup_text
+            FROM (
+                SELECT doc_id, unnest(t) AS tok,
+                       unnest(range(1, len(t) + 1)) AS p
+                FROM {stage}_toks
+            ) pt
+            LEFT JOIN {stage}_masked m
+              ON m.doc_id = pt.doc_id AND m.mpos = pt.p
+            WHERE m.mpos IS NULL
+            GROUP BY pt.doc_id
+        ) kt ON tk.doc_id = kt.doc_id
+    ),
+    {stage}_idx AS MATERIALIZED (
+        SELECT g, keeper FROM {idx}
+        UNION ALL
+        SELECT ng.g, ng.keeper FROM (
+            SELECT array_to_string(t[pos:pos + {n - 1}], ' ') AS g,
+                   MIN(doc_id) AS keeper
+            FROM (
+                SELECT doc_id,
+                       unnest(range(1, len(t) - {n - 2})) AS pos, t
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(dedup_text,
+                               '[ \\t\\n\\x0b\\f\\r]+') AS t
+                    FROM {stage}_out WHERE dedup_text <> ''
+                ) WHERE len(t) >= {n}
+            )
+            GROUP BY g
+        ) ng
+        WHERE NOT EXISTS (SELECT 1 FROM {idx} x WHERE x.g = ng.g)
+    )"""
+
+
+def _ssd_oracle() -> str:
+    return f"""
+    WITH corp AS MATERIALIZED (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)),
+                                     '[ \\t\\n\\x0b\\f\\r]+') AS t
+        FROM documents WHERE doc_id < 100
+    ),
+    idx0 AS MATERIALIZED (
+        SELECT array_to_string(t[pos:pos + {_SSD_N - 1}], ' ') AS g,
+               MIN(doc_id) AS keeper
+        FROM (
+            SELECT doc_id,
+                   unnest(range(1, len(t) - {_SSD_N - 2})) AS pos, t
+            FROM corp WHERE len(t) >= {_SSD_N}
+        )
+        GROUP BY g
+    ),
+    b1src AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id >= 100 AND doc_id < 300
+    ),
+    {_span_incr_ctes("b1", "b1src", "idx0")},
+    b2src AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id >= 300 AND doc_id < 500
+    ),
+    {_span_incr_ctes("b2", "b2src", "b1_idx")},
+    seeded AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(0 AS BIGINT) AS removed_tokens,
+               CAST(len(t) AS BIGINT) AS kept_tokens,
+               array_to_string(t, ' ') AS dedup_text
+        FROM corp
+    )
+    SELECT * FROM seeded
+    UNION ALL SELECT * FROM b1_out
+    UNION ALL SELECT * FROM b2_out
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "streaming_span_dedup_incremental",
+    _ssd_oracle(),
+    survey_ref="beyond-reference (r10): the STREAMING substring-dedup "
+    "sink end-to-end — two micro-batches through the real "
+    "foreachBatch sink + persisted span-gram index, final landed "
+    "table value-hashed against a pure-SQL two-stage unroll",
+)
+def streaming_span_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive ``streaming.sink.span_dedup_stream_to_table`` with the
+    documents table split three ways — docs 0-99 seeded as the landed
+    corpus (span-gram index built over them), docs 100-299 as
+    micro-batch 1, docs 300-499 as micro-batch 2 — and return the
+    final landed table. Batch 1's spans repeating the corpus are cut;
+    batch 2's spans repeating the corpus OR batch 1's SURVIVING text
+    are cut (the index extended with batch 1's rebuilt grams between
+    the runs). The DuckDB oracle unrolls both incremental stages over
+    gram strings, so the whole streaming pipeline — index probe,
+    unified keeper rule, rebuild, index extension — is value-hashed
+    end to end (the Spark index keys grams by xxhash64; equal modulo
+    64-bit collisions)."""
+    import tempfile as _tf
+
+    from ..catalog import LakehouseCatalog
+    from ..functions.dedup_text import tokens_col
+    from ..operators.dedup_index import build_span_index
+    from ..streaming.sink import span_dedup_stream_to_table
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    corpus = docs.where("doc_id < 100")
+    work = _tf.mkdtemp(prefix="ssd_")
+    cat = LakehouseCatalog(spark, f"{work}/wh")
+    t = cat.create_table(
+        "default.ssd_corpus",
+        [("doc_id", "long"), ("n_tokens", "long"),
+         ("removed_tokens", "long"), ("kept_tokens", "long"),
+         ("dedup_text", "string")],
+    )
+    toks = tokens_col("text")
+    t.append(corpus.select(
+        F.col("doc_id").cast("long"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("removed_tokens"),
+        F.size(toks).cast("long").alias("kept_tokens"),
+        F.array_join(toks, " ").alias("dedup_text"),
+    ))
+    idx = build_span_index(cat, "default.ssd_grams", corpus,
+                           "doc_id", "text", n=_SSD_N)
+    for lo, hi, tag in ((100, 300, "b1"), (300, 500, "b2")):
+        src_dir = f"{work}/{tag}"
+        docs.where(f"doc_id >= {lo} AND doc_id < {hi}") \
+            .select("doc_id", "text").write.parquet(src_dir)
+        q = span_dedup_stream_to_table(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src_dir),
+            t, idx, "doc_id", "text",
+            checkpoint_dir=f"{work}/ck_{tag}", available_now=True,
+        )
+        q.awaitTermination(300)
+    return t.scan().orderBy("doc_id")
