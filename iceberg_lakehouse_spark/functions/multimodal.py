@@ -868,3 +868,55 @@ def media_near_dup_pairs(
         fps, "media_id", max_distance=max_distance, fp_len=64,
         max_bucket=max_bucket,
     )
+
+
+def audio_perceptual_hash(df: DataFrame) -> DataFrame:
+    """64-bit perceptual AUDIO fingerprint (round 10 — the audio cell
+    of the dedup × multimodal matrix): decode each WAV's 65-bin
+    amplitude envelope (``decode_audio`` — the one Arrow-batched pass)
+    and take the SIGNS of adjacent-bin energy differences, the audio
+    analogue of dHash (temporal energy gradients survive gain changes
+    and re-encoding the way image gradients survive brightness). The
+    bit extraction is pure Column algebra over the envelope array —
+    the blob is read once, everything after is JVM-side. Corrupt /
+    non-PCM blobs yield a NULL phash (same contract as every decoder
+    here). Output matches ``perceptual_hash``'s shape (media_id,
+    phash), so the SAME Hamming pigeonhole machinery blocks pairs."""
+    env = decode_audio(df, bins=65)
+    bits = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(
+                F.element_at("envelope", (i + 1).cast("int"))
+                > F.element_at("envelope", i.cast("int")),
+                F.lit("1"),
+            ).otherwise("0"),
+        ),
+    )
+    return env.select(
+        "media_id",
+        F.when(F.col("envelope").isNotNull(), bits).alias("phash"),
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    max_distance: int = 6,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Near-duplicate audio pairs at Hamming distance <= d over the
+    envelope-gradient fingerprint — same segment-equality blocking as
+    image/text fingerprints (never all-pairs). Returns
+    (left_id, right_id, hamming)."""
+    from .dedup_text import simhash_hamming_pairs
+
+    fps = (
+        audio_perceptual_hash(df)
+        .where(F.col("phash").isNotNull())
+        .select("media_id", F.col("phash").alias("simhash"))
+    )
+    return simhash_hamming_pairs(
+        fps, "media_id", max_distance=max_distance, fp_len=64,
+        max_bucket=max_bucket,
+    )

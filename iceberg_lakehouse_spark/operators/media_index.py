@@ -63,17 +63,26 @@ def _hash_batch(media_df: DataFrame, algo: str,
 def build_phash_index(
     catalog: LakehouseCatalog,
     name: str,
-    media_df: DataFrame,
+    media_df: DataFrame | None = None,
     algo: str = "dhash",
     max_distance: int = 6,
     deterministic_fake: bool = False,
+    fps: DataFrame | None = None,
 ) -> LakeTable:
     """Create the index and load the corpus's fingerprints (one
     Arrow-batched decode pass — the LAST time these blobs are read for
-    dedup purposes)."""
+    dedup purposes). Pass ``fps`` (media_id, phash) to index
+    fingerprints from another 64-bit family — e.g.
+    ``multimodal.audio_perceptual_hash`` (record it in ``algo`` so
+    probes hash their batches the same way; with ``fps`` the algo is
+    bookkeeping only)."""
     if not 0 < max_distance < _FP_LEN:
         raise ValueError(
             f"max_distance must be in (0, {_FP_LEN}) (got {max_distance})")
+    if fps is None:
+        if media_df is None:
+            raise ValueError("pass media_df or precomputed fps")
+        fps = _hash_batch(media_df, algo, deterministic_fake)
     t = catalog.create_table(
         name,
         [("id", "long"), ("seg", "int"), ("seg_key", "string"),
@@ -82,7 +91,8 @@ def build_phash_index(
                     "phash.max_distance": str(max_distance)},
     )
     t.append(_seg_rows(
-        _hash_batch(media_df, algo, deterministic_fake), max_distance))
+        fps.where(F.col("phash").isNotNull())
+        .select("media_id", "phash"), max_distance))
     return t
 
 

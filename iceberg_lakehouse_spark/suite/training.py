@@ -6411,3 +6411,82 @@ def streaming_span_dedup_incremental(
         )
         q.awaitTermination(300)
     return t.scan().orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Round 10: audio perceptual dedup entry
+
+def _synthesize_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV corpus from doc_ids (testdata ships no audio;
+    every byte is a pure function of doc_id). Planted structure per
+    group ``doc_id % 50``: a pseudo-random 65-bin energy shape;
+    variant 0 at full gain, later variants at reduced gain (EXACT dup
+    by gradient fingerprint — gain invariance) except every 4th
+    variant, which also re-lights one bin (a ≤2-bit near dup)."""
+    import hashlib
+    import struct as _s
+
+    import pandas as pd
+
+    from ..functions.multimodal import MEDIA_SCHEMA
+
+    def _wav(levels):
+        # 65 bins × 10 frames each, constant level per bin
+        samples = [v for lv in levels for v in [lv] * 10]
+        data = _s.pack(f"<{len(samples)}h", *samples)
+        fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(data)) + data)
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, j = did % 50, did // 50
+                d = hashlib.sha256(f"aud-{g}".encode()).digest()
+                while len(d) < 65:
+                    d += hashlib.sha256(d).digest()
+                levels = [200 + b * 80 for b in d[:65]]
+                gain = 1.0 - 0.05 * (j % 8)
+                levels = [int(v * gain) for v in levels]
+                if j and j % 4 == 0:
+                    levels[(j * 7) % 65] = 24000  # re-lit bin
+                content = _wav(levels)
+                rows.append({
+                    "media_id": did, "content": content,
+                    "media_type": "audio", "format": "wav",
+                    "size_bytes": len(content),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    from ..functions.multimodal import MEDIA_SCHEMA as _MS
+
+    return docs.select("doc_id").mapInPandas(_batches, _MS)
+
+
+@register(
+    "audio_perceptual_near_dups",
+    None,  # WAV decode of binary blobs — no SQL oracle
+    survey_ref="beyond-reference (r10): perceptual AUDIO dedup — "
+    "gain-invariant envelope-gradient fingerprints over the real WAV "
+    "decode, pairs via the shared Hamming pigeonhole blocking; "
+    "invariances pinned in tests/test_perceptual_dedup.py",
+)
+def audio_perceptual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs over a deterministic synthetic WAV
+    corpus (one clip per document id): Arrow-batched envelope decode →
+    64-bit gradient fingerprint → segment-blocked Hamming pairs at
+    distance <= 4. The corpus plants 50 groups of 10 variants (gain
+    changes hash identically; every 4th variant re-lights one bin).
+    Same 100 TB story as the image and text fingerprints — the
+    blocking machinery is shared, not duplicated."""
+    from ..functions.multimodal import audio_near_dup_pairs
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    return (
+        audio_near_dup_pairs(_synthesize_audio(docs), max_distance=4)
+        .orderBy("left_id", "right_id")
+    )

@@ -262,3 +262,53 @@ def test_media_dedup_stream_two_batches(spark, tmp_path, tmp_warehouse):
     q3.awaitTermination(180)
     assert t.scan().count() == 6
     assert idx.scan().count() == n_idx
+
+
+def _wav(samples, channels=1, rate=8000):
+    from tests.test_llm_ops import _wav_bytes
+
+    return _wav_bytes(samples, channels=channels, rate=rate)
+
+
+def test_audio_perceptual_hash_and_pairs(spark):
+    """Audio dedup cell (r10): the envelope-gradient fingerprint is a
+    GAIN-INVARIANT 64-bit hash (signs of adjacent energy deltas), a
+    tiny local edit flips few bits, a different energy shape is far,
+    and corrupt blobs yield NULL — pairs via the shared pigeonhole
+    blocking, never all-pairs."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    n = 6500  # 65 bins × 100 frames
+    base = [int(8000 * abs(math.sin(i / 37.0))) for i in range(n)]
+    half = [v // 2 for v in base]               # uniform gain change
+    edit = list(base)
+    edit[1300:1400] = [12000] * 100             # one re-lit bin
+    ramp = [i for i in range(n)]                # monotone energy
+    rows = [
+        (1, _wav(base), "audio", "wav", 0),
+        (2, _wav(half), "audio", "wav", 0),     # exact dup by gradient
+        (3, _wav(edit), "audio", "wav", 0),     # near dup
+        (4, _wav(ramp), "audio", "wav", 0),     # far (all-ones hash)
+        (5, b"RIFFjunk", "audio", "wav", 0),    # corrupt
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    ph = {r["media_id"]: r["phash"]
+          for r in mm.audio_perceptual_hash(df).collect()}
+    assert ph[1] == ph[2] and len(ph[1]) == 64   # gain invariance
+    assert ph[5] is None
+    d13 = sum(a != b for a, b in zip(ph[1], ph[3]))
+    assert 1 <= d13 <= 4, d13                    # local edit = few bits
+    assert ph[4] == "1" * 64                     # monotone ramp
+    pairs = {(r["left_id"], r["right_id"]): r["hamming"]
+             for r in mm.audio_near_dup_pairs(df, max_distance=6)
+             .collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert all(4 not in p and 5 not in p for p in pairs)
+    # blocked plan, like every other fingerprint family
+    plan = mm.audio_near_dup_pairs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
