@@ -920,3 +920,107 @@ def audio_near_dup_pairs(
         fps, "media_id", max_distance=max_distance, fp_len=64,
         max_bucket=max_bucket,
     )
+
+
+FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("fhash", T.StringType()),  # 64-char bitstring
+    ]
+)
+
+
+def video_frame_hashes(df: DataFrame, every_nth: int = 1) -> DataFrame:
+    """Per-frame dHash over the PPMV container (round 10 — the video
+    cell of the dedup × multimodal matrix): one Arrow-batched pass
+    yields (media_id, frame_index, 64-bit fingerprint) for every
+    sampled frame — a video becomes a DOCUMENT OF FRAME HASHES, so
+    downstream dedup reuses the text machinery wholesale (frame-hash
+    equality joins instead of shingle joins). Corrupt containers
+    contribute the frames parsed before the bad boundary, same as
+    ``extract_frames``."""
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1 (got {every_nth})")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                try:
+                    for i, (h, w, _c, px) in enumerate(
+                            _iter_ppm_frames(raw)):
+                        if i % every_nth:
+                            continue
+                        rows.append({
+                            "media_id": media_id, "frame_index": i,
+                            "fhash": _dhash64(px, h, w),
+                        })
+                except (ValueError, IndexError):
+                    pass
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_HASH_SCHEMA.fields])
+
+    return df.mapInPandas(_batches, FRAME_HASH_SCHEMA)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    every_nth: int = 1,
+    threshold: float = 0.5,
+    max_df: int = 1024,
+) -> DataFrame:
+    """Near-duplicate video pairs by FRAME-SET overlap: two clips are
+    near-dups when >= ``threshold`` of the shorter clip's sampled
+    frame fingerprints also occur in the other (containment — robust
+    to trims and re-encodes that drop/duplicate frames, the standard
+    video-dedup formulation). Candidates come from frame-hash equality
+    (one hash shuffle) with the classic document-frequency cap: a
+    fingerprint shared by more than ``max_df`` clips (test patterns,
+    black frames) is dropped from candidate GENERATION — pairs sharing
+    only ubiquitous frames are boilerplate matches, not duplicates —
+    while the containment VERIFY still counts every shared distinct
+    fingerprint. Returns (left_id, right_id, shared_frames,
+    containment). Never an all-pairs join; the same O(Σ df²) bound as
+    the rare-shingle text path."""
+    hashes = video_frame_hashes(df, every_nth=every_nth)
+    distinct = hashes.select("media_id", "fhash").distinct()
+    sizes = distinct.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("_n"))
+    dfreq = distinct.groupBy("fhash").agg(F.count(F.lit(1)).alias("_df"))
+    rare = distinct.join(
+        dfreq.where(F.col("_df") <= max_df), "fhash")
+    a = rare.select(F.col("fhash"), F.col("media_id").alias("left_id"))
+    b = rare.select(F.col("fhash"), F.col("media_id").alias("right_id"))
+    cand = (
+        a.join(b, "fhash")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    shared = (
+        distinct.select(F.col("media_id").alias("left_id"), "fhash")
+        .join(cand, "left_id")
+        .join(
+            distinct.select(F.col("media_id").alias("right_id"), "fhash"),
+            ["right_id", "fhash"],
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+    )
+    return (
+        shared
+        .join(sizes.withColumnRenamed("media_id", "left_id")
+              .withColumnRenamed("_n", "_na"), "left_id")
+        .join(sizes.withColumnRenamed("media_id", "right_id")
+              .withColumnRenamed("_n", "_nb"), "right_id")
+        .select(
+            "left_id", "right_id", "shared_frames",
+            F.round(
+                F.col("shared_frames")
+                / F.least(F.col("_na"), F.col("_nb")), 6
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

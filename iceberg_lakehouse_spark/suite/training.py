@@ -6490,3 +6490,74 @@ def audio_perceptual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_near_dup_pairs(_synthesize_audio(docs), max_distance=4)
         .orderBy("left_id", "right_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: video frame-hash dedup entry
+
+def _synthesize_video(docs: DataFrame) -> DataFrame:
+    """Deterministic PPMV corpus from doc_ids (no video in testdata):
+    group ``doc_id % 50`` fixes a 4-frame clip (pseudo-random 9×8
+    frames); variants are brightness-shifted re-encodes (dHash
+    identical) and every 4th is additionally TRIMMED to the middle two
+    frames — exercising both invariance and containment."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.multimodal import MEDIA_SCHEMA
+
+    def _frame(g, i, up):
+        d = hashlib.sha256(f"vid-{g}-{i}".encode()).digest()
+        while len(d) < 72:
+            d += hashlib.sha256(d).digest()
+        vals = [min(255, 10 + b % 200 + up) for b in d[:72]]
+        return (b"P6\n9 8\n255\n"
+                + bytes(v for val in vals for v in (val,) * 3))
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, j = did % 50, did // 50
+                up = 5 * (j % 5)  # brightness re-encode, never clamps
+                frames = range(4) if j % 4 or j == 0 else range(1, 3)
+                content = b"".join(_frame(g, i, up) for i in frames)
+                rows.append({
+                    "media_id": did, "content": content,
+                    "media_type": "video", "format": "ppmv",
+                    "size_bytes": len(content),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    from ..functions.multimodal import MEDIA_SCHEMA as _MS
+
+    return docs.select("doc_id").mapInPandas(_batches, _MS)
+
+
+@register(
+    "video_perceptual_near_dups",
+    None,  # frame decode of binary containers — no SQL oracle
+    survey_ref="beyond-reference (r10): VIDEO near-dup pairs — clips "
+    "as documents of per-frame dHashes, candidates from frame-hash "
+    "equality with the rare-key df cap, containment verify (robust to "
+    "trims and re-encodes); invariances pinned in "
+    "tests/test_perceptual_dedup.py",
+)
+def video_perceptual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video pairs over a deterministic synthetic PPMV
+    corpus (one 4-frame clip per document id, 50 planted groups of 10
+    re-encode/trim variants): per-frame dHash → frame-hash equality
+    candidates (df-capped) → containment >= 0.5. Completes the
+    image/audio/video trio — all three ride the same blocking
+    discipline (pigeonhole segments for fixed-width fingerprints,
+    rare-key equality for fingerprint SETS)."""
+    from ..functions.multimodal import video_near_dup_pairs
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    return (
+        video_near_dup_pairs(_synthesize_video(docs), threshold=0.5)
+        .orderBy("left_id", "right_id")
+    )

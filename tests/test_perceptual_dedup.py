@@ -312,3 +312,66 @@ def test_audio_perceptual_hash_and_pairs(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_frame_hash_dedup(spark):
+    """Video dedup cell (r10): clips as documents of frame fingerprints
+    — a re-encoded copy (per-frame brightness shift: dHash-invariant)
+    matches fully, a TRIMMED copy matches by containment, a clip
+    sharing only a ubiquitous black frame does not pair (df cap drops
+    it from candidates), and disjoint clips never pair."""
+    def frame(seed):
+        import hashlib
+
+        d = hashlib.sha256(f"vf-{seed}".encode()).digest()
+        while len(d) < 72:
+            d += hashlib.sha256(d).digest()
+        return _ppm_bytes(9, 8, [((10 + b % 200,) * 3) for b in d[:72]])
+
+    def bright(seed, up):
+        import hashlib
+
+        d = hashlib.sha256(f"vf-{seed}".encode()).digest()
+        while len(d) < 72:
+            d += hashlib.sha256(d).digest()
+        return _ppm_bytes(9, 8, [((10 + b % 200 + up,) * 3)
+                                 for b in d[:72]])
+
+    black = _ppm_bytes(9, 8, [(0, 0, 0)] * 72)
+    a = frame("a1") + frame("a2") + frame("a3") + frame("a4")
+    a_re = (bright("a1", 30) + bright("a2", 30) + bright("a3", 30)
+            + bright("a4", 30))                       # re-encode
+    a_trim = frame("a2") + frame("a3")                # 2 of 4 frames
+    other = frame("z1") + black                       # shares nothing real
+    withblk = frame("q1") + black                     # shares only black
+    rows = [
+        (1, a, "video", "ppmv", 0),
+        (2, a_re, "video", "ppmv", 0),
+        (3, a_trim, "video", "ppmv", 0),
+        (4, other, "video", "ppmv", 0),
+        (5, withblk, "video", "ppmv", 0),
+        # two more black-bearing clips push the black frame's document
+        # frequency over max_df=3 — genuinely ubiquitous, like a test
+        # pattern
+        (6, frame("r1") + black, "video", "ppmv", 0),
+        (7, frame("s1") + black, "video", "ppmv", 0),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    hashes = mm.video_frame_hashes(df)
+    got = {(r["media_id"], r["frame_index"]): r["fhash"]
+           for r in hashes.collect()}
+    assert got[(1, 0)] == got[(2, 0)]          # brightness-invariant
+    assert got[(1, 1)] == got[(3, 0)]          # trim preserves hashes
+    pairs = {(r["left_id"], r["right_id"]): r["containment"]
+             for r in mm.video_near_dup_pairs(df, threshold=0.5,
+                                              max_df=3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0                # full containment of trim
+    assert pairs[(2, 3)] == 1.0
+    assert (4, 5) not in pairs                 # only-black-frame pair cut
+    assert all(4 not in p or 5 in p for p in pairs)  # 4 pairs with nobody
+    # plan gate: equality-join candidates, no cartesian
+    plan = mm.video_near_dup_pairs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
