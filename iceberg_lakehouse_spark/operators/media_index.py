@@ -64,25 +64,35 @@ def build_phash_index(
     catalog: LakehouseCatalog,
     name: str,
     media_df: DataFrame | None = None,
-    algo: str = "dhash",
+    algo: str | None = None,
     max_distance: int = 6,
     deterministic_fake: bool = False,
     fps: DataFrame | None = None,
 ) -> LakeTable:
     """Create the index and load the corpus's fingerprints (one
     Arrow-batched decode pass — the LAST time these blobs are read for
-    dedup purposes). Pass ``fps`` (media_id, phash) to index
-    fingerprints from another 64-bit family — e.g.
-    ``multimodal.audio_perceptual_hash`` (record it in ``algo`` so
-    probes hash their batches the same way; with ``fps`` the algo is
-    bookkeeping only)."""
+    dedup purposes). ``algo`` defaults to dhash for the media_df path;
+    with ``fps`` (media_id, phash) rows from another 64-bit family —
+    e.g. ``multimodal.audio_perceptual_hash`` — the caller MUST name
+    the family explicitly: the recorded algo is what stops a later
+    media_df probe from silently dHashing image blobs against audio
+    fingerprints (the mismatched-hashing guard every index here
+    carries), because a non-image algo makes that probe fail loudly
+    inside ``perceptual_hash``."""
     if not 0 < max_distance < _FP_LEN:
         raise ValueError(
             f"max_distance must be in (0, {_FP_LEN}) (got {max_distance})")
     if fps is None:
         if media_df is None:
             raise ValueError("pass media_df or precomputed fps")
+        algo = algo or "dhash"
         fps = _hash_batch(media_df, algo, deterministic_fake)
+    elif algo is None:
+        raise ValueError(
+            "fps-built indexes must name their fingerprint family "
+            "explicitly (e.g. algo='audio_gradient') — a defaulted "
+            "'dhash' would let image probes silently compare against "
+            "non-image fingerprints")
     t = catalog.create_table(
         name,
         [("id", "long"), ("seg", "int"), ("seg_key", "string"),

@@ -5910,9 +5910,7 @@ def _synthesize_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
-    from ..functions.multimodal import MEDIA_SCHEMA as _MS
-
-    return docs.select("doc_id").mapInPandas(_batches, _MS)
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
 
 
 @register(
@@ -6409,7 +6407,12 @@ def streaming_span_dedup_incremental(
             t, idx, "doc_id", "text",
             checkpoint_dir=f"{work}/ck_{tag}", available_now=True,
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            # starting batch 2 while batch 1 still appends would
+            # interleave commits nondeterministically — fail loudly
+            q.stop()
+            raise RuntimeError(
+                f"streaming span batch {tag} did not drain in 600s")
     return t.scan().orderBy("doc_id")
 
 
@@ -6462,9 +6465,7 @@ def _synthesize_audio(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
-    from ..functions.multimodal import MEDIA_SCHEMA as _MS
-
-    return docs.select("doc_id").mapInPandas(_batches, _MS)
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
 
 
 @register(
@@ -6532,9 +6533,7 @@ def _synthesize_video(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
-    from ..functions.multimodal import MEDIA_SCHEMA as _MS
-
-    return docs.select("doc_id").mapInPandas(_batches, _MS)
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
 
 
 @register(

@@ -845,3 +845,39 @@ class TestSpanDedupStream:
         assert 30 in got
         assert got[30]["removed_tokens"] == 0        # NOT self-masked
         assert got[30]["dedup_text"].startswith("thirty distinct")
+
+
+def test_streaming_span_entry_handles_edge_whitespace(spark):
+    """r10 third-review regression: a doc whose text ends in
+    whitespace must tokenize identically through the Spark sink's
+    rebuilt-gram extension and the oracle's SQL unroll (the unroll
+    originally re-tokenized dedup_text without trim and minted a
+    phantom trailing-empty-token gram)."""
+    import duckdb
+
+    from iceberg_lakehouse_spark.functions.dedup_text import (
+        _span_grams,
+        _span_tokens,
+    )
+
+    # a rebuilt text whose last token was cut ends with a space
+    dedup_text = "a b c d e f g h "
+    sdf = spark.createDataFrame([(1, dedup_text)],
+                                "doc_id long, text string")
+    n_spark = _span_grams(_span_tokens(sdf, "doc_id", "text"), 8).count()
+    con = duckdb.connect()
+    with_trim = con.execute(r"""
+        SELECT COUNT(*) FROM (
+            SELECT unnest(range(1, len(t) - 6)) FROM (
+                SELECT regexp_split_to_array(trim(?),
+                       '[ \t\n\x0b\f\r]+') AS t) WHERE len(t) >= 8)
+    """, [dedup_text]).fetchone()[0]
+    without_trim = con.execute(r"""
+        SELECT COUNT(*) FROM (
+            SELECT unnest(range(1, len(t) - 6)) FROM (
+                SELECT regexp_split_to_array(?,
+                       '[ \t\n\x0b\f\r]+') AS t) WHERE len(t) >= 8)
+    """, [dedup_text]).fetchone()[0]
+    assert n_spark == with_trim == 1        # the oracle's fixed form
+    assert without_trim == 2                # the phantom gram the old
+    #                                         unroll would have minted
