@@ -440,6 +440,7 @@ _TREE: dict[str, dict[str, str]] = {
         "phash-build": "phash_index_build",
         "phash-probe": "phash_index_probe",
         "phash-extend": "phash_index_extend",
+        "status": "index_status",
         "link-source": "index_link_source",
         "sync-deletes": "index_sync_deletes",
     },

@@ -205,3 +205,68 @@ def sync_index_deletes(
         return report
     finally:
         dels.unpersist()
+
+
+_KIND_PROPS = (
+    ("ivfpq", "ivfpq.n_cells"),
+    ("ivf", "ivf.n_cells"),
+    ("minhash", "dedup.k"),
+    ("span", "span.ngram"),
+    ("phash", "phash.algo"),
+)
+
+
+def index_status(catalog: LakehouseCatalog) -> list[dict]:
+    """Operational inventory of EVERY index table in the catalog
+    (round 10 — the single pane the five index families now justify):
+    kind, row count, family parameters, and — when the index is linked
+    to a source — the sync-cursor LAG (how many source commits have
+    landed since the last sync; lag > 0 means probes can return stale
+    candidates until ``sync_index_deletes`` runs). Metadata + one
+    count per index; no data scans beyond that."""
+    out: list[dict] = []
+    for name in catalog.list_tables():
+        t = catalog.load_table(name)
+        props = t.properties()
+        kind = next((k for k, marker in _KIND_PROPS if marker in props),
+                    None)
+        if kind is None:
+            continue
+        entry: dict = {
+            "index": name,
+            "kind": kind,
+            "rows": t.scan().count(),
+            "params": {k: v for k, v in sorted(props.items())
+                       if not k.startswith("index.")},
+        }
+        src_name = props.get("index.source_table")
+        if src_name:
+            entry["source"] = src_name
+            synced = props.get("index.synced_snapshot_id")
+            entry["synced_snapshot_id"] = (
+                int(synced) if synced is not None else None)
+            try:
+                src = catalog.load_table(src_name)
+                snaps = {s.snapshot_id: s for s in src.snapshots()}
+                cur = src.current_snapshot()
+                entry["source_snapshot_id"] = (
+                    cur.snapshot_id if cur else None)
+                if synced is not None and cur is not None:
+                    if int(synced) not in snaps:
+                        entry["sync_lag"] = None
+                        entry["sync_state"] = "cursor_expired"
+                    else:
+                        lag, sid = 0, cur.snapshot_id
+                        while sid is not None and sid != int(synced):
+                            lag += 1
+                            s = snaps.get(sid)
+                            sid = s.parent_id if s else None
+                        entry["sync_lag"] = lag
+                        entry["sync_state"] = (
+                            "in_sync" if lag == 0 else "behind")
+            except ValueError:
+                entry["sync_state"] = "source_missing"
+        else:
+            entry["sync_state"] = "unlinked"
+        out.append(entry)
+    return sorted(out, key=lambda e: e["index"])

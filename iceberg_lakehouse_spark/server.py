@@ -1039,6 +1039,15 @@ class LakehouseServer:
                     vec_col=vector_column),
         )
         self._add(
+            _tool("index_status",
+                  "Inventory of every index table: kind (minhash/span/"
+                  "phash/ivf/ivfpq), rows, family params, and the "
+                  "sync-cursor lag vs its linked source (in_sync / "
+                  "behind / unlinked / cursor_expired)",
+                  {}, []),
+            lambda: _isync.index_status(c),
+        )
+        self._add(
             _tool("index_sync_deletes",
                   "Remove index rows whose source rows were deleted "
                   "since the last sync (changelog-driven, one "

@@ -378,3 +378,42 @@ def test_auto_rebuild_index_policy(spark, tmp_warehouse, tmp_path):
           if a["action"] == "rebuild_ivfpq_index"]
     assert ok and ok[0]["status"] == "completed"
     assert ok[0]["rows"] == 60
+
+
+def test_index_status_inventory(spark, tmp_warehouse):
+    """r10: one pane over every index family — kind detection, row
+    counts, and sync-cursor lag states (in_sync / behind / unlinked /
+    cursor_expired)."""
+    from iceberg_lakehouse_spark.operators.dedup_index import (
+        build_span_index,
+    )
+    from iceberg_lakehouse_spark.operators.index_sync import index_status
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    di.build_dedup_index(cat, "default.mh", t.scan(), "doc_id", "text")
+    build_span_index(cat, "default.sp", t.scan(), "doc_id", "text", n=8)
+    link_index_source(cat, "default.mh", "default.docs", "doc_id")
+    st = {e["index"]: e for e in index_status(cat)}
+    assert set(st) == {"default.mh", "default.sp"}
+    assert st["default.mh"]["kind"] == "minhash"
+    assert st["default.mh"]["sync_state"] == "in_sync"
+    assert st["default.mh"]["sync_lag"] == 0
+    assert st["default.sp"]["kind"] == "span"
+    assert st["default.sp"]["sync_state"] == "unlinked"
+    assert st["default.mh"]["rows"] > 0
+    # two source commits later: lag counts them
+    crud.delete_rows(t, "doc_id = 1")
+    crud.insert_rows(t, [{"doc_id": 9, "text": "nine"}])
+    st2 = {e["index"]: e for e in index_status(cat)}
+    assert st2["default.mh"]["sync_state"] == "behind"
+    assert st2["default.mh"]["sync_lag"] == 2
+    sync_index_deletes(cat, "default.mh")
+    st3 = {e["index"]: e for e in index_status(cat)}
+    assert st3["default.mh"]["sync_state"] == "in_sync"
+    # expired cursor surfaces as its own state
+    crud.insert_rows(t, [{"doc_id": 10, "text": "ten"}])
+    crud.insert_rows(t, [{"doc_id": 11, "text": "eleven"}])
+    t.expire_snapshots(retain_last=1)
+    st4 = {e["index"]: e for e in index_status(cat)}
+    assert st4["default.mh"]["sync_state"] == "cursor_expired"
