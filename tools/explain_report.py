@@ -212,6 +212,12 @@ SHOW = [
      "16 merges bpe_segment switches to ONE Arrow-batched memoized "
      "pandas UDF — round 10 — because a 30k-deep replace chain fails "
      "Catalyst analysis; still map-only either way.)"),
+    ("video_perceptual_near_dups",
+     "Video frame-set dedup (round 10): per-frame dHash decode is one "
+     "Arrow-batched pass; candidates come from a frame-hash EQUALITY "
+     "join with the rare-key df cap (ubiquitous frames dropped before "
+     "the join, like hot shingles) and the containment verify joins "
+     "only candidate pairs — no cartesian anywhere."),
     ("sequence_packing_by_source",
      "Sequence packing (round 10): one window exchange partitioned by "
      "source (the packing stream — order-sensitive, irreducible per "
