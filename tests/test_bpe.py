@@ -201,3 +201,101 @@ def test_vocab_scale_apply_plan_is_one_udf_not_deep_chain(spark):
     assert "ArrowEvalPython" not in plan_small
     assert "replace(" in plan_small
     assert "Exchange" not in plan_small
+
+
+# ---------------------------------------------------------------------------
+# Batched (vocab-scale) TRAINING — VERDICT r10 #1
+# ---------------------------------------------------------------------------
+
+
+def test_batched_training_matches_sequential_on_disjoint_pairs(spark):
+    """Two-letter words from disjoint alphabets: every merge collapses
+    its word to a single symbol, so no merge ever creates a new pair —
+    batched selection is EXACTLY sequential greedy here. B=4 must
+    reproduce the B=1 merge table bit-for-bit."""
+    words = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"]
+    rows = []
+    for i, w in enumerate(words):
+        rows.append(" ".join([w] * (100 - 10 * i)))
+    docs = _docs(spark, rows)
+    seq = bpe.bpe_train_merges(docs, n_merges=8)
+    stats: dict = {}
+    bat = bpe.bpe_train_merges(
+        docs, n_merges=8, merges_per_pass=4, stats=stats)
+    assert bat == seq
+    assert stats["passes"] == 2
+    assert stats["merges_per_pass_taken"] == [4, 4]
+
+
+def test_batched_training_job_count_is_per_pass_not_per_merge(spark):
+    """The job-count claim, pinned on the real scheduler: 8 merges at
+    B=4 run 2 driver passes instead of 8, so the Spark job count (AQE
+    sub-jobs included) must shrink proportionally — the batched run
+    launches at most ~(passes/merges)+slack of the sequential run's
+    jobs. Counted via job groups."""
+    words = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"]
+    docs = _docs(spark, [
+        " ".join([w] * (100 - 10 * i)) for i, w in enumerate(words)
+    ])
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def count_jobs(group, **kw):
+        sc.setJobGroup(group, group)
+        try:
+            stats: dict = {}
+            m = bpe.bpe_train_merges(docs, n_merges=8, stats=stats, **kw)
+        finally:
+            sc.setJobGroup("", "")
+        assert len(m) == 8
+        return len(tracker.getJobIdsForGroup(group)), stats
+
+    seq_jobs, seq_stats = count_jobs("bpe-jobcount-seq")
+    bat_jobs, bat_stats = count_jobs("bpe-jobcount-b4", merges_per_pass=4)
+    assert seq_stats["passes"] == 8
+    assert bat_stats["passes"] == 2
+    # each batched pass landed the full B merges
+    assert bat_stats["merges_per_pass_taken"] == [4, 4]
+    # 2 passes vs 8 passes: batched must use well under half the jobs
+    assert bat_jobs * 2 < seq_jobs, (
+        f"batched path launched {bat_jobs} jobs vs sequential "
+        f"{seq_jobs} — expected a ~passes-proportional reduction")
+
+
+def test_batched_training_rejects_interfering_pairs(spark):
+    """'ab' and 'bc' words share symbol b: batch pass 1 must take only
+    (a,b) and defer (b,c) to pass 2 — and the final table equals the
+    sequential one (deferral preserves exactness when the rejected
+    pair survives to the next pass)."""
+    docs = _docs(spark, [
+        " ".join(["ab"] * 50), " ".join(["bc"] * 40),
+    ])
+    seq = bpe.bpe_train_merges(docs, n_merges=2)
+    stats: dict = {}
+    bat = bpe.bpe_train_merges(
+        docs, n_merges=2, merges_per_pass=2, stats=stats)
+    assert [(m["left_sym"], m["right_sym"]) for m in seq] == [
+        ("a", "b"), ("b", "c")]
+    assert bat == seq
+    assert stats["merges_per_pass_taken"] == [1, 1]
+
+
+def test_batched_training_rejects_minted_symbol_collision(spark):
+    """Candidate (l,o) mints 'lo'; a same-slate candidate (lo,w) would
+    be counted against a corpus where 'lo' does not yet exist — the
+    {l, r, l+r} rule must defer it. 'low'-heavy corpus: pass 1 takes
+    (l,o) alone among those two, pass 2 takes (lo,w)."""
+    docs = _docs(spark, [" ".join(["low"] * 30)])
+    stats: dict = {}
+    bat = bpe.bpe_train_merges(
+        docs, n_merges=2, merges_per_pass=2, stats=stats)
+    assert [(m["left_sym"], m["right_sym"]) for m in bat] == [
+        ("l", "o"), ("lo", "w")]
+    assert stats["merges_per_pass_taken"] == [1, 1]
+    assert bat == bpe.bpe_train_merges(docs, n_merges=2)
+
+
+def test_batched_training_rejects_bad_b(spark):
+    docs = _docs(spark, ["a b"])
+    with pytest.raises(ValueError, match="merges_per_pass"):
+        bpe.bpe_train_merges(docs, merges_per_pass=0)
