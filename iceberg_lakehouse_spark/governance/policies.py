@@ -213,7 +213,11 @@ class MaintenanceManager:
         # source's delete events since the last sync and remove the
         # matching index rows (one equality-delete commit) — without
         # it a curation loop that deletes near-dups re-probes stale
-        # candidates forever (r10)
+        # candidates forever (r10). When the sync reports live
+        # UPDATES (reinserted_ids > 0), the run re-extends those ids'
+        # current content back into the index (r11) — links on
+        # text/vector indexes should name text_col/vec_col so that
+        # can succeed unattended
         "auto_sync_index": None,
         # a min-recall number in (0, 1]: when this table is an ANN /
         # IVFPQ index whose MEASURED sampled recall@10 (nprobe=2,
@@ -498,6 +502,35 @@ class MaintenanceManager:
                         "removed_index_rows": res["removed_index_rows"],
                         "reinserted_ids": res["reinserted_ids"],
                     })
+                    if res["reinserted_ids"] > 0:
+                        # r11 (r10 ADVICE): updated docs' final state
+                        # is live — without this they silently vanish
+                        # from the index. Re-derive their CURRENT
+                        # content into the index; a link missing the
+                        # content column lands as a FAILED action
+                        # with the remedy, and index_status keeps
+                        # reporting stale_reinserts until repaid.
+                        from ..operators.index_sync import (
+                            reextend_index,
+                        )
+
+                        try:
+                            rex = reextend_index(
+                                table.catalog, full_name)
+                            actions.append({
+                                "action": "reextend_index",
+                                "status": "completed",
+                                "reextended_ids":
+                                    rex["reextended_ids"],
+                                "index_rows_added":
+                                    rex["index_rows_added"],
+                            })
+                        except ValueError as e:
+                            actions.append({
+                                "action": "reextend_index",
+                                "status": "failed",
+                                "error": str(e)[:300],
+                            })
         if needed.get("needs_index_rebuild"):
             kind = self._index_kind(table)
             if dry_run:

@@ -34,6 +34,17 @@ stale index rows and reports it under ``reinserted_ids`` so the
 caller re-extends it — extending first would let the sync delete the
 fresh rows.
 
+Round 11 closes the loop the r10 ADVICE flagged (updated documents
+silently vanishing from the index under ``auto_sync_index``): a sync
+that leaves live-updated ids unindexed stamps a PERSISTENT
+``index.pending_reinserts*`` marker (count + the changelog range), so
+``index_status`` reports ``stale_reinserts`` instead of ``in_sync``,
+and ``reextend_index`` recomputes the affected ids from that range
+and upserts their CURRENT source content back into the index via the
+family's own extend path (minhash band keys / span grams / IVF cells
+/ IVFPQ codes / phash segments). The maintenance policy runs it
+automatically after each sync.
+
 Works unchanged for all three index families because each stores its
 rows keyed ``id`` (long): the MinHash band-key table, the IVF vectors
 table, and the IVFPQ codes table. Reference analogue: none (the
@@ -58,6 +69,8 @@ def link_index_source(
     source_table: str,
     id_col: str,
     vec_col: str | None = None,
+    text_col: str | None = None,
+    media_deterministic_fake: bool = False,
 ) -> dict:
     """Record which source table an index derives from and baseline
     the sync cursor at the source's current snapshot. Call right after
@@ -65,7 +78,12 @@ def link_index_source(
     recoverable from the changelog. ``vec_col`` (vector indexes only)
     additionally records where the source vectors live, which lets the
     ``auto_rebuild_index`` maintenance policy run the IVFPQ
-    corpus-based rebuild unattended."""
+    corpus-based rebuild unattended. ``text_col`` (minhash/span
+    indexes) records where the document text lives so
+    ``reextend_index`` can re-derive an updated doc's index rows
+    unattended; ``media_deterministic_fake`` (phash indexes) pins the
+    decode tier the index was built with so an unattended re-extend
+    hashes replays bit-identically to the build."""
     idx = catalog.load_table(index_name)
     src = catalog.load_table(source_table)
     dtype = dict(src.scan().dtypes).get(id_col)
@@ -92,6 +110,13 @@ def link_index_source(
             raise ValueError(
                 f"vector column {vec_col!r} not found in {source_table}")
         props["index.source_vec_col"] = vec_col
+    if text_col is not None:
+        if text_col not in dict(src.scan().dtypes):
+            raise ValueError(
+                f"text column {text_col!r} not found in {source_table}")
+        props["index.source_text_col"] = text_col
+    if media_deterministic_fake:
+        props["index.media_deterministic_fake"] = "true"
     idx.set_properties(props)
     return {
         "index": index_name,
@@ -153,10 +178,7 @@ def sync_index_deletes(
             "changelog. Rebuild the index from the current source "
             "(then link_index_source again), and retain enough source "
             "snapshots to cover the sync cadence.")
-    ch = changelog_view(src, last, cur.snapshot_id)
-    qid = "`" + id_col.replace("`", "``") + "`"
-    events = ch.selectExpr(
-        f"CAST({qid} AS LONG) AS id", "_change_type", "_change_ordinal")
+    events = _change_events(src, id_col, last, cur.snapshot_id)
     dels = events.where(F.col("_change_type") == "delete") \
         .select("id").distinct().persist()
     try:
@@ -170,20 +192,8 @@ def sync_index_deletes(
         # (an update's delete+insert pair shares its ordinal — the
         # insert wins, the row is live) means the caller must
         # re-extend the id after this sync
-        last_state = (
-            events.join(dels, "id", "left_semi")
-            .groupBy("id")
-            .agg(F.max_by(
-                "_change_type",
-                F.struct(
-                    F.col("_change_ordinal"),
-                    # insert outranks delete at equal ordinal
-                    (F.col("_change_type") == "insert").cast("int"),
-                ),
-            ).alias("_final"))
-        )
         report["reinserted_ids"] = int(
-            last_state.where(F.col("_final") == "insert").count())
+            _reinserted(events, dels).count())
         icur = idx.current_snapshot()
         if icur is not None and icur.files:
             report["removed_index_rows"] = int(
@@ -200,11 +210,216 @@ def sync_index_deletes(
         # cursor advances AFTER the delete commit: a crash between the
         # two replays this range — the replayed equality delete
         # matches nothing and the report is the only difference
-        idx.set_properties(
-            {"index.synced_snapshot_id": str(cur.snapshot_id)})
+        new_props = {"index.synced_snapshot_id": str(cur.snapshot_id)}
+        if report["reinserted_ids"] > 0:
+            # live-updated ids just lost their index rows: persist the
+            # debt so index_status reports stale_reinserts (not
+            # in_sync) until reextend_index repays it. An older UNPAID
+            # range keeps its FROM (sync ranges are consecutive, so
+            # the widened range re-derives the full affected id set);
+            # a repaid one starts fresh at this range.
+            prev = int(props.get("index.pending_reinserts", 0) or 0)
+            new_props["index.pending_reinserts"] = str(
+                report["reinserted_ids"] + prev)
+            new_props["index.pending_reinserts_from"] = (
+                props["index.pending_reinserts_from"] if prev > 0
+                else str(last))
+            new_props["index.pending_reinserts_to"] = str(cur.snapshot_id)
+        idx.set_properties(new_props)
         return report
     finally:
         dels.unpersist()
+
+
+def _change_events(src: LakeTable, id_col: str, lo: int, hi: int):
+    """Changelog events in (lo, hi] projected to (id, _change_type,
+    _change_ordinal) — the shared input of sync and re-extend."""
+    from ..governance.cdc import changelog_view
+
+    qid = "`" + id_col.replace("`", "``") + "`"
+    return changelog_view(src, lo, hi).selectExpr(
+        f"CAST({qid} AS LONG) AS id", "_change_type", "_change_ordinal")
+
+
+def _reinserted(events, dels):
+    """Distinct ids from ``dels`` whose FINAL state in the event range
+    is a live insert (an update's delete+insert shares its ordinal —
+    the insert wins)."""
+    return (
+        events.join(dels, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.max_by(
+            "_change_type",
+            F.struct(
+                F.col("_change_ordinal"),
+                (F.col("_change_type") == "insert").cast("int"),
+            ),
+        ).alias("_final"))
+        .where(F.col("_final") == "insert")
+        .select("id")
+    )
+
+
+def reextend_index(
+    catalog: LakehouseCatalog,
+    index_name: str,
+) -> dict:
+    """Repay the ``index.pending_reinserts`` debt a sync left behind
+    (r10 ADVICE: updated documents silently vanished from the index):
+    re-derive the live-updated ids from the pending changelog range,
+    pull their CURRENT rows from the source, and upsert them back into
+    the index through the family's own extend path. Idempotent — any
+    index rows those ids somehow already have are equality-deleted
+    first, so a crash between extend and the marker-clear replays
+    safely. No-op (``up_to_date``) when nothing is pending.
+
+    Needs the link to name the content column for the family:
+    ``text_col`` (minhash/span) or ``vec_col`` (IVF/IVFPQ) on
+    ``link_index_source``; phash sources must carry the standard media
+    columns (media_id/media_type/content/format). A link without the
+    needed column fails loudly with that remedy.
+
+    Scale shape: the affected-id set is O(changed data) (one changelog
+    aggregation), the source pull is a semi-join against it, and the
+    extend is the family's normal batch path — never a corpus re-read.
+    """
+    idx = catalog.load_table(index_name)
+    props = idx.properties()
+    pending = int(props.get("index.pending_reinserts", 0) or 0)
+    report = {
+        "index": index_name,
+        "pending_reinserts": pending,
+        "reextended_ids": 0,
+        "index_rows_added": 0,
+    }
+    if pending == 0:
+        report["up_to_date"] = True
+        return report
+    src = catalog.load_table(props["index.source_table"])
+    id_col = props["index.source_id_col"]
+    lo = int(props["index.pending_reinserts_from"])
+    hi = int(props["index.pending_reinserts_to"])
+    report["range"] = {"from_snapshot": lo, "to_snapshot": hi}
+    if lo not in {s.snapshot_id for s in src.snapshots()}:
+        raise ValueError(
+            f"pending-reinsert range start snapshot {lo} of "
+            f"{props['index.source_table']} has been expired — the "
+            "affected ids are unrecoverable from the changelog. "
+            "Rebuild the index from the current source (then "
+            "link_index_source again).")
+    events = _change_events(src, id_col, lo, hi)
+    dels = events.where(F.col("_change_type") == "delete") \
+        .select("id").distinct()
+    live = _reinserted(events, dels).persist()
+    try:
+        n_live = int(live.count())
+        report["reextended_ids"] = n_live
+        if n_live:
+            rows = src.scan().join(
+                live.withColumnRenamed("id", "__rid"),
+                F.col(id_col).cast("long") == F.col("__rid"),
+                "left_semi",
+            )
+            # upsert discipline: drop any rows these ids still have
+            # (a replayed re-extend, or an extend that raced the sync)
+            # before re-adding — extends are append-only
+            icur = idx.current_snapshot()
+            if icur is not None and icur.files:
+                stale = int(idx.scan(snapshot_id=icur.snapshot_id)
+                            .join(live, "id", "left_semi").count())
+                if stale:
+                    eq_files = idx.write_eq_deletes(live, ["id"])
+                    idx.commit_eq_deletes(
+                        eq_files, ["id"],
+                        {"deleted_rows": stale,
+                         "operation_detail": "index_reextend"},
+                        expected_snapshot_id=icur.snapshot_id,
+                    )
+            report["index_rows_added"] = _extend_for_kind(
+                catalog, idx, index_name, props, rows, id_col)
+        # marker clears AFTER the extend: a crash before this line
+        # replays the upsert above
+        idx.set_properties({"index.pending_reinserts": "0"})
+        return report
+    finally:
+        live.unpersist()
+
+
+def _extend_for_kind(
+    catalog: LakehouseCatalog,
+    idx: LakeTable,
+    index_name: str,
+    props: dict,
+    rows,
+    id_col: str,
+) -> int:
+    """Dispatch a source-row batch into the right family extend."""
+    kind = next((k for k, marker in _KIND_PROPS if marker in props),
+                None)
+    if kind == "minhash":
+        from .dedup_index import extend_dedup_index
+
+        text_col = props.get("index.source_text_col")
+        if not text_col:
+            raise ValueError(
+                "re-extending a minhash index needs the source text "
+                "column — link_index_source(..., text_col=...) first")
+        return extend_dedup_index(idx, rows, id_col, text_col)
+    if kind == "span":
+        from ..functions.dedup_text import _span_grams, _span_tokens
+        from .dedup_index import _span_params
+
+        text_col = props.get("index.source_text_col")
+        if not text_col:
+            raise ValueError(
+                "re-extending a span index needs the source text "
+                "column — link_index_source(..., text_col=...) first")
+        n = _span_params(idx)
+        grams = (
+            _span_grams(_span_tokens(rows, id_col, text_col), n)
+            .select(F.xxhash64("g").alias("gh"),
+                    F.col("_id").cast("long").alias("id"))
+            .groupBy("gh")
+            .agg(F.min("id").alias("id"))
+            # grams another doc already keeps stay theirs (keeper =
+            # min id discipline): only not-yet-indexed grams land
+            .join(idx.scan().select("gh"), "gh", "left_anti")
+            .persist()
+        )
+        try:
+            n_rows = int(grams.count())
+            if n_rows:
+                idx.append(grams)
+            return n_rows
+        finally:
+            grams.unpersist()
+    if kind in ("ivf", "ivfpq"):
+        vec_col = props.get("index.source_vec_col")
+        if not vec_col:
+            raise ValueError(
+                f"re-extending an {kind} index needs the source "
+                "vector column — link_index_source(..., vec_col=...) "
+                "first")
+        if kind == "ivf":
+            from .ann_index import extend_ann_index
+
+            return extend_ann_index(catalog, index_name, rows,
+                                    id_col, vec_col)
+        from .ivfpq import extend_ivfpq_index
+
+        return extend_ivfpq_index(catalog, index_name, rows,
+                                  id_col, vec_col)
+    if kind == "phash":
+        from .media_index import extend_phash_index
+
+        media = rows if id_col == "media_id" else rows.withColumn(
+            "media_id", F.col(id_col))
+        fake = props.get("index.media_deterministic_fake") == "true"
+        return extend_phash_index(idx, media_df=media,
+                                  deterministic_fake=fake)
+    raise ValueError(
+        f"{index_name} is not a recognized index family "
+        f"(expected one of {[k for k, _ in _KIND_PROPS]})")
 
 
 _KIND_PROPS = (
@@ -245,6 +460,8 @@ def index_status(catalog: LakehouseCatalog) -> list[dict]:
             synced = props.get("index.synced_snapshot_id")
             entry["synced_snapshot_id"] = (
                 int(synced) if synced is not None else None)
+            entry["pending_reinserts"] = int(
+                props.get("index.pending_reinserts", 0) or 0)
             try:
                 src = catalog.load_table(src_name)
                 snaps = {s.snapshot_id: s for s in src.snapshots()}
@@ -262,8 +479,17 @@ def index_status(catalog: LakehouseCatalog) -> list[dict]:
                             s = snaps.get(sid)
                             sid = s.parent_id if s else None
                         entry["sync_lag"] = lag
-                        entry["sync_state"] = (
-                            "in_sync" if lag == 0 else "behind")
+                        # an in-sync cursor with unpaid reinsert debt
+                        # is NOT healthy: updated docs are missing
+                        # from the index until reextend_index runs
+                        # (r10 ADVICE)
+                        if lag == 0:
+                            entry["sync_state"] = (
+                                "stale_reinserts"
+                                if entry["pending_reinserts"] > 0
+                                else "in_sync")
+                        else:
+                            entry["sync_state"] = "behind"
             except ValueError:
                 entry["sync_state"] = "source_missing"
         else:

@@ -1027,23 +1027,26 @@ class LakehouseServer:
                   "Link an index (dedup/ANN/IVFPQ) to its source table "
                   "and baseline the sync cursor at the source's current "
                   "snapshot — prerequisite for index_sync_deletes; "
-                  "vector_column additionally enables the unattended "
-                  "IVFPQ auto_rebuild_index path",
+                  "vector_column enables the unattended IVFPQ "
+                  "auto_rebuild_index path, text_column the unattended "
+                  "re-extend of updated docs into text indexes",
                   {"index_table": _S, "source_table": _S,
-                   "id_column": _S, "vector_column": _S},
+                   "id_column": _S, "vector_column": _S,
+                   "text_column": _S},
                   ["index_table", "source_table", "id_column"]),
             lambda index_table, source_table, id_column,
-                   vector_column=None:
+                   vector_column=None, text_column=None:
                 _isync.link_index_source(
                     c, index_table, source_table, id_column,
-                    vec_col=vector_column),
+                    vec_col=vector_column, text_col=text_column),
         )
         self._add(
             _tool("index_status",
                   "Inventory of every index table: kind (minhash/span/"
                   "phash/ivf/ivfpq), rows, family params, and the "
                   "sync-cursor lag vs its linked source (in_sync / "
-                  "behind / unlinked / cursor_expired)",
+                  "behind / stale_reinserts / unlinked / "
+                  "cursor_expired)",
                   {}, []),
             lambda: _isync.index_status(c),
         )
@@ -1052,9 +1055,18 @@ class LakehouseServer:
                   "Remove index rows whose source rows were deleted "
                   "since the last sync (changelog-driven, one "
                   "equality-delete commit; updated ids are reported "
-                  "for re-extend)",
+                  "for re-extend and stamped as pending debt)",
                   {"index_table": _S}, ["index_table"]),
             lambda index_table: _isync.sync_index_deletes(c, index_table),
+        )
+        self._add(
+            _tool("index_reextend",
+                  "Repay an index's pending-reinsert debt: re-derive "
+                  "the live-updated ids from the pending changelog "
+                  "range and upsert their CURRENT source content back "
+                  "into the index via the family's extend path",
+                  {"index_table": _S}, ["index_table"]),
+            lambda index_table: _isync.reextend_index(c, index_table),
         )
 
         from .operators import pq as _pq

@@ -417,3 +417,241 @@ def test_index_status_inventory(spark, tmp_warehouse):
     t.expire_snapshots(retain_last=1)
     st4 = {e["index"]: e for e in index_status(cat)}
     assert st4["default.mh"]["sync_state"] == "cursor_expired"
+
+
+# ---------------------------------------------------------------------------
+# Auto re-extension of live updates (round 11 — r10 VERDICT #3 / ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_reextend_minhash_after_update(spark, tmp_warehouse):
+    """Update a doc, sync (index rows gone, stale_reinserts debt
+    stamped and visible in index_status), reextend_index: the index
+    carries the NEW text, the probe finds it, the debt clears, and a
+    replayed re-extend is a no-op."""
+    from iceberg_lakehouse_spark.operators.index_sync import (
+        index_status,
+        reextend_index,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    idx = di.build_dedup_index(
+        cat, "default.docs_lsh", t.scan(), "doc_id", "text")
+    link_index_source(cat, "default.docs_lsh", "default.docs",
+                      "doc_id", text_col="text")
+    new_text = "rewritten content that shares nothing with the original"
+    crud.update_rows(t, "doc_id = 2", {"text": new_text})
+    rep = sync_index_deletes(cat, "default.docs_lsh")
+    assert rep["reinserted_ids"] == 1
+    st = {e["index"]: e for e in index_status(cat)}["default.docs_lsh"]
+    assert st["sync_state"] == "stale_reinserts"
+    assert st["pending_reinserts"] == 1
+    assert idx.scan().where(F.col("id") == 2).count() == 0
+
+    rex = reextend_index(cat, "default.docs_lsh")
+    assert rex["reextended_ids"] == 1
+    assert rex["index_rows_added"] > 0
+    assert idx.scan().where(F.col("id") == 2).count() > 0
+    probe = di.probe_dedup_index(
+        idx,
+        spark.createDataFrame([(201, new_text + " too")],
+                              "doc_id long, text string"),
+        t.scan(), "doc_id", "text", threshold=0.5).collect()
+    assert {r["left_id"] for r in probe} == {2}
+    st2 = {e["index"]: e for e in index_status(cat)}["default.docs_lsh"]
+    assert st2["sync_state"] == "in_sync"
+    assert st2["pending_reinserts"] == 0
+    again = reextend_index(cat, "default.docs_lsh")
+    assert again.get("up_to_date") and again["reextended_ids"] == 0
+
+
+def test_reextend_accumulates_unpaid_ranges(spark, tmp_warehouse):
+    """Two syncs with unpaid reinsert debt widen the pending range;
+    ONE re-extend repays both updates, and the second update of the
+    same doc lands its FINAL content (no duplicate index rows)."""
+    from iceberg_lakehouse_spark.operators.index_sync import (
+        reextend_index,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    idx = di.build_dedup_index(
+        cat, "default.docs_lsh", t.scan(), "doc_id", "text")
+    link_index_source(cat, "default.docs_lsh", "default.docs",
+                      "doc_id", text_col="text")
+    final_text = ("second rewrite wins with plenty of additional "
+                  "shared words in this much longer document body")
+    crud.update_rows(t, "doc_id = 2", {"text": "first rewrite of two"})
+    sync_index_deletes(cat, "default.docs_lsh")
+    crud.update_rows(t, "doc_id = 2", {"text": final_text})
+    crud.update_rows(t, "doc_id = 3", {"text": "three also rewritten"})
+    rep2 = sync_index_deletes(cat, "default.docs_lsh")
+    assert rep2["reinserted_ids"] == 2
+    props = idx.properties()
+    assert int(props["index.pending_reinserts"]) == 3  # 1 + 2 unpaid
+    rex = reextend_index(cat, "default.docs_lsh")
+    assert rex["reextended_ids"] == 2  # distinct ids across the range
+    # exactly one band-key set per doc: no duplicate index rows
+    per_doc = dict(
+        idx.scan().where(F.col("id").isin([2, 3]))
+        .groupBy("id").count().collect())
+    k_bands = int(idx.properties()["dedup.bands"])
+    assert per_doc == {2: k_bands, 3: k_bands}
+    probe = di.probe_dedup_index(
+        idx,
+        spark.createDataFrame([(301, final_text + " indeed")],
+                              "doc_id long, text string"),
+        t.scan(), "doc_id", "text", threshold=0.4).collect()
+    assert {r["left_id"] for r in probe} == {2}
+
+
+def test_reextend_requires_content_column_link(spark, tmp_warehouse):
+    """A link without text_col cannot re-derive a text index — the
+    re-extend fails LOUDLY with the remedy, and the maintenance run
+    records it as a failed action instead of silently dropping
+    coverage."""
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+    from iceberg_lakehouse_spark.operators.index_sync import (
+        reextend_index,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    idx = di.build_dedup_index(
+        cat, "default.docs_lsh", t.scan(), "doc_id", "text")
+    link_index_source(cat, "default.docs_lsh", "default.docs", "doc_id")
+    crud.update_rows(t, "doc_id = 2", {"text": "changed it"})
+    sync_index_deletes(cat, "default.docs_lsh")
+    with pytest.raises(ValueError, match="text_col"):
+        reextend_index(cat, "default.docs_lsh")
+    # the policy path: failed action recorded, run continues
+    crud.update_rows(t, "doc_id = 3", {"text": "changed too"})
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        mm = MaintenanceManager(f"{d}/maint.json")
+        mm.set_policy("default.docs_lsh", auto_sync_index=True)
+        rec = mm.run(idx)
+    acts = {a["action"]: a for a in rec["actions"]}
+    assert acts["sync_index_deletes"]["status"] == "completed"
+    assert acts["reextend_index"]["status"] == "failed"
+    assert "text_col" in acts["reextend_index"]["error"]
+
+
+def test_auto_sync_policy_reextends_updates(spark, tmp_warehouse,
+                                            tmp_path):
+    """The VERDICT done-criterion: update source rows -> policy run ->
+    probe finds the NEW content, not nothing."""
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    idx = di.build_dedup_index(
+        cat, "default.docs_lsh", t.scan(), "doc_id", "text")
+    link_index_source(cat, "default.docs_lsh", "default.docs",
+                      "doc_id", text_col="text")
+    mm = MaintenanceManager(str(tmp_path / "maint.json"))
+    mm.set_policy("default.docs_lsh", auto_sync_index=True)
+    new_text = "entirely novel replacement body for document four"
+    crud.update_rows(t, "doc_id = 4", {"text": new_text})
+    rec = mm.run(idx)
+    acts = {a["action"]: a for a in rec["actions"]}
+    assert acts["sync_index_deletes"]["reinserted_ids"] == 1
+    assert acts["reextend_index"]["status"] == "completed"
+    assert acts["reextend_index"]["reextended_ids"] == 1
+    probe = di.probe_dedup_index(
+        idx,
+        spark.createDataFrame([(401, new_text + " also")],
+                              "doc_id long, text string"),
+        t.scan(), "doc_id", "text", threshold=0.5).collect()
+    assert {r["left_id"] for r in probe} == {4}
+
+
+def test_reextend_ann_vectors_after_update(spark, tmp_warehouse):
+    """Vector family: an updated embedding re-lands in the IVF index
+    at its NEW location (probe near the new vector returns the id)."""
+    import math
+
+    from iceberg_lakehouse_spark.operators.index_sync import (
+        reextend_index,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    vecs = [(i, [math.sin(i * 1.7 + d) for d in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    t = cat.create_table("default.vecs", df.schema)
+    t.append(df)
+    ai.build_ann_index(cat, "default.vivf", t.scan(), "vec_id",
+                       "embedding", n_cells=4, kmeans_iters=1)
+    link_index_source(cat, "default.vivf", "default.vecs", "vec_id",
+                      vec_col="embedding")
+    # ~vec 20's neighborhood: phase offset ~pi from vec 7, i.e. the
+    # far side of the sin lattice (33 would wrap back next to 7)
+    new_vec = [math.sin(20 * 1.7 + d) for d in range(8)]
+    crud.update_rows(t, "vec_id = 7", {"embedding": new_vec})
+    sync_index_deletes(cat, "default.vivf")
+    assert reextend_index(cat, "default.vivf")["reextended_ids"] == 1
+    near_new = [r["id"] for r in
+                ai.probe_ann_index(cat, "default.vivf", new_vec,
+                                   k=3, nprobe=4).collect()]
+    assert 7 in near_new
+    near_old = [r["id"] for r in
+                ai.probe_ann_index(cat, "default.vivf", vecs[7][1],
+                                   k=3, nprobe=4).collect()]
+    assert 7 not in near_old
+
+
+def test_reextend_span_and_phash_after_update(spark, tmp_warehouse):
+    """Family-generic: span grams of the NEW text land keyed by the
+    updated doc (existing keepers untouched), and an updated image's
+    fresh fingerprint probes positive while the old one is gone."""
+    from iceberg_lakehouse_spark.functions import multimodal as mm
+    from iceberg_lakehouse_spark.operators import media_index as mi
+    from iceberg_lakehouse_spark.operators.dedup_index import (
+        build_span_index,
+    )
+    from iceberg_lakehouse_spark.operators.index_sync import (
+        reextend_index,
+    )
+    from tests.test_perceptual_dedup import _img
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    sidx = build_span_index(cat, "default.docs_grams", t.scan(),
+                            "doc_id", "text", n=8)
+    link_index_source(cat, "default.docs_grams", "default.docs",
+                      "doc_id", text_col="text")
+    new_text = ("a wholly new paragraph with enough words to produce "
+                "several eight gram windows for the span index here")
+    crud.update_rows(t, "doc_id = 1", {"text": new_text})
+    sync_index_deletes(cat, "default.docs_grams")
+    assert sidx.scan().where(F.col("id") == 1).count() == 0
+    rex = reextend_index(cat, "default.docs_grams")
+    assert rex["reextended_ids"] == 1 and rex["index_rows_added"] > 0
+    assert sidx.scan().where(F.col("id") == 1).count() > 0
+
+    media = spark.createDataFrame(
+        [(i, _img(f"s{i}"), "image", "ppm", 0) for i in range(4)],
+        mm.MEDIA_SCHEMA)
+    mt = cat.create_table("default.media", media.schema)
+    mt.append(media)
+    pidx = mi.build_phash_index(cat, "default.media_ph",
+                                mt.scan(), max_distance=4)
+    link_index_source(cat, "default.media_ph", "default.media",
+                      "media_id")
+    crud.update_rows(mt, "media_id = 1",
+                     {"content": _img("fresh-image")})
+    sync_index_deletes(cat, "default.media_ph")
+    assert reextend_index(cat, "default.media_ph")[
+        "reextended_ids"] == 1
+    probe = mi.probe_phash_index(
+        pidx,
+        spark.createDataFrame(
+            [(500, _img("fresh-image", bump_cell=3), "image", "ppm", 0)],
+            mm.MEDIA_SCHEMA))
+    assert {r["left_id"] for r in probe.collect()} == {1}
