@@ -765,15 +765,25 @@ def _raw_pixels(content: bytes):
     if _pil_available():
         import io
 
-        from PIL import Image
+        from PIL import Image, UnidentifiedImageError
 
         try:
-            with Image.open(io.BytesIO(content)) as img:
+            img = Image.open(io.BytesIO(content))
+        except UnidentifiedImageError:
+            return None  # truly unrecognized — fall to the fake tier
+        except Exception:  # noqa: BLE001 — unreadable header, ditto
+            return None
+        try:
+            with img:
                 w, h = img.size
                 px = list(img.convert("RGB").getdata())
             return h, w, px
-        except Exception:  # noqa: BLE001 — unrecognized, fall to fake
-            return None
+        except Exception:  # noqa: BLE001 — Pillow RECOGNIZED the
+            # format but the pixel data is corrupt: same contract as
+            # the builtin parsers — NULL phash, never a content-hash
+            # fake and never a misleading 'no codec' error (r10
+            # ADVICE)
+            return None, None, None
     return None
 
 

@@ -530,7 +530,8 @@ def rebuild_ann_index(
     if eff <= 0:
         raise ValueError(f"n_cells must be positive (got {eff})")
     cur = at.current_snapshot()
-    if cur is None or at.scan(snapshot_id=cur.snapshot_id).limit(1)             .count() == 0:
+    if cur is None or (at.scan(snapshot_id=cur.snapshot_id)
+                       .limit(1).count() == 0):
         raise ValueError(
             "cannot rebuild an empty ANN index — re-populate (or drop) "
             "it instead")

@@ -247,9 +247,13 @@ def rebuild_ivfpq_index(
     corpus. Commit order: codebook → centroids → codes (codes CAS'd
     against the pre-rebuild snapshot, so a concurrent extend fails
     cleanly). The three commits are NOT one atomic unit — rebuild is
-    an offline maintenance reset; a probe racing the middle of it can
-    mis-score until the codes commit lands, and a crash mid-sequence
-    is repaired by re-running the rebuild."""
+    an offline maintenance reset. The half-applied window is FENCED
+    (r10 ADVICE): ``ivfpq.rebuild_pending`` is stamped before the
+    first overwrite and cleared only after the codes CAS, so a probe
+    that lands mid-rebuild (or after a crashed/CAS-exhausted one —
+    retrained codebook over stale codes) raises loudly with the
+    re-run remedy instead of silently mis-scoring, and
+    ``ivfpq_index_stats`` reports the state."""
     at, ct, bt, old_cells, m, ksub, dim = _load(catalog, name)
     centroids_df, bdf, codes, new_dim = _fit(
         corpus_df, id_col, vec_col,
@@ -261,6 +265,7 @@ def rebuild_ivfpq_index(
             "not silently change vector geometry")
     cur = at.current_snapshot()
     n_rows = codes.count()
+    at.set_properties({"ivfpq.rebuild_pending": "true"})
     bt.overwrite(bdf)
     ct.overwrite(centroids_df)
     at.replace_files(
@@ -269,7 +274,8 @@ def rebuild_ivfpq_index(
         expected_snapshot_id=cur.snapshot_id if cur else None,
     )
     eff_cells = n_cells if n_cells is not None else old_cells
-    at.set_properties({"ivfpq.n_cells": str(eff_cells)})
+    at.set_properties({"ivfpq.n_cells": str(eff_cells),
+                       "ivfpq.rebuild_pending": "false"})
     return {
         "index": name, "rows": n_rows,
         "n_cells_before": old_cells, "n_cells_after": eff_cells,
@@ -346,6 +352,12 @@ def probe_ivfpq_index(
     lookups, TakeOrdered. With ``refine_with``, the bounded top
     k × refine_factor candidates re-rank by exact cosine."""
     at, ct, bt, n_cells, m, ksub, dim = _load(catalog, name)
+    if at.properties().get("ivfpq.rebuild_pending") == "true":
+        raise ValueError(
+            f"{name} has a half-applied rebuild (codebook/centroids "
+            "committed, codes CAS never landed) — scores against the "
+            "retrained codebook over stale codes would be silently "
+            "wrong. Re-run rebuild_ivfpq_index to repair.")
     if len(query_vec) != dim:
         raise ValueError(
             f"query vector has {len(query_vec)} dims, index has {dim}")
@@ -456,6 +468,8 @@ def ivfpq_index_stats(
             sample=recall_sample)
     return {
         **({"recall": recall} if recall is not None else {}),
+        "rebuild_pending": (
+            at.properties().get("ivfpq.rebuild_pending") == "true"),
         "index": name, "rows": n, "n_cells": n_cells,
         "m": m, "ksub": ksub, "dim": dim,
         "bytes_per_vector_raw": dim * 8,

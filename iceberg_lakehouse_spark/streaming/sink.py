@@ -444,7 +444,8 @@ def media_dedup_stream_to_table(
         # same-id rows folded inside one batch (at-least-once upstream)
         # must collapse BEFORE the anti-join, or the fps join below
         # multiplies them into the corpus
-        batch_new = batch.dropDuplicates(["media_id"])             .join(landed, "media_id", "left_anti")
+        batch_new = (batch.dropDuplicates(["media_id"])
+                     .join(landed, "media_id", "left_anti"))
         if batch_new.isEmpty():
             return
         # ONE decode for the whole batch: probe and extend below reuse

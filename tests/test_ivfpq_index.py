@@ -384,3 +384,36 @@ def test_rebuild_contracts(spark, emb, tmp_path_factory):
         "vec_id", F.slice("embedding", 1, 32).alias("embedding"))
     with pytest.raises(ValueError, match="dim"):
         ivfpq.rebuild_ivfpq_index(cat, "default.rb2", bad)
+
+
+def test_rebuild_pending_fence(spark, emb, tmp_path_factory):
+    """r10 ADVICE: a crashed rebuild (codebook/centroids overwritten,
+    codes CAS never landed) must not silently mis-score. The
+    ivfpq.rebuild_pending property is stamped before the first
+    overwrite: while set, probes raise with the re-run remedy and
+    stats report it; a completed rebuild clears it."""
+    wh = str(tmp_path_factory.mktemp("ivfpqfence"))
+    cat = LakehouseCatalog(spark, wh)
+    ivfpq.build_ivfpq_index(
+        cat, "default.fenced", emb, "vec_id", "embedding",
+        n_cells=4, m=8, ksub=16, kmeans_iters=1)
+    q = [float(x) for x in emb.first()["embedding"]]
+    assert ivfpq.probe_ivfpq_index(cat, "default.fenced", q, k=3) \
+        .count() == 3
+    # simulate the crash window: flag set, codes never replaced
+    cat.load_table("default.fenced").set_properties(
+        {"ivfpq.rebuild_pending": "true"})
+    with pytest.raises(ValueError, match="half-applied rebuild"):
+        ivfpq.probe_ivfpq_index(cat, "default.fenced", q, k=3)
+    st = ivfpq.ivfpq_index_stats(cat, "default.fenced")
+    assert st["rebuild_pending"] is True
+    # the documented repair: re-run the rebuild — flag clears, probes
+    # work again
+    rep = ivfpq.rebuild_ivfpq_index(
+        cat, "default.fenced", emb, "vec_id", "embedding",
+        kmeans_iters=1)
+    assert rep["rows"] > 0
+    st2 = ivfpq.ivfpq_index_stats(cat, "default.fenced")
+    assert st2["rebuild_pending"] is False
+    assert ivfpq.probe_ivfpq_index(cat, "default.fenced", q, k=3) \
+        .count() == 3

@@ -375,3 +375,55 @@ def test_video_frame_hash_dedup(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_raw_pixels_pillow_corrupt_vs_unrecognized(monkeypatch):
+    """r10 ADVICE: the corrupt-recognized-format contract must hold
+    for the Pillow tier too. A stub PIL distinguishes the two failure
+    modes: UnidentifiedImageError -> None (fall to fake tier), while a
+    recognized-but-corrupt blob -> (None, None, None) (NULL phash).
+    Runs with or without real Pillow (sys.modules is stubbed)."""
+    import sys
+    import types
+
+    class _Unidentified(Exception):
+        pass
+
+    class _StubImg:
+        def __init__(self, corrupt):
+            self._corrupt = corrupt
+            self.size = (2, 2)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            if self._corrupt:
+                raise OSError("broken data stream")
+            return self
+
+        def getdata(self):
+            return [(0, 0, 0)] * 4
+
+    def _open(buf):
+        data = buf.read()
+        if data.startswith(b"STUB"):
+            return _StubImg(corrupt=b"CORRUPT" in data)
+        raise _Unidentified("cannot identify image file")
+
+    pil = types.ModuleType("PIL")
+    pil.Image = types.SimpleNamespace(open=_open)
+    pil.UnidentifiedImageError = _Unidentified
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setattr(mm, "_pil_available", lambda: True)
+
+    # unrecognized -> None (caller substitutes the content-hash fake)
+    assert mm._raw_pixels(b"\x00\x01not an image") is None
+    # recognized + readable -> real pixels
+    h, w, px = mm._raw_pixels(b"STUB ok")
+    assert (h, w) == (2, 2) and len(px) == 4
+    # recognized + CORRUPT -> the NULL-phash sentinel, not the fake
+    assert mm._raw_pixels(b"STUB CORRUPT") == (None, None, None)

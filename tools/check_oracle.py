@@ -49,6 +49,43 @@ def _rows_to_multiset(cols, rows):
     )
 
 
+def _peak_rss_mb() -> dict:
+    """Peak RSS of this python driver AND its JVM child (VmHWM — the
+    kernel's high-water mark, i.e. true peaks, not a sample), for the
+    sweep artifact's memory note (r9 #5's unfinished half). The JVM is
+    where the executors live in local mode, so its HWM is the number
+    that decides whether a sweep fits the box."""
+    def hwm(pid):
+        try:
+            with open(f"/proc/{pid}/status") as fh:
+                for line in fh:
+                    if line.startswith("VmHWM:"):
+                        return round(int(line.split()[1]) / 1024)
+        except OSError:
+            return None
+        return None
+
+    out = {"python_peak_rss_mb": hwm("self")}
+    jvm_peaks = []
+    try:
+        with open("/proc/self/task/%d/children" % os.getpid()) as fh:
+            kids = fh.read().split()
+    except OSError:
+        kids = []
+    for pid in kids:
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read().decode(errors="replace")
+        except OSError:
+            continue
+        if "java" in cmd:
+            peak = hwm(pid)
+            if peak is not None:
+                jvm_peaks.append(peak)
+    out["jvm_peak_rss_mb"] = max(jvm_peaks) if jvm_peaks else None
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -161,6 +198,7 @@ def main() -> int:
             "n_entries": len(records),
             "n_oracle_checked": n_checked,
             "n_failures": len(failures),
+            **_peak_rss_mb(),
             "entries": records,
         }
         with open(out_json, "w") as fh:
