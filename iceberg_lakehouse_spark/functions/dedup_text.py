@@ -129,6 +129,7 @@ def shingle_candidate_pairs(
     text_col: str,
     n: int = 3,
     max_df: int = 64,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Exact candidate generation: (left_id, right_id) pairs sharing at
     least one *rare* shingle — the shingle-equality self-join with
@@ -149,8 +150,37 @@ def shingle_candidate_pairs(
     Verification stays exact: feed the pairs to ``jaccard_pairs``,
     which computes Jaccard over the FULL shingle sets — the df cap
     affects which pairs are proposed, never the similarity value.
-    """
+
+    ``max_pairs`` (r11, the no-silent-caps rule applied to the VERIFY
+    budget): when set, only the top ``max_pairs`` candidates by
+    (distinct shared rare shingles DESC, left_id, right_id) are
+    returned — evidence-ranked, deterministic, so the strongest
+    candidates are always verified first and the exact-Jaccard stage
+    downstream costs O(max_pairs × doc length) no matter how
+    duplicate-riddled the corpus is. Callers surface the truncation
+    (``ngram_jaccard_pairs`` carries a ``cand_truncated`` column);
+    the un-truncated default is unchanged."""
     _check_cols(df, id_col, text_col)
+    if max_pairs is None:
+        return _shingle_pair_join(df, id_col, text_col, n, max_df) \
+            .select("left_id", "right_id").distinct()
+    if max_pairs < 1:
+        raise ValueError(f"max_pairs must be >= 1 (got {max_pairs})")
+    return (
+        shingle_pair_evidence(df, id_col, text_col, n, max_df)
+        # top-K by evidence is one TakeOrderedAndProject — no extra
+        # shuffle beyond the pair aggregation that replaces distinct()
+        .orderBy(F.desc("shared"), "left_id", "right_id")
+        .limit(max_pairs)
+        .select("left_id", "right_id")
+    )
+
+
+def _shingle_pair_join(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int
+) -> DataFrame:
+    """(left_id, right_id, _sh): one row per shared RARE shingle
+    occurrence — the raw self-join both candidate surfaces reduce."""
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
     )
@@ -160,17 +190,39 @@ def shingle_candidate_pairs(
         .select(id_col, "shingle")
     )
     a, b = rare.alias("a"), rare.alias("b")
+    return a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("left_id"),
+        F.col(f"b.{id_col}").alias("right_id"),
+        F.col("a.shingle").alias("_sh"),
+    )
+
+
+def shingle_pair_evidence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int = 64,
+) -> DataFrame:
+    """(left_id, right_id, shared): candidate pairs with their
+    shared-rare-shingle OCCURRENCE counts — the evidence-ranked form
+    of ``shingle_candidate_pairs``. ``shared`` counts matching
+    occurrence pairs, not distinct shingles (a shingle repeated in
+    both docs weighs more): a deliberately cheap signal — one
+    map-side-combinable COUNT instead of a distinct expansion — that
+    ranks verify candidates, never enters a similarity value. Callers
+    that need BOTH the top-K slice and the truncation flag should
+    persist this once and derive both from it (one shuffle instead of
+    two self-joins)."""
+    _check_cols(df, id_col, text_col)
     return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("left_id"),
-            F.col(f"b.{id_col}").alias("right_id"),
-        )
-        .distinct()
+        _shingle_pair_join(df, id_col, text_col, n, max_df)
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
     )
 
 
@@ -335,6 +387,7 @@ def jaccard_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over
     distinct shingle sets — computed without moving a single shingle
@@ -357,7 +410,13 @@ def jaccard_pairs(
 
     Semantics preserved exactly: a pair whose docs share no shingle
     still yields a 0.0 row; a pair whose doc is absent from ``df``
-    drops (inner-join parity)."""
+    drops (inner-join parity).
+
+    ``broadcast_pairs``: when the caller KNOWS the candidate set is
+    bounded (e.g. an explicit verify budget), hinting the melted pair
+    side broadcastable turns the verify join map-side — the corpus
+    shingle melt is never shuffled, only the matched pair-side rows
+    move. Leave False for unbounded candidate sets."""
     _check_cols(df, id_col, text_col)
     sh = _widen_if_narrow(df).selectExpr(
         f"{_qname(id_col)} AS _doc",
@@ -366,6 +425,8 @@ def jaccard_pairs(
     melted = pairs.selectExpr(
         "left_id", "right_id", "explode(array(left_id, right_id)) AS _doc"
     )
+    if broadcast_pairs:
+        melted = F.broadcast(melted)
     lvl1 = (
         melted.join(sh, "_doc")
         .groupBy("left_id", "right_id", "_s")

@@ -32,6 +32,12 @@ _J_THRESHOLD = 0.5
 # never generate candidate pairs (Zipfian-hot shingles like "the of and"
 # would otherwise make the equality self-join quadratic on real text).
 _MAX_SHINGLE_DF = 64
+# Verify budget (r11): exact-Jaccard verification is the expensive
+# stage (~66µs/pair at sf0.1 — 1.14M candidates made this entry 19% of
+# the full-registry sweep). Only the top candidates by shared-shingle
+# evidence are verified; the truncation is surfaced as a column, never
+# silent. sf0.01 (12.7k candidates) never truncates.
+_MAX_PAIRS_VERIFIED = 50_000
 
 
 @register(
@@ -60,22 +66,35 @@ _MAX_SHINGLE_DF = 64
         FROM sh s JOIN dfreq d ON s.shingle = d.shingle
         WHERE d.df <= {_MAX_SHINGLE_DF}
     ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+    candfull AS (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               CAST(COUNT(*) AS BIGINT) AS shared
         FROM rare a JOIN rare b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    cand AS (
+        SELECT left_id, right_id FROM candfull
+        ORDER BY shared DESC, left_id, right_id
+        LIMIT {_MAX_PAIRS_VERIFIED}
+    ),
+    stats AS (
+        SELECT (COUNT(*) > {_MAX_PAIRS_VERIFIED}) AS cand_truncated
+        FROM candfull
     ),
     sets AS (
-        SELECT doc_id, """ + _SQL_SHINGLES + """ AS shs FROM corpus
+        SELECT doc_id, """ + _SQL_SHINGLES + f""" AS shs FROM corpus
     )
     SELECT c.left_id, c.right_id,
            ROUND(CAST(len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS DOUBLE)
                  / (len(sa.shs) + len(sb.shs)
                     - len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))), 6)
-               AS jaccard
+               AS jaccard,
+           stats.cand_truncated
     FROM cand c
     JOIN sets sa ON sa.doc_id = c.left_id
     JOIN sets sb ON sb.doc_id = c.right_id
+    CROSS JOIN stats
     WHERE ROUND(CAST(len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS DOUBLE)
                 / (len(sa.shs) + len(sb.shs)
                    - len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))), 6) >= 0.5
@@ -94,17 +113,39 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL shingle sets, so the cap affects recall of hot-shingle-only
     pairs (boilerplate), never similarity values. The MinHash+LSH path
     (minhash_near_dup_pairs) remains the probabilistic corpus-scale
-    candidate generator; this is its exact, bounded twin."""
+    candidate generator; this is its exact, bounded twin.
+
+    r11: the verify stage runs under an explicit budget — only the
+    top ``_MAX_PAIRS_VERIFIED`` candidates by shared-shingle evidence
+    are exact-verified (deterministic (shared DESC, ids) order, so
+    the strongest candidates always make the cut), and every output
+    row carries ``cand_truncated`` saying whether the budget bit.
+    sf0.01 (12.7k candidates) never truncates; at sf0.1 this bounds
+    the sweep's single most expensive entry (~85s → the broadcast
+    verify of 50k pairs)."""
     corpus = _corpus_with_mutants(spark, sf_dir)
-    cands = dt.shingle_candidate_pairs(
-        corpus, "doc_id", "text", n=3, max_df=_MAX_SHINGLE_DF
+    # ONE pair-evidence shuffle feeds both the top-K slice and the
+    # truncation flag (persist: the two consumers would otherwise
+    # re-run the shingle self-join; check_oracle/driver clear the
+    # cache between entries)
+    full = dt.shingle_pair_evidence(
+        corpus, "doc_id", "text", n=3, max_df=_MAX_SHINGLE_DF).persist()
+    cands = (
+        full.orderBy(F.desc("shared"), "left_id", "right_id")
+        .limit(_MAX_PAIRS_VERIFIED)
+        .select("left_id", "right_id")
     )
-    verified = dt.jaccard_pairs(corpus, cands, "doc_id", "text", n=3)
+    stats = full.agg(
+        (F.count(F.lit(1)) > _MAX_PAIRS_VERIFIED).alias("cand_truncated"))
+    verified = dt.jaccard_pairs(corpus, cands, "doc_id", "text", n=3,
+                                broadcast_pairs=True)
     return (
         verified.select(
             "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
         )
         .where(F.col("jaccard") >= _J_THRESHOLD)
+        # broadcast one-row aggregate: the sanctioned crossJoin shape
+        .crossJoin(F.broadcast(stats))
     )
 
 

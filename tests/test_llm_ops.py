@@ -1478,3 +1478,51 @@ def test_ann_recall_telemetry_and_rebuild(spark, tmp_warehouse):
     assert all(v == 1.0 for v in blob_post.values()), blob_post
     # and the index as a whole did not collapse
     assert post["recall_at_k"] >= 0.5
+
+
+def test_shingle_candidate_pairs_verify_budget(spark):
+    """r11 verify budget: max_pairs returns the top-K candidates by
+    shared-occurrence evidence with deterministic (shared DESC, ids)
+    tie-breaks; K >= all candidates returns the full set; bad K
+    raises."""
+    import pyspark.sql.functions as F
+
+    from iceberg_lakehouse_spark.functions import dedup_text as dt
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),      # 4+ shared w/ 1
+        (3, "alpha beta gamma theta iota kappa"),       # 2 shared w/ 1,2
+        (4, "completely different text about nothing"),
+        (5, "completely different text about nothing"),  # exact dup of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dt.shingle_candidate_pairs(df, "doc_id", "text", n=3)
+    n_full = full.count()
+    assert n_full >= 4
+    # K covering everything == untruncated set
+    capped_all = dt.shingle_candidate_pairs(
+        df, "doc_id", "text", n=3, max_pairs=n_full + 10)
+    assert sorted(map(tuple, capped_all.collect())) == sorted(
+        map(tuple, full.collect()))
+    # K=2 keeps the two strongest-evidence pairs: the exact dup (4,5)
+    # and the 4-shared-shingle pair (1,2)
+    top2 = set(map(tuple, dt.shingle_candidate_pairs(
+        df, "doc_id", "text", n=3, max_pairs=2).collect()))
+    assert top2 == {(4, 5), (1, 2)}
+    # evidence surface agrees with the ranking it feeds
+    ev = {(r["left_id"], r["right_id"]): r["shared"]
+          for r in dt.shingle_pair_evidence(
+              df, "doc_id", "text", n=3).collect()}
+    ranked = sorted(ev, key=lambda p: (-ev[p], p))[:2]
+    assert set(ranked) == top2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_pairs"):
+        dt.shingle_candidate_pairs(df, "doc_id", "text", max_pairs=0)
+    # broadcast_pairs verify path is value-identical to the default
+    a = dt.jaccard_pairs(df, full, "doc_id", "text", n=3)
+    b = dt.jaccard_pairs(df, full, "doc_id", "text", n=3,
+                         broadcast_pairs=True)
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect()))
+    assert "Broadcast" in b._jdf.queryExecution().executedPlan().toString()
