@@ -996,6 +996,20 @@ def video_near_dup_pairs(
     the rare-shingle text path."""
     hashes = video_frame_hashes(df, every_nth=every_nth)
     distinct = hashes.select("media_id", "fhash").distinct()
+    return frame_set_pairs(distinct, threshold=threshold, max_df=max_df)
+
+
+def frame_set_pairs(
+    distinct: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 1024,
+) -> DataFrame:
+    """The pairing core of ``video_near_dup_pairs`` over precomputed
+    DISTINCT (media_id, fhash) rows — shared (r11) by the batch
+    entry, the persisted frame-set index probe, and the streaming
+    sink's intra-batch stage, so every surface carries identical
+    candidate (df-capped equality) and verify (full containment)
+    semantics."""
     sizes = distinct.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("_n"))
     dfreq = distinct.groupBy("fhash").agg(F.count(F.lit(1)).alias("_df"))

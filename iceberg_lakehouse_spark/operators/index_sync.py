@@ -417,6 +417,12 @@ def _extend_for_kind(
         fake = props.get("index.media_deterministic_fake") == "true"
         return extend_phash_index(idx, media_df=media,
                                   deterministic_fake=fake)
+    if kind == "vframe":
+        from .media_index import extend_vframe_index
+
+        media = rows if id_col == "media_id" else rows.withColumn(
+            "media_id", F.col(id_col))
+        return extend_vframe_index(idx, video_df=media)
     raise ValueError(
         f"{index_name} is not a recognized index family "
         f"(expected one of {[k for k, _ in _KIND_PROPS]})")
@@ -428,6 +434,7 @@ _KIND_PROPS = (
     ("minhash", "dedup.k"),
     ("span", "span.ngram"),
     ("phash", "phash.algo"),
+    ("vframe", "vframe.every_nth"),
 )
 
 

@@ -1019,6 +1019,56 @@ class LakehouseServer:
                     c.load_table(batch_table).scan()),
             },
         )
+        self._add(
+            _tool("vframe_index_build",
+                  "Persist a VIDEO frame-set index: one (clip, distinct "
+                  "frame dHash) row per sampled frame — incremental "
+                  "clip near-dup probing (trim/re-mux-robust "
+                  "containment) without re-hashing the corpus",
+                  {"table": _S, "index_table": _S, "every_nth": _I,
+                   "threshold": _N, "max_df": _I},
+                  ["table", "index_table"]),
+            lambda table, index_table, every_nth=1, threshold=0.5,
+                   max_df=1024: {
+                "index_table": index_table,
+                "rows": _mi.build_vframe_index(
+                    c, index_table, c.load_table(table).scan(),
+                    every_nth=every_nth, threshold=threshold,
+                    max_df=max_df,
+                ).scan().count(),
+                "message":
+                    f"frame-set index {index_table} built from {table}",
+            },
+        )
+        self._add(
+            _tool("vframe_index_probe",
+                  "Near-duplicate clip pairs between a video batch "
+                  "table and the indexed corpus (batch frame hashes "
+                  "broadcast, index scanned map-side, containment "
+                  "verify with the index-side df cap)",
+                  {"index_table": _S, "batch_table": _S,
+                   "threshold": _N, "max_rows": _I},
+                  ["index_table", "batch_table"]),
+            lambda index_table, batch_table, threshold=None,
+                   max_rows=1000: rows_of(
+                _mi.probe_vframe_index(
+                    c.load_table(index_table),
+                    c.load_table(batch_table).scan(),
+                    threshold=threshold,
+                ).limit(max_rows)),
+        )
+        self._add(
+            _tool("vframe_index_extend",
+                  "Append an accepted clip batch's distinct frame "
+                  "fingerprints to a frame-set index",
+                  {"index_table": _S, "batch_table": _S},
+                  ["index_table", "batch_table"]),
+            lambda index_table, batch_table: {
+                "rows_added": _mi.extend_vframe_index(
+                    c.load_table(index_table),
+                    c.load_table(batch_table).scan()),
+            },
+        )
 
         from .operators import index_sync as _isync
 
@@ -1043,8 +1093,8 @@ class LakehouseServer:
         self._add(
             _tool("index_status",
                   "Inventory of every index table: kind (minhash/span/"
-                  "phash/ivf/ivfpq), rows, family params, and the "
-                  "sync-cursor lag vs its linked source (in_sync / "
+                  "phash/vframe/ivf/ivfpq), rows, family params, and "
+                  "the sync-cursor lag vs its linked source (in_sync / "
                   "behind / stale_reinserts / unlinked / "
                   "cursor_expired)",
                   {}, []),

@@ -6601,3 +6601,61 @@ def video_perceptual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_near_dup_pairs(_synthesize_video(docs), threshold=0.5)
         .orderBy("left_id", "right_id")
     )
+
+
+@register(
+    "video_frame_index_dedup",
+    None,  # frame decode of binary containers — no SQL oracle
+    survey_ref="beyond-reference (r11): PERSISTED frame-set index + "
+    "streaming clip dedup — video_near_dup_pairs made incremental: "
+    "per-batch clips probe frame-hash equality against the landed "
+    "corpus without re-hashing it; build/probe/extend/sync pinned in "
+    "tests/test_perceptual_dedup.py",
+)
+def video_frame_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive ``streaming.sink.video_dedup_stream_to_table`` end to
+    end over the deterministic synthetic PPMV corpus: the first
+    variant of every planted group seeds the landed corpus (frame-set
+    index built over it), the remaining variants stream in TWO real
+    micro-batches. Re-encodes and trims of seeded clips are dropped
+    by the index probe; trims of batch-1 SURVIVORS are dropped by
+    batch 2 via the index extension — the corpus is never re-hashed.
+    Returns per-clip landing status (media_id, landed)."""
+    import tempfile as _tf
+
+    from ..catalog import LakehouseCatalog
+    from ..operators.media_index import build_vframe_index
+    from ..streaming.sink import video_dedup_stream_to_table
+
+    docs = load_sf_tables(spark, sf_dir)["documents"] \
+        .where("doc_id < 200")
+    media = _synthesize_video(docs)
+    work = _tf.mkdtemp(prefix="vfi_")
+    cat = LakehouseCatalog(spark, f"{work}/wh")
+    seed = media.where("media_id < 50")  # variant 0 of each group
+    t = cat.create_table("default.vfi_corpus", media.schema)
+    t.append(seed)
+    idx = build_vframe_index(cat, "default.vfi_idx", seed,
+                             threshold=0.5)
+    for lo, hi, tag in ((50, 125, "b1"), (125, 200, "b2")):
+        src_dir = f"{work}/{tag}"
+        media.where(f"media_id >= {lo} AND media_id < {hi}") \
+            .write.parquet(src_dir)
+        q = video_dedup_stream_to_table(
+            spark.readStream.schema(media.schema).parquet(src_dir),
+            t, idx, checkpoint_dir=f"{work}/ck_{tag}",
+            available_now=True,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                f"video dedup batch {tag} did not drain in 600s")
+    landed = t.scan().select("media_id")
+    return (
+        media.select("media_id")
+        .join(landed.withColumn("landed", F.lit(True)), "media_id",
+              "left")
+        .select("media_id",
+                F.coalesce("landed", F.lit(False)).alias("landed"))
+        .orderBy("media_id")
+    )

@@ -427,3 +427,181 @@ def test_raw_pixels_pillow_corrupt_vs_unrecognized(monkeypatch):
     assert (h, w) == (2, 2) and len(px) == 4
     # recognized + CORRUPT -> the NULL-phash sentinel, not the fake
     assert mm._raw_pixels(b"STUB CORRUPT") == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# Persisted VIDEO frame-set index (round 11 — r10 VERDICT #4)
+# ---------------------------------------------------------------------------
+
+
+def _vframe(seed, up=0):
+    import hashlib
+
+    d = hashlib.sha256(f"vf-{seed}".encode()).digest()
+    while len(d) < 72:
+        d += hashlib.sha256(d).digest()
+    return _ppm_bytes(9, 8, [((10 + b % 200 + up,) * 3) for b in d[:72]])
+
+
+def _clip(*seeds, up=0):
+    return b"".join(_vframe(s, up) for s in seeds)
+
+
+def test_vframe_index_build_probe_extend(spark, tmp_warehouse):
+    """Planted fixtures: a TRIMMED copy of an indexed clip probes
+    positive by containment, a RE-ENCODED (brightness-shifted,
+    dHash-invariant) copy matches fully, a disjoint clip does not
+    pair, a ubiquitous frame (black, over the df-cap) generates no
+    candidates, and extend makes a new clip probe-able."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import media_index as mi
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    black = _ppm_bytes(9, 8, [(0, 0, 0)] * 72)
+    corpus = _media_rows(spark, [
+        (1, _clip("a1", "a2", "a3", "a4"), "video", "ppmv", 0),
+        (2, _clip("b1", "b2") + black, "video", "ppmv", 0),
+        (3, _clip("c1") + black, "video", "ppmv", 0),
+        (4, _clip("d1") + black, "video", "ppmv", 0),
+        (5, _clip("e1") + black, "video", "ppmv", 0),
+    ])
+    idx = mi.build_vframe_index(cat, "default.vf", corpus,
+                                threshold=0.5, max_df=3)
+    # (id, fhash) rows, distinct per clip
+    assert idx.scan().where("id = 1").count() == 4
+    # trimmed copy of clip 1 (2 of 4 frames): full containment
+    batch = _media_rows(spark, [
+        (101, _clip("a2", "a3"), "video", "ppmv", 0),      # trim of 1
+        (102, _clip("a1", "a2", "a3", "a4", up=30), "video",
+         "ppmv", 0),                                       # re-encode of 1
+        (103, _clip("z1", "z2"), "video", "ppmv", 0),      # disjoint
+        (104, _clip("q1") + black, "video", "ppmv", 0),    # only black
+    ])
+    pairs = {(r["left_id"], r["right_id"]): r["containment"]
+             for r in mi.probe_vframe_index(idx, batch).collect()}
+    assert pairs[(1, 101)] == 1.0
+    assert pairs[(1, 102)] == 1.0
+    assert not any(r == 103 for (_l, r) in pairs)
+    # clip 104 shares ONLY the ubiquitous black frame (df 4 > cap 3)
+    assert not any(r == 104 for (_l, r) in pairs)
+
+    # extend with the disjoint clip, then a trim of IT probes positive
+    added = mi.extend_vframe_index(
+        idx, video_df=batch.where("media_id = 103"))
+    assert added == 2
+    pairs2 = {(r["left_id"], r["right_id"])
+              for r in mi.probe_vframe_index(
+                  idx,
+                  _media_rows(spark, [(201, _clip("z1"), "video",
+                                       "ppmv", 0)])).collect()}
+    assert (103, 201) in pairs2
+    # param validation: probing a non-vframe table fails loudly
+    other = cat.create_table("default.notvf",
+                             [("id", "long"), ("fhash", "string")])
+    with pytest.raises(ValueError, match="frame-set index"):
+        mi.probe_vframe_index(other, batch)
+
+
+def test_vframe_index_status_and_sync(spark, tmp_warehouse):
+    """The frame-set index is a first-class index family: index_status
+    reports it (kind vframe, sync states), sync_index_deletes drops a
+    deleted clip's rows, and reextend_index re-lands an updated clip's
+    NEW fingerprints."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import crud
+    from iceberg_lakehouse_spark.operators import media_index as mi
+    from iceberg_lakehouse_spark.operators.index_sync import (
+        index_status,
+        link_index_source,
+        reextend_index,
+        sync_index_deletes,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    media = _media_rows(spark, [
+        (1, _clip("a1", "a2"), "video", "ppmv", 0),
+        (2, _clip("b1", "b2"), "video", "ppmv", 0),
+        (3, _clip("c1", "c2"), "video", "ppmv", 0),
+    ])
+    mt = cat.create_table("default.clips", media.schema)
+    mt.append(media)
+    idx = mi.build_vframe_index(cat, "default.clips_vf", mt.scan())
+    link_index_source(cat, "default.clips_vf", "default.clips",
+                      "media_id")
+    st = {e["index"]: e for e in index_status(cat)}["default.clips_vf"]
+    assert st["kind"] == "vframe" and st["sync_state"] == "in_sync"
+    # delete clip 2 -> sync drops its 2 rows
+    crud.delete_rows(mt, "media_id = 2")
+    rep = sync_index_deletes(cat, "default.clips_vf")
+    assert rep["deleted_ids"] == 1 and rep["removed_index_rows"] == 2
+    assert idx.scan().where("id = 2").count() == 0
+    # update clip 3 -> sync + reextend land the NEW frames
+    crud.update_rows(mt, "media_id = 3",
+                     {"content": _clip("n1", "n2", "n3")})
+    sync_index_deletes(cat, "default.clips_vf")
+    rex = reextend_index(cat, "default.clips_vf")
+    assert rex["reextended_ids"] == 1 and rex["index_rows_added"] == 3
+    probe = mi.probe_vframe_index(
+        idx, _media_rows(spark, [(301, _clip("n1", "n2"), "video",
+                                  "ppmv", 0)]))
+    assert {(r["left_id"], r["right_id"])
+            for r in probe.collect()} == {(3, 301)}
+
+
+def test_video_dedup_stream_two_batches(spark, tmp_path, tmp_warehouse):
+    """Streaming clip dedup: intra-batch keeper semantics, cross-batch
+    trim drops via the extended index, undecodable clips pass through,
+    and replay idempotence — without ever re-hashing the corpus."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import media_index as mi
+    from iceberg_lakehouse_spark.streaming.sink import (
+        video_dedup_stream_to_table,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = cat.create_table("clip_corpus", mm.MEDIA_SCHEMA)
+    corpus = _media_rows(spark, [
+        (1, _clip("a1", "a2", "a3", "a4"), "video", "ppmv", 0)])
+    idx = mi.build_vframe_index(cat, "default.vfidx", corpus,
+                                threshold=0.5)
+    t.append(corpus)
+
+    rows1 = [
+        (10, _clip("f1", "f2"), "video", "ppmv", 0),        # lands
+        (11, _clip("a2", "a3"), "video", "ppmv", 0),        # trim of 1
+        (12, _clip("p1", "p2", "p3"), "video", "ppmv", 0),  # keeper
+        (13, _clip("p2", "p3"), "video", "ppmv", 0),        # trim of 12
+        (14, b"not a ppm stream at all", "video", "raw", 0),  # undecodable
+    ]
+    d1 = str(tmp_path / "v1")
+    _media_rows(spark, rows1).write.parquet(d1)
+    q = video_dedup_stream_to_table(
+        spark.readStream.schema(mm.MEDIA_SCHEMA).parquet(d1),
+        t, idx, checkpoint_dir=str(tmp_path / "ck1"), available_now=True)
+    q.awaitTermination(180)
+    assert {r["media_id"] for r in t.scan().collect()} \
+        == {1, 10, 12, 14}
+
+    # batch 2: trim of batch-1 SURVIVOR 12 drops via the extended
+    # index; novel clip lands
+    rows2 = [
+        (20, _clip("p1", "p2"), "video", "ppmv", 0),
+        (21, _clip("w1", "w2"), "video", "ppmv", 0),
+    ]
+    d2 = str(tmp_path / "v2")
+    _media_rows(spark, rows2).write.parquet(d2)
+    q2 = video_dedup_stream_to_table(
+        spark.readStream.schema(mm.MEDIA_SCHEMA).parquet(d2),
+        t, idx, checkpoint_dir=str(tmp_path / "ck2"), available_now=True)
+    q2.awaitTermination(180)
+    assert {r["media_id"] for r in t.scan().collect()} \
+        == {1, 10, 12, 14, 21}
+
+    # replay batch 2 (fresh checkpoint): nothing new, index stable
+    n_idx = idx.scan().count()
+    q3 = video_dedup_stream_to_table(
+        spark.readStream.schema(mm.MEDIA_SCHEMA).parquet(d2),
+        t, idx, checkpoint_dir=str(tmp_path / "ck3"), available_now=True)
+    q3.awaitTermination(180)
+    assert t.scan().count() == 5
+    assert idx.scan().count() == n_idx
