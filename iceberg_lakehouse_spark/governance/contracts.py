@@ -232,6 +232,29 @@ class ContractManager:
             return df.where(
                 F.col(col).isNotNull() & ~F.col(col).rlike(con["pattern"])
             ).count()
+        if kind == "min_quality_score":
+            # r11: rows scoring below `min` under the EMBEDDED model
+            # weights (governance.models.quality_score_constraint —
+            # pinned at constraint creation, so a later model
+            # promotion never silently changes what this contract
+            # enforces). One codegen projection, no Python.
+            from ..functions.quality_model import (
+                FEATURES,
+                _p_sql,
+                _z_sql,
+            )
+
+            names = [n for n, _, _ in FEATURES]
+            d = df if col == "text" else df.withColumn(
+                "text", F.col(col))
+            scored = (
+                d.selectExpr(
+                    *[f"{s} AS {n}" for n, s, _ in FEATURES])
+                .selectExpr(
+                    "*", f"{_z_sql(con['weights'], names)} AS z")
+                .selectExpr(f"{_p_sql()} AS p")
+            )
+            return scored.where(F.col("p") < con["min"]).count()
         return None
 
     def validate_rows(

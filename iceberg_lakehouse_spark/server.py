@@ -1109,6 +1109,59 @@ class LakehouseServer:
                   {"index_table": _S}, ["index_table"]),
             lambda index_table: _isync.sync_index_deletes(c, index_table),
         )
+        from .governance import models as _gm
+
+        self._add(
+            _tool("quality_model_train",
+                  "Train the bit-reproducible logistic quality "
+                  "classifier on a source table's CURRENT snapshot "
+                  "and register the weights as the next version in a "
+                  "model-registry table (promote to make it live)",
+                  {"registry_table": _S, "source_table": _S,
+                   "text_column": _S, "iters": _I, "promote":
+                   {"type": "boolean"}},
+                  ["registry_table", "source_table"]),
+            lambda registry_table, source_table, text_column="text",
+                   iters=8, promote=False:
+                _gm.train_and_register(
+                    c, registry_table, source_table,
+                    text_col=text_column, iters=iters,
+                    promote=promote),
+        )
+        self._add(
+            _tool("quality_model_promote",
+                  "Point a model registry's live-scoring pointer at a "
+                  "version (rollback = re-point)",
+                  {"registry_table": _S, "version": _I},
+                  ["registry_table", "version"]),
+            lambda registry_table, version:
+                _gm.promote_model_version(c, registry_table, version),
+        )
+        self._add(
+            _tool("quality_model_versions",
+                  "Audit history of a model registry: every trained "
+                  "version with source-snapshot provenance and the "
+                  "promoted flag",
+                  {"registry_table": _S}, ["registry_table"]),
+            lambda registry_table:
+                _gm.model_versions(c, registry_table),
+        )
+        self._add(
+            _tool("quality_model_score",
+                  "Score a table with the PROMOTED model version (or "
+                  "an explicit pin): quality_score/quality_label/"
+                  "model_version per row — retraining never changes "
+                  "production scoring until promoted",
+                  {"registry_table": _S, "table": _S, "text_column": _S,
+                   "version": _I, "max_rows": _I},
+                  ["registry_table", "table"]),
+            lambda registry_table, table, text_column="text",
+                   version=None, max_rows=100: rows_of(
+                _gm.score_with_latest_model(
+                    c, registry_table, c.load_table(table).scan(),
+                    text_col=text_column, version=version,
+                ).limit(max_rows)),
+        )
         self._add(
             _tool("index_reextend",
                   "Repay an index's pending-reinsert debt: re-derive "

@@ -1,0 +1,146 @@
+"""Versioned quality-model registry (round 11 — r10 VERDICT #5):
+train/register/promote lifecycle, pinned-version scoring, audit
+history, and the contracts-layer min_quality_score constraint."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+from iceberg_lakehouse_spark.governance import models as gm
+from iceberg_lakehouse_spark.operators import crud
+
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today", "en"),
+    (2, "pack my box with five dozen liquor jugs again", "en"),
+    (3, "le renard brun rapide saute par dessus le chien", "fr"),
+    (4, "!!!! ???? !!!! ???? spam spam spam spam spam spam", "en"),
+    (5, "una frase corta", "es"),
+    (6, "another perfectly ordinary english sentence with words", "en"),
+]
+
+
+def _source(spark, cat, name="default.docs"):
+    t = cat.create_table(
+        name, [("doc_id", "long"), ("text", "string"),
+               ("lang", "string")])
+    crud.insert_rows(t, [
+        {"doc_id": i, "text": s, "lang": g} for i, s, g in _DOCS])
+    return t
+
+
+def test_train_register_promote_pins_scoring(spark, tmp_warehouse):
+    """The done-criterion: retrain on drifted labels appends a new
+    version, but scoring keeps using the PINNED promoted version
+    until an explicit promotion flips it."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _source(spark, cat)
+    v1 = gm.train_and_register(
+        cat, "default.qmodel", "default.docs", promote=True)
+    assert v1["version"] == 1 and v1["promoted"]
+    s1 = {r["doc_id"]: (r["quality_score"], r["model_version"])
+          for r in gm.score_with_latest_model(
+              cat, "default.qmodel", t.scan()).collect()}
+    assert all(mv == 1 for _s, mv in s1.values())
+
+    # label drift: the corpus language labels change -> retrain
+    crud.update_rows(t, "doc_id IN (1, 2)", {"lang": "fr"})
+    v2 = gm.train_and_register(cat, "default.qmodel", "default.docs")
+    assert v2["version"] == 2 and not v2["promoted"]
+    assert v2["weights"] != v1["weights"]
+    # unpromoted retrain CANNOT change production scoring
+    s_pinned = {r["doc_id"]: (r["quality_score"], r["model_version"])
+                for r in gm.score_with_latest_model(
+                    cat, "default.qmodel", t.scan()).collect()}
+    assert s_pinned == s1
+
+    gm.promote_model_version(cat, "default.qmodel", 2)
+    s2 = {r["doc_id"]: (r["quality_score"], r["model_version"])
+          for r in gm.score_with_latest_model(
+              cat, "default.qmodel", t.scan()).collect()}
+    assert all(mv == 2 for _s, mv in s2.values())
+    assert s2 != s1
+    # an explicit version pin overrides the pointer (reproducibility)
+    s1_again = {r["doc_id"]: (r["quality_score"], r["model_version"])
+                for r in gm.score_with_latest_model(
+                    cat, "default.qmodel", t.scan(),
+                    version=1).collect()}
+    assert s1_again == s1
+
+
+def test_version_history_and_provenance(spark, tmp_warehouse):
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _source(spark, cat)
+    snap1 = t.current_snapshot().snapshot_id
+    gm.train_and_register(cat, "default.qm", "default.docs",
+                          promote=True)
+    crud.insert_rows(t, [{"doc_id": 7, "text": "more english words "
+                          "in a longer sentence", "lang": "en"}])
+    snap2 = t.current_snapshot().snapshot_id
+    gm.train_and_register(cat, "default.qm", "default.docs")
+    hist = gm.model_versions(cat, "default.qm")
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["source_snapshot_id"] == snap1
+    assert hist[1]["source_snapshot_id"] == snap2
+    assert hist[0]["promoted"] and not hist[1]["promoted"]
+    assert hist[0]["n"] == 6 and hist[1]["n"] == 7
+    m = gm.load_model(cat, "default.qm")
+    assert m["version"] == 1 and m["source_table"] == "default.docs"
+
+
+def test_error_paths(spark, tmp_warehouse):
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    _source(spark, cat)
+    gm.train_and_register(cat, "default.qm", "default.docs")
+    # nothing promoted yet
+    with pytest.raises(ValueError, match="no promoted version"):
+        gm.load_model(cat, "default.qm")
+    with pytest.raises(ValueError, match="no version 9"):
+        gm.promote_model_version(cat, "default.qm", 9)
+    # a non-registry table cannot masquerade as one
+    cat.create_table("default.plain", [("x", "long")])
+    with pytest.raises(ValueError, match="not a model registry"):
+        gm.load_model(cat, "default.plain")
+    with pytest.raises(ValueError, match="empty"):
+        cat.create_table("default.empty",
+                         [("doc_id", "long"), ("text", "string"),
+                          ("lang", "string")])
+        gm.train_and_register(cat, "default.qm2", "default.empty")
+
+
+def test_min_quality_score_contract(spark, tmp_warehouse, tmp_path):
+    """Contracts reference a minimum model score: the constraint
+    embeds the promoted version's weights (pinned — a later promotion
+    does not change what the contract enforces)."""
+    from iceberg_lakehouse_spark.governance.contracts import (
+        ContractManager,
+    )
+    from iceberg_lakehouse_spark.functions.quality_model import (
+        score_quality_classifier,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _source(spark, cat)
+    gm.train_and_register(cat, "default.qmodel", "default.docs",
+                          promote=True)
+    model = gm.load_model(cat, "default.qmodel")
+    scores = {r["doc_id"]: r["quality_score"]
+              for r in score_quality_classifier(
+                  t.scan(), model).collect()}
+    cut = sorted(scores.values())[2]  # threshold failing exactly 2 rows
+    con = gm.quality_score_constraint(cat, "default.qmodel", cut)
+    assert con["model_version"] == 1
+    cm = ContractManager(str(tmp_path / "contracts.json"))
+    cm.create("default.docs", constraints=[con])
+    violations = cm.validate_rows("default.docs", t.scan())
+    assert violations == [{
+        "constraint": "min_quality_score", "column": "text",
+        "failed_rows": 2}]
+    # rows at/above the cut pass
+    ok = cm.validate_rows(
+        "default.docs",
+        t.scan().where(
+            F.col("doc_id").isin(
+                [d for d, s in scores.items() if s >= cut])))
+    assert ok == []
