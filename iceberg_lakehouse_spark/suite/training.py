@@ -6659,3 +6659,261 @@ def video_frame_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("landed", F.lit(False)).alias("landed"))
         .orderBy("media_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: cross-modal curation capstone (r10 VERDICT #2)
+
+_CM_MEDIA_CAP = 200  # media corpora derive from doc_id < this: the
+# synthetic blobs are pure functions of doc_id, so capping keeps the
+# perceptual halves SF-independent (same discipline as
+# video_frame_index_dedup) while the text half runs corpus-wide.
+
+
+def _text_funnel(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """(stage_no, stage, rows_in, rows_removed, rows_out) for the
+    three text curation stages — ONE implementation shared by the
+    oracle-paired ``curated_text_funnel`` and the multimodal capstone,
+    so their text accounting reconciles by construction.
+
+    Stage semantics (each documented where its operator lives):
+      1. span_dedup — repeated >= 8-token spans masked (Lee et al.);
+         a document with NO surviving tokens (fully boilerplate, or
+         empty to begin with) is dropped;
+      2. exact_dedup — min-doc_id keeper per rebuilt-text fingerprint
+         (the md5 groups; its value never leaves the plan);
+      3. quality_filter — the bit-reproducible classifier, corpus-mean
+         threshold over ALL documents' scores (the
+         quality_filtered_by_lang rule), applied to the survivors;
+         scores are computed on ORIGINAL text, so the filter decision
+         is independent of how much boilerplate was cut."""
+    from pyspark.sql import Window
+
+    from ..functions.dedup_text import span_dedup
+    from ..functions.quality_model import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    n0 = docs.count()
+    sd = span_dedup(docs, id_col="doc_id", text_col="text",
+                    n=_BP_N, min_df=_BP_MIN_DF).persist()
+    try:
+        surv1 = sd.where(F.col("kept_tokens") > 0)
+        n1 = surv1.count()
+        keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+        s2 = (
+            surv1.select("doc_id", F.md5("dedup_text").alias("fp"))
+            .withColumn("_k", keeper)
+            .where(F.col("doc_id") == F.col("_k"))
+            .select("doc_id")
+            .persist()
+        )
+        try:
+            n2 = s2.count()
+            model = train_quality_classifier(
+                docs, lr=_QC_LR, iters=_QC_ITERS)
+            scored = score_quality_classifier(docs, model) \
+                .select("doc_id", "quality_score")
+            thr = scored.selectExpr(
+                "(CAST(SUM(CAST(floor(quality_score * 1000000000.0) "
+                "AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(*) AS t"
+            ).first()["t"]
+            n3 = (
+                s2.join(scored, "doc_id")
+                .where(F.col("quality_score") >= F.lit(thr))
+                .count()
+            )
+        finally:
+            s2.unpersist()
+    finally:
+        sd.unpersist()
+    return [
+        (1, "span_dedup", n0, n0 - n1, n1),
+        (2, "exact_dedup", n1, n1 - n2, n2),
+        (3, "quality_filter", n2, n2 - n3, n3),
+    ]
+
+
+def _ctf_oracle() -> str:
+    from ..functions.quality_model import FEATURES, duckdb_training_ctes
+
+    ctes, final = duckdb_training_ctes(lr=_QC_LR, iters=_QC_ITERS)
+    z = f"(SELECT w0 FROM {final})"
+    for j, (name, _, _) in enumerate(FEATURES, start=1):
+        z = f"({z} + ((SELECT w{j} FROM {final}) * {name}))"
+    p = "(0.5 + (0.5 * (z / (1.0 + abs(z)))))"
+    return f"""
+    WITH {ctes},
+    toks AS MATERIALIZED (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)),
+                                     '[ \\t\\n\\x0b\\f\\r]+') AS t
+        FROM documents
+    ),
+    g2 AS MATERIALIZED (
+        SELECT doc_id, pos,
+               array_to_string(t[pos:pos + {_BP_N - 1}], ' ') AS g
+        FROM (
+            SELECT doc_id, unnest(range(1, len(t) - {_BP_N - 2})) AS pos,
+                   t
+            FROM toks WHERE len(t) >= {_BP_N}
+        )
+    ),
+    stats AS MATERIALIZED (
+        SELECT g, MIN(doc_id) AS keeper
+        FROM (SELECT DISTINCT g, doc_id FROM g2)
+        GROUP BY g
+        HAVING COUNT(*) >= {_BP_MIN_DF}
+    ),
+    masked AS MATERIALIZED (
+        SELECT DISTINCT doc_id, mpos FROM (
+            SELECT g2.doc_id,
+                   unnest(range(g2.pos, g2.pos + {_BP_N})) AS mpos
+            FROM g2 JOIN stats s ON g2.g = s.g
+            WHERE g2.doc_id <> s.keeper
+        )
+    ),
+    keptt AS MATERIALIZED (
+        SELECT pt.doc_id,
+               string_agg(pt.tok, ' ' ORDER BY pt.p) AS dedup_text
+        FROM (SELECT doc_id, unnest(t) AS tok,
+                     unnest(range(1, len(t) + 1)) AS p
+              FROM toks) pt
+        LEFT JOIN masked m
+          ON m.doc_id = pt.doc_id AND m.mpos = pt.p
+        WHERE m.mpos IS NULL
+        GROUP BY pt.doc_id
+    ),
+    surv1 AS MATERIALIZED (
+        SELECT tk.doc_id, COALESCE(kt.dedup_text, '') AS dedup_text
+        FROM toks tk
+        LEFT JOIN keptt kt ON tk.doc_id = kt.doc_id
+        WHERE len(tk.t) - (
+            SELECT COALESCE(COUNT(*), 0) FROM masked m
+            WHERE m.doc_id = tk.doc_id) > 0
+    ),
+    s2 AS MATERIALIZED (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (
+                       PARTITION BY md5(dedup_text)) AS _k
+            FROM surv1
+        ) WHERE doc_id = _k
+    ),
+    scoreall AS MATERIALIZED (
+        SELECT doc_id, {p} AS quality_score
+        FROM (SELECT *, {z} AS z FROM feats)
+    ),
+    thr AS MATERIALIZED (
+        SELECT (CAST(SUM(CAST(floor(quality_score * 1000000000.0)
+                              AS BIGINT)) AS DOUBLE)
+                / 1000000000.0) / COUNT(*) AS t
+        FROM scoreall
+    ),
+    s3 AS MATERIALIZED (
+        SELECT s2.doc_id
+        FROM s2 JOIN scoreall USING (doc_id)
+        WHERE quality_score >= (SELECT t FROM thr)
+    ),
+    c AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n0,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM surv1) AS n1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage_no, 'span_dedup' AS stage,
+               n0 AS rows_in, n0 - n1 AS rows_removed, n1 AS rows_out
+        FROM c
+        UNION ALL
+        SELECT 2, 'exact_dedup', n1, n1 - n2, n2 FROM c
+        UNION ALL
+        SELECT 3, 'quality_filter', n2, n2 - n3, n3 FROM c
+    ) ORDER BY stage_no
+    """
+
+
+@register(
+    "curated_text_funnel",
+    _ctf_oracle(),
+    survey_ref="beyond-reference (r11): the text+accounting half of "
+    "the cross-modal curation capstone — span dedup, exact dedup on "
+    "rebuilt text, classifier quality filter, with per-stage funnel "
+    "counts value-hashed cross-engine",
+)
+def curated_text_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage curation funnel over the documents table: span
+    dedup (docs emptied of boilerplate drop), exact dedup on the
+    REBUILT text (min-id keeper per fingerprint), and the trained
+    quality classifier at the corpus-mean threshold. Every stage's
+    (rows_in, rows_removed, rows_out) is verified against a DuckDB
+    unroll of the identical three stages — the accounting the
+    multimodal capstone's text lane reuses verbatim."""
+    rows = _text_funnel(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "stage_no long, stage string, rows_in long, "
+        "rows_removed long, rows_out long").orderBy("stage_no")
+
+
+@register(
+    "curated_multimodal_corpus",
+    None,  # the perceptual lanes decode binary blobs — no SQL oracle;
+    # the text lane's numbers are the oracle-paired curated_text_funnel
+    survey_ref="beyond-reference (r11): the cross-modal curation "
+    "capstone — one funnel over text (span+exact+quality), image "
+    "(phash), audio (envelope), and video (frame-set) dedup; lane "
+    "reconciliation pinned in tests/test_llm_ops.py",
+)
+def curated_multimodal_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pipeline a real pretraining run composes (r10 VERDICT #2):
+    a MIXED corpus — documents plus the deterministic synthetic
+    image/audio/video corpora — curated per modality with the shared
+    per-modality machinery, reported as ONE funnel
+    (modality, stage_no, stage, rows_in, rows_removed, rows_out).
+
+    Text runs the exact ``curated_text_funnel`` stages (same helper,
+    numbers reconcile by construction — and THAT entry is
+    value-hashed against DuckDB). Each perceptual lane applies the
+    local keeper rule every streaming sink uses: an item that is the
+    GREATER id in any near-dup pair is removed (images: Hamming ≤ 4
+    phash pairs; audio: envelope-gradient pairs; video: frame-set
+    containment ≥ 0.5). Blobs never shuffle — each lane's pair
+    generation is the already-plan-audited blocked join of its parent
+    entry."""
+    from ..functions.multimodal import (
+        audio_near_dup_pairs,
+        media_near_dup_pairs,
+        video_near_dup_pairs,
+    )
+
+    funnel = [("text", *r) for r in _text_funnel(spark, sf_dir)]
+    docs = load_sf_tables(spark, sf_dir)["documents"] \
+        .where(f"doc_id < {_CM_MEDIA_CAP}")
+
+    def _lane(modality, stage, media, pairs):
+        n_in = media.select("media_id").distinct().count()
+        removed = (
+            pairs.where(F.col("left_id") < F.col("right_id"))
+            .select("right_id").distinct().count()
+        )
+        funnel.append(
+            (modality, 1, stage, n_in, removed, n_in - removed))
+
+    imgs = _synthesize_media(docs)
+    _lane("image", "perceptual_dedup", imgs,
+          media_near_dup_pairs(imgs, max_distance=4))
+    auds = _synthesize_audio(docs)
+    _lane("audio", "envelope_dedup", auds,
+          audio_near_dup_pairs(auds, max_distance=4))
+    vids = _synthesize_video(docs)
+    _lane("video", "frame_set_dedup", vids,
+          video_near_dup_pairs(vids, threshold=0.5))
+    return spark.createDataFrame(
+        funnel,
+        "modality string, stage_no long, stage string, rows_in long, "
+        "rows_removed long, rows_out long",
+    ).orderBy("modality", "stage_no")

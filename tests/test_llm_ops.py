@@ -1526,3 +1526,65 @@ def test_shingle_candidate_pairs_verify_budget(spark):
     assert sorted(map(tuple, a.collect())) == sorted(
         map(tuple, b.collect()))
     assert "Broadcast" in b._jdf.queryExecution().executedPlan().toString()
+
+
+def test_multimodal_funnel_reconciles_with_lane_operators(spark):
+    """r11 capstone done-criterion: the funnel's numbers reconcile
+    with the individual operators' counts on the same fixture — the
+    text lane equals the oracle-paired curated_text_funnel row for
+    row, every perceptual lane's removed count equals the distinct
+    greater-id losers of its parent pair operator, the planted
+    structure (50 groups x 4 variants at doc_id < 200 -> 150 removed)
+    lands exactly, and in/out chain across stages."""
+    import pyspark.sql.functions as F
+
+    from iceberg_lakehouse_spark.functions.multimodal import (
+        audio_near_dup_pairs,
+        media_near_dup_pairs,
+        video_near_dup_pairs,
+    )
+    from iceberg_lakehouse_spark.suite.training import (
+        _CM_MEDIA_CAP,
+        _synthesize_audio,
+        _synthesize_media,
+        _synthesize_video,
+        curated_multimodal_corpus,
+        curated_text_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    funnel = {(r["modality"], r["stage_no"]): r
+              for r in curated_multimodal_corpus(spark, sf).collect()}
+    # chaining + arithmetic invariants
+    for r in funnel.values():
+        assert r["rows_out"] == r["rows_in"] - r["rows_removed"]
+    for s in (2, 3):
+        assert funnel[("text", s)]["rows_in"] \
+            == funnel[("text", s - 1)]["rows_out"]
+    # text lane == the oracle-paired entry, row for row
+    text_oracle = {r["stage_no"]: r
+                   for r in curated_text_funnel(spark, sf).collect()}
+    for s, row in text_oracle.items():
+        got = funnel[("text", s)]
+        assert (got["stage"], got["rows_in"], got["rows_removed"],
+                got["rows_out"]) == (row["stage"], row["rows_in"],
+                                     row["rows_removed"], row["rows_out"])
+    # each perceptual lane's removed == its parent operator's losers
+    from iceberg_lakehouse_spark.session import load_sf_tables
+    docs = load_sf_tables(spark, sf)["documents"] \
+        .where(f"doc_id < {_CM_MEDIA_CAP}")
+    lanes = {
+        "image": media_near_dup_pairs(_synthesize_media(docs),
+                                      max_distance=4),
+        "audio": audio_near_dup_pairs(_synthesize_audio(docs),
+                                      max_distance=4),
+        "video": video_near_dup_pairs(_synthesize_video(docs),
+                                      threshold=0.5),
+    }
+    for modality, pairs in lanes.items():
+        losers = (pairs.where(F.col("left_id") < F.col("right_id"))
+                  .select("right_id").distinct().count())
+        got = funnel[(modality, 1)]
+        assert got["rows_removed"] == losers, modality
+        # planted structure: 50 groups x 4 variants -> 150 losers
+        assert got["rows_in"] == 200 and got["rows_removed"] == 150
