@@ -39,7 +39,7 @@ from ..functions.quality_model import (
 
 _DDL = ("version long, weights array<double>, features array<string>, "
         "iters long, lr double, n long, source_table string, "
-        "source_snapshot_id long")
+        "source_snapshot_id long, text_col string, label_sql string")
 
 _PROMOTED = "model.promoted_version"
 
@@ -93,7 +93,8 @@ def train_and_register(
     reg.append(spark.createDataFrame(
         [(version, model["weights"], model["features"],
           model["iters"], float(model["lr"]), model["n"],
-          f"{src.namespace}.{src.table}", cur.snapshot_id)],
+          f"{src.namespace}.{src.table}", cur.snapshot_id,
+          text_col, label_sql)],
         _DDL,
     ))
     out = {
@@ -106,6 +107,27 @@ def train_and_register(
         promote_model_version(catalog, name, version)
         out["promoted"] = True
     return out
+
+
+def retrain_latest(catalog: LakehouseCatalog, name: str) -> dict:
+    """Unattended retrain (the ``auto_retrain_model`` maintenance
+    policy's action): re-run training on the latest version's source
+    table at its CURRENT snapshot, with the latest version's recorded
+    hyperparameters (text_col/label_sql/lr/iters), and register the
+    result as the next version — NEVER promoted; production scoring
+    stays pinned until someone promotes."""
+    reg = _registry(catalog, name)
+    latest = reg.scan().orderBy(F.desc("version")).first()
+    if latest is None:
+        raise ValueError(
+            f"model registry {name} has no versions to retrain from")
+    return train_and_register(
+        catalog, name, latest["source_table"],
+        text_col=latest["text_col"] or "text",
+        label_sql=latest["label_sql"] or DEFAULT_LABEL_SQL,
+        lr=float(latest["lr"]), iters=int(latest["iters"]),
+        promote=False,
+    )
 
 
 def promote_model_version(catalog: LakehouseCatalog, name: str,

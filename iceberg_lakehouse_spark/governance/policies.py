@@ -219,6 +219,15 @@ class MaintenanceManager:
         # text/vector indexes should name text_col/vec_col so that
         # can succeed unattended
         "auto_sync_index": None,
+        # truthy: when this table is a quality-model REGISTRY
+        # (governance.models — it has the model.promoted_version
+        # property), retrain whenever the latest version's source
+        # table has committed past the snapshot it was trained on.
+        # The new version is REGISTERED, NEVER PROMOTED — production
+        # scoring stays pinned until a human (or an explicit caller)
+        # promotes, which is the lifecycle discipline the registry
+        # exists for (r11)
+        "auto_retrain_model": None,
         # a min-recall number in (0, 1]: when this table is an ANN /
         # IVFPQ index whose MEASURED sampled recall@10 (nprobe=2,
         # sample=8 — ann_recall_sample / ivfpq_recall_sample) falls
@@ -360,6 +369,39 @@ class MaintenanceManager:
                         f"rebalance_{kind}_index ({len(hot)} cell(s) "
                         f"> {ratio}x median list size {median})"
                     )
+        needs_retrain = False
+        if pol.get("auto_retrain_model"):
+            props = table.properties()
+            if "model.promoted_version" in props:
+                from pyspark.sql import functions as F
+
+                latest = (
+                    table.scan()
+                    .orderBy(F.desc("version"))
+                    .select("version", "source_table",
+                            "source_snapshot_id")
+                    .first()
+                )
+                if latest is not None:
+                    try:
+                        src = table.catalog.load_table(
+                            latest["source_table"])
+                        scur = src.current_snapshot()
+                        if (scur is not None and scur.snapshot_id
+                                != int(latest["source_snapshot_id"])):
+                            needs_retrain = True
+                            actions.append(
+                                f"retrain_model (source "
+                                f"{latest['source_table']} at snapshot "
+                                f"{scur.snapshot_id}, version "
+                                f"{latest['version']} trained at "
+                                f"{latest['source_snapshot_id']})"
+                            )
+                    except ValueError:
+                        needs_retrain = True
+                        actions.append(
+                            f"retrain_model (source "
+                            f"{latest['source_table']} missing)")
         needs_rebuild = False
         min_recall = pol.get("auto_rebuild_index")
         if min_recall:
@@ -417,6 +459,7 @@ class MaintenanceManager:
             "needs_rebalance": needs_rebalance,
             "needs_index_sync": needs_sync,
             "needs_index_rebuild": needs_rebuild,
+            "needs_model_retrain": needs_retrain,
             "actions_needed": actions, "stats": fs,
         }
 
@@ -531,6 +574,30 @@ class MaintenanceManager:
                                 "status": "failed",
                                 "error": str(e)[:300],
                             })
+        if needed.get("needs_model_retrain"):
+            if dry_run:
+                actions.append({"action": "retrain_model",
+                                "status": "dry_run"})
+            else:
+                from .models import retrain_latest
+
+                full_name = f"{table.namespace}.{table.table}"
+                try:
+                    res = retrain_latest(table.catalog, full_name)
+                    actions.append({
+                        "action": "retrain_model",
+                        "status": "completed",
+                        "version": res["version"],
+                        "n": res["n"],
+                        # never promoted by policy — see DEFAULTS note
+                        "promoted": res["promoted"],
+                    })
+                except ValueError as e:
+                    actions.append({
+                        "action": "retrain_model",
+                        "status": "failed",
+                        "error": str(e)[:300],
+                    })
         if needed.get("needs_index_rebuild"):
             kind = self._index_kind(table)
             if dry_run:

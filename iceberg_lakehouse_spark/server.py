@@ -1138,6 +1138,17 @@ class LakehouseServer:
                 _gm.promote_model_version(c, registry_table, version),
         )
         self._add(
+            _tool("quality_model_retrain",
+                  "Unattended retrain: re-train on the latest "
+                  "version's source at its CURRENT snapshot with the "
+                  "recorded hyperparameters; registers the next "
+                  "version UNPROMOTED (the auto_retrain_model "
+                  "maintenance policy's action)",
+                  {"registry_table": _S}, ["registry_table"]),
+            lambda registry_table:
+                _gm.retrain_latest(c, registry_table),
+        )
+        self._add(
             _tool("quality_model_versions",
                   "Audit history of a model registry: every trained "
                   "version with source-snapshot provenance and the "

@@ -144,3 +144,42 @@ def test_min_quality_score_contract(spark, tmp_warehouse, tmp_path):
             F.col("doc_id").isin(
                 [d for d, s in scores.items() if s >= cut])))
     assert ok == []
+
+
+def test_auto_retrain_model_policy(spark, tmp_warehouse, tmp_path):
+    """Governance loop: auto_retrain_model retrains exactly when the
+    source has committed past the latest version's training snapshot,
+    registers the new version UNPROMOTED (production scoring pinned),
+    and goes quiet once current."""
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _source(spark, cat)
+    gm.train_and_register(cat, "default.qm", "default.docs",
+                          promote=True)
+    reg = cat.load_table("default.qm")
+    mm = MaintenanceManager(str(tmp_path / "maint.json"))
+    mm.set_policy("default.qm", auto_retrain_model=True)
+    assert not mm.check_needed(reg)["needs_model_retrain"]
+    # source drift
+    crud.insert_rows(t, [{"doc_id": 8, "text": "une autre phrase en "
+                          "francais assez longue", "lang": "fr"}])
+    need = mm.check_needed(reg)
+    assert need["needs_model_retrain"]
+    assert any("retrain_model" in a for a in need["actions_needed"])
+    rec = mm.run(reg)
+    done = [a for a in rec["actions"] if a["action"] == "retrain_model"]
+    assert done and done[0]["status"] == "completed"
+    assert done[0]["version"] == 2 and done[0]["n"] == 7
+    assert done[0]["promoted"] is False
+    # production scoring STILL pinned to v1
+    s = gm.score_with_latest_model(cat, "default.qm", t.scan()).first()
+    assert s["model_version"] == 1
+    # registry now trained at the current snapshot -> quiet
+    assert not mm.check_needed(reg)["needs_model_retrain"]
+    # retrain reused the recorded hyperparams
+    hist = gm.model_versions(cat, "default.qm")
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[1]["n"] == 7 and not hist[1]["promoted"]

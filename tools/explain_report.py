@@ -40,11 +40,16 @@ SHOW = [
      "partitions by range bucket (no Exchange SinglePartition anywhere; "
      "gated by test_plans)."),
     ("ngram_jaccard_pairs",
-     "Exact n-gram Jaccard (round-5 scale fix): candidates from an equality "
-     "join on RARE shingles only — per-shingle document frequency computed "
-     "first and hot shingles (df > 64) dropped before the join, so Zipfian "
-     "keys can't make pair generation quadratic; exact Jaccard verify over "
-     "the full shingle sets on candidates only."),
+     "Exact n-gram Jaccard (round-5 scale fix; r11 verify budget): "
+     "candidates from an equality join on RARE shingles only — "
+     "per-shingle document frequency computed first and hot shingles "
+     "(df > 64) dropped before the join, so Zipfian keys can't make "
+     "pair generation quadratic. r11: ONE persisted pair-evidence "
+     "aggregate feeds both a top-50k TakeOrderedAndProject slice "
+     "(strongest shared-shingle evidence verifies first) and the "
+     "cand_truncated flag (broadcast one-row aggregate); the exact "
+     "verify joins the BROADCAST melted pair slice against the corpus "
+     "shingle melt map-side — the corpus side is never shuffled."),
     ("order_priority_cube",
      "CUBE: one Expand + partial/final aggregate pass over all four "
      "grouping sets — not a union of four scans."),
@@ -238,6 +243,28 @@ SHOW = [
      "combined); this scoring plan is ONE whole-stage-codegen "
      "projection over the feature expressions with literal weights — "
      "no Python, no shuffle except the output ORDER BY."),
+    ("bpe_train_merges_stats",
+     "BPE trainer (r11 batched-selection note): this 8-merge suite "
+     "entry runs B=1 exact greedy (one pair-count aggregation + one "
+     "chained-rewrite/stats aggregation per merge over the persisted "
+     "distinct-word vocabulary); at vocab scale the SAME code takes "
+     "merges_per_pass=B and lands up to B non-interfering merges per "
+     "pass (pairwise-disjoint {l, r, l+r} symbol sets make the "
+     "chained replaces commute and keep pre-batch counts exact), so "
+     "a 30k-merge vocabulary is ~30k/B driver round-trips, not 30k — "
+     "job-count reduction pinned on the real scheduler in "
+     "tests/test_bpe.py."),
+    ("curated_text_funnel",
+     "Cross-modal curation capstone, text lane (r11): three stages — "
+     "span dedup (one positional gram explode + one partial-agg "
+     "gram-stats shuffle + doc-level mask join), exact dedup on the "
+     "rebuilt text (window keeper over the fingerprint hash — "
+     "uniform key, no skew), classifier quality filter (one codegen "
+     "scoring projection; corpus-mean threshold via one fixed-point "
+     "aggregate). The returned plan is the driver-assembled funnel "
+     "table (five BIGINTs per stage); each stage's distributed plan "
+     "is its parent entry's, audited in its own section. The DuckDB "
+     "oracle unrolls all three stages and hash-matches the counts."),
 ]
 
 

@@ -141,6 +141,20 @@ def main() -> int:
                     .agg(F.sum("removed_tokens")).first()[0]),
         lambda n: (n > 0, "replica spans must be cut"),
     )
+    # r11: the exact-verify budget under mass near-duplication — the
+    # evidence aggregate absorbs the quadratic candidate blowup and
+    # the verify stays EXACTLY max_pairs wide (broadcast map-side)
+    run(
+        "ngram_topk_budget_verify",
+        lambda: dt.jaccard_pairs(
+            docs,
+            dt.shingle_candidate_pairs(
+                docs, "doc_id", "text", n=3, max_df=64,
+                max_pairs=50_000),
+            "doc_id", "text", n=3, broadcast_pairs=True).count(),
+        lambda n: (n == 50_000,
+                   "verify width must equal the 50k budget"),
+    )
     run(
         "connected_components_clusters",
         lambda: dt.dedup_corpus(docs, "doc_id", "text",
