@@ -78,7 +78,10 @@ def train_and_register(
     created on first use). The new version is NOT live until promoted
     — ``promote=True`` (first version, or an explicitly trusted
     retrain) promotes in the same call. Returns the version row plus
-    ``promoted``."""
+    ``promoted``. Single-trainer assumption (like every maintenance
+    writer): two concurrent calls can race the version counter;
+    ``load_model`` detects the resulting duplicate loudly rather than
+    picking one silently."""
     src = catalog.load_table(source_table)
     cur = src.current_snapshot()
     if cur is None:
@@ -154,10 +157,19 @@ def load_model(catalog: LakehouseCatalog, name: str,
                 f"model registry {name} has no promoted version — "
                 "train_and_register(..., promote=True) or "
                 "promote_model_version first")
-    row = reg.scan().where(F.col("version") == version).first()
-    if row is None:
+    rows = reg.scan().where(F.col("version") == version).collect()
+    if not rows:
         raise ValueError(
             f"model registry {name} has no version {version}")
+    if len(rows) > 1:
+        # two concurrent train_and_register calls raced the version
+        # counter (the registry assumes one trainer at a time, like
+        # every maintenance writer) — refuse to pick one silently
+        raise ValueError(
+            f"model registry {name} has {len(rows)} rows for version "
+            f"{version} — concurrent trainers raced; delete the "
+            "duplicates and retrain")
+    row = rows[0]
     return {
         "version": int(row["version"]),
         "weights": [float(x) for x in row["weights"]],

@@ -297,6 +297,13 @@ def reextend_index(
         return report
     src = catalog.load_table(props["index.source_table"])
     id_col = props["index.source_id_col"]
+    if ("index.pending_reinserts_from" not in props
+            or "index.pending_reinserts_to" not in props):
+        raise ValueError(
+            f"{index_name} has pending_reinserts={pending} but no "
+            "recorded changelog range — the marker was set outside "
+            "sync_index_deletes. Re-extend the affected ids manually, "
+            "then clear index.pending_reinserts.")
     lo = int(props["index.pending_reinserts_from"])
     hi = int(props["index.pending_reinserts_to"])
     report["range"] = {"from_snapshot": lo, "to_snapshot": hi}

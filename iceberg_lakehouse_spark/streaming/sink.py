@@ -610,3 +610,72 @@ def video_dedup_stream_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def quality_filter_stream_to_table(
+    stream: DataFrame,
+    table: LakeTable,
+    catalog,
+    registry: str,
+    min_score: float,
+    text_col: str = "text",
+    key_columns: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming MODEL-SCORED quality filtering (round 11 — the
+    registry's streaming rung, completing the curation ladder: exact
+    dedup, near-dup, span, media and video sinks all stream; quality
+    filtering was batch-only). Per micro-batch: score with the
+    PROMOTED model version (one whole-stage-codegen projection — no
+    training, no Python, no shuffle), land rows with
+    ``quality_score >= min_score`` plus
+    ``quality_score``/``model_version`` provenance columns.
+
+    The model is loaded ONCE at wiring time and pinned for the
+    stream's lifetime — a promotion mid-stream does not change a
+    running query's filtering (per-batch reloads would make batch
+    boundaries an invisible model boundary); restart the stream to
+    adopt a newly promoted version, exactly like a config change.
+    ``min_score`` is an ABSOLUTE cut by design: the batch entry's
+    corpus-mean threshold is relative to the whole corpus, which a
+    micro-batch cannot see — a batch-relative mean would drift with
+    batch composition. Pick the cut from
+    ``score_with_latest_model`` over the landed corpus.
+
+    ``key_columns`` (optional) lands idempotently (dedup_append
+    against table history); default is blind append."""
+    from pyspark.sql import functions as F
+
+    from ..governance.models import load_model
+    from ..functions.quality_model import score_quality_classifier
+
+    model = load_model(catalog, registry)  # pinned at wiring time
+    version = model["version"]
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        scored = (
+            score_quality_classifier(
+                batch, model, text_col=text_col,
+                label_sql="CAST(0.0 AS DOUBLE)")
+            .select("doc_id", "quality_score")
+            .join(batch, "doc_id")
+            .where(F.col("quality_score") >= min_score)
+            .withColumn("model_version",
+                        F.lit(version).cast("long"))
+        )
+        if key_columns:
+            existing = table.scan().select(*key_columns)
+            scored = scored.dropDuplicates(key_columns).join(
+                existing, key_columns, "left_anti")
+        if not scored.isEmpty():
+            table.append(scored)
+
+    writer = stream.writeStream.foreachBatch(land).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

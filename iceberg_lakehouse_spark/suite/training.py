@@ -6917,3 +6917,111 @@ def curated_multimodal_corpus(
         "modality string, stage_no long, stage string, rows_in long, "
         "rows_removed long, rows_out long",
     ).orderBy("modality", "stage_no")
+
+
+def _sqf_oracle() -> str:
+    from ..functions.quality_model import FEATURES, duckdb_training_ctes
+
+    ctes, final = duckdb_training_ctes(lr=_QC_LR, iters=_QC_ITERS)
+    z = f"(SELECT w0 FROM {final})"
+    for j, (name, _, _) in enumerate(FEATURES, start=1):
+        z = f"({z} + ((SELECT w{j} FROM {final}) * {name}))"
+    p = "(0.5 + (0.5 * (z / (1.0 + abs(z)))))"
+    return f"""
+    WITH {ctes},
+    scoreall AS MATERIALIZED (
+        SELECT doc_id, {p} AS quality_score
+        FROM (SELECT *, {z} AS z FROM feats)
+    ),
+    thr AS MATERIALIZED (
+        SELECT (CAST(SUM(CAST(floor(quality_score * 1000000000.0)
+                              AS BIGINT)) AS DOUBLE)
+                / 1000000000.0) / COUNT(*) AS t
+        FROM scoreall
+    )
+    SELECT doc_id, quality_score,
+           CAST(1 AS BIGINT) AS model_version
+    FROM scoreall
+    WHERE quality_score >= (SELECT t FROM thr)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "streaming_quality_filter_landed",
+    _sqf_oracle(),
+    survey_ref="beyond-reference (r11): the model registry's STREAMING "
+    "rung — two real micro-batches through the quality-filter sink "
+    "with the promoted version pinned at wiring time, landed table "
+    "value-hashed (scores bit-exact) against the DuckDB training "
+    "unroll + corpus-mean cut",
+)
+def streaming_quality_filter_landed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive ``streaming.sink.quality_filter_stream_to_table`` end to
+    end: train and PROMOTE version 1 in a registry over the documents
+    table, compute the corpus-mean cut (fixed-point, the
+    quality_filtered_by_lang rule), then stream the corpus in TWO
+    micro-batches through the sink. The landed table — per-row
+    quality_score and the pinned model_version — must value-hash
+    against the DuckDB unroll of the same training loop and cut,
+    proving the streaming path scores bit-identically to batch."""
+    import tempfile as _tf
+
+    from ..catalog import LakehouseCatalog
+    from ..governance.models import train_and_register
+    from ..functions.quality_model import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+    from ..streaming.sink import quality_filter_stream_to_table
+    from pyspark.sql import types as T
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    work = _tf.mkdtemp(prefix="sqf_")
+    cat = LakehouseCatalog(spark, f"{work}/wh")
+    src_tbl = cat.create_table(
+        "default.sqf_docs",
+        docs.select("doc_id", "text", "lang").schema)
+    src_tbl.append(docs.select("doc_id", "text", "lang"))
+    train_and_register(cat, "default.sqf_model", "default.sqf_docs",
+                       lr=_QC_LR, iters=_QC_ITERS, promote=True)
+    # the cut: corpus-mean of the scores (same fixed-point rule the
+    # batch entry uses; computed from an independent local train so
+    # the entry does not read the registry weights driver-side twice)
+    model = train_quality_classifier(docs, lr=_QC_LR, iters=_QC_ITERS)
+    cut = (
+        score_quality_classifier(docs, model)
+        .selectExpr(
+            "(CAST(SUM(CAST(floor(quality_score * 1000000000.0) "
+            "AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(*) AS t"
+        ).first()["t"]
+    )
+    landed = cat.create_table(
+        "default.sqf_landed",
+        T.StructType.fromDDL(
+            "doc_id long, quality_score double, text string, "
+            "lang string, model_version long"))
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    for tag, cond in (("b1", f"doc_id <= {half}"),
+                      ("b2", f"doc_id > {half}")):
+        src_dir = f"{work}/{tag}"
+        docs.where(cond).select("doc_id", "text", "lang") \
+            .write.parquet(src_dir)
+        q = quality_filter_stream_to_table(
+            spark.readStream
+            .schema("doc_id long, text string, lang string")
+            .parquet(src_dir),
+            landed, cat, "default.sqf_model", min_score=cut,
+            checkpoint_dir=f"{work}/ck_{tag}", available_now=True,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                f"quality-filter batch {tag} did not drain in 600s")
+    return (
+        landed.scan()
+        .select("doc_id", "quality_score", "model_version")
+        .orderBy("doc_id")
+    )

@@ -183,3 +183,113 @@ def test_auto_retrain_model_policy(spark, tmp_warehouse, tmp_path):
     hist = gm.model_versions(cat, "default.qm")
     assert [h["version"] for h in hist] == [1, 2]
     assert hist[1]["n"] == 7 and not hist[1]["promoted"]
+
+
+def test_duplicate_version_detected_loudly(spark, tmp_warehouse):
+    """Two racing trainers that landed the same version number must
+    surface as an error at load time, never a silent arbitrary pick."""
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    _source(spark, cat)
+    v1 = gm.train_and_register(cat, "default.qm", "default.docs",
+                               promote=True)
+    reg = cat.load_table("default.qm")
+    # simulate the race: append a second row claiming version 1
+    reg.append(reg.scan().limit(1))
+    with pytest.raises(ValueError, match="concurrent trainers"):
+        gm.load_model(cat, "default.qm", version=v1["version"])
+
+
+def test_reextend_corrupted_marker_fails_loudly(spark, tmp_warehouse):
+    """A pending_reinserts marker without its changelog range (set
+    outside sync_index_deletes) must raise with the remedy, not
+    KeyError."""
+    from iceberg_lakehouse_spark.operators import dedup_index as di
+    from iceberg_lakehouse_spark.operators.index_sync import (
+        link_index_source,
+        reextend_index,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    docs = spark.createDataFrame(
+        [(1, "some document text here")], "doc_id long, text string")
+    t = cat.create_table("default.d", docs.schema)
+    t.append(docs)
+    idx = di.build_dedup_index(cat, "default.d_lsh", t.scan(),
+                               "doc_id", "text")
+    link_index_source(cat, "default.d_lsh", "default.d", "doc_id",
+                      text_col="text")
+    idx.set_properties({"index.pending_reinserts": "3"})
+    with pytest.raises(ValueError, match="no recorded changelog range"):
+        reextend_index(cat, "default.d_lsh")
+
+
+def test_quality_filter_stream_pins_model_version(
+        spark, tmp_warehouse, tmp_path):
+    """The registry's streaming rung: per-batch codegen scoring with
+    the PROMOTED model pinned at wiring time — rows below the cut
+    never land, provenance columns record which version filtered, a
+    mid-stream promotion changes nothing until a NEW stream starts,
+    and key_columns lands idempotently."""
+    from pyspark.sql import types as T
+
+    from iceberg_lakehouse_spark.streaming.sink import (
+        quality_filter_stream_to_table,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _source(spark, cat)
+    gm.train_and_register(cat, "default.qmodel", "default.docs",
+                          promote=True)
+    model = gm.load_model(cat, "default.qmodel")
+    from iceberg_lakehouse_spark.functions.quality_model import (
+        score_quality_classifier,
+    )
+    scores = {r["doc_id"]: r["quality_score"]
+              for r in score_quality_classifier(
+                  t.scan(), model).collect()}
+    cut = sorted(scores.values())[2]  # exactly 2 docs fail
+    keep_ids = {d for d, s in scores.items() if s >= cut}
+
+    landed = cat.create_table(
+        "default.landed",
+        T.StructType.fromDDL(
+            "doc_id long, quality_score double, text string, "
+            "lang string, model_version long"))
+    src = str(tmp_path / "b1")
+    t.scan().select("doc_id", "text", "lang").write.parquet(src)
+    q = quality_filter_stream_to_table(
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(src),
+        landed, cat, "default.qmodel", min_score=cut,
+        key_columns=["doc_id"],
+        checkpoint_dir=str(tmp_path / "ck1"), available_now=True)
+    q.awaitTermination(180)
+    got = {r["doc_id"]: r for r in landed.scan().collect()}
+    assert set(got) == keep_ids
+    assert all(r["model_version"] == 1 and r["quality_score"] >= cut
+               for r in got.values())
+
+    # replay (fresh checkpoint) with key_columns: nothing doubles
+    q2 = quality_filter_stream_to_table(
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(src),
+        landed, cat, "default.qmodel", min_score=cut,
+        key_columns=["doc_id"],
+        checkpoint_dir=str(tmp_path / "ck2"), available_now=True)
+    q2.awaitTermination(180)
+    assert landed.scan().count() == len(keep_ids)
+
+    # promote a drifted retrain: a NEW stream scores with v2
+    crud.update_rows(t, "doc_id IN (1, 2)", {"lang": "fr"})
+    v2 = gm.train_and_register(cat, "default.qmodel", "default.docs",
+                               promote=True)
+    assert v2["version"] == 2
+    landed2 = cat.create_table(
+        "default.landed2", landed.schema())
+    q3 = quality_filter_stream_to_table(
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(src),
+        landed2, cat, "default.qmodel", min_score=-1.0,
+        checkpoint_dir=str(tmp_path / "ck3"), available_now=True)
+    q3.awaitTermination(180)
+    assert {r["model_version"] for r in landed2.scan().collect()} == {2}
