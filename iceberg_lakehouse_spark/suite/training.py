@@ -6970,11 +6970,8 @@ def streaming_quality_filter_landed(
     import tempfile as _tf
 
     from ..catalog import LakehouseCatalog
-    from ..governance.models import train_and_register
-    from ..functions.quality_model import (
-        score_quality_classifier,
-        train_quality_classifier,
-    )
+    from ..governance.models import load_model, train_and_register
+    from ..functions.quality_model import score_quality_classifier
     from ..streaming.sink import quality_filter_stream_to_table
     from pyspark.sql import types as T
 
@@ -6987,10 +6984,10 @@ def streaming_quality_filter_landed(
     src_tbl.append(docs.select("doc_id", "text", "lang"))
     train_and_register(cat, "default.sqf_model", "default.sqf_docs",
                        lr=_QC_LR, iters=_QC_ITERS, promote=True)
-    # the cut: corpus-mean of the scores (same fixed-point rule the
-    # batch entry uses; computed from an independent local train so
-    # the entry does not read the registry weights driver-side twice)
-    model = train_quality_classifier(docs, lr=_QC_LR, iters=_QC_ITERS)
+    # the cut: corpus-mean of the scores under the REGISTERED weights
+    # (same fixed-point rule the batch entry uses) — one training
+    # total, the registry's
+    model = load_model(cat, "default.sqf_model")
     cut = (
         score_quality_classifier(docs, model)
         .selectExpr(
