@@ -295,7 +295,9 @@ class MaintenanceManager:
             if cur_snap else 0
         )
         del_thresh = pol.get("auto_compact_delete_files")
-        needs_compact = fs["file_count"] >= pol["auto_compact_threshold"]             or (del_thresh is not None and n_dels >= del_thresh)
+        needs_compact = (
+            fs["file_count"] >= pol["auto_compact_threshold"]
+            or (del_thresh is not None and n_dels >= del_thresh))
         needs_expire = fs["snapshot_count"] > pol["auto_expire_retain_last"]
         # detection must use the SAME grace window the automated cleanup
         # applies (r5 review): counting grace-shielded fresh files would
