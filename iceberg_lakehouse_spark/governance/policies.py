@@ -412,22 +412,48 @@ class MaintenanceManager:
                 if kind == "ivfpq":
                     from ..operators.ivfpq import ivfpq_recall_sample
 
-                    rec = ivfpq_recall_sample(
-                        table.catalog,
-                        f"{table.namespace}.{table.table}")
+                    # r11 (closes r10's "corpus-mode by hand" note):
+                    # when the index is LINKED to its source vectors,
+                    # measure TRUE recall against the corpus —
+                    # reconstruction mode isolates routing only and
+                    # cannot see codebook-drift loss
+                    props = table.properties()
+                    src_name = props.get("index.source_table")
+                    vec_col = props.get("index.source_vec_col")
+                    corpus = None
+                    if src_name and vec_col:
+                        try:
+                            corpus = table.catalog.load_table(
+                                src_name).scan()
+                        except ValueError:
+                            corpus = None  # dropped source: fall back
+                    if corpus is not None:
+                        rec = ivfpq_recall_sample(
+                            table.catalog,
+                            f"{table.namespace}.{table.table}",
+                            corpus_df=corpus,
+                            id_col=props["index.source_id_col"],
+                            vec_col=vec_col)
+                        rec["mode"] = "corpus"
+                    else:
+                        rec = ivfpq_recall_sample(
+                            table.catalog,
+                            f"{table.namespace}.{table.table}")
+                        rec["mode"] = "reconstruction"
                 else:
                     from ..operators.ann_index import ann_recall_sample
 
                     rec = ann_recall_sample(
                         table.catalog,
                         f"{table.namespace}.{table.table}")
+                    rec["mode"] = "stored-vectors"
                 measured = rec.get("recall_at_k")
                 if measured is not None and measured < float(min_recall):
                     needs_rebuild = True
                     actions.append(
-                        f"rebuild_{kind}_index (sampled recall@"
-                        f"{rec['k']} = {measured:.2f} < "
-                        f"{float(min_recall):.2f})"
+                        f"rebuild_{kind}_index (sampled "
+                        f"{rec['mode']}-mode recall@{rec['k']} = "
+                        f"{measured:.2f} < {float(min_recall):.2f})"
                     )
         needs_sync = False
         if pol.get("auto_sync_index"):

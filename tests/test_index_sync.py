@@ -655,3 +655,42 @@ def test_reextend_span_and_phash_after_update(spark, tmp_warehouse):
             [(500, _img("fresh-image", bump_cell=3), "image", "ppm", 0)],
             mm.MEDIA_SCHEMA))
     assert {r["left_id"] for r in probe.collect()} == {1}
+
+
+def test_auto_rebuild_recall_mode_selection(spark, tmp_warehouse,
+                                            tmp_path):
+    """r11: the rebuild policy measures TRUE corpus-mode recall when
+    the IVFPQ index is linked to its source vectors (codebook-drift
+    loss is invisible in reconstruction mode), and says which mode it
+    used in the action string; unlinked falls back to reconstruction
+    mode, also labeled."""
+    import math
+
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+    from iceberg_lakehouse_spark.operators import ivfpq
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    vecs = [(i, [math.sin(i * 1.7 + d) for d in range(8)])
+            for i in range(64)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    t = cat.create_table("default.vecs", df.schema)
+    t.append(df)
+    ivfpq.build_ivfpq_index(cat, "default.pq", t.scan(), "vec_id",
+                            "embedding", n_cells=4, m=8, ksub=16,
+                            kmeans_iters=1)
+    mm = MaintenanceManager(str(tmp_path / "maint.json"))
+    # recall can never reach 1.01 -> the check always fires
+    mm.set_policy("default.pq", auto_rebuild_index=1.01)
+    reg = cat.load_table("default.pq")
+    need = mm.check_needed(reg)
+    assert need["needs_index_rebuild"]
+    act = [a for a in need["actions_needed"]
+           if "rebuild_ivfpq_index" in a][0]
+    assert "reconstruction-mode recall" in act
+    link_index_source(cat, "default.pq", "default.vecs", "vec_id",
+                      vec_col="embedding")
+    act2 = [a for a in mm.check_needed(reg)["actions_needed"]
+            if "rebuild_ivfpq_index" in a][0]
+    assert "corpus-mode recall" in act2
