@@ -373,6 +373,14 @@ def _extend_for_kind(
                 "column — link_index_source(..., text_col=...) first")
         return extend_dedup_index(idx, rows, id_col, text_col)
     if kind == "span":
+        # Span-index keeper semantics under deletes, stated honestly:
+        # sync removed every gram row the deleted/updated doc KEPT —
+        # including grams other live docs still contain. Those grams
+        # leave the index entirely (future batches repeating them are
+        # not masked against the survivors) unless the re-extended
+        # text still carries them. Conservative-safe: the failure
+        # mode is under-dedup, never over-masking; a full
+        # build_span_index refresh restores exact coverage.
         from ..functions.dedup_text import _span_grams, _span_tokens
         from .dedup_index import _span_params
 

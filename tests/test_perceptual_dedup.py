@@ -605,3 +605,26 @@ def test_video_dedup_stream_two_batches(spark, tmp_path, tmp_warehouse):
     q3.awaitTermination(180)
     assert t.scan().count() == 5
     assert idx.scan().count() == n_idx
+
+
+def test_vframe_probe_plan_is_broadcast_not_corpus_rehash(
+        spark, tmp_warehouse):
+    """Plan gate (the test_plans.py discipline applied to the new
+    index family): the frame-set probe must reach the index through a
+    BROADCAST of the batch's hashes — map-side, column-pruned — with
+    no cartesian or nested-loop join anywhere, and the index-side
+    ReadSchema pruned to (id, fhash)."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import media_index as mi
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    corpus = _media_rows(spark, [
+        (i, _clip(f"a{i}", f"b{i}"), "video", "ppmv", 0)
+        for i in range(6)])
+    idx = mi.build_vframe_index(cat, "default.vfp", corpus)
+    batch = _media_rows(spark, [(100, _clip("a1"), "video", "ppmv", 0)])
+    plan = (mi.probe_vframe_index(idx, batch)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
