@@ -73,10 +73,15 @@ def main() -> None:
         time.sleep(5)
         waited += 5
     load_before = os.getloadavg()
+    # load15 stamped EXPLICITLY (r11 VERDICT #3): the host is bimodal
+    # and a low load1 right after a heavy run still times slow-mode —
+    # load15 > 8 marks "recently heavy" even when load1 has drained.
     load_guard = {
         "status": "quiet" if load_before[0] <= 1.0 else "noisy",
         "waited_sec": round(waited, 1),
         "threshold_load1": 1.0,
+        "load15_at_start": round(load_before[2], 2),
+        "recently_heavy": load_before[2] > 8.0,
     }
 
     timings: dict[str, float] = {}

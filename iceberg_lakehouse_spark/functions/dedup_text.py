@@ -209,11 +209,12 @@ def shingle_pair_evidence(
     max_df: int = 64,
 ) -> DataFrame:
     """(left_id, right_id, shared): candidate pairs with their
-    shared-rare-shingle OCCURRENCE counts — the evidence-ranked form
-    of ``shingle_candidate_pairs``. ``shared`` counts matching
-    occurrence pairs, not distinct shingles (a shingle repeated in
-    both docs weighs more): a deliberately cheap signal — one
-    map-side-combinable COUNT instead of a distinct expansion — that
+    shared-rare-shingle counts — the evidence-ranked form of
+    ``shingle_candidate_pairs``. Because per-doc shingles are already
+    ``array_distinct`` (``shingles_col``), each doc contributes each
+    shingle at most once, so this COUNT equals the number of DISTINCT
+    shared rare shingles — a deliberately cheap signal (one
+    map-side-combinable COUNT instead of a distinct expansion) that
     ranks verify candidates, never enters a similarity value. Callers
     that need BOTH the top-K slice and the truncation flag should
     persist this once and derive both from it (one shuffle instead of

@@ -80,6 +80,12 @@ def _z_sql(weights: list[float], feat_names: list[str]) -> str:
     """Left-associated dot product with the EXACT parenthesization the
     oracle mirrors — float literals via repr (shortest round-trip, so
     both parsers recover the identical double)."""
+    if len(weights) != len(feat_names) + 1:
+        # zip would silently truncate and score misaligned features —
+        # the pinning guarantee (r11 ADVICE) demands loudness instead
+        raise ValueError(
+            f"weight/feature arity mismatch: {len(weights)} weights "
+            f"(bias + features) vs {len(feat_names)} features")
     z = repr(weights[0])
     for w, f in zip(weights[1:], feat_names):
         z = f"({z} + ({w!r} * {f}))"

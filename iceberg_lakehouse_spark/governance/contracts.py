@@ -245,6 +245,16 @@ class ContractManager:
             )
 
             names = [n for n, _, _ in FEATURES]
+            stored = con.get("features")
+            if stored is not None and list(stored) != names:
+                # the constraint embeds the training-time feature
+                # list; applying its pinned weights to a changed
+                # FEATURES set would misalign silently (r11 ADVICE)
+                raise ValueError(
+                    f"min_quality_score constraint pinned features "
+                    f"{list(stored)} but the current feature set is "
+                    f"{names} — re-issue quality_score_constraint "
+                    "from a model retrained under current features")
             d = df if col == "text" else df.withColumn(
                 "text", F.col(col))
             scored = (

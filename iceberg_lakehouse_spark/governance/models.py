@@ -170,10 +170,23 @@ def load_model(catalog: LakehouseCatalog, name: str,
             f"{version} — concurrent trainers raced; delete the "
             "duplicates and retrain")
     row = rows[0]
+    from ..functions.quality_model import FEATURES
+
+    current = [n for n, _, _ in FEATURES]
+    stored = list(row["features"])
+    if stored != current:
+        # scoring applies CURRENT feature SQL to these pinned weights;
+        # a FEATURES add/remove/reorder since training would silently
+        # misalign them (r11 ADVICE) — refuse instead
+        raise ValueError(
+            f"model registry {name} version {version} was trained on "
+            f"features {stored} but the current feature set is "
+            f"{current} — the pinned weights cannot be applied; "
+            "retrain (train_and_register) under the current features")
     return {
         "version": int(row["version"]),
         "weights": [float(x) for x in row["weights"]],
-        "features": list(row["features"]),
+        "features": stored,
         "iters": int(row["iters"]), "lr": float(row["lr"]),
         "n": int(row["n"]),
         "source_table": row["source_table"],

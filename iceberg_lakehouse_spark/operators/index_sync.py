@@ -345,8 +345,26 @@ def reextend_index(
             report["index_rows_added"] = _extend_for_kind(
                 catalog, idx, index_name, props, rows, id_col)
         # marker clears AFTER the extend: a crash before this line
-        # replays the upsert above
-        idx.set_properties({"index.pending_reinserts": "0"})
+        # replays the upsert above. Re-read first (r11 ADVICE): a
+        # sync that stamped NEW debt while we repaid (lo, hi] must
+        # not be erased by an unconditional "0" — decrement by the
+        # amount read at start and keep the unrepaid tail of the
+        # range (sync ranges are consecutive, so from=hi re-derives
+        # exactly the un-repaid ids).
+        cur_props = idx.properties()
+        cur_pending = int(
+            cur_props.get("index.pending_reinserts", 0) or 0)
+        remaining = max(0, cur_pending - pending)
+        if remaining:
+            idx.set_properties({
+                "index.pending_reinserts": str(remaining),
+                "index.pending_reinserts_from": str(hi),
+                "index.pending_reinserts_to":
+                    cur_props["index.pending_reinserts_to"],
+            })
+            report["pending_remaining"] = remaining
+        else:
+            idx.set_properties({"index.pending_reinserts": "0"})
         return report
     finally:
         live.unpersist()

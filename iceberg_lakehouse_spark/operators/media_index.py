@@ -239,7 +239,7 @@ def build_vframe_index(
                     "vframe.max_df": str(max_df)},
     )
     rows = _vf_hashes(video_df, every_nth) \
-        .select(F.col("media_id").alias("id"), "fhash")
+        .select(F.col("media_id").cast("long").alias("id"), "fhash")
     t.append(rows)
     return t
 

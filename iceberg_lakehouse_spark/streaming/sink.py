@@ -656,6 +656,11 @@ def quality_filter_stream_to_table(
     def land(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # at-least-once upstream can repeat a doc_id WITHIN a batch;
+        # without this, k copies yield k² rows out of the score join
+        # (and all k² land in blind-append mode) — same discipline as
+        # media_dedup_stream_to_table (r11 ADVICE)
+        batch = batch.dropDuplicates(["doc_id"])
         scored = (
             score_quality_classifier(
                 batch, model, text_col=text_col,

@@ -694,3 +694,56 @@ def test_auto_rebuild_recall_mode_selection(spark, tmp_warehouse,
     act2 = [a for a in mm.check_needed(reg)["actions_needed"]
             if "rebuild_ivfpq_index" in a][0]
     assert "corpus-mode recall" in act2
+
+
+def test_reextend_preserves_racing_sync_debt(
+        spark, tmp_warehouse, monkeypatch):
+    """A sync that stamps NEW reinsert debt while reextend_index is
+    repaying an older range must not be erased by the marker clear
+    (r11 ADVICE: the clear wrote "0" unconditionally). The clear now
+    decrements by the amount read at start and keeps the unrepaid
+    tail of the range, so a follow-up re-extend repays the raced
+    update too."""
+    from iceberg_lakehouse_spark.operators import index_sync
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    t = _corpus(spark, cat)
+    idx = di.build_dedup_index(
+        cat, "default.docs_lsh", t.scan(), "doc_id", "text")
+    link_index_source(cat, "default.docs_lsh", "default.docs",
+                      "doc_id", text_col="text")
+    crud.update_rows(t, "doc_id = 2", {"text": "first rewritten doc"})
+    sync_index_deletes(cat, "default.docs_lsh")
+    hi_before = int(idx.properties()["index.pending_reinserts_to"])
+
+    real_extend = index_sync._extend_for_kind
+    raced = {}
+
+    def extend_then_race(*args, **kwargs):
+        n = real_extend(*args, **kwargs)
+        # simulate a concurrent maintenance writer: a second update +
+        # sync lands BETWEEN reextend's extend and its marker clear
+        if not raced:
+            raced["done"] = True
+            crud.update_rows(t, "doc_id = 3",
+                             {"text": "three raced the reextend"})
+            sync_index_deletes(cat, "default.docs_lsh")
+        return n
+
+    monkeypatch.setattr(index_sync, "_extend_for_kind",
+                        extend_then_race)
+    rex = index_sync.reextend_index(cat, "default.docs_lsh")
+    assert rex["reextended_ids"] == 1
+    assert rex["pending_remaining"] == 1  # the raced sync's debt
+    props = idx.properties()
+    assert int(props["index.pending_reinserts"]) == 1
+    assert int(props["index.pending_reinserts_from"]) == hi_before
+    st = {e["index"]: e for e in index_sync.index_status(cat)}[
+        "default.docs_lsh"]
+    assert st["sync_state"] == "stale_reinserts"
+
+    monkeypatch.setattr(index_sync, "_extend_for_kind", real_extend)
+    rex2 = index_sync.reextend_index(cat, "default.docs_lsh")
+    assert rex2["reextended_ids"] == 1  # doc 3 repaid
+    assert int(idx.properties()["index.pending_reinserts"]) == 0
+    assert idx.scan().where(F.col("id") == 3).count() > 0

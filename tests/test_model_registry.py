@@ -293,3 +293,78 @@ def test_quality_filter_stream_pins_model_version(
         checkpoint_dir=str(tmp_path / "ck3"), available_now=True)
     q3.awaitTermination(180)
     assert {r["model_version"] for r in landed2.scan().collect()} == {2}
+
+
+def test_intra_batch_duplicate_doc_ids_land_once(
+        spark, tmp_warehouse, tmp_path):
+    """At-least-once upstream can repeat a doc_id WITHIN a micro-batch;
+    the sink must collapse them before the score join or k copies
+    yield k² joined rows — and in blind-append mode all k² land
+    (r11 ADVICE)."""
+    from pyspark.sql import types as T
+
+    from iceberg_lakehouse_spark.streaming.sink import (
+        quality_filter_stream_to_table,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    _source(spark, cat)
+    gm.train_and_register(cat, "default.qmodel", "default.docs",
+                          promote=True)
+    landed = cat.create_table(
+        "default.landed_dup",
+        T.StructType.fromDDL(
+            "doc_id long, quality_score double, text string, "
+            "lang string, model_version long"))
+    src = str(tmp_path / "dupbatch")
+    # doc 7 three times, doc 8 once — all in ONE file = one batch
+    spark.createDataFrame(
+        [(7, "an ordinary english sentence with words", "en")] * 3
+        + [(8, "another ordinary english sentence here", "en")],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.parquet(src)
+    q = quality_filter_stream_to_table(
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(src),
+        landed, cat, "default.qmodel", min_score=-1.0,
+        checkpoint_dir=str(tmp_path / "ckdup"), available_now=True)
+    q.awaitTermination(180)
+    counts = dict(landed.scan().groupBy("doc_id").count().collect())
+    assert counts == {7: 1, 8: 1}  # not 9 (3²) for doc 7
+
+
+def test_feature_set_drift_fails_loudly(spark, tmp_warehouse, tmp_path):
+    """Pinned weights must never be applied to a changed FEATURES set
+    (r11 ADVICE: the zip silently truncated on mismatch). load_model,
+    the min_quality_score contract path, and _z_sql itself all refuse
+    with an actionable error."""
+    from iceberg_lakehouse_spark.functions import quality_model as qmod
+    from iceberg_lakehouse_spark.governance.contracts import (
+        ContractManager,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    _source(spark, cat)
+    gm.train_and_register(cat, "default.qmodel", "default.docs",
+                          promote=True)
+    con = gm.quality_score_constraint(cat, "default.qmodel", 0.5)
+
+    # simulate a code change that adds a feature after training
+    drifted = qmod.FEATURES + [
+        ("f_upper",
+         "CAST(length(regexp_replace(text, '[^A-Z]', '')) AS DOUBLE)",
+         "0.0")]
+    orig = qmod.FEATURES
+    qmod.FEATURES = drifted
+    try:
+        with pytest.raises(ValueError, match="trained on features"):
+            gm.load_model(cat, "default.qmodel")
+        cm = ContractManager(str(tmp_path / "contracts.json"))
+        cm.create("default.docs", constraints=[con])
+        t = cat.load_table("default.docs")
+        with pytest.raises(ValueError, match="pinned features"):
+            cm.validate_rows("default.docs", t.scan())
+        with pytest.raises(ValueError, match="arity mismatch"):
+            qmod._z_sql([0.1, 0.2], ["f_a", "f_b", "f_c"])
+    finally:
+        qmod.FEATURES = orig

@@ -628,3 +628,29 @@ def test_vframe_probe_plan_is_broadcast_not_corpus_rehash(
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_vframe_build_casts_id_like_extend_and_probe(
+        spark, tmp_warehouse):
+    """build_vframe_index must apply the same .cast("long") to
+    media_id that extend/probe do (r11 ADVICE): an INT media_id
+    column builds a long-typed index and the round-trip probe works."""
+    from pyspark.sql import functions as F
+
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import media_index as mi
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    corpus = _media_rows(spark, [
+        (1, _clip("x1", "x2"), "video", "ppmv", 0),
+    ]).withColumn("media_id", F.col("media_id").cast("int"))
+    idx = mi.build_vframe_index(cat, "default.vf_int", corpus,
+                                threshold=0.5)
+    assert [f.dataType.simpleString() for f in idx.scan().schema.fields
+            if f.name == "id"] == ["bigint"]
+    batch = _media_rows(spark, [
+        (101, _clip("x1"), "video", "ppmv", 0),
+    ]).withColumn("media_id", F.col("media_id").cast("int"))
+    pairs = {(r["left_id"], r["right_id"])
+             for r in mi.probe_vframe_index(idx, batch).collect()}
+    assert (1, 101) in pairs
