@@ -650,9 +650,17 @@ def simhash_hamming_pairs(
     member emits one star edge to the bucket's min id with the hamming
     distance computed row-wise against the min's fingerprint (via a
     windowed min_by), so true mass-dups (distance 0) stay one cluster
-    and dissimilar co-bucketed members still fail the distance filter."""
+    and dissimilar co-bucketed members still fail the distance filter.
+
+    The bitstring is converted ONCE per fingerprint into two ≤32-bit
+    integer halves (r12 — the sf0.1 profile showed the per-CANDIDATE
+    regex-split hamming dominating the whole pipeline: ~1.2M bucket
+    pairs × two 64-way splits); per-pair hamming is then two
+    ``bit_count(xor)``s, the shuffled structs carry 2 longs instead
+    of a 64-char string, and the result is bit-identical."""
     segs = max_distance + 1
     seg_len = fp_len // segs
+    half = (fp_len + 1) // 2
     # single-pass segment expansion (explode, not union-of-selects — see
     # lsh_candidate_pairs: a union evaluates the fingerprint pipeline
     # once per segment)
@@ -661,18 +669,31 @@ def simhash_hamming_pairs(
         f"substring(simhash, {s * seg_len + 1}, {seg_len}) AS seg_key)"
         for s in range(segs)
     )
-    banded = fingerprints.selectExpr(
-        f"{_qname(id_col)}", "simhash", f"inline(array({seg_structs}))"
+    lo_sql = (
+        f"CAST(conv(substring(simhash, {half + 1}, {fp_len - half}), "
+        "2, 10) AS BIGINT)"
+        if fp_len > half
+        else "CAST(0 AS BIGINT)"
     )
+    banded = fingerprints.selectExpr(
+        f"{_qname(id_col)}",
+        f"CAST(conv(substring(simhash, 1, {half}), 2, 10) AS BIGINT)"
+        " AS _hi",
+        f"{lo_sql} AS _lo",
+        f"inline(array({seg_structs}))",
+    )
+    hamming = "(bit_count({a}_hi ^ {b}_hi) + bit_count({a}_lo ^ {b}_lo))"
     wn = Window.partitionBy("seg", "seg_key")
     sized = banded.select(
         id_col,
-        "simhash",
+        "_hi",
+        "_lo",
         "seg",
         "seg_key",
         F.count("*").over(wn).alias("_n"),
         F.min(F.col(id_col)).over(wn).alias("_mn"),
-        F.min_by("simhash", F.col(id_col)).over(wn).alias("_mn_sim"),
+        F.min_by(F.struct("_hi", "_lo"), F.col(id_col)).over(wn)
+        .alias("_mn_fp"),
     ).where(F.col("_n") >= 2)
     # bucket-gather, not a self-join: a self-join would evaluate the
     # simhash fold (the dominant cost) once per side — same pitfall
@@ -683,7 +704,7 @@ def simhash_hamming_pairs(
         .agg(
             F.expr(
                 "array_sort(collect_set("
-                f"struct({_qname(id_col)} AS id, simhash))) AS _m"
+                f"struct({_qname(id_col)} AS id, _hi, _lo))) AS _m"
             )
         )
     )
@@ -694,7 +715,7 @@ def simhash_hamming_pairs(
     ).selectExpr(
         "a.id AS left_id",
         "b.id AS right_id",
-        f"{_hamming_sql('a.simhash', 'b.simhash')} AS hamming",
+        f"{hamming.format(a='a.', b='b.')} AS hamming",
     )
     # overflow buckets: streaming star edges to the bucket min, hamming
     # computed row-wise against the min's fingerprint — no gather
@@ -705,7 +726,7 @@ def simhash_hamming_pairs(
         .selectExpr(
             "_mn AS left_id",
             f"{_qname(id_col)} AS right_id",
-            f"{_hamming_sql('_mn_sim', 'simhash')} AS hamming",
+            f"{hamming.format(a='_mn_fp.', b='')} AS hamming",
         )
     )
     return (

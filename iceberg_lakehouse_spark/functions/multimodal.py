@@ -471,6 +471,22 @@ def _wav_bin_means(data: bytes, channels: int, bits: int,
 
     dt = np.dtype("<i2") if bits == 16 else np.dtype("u1")
     frame_bytes = channels * dt.itemsize
+    if n_frames * frame_bytes <= (4 << 20):
+        # small-clip fast path (r12): one frombuffer + sliced means —
+        # the bin-by-bin loop costs ~65 tiny numpy calls per clip,
+        # which dominated the perceptual-audio sweep entry. Slicing
+        # the one mixed array per bin reads the identical sample
+        # values, so the floats are bit-identical to the bounded path.
+        seg = np.frombuffer(data, dtype=dt, count=n_frames * channels)
+        mix = seg.reshape(-1, channels).astype(np.float64).mean(axis=1)
+        mix = mix / 32768.0 if bits == 16 else (mix - 128.0) / 128.0
+        return [
+            float(np.abs(mix[b * n_frames // bins:
+                             (b + 1) * n_frames // bins]).mean())
+            if (b + 1) * n_frames // bins > b * n_frames // bins
+            else 0.0
+            for b in range(bins)
+        ]
     out = []
     for b in range(bins):
         f0 = b * n_frames // bins
@@ -847,6 +863,30 @@ def perceptual_hash(
     return df.mapInPandas(_batches, PHASH_SCHEMA)
 
 
+def _budget_pairs(pairs: DataFrame, max_pairs: int | None) -> DataFrame:
+    """Evidence-ranked pair budget for the Hamming pair surfaces (r11
+    VERDICT #2 — the no-silent-caps rule applied to perceptual dedup,
+    mirroring ``shingle_candidate_pairs(max_pairs=)``): when set, keep
+    only the strongest ``max_pairs`` pairs by (hamming ASC, left_id,
+    right_id) — one TakeOrderedAndProject, deterministic because the
+    id pair is unique — and stamp every row with ``pair_truncated``
+    saying whether the budget bit (broadcast one-row aggregate, the
+    sanctioned crossJoin shape). A duplicate-riddled corpus then
+    costs O(max_pairs) downstream no matter how many pairs the
+    blocking proposes, and the truncation is LOUD, never silent."""
+    if max_pairs is None:
+        return pairs
+    if max_pairs < 1:
+        raise ValueError(f"max_pairs must be >= 1 (got {max_pairs})")
+    # one pair materialization feeds both the top-K slice and the
+    # truncation flag (same persist discipline as ngram_jaccard_pairs)
+    full = pairs.persist()
+    top = full.orderBy("hamming", "left_id", "right_id").limit(max_pairs)
+    stats = full.agg(
+        (F.count(F.lit(1)) > max_pairs).alias("pair_truncated"))
+    return top.crossJoin(F.broadcast(stats))
+
+
 def media_near_dup_pairs(
     df: DataFrame,
     algo: str = "dhash",
@@ -854,16 +894,18 @@ def media_near_dup_pairs(
     max_bucket: int = 1024,
     deterministic_fake: bool = False,
     require_codec: bool = False,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs: 64-bit dHash/aHash →
     Hamming distance ≤ ``max_distance`` via the SAME pigeonhole
     segment blocking as text SimHash (``simhash_hamming_pairs``,
     parameterized by fingerprint width since r2) — segment-equality
     shuffle with size-gated buckets, NEVER an all-pairs join. Returns
-    (left_id, right_id, hamming). Scale shape: one Arrow-batched
-    decode pass + one hash-partitioned shuffle on (segment, key);
-    a mass-duplicated image degrades to star edges, not a quadratic
-    bucket gather."""
+    (left_id, right_id, hamming), plus ``pair_truncated`` when
+    ``max_pairs`` caps the output (``_budget_pairs``). Scale shape:
+    one Arrow-batched decode pass + one hash-partitioned shuffle on
+    (segment, key); a mass-duplicated image degrades to star edges,
+    not a quadratic bucket gather."""
     from .dedup_text import simhash_hamming_pairs
 
     fps = (
@@ -874,9 +916,12 @@ def media_near_dup_pairs(
         .where(F.col("phash").isNotNull())
         .select("media_id", F.col("phash").alias("simhash"))
     )
-    return simhash_hamming_pairs(
-        fps, "media_id", max_distance=max_distance, fp_len=64,
-        max_bucket=max_bucket,
+    return _budget_pairs(
+        simhash_hamming_pairs(
+            fps, "media_id", max_distance=max_distance, fp_len=64,
+            max_bucket=max_bucket,
+        ),
+        max_pairs,
     )
 
 
@@ -914,11 +959,13 @@ def audio_near_dup_pairs(
     df: DataFrame,
     max_distance: int = 6,
     max_bucket: int = 1024,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate audio pairs at Hamming distance <= d over the
     envelope-gradient fingerprint — same segment-equality blocking as
     image/text fingerprints (never all-pairs). Returns
-    (left_id, right_id, hamming)."""
+    (left_id, right_id, hamming), plus ``pair_truncated`` when
+    ``max_pairs`` caps the output (``_budget_pairs``)."""
     from .dedup_text import simhash_hamming_pairs
 
     fps = (
@@ -926,9 +973,12 @@ def audio_near_dup_pairs(
         .where(F.col("phash").isNotNull())
         .select("media_id", F.col("phash").alias("simhash"))
     )
-    return simhash_hamming_pairs(
-        fps, "media_id", max_distance=max_distance, fp_len=64,
-        max_bucket=max_bucket,
+    return _budget_pairs(
+        simhash_hamming_pairs(
+            fps, "media_id", max_distance=max_distance, fp_len=64,
+            max_bucket=max_bucket,
+        ),
+        max_pairs,
     )
 
 

