@@ -313,3 +313,152 @@ def bpe_segment(
     return df.withColumn(out_col, toks).withColumn(
         f"{out_col}_n", F.size(out_col).cast("long")
     )
+
+
+def bpe_train_merges_local(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_vocab: int | None = None,
+    stats: dict | None = None,
+) -> list[dict]:
+    """Word-frequency-table BPE training (r11 VERDICT missing #4 —
+    the O(1)-corpus-jobs path): collapse the corpus ONCE into the
+    distinct-word frequency table (``build_vocab``, the same
+    aggregation the distributed trainer starts from), pull it to the
+    driver, and run the exact greedy merge loop in memory with
+    incremental pair-count maintenance — the classic Sennrich et al.
+    trainer layout (learn_bpe trains on a word-count dict, never the
+    corpus). A 30k-merge vocabulary then costs ONE corpus-scale Spark
+    job total, not 30k/B sequential passes.
+
+    EXACTNESS: with ``max_vocab=None`` the result is bit-identical to
+    ``bpe_train_merges(..., merges_per_pass=1)`` — same adjacency
+    counting (overlapping pairs included, exactly ``zip_with`` of the
+    two slices), same greedy left-to-right non-overlapping rewrite
+    (Python ``str`` semantics == SQL ``replace``), same
+    (count DESC, left, right) tie-break (UTF-8 byte order and Python
+    code-point order agree — a UTF-8 design property), same ``>= 2``
+    stop rule, same per-rank ``pair_count`` / ``corpus_tokens_after``
+    accounting (pinned in tests/test_bpe.py against the distributed
+    trainer AND the DuckDB oracle).
+
+    ``max_vocab`` bounds driver memory for open-vocabulary corpora:
+    keep the top ``max_vocab`` distinct words by (freq DESC, word) —
+    deterministic — and train on those. The cap is LOUD, never
+    silent: ``stats`` records ``vocab_truncated`` and
+    ``freq_coverage`` (kept-word occurrences / total occurrences), and
+    token accounting is over the kept vocabulary only. At the usual
+    ~1M-word cap a Zipf'd corpus keeps >99.9% of occurrences, which
+    is why every production BPE trainer ships this exact knob.
+
+    Scale shape: one shuffle (the word groupBy) + one bounded
+    ``collect`` (``max_vocab`` rows max); each merge then touches only
+    the words CONTAINING the merged pair via an inverted pair→words
+    index — the subword-nmt incremental update, exact because each
+    touched word's pair contribution is recomputed whole-word."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1 (got {n_merges})")
+    if max_vocab is not None and max_vocab < 1:
+        raise ValueError(f"max_vocab must be >= 1 (got {max_vocab})")
+    vocab_df = build_vocab(df, text_col)
+    if max_vocab is None:
+        rows = vocab_df.collect()
+        truncated, coverage = False, 1.0
+    else:
+        # one extra tiny agg for the loud-cap accounting
+        total = vocab_df.agg(
+            F.sum("freq").cast("bigint").alias("t")).first()["t"] or 0
+        rows = (
+            vocab_df.orderBy(F.desc("freq"), "s")
+            .limit(max_vocab)
+            .collect()
+        )
+        kept = sum(r["freq"] for r in rows)
+        truncated = total > kept
+        coverage = (kept / total) if total else 1.0
+    if stats is not None:
+        stats["distinct_words"] = len(rows)
+        stats["vocab_truncated"] = truncated
+        stats["freq_coverage"] = coverage
+
+    # unwrap '\ta\n\tb\n' -> ('a', 'b'); symbols never contain either
+    # delimiter (module docstring)
+    words: list[list[str]] = [
+        r["s"][1:-1].split("\n\t") if r["s"] else [] for r in rows
+    ]
+    freqs: list[int] = [int(r["freq"]) for r in rows]
+    total_tokens = sum(f * len(w) for w, f in zip(words, freqs))
+
+    import heapq
+    from collections import defaultdict
+
+    pair_counts: dict[tuple, int] = defaultdict(int)
+    where: dict[tuple, set] = defaultdict(set)  # pair -> word indexes
+    # lazy max-heap over (-count, l, r): every count CHANGE pushes the
+    # new value; stale entries are skipped on pop by comparing against
+    # pair_counts (subword-nmt's structure — a full dict scan per
+    # merge would be O(pairs × merges), which does not survive a
+    # 30k-merge vocabulary). Heap order (-cnt, l, r) IS the greedy
+    # tie-break (count DESC, left, right).
+    heap: list[tuple] = []
+
+    def contrib(idx: int, sign: int) -> None:
+        w, f = words[idx], freqs[idx]
+        for a, b in zip(w, w[1:]):
+            c = pair_counts[(a, b)] + sign * f
+            pair_counts[(a, b)] = c
+            heapq.heappush(heap, (-c, a, b))
+            if sign > 0:
+                where[(a, b)].add(idx)
+
+    for i in range(len(words)):
+        contrib(i, +1)
+
+    def merge_word(w: list[str], l: str, r: str) -> list[str]:
+        # greedy left-to-right non-overlapping — SQL replace semantics
+        out, i = [], 0
+        while i < len(w):
+            if i + 1 < len(w) and w[i] == l and w[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(w[i])
+                i += 1
+        return out
+
+    merges: list[dict] = []
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, hl, hr = heapq.heappop(heap)
+            if pair_counts.get((hl, hr), 0) != -negc:
+                continue  # stale: the pair's count moved since push
+            best = ((hl, hr), -negc)
+            break
+        if best is None or best[1] < 2:
+            break
+        (left, right), cnt = best
+        merged = left + right
+        for idx in sorted(where[(left, right)]):
+            old = words[idx]
+            contrib(idx, -1)  # whole-word recount: exact w/ overlaps
+            new = merge_word(old, left, right)
+            total_tokens -= freqs[idx] * (len(old) - len(new))
+            words[idx] = new
+            contrib(idx, +1)
+        # dead index entries (words rewritten away from a pair) are
+        # tolerated: contrib(+1) re-adds live ones, and the count
+        # check on selection is driven by pair_counts, never `where`
+        pair_counts.pop((left, right), None)
+        where.pop((left, right), None)
+        merges.append({
+            "rank": len(merges) + 1,
+            "left_sym": left, "right_sym": right,
+            "merged_sym": merged,
+            "pair_count": int(cnt),
+            "corpus_tokens_after": int(total_tokens),
+        })
+    if stats is not None:
+        stats["corpus_spark_jobs"] = 2 if max_vocab is not None else 1
+    return merges
