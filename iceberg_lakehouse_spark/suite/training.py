@@ -5951,7 +5951,7 @@ _MEDIA_MAX_PAIRS = 500_000  # r12: the perceptual entries' pair
 # the field is PRESENT and the cap engages loudly on duplicate-
 # riddled corpora; pytest pins the binding behavior)
 
-_FP_PAIRS_SQL = f"""
+_FP_PAIRS_CTES = """
 fps AS (
   SELECT doc_id,
     CAST(SUM(CASE WHEN pos < 32
@@ -5968,7 +5968,9 @@ pairs AS (
            AS hamming
   FROM fps a JOIN fps b ON b.doc_id > a.doc_id
   WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
-)
+)"""
+
+_FP_BUDGET_SELECT = f"""
 SELECT p.left_id, p.right_id, p.hamming, s.pair_truncated
 FROM (SELECT * FROM pairs
       ORDER BY hamming, left_id, right_id
@@ -5990,10 +5992,17 @@ def _media_dhash_oracle() -> str:
     BRUTE-FORCE 64-bit Hamming ≤ 4 over hi/lo bigint halves — an
     independent formulation that cross-checks the Spark side's
     pigeonhole segment blocking."""
+    return f"WITH {_media_dhash_ctes()}\n{_FP_BUDGET_SELECT}"
+
+
+def _media_dhash_ctes(pred: str = "") -> str:
+    """The image oracle's WITH-body through ``pairs`` — shared by the
+    standalone budget entry and the landed-capstone oracle (``pred``
+    restricts the document set, e.g. the capstone's media cap)."""
     seeds = ", ".join(
         f"({g}, '{_hexchain(f'grp-{g}', 72)}')" for g in range(50))
-    return f"""
-WITH seeds(g, hh) AS (VALUES {seeds}),
+    where = f"WHERE {pred}" if pred else ""
+    return f"""seeds(g, hh) AS (VALUES {seeds}),
 base_cells AS (
   SELECT g, i.i AS i, 10 + {_hexbyte_sql()} % 236 AS cell
   FROM seeds, (SELECT unnest(range(0, 72)) AS i) i
@@ -6003,7 +6012,7 @@ doc_cells AS (
     CASE WHEN d.doc_id // 50 > 0
               AND c.i = ((d.doc_id // 50) * 7) % 72
          THEN 10 + ((c.cell - 10) + 118) % 236 ELSE c.cell END AS cell
-  FROM (SELECT doc_id FROM documents) d
+  FROM (SELECT doc_id FROM documents {where}) d
   JOIN base_cells c ON c.g = d.doc_id % 50
 ),
 bits AS (
@@ -6013,7 +6022,7 @@ bits AS (
   JOIN doc_cells r ON r.doc_id = l.doc_id AND r.i = l.i + 1
   WHERE l.i % 9 < 8
 ),
-{_FP_PAIRS_SQL}"""
+{_FP_PAIRS_CTES}"""
 
 
 def _synthesize_media(docs: DataFrame) -> DataFrame:
@@ -6630,10 +6639,16 @@ def _audio_env_oracle() -> str:
     the bit pattern is identical), and pair by brute-force Hamming
     ≤ 4. Independent of the Spark side's WAV bytes, numpy decode,
     AND pigeonhole blocking."""
+    return f"WITH {_audio_env_ctes()}\n{_FP_BUDGET_SELECT}"
+
+
+def _audio_env_ctes(pred: str = "") -> str:
+    """The audio oracle's WITH-body through ``pairs`` (see
+    ``_media_dhash_ctes``)."""
     seeds = ", ".join(
         f"({g}, '{_hexchain(f'aud-{g}', 65)}')" for g in range(50))
-    return f"""
-WITH seeds(g, hh) AS (VALUES {seeds}),
+    where = f"WHERE {pred}" if pred else ""
+    return f"""seeds(g, hh) AS (VALUES {seeds}),
 base_lv AS (
   SELECT g, i.i AS i, 200 + {_hexbyte_sql()} * 80 AS lv
   FROM seeds, (SELECT unnest(range(0, 65)) AS i) i
@@ -6646,7 +6661,7 @@ doc_lv AS (
          ELSE CAST(trunc(b.lv
                 * (1.0 - 0.05 * ((d.doc_id // 50) % 8))) AS INT)
     END AS lv
-  FROM (SELECT doc_id FROM documents) d
+  FROM (SELECT doc_id FROM documents {where}) d
   JOIN base_lv b ON b.g = d.doc_id % 50
 ),
 bits AS (
@@ -6655,7 +6670,7 @@ bits AS (
   FROM doc_lv l
   JOIN doc_lv r ON r.doc_id = l.doc_id AND r.i = l.i + 1
 ),
-{_FP_PAIRS_SQL}"""
+{_FP_PAIRS_CTES}"""
 
 
 @register(
@@ -6742,11 +6757,19 @@ def _video_frameset_oracle() -> str:
     candidate/verify split as ``frame_set_pairs`` but formulated as
     plain joins, so the df-cap and containment logic are
     cross-checked."""
+    return (f"WITH {_video_frameset_ctes()}\n"
+            "SELECT left_id, right_id, shared_frames, containment "
+            "FROM vpairs ORDER BY left_id, right_id")
+
+
+def _video_frameset_ctes(pred: str = "") -> str:
+    """The video oracle's WITH-body through ``vpairs`` (see
+    ``_media_dhash_ctes``)."""
     seeds = ", ".join(
         f"({g}, {i}, '{_hexchain(f'vid-{g}-{i}', 72)}')"
         for g in range(50) for i in range(4))
-    return f"""
-WITH seeds(g, fi, hh) AS (VALUES {seeds}),
+    where = f"WHERE {pred}" if pred else ""
+    return f"""seeds(g, fi, hh) AS (VALUES {seeds}),
 cells AS (
   SELECT g, fi, i.i AS i, 10 + {_hexbyte_sql()} % 200 AS cell
   FROM seeds, (SELECT unnest(range(0, 72)) AS i) i
@@ -6764,7 +6787,7 @@ fhash AS (
 ),
 dsets AS (
   SELECT DISTINCT d.doc_id AS media_id, f.fh
-  FROM (SELECT doc_id FROM documents) d
+  FROM (SELECT doc_id FROM documents {where}) d
   JOIN fhash f ON f.g = d.doc_id % 50
   WHERE d.doc_id // 50 = 0 OR (d.doc_id // 50) % 4 <> 0
         OR f.fi IN (1, 2)
@@ -6786,17 +6809,17 @@ shared AS (
   JOIN dsets x ON x.media_id = c.left_id
   JOIN dsets y ON y.media_id = c.right_id AND y.fh = x.fh
   GROUP BY c.left_id, c.right_id
-)
-SELECT s.left_id, s.right_id, s.shared_frames,
-       round(CAST(s.shared_frames AS DOUBLE) / least(na.n, nb.n), 6)
-         AS containment
-FROM shared s
-JOIN sizes na ON na.media_id = s.left_id
-JOIN sizes nb ON nb.media_id = s.right_id
-WHERE round(CAST(s.shared_frames AS DOUBLE) / least(na.n, nb.n), 6)
-      >= 0.5
-ORDER BY left_id, right_id
-"""
+),
+vpairs AS (
+  SELECT s.left_id, s.right_id, s.shared_frames,
+         round(CAST(s.shared_frames AS DOUBLE) / least(na.n, nb.n), 6)
+           AS containment
+  FROM shared s
+  JOIN sizes na ON na.media_id = s.left_id
+  JOIN sizes nb ON nb.media_id = s.right_id
+  WHERE round(CAST(s.shared_frames AS DOUBLE) / least(na.n, nb.n), 6)
+        >= 0.5
+)"""
 
 
 @register(
@@ -6960,6 +6983,30 @@ def _text_funnel(spark: SparkSession, sf_dir: str) -> list[tuple]:
 
 
 def _ctf_oracle() -> str:
+    return f"""
+    WITH {_ctf_ctes()},
+    c AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n0,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM surv1) AS n1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage_no, 'span_dedup' AS stage,
+               n0 AS rows_in, n0 - n1 AS rows_removed, n1 AS rows_out
+        FROM c
+        UNION ALL
+        SELECT 2, 'exact_dedup', n1, n1 - n2, n2 FROM c
+        UNION ALL
+        SELECT 3, 'quality_filter', n2, n2 - n3, n3 FROM c
+    ) ORDER BY stage_no
+    """
+
+
+def _ctf_ctes() -> str:
+    """The text-funnel oracle's WITH-body through ``s3`` (the final
+    survivor set) — shared by the funnel entry and the landed
+    multimodal capstone's text lane."""
     from ..functions.quality_model import FEATURES, duckdb_training_ctes
 
     ctes, final = duckdb_training_ctes(lr=_QC_LR, iters=_QC_ITERS)
@@ -6967,8 +7014,7 @@ def _ctf_oracle() -> str:
     for j, (name, _, _) in enumerate(FEATURES, start=1):
         z = f"({z} + ((SELECT w{j} FROM {final}) * {name}))"
     p = "(0.5 + (0.5 * (z / (1.0 + abs(z)))))"
-    return f"""
-    WITH {ctes},
+    return f"""{ctes},
     toks AS MATERIALIZED (
         SELECT doc_id,
                regexp_split_to_array(trim(lower(text)),
@@ -7039,23 +7085,7 @@ def _ctf_oracle() -> str:
         SELECT s2.doc_id
         FROM s2 JOIN scoreall USING (doc_id)
         WHERE quality_score >= (SELECT t FROM thr)
-    ),
-    c AS (
-        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n0,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM surv1) AS n1,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
-    )
-    SELECT * FROM (
-        SELECT CAST(1 AS BIGINT) AS stage_no, 'span_dedup' AS stage,
-               n0 AS rows_in, n0 - n1 AS rows_removed, n1 AS rows_out
-        FROM c
-        UNION ALL
-        SELECT 2, 'exact_dedup', n1, n1 - n2, n2 FROM c
-        UNION ALL
-        SELECT 3, 'quality_filter', n2, n2 - n3, n3 FROM c
-    ) ORDER BY stage_no
-    """
+    )"""
 
 
 @register(
@@ -7286,3 +7316,81 @@ def bpe_train_merges_local_stats(
           m["pair_count"], m["corpus_tokens_after"]) for m in merges],
         _BPE_MERGES_SCHEMA,
     ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# Round 12: LANDED multimodal curated corpus (r11 VERDICT missing #2)
+
+def _cml_oracle() -> str:
+    """Every lane's survivor set, fully SQL-derived: the text lane is
+    the funnel oracle's ``s3`` survivor CTE, each media lane is
+    "ids never on the GREATER side of a pair" over the same pair
+    unrolls the standalone perceptual entries hash-match against
+    (nested WITH per lane keeps the four CTE chains from colliding)."""
+    pred = f"doc_id < {_CM_MEDIA_CAP}"
+    return f"""
+SELECT modality, item_id FROM (
+  SELECT 'text' AS modality, doc_id AS item_id FROM (
+    WITH {_ctf_ctes()}
+    SELECT doc_id FROM s3)
+  UNION ALL
+  SELECT 'image', doc_id FROM (
+    WITH {_media_dhash_ctes(pred)}
+    SELECT doc_id FROM documents
+    WHERE {pred}
+      AND doc_id NOT IN (SELECT right_id FROM pairs))
+  UNION ALL
+  SELECT 'audio', doc_id FROM (
+    WITH {_audio_env_ctes(pred)}
+    SELECT doc_id FROM documents
+    WHERE {pred}
+      AND doc_id NOT IN (SELECT right_id FROM pairs))
+  UNION ALL
+  SELECT 'video', doc_id FROM (
+    WITH {_video_frameset_ctes(pred)}
+    SELECT doc_id FROM documents
+    WHERE {pred}
+      AND doc_id NOT IN (SELECT right_id FROM vpairs))
+) ORDER BY modality, item_id
+"""
+
+
+@register(
+    "curated_multimodal_corpus_landed",
+    _cml_oracle(),
+    survey_ref="beyond-reference (r12, r11 VERDICT missing #2): the "
+    "curated MIXED corpus as a landed LakeTable artifact — text lane "
+    "= span dedup + exact-dedup keeper + classifier quality filter "
+    "(the deduped rebuilt text is what lands), media lanes = blocked "
+    "near-dup keeper rule; every lane's survivor set value-hashed "
+    "against the same DuckDB unrolls the funnel and pair entries use",
+)
+def curated_multimodal_corpus_landed(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land the cross-modal curation capstone's OUTPUT (the r11 entry
+    reported only the accounting): one LakeTable holding the text
+    survivors' span-deduped rebuilt text and every media lane's
+    keeper blobs under a unified (modality, item_id, text, content,
+    format) schema — operators/curation.py. Returns the landed
+    membership (modality, item_id); blobs move exactly once (the
+    per-lane semi-joined append), never through a shuffle."""
+    import tempfile as _tf
+
+    from ..catalog import LakehouseCatalog
+    from ..operators.curation import curate_multimodal_corpus
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    capped = docs.where(f"doc_id < {_CM_MEDIA_CAP}")
+    work = _tf.mkdtemp(prefix="cml_")
+    cat = LakehouseCatalog(spark, f"{work}/wh")
+    t = curate_multimodal_corpus(
+        cat, "default.curated_mm",
+        docs=docs,
+        images=_synthesize_media(capped),
+        audio=_synthesize_audio(capped),
+        video=_synthesize_video(capped),
+    )
+    return (
+        t.scan().select("modality", "item_id")
+        .orderBy("modality", "item_id")
+    )
