@@ -6762,9 +6762,10 @@ def _video_frameset_oracle() -> str:
             "FROM vpairs ORDER BY left_id, right_id")
 
 
-def _video_frameset_ctes(pred: str = "") -> str:
-    """The video oracle's WITH-body through ``vpairs`` (see
-    ``_media_dhash_ctes``)."""
+def _video_fhash_ctes(pred: str = "") -> str:
+    """The video oracles' WITH-body through ``dsets`` (per-clip
+    DISTINCT frame-hash sets) — shared by the batch pair oracle and
+    the streaming-sink unroll."""
     seeds = ", ".join(
         f"({g}, {i}, '{_hexchain(f'vid-{g}-{i}', 72)}')"
         for g in range(50) for i in range(4))
@@ -6791,7 +6792,13 @@ dsets AS (
   JOIN fhash f ON f.g = d.doc_id % 50
   WHERE d.doc_id // 50 = 0 OR (d.doc_id // 50) % 4 <> 0
         OR f.fi IN (1, 2)
-),
+)"""
+
+
+def _video_frameset_ctes(pred: str = "") -> str:
+    """The video oracle's WITH-body through ``vpairs`` (see
+    ``_media_dhash_ctes``)."""
+    return f"""{_video_fhash_ctes(pred)},
 sizes AS (SELECT media_id, count(*) AS n FROM dsets GROUP BY media_id),
 dfreq AS (SELECT fh, count(*) AS dfc FROM dsets GROUP BY fh),
 rare AS (
@@ -6849,13 +6856,112 @@ def video_perceptual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vfi_batch_ctes(i: int, lo: int, hi: int,
+                    prev_idx: str, prev_landed: str) -> str:
+    """One micro-batch of ``video_dedup_stream_to_table`` as CTEs —
+    the sink's exact stage order: (a) intra-batch ``frame_set_pairs``
+    keeper rule (greater id of any ≥-threshold containment pair drops,
+    REGARDLESS of the lesser side's later fate — batch losers are
+    decided before the index probe sees anything), then (b) the
+    survivors probe the index (candidates df-capped index-side, verify
+    cap-free, denominator = min(|index clip|, |batch clip|)), then
+    (c) survivors' frame sets extend the index for the NEXT batch."""
+    b = f"vb{i}"
+    return f"""
+{b} AS (SELECT media_id, fh FROM dsets
+        WHERE media_id >= {lo} AND media_id < {hi}),
+{b}_sizes AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM {b} GROUP BY media_id),
+{b}_hot AS (SELECT fh FROM (
+    SELECT fh, COUNT(*) AS c FROM {b} GROUP BY fh) WHERE c > 1024),
+{b}_cand AS (
+  SELECT DISTINCT a.media_id AS l, x.media_id AS r
+  FROM {b} a JOIN {b} x ON a.fh = x.fh AND a.media_id < x.media_id
+  WHERE a.fh NOT IN (SELECT fh FROM {b}_hot)),
+{b}_shared AS (
+  SELECT c.l, c.r, CAST(COUNT(*) AS BIGINT) AS sh
+  FROM {b}_cand c
+  JOIN {b} p ON p.media_id = c.l
+  JOIN {b} q ON q.media_id = c.r AND q.fh = p.fh
+  GROUP BY c.l, c.r),
+{b}_losers AS (
+  SELECT DISTINCT s.r AS media_id
+  FROM {b}_shared s
+  JOIN {b}_sizes na ON na.media_id = s.l
+  JOIN {b}_sizes nb ON nb.media_id = s.r
+  WHERE round(CAST(s.sh AS DOUBLE) / least(na.n, nb.n), 6) >= 0.5),
+{b}_keep1 AS (
+  SELECT media_id FROM {b}_sizes
+  WHERE media_id NOT IN (SELECT media_id FROM {b}_losers)),
+{b}_phits AS (
+  SELECT i.media_id AS l, q.media_id AS r, i.fh
+  FROM {prev_idx} i JOIN {b} q ON q.fh = i.fh
+  WHERE q.media_id IN (SELECT media_id FROM {b}_keep1)
+    AND i.media_id <> q.media_id),
+{b}_phot AS (SELECT fh FROM (
+    SELECT fh, COUNT(DISTINCT l) AS c FROM {b}_phits GROUP BY fh)
+  WHERE c > 1024),
+{b}_pcand AS (SELECT DISTINCT l, r FROM {b}_phits
+  WHERE fh NOT IN (SELECT fh FROM {b}_phot)),
+{b}_pshared AS (
+  SELECT h.l, h.r, CAST(COUNT(DISTINCT h.fh) AS BIGINT) AS sh
+  FROM {b}_phits h
+  JOIN {b}_pcand c ON c.l = h.l AND c.r = h.r
+  GROUP BY h.l, h.r),
+{b}_isizes AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM {prev_idx} GROUP BY media_id),
+{b}_plosers AS (
+  SELECT DISTINCT s.r AS media_id
+  FROM {b}_pshared s
+  JOIN {b}_isizes na ON na.media_id = s.l
+  JOIN {b}_sizes nb ON nb.media_id = s.r
+  WHERE round(CAST(s.sh AS DOUBLE) / least(na.n, nb.n), 6) >= 0.5),
+{b}_surv AS (
+  SELECT media_id FROM {b}_keep1
+  WHERE media_id NOT IN (SELECT media_id FROM {b}_plosers)),
+vidx{i} AS (
+  SELECT media_id, fh FROM {prev_idx}
+  UNION
+  SELECT media_id, fh FROM dsets
+  WHERE media_id IN (SELECT media_id FROM {b}_surv)),
+vlanded{i} AS (
+  SELECT media_id FROM {prev_landed}
+  UNION
+  SELECT media_id FROM {b}_surv)"""
+
+
+def _vfi_oracle() -> str:
+    """DuckDB unroll of the STREAMING video-dedup entry: the two real
+    micro-batches replayed as chained CTE stages over the same
+    SQL-derived frame-hash sets the batch oracle uses — seed corpus =
+    variant 0 of every group, then each batch applies the sink's
+    intra-batch keeper rule, probes the index state as of that batch,
+    and extends it for the next. Value-hashes the whole landed/dropped
+    membership, making the streaming sink's semantics (not just its
+    row count) cross-engine-verified."""
+    pred = "doc_id < 200"
+    return f"""
+WITH {_video_fhash_ctes(pred)},
+vidx0 AS (SELECT media_id, fh FROM dsets WHERE media_id < 50),
+vlanded0 AS (SELECT DISTINCT media_id FROM dsets WHERE media_id < 50),
+{_vfi_batch_ctes(1, 50, 125, 'vidx0', 'vlanded0')},
+{_vfi_batch_ctes(2, 125, 200, 'vidx1', 'vlanded1')}
+SELECT d.doc_id AS media_id,
+       d.doc_id IN (SELECT media_id FROM vlanded2) AS landed
+FROM documents d WHERE {pred}
+ORDER BY media_id
+"""
+
+
 @register(
     "video_frame_index_dedup",
-    None,  # frame decode of binary containers — no SQL oracle
-    survey_ref="beyond-reference (r11): PERSISTED frame-set index + "
-    "streaming clip dedup — video_near_dup_pairs made incremental: "
-    "per-batch clips probe frame-hash equality against the landed "
-    "corpus without re-hashing it; build/probe/extend/sync pinned in "
+    _vfi_oracle(),  # r12: the two micro-batches unrolled as CTE stages
+    survey_ref="beyond-reference (r11, ORACLE-PAIRED r12): PERSISTED "
+    "frame-set index + streaming clip dedup — video_near_dup_pairs "
+    "made incremental: per-batch clips probe frame-hash equality "
+    "against the landed corpus without re-hashing it; the landed "
+    "membership value-hashes against a DuckDB unroll of the sink's "
+    "batch-sequential semantics; build/probe/extend/sync pinned in "
     "tests/test_perceptual_dedup.py",
 )
 def video_frame_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7110,14 +7216,62 @@ def curated_text_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_removed long, rows_out long").orderBy("stage_no")
 
 
+def _cm_funnel_oracle() -> str:
+    """Funnel counts for all four lanes, SQL-derived (r12 — the r11
+    registration predates the perceptual unrolls): text = the funnel
+    oracle's stage counts, each media lane = corpus size minus
+    distinct greater-side pair ids over the lane's pair unroll."""
+    pred = f"doc_id < {_CM_MEDIA_CAP}"
+
+    def lane(modality, stage, ctes, pairs_cte):
+        return f"""
+  SELECT '{modality}' AS modality, CAST(1 AS BIGINT) AS stage_no,
+         '{stage}' AS stage, n_in AS rows_in, rem AS rows_removed,
+         n_in - rem AS rows_out
+  FROM (
+    WITH {ctes}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE {pred}) AS n_in,
+           (SELECT CAST(COUNT(DISTINCT right_id) AS BIGINT)
+            FROM {pairs_cte}) AS rem)"""
+
+    return f"""
+SELECT modality, stage_no, stage, rows_in, rows_removed, rows_out
+FROM (
+  SELECT 'text' AS modality, stage_no, stage, rows_in, rows_removed,
+         rows_out
+  FROM (
+    WITH {_ctf_ctes()},
+    c AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n0,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM surv1) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+    )
+    SELECT CAST(1 AS BIGINT) AS stage_no, 'span_dedup' AS stage,
+           n0 AS rows_in, n0 - n1 AS rows_removed, n1 AS rows_out
+    FROM c
+    UNION ALL SELECT 2, 'exact_dedup', n1, n1 - n2, n2 FROM c
+    UNION ALL SELECT 3, 'quality_filter', n2, n2 - n3, n3 FROM c)
+  UNION ALL {lane('image', 'perceptual_dedup',
+                  _media_dhash_ctes(pred), 'pairs')}
+  UNION ALL {lane('audio', 'envelope_dedup',
+                  _audio_env_ctes(pred), 'pairs')}
+  UNION ALL {lane('video', 'frame_set_dedup',
+                  _video_frameset_ctes(pred), 'vpairs')}
+) ORDER BY modality, stage_no
+"""
+
+
 @register(
     "curated_multimodal_corpus",
-    None,  # the perceptual lanes decode binary blobs — no SQL oracle;
-    # the text lane's numbers are the oracle-paired curated_text_funnel
-    survey_ref="beyond-reference (r11): the cross-modal curation "
-    "capstone — one funnel over text (span+exact+quality), image "
-    "(phash), audio (envelope), and video (frame-set) dedup; lane "
-    "reconciliation pinned in tests/test_llm_ops.py",
+    _cm_funnel_oracle(),  # r12: all four lanes SQL-derived
+    survey_ref="beyond-reference (r11, ORACLE-PAIRED r12): the "
+    "cross-modal curation capstone — one funnel over text "
+    "(span+exact+quality), image (phash), audio (envelope), and video "
+    "(frame-set) dedup, every lane's counts value-hashed against the "
+    "shared DuckDB unrolls; lane reconciliation also pinned in "
+    "tests/test_llm_ops.py",
 )
 def curated_multimodal_corpus(
     spark: SparkSession, sf_dir: str
