@@ -6868,7 +6868,7 @@ def _vfi_batch_ctes(i: int, lo: int, hi: int,
     (c) survivors' frame sets extend the index for the NEXT batch."""
     b = f"vb{i}"
     return f"""
-{b} AS (SELECT media_id, fh FROM dsets
+{b} AS MATERIALIZED (SELECT media_id, fh FROM dsets
         WHERE media_id >= {lo} AND media_id < {hi}),
 {b}_sizes AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n
               FROM {b} GROUP BY media_id),
@@ -6890,10 +6890,10 @@ def _vfi_batch_ctes(i: int, lo: int, hi: int,
   JOIN {b}_sizes na ON na.media_id = s.l
   JOIN {b}_sizes nb ON nb.media_id = s.r
   WHERE round(CAST(s.sh AS DOUBLE) / least(na.n, nb.n), 6) >= 0.5),
-{b}_keep1 AS (
+{b}_keep1 AS MATERIALIZED (
   SELECT media_id FROM {b}_sizes
   WHERE media_id NOT IN (SELECT media_id FROM {b}_losers)),
-{b}_phits AS (
+{b}_phits AS MATERIALIZED (
   SELECT i.media_id AS l, q.media_id AS r, i.fh
   FROM {prev_idx} i JOIN {b} q ON q.fh = i.fh
   WHERE q.media_id IN (SELECT media_id FROM {b}_keep1)
@@ -6916,15 +6916,15 @@ def _vfi_batch_ctes(i: int, lo: int, hi: int,
   JOIN {b}_isizes na ON na.media_id = s.l
   JOIN {b}_sizes nb ON nb.media_id = s.r
   WHERE round(CAST(s.sh AS DOUBLE) / least(na.n, nb.n), 6) >= 0.5),
-{b}_surv AS (
+{b}_surv AS MATERIALIZED (
   SELECT media_id FROM {b}_keep1
   WHERE media_id NOT IN (SELECT media_id FROM {b}_plosers)),
-vidx{i} AS (
+vidx{i} AS MATERIALIZED (
   SELECT media_id, fh FROM {prev_idx}
   UNION
   SELECT media_id, fh FROM dsets
   WHERE media_id IN (SELECT media_id FROM {b}_surv)),
-vlanded{i} AS (
+vlanded{i} AS MATERIALIZED (
   SELECT media_id FROM {prev_landed}
   UNION
   SELECT media_id FROM {b}_surv)"""
@@ -6942,7 +6942,7 @@ def _vfi_oracle() -> str:
     pred = "doc_id < 200"
     return f"""
 WITH {_video_fhash_ctes(pred)},
-vidx0 AS (SELECT media_id, fh FROM dsets WHERE media_id < 50),
+vidx0 AS MATERIALIZED (SELECT media_id, fh FROM dsets WHERE media_id < 50),
 vlanded0 AS (SELECT DISTINCT media_id FROM dsets WHERE media_id < 50),
 {_vfi_batch_ctes(1, 50, 125, 'vidx0', 'vlanded0')},
 {_vfi_batch_ctes(2, 125, 200, 'vidx1', 'vlanded1')}
