@@ -155,6 +155,38 @@ def main() -> int:
         lambda n: (n == 50_000,
                    "verify width must equal the 50k budget"),
     )
+    # r12: the perceptual pair budget under mass image duplication —
+    # replica ids land in the same 50 dHash groups, so within-group
+    # pairs grow quadratically (and past the bucket gate at 20× the
+    # star-edge path engages); the evidence-ranked budget must hold
+    # the output at exactly max_pairs with the loud flag set
+    def _media_budget():
+        from iceberg_lakehouse_spark.functions import (
+            multimodal as mmod,
+        )
+        from iceberg_lakehouse_spark.suite.training import (
+            _synthesize_media,
+        )
+
+        out = mmod.media_near_dup_pairs(
+            _synthesize_media(docs.select("doc_id")),
+            max_distance=4, max_pairs=50_000)
+        flags = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pair_truncated").alias("f")).first()
+        return {"rows": int(flags["n"]),
+                "truncated": bool(flags["f"])}
+
+    run(
+        "media_pair_budget",
+        _media_budget,
+        lambda d: (
+            (d["rows"] == 50_000) == d["truncated"]
+            and d["rows"] <= 50_000,
+            "flag must agree with width: exactly 50k rows iff "
+            "truncated, never more",
+        ),
+    )
     run(
         "connected_components_clusters",
         lambda: dt.dedup_corpus(docs, "doc_id", "text",
