@@ -884,3 +884,30 @@ def test_span_dedup_no_token_level_shuffle(spark):
     # mask collection aggregates by doc — collect_set rides the same
     # hash partitioning as the final doc-level join
     assert "collect_set" in plan
+
+
+def test_curation_media_lane_is_blocked_and_blob_free(spark):
+    """Landed multimodal curation (r12): the media keeper lane's pair
+    generation must be the blocked join (no cartesian / nested-loop),
+    and the survivor semi-join keeps content columns out of the pair
+    side — blobs appear only in the final landed projection."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from iceberg_lakehouse_spark.functions.multimodal import (
+        media_near_dup_pairs,
+    )
+    from iceberg_lakehouse_spark.operators.curation import _keepers
+    from iceberg_lakehouse_spark.suite.training import _synthesize_media
+
+    docs = spark.range(100).selectExpr("id AS doc_id")
+    media = _synthesize_media(docs)
+    kept = _keepers(media, media_near_dup_pairs(media, max_distance=4))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kept.select("media_id", F.length("content")).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
