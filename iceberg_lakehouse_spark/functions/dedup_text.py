@@ -660,6 +660,14 @@ def simhash_hamming_pairs(
     of a 64-char string, and the result is bit-identical."""
     segs = max_distance + 1
     seg_len = fp_len // segs
+    if not 0 < fp_len <= 64:
+        # the integer-halves hamming packs each half into a signed
+        # BIGINT via conv(_, 2, 10); >64 bits would need a third limb
+        raise ValueError(f"fp_len must be in 1..64 (got {fp_len})")
+    if seg_len < 1:
+        raise ValueError(
+            f"max_distance {max_distance} needs {segs} segments but "
+            f"fp_len is only {fp_len}")
     half = (fp_len + 1) // 2
     # single-pass segment expansion (explode, not union-of-selects — see
     # lsh_candidate_pairs: a union evaluates the fingerprint pipeline
