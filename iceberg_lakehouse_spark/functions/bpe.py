@@ -366,14 +366,21 @@ def bpe_train_merges_local(
         rows = vocab_df.collect()
         truncated, coverage = False, 1.0
     else:
-        # one extra tiny agg for the loud-cap accounting
-        total = vocab_df.agg(
-            F.sum("freq").cast("bigint").alias("t")).first()["t"] or 0
-        rows = (
-            vocab_df.orderBy(F.desc("freq"), "s")
-            .limit(max_vocab)
-            .collect()
-        )
+        # persist: the coverage agg AND the top-K collect both read
+        # the corpus collapse — uncached, the corpus-wide shuffle
+        # would run twice (r12 review)
+        vocab_df = vocab_df.persist()
+        try:
+            total = vocab_df.agg(
+                F.sum("freq").cast("bigint").alias("t")
+            ).first()["t"] or 0
+            rows = (
+                vocab_df.orderBy(F.desc("freq"), "s")
+                .limit(max_vocab)
+                .collect()
+            )
+        finally:
+            vocab_df.unpersist()
         kept = sum(r["freq"] for r in rows)
         truncated = total > kept
         coverage = (kept / total) if total else 1.0

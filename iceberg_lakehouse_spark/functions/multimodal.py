@@ -878,13 +878,23 @@ def _budget_pairs(pairs: DataFrame, max_pairs: int | None) -> DataFrame:
         return pairs
     if max_pairs < 1:
         raise ValueError(f"max_pairs must be >= 1 (got {max_pairs})")
-    # one pair materialization feeds both the top-K slice and the
-    # truncation flag (same persist discipline as ngram_jaccard_pairs)
-    full = pairs.persist()
-    top = full.orderBy("hamming", "left_id", "right_id").limit(max_pairs)
-    stats = full.agg(
-        (F.count(F.lit(1)) > max_pairs).alias("pair_truncated"))
-    return top.crossJoin(F.broadcast(stats))
+    # ONE evaluation of the pair pipeline: take the top (max_pairs+1)
+    # — the sentinel row IS the truncation signal — and cache only
+    # that bounded slice (≤ max_pairs+1 skinny id/distance rows), not
+    # the full pair relation (r12 review: a full-relation persist with
+    # no unpersist leaked cache for the session lifetime; an eager
+    # count + lazy top-K would have evaluated the pipeline twice).
+    top1 = (
+        pairs.orderBy("hamming", "left_id", "right_id")
+        .limit(max_pairs + 1)
+        .persist()
+    )
+    truncated = top1.count() > max_pairs
+    return (
+        top1.orderBy("hamming", "left_id", "right_id")
+        .limit(max_pairs)
+        .withColumn("pair_truncated", F.lit(truncated))
+    )
 
 
 def media_near_dup_pairs(

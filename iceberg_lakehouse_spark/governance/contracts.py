@@ -280,7 +280,15 @@ class ContractManager:
             if col and col not in df.columns:
                 violations.append({"constraint": kind, "column": col, "detail": "column missing"})
                 continue
-            n = self._constraint_failures(con, df)
+            try:
+                n = self._constraint_failures(con, df)
+            except ValueError as e:
+                # an unevaluable constraint (e.g. pinned-model feature
+                # drift) is a LOUD per-constraint failure, but must
+                # not abort the other constraints' checks (r12 review)
+                violations.append({"constraint": kind, "column": col,
+                                   "error": str(e)[:300]})
+                continue
             if n:
                 violations.append({"constraint": kind, "column": col, "failed_rows": n})
         return violations
@@ -447,7 +455,15 @@ class ContractManager:
                      "pass_rate": 0.0, "detail": "column missing"}
                 )
                 continue
-            n = self._constraint_failures(con, df)
+            try:
+                n = self._constraint_failures(con, df)
+            except ValueError as e:
+                results.append(
+                    {"rule": con["type"], "column": col,
+                     "violations": total, "pass_rate": 0.0,
+                     "detail": str(e)[:300]}
+                )
+                continue
             if n is None:
                 continue
             rate = 100.0 if total == 0 else round(100.0 * (total - n) / total, 2)

@@ -681,10 +681,10 @@ class MaintenanceManager:
                             vec_col=vec_col)
                         post_recall = post.get("recall_at_k")
                         pre_recall = needed.get("rebuild_pre_recall")
-                        if (post_recall is not None
-                                and pre_recall is not None
-                                and post_recall < pre_recall
-                                and res.get("saved_version")):
+                        regressed = (post_recall is not None
+                                     and pre_recall is not None
+                                     and post_recall < pre_recall)
+                        if regressed and res.get("saved_version"):
                             rollback_ivfpq_version(
                                 table.catalog, full_name,
                                 res["saved_version"])
@@ -697,6 +697,28 @@ class MaintenanceManager:
                                     res["saved_version"],
                             })
                             rolled_back = True
+                        elif regressed:
+                            # measured worse but nothing to restore
+                            # (the rebuild repaired a CRASHED rebuild,
+                            # so no pre-state was pinnable) — ship it,
+                            # but say the regression out loud instead
+                            # of recording a 'promoted' version
+                            # (r12 review)
+                            actions.append({
+                                "action": "rebuild_ivfpq_index",
+                                "status": "completed",
+                                "rows": res["rows"],
+                                "n_cells_after": res["n_cells_after"],
+                                "recall_regressed": True,
+                                "pre_recall": pre_recall,
+                                "post_recall": post_recall,
+                                "note": "no pre-rebuild version was "
+                                "pinnable (crash-repair rebuild) — "
+                                "nothing to restore",
+                            })
+                            rolled_back = True  # suppress the plain
+                            # 'completed' append below; this action
+                            # entry already reported the rebuild
                         else:
                             # measured-good rebuild: record it as the
                             # new promoted version, recall attached

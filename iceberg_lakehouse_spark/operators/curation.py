@@ -149,7 +149,7 @@ def curate_multimodal_corpus(
         table.append(
             text_curation_survivors(docs).select(
                 F.lit("text").alias("modality"),
-                F.col("doc_id").alias("item_id"),
+                F.col("doc_id").cast("long").alias("item_id"),
                 F.col("dedup_text").alias("text"),
                 F.lit(None).cast("binary").alias("content"),
                 F.lit("text").alias("format"),

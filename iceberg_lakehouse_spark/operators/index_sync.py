@@ -351,6 +351,16 @@ def reextend_index(
         # amount read at start and keep the unrepaid tail of the
         # range (sync ranges are consecutive, so from=hi re-derives
         # exactly the un-repaid ids).
+        #
+        # Residual window (documented, not closed): set_properties is
+        # itself a read-modify-write of the meta file with no CAS, so
+        # a sync landing between THIS re-read and the write below can
+        # still be lost. The decrement narrows the race from the full
+        # extend duration to that gap; fully closing it needs a CAS
+        # property primitive the catalog does not have. Operationally
+        # this module keeps the SINGLE-MAINTENANCE-WRITER contract the
+        # model registry documents: run sync/reextend from one
+        # maintenance loop (auto_sync_index does), never concurrently.
         cur_props = idx.properties()
         cur_pending = int(
             cur_props.get("index.pending_reinserts", 0) or 0)

@@ -362,8 +362,11 @@ def test_feature_set_drift_fails_loudly(spark, tmp_warehouse, tmp_path):
         cm = ContractManager(str(tmp_path / "contracts.json"))
         cm.create("default.docs", constraints=[con])
         t = cat.load_table("default.docs")
-        with pytest.raises(ValueError, match="pinned features"):
-            cm.validate_rows("default.docs", t.scan())
+        # unevaluable constraint surfaces as a LOUD per-constraint
+        # error entry without aborting the other checks (r12 review)
+        v = cm.validate_rows("default.docs", t.scan())
+        assert len(v) == 1 and "pinned features" in v[0]["error"]
+        assert v[0]["constraint"] == "min_quality_score"
         with pytest.raises(ValueError, match="arity mismatch"):
             qmod._z_sql([0.1, 0.2], ["f_a", "f_b", "f_c"])
     finally:

@@ -181,10 +181,11 @@ def main() -> int:
         "media_pair_budget",
         _media_budget,
         lambda d: (
-            (d["rows"] == 50_000) == d["truncated"]
-            and d["rows"] <= 50_000,
-            "flag must agree with width: exactly 50k rows iff "
-            "truncated, never more",
+            d["rows"] <= 50_000
+            and (not d["truncated"] or d["rows"] == 50_000),
+            "never more than the 50k budget; a set flag means the "
+            "full width (exactly-50k untruncated is the legal "
+            "boundary case)",
         ),
     )
     run(
