@@ -697,3 +697,25 @@ def test_pair_budget_binds_loudly(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="max_pairs"):
         media_near_dup_pairs(corpus, max_pairs=0).collect()
+
+
+def test_pair_budget_exact_boundary_untruncated(spark):
+    """r12 review follow-up: when the full pair count EQUALS
+    max_pairs, the budget returns all of them with
+    pair_truncated=False — 'exactly max_pairs rows' alone does not
+    imply truncation (the sentinel row, not the width, is the
+    signal)."""
+    from iceberg_lakehouse_spark.functions.multimodal import (
+        media_near_dup_pairs,
+    )
+
+    corpus = _media_rows(spark, [
+        (i, _img("edge", bump_cell=(i % 5)), "image", "ppm", 0)
+        for i in range(6)
+    ])
+    total = media_near_dup_pairs(corpus, max_distance=6).count()
+    assert total > 0
+    rows = media_near_dup_pairs(
+        corpus, max_distance=6, max_pairs=int(total)).collect()
+    assert len(rows) == total
+    assert not any(r["pair_truncated"] for r in rows)

@@ -150,3 +150,18 @@ def test_sequence_packing_bit_exact(spark, rows):
                           '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n
               FROM documents)""").fetchall())
     assert got == exp, rows
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_TEXT, min_size=1, max_size=10),
+       st.integers(min_value=1, max_value=10))
+def test_local_bpe_trainer_equals_distributed(spark, texts, n_merges):
+    """r12: the word-frequency-table trainer (driver-side greedy with
+    lazy-heap incremental counts) must equal the distributed B=1
+    trainer BIT-EXACTLY — merge order, tie-breaks, pair counts, and
+    token accounting — on adversarial corpora (unicode, whitespace
+    runs, empties, heavy repetition)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    assert (bpe.bpe_train_merges_local(docs, n_merges=n_merges)
+            == bpe.bpe_train_merges(docs, n_merges=n_merges))
