@@ -878,23 +878,23 @@ def _budget_pairs(pairs: DataFrame, max_pairs: int | None) -> DataFrame:
         return pairs
     if max_pairs < 1:
         raise ValueError(f"max_pairs must be >= 1 (got {max_pairs})")
-    # ONE evaluation of the pair pipeline: take the top (max_pairs+1)
-    # — the sentinel row IS the truncation signal — and cache only
-    # that bounded slice (≤ max_pairs+1 skinny id/distance rows), not
-    # the full pair relation (r12 review: a full-relation persist with
-    # no unpersist leaked cache for the session lifetime; an eager
-    # count + lazy top-K would have evaluated the pipeline twice).
+    # ONE evaluation of the pair pipeline: collect the top (max_pairs+1)
+    # — the sentinel row IS the truncation signal. The slice is bounded
+    # by the caller's budget (skinny id/distance rows), so it lives as
+    # ONE driver-side list and is re-created as a local DataFrame — no
+    # persist, hence nothing cached for the session lifetime (r12
+    # review fixed the full-relation persist; r12 ADVICE flagged that
+    # even the bounded persist accumulated across a 161-entry sweep
+    # session with no matching unpersist). An eager count + lazy top-K
+    # would have evaluated the pair pipeline twice.
     top1 = (
         pairs.orderBy("hamming", "left_id", "right_id")
         .limit(max_pairs + 1)
-        .persist()
+        .collect()
     )
-    truncated = top1.count() > max_pairs
-    return (
-        top1.orderBy("hamming", "left_id", "right_id")
-        .limit(max_pairs)
-        .withColumn("pair_truncated", F.lit(truncated))
-    )
+    truncated = len(top1) > max_pairs
+    out = pairs.sparkSession.createDataFrame(top1[:max_pairs], pairs.schema)
+    return out.withColumn("pair_truncated", F.lit(truncated))
 
 
 def media_near_dup_pairs(

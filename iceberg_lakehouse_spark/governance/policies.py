@@ -406,9 +406,25 @@ class MaintenanceManager:
                             f"{latest['source_table']} missing)")
         needs_rebuild = False
         rebuild_pre_recall = None
+        rebuild_suppressed = False
         min_recall = pol.get("auto_rebuild_index")
         if min_recall:
             kind = self._index_kind(table)
+            # r13 damping (r12 ADVICE): a prior auto-rebuild at THIS
+            # exact (index, source) snapshot state measured WORSE and
+            # was rolled back — repeating it would burn the same
+            # rebuild + recall-sample + rollback round trip for the
+            # same answer. Skip (recall sample included) until either
+            # side commits new data and the state string changes.
+            stamp = table.properties().get(
+                "index.rebuild_regressed_state")
+            if kind and stamp and stamp == self._rebuild_state(table):
+                rebuild_suppressed = True
+                actions.append(
+                    f"rebuild_{kind}_index suppressed (a rebuild at "
+                    f"this index/source state {stamp} regressed and "
+                    "was rolled back; waiting for new data)")
+                kind = None
             if kind:
                 if kind == "ivfpq":
                     from ..operators.ivfpq import ivfpq_recall_sample
@@ -490,6 +506,7 @@ class MaintenanceManager:
             "needs_index_sync": needs_sync,
             "needs_index_rebuild": needs_rebuild,
             "rebuild_pre_recall": rebuild_pre_recall,
+            "rebuild_suppressed": rebuild_suppressed,
             "needs_model_retrain": needs_retrain,
             "actions_needed": actions, "stats": fs,
         }
@@ -502,6 +519,26 @@ class MaintenanceManager:
         if "ivf.n_cells" in props:
             return "ann"
         return None
+
+    @staticmethod
+    def _rebuild_state(table: LakeTable) -> str:
+        """The (index, source) snapshot state a regressed auto-rebuild
+        is stamped against: ``<index_snapshot>:<source_snapshot>``.
+        Either side committing new data changes the string and re-arms
+        ``auto_rebuild_index``; property-only writes don't (the catalog
+        stores properties in metadata, not snapshots)."""
+        snap = table.current_snapshot()
+        idx = str(snap.snapshot_id) if snap else "none"
+        src = "none"
+        src_name = table.properties().get("index.source_table")
+        if src_name:
+            try:
+                ssnap = table.catalog.load_table(
+                    src_name).current_snapshot()
+                src = str(ssnap.snapshot_id) if ssnap else "none"
+            except ValueError:
+                src = "missing"
+        return f"{idx}:{src}"
 
     def run(self, table: LakeTable, dry_run: bool = False) -> dict:
         name = f"{table.namespace}.{table.table}"
@@ -688,6 +725,22 @@ class MaintenanceManager:
                             rollback_ivfpq_version(
                                 table.catalog, full_name,
                                 res["saved_version"])
+                            # r13 (r12 ADVICE): damp the rebuild →
+                            # regress → rollback loop. The restored
+                            # recall is the same below-threshold value
+                            # that triggered this cycle, so without a
+                            # marker every maintenance run repeats the
+                            # expensive round trip. Stamp the exact
+                            # (index, source) snapshot state the
+                            # regression was measured at; check_needed
+                            # skips auto_rebuild_index (and the recall
+                            # sample) while that state is unchanged.
+                            # Property writes don't bump snapshots, so
+                            # the stamp holds until real data commits.
+                            table.set_properties({
+                                "index.rebuild_regressed_state":
+                                    self._rebuild_state(table),
+                            })
                             actions.append({
                                 "action": "rebuild_ivfpq_index",
                                 "status": "rolled_back",
@@ -704,6 +757,14 @@ class MaintenanceManager:
                             # but say the regression out loud instead
                             # of recording a 'promoted' version
                             # (r12 review)
+                            # same damping as the rollback branch:
+                            # the shipped state still measures below
+                            # threshold, so an unstamped next cycle
+                            # would rebuild again for the same answer
+                            table.set_properties({
+                                "index.rebuild_regressed_state":
+                                    self._rebuild_state(table),
+                            })
                             actions.append({
                                 "action": "rebuild_ivfpq_index",
                                 "status": "completed",
@@ -721,11 +782,17 @@ class MaintenanceManager:
                             # entry already reported the rebuild
                         else:
                             # measured-good rebuild: record it as the
-                            # new promoted version, recall attached
+                            # new promoted version, recall attached;
+                            # any stale regression stamp is moot (the
+                            # state changed) — drop it for hygiene
                             record_ivfpq_version(
                                 table.catalog, full_name,
                                 recall_at_k=post_recall,
                                 note="auto: post-rebuild (promoted)")
+                            if table.properties().get(
+                                    "index.rebuild_regressed_state"):
+                                table.unset_properties(
+                                    ["index.rebuild_regressed_state"])
                     else:
                         from ..operators.ann_index import (
                             rebuild_ann_index,

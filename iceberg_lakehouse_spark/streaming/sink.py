@@ -32,6 +32,38 @@ from ..catalog import LakeTable
 from ..operators import crud
 
 
+def _collapse_batch(batch: DataFrame, key_columns: list[str]) -> DataFrame:
+    """Deterministic per-key survivor for intra-batch duplicates.
+
+    ``dropDuplicates`` keeps an ARBITRARY row when a key repeats within
+    a micro-batch with different payloads — true at-least-once replays
+    are byte-identical, but an upstream emitting in-batch updates would
+    land a nondeterministic version (r12 ADVICE). Here the survivor is
+    the lexicographically-greatest payload tuple per key (``max`` over a
+    struct of the non-key columns — one hash aggregate with map-side
+    partial maxima, no window sort), which is a pure function of the
+    batch CONTENTS, independent of partitioning or arrival order.
+
+    Falls back to ``dropDuplicates`` only when a payload column is not
+    orderable (MapType can't sit in a sort key); byte-identical
+    duplicates are still collapsed correctly there."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    payload = [c for c in batch.columns if c not in key_columns]
+    if not payload:
+        return batch.dropDuplicates(key_columns)
+    by_name = {f.name: f.dataType for f in batch.schema.fields}
+    if any(isinstance(by_name[c], MapType) for c in payload):
+        return batch.dropDuplicates(key_columns)
+    return (
+        batch.groupBy(*key_columns)
+        .agg(F.max(F.struct(*payload)).alias("_row"))
+        .select(*key_columns,
+                *[F.col("_row").getField(c).alias(c) for c in payload])
+    )
+
+
 def stream_to_table(
     stream: DataFrame,
     table: LakeTable,
@@ -55,7 +87,7 @@ def stream_to_table(
             crud.merge_into(table, batch, key_columns)
         else:  # dedup_append
             existing = table.scan().select(*key_columns)
-            fresh = batch.dropDuplicates(key_columns).join(
+            fresh = _collapse_batch(batch, key_columns).join(
                 existing, key_columns, "left_anti"
             )
             if not fresh.isEmpty():
@@ -242,9 +274,11 @@ def cdc_stream_apply(
     equality deletes. Per micro-batch, ONE atomic commit:
 
       1. collapse to the LAST change per key (window on ``order_col``
-         — the upstream LSN/source timestamp; without it, an arbitrary
-         per-key survivor via dropDuplicates, fine only when a batch
-         never carries two changes for one key);
+         — the upstream LSN/source timestamp; without it, a
+         DETERMINISTIC per-key survivor by greatest payload tuple —
+         stable run-to-run, but only order_col expresses "last wins",
+         so always pass it when a batch can carry two changes for one
+         key);
       2. every changed key becomes an equality-delete entry (kills all
          PRIOR versions — sequence semantics exempt rows appended in
          the same commit);
@@ -280,7 +314,11 @@ def cdc_stream_apply(
                 .drop("_rn")
             )
         else:
-            last = batch.dropDuplicates(key_columns)
+            # no order_col: deterministic survivor by payload tuple —
+            # the docstring's caveat is now about WHICH change wins
+            # (greatest payload, not last-by-LSN), not run-to-run
+            # nondeterminism
+            last = _collapse_batch(batch, key_columns)
         last = last.persist()
         try:
             eq_files = table.write_eq_deletes(
@@ -443,8 +481,9 @@ def media_dedup_stream_to_table(
         landed = table.scan().select("media_id")
         # same-id rows folded inside one batch (at-least-once upstream)
         # must collapse BEFORE the anti-join, or the fps join below
-        # multiplies them into the corpus
-        batch_new = (batch.dropDuplicates(["media_id"])
+        # multiplies them into the corpus; deterministic survivor so
+        # in-batch payload divergence can't land a random version
+        batch_new = (_collapse_batch(batch, ["media_id"])
                      .join(landed, "media_id", "left_anti"))
         if batch_new.isEmpty():
             return
@@ -559,7 +598,7 @@ def video_dedup_stream_to_table(
         if batch.isEmpty():
             return
         landed = table.scan().select("media_id")
-        batch_new = (batch.dropDuplicates(["media_id"])
+        batch_new = (_collapse_batch(batch, ["media_id"])
                      .join(landed, "media_id", "left_anti"))
         if batch_new.isEmpty():
             return
@@ -659,8 +698,11 @@ def quality_filter_stream_to_table(
         # at-least-once upstream can repeat a doc_id WITHIN a batch;
         # without this, k copies yield k² rows out of the score join
         # (and all k² land in blind-append mode) — same discipline as
-        # media_dedup_stream_to_table (r11 ADVICE)
-        batch = batch.dropDuplicates(["doc_id"])
+        # media_dedup_stream_to_table (r11 ADVICE). Deterministic
+        # survivor (r12 ADVICE): the landed version is a function of
+        # batch contents, not partition order, even if an upstream
+        # emits in-batch updates with diverging payloads.
+        batch = _collapse_batch(batch, ["doc_id"])
         scored = (
             score_quality_classifier(
                 batch, model, text_col=text_col,
@@ -673,7 +715,7 @@ def quality_filter_stream_to_table(
         )
         if key_columns:
             existing = table.scan().select(*key_columns)
-            scored = scored.dropDuplicates(key_columns).join(
+            scored = _collapse_batch(scored, key_columns).join(
                 existing, key_columns, "left_anti")
         if not scored.isEmpty():
             table.append(scored)

@@ -7548,3 +7548,111 @@ def curated_multimodal_corpus_landed(
         t.scan().select("modality", "item_id")
         .orderBy("modality", "item_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 13: size-gated embedding near-dup with sign-sketch overflow
+# (r12 VERDICT #1 — the LSH star-edge overflow discipline for the
+# embedding family, oracle-checked through ALL THREE paths)
+
+# shared by the Spark entry and its oracle; tuned so sf0.01 exercises
+# every path at once: label blocks are 44..59 vectors → the 44-block
+# takes the exact small path, the rest overflow; 1-bit sketches split
+# an overflowing label into halves of ~22..31 → halves over 25 emit
+# star edges, halves at or under it expand quadratically
+_EGN = {"threshold": 0.2, "max_block": 45, "bits": 1, "tables": 2,
+        "max_sub": 25, "seed": 13, "dim": 64}
+
+
+def _egn_oracle() -> str:
+    """The gated operator's exact semantics in DuckDB: same block
+    window, same seeded ±1 sign sketches (the signed element sums are
+    generated as the SAME left-to-right literal expression both
+    engines evaluate over identical doubles — IEEE-identical bits),
+    same sub-bucket window, same keeper/star rule, same rounded-cosine
+    verify (list_cosine_similarity hash-matches the Spark dot fold,
+    proven by embedding_near_dup_blocked since r4)."""
+    from ..functions.similarity import _hyperplane_signs, _sketch_key_sql
+
+    p = _EGN
+    signs = _hyperplane_signs(p["dim"], p["bits"], p["tables"], p["seed"])
+    elem = "CAST(embedding[{i}] AS DOUBLE)"
+    keys = ", ".join(
+        f"{_sketch_key_sql(signs[t], elem)} AS k{t}"
+        for t in range(p["tables"])
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT id, embedding, blk, {t} AS t, k{t} AS k "
+        f"FROM sized WHERE n > {p['max_block']}"
+        for t in range(p["tables"])
+    )
+    sim = ("ROUND(list_cosine_similarity(CAST({a} AS DOUBLE[]), "
+           "CAST({b} AS DOUBLE[])), 6)")
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding, label AS blk, {keys}
+  FROM embeddings
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY blk) AS n FROM base
+), small AS (
+  SELECT a.id AS left_id, b.id AS right_id,
+         {sim.format(a='a.embedding', b='b.embedding')} AS cosine_sim,
+         FALSE AS overflowed
+  FROM sized a JOIN sized b ON a.blk = b.blk AND a.id < b.id
+  WHERE a.n <= {p['max_block']} AND b.n <= {p['max_block']}
+), melted AS (
+  {melt}
+), sub AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY blk, t, k) AS sn,
+         MIN(id) OVER (PARTITION BY blk, t, k) AS mn
+  FROM melted
+), subpairs AS (
+  SELECT a.id AS left_id, b.id AS right_id,
+         {sim.format(a='a.embedding', b='b.embedding')} AS cosine_sim
+  FROM sub a JOIN sub b
+    ON a.blk = b.blk AND a.t = b.t AND a.k = b.k AND a.id < b.id
+  WHERE a.sn <= {p['max_sub']} AND b.sn <= {p['max_sub']}
+  UNION ALL
+  SELECT kp.id AS left_id, m.id AS right_id,
+         {sim.format(a='kp.embedding', b='m.embedding')} AS cosine_sim
+  FROM sub m JOIN sub kp
+    ON m.blk = kp.blk AND m.t = kp.t AND m.k = kp.k AND kp.id = m.mn
+  WHERE m.sn > {p['max_sub']} AND m.id <> m.mn
+), over AS (
+  SELECT DISTINCT left_id, right_id, cosine_sim, TRUE AS overflowed
+  FROM subpairs WHERE cosine_sim >= {p['threshold']}
+)
+SELECT left_id, right_id, cosine_sim, overflowed FROM small
+WHERE cosine_sim >= {p['threshold']}
+UNION ALL
+SELECT left_id, right_id, cosine_sim, overflowed FROM over
+ORDER BY left_id, right_id
+"""
+
+
+@register(
+    "embedding_gated_near_dups",
+    _egn_oracle(),
+    survey_ref="beyond-reference (r13, r12 VERDICT #1): size-gated "
+    "embedding near-dup — exact quadratic verify below the block "
+    "gate, seeded sign-sketch sub-bucket refinement above it with "
+    "star edges past the sub-bucket gate; all three paths value-"
+    "hashed against a DuckDB unroll of the identical semantics",
+)
+def embedding_gated_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for embedding near-duplication: the 20× stress
+    corpus put 4k vectors per label block and made the ungated verify
+    quadratic (449s); this operator's plan is JOIN-FREE (windows +
+    bounded gathers + inline expansion) and the sf0.01 parameters
+    drive every branch — exact small blocks, quadratic sub-buckets,
+    and keeper star edges — under one hash-matched oracle."""
+    from ..functions.similarity import gated_cosine_near_dup_pairs
+
+    p = _EGN
+    emb = load_sf_tables(spark, sf_dir)["embeddings"]
+    return gated_cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label",
+        threshold=p["threshold"], max_block=p["max_block"],
+        sketch_bits=p["bits"], sketch_tables=p["tables"],
+        max_sub_bucket=p["max_sub"], seed=p["seed"], dim=p["dim"],
+    ).orderBy("left_id", "right_id")

@@ -558,6 +558,26 @@ def test_auto_rebuild_rolls_back_measured_regression(
         for r in cat.load_table("default.pol").scan().collect())
     assert after == before  # the regression never shipped
 
+    # r13 damping (r12 ADVICE): the rollback stamped the exact
+    # (index, source) snapshot state — a re-run with NOTHING changed
+    # is suppressed outright (no rebuild, and no recall sample either:
+    # the fake's call counter must not move)
+    idx2 = cat.load_table("default.pol")
+    assert "index.rebuild_regressed_state" in idx2.properties()
+    n_before = calls["n"]
+    need_s = mm.check_needed(idx2)
+    assert need_s["rebuild_suppressed"]
+    assert not need_s["needs_index_rebuild"]
+    assert calls["n"] == n_before  # sampling skipped too
+    rec_s = mm.run(idx2)
+    assert not [a for a in rec_s["actions"]
+                if a.get("action") == "rebuild_ivfpq_index"]
+
+    # new SOURCE data re-arms the policy (the state string changes)
+    src.append(emb.limit(1))
+    assert not mm.check_needed(
+        cat.load_table("default.pol"))["rebuild_suppressed"]
+
     # non-regressing path: post >= pre -> completed + promoted version
     monkeypatch.setattr(ivfpq, "ivfpq_recall_sample", real)
     rec2 = mm.run(cat.load_table("default.pol"))
@@ -567,3 +587,6 @@ def test_auto_rebuild_rolls_back_measured_regression(
     vers = ivfpq.ivfpq_versions(cat, "default.pol")
     assert vers[-1]["note"] == "auto: post-rebuild (promoted)"
     assert vers[-1]["recall_at_k"] is not None
+    # the promoted rebuild dropped the stale regression stamp
+    assert "index.rebuild_regressed_state" not in cat.load_table(
+        "default.pol").properties()

@@ -96,6 +96,71 @@ def test_lsh_overflow_bucket_star_edges(spark):
     assert all(r["n_ids"] == n for r in over)
 
 
+def test_gated_embedding_below_gate_is_exact(spark, emb):
+    """r12 VERDICT #1: below the block gate the gated operator is the
+    ungated operator — identical pair set, sims, and overflowed=false
+    everywhere."""
+    g = sim.gated_cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label",
+        threshold=0.2, max_block=10_000)
+    u = sim.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label", threshold=0.2)
+    got = {(r["left_id"], r["right_id"], r["cosine_sim"])
+           for r in g.collect()}
+    want = {(r["left_id"], r["right_id"], r["cosine_sim"])
+            for r in u.collect()}
+    assert got == want and got
+    assert g.agg(F.max("overflowed")).first()[0] is False
+
+
+def test_gated_embedding_overflow_star_edges(spark):
+    """Mass duplication (one direction replicated far past both gates)
+    must go linear: every replica lands in ONE sub-bucket in every
+    sketch table (positive scalings keep every sign bit), the
+    sub-bucket exceeds max_sub_bucket, and the output is exactly the
+    n-1 keeper star edges — never the n²/2 quadratic expansion."""
+    n = 2_000
+    base = [0.5, -1.25, 2.0, -0.75] * 4  # dim 16
+    reps = spark.range(n).selectExpr(
+        "id AS vec_id",
+        "transform(array({}), x -> CAST(x * (1.0 + id * 0.0001) "
+        "AS FLOAT)) AS embedding".format(
+            ", ".join(repr(v) for v in base)),
+        "CAST(7 AS INT) AS label",
+    )
+    out = sim.gated_cosine_near_dup_pairs(
+        reps, "vec_id", "embedding", block_col="label",
+        threshold=0.999, max_block=50, sketch_bits=4,
+        sketch_tables=2, max_sub_bucket=100, dim=16).collect()
+    assert len(out) == n - 1
+    assert all(r["left_id"] == 0 for r in out)
+    assert {r["right_id"] for r in out} == set(range(1, n))
+    assert all(r["overflowed"] for r in out)
+    assert all(r["cosine_sim"] == 1.0 for r in out)
+
+
+def test_gated_embedding_plan_is_join_free(spark, emb):
+    """The scale guarantee as a PLAN GATE: no join operator of any
+    kind exists in the gated operator's physical plan at any input —
+    blocks route through windows, bounded gathers, and inline
+    expansion, so no block-quadratic join can appear above the gate."""
+    g = sim.gated_cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label",
+        threshold=0.2, max_block=3, max_sub_bucket=2,
+        sketch_bits=2, sketch_tables=2)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gated_embedding_validates_params(spark, emb):
+    for kw in ({"max_block": 0}, {"sketch_bits": 0},
+               {"sketch_tables": 0}, {"max_sub_bucket": 0}):
+        with pytest.raises(ValueError):
+            sim.gated_cosine_near_dup_pairs(
+                emb, "vec_id", "embedding", block_col="label", **kw)
+
+
 def test_simhash_overflow_bucket_star_edges(spark):
     """Same bound for the SimHash pigeonhole blocking: over-cap buckets
     emit star edges with hamming computed against the bucket min's

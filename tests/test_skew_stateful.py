@@ -155,6 +155,33 @@ class TestStreamToTable:
             q.awaitTermination(120)
         assert t.scan().count() == 3  # replay added nothing
 
+    def test_collapse_batch_is_deterministic(self, spark):
+        """r12 ADVICE: an intra-batch key repeat with DIVERGING
+        payloads must land a deterministic survivor — the greatest
+        payload tuple, independent of partitioning/arrival order —
+        not whatever row dropDuplicates happens to keep."""
+        from iceberg_lakehouse_spark.streaming.sink import _collapse_batch
+
+        rows = [("d1", "zeta", 1), ("d1", "alpha", 9), ("d2", "solo", 5)]
+        expected = {("d1", "zeta", 1), ("d2", "solo", 5)}
+        for perm in (rows, rows[::-1], [rows[1], rows[2], rows[0]]):
+            for nparts in (1, 3):
+                df = spark.createDataFrame(
+                    perm, "doc_id string, text string, v int"
+                ).repartition(nparts)
+                got = {tuple(r) for r in
+                       _collapse_batch(df, ["doc_id"]).collect()}
+                assert got == expected, (perm, nparts, got)
+        # byte-identical duplicates collapse to the single version
+        dup = spark.createDataFrame(
+            [("d1", "same", 1)] * 3, "doc_id string, text string, v int")
+        assert _collapse_batch(dup, ["doc_id"]).count() == 1
+        # unorderable payload (map) falls back to dropDuplicates
+        m = spark.createDataFrame(
+            [("d1", {"a": 1}), ("d1", {"a": 1})],
+            "doc_id string, m map<string,int>")
+        assert _collapse_batch(m, ["doc_id"]).count() == 1
+
     def test_upsert_mode_merges_by_key(
         self, spark, tmp_path, tmp_warehouse, source_dir
     ):

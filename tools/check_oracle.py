@@ -24,6 +24,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
 
+from iceberg_lakehouse_spark.suite.quality import QUALITY_PROBES  # noqa: E402
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -144,9 +146,27 @@ def main() -> int:
                              "sec": round(time.time() - t0, 2)}
             continue
         if name not in oracles:
-            print(f"  {name:38s} rows-only  {len(srows):>7} rows  {time.time()-t0:5.1f}s")
-            records[name] = {"status": "rows_only", "rows": len(srows),
-                             "sec": round(time.time() - t0, 2)}
+            rec = {"status": "rows_only", "rows": len(srows),
+                   "sec": round(time.time() - t0, 2)}
+            # r13 (r12 VERDICT #2): rows-only entries carry a MEASURED
+            # quality number + floor so ANN recall / sampling drift is
+            # visible to the driver loop, not just "ran"
+            probe = QUALITY_PROBES.get(name)
+            qnote = ""
+            if probe:
+                try:
+                    q = probe(con, sf_dir, scols, srows)
+                except Exception as e:  # noqa: BLE001
+                    q = {"ok": False, "err": str(e)[:200]}
+                rec["quality"] = q
+                qnote = (f"  {q.get('metric', 'probe')}="
+                         f"{q.get('value', '?')} floor={q.get('floor')}")
+                if not q.get("ok"):
+                    failures.append((name, f"QUALITY: {q}"))
+                    rec["status"] = "quality_fail"
+            print(f"  {name:38s} {'rows-only' if rec['status'] == 'rows_only' else 'Q-FAIL   '}"
+                  f"  {len(srows):>7} rows  {time.time()-t0:5.1f}s{qnote}")
+            records[name] = rec
             continue
         n_checked += 1
         try:

@@ -195,12 +195,23 @@ def main() -> int:
         lambda n: (n0 * 0.9 <= n <= n0 * 1.5,
                    f"expect ~{n0} cluster keepers"),
     )
+    # r13 (r12 VERDICT #1): the former stress-wall dominator. The
+    # ungated blocked verify was quadratic in block size (4k-vector
+    # label blocks at 20× → 160M pair evaluations, 449s); the gated
+    # operator size-gates blocks and refines overflow through seeded
+    # sign-sketch sub-buckets, so the SAME planted structure (every
+    # replica family shares a direction → a sub-bucket) is recovered
+    # pair-for-pair with bounded work and a join-free plan.
+    ne0 = emb0.count()
     run(
         "embedding_blocked_near_dups",
-        lambda: sim.cosine_near_dup_pairs(
+        lambda: sim.gated_cosine_near_dup_pairs(
             emb, "vec_id", "embedding", block_col="label",
-            threshold=0.999).count(),
-        lambda n: (n > 0, "replica vectors must pair up"),
+            threshold=0.999, max_block=1024).count(),
+        lambda n: (n >= ne0 * (factor * (factor - 1)) // 2,
+                   f"expect >= {ne0 * (factor * (factor - 1)) // 2} "
+                   "planted replica pairs (scaled copies keep "
+                   "cosine 1.0 and identical sign sketches)"),
     )
     docs.unpersist()
     emb.unpersist()
