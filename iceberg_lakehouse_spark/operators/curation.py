@@ -37,6 +37,17 @@ CURATED_SCHEMA = T.StructType([
     T.StructField("format", T.StringType()),
 ])
 
+# cross-lane accounting for the STREAMING curation sink (r12 VERDICT
+# #3): one row per (batch, modality) — arrived is the distinct ids the
+# micro-batch carried for the lane, landed is what survived
+# idempotence + quality + dedup and was appended
+CURATION_ACCOUNTING_SCHEMA = T.StructType([
+    T.StructField("batch_id", T.LongType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("arrived", T.LongType()),
+    T.StructField("landed", T.LongType()),
+])
+
 
 def text_curation_survivors(
     docs: DataFrame,

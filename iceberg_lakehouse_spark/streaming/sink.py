@@ -347,6 +347,34 @@ def cdc_stream_apply(
     return writer.start()
 
 
+def _land_span_batch(batch_new, index, id_col, text_col, n,
+                     append, count_landed=False) -> int:
+    """One micro-batch of the span-dedup landing discipline (factored
+    r13 so the multimodal curation sink composes the SAME code the
+    standalone sink runs): incremental span cut against the persisted
+    gram index, index-ahead extend, then ``append(rebuilt)``. Returns
+    the number of landed docs."""
+    from ..functions.dedup_text import span_dedup_incremental
+
+    if batch_new.isEmpty():
+        return 0
+    rebuilt, new_grams = span_dedup_incremental(
+        batch_new, index.scan(), id_col, text_col, n=n,
+    )
+    rebuilt = rebuilt.persist()
+    try:
+        # index FIRST (see near_dup_stream_to_table for the full
+        # argument); the anti-join keeps replays append-free
+        to_add = new_grams.join(
+            index.scan().select("gh"), "gh", "left_anti")
+        index.append(to_add)
+        n_landed = rebuilt.count() if count_landed else -1
+        append(rebuilt)
+        return n_landed
+    finally:
+        rebuilt.unpersist()
+
+
 def span_dedup_stream_to_table(
     stream: DataFrame,
     table: LakeTable,
@@ -386,7 +414,6 @@ def span_dedup_stream_to_table(
     is a projection of the token array)."""
     from pyspark.sql import functions as F
 
-    from ..functions.dedup_text import span_dedup_incremental
     from ..operators.dedup_index import _span_params
 
     n = _span_params(index)  # fail fast at wiring time, not batch 1
@@ -399,21 +426,8 @@ def span_dedup_stream_to_table(
         batch_new = batch.withColumn(
             id_col, F.col(id_col).cast("long")
         ).join(landed, id_col, "left_anti")
-        if batch_new.isEmpty():
-            return
-        rebuilt, new_grams = span_dedup_incremental(
-            batch_new, index.scan(), id_col, text_col, n=n,
-        )
-        rebuilt = rebuilt.persist()
-        try:
-            # index FIRST (see near_dup_stream_to_table for the full
-            # argument); the anti-join keeps replays append-free
-            to_add = new_grams.join(
-                index.scan().select("gh"), "gh", "left_anti")
-            index.append(to_add)
-            table.append(rebuilt)
-        finally:
-            rebuilt.unpersist()
+        _land_span_batch(batch_new, index, id_col, text_col, n,
+                         table.append)
 
     writer = stream.writeStream.foreachBatch(land).outputMode("append")
     if checkpoint_dir:
@@ -458,16 +472,9 @@ def media_dedup_stream_to_table(
     re-decoded — that is the index's whole point), one broadcast
     segment join, one anti-join. The target table needs MEDIA_SCHEMA
     columns plus ``phash string``."""
-    from pyspark.sql import functions as F
+    from ..operators.media_index import _params
 
-    from ..functions.multimodal import perceptual_hash
-    from ..operators.media_index import (
-        _params,
-        extend_phash_index,
-        probe_phash_index,
-    )
-
-    algo, d = _params(index)  # fail fast at wiring time, not batch 1
+    _algo, d = _params(index)  # fail fast at wiring time, not batch 1
     if max_distance is None:
         max_distance = d
     if max_distance > d:
@@ -485,58 +492,8 @@ def media_dedup_stream_to_table(
         # in-batch payload divergence can't land a random version
         batch_new = (_collapse_batch(batch, ["media_id"])
                      .join(landed, "media_id", "left_anti"))
-        if batch_new.isEmpty():
-            return
-        # ONE decode for the whole batch: probe and extend below reuse
-        # these fingerprints instead of re-reading the blobs
-        fps = perceptual_hash(
-            batch_new, algo=algo, deterministic_fake=deterministic_fake
-        ).select("media_id", "phash").persist()
-        try:
-            from ..functions.dedup_text import simhash_hamming_pairs
-
-            intra = simhash_hamming_pairs(
-                fps.where(F.col("phash").isNotNull())
-                .select("media_id", F.col("phash").alias("simhash")),
-                "media_id", max_distance=max_distance, fp_len=64,
-            )
-            losers = intra.where(
-                F.col("left_id") < F.col("right_id")
-            ).select(F.col("right_id").alias("media_id")).distinct()
-            keep1 = batch_new.join(losers, "media_id", "left_anti")
-            old_pairs = probe_phash_index(
-                index, max_distance=max_distance,
-                fps=fps.join(keep1.select("media_id"), "media_id",
-                             "left_semi"),
-            )
-            losers2 = old_pairs.select(
-                F.col("right_id").alias("media_id")).distinct()
-            survivors = (
-                keep1.join(losers2, "media_id", "left_anti")
-                .join(fps, "media_id", "left")
-                .persist()
-            )
-            try:
-                if survivors.isEmpty():
-                    return
-                # index FIRST (see near_dup_stream_to_table); only
-                # not-yet-indexed ids extend, so replays are no-ops
-                surv_ids = survivors.select("media_id").distinct()
-                already = (
-                    index.scan().select(F.col("id").alias("media_id"))
-                    .join(F.broadcast(surv_ids), "media_id")
-                    .distinct()
-                )
-                to_index = survivors.select("media_id").join(
-                    F.broadcast(already), "media_id", "left_anti")
-                extend_phash_index(
-                    index,
-                    fps=fps.join(to_index, "media_id", "left_semi"))
-                table.append(survivors)
-            finally:
-                survivors.unpersist()
-        finally:
-            fps.unpersist()
+        _land_media_batch(batch_new, index, max_distance,
+                          deterministic_fake, table.append)
 
     writer = stream.writeStream.foreachBatch(land).outputMode("append")
     if checkpoint_dir:
@@ -544,6 +501,88 @@ def media_dedup_stream_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _land_media_batch(batch_new, index, max_distance,
+                      deterministic_fake, append,
+                      hash_fn=None, count_landed=False) -> int:
+    """One micro-batch of the perceptual-media landing discipline
+    (factored r13 for the multimodal curation sink — the code is the
+    standalone sink's steps 2-4 verbatim): intra-batch Hamming keeper
+    rule, probe vs the persisted fingerprint index, index-ahead
+    extend, ``append(survivors)`` (survivors carry their phash).
+    ``hash_fn`` overrides the fingerprint pass for non-image 64-bit
+    families (e.g. ``audio_perceptual_hash``) — it must return
+    (media_id, phash) rows and MUST match the family the index was
+    built with (the index's recorded algo is the image-path default).
+    Returns the number of landed items."""
+    from pyspark.sql import functions as F
+
+    from ..functions.multimodal import perceptual_hash
+    from ..operators.media_index import (
+        _params,
+        extend_phash_index,
+        probe_phash_index,
+    )
+
+    if batch_new.isEmpty():
+        return 0
+    algo, _ = _params(index)
+    # ONE decode for the whole batch: probe and extend below reuse
+    # these fingerprints instead of re-reading the blobs
+    if hash_fn is None:
+        fps = perceptual_hash(
+            batch_new, algo=algo, deterministic_fake=deterministic_fake)
+    else:
+        fps = hash_fn(batch_new)
+    fps = fps.select("media_id", "phash").persist()
+    try:
+        from ..functions.dedup_text import simhash_hamming_pairs
+
+        intra = simhash_hamming_pairs(
+            fps.where(F.col("phash").isNotNull())
+            .select("media_id", F.col("phash").alias("simhash")),
+            "media_id", max_distance=max_distance, fp_len=64,
+        )
+        losers = intra.where(
+            F.col("left_id") < F.col("right_id")
+        ).select(F.col("right_id").alias("media_id")).distinct()
+        keep1 = batch_new.join(losers, "media_id", "left_anti")
+        old_pairs = probe_phash_index(
+            index, max_distance=max_distance,
+            fps=fps.join(keep1.select("media_id"), "media_id",
+                         "left_semi"),
+        )
+        losers2 = old_pairs.select(
+            F.col("right_id").alias("media_id")).distinct()
+        survivors = (
+            keep1.join(losers2, "media_id", "left_anti")
+            .join(fps, "media_id", "left")
+            .persist()
+        )
+        try:
+            if survivors.isEmpty():
+                return 0
+            # index FIRST (see near_dup_stream_to_table); only
+            # not-yet-indexed ids extend, so replays are no-ops
+            surv_ids = survivors.select("media_id").distinct()
+            already = (
+                index.scan().select(F.col("id").alias("media_id"))
+                .join(F.broadcast(surv_ids), "media_id")
+                .distinct()
+            )
+            to_index = survivors.select("media_id").join(
+                F.broadcast(already), "media_id", "left_anti")
+            extend_phash_index(
+                index,
+                fps=fps.join(to_index, "media_id", "left_semi"))
+            n_landed = survivors.count() if count_landed else -1
+            append(survivors)
+            return n_landed
+        finally:
+            survivors.unpersist()
+    finally:
+        fps.unpersist()
 
 
 def video_dedup_stream_to_table(
@@ -580,6 +619,33 @@ def video_dedup_stream_to_table(
     Per-batch cost: one decode of the BATCH only, one broadcast
     frame-hash join, one anti-join. The target table needs
     MEDIA_SCHEMA columns."""
+    from ..operators.media_index import _vf_params
+
+    _vf_params(index)  # fail fast at wiring time, not batch 1
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        landed = table.scan().select("media_id")
+        batch_new = (_collapse_batch(batch, ["media_id"])
+                     .join(landed, "media_id", "left_anti"))
+        _land_video_batch(batch_new, index, threshold, table.append)
+
+    writer = stream.writeStream.foreachBatch(land).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _land_video_batch(batch_new, index, threshold, append,
+                      count_landed=False) -> int:
+    """One micro-batch of the video-clip landing discipline (factored
+    r13 for the multimodal curation sink — the standalone sink's steps
+    2-5 verbatim): one frame-hash pass, intra-batch containment keeper
+    rule, probe vs the persisted frame-set index, index-ahead extend,
+    ``append(survivors)``. Returns the number of landed clips."""
     from pyspark.sql import functions as F
 
     from ..functions.multimodal import frame_set_pairs
@@ -590,65 +656,53 @@ def video_dedup_stream_to_table(
         probe_vframe_index,
     )
 
-    every_nth, t0, max_df = _vf_params(index)  # fail fast at wiring
+    if batch_new.isEmpty():
+        return 0
+    every_nth, t0, max_df = _vf_params(index)
     if threshold is None:
         threshold = t0
-
-    def land(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        landed = table.scan().select("media_id")
-        batch_new = (_collapse_batch(batch, ["media_id"])
-                     .join(landed, "media_id", "left_anti"))
-        if batch_new.isEmpty():
-            return
-        # ONE decode for the whole batch
-        fhashes = _vf_hashes(batch_new, every_nth).persist()
+    # ONE decode for the whole batch
+    fhashes = _vf_hashes(batch_new, every_nth).persist()
+    try:
+        intra = frame_set_pairs(
+            fhashes, threshold=threshold, max_df=max_df)
+        losers = intra.where(
+            F.col("left_id") < F.col("right_id")
+        ).select(F.col("right_id").alias("media_id")).distinct()
+        keep1 = batch_new.join(losers, "media_id", "left_anti")
+        old_pairs = probe_vframe_index(
+            index, threshold=threshold,
+            fhashes=fhashes.join(keep1.select("media_id"),
+                                 "media_id", "left_semi"),
+        )
+        losers2 = old_pairs.select(
+            F.col("right_id").alias("media_id")).distinct()
+        survivors = keep1.join(losers2, "media_id", "left_anti") \
+            .persist()
         try:
-            intra = frame_set_pairs(
-                fhashes, threshold=threshold, max_df=max_df)
-            losers = intra.where(
-                F.col("left_id") < F.col("right_id")
-            ).select(F.col("right_id").alias("media_id")).distinct()
-            keep1 = batch_new.join(losers, "media_id", "left_anti")
-            old_pairs = probe_vframe_index(
-                index, threshold=threshold,
-                fhashes=fhashes.join(keep1.select("media_id"),
-                                     "media_id", "left_semi"),
+            if survivors.isEmpty():
+                return 0
+            # index FIRST; only not-yet-indexed ids extend, so
+            # replays are no-ops
+            surv_ids = survivors.select("media_id").distinct()
+            already = (
+                index.scan().select(F.col("id").alias("media_id"))
+                .join(F.broadcast(surv_ids), "media_id")
+                .distinct()
             )
-            losers2 = old_pairs.select(
-                F.col("right_id").alias("media_id")).distinct()
-            survivors = keep1.join(losers2, "media_id", "left_anti") \
-                .persist()
-            try:
-                if survivors.isEmpty():
-                    return
-                # index FIRST; only not-yet-indexed ids extend, so
-                # replays are no-ops
-                surv_ids = survivors.select("media_id").distinct()
-                already = (
-                    index.scan().select(F.col("id").alias("media_id"))
-                    .join(F.broadcast(surv_ids), "media_id")
-                    .distinct()
-                )
-                to_index = surv_ids.join(
-                    F.broadcast(already), "media_id", "left_anti")
-                extend_vframe_index(
-                    index,
-                    fhashes=fhashes.join(to_index, "media_id",
-                                         "left_semi"))
-                table.append(survivors)
-            finally:
-                survivors.unpersist()
+            to_index = surv_ids.join(
+                F.broadcast(already), "media_id", "left_anti")
+            extend_vframe_index(
+                index,
+                fhashes=fhashes.join(to_index, "media_id",
+                                     "left_semi"))
+            n_landed = survivors.count() if count_landed else -1
+            append(survivors)
+            return n_landed
         finally:
-            fhashes.unpersist()
-
-    writer = stream.writeStream.foreachBatch(land).outputMode("update")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+            survivors.unpersist()
+    finally:
+        fhashes.unpersist()
 
 
 def quality_filter_stream_to_table(
@@ -719,6 +773,214 @@ def quality_filter_stream_to_table(
                 existing, key_columns, "left_anti")
         if not scored.isEmpty():
             table.append(scored)
+
+    writer = stream.writeStream.foreachBatch(land).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def curate_multimodal_stream_to_table(
+    stream: DataFrame,
+    table: LakeTable,
+    span_index: LakeTable | None = None,
+    image_index: LakeTable | None = None,
+    audio_index: LakeTable | None = None,
+    video_index: LakeTable | None = None,
+    accounting: LakeTable | None = None,
+    model_catalog=None,
+    model_registry: str | None = None,
+    min_quality_score: float | None = None,
+    deterministic_fake: bool = False,
+    video_threshold: float | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously-landed multimodal curated corpus (r12 VERDICT #3):
+    ONE stream of mixed records in the batch capstone's unified shape
+
+        (modality string, item_id long, text string,
+         content binary, format string)
+
+    is routed per micro-batch into the SAME per-modality landing
+    disciplines the standalone sinks run (the factored
+    ``_land_span_batch`` / ``_land_media_batch`` / ``_land_video_batch``
+    bodies — not re-implementations), and every lane's survivors land
+    in ONE ``operators.curation.CURATED_SCHEMA`` LakeTable:
+
+      * text: optional pinned-quality gate first (``model_registry`` +
+        ``min_quality_score``, scored on the ORIGINAL text with the
+        promoted model — absolute cut by design, exactly like
+        ``quality_filter_stream_to_table``), then incremental span
+        dedup against ``span_index`` (index-ahead); the landed text is
+        the span-deduped REBUILD, matching the batch capstone.
+      * image / audio: intra-batch Hamming keeper rule + probe vs the
+        lane's persisted fingerprint index (``image_index`` /
+        ``audio_index`` — the phash machinery, algo pinned in each
+        index's properties), index-ahead extend.
+      * video: frame-set containment vs ``video_index``, index-ahead.
+
+    A lane runs only when its index is wired; at least one is
+    required. Idempotence is per lane against the curated table's own
+    (modality, item_id) membership, so at-least-once replays re-land
+    nothing and the per-lane index extends stay no-ops (each factored
+    body anti-joins already-indexed ids).
+
+    Cross-lane accounting (``CURATION_ACCOUNTING_SCHEMA``): when an
+    ``accounting`` table is wired, every micro-batch appends one row
+    per active lane — (batch_id, modality, arrived, landed) — AFTER
+    all lanes land, dedup-appended on (batch_id, modality) so a replay
+    that crashed between lanes and accounting cannot double-count.
+
+    100 TB shape: per-batch cost is O(batch) per lane (one decode per
+    media lane, broadcast index probes, anti-joins on ids); blobs
+    reach exactly one shuffle-free append; the curated table's
+    modality column is the natural partition key downstream."""
+    lanes = {
+        "text": span_index,
+        "image": image_index,
+        "audio": audio_index,
+        "video": video_index,
+    }
+    if not any(lanes.values()):
+        raise ValueError(
+            "curate_multimodal_stream_to_table needs at least one "
+            "lane index (span/image/audio/video)")
+    if (model_registry is None) != (min_quality_score is None):
+        raise ValueError(
+            "model_registry and min_quality_score come together "
+            "(the text quality gate needs both)")
+    from pyspark.sql import functions as F
+
+    from ..operators.curation import CURATION_ACCOUNTING_SCHEMA
+    from ..operators.dedup_index import _span_params
+
+    n_span = _span_params(span_index) if span_index is not None else None
+    media_d = {}
+    for lane in ("image", "audio"):
+        if lanes[lane] is not None:
+            from ..operators.media_index import _params
+
+            media_d[lane] = _params(lanes[lane])[1]  # fail fast too
+    if video_index is not None:
+        from ..operators.media_index import _vf_params
+
+        _vf_params(video_index)  # fail fast at wiring time
+    model = None
+    if model_registry is not None:
+        from ..governance.models import load_model
+
+        model = load_model(model_catalog, model_registry)
+
+    def _curated(modality: str, rows: DataFrame, *, text_expr: str,
+                 content_expr: str, fmt_expr: str) -> DataFrame:
+        return rows.selectExpr(
+            f"'{modality}' AS modality",
+            "CAST(item_id AS LONG) AS item_id",
+            f"{text_expr} AS text",
+            f"{content_expr} AS content",
+            f"{fmt_expr} AS format",
+        )
+
+    want_acct = accounting is not None
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = _collapse_batch(batch, ["modality", "item_id"]) \
+            .persist()
+        stats: list[tuple[int, str, int, int]] = []
+        try:
+            landed_ids = table.scan().select("modality", "item_id")
+            for modality, index in lanes.items():
+                if index is None:
+                    continue
+                lane_rows = batch.where(F.col("modality") == modality)
+                # the arrived/landed counts are accounting-only jobs:
+                # with no accounting table wired, the sink schedules
+                # none of them (sweep-latency discipline, r12 #6 class)
+                arrived = lane_rows.count() if want_acct else -1
+                if arrived == 0:
+                    stats.append((batch_id, modality, 0, 0))
+                    continue
+                fresh = lane_rows.join(
+                    landed_ids.where(F.col("modality") == modality),
+                    ["modality", "item_id"], "left_anti")
+                if modality == "text":
+                    docs = fresh.selectExpr(
+                        "CAST(item_id AS LONG) AS doc_id", "text")
+                    if model is not None:
+                        from ..functions.quality_model import (
+                            score_quality_classifier,
+                        )
+
+                        scored = score_quality_classifier(
+                            docs, model, text_col="text",
+                            label_sql="CAST(0.0 AS DOUBLE)",
+                        ).select("doc_id", "quality_score")
+                        docs = docs.join(scored, "doc_id").where(
+                            F.col("quality_score")
+                            >= min_quality_score
+                        ).select("doc_id", "text")
+                    n_landed = _land_span_batch(
+                        docs, index, "doc_id", "text", n_span,
+                        lambda rebuilt: table.append(_curated(
+                            "text",
+                            rebuilt.selectExpr(
+                                "doc_id AS item_id", "dedup_text"),
+                            text_expr="dedup_text",
+                            content_expr="CAST(NULL AS BINARY)",
+                            fmt_expr="'text'")),
+                        count_landed=want_acct,
+                    )
+                else:
+                    media = fresh.selectExpr(
+                        "CAST(item_id AS LONG) AS media_id",
+                        f"'{modality}' AS media_type",
+                        "content", "format")
+
+                    def _append_media(survivors, _m=modality):
+                        table.append(_curated(
+                            _m,
+                            survivors.selectExpr(
+                                "media_id AS item_id", "content",
+                                "format"),
+                            text_expr="CAST(NULL AS STRING)",
+                            content_expr="content",
+                            fmt_expr="format"))
+
+                    if modality == "video":
+                        n_landed = _land_video_batch(
+                            media, index, video_threshold,
+                            _append_media, count_landed=want_acct)
+                    elif modality == "audio":
+                        from ..functions.multimodal import (
+                            audio_perceptual_hash,
+                        )
+
+                        n_landed = _land_media_batch(
+                            media, index, media_d[modality],
+                            deterministic_fake, _append_media,
+                            hash_fn=audio_perceptual_hash,
+                            count_landed=want_acct)
+                    else:
+                        n_landed = _land_media_batch(
+                            media, index, media_d[modality],
+                            deterministic_fake, _append_media,
+                            count_landed=want_acct)
+                stats.append((batch_id, modality, arrived, n_landed))
+            if want_acct and stats:
+                rows = batch.sparkSession.createDataFrame(
+                    stats, CURATION_ACCOUNTING_SCHEMA)
+                seen = accounting.scan().select("batch_id", "modality")
+                fresh_rows = rows.join(
+                    seen, ["batch_id", "modality"], "left_anti")
+                if not fresh_rows.isEmpty():
+                    accounting.append(fresh_rows)
+        finally:
+            batch.unpersist()
 
     writer = stream.writeStream.foreachBatch(land).outputMode("update")
     if checkpoint_dir:

@@ -7656,3 +7656,201 @@ def embedding_gated_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch_bits=p["bits"], sketch_tables=p["tables"],
         max_sub_bucket=p["max_sub"], seed=p["seed"], dim=p["dim"],
     ).orderBy("left_id", "right_id")
+
+
+# --------------------------------------------------------------------------
+# Round 13: STREAMING landed multimodal curation (r12 VERDICT #3)
+
+def _fp_stream2_select(pred: str, boundary: int) -> str:
+    """Two-micro-batch unroll of the fingerprint lanes' landing rule,
+    given a ``pairs`` relation (left_id < right_id, distance-verified)
+    in scope: batch 1 drops greater-ids of intra-b1 pairs; batch 2
+    drops greater-ids of intra-b2 pairs, then anything pairing with a
+    batch-1 SURVIVOR (the index probe — b1 ids are all smaller, so
+    cross pairs always orient left=b1). landed_batch is the one-shot
+    capstone keeper rule over the full relation; the two disagree
+    exactly where an item's only near-dup was itself dropped before
+    the index ever saw it (near-duplication is not transitive)."""
+    return f"""
+    b1k AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE {pred} AND doc_id < {boundary}
+        AND doc_id NOT IN (SELECT right_id FROM pairs
+                           WHERE left_id < {boundary}
+                             AND right_id < {boundary})),
+    b2k AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE {pred} AND doc_id >= {boundary}
+        AND doc_id NOT IN (SELECT right_id FROM pairs
+                           WHERE left_id >= {boundary})
+        AND doc_id NOT IN (SELECT p.right_id FROM pairs p
+                           JOIN b1k k ON p.left_id = k.doc_id
+                           WHERE p.right_id >= {boundary}))
+    SELECT d.doc_id AS item_id,
+           d.doc_id IN (SELECT doc_id FROM b1k
+                        UNION ALL SELECT doc_id FROM b2k)
+               AS landed_streamed,
+           d.doc_id NOT IN (SELECT right_id FROM pairs)
+               AS landed_batch
+    FROM documents d WHERE {pred}"""
+
+
+def _cms_oracle() -> str:
+    """The streaming multimodal curation capstone's oracle: each media
+    lane's TWO real micro-batches unrolled in SQL (image/audio via the
+    shared fingerprint pair relation + the stream2 landing rule; video
+    via the same chained batch CTEs the streaming video entry
+    hash-matches), reconciled against the batch capstone's one-shot
+    keeper rule in the same rows."""
+    pred = f"doc_id < {_CM_MEDIA_CAP}"
+    b = _CM_MEDIA_CAP // 2
+    return f"""
+SELECT modality, item_id, landed_streamed, landed_batch,
+       landed_streamed = landed_batch AS agrees
+FROM (
+  SELECT 'image' AS modality, * FROM (
+    WITH {_media_dhash_ctes(pred)},
+    {_fp_stream2_select(pred, b)})
+  UNION ALL
+  SELECT 'audio', * FROM (
+    WITH {_audio_env_ctes(pred)},
+    {_fp_stream2_select(pred, b)})
+  UNION ALL
+  SELECT 'video', * FROM (
+    WITH {_video_frameset_ctes(pred)},
+    vidx0 AS MATERIALIZED (
+      SELECT media_id, fh FROM dsets WHERE false),
+    vlanded0 AS (SELECT media_id FROM dsets WHERE false),
+    {_vfi_batch_ctes(1, 0, b, 'vidx0', 'vlanded0')},
+    {_vfi_batch_ctes(2, b, _CM_MEDIA_CAP, 'vidx1', 'vlanded1')}
+    SELECT d.doc_id AS item_id,
+           d.doc_id IN (SELECT media_id FROM vlanded2)
+               AS landed_streamed,
+           d.doc_id NOT IN (SELECT right_id FROM vpairs)
+               AS landed_batch
+    FROM documents d WHERE {pred})
+) ORDER BY modality, item_id
+"""
+
+
+@register(
+    "curated_multimodal_stream_landed",
+    _cms_oracle(),
+    survey_ref="beyond-reference (r13, r12 VERDICT #3): the STREAMING "
+    "landed multimodal curation capstone — one mixed stream through "
+    "curate_multimodal_stream_to_table (image/audio/video lanes, the "
+    "factored standalone-sink bodies, index-ahead), two real "
+    "micro-batches, final membership value-hashed against per-lane "
+    "SQL unrolls AND reconciled against the batch capstone's keeper "
+    "rule in the same rows (text lane's streamed value semantics are "
+    "covered by streaming_span_dedup_incremental + pytest)",
+)
+def curated_multimodal_stream_landed(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive ``streaming.sink.curate_multimodal_stream_to_table`` end
+    to end: the three synthetic media corpora stream as ONE mixed
+    feed in two real micro-batches (ids split at the cap midpoint)
+    into one curated LakeTable, each lane deduping intra-batch and
+    against its persisted index. Returns per-item reconciliation
+    (modality, item_id, landed_streamed, landed_batch, agrees) — the
+    batch column is the capstone keeper rule computed from the same
+    pair operators ``operators.curation.curate_multimodal_corpus``
+    lands with."""
+    import tempfile as _tf
+
+    from ..catalog import LakehouseCatalog
+    from ..functions.multimodal import (
+        audio_near_dup_pairs,
+        media_near_dup_pairs,
+        video_near_dup_pairs,
+    )
+    from ..operators.curation import CURATED_SCHEMA
+    from ..operators.media_index import (
+        build_phash_index,
+        build_vframe_index,
+    )
+    from ..streaming.sink import curate_multimodal_stream_to_table
+
+    docs = load_sf_tables(spark, sf_dir)["documents"] \
+        .where(f"doc_id < {_CM_MEDIA_CAP}")
+    lanes = {
+        "image": _synthesize_media(docs),
+        "audio": _synthesize_audio(docs),
+        "video": _synthesize_video(docs),
+    }
+    work = _tf.mkdtemp(prefix="cms_")
+    cat = LakehouseCatalog(spark, f"{work}/wh")
+    t = cat.create_table("default.cms_curated", CURATED_SCHEMA)
+    img_idx = build_phash_index(
+        cat, "default.cms_img", lanes["image"].limit(0),
+        max_distance=4)
+    aud_idx = build_phash_index(
+        cat, "default.cms_aud",
+        fps=spark.createDataFrame([], "media_id long, phash string"),
+        algo="audio_gradient", max_distance=4)
+    vid_idx = build_vframe_index(
+        cat, "default.cms_vid", lanes["video"].limit(0),
+        threshold=0.5)
+
+    mixed = None
+    for m, media in lanes.items():
+        u = media.selectExpr(
+            f"'{m}' AS modality",
+            "CAST(media_id AS LONG) AS item_id",
+            "CAST(NULL AS STRING) AS text", "content", "format")
+        mixed = u if mixed is None else mixed.unionByName(u)
+    bnd = _CM_MEDIA_CAP // 2
+    # ONE streaming query lifecycle for both micro-batches (r12
+    # VERDICT #6 technique): each batch is one data file with a pinned
+    # mtime, and maxFilesPerTrigger=1 + availableNow makes the file
+    # source drain them as two ordered batches — half the
+    # startup/checkpoint overhead of two queries
+    import os as _os
+
+    src = f"{work}/mixed"
+    for lo, hi, tag, ts in ((0, bnd, "b1", 1_000_000_000),
+                            (bnd, _CM_MEDIA_CAP, "b2", 2_000_000_000)):
+        d = f"{src}/{tag}"
+        mixed.where(f"item_id >= {lo} AND item_id < {hi}") \
+            .coalesce(1).write.parquet(d)
+        for fn in _os.listdir(d):
+            if fn.endswith(".parquet"):
+                _os.utime(f"{d}/{fn}", (ts, ts))
+    q = curate_multimodal_stream_to_table(
+        spark.readStream.schema(CURATED_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*"),
+        t, image_index=img_idx, audio_index=aud_idx,
+        video_index=vid_idx, checkpoint_dir=f"{work}/ck",
+        available_now=True)
+    if not q.awaitTermination(900):
+        q.stop()
+        raise RuntimeError("multimodal curation stream did not drain")
+
+    streamed = t.scan().select(
+        "modality", "item_id", F.lit(True).alias("_s"))
+    pairs = {
+        "image": media_near_dup_pairs(lanes["image"], max_distance=4),
+        "audio": audio_near_dup_pairs(lanes["audio"], max_distance=4),
+        "video": video_near_dup_pairs(lanes["video"], threshold=0.5),
+    }
+    out = None
+    for m, media in lanes.items():
+        dropped = pairs[m].select(
+            F.col("right_id").cast("long").alias("item_id")) \
+            .distinct().withColumn("_d", F.lit(True))
+        lane = (
+            media.selectExpr("CAST(media_id AS LONG) AS item_id")
+            .withColumn("modality", F.lit(m))
+            .join(dropped, "item_id", "left")
+        )
+        out = lane if out is None else out.unionByName(lane)
+    return (
+        out.join(streamed, ["modality", "item_id"], "left")
+        .select(
+            "modality", "item_id",
+            F.coalesce("_s", F.lit(False)).alias("landed_streamed"),
+            (~F.coalesce("_d", F.lit(False))).alias("landed_batch"),
+        )
+        .withColumn(
+            "agrees",
+            F.col("landed_streamed") == F.col("landed_batch"))
+        .orderBy("modality", "item_id")
+    )

@@ -371,3 +371,54 @@ def test_feature_set_drift_fails_loudly(spark, tmp_warehouse, tmp_path):
             qmod._z_sql([0.1, 0.2], ["f_a", "f_b", "f_c"])
     finally:
         qmod.FEATURES = orig
+
+
+def test_curate_multimodal_stream_quality_gate(
+        spark, tmp_warehouse, tmp_path):
+    """The composed curation sink's text lane honors the pinned
+    quality model: docs below min_quality_score never reach the span
+    stage or the curated table, and the gate threshold is ABSOLUTE
+    (same contract as quality_filter_stream_to_table)."""
+    from pyspark.sql import types as T
+
+    from iceberg_lakehouse_spark.functions.quality_model import (
+        score_quality_classifier,
+    )
+    from iceberg_lakehouse_spark.operators import dedup_index as di
+    from iceberg_lakehouse_spark.operators.curation import (
+        CURATED_SCHEMA,
+    )
+    from iceberg_lakehouse_spark.streaming.sink import (
+        curate_multimodal_stream_to_table,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    docs = _source(spark, cat)
+    gm.train_and_register(cat, "default.qmodel", "default.docs",
+                          promote=True)
+    model = gm.load_model(cat, "default.qmodel")
+    scores = {r["doc_id"]: r["quality_score"]
+              for r in score_quality_classifier(
+                  docs.scan(), model,
+                  label_sql="CAST(0.0 AS DOUBLE)").collect()}
+    cut = sorted(scores.values())[2]  # exactly 2 docs fail
+    keep_ids = {d for d, s in scores.items() if s >= cut}
+
+    curated = cat.create_table("default.curated", CURATED_SCHEMA)
+    sgrams = di.build_span_index(
+        cat, "default.sg",
+        spark.createDataFrame([], "doc_id long, text string"),
+        "doc_id", "text", n=3)
+    src = str(tmp_path / "mixed1")
+    docs.scan().selectExpr(
+        "'text' AS modality", "doc_id AS item_id", "text",
+        "CAST(NULL AS BINARY) AS content", "'text' AS format",
+    ).write.parquet(src)
+    q = curate_multimodal_stream_to_table(
+        spark.readStream.schema(CURATED_SCHEMA).parquet(src),
+        curated, span_index=sgrams,
+        model_catalog=cat, model_registry="default.qmodel",
+        min_quality_score=cut,
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True)
+    q.awaitTermination(180)
+    assert {r["item_id"] for r in curated.scan().collect()} == keep_ids
