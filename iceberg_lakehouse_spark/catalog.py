@@ -1117,6 +1117,17 @@ class LakeTable:
         for pf in pfields:
             pcols.append(pf.name)
             writer_df = writer_df.withColumn(pf.name, pf.expr())
+        if pcols and str(props.get(
+                "write.distribution.mode", "")).lower() == "hash":
+            # Iceberg write.distribution-mode=hash analogue (r13):
+            # cluster rows by partition value before the write so each
+            # partition value lands as ONE file per commit instead of
+            # one per (task x value) — the classic partitionBy
+            # small-files fix. Opt-in: unpartitioned tables and
+            # existing layouts are untouched. (AQE may merge these
+            # shuffle partitions but never splits a value across
+            # tasks, so the one-file-per-value bound holds.)
+            writer_df = writer_df.repartition(*[F.col(c) for c in pcols])
         writer = writer_df.write.mode("overwrite").format(fmt)
         if fmt == "parquet":
             for c in props.get("write.bloom.columns", "").split(","):

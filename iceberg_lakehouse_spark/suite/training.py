@@ -3794,17 +3794,24 @@ def price_quantity_stats_by_flag(
 def bloom_index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END bloom-index semantics against the oracle: orders
     lands in a throwaway warehouse table with ``write.bloom.index``
-    enabled, appended as three chunks whose o_orderkey ranges FULLY
-    overlap (chunk i holds keys ≡ i mod 3) — so per-file min/max stats
-    can prove nothing and every file survives interval pruning. The
-    point lookup then plans through the bloom bitsets and provably
-    drops non-holding files before the reader is built (asserted), and
-    the scan's rows must still match DuckDB exactly — the conservative
-    contract (false positives keep files, never false negatives) made
-    observable. The probed keys (1, 7 — both ≡ 1 mod 3) touch only
-    chunk 1, so chunks 0 and 2 are provably prunable. Runs under the
-    driver's BARE ANSI session — the overflow-free position math and
-    try_element_at probe are load-bearing here."""
+    enabled, bucket(3)-partitioned on o_orderkey — three files whose
+    o_orderkey ranges FULLY overlap (xxhash64 buckets interleave the
+    key space), so per-file min/max stats can prove nothing and every
+    file survives interval pruning. The point lookup then plans
+    through the bloom bitsets and provably drops non-holding files
+    before the reader is built (asserted: the two probed keys occupy
+    at most two of the three buckets, so at least one file is a
+    guaranteed bloom true-negative), and the scan's rows must still
+    match DuckDB exactly — the conservative contract (false positives
+    keep files, never false negatives) made observable. Runs under
+    the driver's BARE ANSI session — the overflow-free position math
+    and try_element_at probe are load-bearing here.
+
+    r13 (r12 VERDICT #6): the fully-overlapping chunks land in ONE
+    bucket-partitioned append instead of three mod-class commits —
+    identical pruning geometry, but the write and the bloom sidecar
+    build each run ONCE over all three files (the entry was the
+    sweep's top fixed-overhead item at 19.1s)."""
     import tempfile
 
     from ..catalog import LakehouseCatalog
@@ -3819,11 +3826,12 @@ def bloom_index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "default.orders_bloom",
         [("o_orderkey", "long"), ("o_custkey", "long"),
          ("o_totalprice", "double"), ("o_orderstatus", "string")],
+        partition_by=["bucket(3, o_orderkey)"],
         properties={"write.bloom.columns": "o_orderkey",
-                    "write.bloom.index": "true"},
+                    "write.bloom.index": "true",
+                    "write.distribution.mode": "hash"},
     )
-    for i in range(3):
-        t.append(orders.where(F.pmod(F.col("o_orderkey"), F.lit(3)) == i))
+    t.append(orders)
     pred = "o_orderkey IN (1, 7)"
     kept, total = t.prune_files(pred)
     assert 0 < len(kept) < total, (len(kept), total)  # bloom really pruned
@@ -6989,19 +6997,29 @@ def video_frame_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(seed)
     idx = build_vframe_index(cat, "default.vfi_idx", seed,
                              threshold=0.5)
-    for lo, hi, tag in ((50, 125, "b1"), (125, 200, "b2")):
-        src_dir = f"{work}/{tag}"
+    # ONE streaming query lifecycle for both micro-batches (r12
+    # VERDICT #6): one data file per batch with pinned mtimes +
+    # maxFilesPerTrigger=1 drains them as two ordered batches,
+    # halving the startup/checkpoint overhead of two queries
+    import os as _os
+
+    src_root = f"{work}/stream"
+    for lo, hi, tag, ts in ((50, 125, "b1", 1_000_000_000),
+                            (125, 200, "b2", 2_000_000_000)):
+        d = f"{src_root}/{tag}"
         media.where(f"media_id >= {lo} AND media_id < {hi}") \
-            .write.parquet(src_dir)
-        q = video_dedup_stream_to_table(
-            spark.readStream.schema(media.schema).parquet(src_dir),
-            t, idx, checkpoint_dir=f"{work}/ck_{tag}",
-            available_now=True,
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(
-                f"video dedup batch {tag} did not drain in 600s")
+            .coalesce(1).write.parquet(d)
+        for fn in _os.listdir(d):
+            if fn.endswith(".parquet"):
+                _os.utime(f"{d}/{fn}", (ts, ts))
+    q = video_dedup_stream_to_table(
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src_root + "/*"),
+        t, idx, checkpoint_dir=f"{work}/ck", available_now=True,
+    )
+    if not q.awaitTermination(900):
+        q.stop()
+        raise RuntimeError("video dedup stream did not drain in 900s")
     landed = t.scan().select("media_id")
     return (
         media.select("media_id")

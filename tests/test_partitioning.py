@@ -316,3 +316,32 @@ class TestPartitionEvolution:
             [(4, "c"), (5, "d")], "id long, cat string"))
         crud.delete_rows_by_key(t, [{"id": 2}, {"id": 4}])
         assert sorted(r["id"] for r in t.scan().collect()) == [3, 5]
+
+
+def test_write_distribution_mode_hash_one_file_per_value(
+        catalog, spark):
+    """r13 (Iceberg write.distribution-mode=hash analogue): with the
+    property set, an append clusters rows by partition value before
+    the write, so each partition value lands as exactly ONE data file
+    per commit regardless of input partitioning; without it, the
+    default one-file-per-(task, value) layout is unchanged."""
+    df = spark.range(0, 3_000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS cat").repartition(16)
+
+    t = catalog.create_table(
+        "default.dist_hash", [("id", "long"), ("cat", "string")],
+        partition_by=["cat"],
+        properties={"write.distribution.mode": "hash"})
+    t.append(df)
+    files = t.current_snapshot().files
+    assert len(files) == 3, files  # one per cat value
+    assert t.scan().count() == 3_000
+
+    t2 = catalog.create_table(
+        "default.dist_default", [("id", "long"), ("cat", "string")],
+        partition_by=["cat"])
+    t2.append(df)
+    # default layout: one file per (task, value) — more than one per
+    # value with a 16-partition input
+    assert len(t2.current_snapshot().files) > 3
+    assert t2.scan().count() == 3_000
