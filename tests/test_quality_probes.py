@@ -6,7 +6,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from iceberg_lakehouse_spark.suite.quality import (
+from iceberg_lakehouse_spark.suite.quality_probes import (
     QUALITY_PROBES,
     _ANN_TRUTH_SQL,
 )

@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
 
-from iceberg_lakehouse_spark.suite.quality import QUALITY_PROBES  # noqa: E402
+from iceberg_lakehouse_spark.suite.quality_probes import QUALITY_PROBES  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
