@@ -870,8 +870,8 @@ def _budget_pairs(pairs: DataFrame, max_pairs: int | None) -> DataFrame:
     only the strongest ``max_pairs`` pairs by (hamming ASC, left_id,
     right_id) — one TakeOrderedAndProject, deterministic because the
     id pair is unique — and stamp every row with ``pair_truncated``
-    saying whether the budget bit (broadcast one-row aggregate, the
-    sanctioned crossJoin shape). A duplicate-riddled corpus then
+    saying whether the budget bit (the max_pairs+1 sentinel row is
+    the signal). A duplicate-riddled corpus then
     costs O(max_pairs) downstream no matter how many pairs the
     blocking proposes, and the truncation is LOUD, never silent."""
     if max_pairs is None:

@@ -311,12 +311,12 @@ def gated_cosine_near_dup_pairs(
     quadratic in block size: a mass-duplicated corpus at 20× bench
     scale put 4k vectors in each label block → 160M pair evaluations
     (449s). Here blocks are size-gated BEFORE any pairing, and the
-    whole operator is JOIN-FREE — windows, bounded gathers, and inline
-    expansion only:
+    OVERFLOW machinery is join-free (windows, bounded gathers, inline
+    expansion) — no input can manufacture an ungated quadratic join:
 
-      * block ≤ ``max_block``: exact quadratic verify — members
-        gathered into one bounded sorted array (reusing the window's
-        block exchange), pairs expanded inline, ``overflowed = false``.
+      * block ≤ ``max_block``: exact quadratic verify — the codegen
+        pair join with BOTH sides filtered to at-or-under-gate blocks
+        (work bounded by gate² per block), ``overflowed = false``.
         Identical pair set to the ungated operator.
       * block > ``max_block`` (overflow, ``overflowed = true``): the
         block is refined by ``sketch_tables`` independent sign-sketch
@@ -338,11 +338,13 @@ def gated_cosine_near_dup_pairs(
     and 100% for exact/scaled duplicates. The result is a pure
     function of the data and ``seed`` — no rand(), oracle-checkable.
 
-    100 TB shape: one shuffle per window (block, then sub-bucket key),
-    gathers bounded by the gates, pair work bounded by
-    gate² per bucket, star edges linear — no block-quadratic join
-    exists in the plan at ANY input (the plan-gate test asserts the
-    physical plan is join-free)."""
+    100 TB shape: one shuffle per window (block, then sub-bucket key);
+    the small-path join's sides are BOTH gate-filtered (≤ gate² pair
+    work per block — the gate sits structurally upstream of the join,
+    so no input can widen it); overflow gathers are gate-bounded and
+    star edges linear projections. The plan-gate test pins it: never
+    a cartesian/nested-loop join, the only join keys on the block
+    column, and the size filter guards its inputs."""
     if max_block < 1:
         raise ValueError(f"max_block must be >= 1 (got {max_block})")
     if sketch_bits < 1 or sketch_tables < 1:
@@ -380,23 +382,75 @@ def gated_cosine_near_dup_pairs(
     dot = _dot_sql("l._v", "r._v")
     expand = _PAIR_EXPAND_SQL.format(dot=dot)
 
-    # exact path: bounded gather reuses the window's _blk exchange
+    # exact path: the proven codegen pair join, with BOTH sides
+    # filtered to blocks at or under the gate — the join is
+    # block-quadratic only within gate-bounded blocks (≤ max_block²
+    # rows per block by construction, the same bound the gather shape
+    # gives), but the dot products run inside whole-stage codegen.
+    # (The gather+inline-expansion alternative used for sub-buckets
+    # below blew janino's 64 KB method limit at this density and fell
+    # back to interpreted eval — 3-5× slower on dense small blocks,
+    # measured r13; sub-buckets keep the gather because their inputs
+    # are the OVERFLOW mass where a self-join would re-evaluate the
+    # sketch pipeline twice and the per-bucket density is tiny.)
+    small_rows = sized.where(F.col("_n") <= max_block)
+    sa = small_rows.select(
+        F.col("_id").alias("left_id"), F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"), "_blk")
+    sb = small_rows.select(
+        F.col("_id").alias("right_id"), F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"), "_blk")
     small = (
-        sized.where(F.col("_n") <= max_block)
-        .groupBy("_blk")
-        .agg(F.expr("array_sort(collect_list(struct(_id, _v, _nrm)))")
-             .alias("_m"))
-        .selectExpr(expand)
+        sa.join(sb, "_blk")
+        .where(F.col("left_id") < F.col("right_id"))
+        .selectExpr(
+            "left_id", "right_id",
+            f"round({_dot_sql('_va', '_vb')} / (_na * _nb), 6)"
+            " AS cosine_sim",
+        )
         .where(F.col("cosine_sim") >= threshold)
         .withColumn("overflowed", F.lit(False))
     )
 
+    # data-dependent short-circuit: when NO block exceeds the gate
+    # (the common case at moderate scale — overflow is the
+    # mass-duplication regime), return the exact path alone instead
+    # of scheduling four empty overflow stages whose sketch-key
+    # codegen costs real driver time per call. One bounded action
+    # (first row past the gate, if any) — the same eager-peek
+    # precedent as build_ivf_index's seed collect. Output schema and
+    # semantics are identical either way (the overflow branch would
+    # be empty).
+    if sized.where(F.col("_n") > max_block).limit(1).count() == 0:
+        return small
+
     # overflow path: melt to (table, key) sketch rows, ONE window over
     # the sub-bucket key carrying count + keeper (min struct == min id
-    # — ids are unique, so the comparison never reads the vector)
-    elem = "CAST(element_at(_v, {i}) AS DOUBLE)"
+    # — ids are unique, so the comparison never reads the vector).
+    # Spark-side sign bits are computed as a FOLD over the vector
+    # zipped with a ±1.0 literal array rather than the 64-term inline
+    # chain the oracle uses: IEEE-identical ((0.0 + t1) == t1 and
+    # acc + (x * -1.0) == acc - x, exactly), but the codegen is a
+    # compact loop instead of a 64-add method — the inline chain cost
+    # seconds of janino compilation PER STAGE even when the overflow
+    # branch held zero rows (r13 measurement: 8.8s → 2.8s warm).
+    def _fold_bit(plane: list[int]) -> str:
+        arr = ", ".join(f"CAST({float(s)!r} AS DOUBLE)" for s in plane)
+        return (
+            f"aggregate(zip_with(_v, array({arr}), "
+            "(x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + v) >= CAST(0.0 AS DOUBLE)"
+        )
+
+    def _fold_key(table_signs: list[list[int]]) -> str:
+        cases = [
+            f"(CASE WHEN {_fold_bit(plane)} THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(table_signs)
+        ]
+        return "CAST(" + " + ".join(cases) + " AS INT)"
+
     key_structs = ", ".join(
-        f"struct({t} AS _t, {_sketch_key_sql(signs[t], elem)} AS _k)"
+        f"struct({t} AS _t, {_fold_key(signs[t])} AS _k)"
         for t in range(sketch_tables)
     )
     melted = (

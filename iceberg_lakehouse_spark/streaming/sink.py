@@ -833,6 +833,11 @@ def curate_multimodal_stream_to_table(
     per active lane — (batch_id, modality, arrived, landed) — AFTER
     all lanes land, dedup-appended on (batch_id, modality) so a replay
     that crashed between lanes and accounting cannot double-count.
+    batch_id identity is PER QUERY LINEAGE (the checkpoint): restart
+    with the same checkpoint and replays reconcile exactly; a fresh
+    checkpoint over already-landed data re-lands nothing (per-lane
+    idempotence) and leaves the original lineage's accounting rows
+    untouched — wire one accounting table per checkpoint lineage.
 
     100 TB shape: per-batch cost is O(batch) per lane (one decode per
     media lane, broadcast index probes, anti-joins on ids); blobs

