@@ -1110,15 +1110,13 @@ class LakeTable:
                 raise ValueError(
                     f"write.sort.order references unknown columns {bad}"
                 )
-            writer_df = writer_df.repartitionByRange(
-                *sort_order
-            ).sortWithinPartitions(*sort_order)
         pcols = []
         for pf in pfields:
             pcols.append(pf.name)
             writer_df = writer_df.withColumn(pf.name, pf.expr())
-        if pcols and str(props.get(
-                "write.distribution.mode", "")).lower() == "hash":
+        hash_mode = pcols and str(props.get(
+            "write.distribution.mode", "")).lower() == "hash"
+        if hash_mode:
             # Iceberg write.distribution-mode=hash analogue (r13):
             # cluster rows by partition value before the write so each
             # partition value lands as ONE file per commit instead of
@@ -1127,7 +1125,27 @@ class LakeTable:
             # existing layouts are untouched. (AQE may merge these
             # shuffle partitions but never splits a value across
             # tasks, so the one-file-per-value bound holds.)
+            # Ordering vs write.sort.order (r13 ADVICE): the hash
+            # shuffle runs FIRST and the sort runs within the hashed
+            # partitions — a range shuffle after the hash would undo
+            # the one-file-per-value clustering, and a hash shuffle
+            # after a sort would destroy the sorted-within-file layout
+            # the sort-order property promises. Both properties
+            # compose: files stay one-per-value AND sorted inside.
             writer_df = writer_df.repartition(*[F.col(c) for c in pcols])
+            if sort_order:
+                # partition cols lead the sort key: the file writer
+                # requires its input ordered by partition columns and
+                # would insert its OWN (unstable) sort if ours doesn't
+                # satisfy that prefix — leading with pcols keeps the
+                # sort-order suffix intact inside every written file.
+                writer_df = writer_df.sortWithinPartitions(
+                    *pcols, *sort_order
+                )
+        elif sort_order:
+            writer_df = writer_df.repartitionByRange(
+                *sort_order
+            ).sortWithinPartitions(*sort_order)
         writer = writer_df.write.mode("overwrite").format(fmt)
         if fmt == "parquet":
             for c in props.get("write.bloom.columns", "").split(","):

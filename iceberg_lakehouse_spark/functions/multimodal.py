@@ -863,6 +863,13 @@ def perceptual_hash(
     return df.mapInPandas(_batches, PHASH_SCHEMA)
 
 
+# Budgets at or below this many pairs take the driver-collect path
+# (skinny rows — a 100k slice is a few MB); larger budgets stay
+# distributed via localCheckpoint (r13 ADVICE: caller-controlled
+# max_pairs must never be a driver-memory risk).
+_BUDGET_COLLECT_CAP = 100_000
+
+
 def _budget_pairs(pairs: DataFrame, max_pairs: int | None) -> DataFrame:
     """Evidence-ranked pair budget for the Hamming pair surfaces (r11
     VERDICT #2 — the no-silent-caps rule applied to perceptual dedup,
@@ -878,22 +885,34 @@ def _budget_pairs(pairs: DataFrame, max_pairs: int | None) -> DataFrame:
         return pairs
     if max_pairs < 1:
         raise ValueError(f"max_pairs must be >= 1 (got {max_pairs})")
-    # ONE evaluation of the pair pipeline: collect the top (max_pairs+1)
-    # — the sentinel row IS the truncation signal. The slice is bounded
-    # by the caller's budget (skinny id/distance rows), so it lives as
-    # ONE driver-side list and is re-created as a local DataFrame — no
-    # persist, hence nothing cached for the session lifetime (r12
-    # review fixed the full-relation persist; r12 ADVICE flagged that
-    # even the bounded persist accumulated across a 161-entry sweep
-    # session with no matching unpersist). An eager count + lazy top-K
-    # would have evaluated the pair pipeline twice.
-    top1 = (
-        pairs.orderBy("hamming", "left_id", "right_id")
-        .limit(max_pairs + 1)
-        .collect()
+    # ONE evaluation of the pair pipeline: materialize the top
+    # (max_pairs+1) — the sentinel row IS the truncation signal. An
+    # eager count + lazy top-K would have evaluated the pipeline twice.
+    ordered = pairs.orderBy("hamming", "left_id", "right_id").limit(max_pairs + 1)
+    if max_pairs <= _BUDGET_COLLECT_CAP:
+        # small budgets: one bounded driver-side collect of skinny
+        # id/distance rows, re-created as a local DataFrame — no
+        # persist, hence nothing cached for the session lifetime (r12
+        # review fixed the full-relation persist; r12 ADVICE flagged
+        # that even the bounded persist accumulated across a 161-entry
+        # sweep session with no matching unpersist).
+        top1 = ordered.collect()
+        truncated = len(top1) > max_pairs
+        out = pairs.sparkSession.createDataFrame(top1[:max_pairs], pairs.schema)
+        return out.withColumn("pair_truncated", F.lit(truncated))
+    # large budgets (r13 ADVICE: max_pairs is caller-controlled, a
+    # multi-million budget must not become a driver-memory risk): keep
+    # the bounded slice DISTRIBUTED — eager localCheckpoint truncates
+    # lineage so the expensive pair pipeline runs once, the blocks live
+    # on executors and are freed by the ContextCleaner when the slice
+    # is garbage-collected (no session-lifetime persist accumulation).
+    sliced = ordered.localCheckpoint(eager=True)
+    truncated = sliced.count() > max_pairs
+    out = (
+        sliced.orderBy("hamming", "left_id", "right_id").limit(max_pairs)
+        if truncated
+        else sliced
     )
-    truncated = len(top1) > max_pairs
-    out = pairs.sparkSession.createDataFrame(top1[:max_pairs], pairs.schema)
     return out.withColumn("pair_truncated", F.lit(truncated))
 
 

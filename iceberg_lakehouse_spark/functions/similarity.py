@@ -303,6 +303,7 @@ def gated_cosine_near_dup_pairs(
     max_sub_bucket: int | None = None,
     seed: int = 13,
     dim: int | None = None,
+    lazy: bool = False,
 ) -> DataFrame:
     """Size-gated embedding near-duplicate pairs (r12 VERDICT #1 — the
     LSH overflow discipline applied to the embedding family).
@@ -344,7 +345,22 @@ def gated_cosine_near_dup_pairs(
     so no input can widen it); overflow gathers are gate-bounded and
     star edges linear projections. The plan-gate test pins it: never
     a cartesian/nested-loop join, the only join keys on the block
-    column, and the size filter guards its inputs."""
+    column, and the size filter guards its inputs.
+
+    Eager construction vs lazy plans (r13 ADVICE): by default this
+    function runs up to two bounded jobs at CONSTRUCTION time — a
+    one-row ``first()`` to infer ``dim`` (skipped when ``dim`` is
+    passed) and a skinny block-count aggregate that short-circuits the
+    four overflow stages when no block exceeds the gate. The returned
+    DataFrame is therefore bound to the data state at CALL time: if
+    the source gains an over-gate block between construction and
+    evaluation, the short-circuited plan has no overflow branch to
+    route it (those rows fall out of the gate filter rather than
+    being sketched). Callers that need a purely lazy, re-evaluable
+    plan pass ``lazy=True`` (requires an explicit ``dim``): no jobs
+    run at construction and the full small+overflow plan is always
+    built — same output on any data, at the cost of scheduling the
+    overflow stages even when they turn out empty."""
     if max_block < 1:
         raise ValueError(f"max_block must be >= 1 (got {max_block})")
     if sketch_bits < 1 or sketch_tables < 1:
@@ -361,6 +377,10 @@ def gated_cosine_near_dup_pairs(
     from .dedup_text import _widen_if_narrow
 
     if dim is None:
+        if lazy:
+            raise ValueError(
+                "lazy=True needs an explicit dim (the sketch literals "
+                "are built at construction time)")
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
             dim = 1  # empty input: any sketch works on zero rows
@@ -416,13 +436,26 @@ def gated_cosine_near_dup_pairs(
     # (the common case at moderate scale — overflow is the
     # mass-duplication regime), return the exact path alone instead
     # of scheduling four empty overflow stages whose sketch-key
-    # codegen costs real driver time per call. One bounded action
-    # (first row past the gate, if any) — the same eager-peek
-    # precedent as build_ivf_index's seed collect. Output schema and
-    # semantics are identical either way (the overflow branch would
-    # be empty).
-    if sized.where(F.col("_n") > max_block).limit(1).count() == 0:
-        return small
+    # codegen costs real driver time per call. One bounded action —
+    # the same eager-peek precedent as build_ivf_index's seed collect.
+    # The peek is a skinny block-count AGGREGATE over base, not a pass
+    # over the windowed `sized` (r13 VERDICT #5: the window peek cost
+    # a second full shuffle-by-block that the small path then redid) —
+    # partial map-side counts shuffle one row per block, and column
+    # pruning drops the vector/norm columns from the scan entirely, so
+    # the no-overflow path pays ONE window pass (the small path's own)
+    # plus this near-free count. Output schema and semantics are
+    # identical either way (the overflow branch would be empty).
+    # lazy=True (r13 ADVICE) skips the peek: no construction-time
+    # jobs, full plan, safe to re-evaluate on changed data.
+    if not lazy:
+        overflow_exists = (
+            base.groupBy("_blk").count()
+            .where(F.col("count") > max_block)
+            .limit(1).count() > 0
+        )
+        if not overflow_exists:
+            return small
 
     # overflow path: melt to (table, key) sketch rows, ONE window over
     # the sub-bucket key carrying count + keeper (min struct == min id

@@ -45,16 +45,29 @@ def _collapse_batch(batch: DataFrame, key_columns: list[str]) -> DataFrame:
     batch CONTENTS, independent of partitioning or arrival order.
 
     Falls back to ``dropDuplicates`` only when a payload column is not
-    orderable (MapType can't sit in a sort key); byte-identical
-    duplicates are still collapsed correctly there."""
+    orderable (a MapType anywhere in the type tree can't sit in a sort
+    key — Spark's orderability rule is recursive over array elements and
+    struct fields, so ``array<map<...>>`` is just as unorderable as a
+    top-level map; r13 ADVICE); byte-identical duplicates are still
+    collapsed correctly there."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _orderable(dt) -> bool:
+        # mirrors Catalyst's TypeUtils.checkForOrderingExpr walk
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
 
     payload = [c for c in batch.columns if c not in key_columns]
     if not payload:
         return batch.dropDuplicates(key_columns)
     by_name = {f.name: f.dataType for f in batch.schema.fields}
-    if any(isinstance(by_name[c], MapType) for c in payload):
+    if not all(_orderable(by_name[c]) for c in payload):
         return batch.dropDuplicates(key_columns)
     return (
         batch.groupBy(*key_columns)
@@ -833,6 +846,22 @@ def curate_multimodal_stream_to_table(
     per active lane — (batch_id, modality, arrived, landed) — AFTER
     all lanes land, dedup-appended on (batch_id, modality) so a replay
     that crashed between lanes and accounting cannot double-count.
+
+    Known accounting skew under crash-replay (r13 ADVICE, documented
+    deliberately): if the query dies BETWEEN a lane's appends and the
+    accounting append, the replayed batch re-lands nothing (per-lane
+    idempotence) and records ``landed=0`` for rows the crashed attempt
+    did land — accounting then permanently UNDERCOUNTS landings for
+    that one batch, never overcounts, and curated membership itself is
+    exact. The curated table carries no batch provenance, so no replay
+    can re-attribute those rows: a membership-delta formulation
+    (curated∩arrivals after minus before) reads 0 on replay for the
+    same reason, and appending accounting BEFORE the lanes would trade
+    the undercount for extra per-lane commits plus a transient
+    overcount window. Treat accounting as an at-most-once landing log
+    (``landed`` is a per-batch lower bound under crashes); the curated
+    table's (modality, item_id) membership is the source of truth for
+    corpus size.
     batch_id identity is PER QUERY LINEAGE (the checkpoint): restart
     with the same checkpoint and replays reconcile exactly; a fresh
     checkpoint over already-landed data re-lands nothing (per-lane

@@ -178,6 +178,32 @@ def test_gated_embedding_validates_params(spark, emb):
                 emb, "vec_id", "embedding", block_col="label", **kw)
 
 
+def test_gated_embedding_lazy_plan(spark, emb):
+    """r13 ADVICE: the default eager short-circuit binds the plan to
+    call-time data state; lazy=True must (a) require an explicit dim,
+    (b) run no construction-time jobs, and (c) return the same pair
+    set as the eager plan on the same data — with the overflow branch
+    always present so re-evaluation on changed data stays correct."""
+    with pytest.raises(ValueError, match="dim"):
+        sim.gated_cosine_near_dup_pairs(
+            emb, "vec_id", "embedding", block_col="label", lazy=True)
+
+    dim = len(emb.select("embedding").first()[0])
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    lazy_df = sim.gated_cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label",
+        threshold=0.2, max_block=10_000, dim=dim, lazy=True)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert before == after  # construction scheduled no jobs
+    eager = sim.gated_cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label",
+        threshold=0.2, max_block=10_000, dim=dim)
+    key = ["left_id", "right_id", "cosine_sim", "overflowed"]
+    got = {tuple(r) for r in lazy_df.select(*key).collect()}
+    want = {tuple(r) for r in eager.select(*key).collect()}
+    assert got == want and got
+
+
 def test_simhash_overflow_bucket_star_edges(spark):
     """Same bound for the SimHash pigeonhole blocking: over-cap buckets
     emit star edges with hamming computed against the bucket min's

@@ -345,3 +345,33 @@ def test_write_distribution_mode_hash_one_file_per_value(
     # value with a 16-partition input
     assert len(t2.current_snapshot().files) > 3
     assert t2.scan().count() == 3_000
+
+
+def test_hash_distribution_composes_with_sort_order(catalog, spark):
+    """r13 ADVICE: write.distribution.mode=hash + write.sort.order must
+    COMPOSE — the hash shuffle runs first and the sort runs within the
+    hashed partitions (pcols leading the sort key so the file writer
+    inserts no sort of its own), giving one file per partition value
+    AND rows sorted by the sort key inside every file. The old order
+    (range-sort, then hash repartition) destroyed the sorted layout."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 3_000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS cat",
+        "CAST((id * 2654435761) % 1000 AS LONG) AS k"
+    ).repartition(16)
+
+    t = catalog.create_table(
+        "default.dist_hash_sorted",
+        [("id", "long"), ("cat", "string"), ("k", "long")],
+        partition_by=["cat"],
+        properties={"write.distribution.mode": "hash",
+                    "write.sort.order": "k"})
+    t.append(df)
+    files = t.current_snapshot().files
+    assert len(files) == 3, files  # hash clustering held: one per cat
+    for f in files:
+        ks = pq.read_table(
+            f"{t.root}/{f}", columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f  # sort-order promise held in-file
+    assert t.scan().count() == 3_000

@@ -721,6 +721,53 @@ def test_pair_budget_exact_boundary_untruncated(spark):
     assert not any(r["pair_truncated"] for r in rows)
 
 
+def test_pair_budget_large_stays_distributed(spark, monkeypatch):
+    """r13 ADVICE: max_pairs is caller-controlled — budgets above the
+    collect cap must keep the bounded slice on executors (the
+    localCheckpoint path), never collect it to the driver, and return
+    the same evidence-ranked pair set with the same truncation flag
+    semantics as the collect path."""
+    from iceberg_lakehouse_spark.functions import multimodal as mmod
+
+    corpus = _media_rows(spark, [
+        (i, _img("dist", bump_cell=(i % 7)), "image", "ppm", 0)
+        for i in range(40)
+    ])
+    full = mmod.media_near_dup_pairs(corpus, max_distance=6).collect()
+    expected_top = {
+        (r["left_id"], r["right_id"])
+        for r in sorted(
+            full,
+            key=lambda r: (r["hamming"], r["left_id"], r["right_id"])
+        )[:100]
+    }
+    calls = {"n": 0}
+    orig = mmod.DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    # force every budget through the distributed branch and assert the
+    # pair pipeline itself never routes through DataFrame.collect
+    monkeypatch.setattr(mmod, "_BUDGET_COLLECT_CAP", 0)
+    monkeypatch.setattr(mmod.DataFrame, "collect", counting_collect)
+    capped = mmod.media_near_dup_pairs(
+        corpus, max_distance=6, max_pairs=100)
+    assert calls["n"] == 0  # construction collected nothing
+    rows = orig(capped)
+    assert len(rows) == 100
+    assert all(r["pair_truncated"] for r in rows)
+    assert {(r["left_id"], r["right_id"]) for r in rows} == expected_top
+
+    # untruncated boundary on the distributed path
+    uncapped = orig(mmod.media_near_dup_pairs(
+        corpus, max_distance=6, max_pairs=10_000))
+    assert len(uncapped) == len(full)
+    assert not any(r["pair_truncated"] for r in uncapped)
+    assert calls["n"] == 0
+
+
 def test_curate_multimodal_stream_two_batches(spark, tmp_path,
                                               tmp_warehouse):
     """r12 VERDICT #3: the composed streaming curation sink — one

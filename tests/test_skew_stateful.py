@@ -182,6 +182,34 @@ class TestStreamToTable:
             "doc_id string, m map<string,int>")
         assert _collapse_batch(m, ["doc_id"]).count() == 1
 
+    def test_collapse_batch_nested_unorderable(self, spark):
+        """r13 ADVICE: orderability is RECURSIVE — array<map<...>> and
+        struct-containing-map payloads must take the dropDuplicates
+        fallback (F.max over a struct with an unorderable field raises
+        AnalysisException), while nested but orderable payloads still
+        get the deterministic max-struct survivor."""
+        from iceberg_lakehouse_spark.streaming.sink import _collapse_batch
+
+        am = spark.createDataFrame(
+            [("d1", [{"a": 1}]), ("d1", [{"a": 1}])],
+            "doc_id string, ams array<map<string,int>>")
+        assert _collapse_batch(am, ["doc_id"]).count() == 1
+
+        sm = spark.createDataFrame(
+            [("d1", {"m": {"a": 1}, "v": 2})] * 2,
+            "doc_id string, s struct<m: map<string,int>, v: int>")
+        assert _collapse_batch(sm, ["doc_id"]).count() == 1
+
+        # orderable nesting (struct of array<int>) keeps determinism:
+        # the greatest payload tuple survives in any arrival order
+        rows = [("d1", ("x", [1, 2])), ("d1", ("x", [9, 0]))]
+        for perm in (rows, rows[::-1]):
+            df = spark.createDataFrame(
+                perm, "doc_id string, s struct<t: string, a: array<int>>")
+            got = _collapse_batch(df, ["doc_id"]).collect()
+            assert len(got) == 1
+            assert got[0]["s"]["a"] == [9, 0]
+
     def test_upsert_mode_merges_by_key(
         self, spark, tmp_path, tmp_warehouse, source_dir
     ):

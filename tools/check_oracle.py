@@ -126,6 +126,13 @@ def main() -> int:
 
     failures, n_checked = [], 0
     records: dict[str, dict] = {}
+    # load provenance (r13 VERDICT #6): the sweep wall is bimodal with
+    # host state exactly like bench — stamp the same load_guard block
+    # bench.py records, read at sweep START (no wait: a sweep's wall is
+    # provenance, not a headline, so we label rather than delay).
+    from bench import wait_for_quiet_host
+
+    load_guard = wait_for_quiet_host(wait_sec=0)
     t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
@@ -211,6 +218,7 @@ def main() -> int:
 
         payload = {
             "sf_dir": sf_dir,
+            "load_guard": load_guard,
             "started_at": datetime.fromtimestamp(
                 t_start, timezone.utc).isoformat(),
             "wall_sec": round(time.time() - t_start, 1),

@@ -88,8 +88,13 @@ def main() -> int:
     n_docs, n_emb = docs.count(), emb.count()
     print(f"stress corpus: {n_docs} docs, {n_emb} vectors "
           f"({factor}x {sf_dir})")
+    # load provenance (r13 VERDICT #6): same load_guard block bench.py
+    # stamps, read at start, no wait — a stress wall is provenance.
+    from bench import wait_for_quiet_host
+
     record = {"sf_dir": sf_dir, "factor": factor,
-              "n_docs": n_docs, "n_emb": n_emb, "ops": {}}
+              "n_docs": n_docs, "n_emb": n_emb,
+              "load_guard": wait_for_quiet_host(wait_sec=0), "ops": {}}
 
     def run(name, fn, check=None):
         t0 = time.time()
