@@ -365,6 +365,11 @@ _TREE: dict[str, dict[str, str]] = {
         "find": "find_duplicates", "summary": "dedup_summary",
         "remove": "remove_duplicates", "report": "dedup_report",
         "near-docs": "near_dup_docs",
+        "near-embeddings": "embedding_near_dup_gated",
+    },
+    "curate": {
+        "stream": "curate_multimodal_stream",
+        "accounting": "curation_accounting",
     },
     "cdc": {
         "capture": "capture_changes", "log": "get_change_log",
@@ -427,6 +432,7 @@ _TREE: dict[str, dict[str, str]] = {
         "ann-rebalance": "ann_index_rebalance",
         "ann-recall": "ann_recall_sample",
         "ann-rebuild": "ann_index_rebuild",
+        "ann-tune": "ann_nprobe_tune",
         "pq-build": "pq_index_build", "pq-probe": "pq_index_probe",
         "pq-extend": "pq_index_extend", "pq-stats": "pq_index_stats",
         "ivfpq-build": "ivfpq_index_build",
@@ -436,6 +442,7 @@ _TREE: dict[str, dict[str, str]] = {
         "ivfpq-rebalance": "ivfpq_index_rebalance",
         "ivfpq-recall": "ivfpq_recall_sample",
         "ivfpq-rebuild": "ivfpq_index_rebuild",
+        "ivfpq-tune": "ivfpq_nprobe_tune",
         "span-build": "span_index_build",
         "phash-build": "phash_index_build",
         "phash-probe": "phash_index_probe",
@@ -490,6 +497,7 @@ _GROUP_HELP = {
     "backup": "Table archives.",
     "clone": "Table clones (experiment/promote/discard).",
     "dedup": "Duplicate detection and removal.",
+    "curate": "Streaming multimodal curation: drain + accounting.",
     "cdc": "Change data capture between snapshots.",
     "sample": "Random/stratified/systematic sampling.",
     "refresh-cascade": "Auto-refresh cascades for derived objects.",

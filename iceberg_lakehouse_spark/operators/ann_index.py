@@ -502,6 +502,53 @@ def ann_recall_sample(
         space.unpersist()
 
 
+def tune_nprobe(
+    catalog: LakehouseCatalog,
+    name: str,
+    target_recall: float = 0.8,
+    k: int = 10,
+    sample: int = 8,
+    max_nprobe: int | None = None,
+) -> dict:
+    """Measured-recall nprobe schedule (r13 VERDICT #1): the smallest
+    probe width whose SAMPLED recall@k meets ``target_recall``.
+
+    Why a measured ladder and not a similarity rule: on weakly
+    clustered corpora (the regime the r13 sweep's 0.5–0.6 recall
+    exposed — centroid/query cosines near zero) routing barely
+    correlates with true neighborhoods, so recall tracks the FRACTION
+    of lists scanned and no centroid-similarity margin can predict it;
+    the only honest schedule is to measure. Walks a doubling ladder
+    (1, 2, 4, … n_cells — O(log n_cells) rungs, each one
+    ``ann_recall_sample`` call) and returns the first rung that meets
+    the target, or n_cells with ``met=False`` if none does (recall is
+    monotone in nprobe: at n_cells the probe is exact over the index,
+    so met=False only ever means the target exceeds what sampling
+    resolution shows). A tuning/telemetry call, not a hot path —
+    callers pin the returned nprobe in their probe configuration.
+    """
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1] (got {target_recall})")
+    _at, _ct, n_cells, _dim = _load(catalog, name)
+    hi = min(max_nprobe, n_cells) if max_nprobe else n_cells
+    ladder: list[dict] = []
+    p = 1
+    while True:
+        r = ann_recall_sample(catalog, name, k=k, nprobe=p, sample=sample)
+        got = r["recall_at_k"]
+        ladder.append({"nprobe": p, "recall_at_k": got})
+        if got is not None and got >= target_recall:
+            return {"index": name, "nprobe": p, "met": True,
+                    "target_recall": target_recall, "k": k,
+                    "sample": r["sample"], "ladder": ladder}
+        if p >= hi:
+            return {"index": name, "nprobe": hi, "met": False,
+                    "target_recall": target_recall, "k": k,
+                    "sample": r["sample"], "ladder": ladder}
+        p = min(p * 2, hi)
+
+
 def rebuild_ann_index(
     catalog: LakehouseCatalog,
     name: str,

@@ -510,6 +510,7 @@ def ivfpq_recall_sample(
     k: int = 10,
     nprobe: int = 2,
     sample: int = 8,
+    refine_factor: int = 4,
 ) -> dict:
     """MEASURED recall@k (VERDICT r9 #6): the skew flags and recall
     floors say when the index *might* be degraded — this says how much,
@@ -594,7 +595,8 @@ def ivfpq_recall_sample(
                 int(r["id"])
                 for r in probe_ivfpq_index(
                     catalog, name, qv, k=k, nprobe=nprobe,
-                    refine_with=refine).collect()
+                    refine_with=refine,
+                    refine_factor=refine_factor).collect()
             }
             truth = exact.get(qid, set())
             # an index smaller than k can never reach k hits — divide
@@ -604,12 +606,63 @@ def ivfpq_recall_sample(
             per_query[qid] = len(got & truth) / denom
         return {
             "k": k, "nprobe": nprobe, "sample": len(queries),
+            "refine_factor": refine_factor,
             "mode": "corpus" if corpus_df is not None else "reconstruction",
             "recall_at_k": sum(per_query.values()) / len(per_query),
             "per_query": per_query,
         }
     finally:
         space.unpersist()
+
+
+def tune_nprobe(
+    catalog: LakehouseCatalog,
+    name: str,
+    corpus_df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_recall: float = 0.8,
+    k: int = 10,
+    sample: int = 8,
+    refine_factor: int = 4,
+    max_nprobe: int | None = None,
+) -> dict:
+    """Measured-recall nprobe schedule for the IVFADC index (r13
+    VERDICT #1 — the sibling of ``ann_index.tune_nprobe``; see its
+    docstring for why a measured ladder beats a centroid-similarity
+    rule on weakly clustered corpora). Walks nprobe = 1, 2, 4, …
+    n_cells through ``ivfpq_recall_sample`` (corpus mode when
+    ``corpus_df`` is given — the honest space — else reconstruction
+    mode, routing-only) and returns the first rung whose sampled
+    recall@k meets the target. Note ADC candidate truncation bounds
+    the ceiling here: if even nprobe = n_cells misses the target
+    (``met=False``), raise ``refine_factor`` — more exact-re-ranked
+    candidates — rather than probing wider."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1] (got {target_recall})")
+    _at, _ct, _bt, n_cells, _m, _k, _dim = _load(catalog, name)
+    hi = min(max_nprobe, n_cells) if max_nprobe else n_cells
+    ladder: list[dict] = []
+    p = 1
+    while True:
+        r = ivfpq_recall_sample(
+            catalog, name, corpus_df=corpus_df, id_col=id_col,
+            vec_col=vec_col, k=k, nprobe=p, sample=sample,
+            refine_factor=refine_factor)
+        got = r["recall_at_k"]
+        ladder.append({"nprobe": p, "recall_at_k": got})
+        if got is not None and got >= target_recall:
+            return {"index": name, "nprobe": p, "met": True,
+                    "target_recall": target_recall, "k": k,
+                    "refine_factor": refine_factor, "mode": r["mode"],
+                    "sample": r["sample"], "ladder": ladder}
+        if p >= hi:
+            return {"index": name, "nprobe": hi, "met": False,
+                    "target_recall": target_recall, "k": k,
+                    "refine_factor": refine_factor, "mode": r["mode"],
+                    "sample": r["sample"], "ladder": ladder}
+        p = min(p * 2, hi)
 
 
 def _decode(codes_df: DataFrame, book_df: DataFrame, m: int) -> DataFrame:

@@ -779,6 +779,33 @@ class LakehouseServer:
             _dedup_corpus_summary,
         )
         self._add(
+            _tool("embedding_near_dup_gated",
+                  "Size-gated embedding near-duplicate pairs: exact "
+                  "cosine verify inside blocks at or under max_block, "
+                  "seeded sign-sketch sub-buckets + keeper star edges "
+                  "for overflow blocks — the scale path that keeps a "
+                  "mass-duplicated corpus linear instead of "
+                  "block-quadratic (r13 VERDICT #2: the library "
+                  "operator had no tool surface)",
+                  {"table": _S, "id_column": _S, "vector_column": _S,
+                   "block_column": _S, "threshold": _N, "max_block": _I,
+                   "sketch_bits": _I, "sketch_tables": _I,
+                   "max_sub_bucket": _I, "seed": _I, "max_rows": _I},
+                  ["table", "id_column", "vector_column"]),
+            lambda table, id_column, vector_column, block_column=None,
+                   threshold=0.9, max_block=1024, sketch_bits=8,
+                   sketch_tables=2, max_sub_bucket=None, seed=13,
+                   max_rows=1000: rows_of(
+                fsim.gated_cosine_near_dup_pairs(
+                    c.load_table(table).scan(), id_column, vector_column,
+                    block_col=block_column, threshold=threshold,
+                    max_block=max_block, sketch_bits=sketch_bits,
+                    sketch_tables=sketch_tables,
+                    max_sub_bucket=max_sub_bucket, seed=seed,
+                ).orderBy("left_id", "right_id"), cap=max_rows,
+            ),
+        )
+        self._add(
             _tool("containment_pairs",
                   "Asymmetric containment (|A∩B|/|A|) over MinHash+LSH "
                   "candidates — subset duplication Jaccard misses "
@@ -969,6 +996,22 @@ class LakehouseServer:
             lambda index_table, n_cells=None, kmeans_iters=3:
                 _ai.rebuild_ann_index(c, index_table, n_cells=n_cells,
                                       kmeans_iters=kmeans_iters),
+        )
+        self._add(
+            _tool("ann_nprobe_tune",
+                  "Measured-recall nprobe schedule: doubling ladder of "
+                  "probe widths through the recall sampler, returns "
+                  "the smallest nprobe whose sampled recall@k meets "
+                  "the target (on weakly clustered corpora recall "
+                  "tracks scan fraction — measure, don't guess)",
+                  {"index_table": _S, "target_recall": _N, "k": _I,
+                   "sample": _I, "max_nprobe": _I},
+                  ["index_table"]),
+            lambda index_table, target_recall=0.8, k=10, sample=8,
+                   max_nprobe=None: _ai.tune_nprobe(
+                c, index_table, target_recall=target_recall, k=k,
+                sample=sample, max_nprobe=max_nprobe,
+            ),
         )
 
         from .operators import media_index as _mi
@@ -1349,16 +1392,40 @@ class LakehouseServer:
                   "reconstruction mode otherwise)",
                   {"index_table": _S, "corpus_table": _S, "id_column": _S,
                    "vector_column": _S, "k": _I, "nprobe": _I,
-                   "sample": _I},
+                   "sample": _I, "refine_factor": _I},
                   ["index_table"]),
             lambda index_table, corpus_table=None, id_column="vec_id",
-                   vector_column="embedding", k=10, nprobe=2, sample=8:
+                   vector_column="embedding", k=10, nprobe=2, sample=8,
+                   refine_factor=4:
                 _ivfpq.ivfpq_recall_sample(
                     c, index_table,
                     corpus_df=(c.load_table(corpus_table).scan()
                                if corpus_table else None),
                     id_col=id_column, vec_col=vector_column,
                     k=k, nprobe=nprobe, sample=sample,
+                    refine_factor=refine_factor,
+            ),
+        )
+        self._add(
+            _tool("ivfpq_nprobe_tune",
+                  "Measured-recall nprobe schedule for the composed "
+                  "index (doubling ladder through ivfpq_recall_sample; "
+                  "met=False at full width means raise refine_factor — "
+                  "ADC truncation, not routing, is binding)",
+                  {"index_table": _S, "corpus_table": _S, "id_column": _S,
+                   "vector_column": _S, "target_recall": _N, "k": _I,
+                   "sample": _I, "refine_factor": _I, "max_nprobe": _I},
+                  ["index_table"]),
+            lambda index_table, corpus_table=None, id_column="vec_id",
+                   vector_column="embedding", target_recall=0.8, k=10,
+                   sample=8, refine_factor=4, max_nprobe=None:
+                _ivfpq.tune_nprobe(
+                    c, index_table,
+                    corpus_df=(c.load_table(corpus_table).scan()
+                               if corpus_table else None),
+                    id_col=id_column, vec_col=vector_column,
+                    target_recall=target_recall, k=k, sample=sample,
+                    refine_factor=refine_factor, max_nprobe=max_nprobe,
             ),
         )
         self._add(
@@ -1410,6 +1477,127 @@ class LakehouseServer:
                 c.load_table(table).scan(), text_col=text_column,
                 n_merges=n_merges,
             ),
+        )
+
+        # -- streaming multimodal curation (r13 VERDICT #2: the sink had
+        # no tool surface) -------------------------------------------------
+        def _curate_multimodal_stream(
+            source_dir, table, span_index=None, image_index=None,
+            audio_index=None, video_index=None, accounting_table=None,
+            checkpoint_dir=None, model_registry=None,
+            min_quality_score=None, deterministic_fake=False,
+            video_threshold=None, timeout_sec=600,
+        ):
+            from pyspark.sql import functions as F
+
+            from .operators.curation import CURATED_SCHEMA
+            from .streaming.sink import curate_multimodal_stream_to_table
+
+            tbl = c.load_table(table)
+            if checkpoint_dir is None:
+                # one checkpoint lineage per curated table: repeat
+                # calls resume the same batch_id identity, so replays
+                # reconcile exactly (see the sink's accounting notes)
+                safe = "".join(
+                    ch if ch.isalnum() else "_" for ch in table)
+                checkpoint_dir = self._store(f"curation_ckpt_{safe}")
+            q = curate_multimodal_stream_to_table(
+                self.spark.readStream.schema(CURATED_SCHEMA)
+                .parquet(source_dir),
+                tbl,
+                span_index=(c.load_table(span_index)
+                            if span_index else None),
+                image_index=(c.load_table(image_index)
+                             if image_index else None),
+                audio_index=(c.load_table(audio_index)
+                             if audio_index else None),
+                video_index=(c.load_table(video_index)
+                             if video_index else None),
+                accounting=(c.load_table(accounting_table)
+                            if accounting_table else None),
+                model_catalog=c if model_registry else None,
+                model_registry=model_registry,
+                min_quality_score=min_quality_score,
+                deterministic_fake=deterministic_fake,
+                video_threshold=video_threshold,
+                checkpoint_dir=checkpoint_dir,
+                available_now=True,
+            )
+            if not q.awaitTermination(timeout_sec):
+                q.stop()
+                raise RuntimeError(
+                    f"curation stream did not drain in {timeout_sec}s "
+                    f"(checkpoint {checkpoint_dir} resumes where it "
+                    "stopped)")
+            counts = {
+                r["modality"]: int(r["n"])
+                for r in tbl.scan().groupBy("modality")
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            return {
+                "table": table,
+                "checkpoint_dir": checkpoint_dir,
+                "curated_counts": counts,
+                "message": f"stream drained into {table} "
+                f"({sum(counts.values())} curated rows total)",
+            }
+
+        self._add(
+            _tool("curate_multimodal_stream",
+                  "Drain a directory of unified-schema parquet files "
+                  "(modality, item_id, text, content, format) through "
+                  "the streaming multimodal curation sink into a "
+                  "curated table: per-lane index-ahead dedup (span/"
+                  "image/audio/video), optional pinned-model text "
+                  "quality gate, optional cross-lane accounting; "
+                  "availableNow semantics — one call lands all pending "
+                  "batches, repeat calls resume the checkpoint",
+                  {"source_dir": _S, "table": _S, "span_index": _S,
+                   "image_index": _S, "audio_index": _S,
+                   "video_index": _S, "accounting_table": _S,
+                   "checkpoint_dir": _S, "model_registry": _S,
+                   "min_quality_score": _N, "deterministic_fake": _B,
+                   "video_threshold": _N, "timeout_sec": _I},
+                  ["source_dir", "table"]),
+            _curate_multimodal_stream,
+        )
+
+        def _curation_accounting(accounting_table, batch_id=None):
+            from pyspark.sql import functions as F
+
+            rows = c.load_table(accounting_table).scan()
+            if batch_id is not None:
+                rows = rows.where(F.col("batch_id") == int(batch_id))
+            per_modality = [
+                {k: (int(v) if isinstance(v, int) else v)
+                 for k, v in r.asDict().items()}
+                for r in rows.groupBy("modality").agg(
+                    F.count(F.lit(1)).alias("batches"),
+                    F.sum("arrived").alias("arrived"),
+                    F.sum("landed").alias("landed"),
+                ).orderBy("modality").collect()
+            ]
+            detail = [
+                r.asDict() for r in
+                rows.orderBy("batch_id", "modality").collect()
+            ]
+            return {
+                "accounting_table": accounting_table,
+                "per_modality": per_modality,
+                "rows": detail,
+                "note": "landed is a per-batch lower bound under "
+                "crash-replay (at-most-once landing log); curated "
+                "membership is the source of truth for corpus size",
+            }
+
+        self._add(
+            _tool("curation_accounting",
+                  "Inspect a curation accounting table: per-modality "
+                  "arrived/landed totals plus the per-(batch, "
+                  "modality) rows the streaming sink appended",
+                  {"accounting_table": _S, "batch_id": _I},
+                  ["accounting_table"]),
+            _curation_accounting,
         )
 
         # -- dashboard -----------------------------------------------------

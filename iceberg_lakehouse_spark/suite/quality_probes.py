@@ -101,10 +101,13 @@ def _bernoulli_rate(con, sf_dir, scols, srows) -> dict:
 # so only real drift (a broken probe path, a collapsed index) trips
 # them — the RECORDED value is what the round loop watches.
 QUALITY_PROBES: dict[str, Callable] = {
-    "ann_ivf_topk": _ann_recall(0.4),
-    "ann_index_persisted_topk": _ann_recall(0.4),
-    "pq_ann_refined_topk": _ann_recall(0.4),
-    "ivfpq_ann_refined_topk": _ann_recall(0.4),
+    # floors raised 0.4 → 0.5 in r14 with the measured-recall retune
+    # (nprobe 6/8, refine_factor 64): observed values are now 0.8–1.0
+    # at both graded SFs, so 0.5 still catches regressions, not noise
+    "ann_ivf_topk": _ann_recall(0.5),
+    "ann_index_persisted_topk": _ann_recall(0.5),
+    "pq_ann_refined_topk": _ann_recall(0.5),
+    "ivfpq_ann_refined_topk": _ann_recall(0.5),
     "diverse_exemplar_sample": _exemplar_coverage,
     "random_sample_bernoulli": _bernoulli_rate,
 }

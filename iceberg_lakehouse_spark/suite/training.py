@@ -1471,7 +1471,11 @@ def ann_index_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat, "default.emb_ivf", emb, "vec_id", "embedding",
         n_cells=8, kmeans_iters=1,
     )
-    return probe_ann_index(cat, "default.emb_ivf", query, k=10, nprobe=3)
+    # nprobe=6 of 8 (r13 VERDICT #1): weakly clustered corpus, recall
+    # tracks scan fraction — measured recall@10 0.9/0.8 at
+    # sf0.01/sf0.1 (was 0.6 at nprobe=3); tune_nprobe is the
+    # measured-ladder operator that picks this width in production.
+    return probe_ann_index(cat, "default.emb_ivf", query, k=10, nprobe=6)
 
 
 @register(
@@ -4590,9 +4594,14 @@ def pq_ann_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=8, ksub=16, kmeans_iters=1,
     )
     qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    # refine_factor=64 (r13 VERDICT #1): with m=8/ksub=16 codes over a
+    # weakly clustered corpus, ADC ranking is coarse — true neighbors
+    # fall outside a small candidate set. 640 exact-re-ranked
+    # candidates is still a bounded broadcast semi-join and lifts
+    # measured recall@10 to 1.0/1.0 at sf0.01/sf0.1 (was 0.8/0.5).
     return pq.probe_pq_index(
         cat, "default.pq_emb", qvec, k=10,
-        refine_with=emb, refine_factor=8,
+        refine_with=emb, refine_factor=64,
     )
 
 
@@ -5549,9 +5558,15 @@ def ivfpq_ann_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=8, m=8, ksub=16, kmeans_iters=1,
     )
     qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    # nprobe=6 + refine_factor=64 (r13 VERDICT #1): both losses bind
+    # here — routing (weakly clustered cells: scan 6/8) AND ADC
+    # truncation (coarse m=8/ksub=16 residual codes: re-rank 640
+    # candidates exactly). Measured recall@10 0.9/0.8 at sf0.01/sf0.1
+    # (was 0.8/0.5 at nprobe=4, refine=8); ivfpq.tune_nprobe is the
+    # measured-ladder operator for production widths.
     return ivfpq.probe_ivfpq_index(
-        cat, "default.ivfpq_emb", qvec, k=10, nprobe=4,
-        refine_with=emb, refine_factor=8,
+        cat, "default.ivfpq_emb", qvec, k=10, nprobe=6,
+        refine_with=emb, refine_factor=64,
     )
 
 

@@ -119,3 +119,54 @@ def test_table_output_mode(tmp_path):
     assert res.exit_code == 0, res.output
     header = res.output.strip().splitlines()[0].split()
     assert "hits" in header and "misses" in header
+
+
+def test_new_r14_commands_in_tree():
+    """r13 VERDICT #2: the gated embedding dedup and streaming
+    curation capabilities are CLI-reachable (tool surface discipline:
+    every operator family gets commands)."""
+    runner = CliRunner()
+    res = runner.invoke(cli, ["dedup", "--help"])
+    assert res.exit_code == 0 and "near-embeddings" in res.output
+    res = runner.invoke(cli, ["curate", "--help"])
+    assert res.exit_code == 0
+    assert "stream" in res.output and "accounting" in res.output
+    res = runner.invoke(cli, ["index", "--help"])
+    assert "ann-tune" in res.output and "ivfpq-tune" in res.output
+    res = runner.invoke(cli, ["dedup", "near-embeddings", "--help"])
+    assert res.exit_code == 0
+    for opt in ("--table", "--vector-column", "--max-block",
+                "--sketch-bits", "--max-sub-bucket"):
+        assert opt in res.output
+    res = runner.invoke(cli, ["curate", "stream", "--help"])
+    assert "--source-dir" in res.output and "--image-index" in res.output
+
+
+@pytest.mark.usefixtures("spark")
+def test_gated_embedding_command_executes(tmp_path, spark):
+    """dedup near-embeddings end-to-end through the CLI: planted
+    positive scalings come back as exact pairs."""
+    from pyspark.sql import types as T
+
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+
+    home = str(tmp_path)
+    cat = LakehouseCatalog(spark, f"{home}/warehouse")
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    base = [1.0, -0.5, 0.25, 2.0]
+    t = cat.create_table("cli_vecs", vec_schema)
+    t.append(spark.createDataFrame(
+        [(i, [v * (1.0 + i * 0.01) for v in base]) for i in range(3)]
+        + [(9, [3.0, 3.0, -9.0, 0.1])], vec_schema))
+    runner = CliRunner()
+    res = runner.invoke(cli, [
+        "--home", home, "dedup", "near-embeddings",
+        "--table", "cli_vecs", "--id-column", "vec_id",
+        "--vector-column", "embedding", "--threshold", "0.999",
+    ])
+    assert res.exit_code == 0, res.output
+    pairs = {(p["left_id"], p["right_id"]) for p in json.loads(res.output)}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}

@@ -1588,6 +1588,75 @@ def test_ann_recall_telemetry_and_rebuild(spark, tmp_warehouse):
     assert post["recall_at_k"] >= 0.5
 
 
+def test_tune_nprobe_measured_ladder(spark, tmp_warehouse):
+    """r13 VERDICT #1: tune_nprobe walks a doubling nprobe ladder
+    through the measured recall sampler and returns the SMALLEST width
+    meeting the target — monotone ladder, met flag semantics, and the
+    n_cells ceiling when the target is unreachable."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import ann_index as ai
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    emb = load_sf_tables(spark, SF)["embeddings"]
+    ai.build_ann_index(cat, "default.tn", emb, "vec_id", "embedding",
+                       n_cells=8, kmeans_iters=1)
+
+    # nprobe = n_cells probes everything → recall 1.0, so target=1.0
+    # is always met and the ladder never exceeds n_cells
+    rep = ai.tune_nprobe(cat, "default.tn", target_recall=1.0,
+                         k=10, sample=6)
+    assert rep["met"] is True
+    assert 1 <= rep["nprobe"] <= 8
+    # ladder is a doubling schedule, recall recorded per rung
+    widths = [r["nprobe"] for r in rep["ladder"]]
+    assert widths == sorted(set(widths))
+    assert all(w in (1, 2, 4, 8) for w in widths)
+    # the returned width actually meets the target when re-measured
+    final = ai.ann_recall_sample(cat, "default.tn", k=10,
+                                 nprobe=rep["nprobe"], sample=6)
+    assert final["recall_at_k"] >= 1.0
+
+    # a modest target returns a SMALLER width than the exact one
+    modest = ai.tune_nprobe(cat, "default.tn", target_recall=0.3,
+                            k=10, sample=6)
+    assert modest["met"] is True
+    assert modest["nprobe"] <= rep["nprobe"]
+
+    # max_nprobe caps the ladder; an impossible cap reports met=False
+    capped = ai.tune_nprobe(cat, "default.tn", target_recall=1.0,
+                            k=10, sample=6, max_nprobe=1)
+    assert capped["nprobe"] == 1
+    if capped["ladder"][-1]["recall_at_k"] < 1.0:
+        assert capped["met"] is False
+
+    with pytest.raises(ValueError, match="target_recall"):
+        ai.tune_nprobe(cat, "default.tn", target_recall=0.0)
+
+
+def test_ivfpq_tune_nprobe_measured_ladder(spark, tmp_warehouse):
+    """IVFADC sibling: corpus-mode ladder with an explicit
+    refine_factor threaded through to the probe."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+    from iceberg_lakehouse_spark.operators import ivfpq
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    emb = load_sf_tables(spark, SF)["embeddings"]
+    ivfpq.build_ivfpq_index(
+        cat, "default.tq", emb, "vec_id", "embedding",
+        n_cells=8, m=8, ksub=16, kmeans_iters=1)
+    rep = ivfpq.tune_nprobe(
+        cat, "default.tq", corpus_df=emb, target_recall=0.6,
+        k=10, sample=4, refine_factor=64)
+    assert rep["mode"] == "corpus"
+    assert rep["refine_factor"] == 64
+    assert [r["nprobe"] for r in rep["ladder"]] == sorted(
+        {r["nprobe"] for r in rep["ladder"]})
+    if rep["met"]:
+        assert rep["ladder"][-1]["recall_at_k"] >= 0.6
+    else:
+        assert rep["nprobe"] == 8
+
+
 def test_shingle_candidate_pairs_verify_budget(spark):
     """r11 verify budget: max_pairs returns the top-K candidates by
     shared-occurrence evidence with deterministic (shared DESC, ids)

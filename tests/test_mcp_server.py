@@ -904,3 +904,167 @@ def test_index_sync_tools(server):
     is_err, rep2, _ = call(server, "index_sync_deletes",
                            {"index_table": "sync_ivf"})
     assert not is_err and rep2.get("up_to_date")
+
+
+def test_embedding_near_dup_gated_tool(server):
+    """r13 VERDICT #2: the size-gated embedding near-dup operator
+    through the RPC surface — exact pairs below the gate, sketch-routed
+    recovery of planted duplicates when the gate forces overflow."""
+    from pyspark.sql import types as T
+
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    cat = server.catalog
+    spark = cat.spark
+    base = [0.5, -1.25, 2.0, -0.75] * 4  # dim 16
+    # 6 positive scalings of one direction (cosine 1.0 pairwise) plus
+    # 4 far-apart singletons
+    rows = [(i, [v * (1.0 + i * 0.001) for v in base]) for i in range(6)]
+    rows += [(10 + j, [float((10 + j) * (d + 1) % 7 - 3)
+                       for d in range(16)]) for j in range(4)]
+    t = cat.create_table("mcp_gated_vecs", vec_schema)
+    t.append(spark.createDataFrame(rows, vec_schema))
+
+    # below the gate: exact quadratic verify, C(6,2) planted pairs
+    is_err, pairs, _ = call(server, "embedding_near_dup_gated", {
+        "table": "mcp_gated_vecs", "id_column": "vec_id",
+        "vector_column": "embedding", "threshold": 0.999,
+        "max_block": 100,
+    })
+    assert not is_err
+    planted = {(p["left_id"], p["right_id"]) for p in pairs}
+    assert planted == {(a, b) for a in range(6) for b in range(6) if a < b}
+    assert all(p["overflowed"] is False for p in pairs)
+
+    # gate forced down with the replicas past the sub-bucket cap too:
+    # the mass-dup cluster goes LINEAR — exactly the keeper star edges
+    # (min-id keeper to every replica), never the quadratic expansion
+    is_err, pairs2, _ = call(server, "embedding_near_dup_gated", {
+        "table": "mcp_gated_vecs", "id_column": "vec_id",
+        "vector_column": "embedding", "threshold": 0.999,
+        "max_block": 2, "max_sub_bucket": 3, "sketch_bits": 4,
+    })
+    assert not is_err
+    assert {(p["left_id"], p["right_id"]) for p in pairs2} == {
+        (0, i) for i in range(1, 6)}
+    assert all(p["overflowed"] is True for p in pairs2)
+
+    # sub-bucket cap left roomy: the overflow block's sub-bucket takes
+    # the exact gather path and recovers the full planted pair set
+    is_err, pairs3, _ = call(server, "embedding_near_dup_gated", {
+        "table": "mcp_gated_vecs", "id_column": "vec_id",
+        "vector_column": "embedding", "threshold": 0.999,
+        "max_block": 2, "max_sub_bucket": 10, "sketch_bits": 4,
+    })
+    assert not is_err
+    assert {(p["left_id"], p["right_id"]) for p in pairs3} == planted
+    assert all(p["overflowed"] is True for p in pairs3)
+
+
+def test_nprobe_tune_tools(server):
+    """r13 VERDICT #1 surfaces: measured-recall nprobe ladders for the
+    plain IVF and IVFADC indexes through the RPC surface."""
+    import math
+
+    from pyspark.sql import types as T
+
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    cat = server.catalog
+    spark = cat.spark
+    rows = [(i, [math.cos(i / 5.0), math.sin(i / 5.0), float(i % 9),
+                 float((i * 3) % 11)]) for i in range(60)]
+    t = cat.create_table("mcp_tune_vecs", vec_schema)
+    t.append(spark.createDataFrame(rows, vec_schema))
+    is_err, _b, _ = call(server, "ann_index_build", {
+        "table": "mcp_tune_vecs", "index_table": "mcp_tune_ivf",
+        "id_column": "vec_id", "vector_column": "embedding",
+        "n_cells": 4,
+    })
+    assert not is_err
+    is_err, rep, _ = call(server, "ann_nprobe_tune", {
+        "index_table": "mcp_tune_ivf", "target_recall": 1.0,
+        "k": 5, "sample": 4,
+    })
+    assert not is_err and rep["met"] is True
+    assert 1 <= rep["nprobe"] <= 4
+    assert [r["nprobe"] for r in rep["ladder"]] == sorted(
+        {r["nprobe"] for r in rep["ladder"]})
+
+    is_err, _b, _ = call(server, "ivfpq_index_build", {
+        "table": "mcp_tune_vecs", "index_table": "mcp_tune_ivfpq",
+        "id_column": "vec_id", "vector_column": "embedding",
+        "n_cells": 4, "m": 2, "ksub": 8,
+    })
+    assert not is_err
+    is_err, rep2, _ = call(server, "ivfpq_nprobe_tune", {
+        "index_table": "mcp_tune_ivfpq", "corpus_table": "mcp_tune_vecs",
+        "target_recall": 0.5, "k": 5, "sample": 4,
+        "refine_factor": 16,
+    })
+    assert not is_err
+    assert rep2["mode"] == "corpus" and rep2["refine_factor"] == 16
+    assert rep2["nprobe"] <= 4 and rep2["ladder"]
+
+
+def test_curation_stream_tools(server, tmp_path):
+    """r13 VERDICT #2: the streaming multimodal curation sink through
+    the RPC surface — one drain call lands the pending files, a repeat
+    call is a checkpointed no-op, and the accounting tool reads back
+    per-lane arrived/landed."""
+    from iceberg_lakehouse_spark.operators.curation import (
+        CURATED_SCHEMA,
+        CURATION_ACCOUNTING_SCHEMA,
+    )
+    from iceberg_lakehouse_spark.operators.media_index import (
+        build_phash_index,
+    )
+    from iceberg_lakehouse_spark.suite.training import _synthesize_media
+
+    cat = server.catalog
+    spark = cat.spark
+    docs = spark.range(8).selectExpr("id AS doc_id")
+    media = _synthesize_media(docs)
+    cat.create_table("mcp_curated", CURATED_SCHEMA)
+    cat.create_table("mcp_cur_acct", CURATION_ACCOUNTING_SCHEMA)
+    build_phash_index(cat, "mcp_cur_img", media.limit(0), max_distance=4)
+
+    src = str(tmp_path / "cur_src")
+    media.selectExpr(
+        "'image' AS modality", "CAST(media_id AS LONG) AS item_id",
+        "CAST(NULL AS STRING) AS text", "content", "format",
+    ).coalesce(1).write.parquet(src)
+
+    is_err, rep, _ = call(server, "curate_multimodal_stream", {
+        "source_dir": src, "table": "mcp_curated",
+        "image_index": "mcp_cur_img",
+        "accounting_table": "mcp_cur_acct",
+        "checkpoint_dir": str(tmp_path / "cur_ck"),
+        "timeout_sec": 300,
+    })
+    assert not is_err, rep
+    landed = rep["curated_counts"]["image"]
+    assert 0 < landed <= 8
+    assert landed == cat.load_table("mcp_curated").scan().count()
+
+    # checkpointed no-op on replay: nothing new to drain
+    is_err, rep2, _ = call(server, "curate_multimodal_stream", {
+        "source_dir": src, "table": "mcp_curated",
+        "image_index": "mcp_cur_img",
+        "accounting_table": "mcp_cur_acct",
+        "checkpoint_dir": str(tmp_path / "cur_ck"),
+        "timeout_sec": 300,
+    })
+    assert not is_err and rep2["curated_counts"]["image"] == landed
+
+    is_err, acct, _ = call(server, "curation_accounting", {
+        "accounting_table": "mcp_cur_acct",
+    })
+    assert not is_err
+    img = {r["modality"]: r for r in acct["per_modality"]}["image"]
+    assert img["arrived"] == 8 and img["landed"] == landed
+    assert acct["rows"][0]["modality"] == "image"
