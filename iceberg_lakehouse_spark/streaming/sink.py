@@ -369,6 +369,15 @@ def _land_span_batch(batch_new, index, id_col, text_col, n,
     the number of landed docs."""
     from ..functions.dedup_text import span_dedup_incremental
 
+    # bound the batch ONCE (r13 VERDICT #4): batch_new's lineage
+    # chains the micro-batch read + intra-batch collapse + landed
+    # anti-join, and the landing DAG references it several times
+    # (rebuild, gram extend, append) — without materialization every
+    # downstream action re-runs that chain. One eager localCheckpoint
+    # pins the bounded micro-batch rows to executor storage (freed by
+    # the ContextCleaner when the slice is GC'd), then the emptiness
+    # peek is free.
+    batch_new = batch_new.localCheckpoint()
     if batch_new.isEmpty():
         return 0
     rebuilt, new_grams = span_dedup_incremental(
@@ -538,6 +547,11 @@ def _land_media_batch(batch_new, index, max_distance,
         probe_phash_index,
     )
 
+    # bound the batch ONCE (r13 VERDICT #4; see _land_span_batch) —
+    # the keeper joins, probe semi-joins, and the final append all
+    # reference batch_new, and without materialization each action
+    # re-runs the micro-batch read + collapse + landed anti-join chain
+    batch_new = batch_new.localCheckpoint()
     if batch_new.isEmpty():
         return 0
     algo, _ = _params(index)
@@ -557,19 +571,29 @@ def _land_media_batch(batch_new, index, max_distance,
             .select("media_id", F.col("phash").alias("simhash")),
             "media_id", max_distance=max_distance, fp_len=64,
         )
-        losers = intra.where(
-            F.col("left_id") < F.col("right_id")
-        ).select(F.col("right_id").alias("media_id")).distinct()
-        keep1 = batch_new.join(losers, "media_id", "left_anti")
-        old_pairs = probe_phash_index(
-            index, max_distance=max_distance,
-            fps=fps.join(keep1.select("media_id"), "media_id",
-                         "left_semi"),
+        # ONE materialization for both loser sets (r13 VERDICT #4):
+        # the old keep1-then-probe chain evaluated the intra DAG twice
+        # (once in survivors, once inside the probe's semi-join input)
+        # and serialized two checkpoint-sized actions. Probing the
+        # FULL batch fingerprints is bit-identical — probe pairs are
+        # per-pair independent (no batch-side frequency caps), so the
+        # extra pairs all carry intra-loser right_ids and vanish in
+        # the union — and survivors = batch minus (intra ∪ probe)
+        # losers equals the sequential keeper rule exactly. The union
+        # localCheckpoints ONE tiny id set (bounded by batch size,
+        # executor-resident, freed on GC).
+        losers = (
+            intra.where(F.col("left_id") < F.col("right_id"))
+            .select(F.col("right_id").alias("media_id"))
+            .unionByName(
+                probe_phash_index(
+                    index, max_distance=max_distance, fps=fps,
+                ).select(F.col("right_id").alias("media_id")))
+            .distinct()
+            .localCheckpoint()
         )
-        losers2 = old_pairs.select(
-            F.col("right_id").alias("media_id")).distinct()
         survivors = (
-            keep1.join(losers2, "media_id", "left_anti")
+            batch_new.join(losers, "media_id", "left_anti")
             .join(fps, "media_id", "left")
             .persist()
         )
@@ -669,6 +693,11 @@ def _land_video_batch(batch_new, index, threshold, append,
         probe_vframe_index,
     )
 
+    # bound the batch ONCE (r13 VERDICT #4; see _land_span_batch) —
+    # keeper joins, probe semi-joins, and the append all reference
+    # batch_new; one eager localCheckpoint replaces N re-runs of the
+    # micro-batch read + collapse + landed anti-join chain
+    batch_new = batch_new.localCheckpoint()
     if batch_new.isEmpty():
         return 0
     every_nth, t0, max_df = _vf_params(index)
@@ -679,18 +708,25 @@ def _land_video_batch(batch_new, index, threshold, append,
     try:
         intra = frame_set_pairs(
             fhashes, threshold=threshold, max_df=max_df)
-        losers = intra.where(
-            F.col("left_id") < F.col("right_id")
-        ).select(F.col("right_id").alias("media_id")).distinct()
-        keep1 = batch_new.join(losers, "media_id", "left_anti")
-        old_pairs = probe_vframe_index(
-            index, threshold=threshold,
-            fhashes=fhashes.join(keep1.select("media_id"),
-                                 "media_id", "left_semi"),
+        # ONE materialization for both loser sets (r13 VERDICT #4 —
+        # see _land_media_batch for the full argument): probing the
+        # FULL batch hash set is bit-identical because the probe's
+        # df-cap counts INDEX clips per fingerprint (independent of
+        # which batch clips matched) and its containment verify is
+        # per-pair; extra pairs carry intra-loser right_ids only and
+        # vanish in the union. One checkpointed tiny id set replaces
+        # two serialized actions that each re-ran the intra DAG.
+        losers = (
+            intra.where(F.col("left_id") < F.col("right_id"))
+            .select(F.col("right_id").alias("media_id"))
+            .unionByName(
+                probe_vframe_index(
+                    index, threshold=threshold, fhashes=fhashes,
+                ).select(F.col("right_id").alias("media_id")))
+            .distinct()
+            .localCheckpoint()
         )
-        losers2 = old_pairs.select(
-            F.col("right_id").alias("media_id")).distinct()
-        survivors = keep1.join(losers2, "media_id", "left_anti") \
+        survivors = batch_new.join(losers, "media_id", "left_anti") \
             .persist()
         try:
             if survivors.isEmpty():

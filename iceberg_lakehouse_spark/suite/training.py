@@ -7016,7 +7016,11 @@ def video_frame_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_sf_tables(spark, sf_dir)["documents"] \
         .where("doc_id < 200")
-    media = _synthesize_video(docs)
+    # synthesize ONCE (r13 VERDICT #4): the corpus feeds five actions
+    # (seed append, index build, two batch writes, the final join);
+    # localCheckpoint pins the bounded 200-clip corpus so the decode
+    # pipeline doesn't re-run per action
+    media = _synthesize_video(docs).localCheckpoint()
     work = _tf.mkdtemp(prefix="vfi_")
     cat = LakehouseCatalog(spark, f"{work}/wh")
     seed = media.where("media_id < 50")  # variant 0 of each group
@@ -7816,10 +7820,13 @@ def curated_multimodal_stream_landed(
 
     docs = load_sf_tables(spark, sf_dir)["documents"] \
         .where(f"doc_id < {_CM_MEDIA_CAP}")
+    # synthesize each lane ONCE (r13 VERDICT #4): every lane feeds the
+    # index build, two batch writes, the reconciliation pair operators
+    # AND the final join — localCheckpoint pins the bounded corpora
     lanes = {
-        "image": _synthesize_media(docs),
-        "audio": _synthesize_audio(docs),
-        "video": _synthesize_video(docs),
+        "image": _synthesize_media(docs).localCheckpoint(),
+        "audio": _synthesize_audio(docs).localCheckpoint(),
+        "video": _synthesize_video(docs).localCheckpoint(),
     }
     work = _tf.mkdtemp(prefix="cms_")
     cat = LakehouseCatalog(spark, f"{work}/wh")
