@@ -239,6 +239,17 @@ class MaintenanceManager:
         # self-contained) — codebook drift needs a corpus-mode
         # ivfpq_recall_sample by hand, documented honestly (r10)
         "auto_rebuild_index": None,
+        # a target recall in (0, 1] (r14): when this table is an ANN /
+        # IVFPQ index with no pinned probe width, or the index has
+        # committed past the state it was last tuned at (extends,
+        # rebuilds, syncs — property-only writes don't re-arm), or the
+        # target changed, run the measured-recall tune_nprobe ladder
+        # and PIN the result as the index's ivf.nprobe / ivfpq.nprobe
+        # property — probes called without an explicit nprobe then
+        # default to the tuned width. Closes the loop the samplers
+        # opened: recall drifts → the policy re-measures → probe
+        # configuration follows, no human in the loop.
+        "auto_tune_nprobe": None,
     }
 
     def __init__(self, store_path: str):
@@ -473,6 +484,34 @@ class MaintenanceManager:
                         f"{rec['mode']}-mode recall@{rec['k']} = "
                         f"{measured:.2f} < {float(min_recall):.2f})"
                     )
+        needs_nprobe_tune = False
+        tune_target = pol.get("auto_tune_nprobe")
+        if tune_target:
+            kind = self._index_kind(table)
+            if kind:
+                props = table.properties()
+                key = "ivfpq.nprobe" if kind == "ivfpq" else "ivf.nprobe"
+                snap = table.current_snapshot()
+                cur = str(snap.snapshot_id) if snap else "none"
+                tuned_state = props.get("index.nprobe_tuned_state")
+                tuned_target = props.get("index.nprobe_target_recall")
+                stale = (
+                    key not in props
+                    or tuned_state != cur
+                    or tuned_target != str(float(tune_target))
+                )
+                if stale:
+                    needs_nprobe_tune = True
+                    why = (
+                        f"{key} unset" if key not in props
+                        else f"tuned at state {tuned_state}, index now "
+                             f"{cur}"
+                        if tuned_state != cur
+                        else f"target changed to {float(tune_target):.2f}"
+                    )
+                    actions.append(
+                        f"tune_nprobe ({why}; target recall "
+                        f"{float(tune_target):.2f})")
         needs_sync = False
         if pol.get("auto_sync_index"):
             props = table.properties()
@@ -505,6 +544,7 @@ class MaintenanceManager:
             "needs_rebalance": needs_rebalance,
             "needs_index_sync": needs_sync,
             "needs_index_rebuild": needs_rebuild,
+            "needs_nprobe_tune": needs_nprobe_tune,
             "rebuild_pre_recall": rebuild_pre_recall,
             "rebuild_suppressed": rebuild_suppressed,
             "needs_model_retrain": needs_retrain,
@@ -846,6 +886,76 @@ class MaintenanceManager:
                     "split_cells": res["split_cells"],
                     "n_cells_after": res["n_cells_after"],
                 })
+        if needed.get("needs_nprobe_tune"):
+            # AFTER rebuild/rebalance on purpose: both change the cell
+            # geometry, and the tuned width should be measured against
+            # the index as it will actually be probed. The pinned
+            # state is read AFTER those ops, so this cycle's own
+            # commits don't immediately re-arm the tune.
+            kind = self._index_kind(table)
+            if dry_run:
+                actions.append({"action": "tune_nprobe",
+                                "status": "dry_run"})
+            else:
+                full_name = f"{table.namespace}.{table.table}"
+                target = float(pol["auto_tune_nprobe"])
+                try:
+                    if kind == "ivfpq":
+                        from ..operators.ivfpq import tune_nprobe
+
+                        # corpus mode when linked (the honest space —
+                        # same preference as auto_rebuild_index)
+                        props = table.properties()
+                        src_name = props.get("index.source_table")
+                        vec_col = props.get("index.source_vec_col")
+                        corpus = None
+                        if src_name and vec_col:
+                            try:
+                                corpus = table.catalog.load_table(
+                                    src_name).scan()
+                            except ValueError:
+                                corpus = None
+                        rep = tune_nprobe(
+                            table.catalog, full_name,
+                            corpus_df=corpus,
+                            id_col=props.get(
+                                "index.source_id_col", "vec_id"),
+                            vec_col=vec_col or "embedding",
+                            target_recall=target)
+                        key = "ivfpq.nprobe"
+                    else:
+                        from ..operators.ann_index import tune_nprobe
+
+                        rep = tune_nprobe(
+                            table.catalog, full_name,
+                            target_recall=target)
+                        key = "ivf.nprobe"
+                    snap = table.current_snapshot()
+                    table.set_properties({
+                        key: str(rep["nprobe"]),
+                        "index.nprobe_tuned_state":
+                            str(snap.snapshot_id) if snap else "none",
+                        "index.nprobe_target_recall":
+                            str(target),
+                        "index.nprobe_met":
+                            str(bool(rep["met"])).lower(),
+                    })
+                    actions.append({
+                        "action": "tune_nprobe",
+                        "status": "completed",
+                        "nprobe": rep["nprobe"],
+                        "met": rep["met"],
+                        "ladder_rungs": len(rep["ladder"]),
+                        "measured_recall":
+                            rep["ladder"][-1]["recall_at_k"],
+                    })
+                except Exception as e:  # noqa: BLE001 — same
+                    # failed-action discipline as rebuild/sync
+                    actions.append({
+                        "action": "tune_nprobe",
+                        "status": "failed",
+                        "error": str(e)[:300],
+                    })
         if needed["needs_orphan_cleanup"]:
             # AUTOMATED deletion path: the grace window shields a
             # concurrent writer's just-materialized (not-yet-committed)

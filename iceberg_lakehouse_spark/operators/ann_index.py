@@ -186,11 +186,17 @@ def probe_ann_index(
     name: str,
     query_vec: list[float],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Top-k (id, cosine_sim) for the query: route via the collected
     centroids (n_cells rows), file-pruned scan of the probed cells'
-    inverted lists, exact cosine, TakeOrdered top-k."""
+    inverted lists, exact cosine, TakeOrdered top-k.
+
+    ``nprobe=None`` (the default) uses the index's PINNED width — the
+    ``ivf.nprobe`` property ``tune_nprobe`` / the ``auto_tune_nprobe``
+    maintenance policy store — falling back to 4 when never tuned, so
+    a tuned index is probed at its measured-recall width without every
+    caller re-plumbing the number (r14)."""
     import math
 
     at, ct, n_cells, dim = _load(catalog, name)
@@ -198,6 +204,8 @@ def probe_ann_index(
         raise ValueError(
             f"query vector has {len(query_vec)} dims, index has {dim}"
         )
+    if nprobe is None:
+        nprobe = int(at.properties().get("ivf.nprobe", 4))
     nprobe = max(1, min(nprobe, n_cells))
 
     def cos_py(a, b):

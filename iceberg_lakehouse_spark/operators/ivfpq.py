@@ -353,7 +353,7 @@ def probe_ivfpq_index(
     name: str,
     query_vec: list[float],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     refine_with: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -364,7 +364,12 @@ def probe_ivfpq_index(
     broadcast DATA on the cell key), scan ONLY the probed cells' code
     files (plan-time partition pruning), score each row with m array
     lookups, TakeOrdered. With ``refine_with``, the bounded top
-    k × refine_factor candidates re-rank by exact cosine."""
+    k × refine_factor candidates re-rank by exact cosine.
+
+    ``nprobe=None`` (the default) uses the index's PINNED width — the
+    ``ivfpq.nprobe`` property ``tune_nprobe`` / the
+    ``auto_tune_nprobe`` maintenance policy store — falling back to 4
+    when never tuned (r14; see ``ann_index.probe_ann_index``)."""
     at, ct, bt, n_cells, m, ksub, dim = _load(catalog, name)
     if at.properties().get("ivfpq.rebuild_pending") == "true":
         raise ValueError(
@@ -375,6 +380,8 @@ def probe_ivfpq_index(
     if len(query_vec) != dim:
         raise ValueError(
             f"query vector has {len(query_vec)} dims, index has {dim}")
+    if nprobe is None:
+        nprobe = int(at.properties().get("ivfpq.nprobe", 4))
     nprobe = max(1, min(nprobe, n_cells))
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     q = [float(x) / qn for x in query_vec]

@@ -927,10 +927,10 @@ class LakehouseServer:
                   {"index_table": _S, "query_vector": _VEC, "k": _I,
                    "nprobe": _I},
                   ["index_table", "query_vector"]),
-            lambda index_table, query_vector, k=10, nprobe=4: rows_of(
+            lambda index_table, query_vector, k=10, nprobe=None: rows_of(
                 _ai.probe_ann_index(
                     c, index_table, [float(v) for v in query_vector],
-                    k=k, nprobe=nprobe,
+                    k=k, nprobe=nprobe,  # None -> pinned ivf.nprobe
                 )
             ),
         )
@@ -1325,12 +1325,12 @@ class LakehouseServer:
                    "nprobe": _I, "refine_table": _S, "id_column": _S,
                    "vector_column": _S, "refine_factor": _I},
                   ["index_table", "query_vector"]),
-            lambda index_table, query_vector, k=10, nprobe=4,
+            lambda index_table, query_vector, k=10, nprobe=None,
                    refine_table=None, id_column="vec_id",
                    vector_column="embedding", refine_factor=4: rows_of(
                 _ivfpq.probe_ivfpq_index(
                     c, index_table, [float(v) for v in query_vector],
-                    k=k, nprobe=nprobe,
+                    k=k, nprobe=nprobe,  # None -> pinned ivfpq.nprobe
                     refine_with=(c.load_table(refine_table).scan()
                                  if refine_table else None),
                     id_col=id_column, vec_col=vector_column,
@@ -2016,7 +2016,9 @@ class LakehouseServer:
                    "auto_analyze": _B,
                    "auto_rebalance_index": _N,
                    "auto_sync_index": _B,
-                   "auto_rebuild_index": _N},
+                   "auto_rebuild_index": _N,
+                   "auto_retrain_model": _B,
+                   "auto_tune_nprobe": _N},
                   ["table"]),
             lambda table, **kw: maintenance.set_policy(table, **kw),
         )

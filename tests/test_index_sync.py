@@ -747,3 +747,81 @@ def test_reextend_preserves_racing_sync_debt(
     assert rex2["reextended_ids"] == 1  # doc 3 repaid
     assert int(idx.properties()["index.pending_reinserts"]) == 0
     assert idx.scan().where(F.col("id") == 3).count() > 0
+
+
+def test_auto_tune_nprobe_policy(spark, tmp_warehouse, tmp_path):
+    """r14: measured-recall probe-width tuning through the governance
+    loop — an untuned index fires, the run pins ivf.nprobe + the tuned
+    state, property-only writes stay quiet, a target change and new
+    data both re-arm, and probe_ann_index(nprobe=None) probes at the
+    pinned width."""
+    import math
+
+    from iceberg_lakehouse_spark.governance.policies import (
+        MaintenanceManager,
+    )
+    from iceberg_lakehouse_spark.operators import ivfpq
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    vecs = [(i, [math.sin(i * 1.3 + d) for d in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    t = cat.create_table("default.tvecs", df.schema)
+    t.append(df)
+    ai.build_ann_index(cat, "default.tnp", t.scan(), "vec_id",
+                       "embedding", n_cells=4, kmeans_iters=2)
+    mm_ = MaintenanceManager(str(tmp_path / "maint_tnp.json"))
+    idx = cat.load_table("default.tnp")
+    mm_.set_policy("default.tnp", auto_tune_nprobe=1.0)
+    need = mm_.check_needed(idx)
+    assert need["needs_nprobe_tune"]
+    assert any("tune_nprobe" in a for a in need["actions_needed"])
+    rec = mm_.run(idx)
+    done = [a for a in rec["actions"] if a["action"] == "tune_nprobe"]
+    assert done and done[0]["status"] == "completed", rec["actions"]
+    props = idx.properties()
+    pinned = int(props["ivf.nprobe"])
+    assert 1 <= pinned <= 4 and pinned == done[0]["nprobe"]
+    assert props["index.nprobe_met"] == "true"  # full width is exact
+    # property-only writes don't re-arm: the tuned state is the data
+    # snapshot, and pinning the properties changed no snapshot
+    assert not mm_.check_needed(idx)["needs_nprobe_tune"]
+    # the default probe width IS the pinned width
+    q = vecs[5][1]
+    got = {r["id"] for r in ai.probe_ann_index(
+        cat, "default.tnp", q, k=5).collect()}
+    want = {r["id"] for r in ai.probe_ann_index(
+        cat, "default.tnp", q, k=5, nprobe=pinned).collect()}
+    assert got == want and got
+    # a changed target re-arms
+    mm_.set_policy("default.tnp", auto_tune_nprobe=0.5)
+    assert mm_.check_needed(idx)["needs_nprobe_tune"]
+    rec2 = mm_.run(idx)
+    assert [a for a in rec2["actions"]
+            if a["action"] == "tune_nprobe"][0]["status"] == "completed"
+    assert not mm_.check_needed(idx)["needs_nprobe_tune"]
+    # new data re-arms
+    ai.extend_ann_index(
+        cat, "default.tnp",
+        spark.createDataFrame([(900, vecs[0][1])], df.schema),
+        "vec_id", "embedding")
+    assert mm_.check_needed(cat.load_table("default.tnp"))[
+        "needs_nprobe_tune"]
+
+    # IVFPQ: corpus-linked tune pins ivfpq.nprobe, default probe uses it
+    ivfpq.build_ivfpq_index(cat, "default.tnq", t.scan(), "vec_id",
+                            "embedding", n_cells=4, m=4, ksub=8,
+                            kmeans_iters=1)
+    link_index_source(cat, "default.tnq", "default.tvecs", "vec_id",
+                      vec_col="embedding")
+    mm_.set_policy("default.tnq", auto_tune_nprobe=0.4)
+    qidx = cat.load_table("default.tnq")
+    assert mm_.check_needed(qidx)["needs_nprobe_tune"]
+    rec3 = mm_.run(qidx)
+    done3 = [a for a in rec3["actions"] if a["action"] == "tune_nprobe"]
+    assert done3 and done3[0]["status"] == "completed", rec3["actions"]
+    qprops = qidx.properties()
+    assert 1 <= int(qprops["ivfpq.nprobe"]) <= 4
+    assert not mm_.check_needed(qidx)["needs_nprobe_tune"]
+    top = ivfpq.probe_ivfpq_index(cat, "default.tnq", q, k=3).collect()
+    assert len(top) == 3
