@@ -370,6 +370,8 @@ _TREE: dict[str, dict[str, str]] = {
     "curate": {
         "stream": "curate_multimodal_stream",
         "accounting": "curation_accounting",
+        "importance-score": "importance_score",
+        "resample": "importance_resample",
     },
     "cdc": {
         "capture": "capture_changes", "log": "get_change_log",
@@ -379,6 +381,7 @@ _TREE: dict[str, dict[str, str]] = {
     "sample": {
         "random": "random_sample", "stratified": "stratified_sample",
         "to-table": "sample_to_table", "stats": "get_sample_stats",
+        "shuffle": "corpus_shuffle",
     },
     "refresh-cascade": {
         "set": "set_auto_refresh", "plan": "get_refresh_plan",

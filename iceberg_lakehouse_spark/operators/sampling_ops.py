@@ -207,3 +207,80 @@ def sample_stats(full: DataFrame, sample: DataFrame) -> dict:
             }
     out["column_comparison"] = out["columns"]
     return out
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 7,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Reproducible global shuffle for training-epoch ordering.
+
+    Every row gets a ``shard`` in ``[0, n_shards)`` and a dense
+    1-based ``pos`` within its shard; reading shards in order (and
+    rows by ``pos`` within each) replays one fixed pseudorandom
+    permutation of the corpus — the same permutation on any cluster,
+    any partitioning, any Spark version, because both coordinates
+    derive only from ``md5(seed:id)``:
+
+      * ``shard = hash16 mod n_shards`` — an EXPLICIT modulo, not
+        ``repartitionByRange``'s sampled boundaries, so the shard
+        assignment is data-independent and cross-run stable;
+      * ``pos = row_number over (partition by shard order by
+        hash-hex, id)`` — per-shard windows run in parallel (one
+        shuffle keyed on the shard), nothing ever sees a global sort.
+
+    At 100 TB: the one shuffle moves each row once to its shard;
+    shards are written as separate partitions (see
+    ``shuffle_to_table``) so training readers stream shard files
+    sequentially.  Skew-free by construction (md5 is uniform).
+    Deleting/adding rows changes only positions in the affected
+    shards — re-shuffling an epoch is one job, no global state.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col)))
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_shuffle_key"), F.col(id_col))
+    )
+    return (
+        df.withColumn("_shuffle_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_shuffle_key")
+    )
+
+
+def shuffle_to_table(
+    catalog: LakehouseCatalog,
+    source: str,
+    target: str,
+    id_col: str,
+    seed: int = 7,
+    n_shards: int = 8,
+) -> dict:
+    """Materialize a deterministic epoch shuffle: the shuffled rows
+    land partitioned by ``shard`` (one directory per shard, rows
+    sorted by ``pos`` within each file) so a training loader reads
+    the permutation with zero further sorting."""
+    src = catalog.load_table(source)
+    shuffled = deterministic_shuffle(src.scan(), id_col, seed, n_shards)
+    t = catalog.create_table(
+        target,
+        shuffled.schema,
+        partition_by=["shard"],
+        properties={"write.sort.order": "pos"},
+    )
+    t.append(shuffled)
+    return {
+        "source": source,
+        "target": target,
+        "seed": seed,
+        "n_shards": n_shards,
+        "rows": t.scan().count(),
+    }

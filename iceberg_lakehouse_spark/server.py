@@ -2386,6 +2386,69 @@ class LakehouseServer:
             lambda table, sample_table: sample_stats(
                 T(table).scan(), T(sample_table).scan()),
         )
+        from .functions import importance as _imp
+        from .operators.sampling_ops import (
+            deterministic_shuffle as _det_shuffle,
+            shuffle_to_table as _shuffle_to_table,
+        )
+
+        self._add(
+            _tool("importance_score",
+                  "DSIR-style hashed n-gram importance: score every "
+                  "document's likeness to a target slice (SQL boolean "
+                  "predicate) via md5-bucketed bigram profiles — BIGINT "
+                  "deterministic scores, highest first",
+                  {"table": _S, "id_column": _S, "text_column": _S,
+                   "target_predicate": _S, "n_buckets": _I, "max_rows": _I},
+                  ["table", "id_column", "text_column", "target_predicate"]),
+            lambda table, id_column, text_column, target_predicate,
+                   n_buckets=256, max_rows=1000: rows_of(
+                _imp.hashed_ngram_importance(
+                    T(table).scan(), id_column, text_column,
+                    target_predicate, n_buckets,
+                ).orderBy(F.desc("importance_score"), id_column),
+                cap=max_rows,
+            ),
+        )
+        self._add(
+            _tool("importance_resample",
+                  "Keep the quota most-target-like documents by hashed "
+                  "n-gram importance (deterministic id tie-break) — the "
+                  "data-selection step between curation and training",
+                  {"table": _S, "id_column": _S, "text_column": _S,
+                   "target_predicate": _S, "quota": _I, "n_buckets": _I},
+                  ["table", "id_column", "text_column", "target_predicate",
+                   "quota"]),
+            lambda table, id_column, text_column, target_predicate, quota,
+                   n_buckets=256: rows_of(
+                _imp.importance_resample(
+                    T(table).scan(), id_column, text_column,
+                    target_predicate, quota, n_buckets,
+                ),
+                cap=quota,
+            ),
+        )
+        self._add(
+            _tool("corpus_shuffle",
+                  "Deterministic epoch shuffle: md5-keyed pseudorandom "
+                  "permutation with explicit hash-mod shards — same "
+                  "order on any cluster/partitioning. With target: land "
+                  "it as a table partitioned by shard, pos-sorted; "
+                  "without: preview the (shard, pos) assignment",
+                  {"table": _S, "id_column": _S, "seed": _I,
+                   "n_shards": _I, "target": _S, "max_rows": _I},
+                  ["table", "id_column"]),
+            lambda table, id_column, seed=7, n_shards=8, target=None,
+                   max_rows=100: (
+                _shuffle_to_table(c, table, target, id_column,
+                                  seed=seed, n_shards=n_shards)
+                if target else rows_of(
+                    _det_shuffle(T(table).scan(), id_column, seed, n_shards)
+                    .orderBy("shard", "pos"),
+                    cap=max_rows,
+                )
+            ),
+        )
 
         # -- auto-refresh --------------------------------------------------
         self._add(

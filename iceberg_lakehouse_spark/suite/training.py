@@ -7906,3 +7906,140 @@ def curated_multimodal_stream_landed(
             F.col("landed_streamed") == F.col("landed_batch"))
         .orderBy("modality", "item_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 14: hashed n-gram importance resampling (DSIR-style target-
+# likeness selection) + deterministic epoch shuffle — the two corpus-
+# construction steps between curation and the training loader.
+
+def _imp_nib(pos: int, e: str) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5({e}),{pos},1))-1)"
+
+
+def _imp_ctes(n_buckets: int = 256) -> str:
+    """Shared DuckDB CTE chain for the importance entries: same
+    bigrams-with-multiplicity, same md5 16-bit bucket, same BIGINT
+    add-one-smoothed fixed-point weights as functions/importance.py
+    (integer div — no floats anywhere, so the hash match is exact).
+    Grams/weights marked MATERIALIZED (FIXTURES.md: DuckDB re-inlines
+    chained CTEs exponentially otherwise)."""
+    bucket = (
+        f"((({_imp_nib(1, 'g')}*16+{_imp_nib(2, 'g')})*16"
+        f"+{_imp_nib(3, 'g')})*16+{_imp_nib(4, 'g')}) % {n_buckets}"
+    )
+    return f"""toks AS (
+  SELECT doc_id, source, lang,
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
+  FROM documents
+), grams AS MATERIALIZED (
+  SELECT doc_id, lang, {bucket} AS bucket
+  FROM (SELECT doc_id, lang,
+          unnest(CASE WHEN len(t) >= 2
+            THEN list_transform(generate_series(1, len(t)-1),
+                                i -> t[i] || ' ' || t[i+1])
+            ELSE [array_to_string(t, ' ')] END) AS g
+        FROM toks) u
+), wts AS MATERIALIZED (
+  SELECT bucket,
+         (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000000)
+           // (COUNT(*) + 1) AS weight
+  FROM grams GROUP BY bucket
+), scored AS MATERIALIZED (
+  SELECT d.doc_id, d.source, d.lang,
+         COALESCE(s.score, 0)::BIGINT AS importance_score
+  FROM documents d LEFT JOIN (
+    SELECT g.doc_id, SUM(w.weight) AS score
+    FROM grams g JOIN wts w USING (bucket) GROUP BY g.doc_id) s
+  USING (doc_id)
+)"""
+
+
+@register(
+    "hashed_ngram_importance_scores",
+    f"""WITH {_imp_ctes()}
+SELECT doc_id, source, lang, importance_score FROM scored
+ORDER BY doc_id""",
+    survey_ref="beyond-reference (r14): DSIR-style hashed n-gram "
+    "importance scoring (Xie et al. 2023) — target-distribution "
+    "likeness per document from md5-bucketed bigram profiles, BIGINT "
+    "fixed-point weights so the DuckDB unroll hash-matches exactly "
+    "(no logs, no floats); the corpus-selection knob that "
+    "mixture_weighted_corpus hand-sets, here measured from data",
+)
+def hashed_ngram_importance_scores(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by similarity to the English-language
+    target slice: two corpus passes (bucket profile, then a
+    broadcast-weight scoring join + per-doc sum), a 256-row control
+    plane between them — the TF-IDF profile-then-score shape, no
+    corpus-sized shuffle, 100 TB-safe (functions/importance.py)."""
+    from ..functions.importance import hashed_ngram_importance
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    return hashed_ngram_importance(
+        docs, "doc_id", "text", "lang = 'en'",
+        carry_cols=("source", "lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "importance_resampled_corpus",
+    f"""WITH {_imp_ctes()}
+SELECT doc_id, source, lang, importance_score FROM scored
+ORDER BY importance_score DESC, doc_id LIMIT 100""",
+    survey_ref="beyond-reference (r14): importance RESAMPLING — keep "
+    "the quota of most-target-like documents with a deterministic "
+    "id tie-break; compiles to TakeOrderedAndProject (per-partition "
+    "top-K heaps, no global sort), the bounded-quota selection path; "
+    "the score-threshold path for corpus-fraction quotas is "
+    "documented in functions/importance.py",
+)
+def importance_resampled_corpus(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step over the scores: top-100 target-like
+    documents, ordered exactly as the training-corpus manifest
+    would list them."""
+    from ..functions.importance import importance_resample
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    return importance_resample(
+        docs, "doc_id", "text", "lang = 'en'", quota=100,
+        carry_cols=("source", "lang"),
+    )
+
+
+@register(
+    "deterministic_corpus_shuffle",
+    f"""WITH keyed AS (
+  SELECT doc_id,
+         md5('7:' || doc_id::VARCHAR) AS k,
+         ((({_imp_nib(1, "'7:' || doc_id::VARCHAR")}*16
+            +{_imp_nib(2, "'7:' || doc_id::VARCHAR")})*16
+            +{_imp_nib(3, "'7:' || doc_id::VARCHAR")})*16
+            +{_imp_nib(4, "'7:' || doc_id::VARCHAR")}) % 8 AS shard
+  FROM documents
+)
+SELECT doc_id, shard::INT AS shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)::INT AS pos
+FROM keyed ORDER BY shard, pos""",
+    survey_ref="beyond-reference (r14): deterministic epoch shuffle — "
+    "md5-keyed pseudorandom permutation with EXPLICIT hash-mod shard "
+    "assignment (not repartitionByRange's sampled boundaries), so "
+    "the same permutation replays on any cluster; per-shard "
+    "row_number windows run in parallel, one shuffle total "
+    "(operators/sampling_ops.py, shuffle_to_table writer lands it "
+    "partitioned by shard, pos-sorted within files)",
+)
+def deterministic_corpus_shuffle(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training loader's epoch order: (shard, pos) coordinates of
+    one fixed md5 permutation of the corpus."""
+    from ..operators.sampling_ops import deterministic_shuffle
+
+    docs = load_sf_tables(spark, sf_dir)["documents"]
+    return (
+        deterministic_shuffle(docs, "doc_id", seed=7, n_shards=8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )

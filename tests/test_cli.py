@@ -170,3 +170,39 @@ def test_gated_embedding_command_executes(tmp_path, spark):
     assert res.exit_code == 0, res.output
     pairs = {(p["left_id"], p["right_id"]) for p in json.loads(res.output)}
     assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_importance_and_shuffle_commands(tmp_path, spark):
+    """r14: curate importance-score / resample and sample shuffle
+    through the CLI."""
+    from iceberg_lakehouse_spark.catalog import LakehouseCatalog
+
+    home = str(tmp_path)
+    cat = LakehouseCatalog(spark, f"{home}/warehouse")
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha beta", "tgt"),
+         (1, "alpha beta gamma", "tgt"),
+         (2, "alpha beta alpha", "raw"),
+         (3, "zeta eta theta iota", "raw")],
+        "doc_id LONG, text STRING, bucket_tag STRING")
+    t = cat.create_table("cli_imp_docs", docs.schema)
+    t.append(docs)
+    runner = CliRunner()
+    res = runner.invoke(cli, [
+        "--home", home, "curate", "resample",
+        "--table", "cli_imp_docs", "--id-column", "doc_id",
+        "--text-column", "text",
+        "--target-predicate", "bucket_tag = 'tgt'", "--quota", "2",
+    ])
+    assert res.exit_code == 0, res.output
+    assert len(json.loads(res.output)) == 2
+
+    res = runner.invoke(cli, [
+        "--home", home, "sample", "shuffle",
+        "--table", "cli_imp_docs", "--id-column", "doc_id",
+        "--n-shards", "2", "--max-rows", "10",
+    ])
+    assert res.exit_code == 0, res.output
+    rows = json.loads(res.output)
+    assert {r["doc_id"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["shard"] in (0, 1) for r in rows)

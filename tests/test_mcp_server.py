@@ -1068,3 +1068,75 @@ def test_curation_stream_tools(server, tmp_path):
     img = {r["modality"]: r for r in acct["per_modality"]}["image"]
     assert img["arrived"] == 8 and img["landed"] == landed
     assert acct["rows"][0]["modality"] == "image"
+
+
+def test_importance_tools(server):
+    """r14: DSIR-style importance scoring/resampling through the RPC
+    surface — target-vocabulary documents outrank disjoint ones, the
+    resampler honors quota + id tie-break."""
+    cat = server.catalog
+    spark = cat.spark
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha beta", "tgt"),
+         (1, "alpha beta gamma", "tgt"),
+         (2, "alpha beta alpha", "raw"),
+         (3, "zeta eta theta iota", "raw"),
+         (4, "omicron pi rho sigma", "raw")],
+        "doc_id LONG, text STRING, bucket_tag STRING")
+    t = cat.create_table("mcp_imp_docs", docs.schema)
+    t.append(docs)
+
+    is_err, rows, _ = call(server, "importance_score", {
+        "table": "mcp_imp_docs", "id_column": "doc_id",
+        "text_column": "text",
+        "target_predicate": "bucket_tag = 'tgt'",
+    })
+    assert not is_err and len(rows) == 5
+    scores = {r["doc_id"]: r["importance_score"] for r in rows}
+    # doc 2 shares the target's bigrams, docs 3/4 share none
+    assert scores[2] > scores[3] and scores[2] > scores[4]
+    # ordered highest-first
+    assert [r["importance_score"] for r in rows] == sorted(
+        scores.values(), reverse=True)
+
+    is_err, sel, _ = call(server, "importance_resample", {
+        "table": "mcp_imp_docs", "id_column": "doc_id",
+        "text_column": "text",
+        "target_predicate": "bucket_tag = 'tgt'", "quota": 3,
+    })
+    assert not is_err and len(sel) == 3
+    assert {r["doc_id"] for r in sel} <= set(scores)
+    assert {r["doc_id"] for r in sel} == set(
+        sorted(scores, key=lambda i: (-scores[i], i))[:3])
+
+
+def test_corpus_shuffle_tool(server):
+    """r14: deterministic epoch shuffle — preview mode returns the
+    (shard, pos) permutation, table mode lands it partitioned by
+    shard; both agree."""
+    cat = server.catalog
+    spark = cat.spark
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    t = cat.create_table("mcp_shuf_docs", docs.schema)
+    t.append(docs)
+
+    is_err, prev, _ = call(server, "corpus_shuffle", {
+        "table": "mcp_shuf_docs", "id_column": "doc_id",
+        "seed": 3, "n_shards": 4, "max_rows": 40,
+    })
+    assert not is_err and len(prev) == 40
+    assert {r["doc_id"] for r in prev} == set(range(40))
+    by_shard = {}
+    for r in prev:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    is_err, rep, _ = call(server, "corpus_shuffle", {
+        "table": "mcp_shuf_docs", "id_column": "doc_id",
+        "seed": 3, "n_shards": 4, "target": "mcp_shuf_landed",
+    })
+    assert not is_err and rep["rows"] == 40
+    landed = {(r["doc_id"], r["shard"], r["pos"])
+              for r in cat.load_table("mcp_shuf_landed").scan().collect()}
+    assert landed == {(r["doc_id"], r["shard"], r["pos"]) for r in prev}
