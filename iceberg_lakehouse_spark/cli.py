@@ -372,6 +372,7 @@ _TREE: dict[str, dict[str, str]] = {
         "accounting": "curation_accounting",
         "importance-score": "importance_score",
         "resample": "importance_resample",
+        "weights-build": "importance_weights_build",
     },
     "cdc": {
         "capture": "capture_changes", "log": "get_change_log",

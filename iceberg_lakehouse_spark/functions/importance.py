@@ -32,8 +32,8 @@ Engineering choices, in order of importance:
     plus one aggregation keyed on the document id.  No corpus-sized
     shuffle anywhere; at 100 TB both passes run at parquet-scan
     speed, exactly like the TF-IDF entry's profile-then-score shape.
-  * **md5 bucketing.**  ``conv(substring(md5(gram), 1, 2), 16, 10)``
-    gives 256 buckets from the first two hex nibbles — the same
+  * **md5 bucketing.**  ``conv(substring(md5(gram), 1, 4), 16, 10)
+    % n_buckets`` derives the bucket from the leading md5 hex — the same
     cross-engine-stable trick the MinHash/SimHash family uses
     (functions/dedup_text.py), so the oracle reproduces bucket ids
     bit-for-bit.
@@ -49,7 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup_text import _qname, tokens_col
+from .dedup_text import tokens_col
 
 #: Fixed-point scale for bucket weights (9 decimal digits, the repo's
 #: standard oracle fixed-point — see FIXTURES.md).
@@ -172,6 +172,30 @@ def hashed_ngram_importance(
                         *carry_cols)),
     )
     weights = importance_weights(grams, target_pred, n_buckets)
+    return score_against_weights(
+        docs, weights, id_col, text_col, n_buckets, carry_cols)
+
+
+def score_against_weights(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Apply a PRE-BUILT bucket-weights profile (``bucket``/``weight``
+    rows — from ``importance_weights`` or a persisted weights table)
+    to a corpus: one broadcast join + one uniform-key aggregation.
+
+    Splitting profile-building from scoring is the train-once /
+    apply-online shape: freeze the target profile as a table, then
+    score every new crawl batch (or streaming micro-batch) against it
+    without ever re-reading the target corpus — same discipline as
+    the pinned quality-model registry.  ``n_buckets`` must match the
+    profile's bucket count (grams are re-hashed here)."""
+    grams = hashed_gram_occurrences(
+        docs, id_col, text_col, n_buckets, *dict.fromkeys(carry_cols))
     return (
         grams.join(F.broadcast(weights.select("bucket", "weight")), "bucket")
         .groupBy(id_col, *carry_cols)
@@ -211,3 +235,48 @@ def _pred_cols(docs: DataFrame, pred: str, id_col: str) -> list[str]:
 
     toks = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", pred))
     return [c for c in docs.columns if c != id_col and c in toks]
+
+
+def persist_importance_weights(
+    catalog,
+    table_name: str,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: str,
+    n_buckets: int = 256,
+):
+    """Freeze a target profile as a LakeTable: one row per bucket
+    (``bucket``/``raw_cnt``/``target_cnt``/``weight``), the bucket
+    count and target predicate recorded as table properties so
+    apply-side callers can validate they re-hash the same way.
+
+    This is the "train" half of train-once / apply-online: the
+    target corpus is read exactly once, here; every later scoring
+    pass (batch backfill or streaming micro-batches, see
+    ``streaming.sink.importance_filter_stream_to_table``) broadcasts
+    these ≤ ``n_buckets`` rows and never touches the target corpus
+    again — the same discipline as the pinned quality-model
+    registry, with table snapshots giving profile versioning for
+    free."""
+    grams = hashed_gram_occurrences(
+        docs, id_col, text_col, n_buckets,
+        *dict.fromkeys(_pred_cols(docs, target_pred, id_col)),
+    )
+    weights = importance_weights(grams, target_pred, n_buckets)
+    t = catalog.create_table(
+        table_name,
+        [("bucket", "int"), ("raw_cnt", "long"),
+         ("target_cnt", "long"), ("weight", "long")],
+        properties={
+            "importance.n_buckets": str(n_buckets),
+            "importance.target_predicate": target_pred,
+        },
+    )
+    t.append(weights.select(
+        "bucket",
+        F.col("raw_cnt").cast("long"),
+        F.col("target_cnt").cast("long"),
+        F.col("weight").cast("long"),
+    ))
+    return t

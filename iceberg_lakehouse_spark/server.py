@@ -2429,6 +2429,31 @@ class LakehouseServer:
             ),
         )
         self._add(
+            _tool("importance_weights_build",
+                  "Freeze a hashed n-gram target profile as a weights "
+                  "table (train-once half of train-once/apply-online: "
+                  "batch backfills and the streaming importance filter "
+                  "score against it without re-reading the target "
+                  "corpus; snapshots version the profile)",
+                  {"table": _S, "weights_table": _S, "id_column": _S,
+                   "text_column": _S, "target_predicate": _S,
+                   "n_buckets": _I},
+                  ["table", "weights_table", "id_column", "text_column",
+                   "target_predicate"]),
+            lambda table, weights_table, id_column, text_column,
+                   target_predicate, n_buckets=256: (
+                lambda t: {
+                    "weights_table": weights_table,
+                    "n_buckets": n_buckets,
+                    "buckets": t.scan().count(),
+                    "nonzero_weights":
+                        t.scan().where("weight > 0").count(),
+                    "target_predicate": target_predicate,
+                })(_imp.persist_importance_weights(
+                    c, weights_table, T(table).scan(), id_column,
+                    text_column, target_predicate, n_buckets)),
+        )
+        self._add(
             _tool("corpus_shuffle",
                   "Deterministic epoch shuffle: md5-keyed pseudorandom "
                   "permutation with explicit hash-mod shards — same "

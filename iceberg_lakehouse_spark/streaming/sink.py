@@ -831,6 +831,78 @@ def quality_filter_stream_to_table(
     return writer.start()
 
 
+def importance_filter_stream_to_table(
+    stream: DataFrame,
+    table: LakeTable,
+    weights_table: LakeTable,
+    min_score: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_columns: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming DSIR-style importance filtering (round 14): score
+    each micro-batch against a PERSISTED hashed-n-gram target profile
+    (``functions.importance.persist_importance_weights``) and land
+    rows with ``importance_score >= min_score`` plus
+    ``importance_score`` / ``weights_snapshot`` provenance columns.
+
+    The apply-online half of train-once / apply-online: the target
+    corpus is never read here — the ≤ n_buckets profile rows are
+    pinned ONCE at wiring time (localCheckpoint, so a concurrent
+    profile rebuild cannot change a running stream's filtering
+    mid-flight — batch boundaries must not be an invisible profile
+    boundary; restart the stream to adopt a new profile, exactly like
+    the pinned quality-model sink above) and broadcast into every
+    batch's scoring join.  Per batch: one codegen gram explosion +
+    broadcast join + per-id sum — O(batch), no shuffle wider than the
+    batch, no Python.
+
+    ``min_score`` is an ABSOLUTE BIGINT cut for the same reason as
+    ``quality_filter_stream_to_table``'s: a batch-relative threshold
+    would drift with batch composition.  Pick it from
+    ``score_against_weights`` over a scored backfill (e.g. the
+    ``importance_score`` tool's output)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.importance import score_against_weights
+
+    n_buckets = int(
+        weights_table.properties().get("importance.n_buckets", "256"))
+    snap = weights_table.current_snapshot()
+    snap_id = snap.snapshot_id if snap is not None else -1
+    # pinned at wiring time: the profile rows, not the table ref
+    weights = (
+        weights_table.scan().select("bucket", "weight").localCheckpoint()
+    )
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = _collapse_batch(batch, [id_col])
+        scored = (
+            score_against_weights(
+                batch, weights, id_col, text_col, n_buckets)
+            .join(batch, id_col)
+            .where(F.col("importance_score") >= int(min_score))
+            .withColumn("weights_snapshot",
+                        F.lit(snap_id).cast("long"))
+        )
+        if key_columns:
+            existing = table.scan().select(*key_columns)
+            scored = scored.join(existing, key_columns, "left_anti")
+        if not scored.isEmpty():
+            table.append(scored)
+
+    writer = stream.writeStream.foreachBatch(land).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def curate_multimodal_stream_to_table(
     stream: DataFrame,
     table: LakeTable,

@@ -191,3 +191,77 @@ def test_shuffle_to_table_lands_sharded(spark, docs, tmp_warehouse):
     # landed partitioned by shard: partition stats list shard=N dirs
     parts = {p["partition"] for p in t.partition_stats()}
     assert parts == {f"_p_shard={r[1]}" for r in want}
+
+
+def test_persisted_weights_scoring_matches_direct(spark, docs, tmp_warehouse):
+    """Train-once/apply-online: scoring a corpus against the PERSISTED
+    profile equals the direct one-shot scorer bit-for-bit."""
+    from iceberg_lakehouse_spark.functions.importance import (
+        persist_importance_weights,
+        score_against_weights,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    wt = persist_importance_weights(
+        cat, "default.imp_w", docs, "doc_id", "text", "lang = 'en'")
+    assert wt.properties()["importance.n_buckets"] == "256"
+    assert wt.scan().count() == 256
+    direct = {r["doc_id"]: r["importance_score"]
+              for r in hashed_ngram_importance(
+                  docs, "doc_id", "text", "lang = 'en'").collect()}
+    applied = {r["doc_id"]: r["importance_score"]
+               for r in score_against_weights(
+                   docs, wt.scan(), "doc_id", "text").collect()}
+    assert applied == direct == _py_scores()
+
+
+def test_importance_filter_stream(spark, docs, tmp_warehouse, tmp_path):
+    """Streaming apply-online: micro-batches scored against the pinned
+    profile, only rows at/above the BIGINT cut land, provenance
+    records the profile snapshot, and a keyed replay lands nothing
+    twice."""
+    from pyspark.sql import types as T
+
+    from iceberg_lakehouse_spark.functions.importance import (
+        persist_importance_weights,
+    )
+    from iceberg_lakehouse_spark.streaming.sink import (
+        importance_filter_stream_to_table,
+    )
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    wt = persist_importance_weights(
+        cat, "default.sw", docs, "doc_id", "text", "lang = 'en'")
+    scores = _py_scores()
+    cut = sorted(scores.values())[3]  # exactly 3 docs fail
+    keep = {d for d, s in scores.items() if s >= cut}
+
+    landed = cat.create_table(
+        "default.imp_landed",
+        T.StructType.fromDDL(
+            "doc_id long, importance_score long, text string, "
+            "lang string, weights_snapshot long"))
+    src = str(tmp_path / "imp_src")
+    spark.createDataFrame(
+        DOCS, "doc_id LONG, text STRING, lang STRING").write.parquet(src)
+    q = importance_filter_stream_to_table(
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(src),
+        landed, wt, min_score=cut, key_columns=["doc_id"],
+        checkpoint_dir=str(tmp_path / "imp_ck"), available_now=True)
+    q.awaitTermination(180)
+    got = {r["doc_id"]: r for r in landed.scan().collect()}
+    assert set(got) == keep
+    snap_id = wt.current_snapshot().snapshot_id
+    assert all(r["importance_score"] == scores[d]
+               and r["weights_snapshot"] == snap_id
+               for d, r in got.items())
+
+    # fresh-checkpoint replay with key_columns: idempotent
+    q2 = importance_filter_stream_to_table(
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(src),
+        landed, wt, min_score=cut, key_columns=["doc_id"],
+        checkpoint_dir=str(tmp_path / "imp_ck2"), available_now=True)
+    q2.awaitTermination(180)
+    assert landed.scan().count() == len(keep)

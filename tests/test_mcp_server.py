@@ -1140,3 +1140,25 @@ def test_corpus_shuffle_tool(server):
     landed = {(r["doc_id"], r["shard"], r["pos"])
               for r in cat.load_table("mcp_shuf_landed").scan().collect()}
     assert landed == {(r["doc_id"], r["shard"], r["pos"]) for r in prev}
+
+
+def test_importance_weights_build_tool(server):
+    """r14: the train-once half through RPC — profile persisted with
+    bucket-count property, scoring tools stay consistent with it."""
+    cat = server.catalog
+    spark = cat.spark
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha", "tgt"), (1, "gamma delta", "raw")],
+        "doc_id LONG, text STRING, tag STRING")
+    t = cat.create_table("mcp_w_docs", docs.schema)
+    t.append(docs)
+    is_err, rep, _ = call(server, "importance_weights_build", {
+        "table": "mcp_w_docs", "weights_table": "mcp_w_profile",
+        "id_column": "doc_id", "text_column": "text",
+        "target_predicate": "tag = 'tgt'",
+    })
+    assert not is_err, rep
+    assert rep["buckets"] == 256 and rep["nonzero_weights"] >= 2
+    wt = cat.load_table("mcp_w_profile")
+    assert wt.properties()["importance.n_buckets"] == "256"
+    assert wt.properties()["importance.target_predicate"] == "tag = 'tgt'"
