@@ -280,6 +280,29 @@ SHOW = [
      "corpus cannot manufacture an ungated block-quadratic join: 20x "
      "stress fell 448.7s -> ~11s with all 380k planted pairs "
      "recovered."),
+    ("hashed_ngram_importance_scores",
+     "r14: DSIR-style importance scoring. Two corpus passes with a "
+     "256-row control plane between them: pass 1 folds the gram "
+     "explosion into bucket counts (partial+final hash aggregate — "
+     "the shuffle moves at most n_buckets rows per partition); the "
+     "weights table then enters BOTH joins as BroadcastExchange "
+     "(explicitly hinted — Catalyst sees 'aggregate over an exploded "
+     "corpus' and would pick a sort-merge join), so pass 2 is a "
+     "map-side join + one uniform-key per-doc sum. The corpus never "
+     "joins itself: doc-level columns ride the gram explosion into "
+     "the grouping key instead of a restoring self-join (pinned in "
+     "tests/test_importance.py::test_importance_plan_gates — exactly "
+     "two hash exchanges, no SMJ/NLJ/cartesian at any input)."),
+    ("deterministic_corpus_shuffle",
+     "r14: deterministic epoch shuffle. ONE hash exchange on the "
+     "explicit md5-mod shard key, per-shard row_number windows sort "
+     "in parallel; no joins, no global sort, and no "
+     "repartitionByRange (its sampled boundaries would make the "
+     "permutation run-dependent — partitioning-invariance is pinned "
+     "by test against a scrambled input). At 100 TB each row moves "
+     "once to its shard; shuffle_to_table lands shards as separate "
+     "partitions with pos-sorted files so training readers stream "
+     "the permutation with zero further sorting."),
 ]
 
 
