@@ -55,6 +55,17 @@ from .dedup_text import tokens_col
 #: standard oracle fixed-point — see FIXTURES.md).
 WEIGHT_SCALE = 1_000_000_000
 
+#: Largest per-bucket gram count the BIGINT weight arithmetic can
+#: scale without wrapping (int64 max div WEIGHT_SCALE ≈ 9.2e9).  The
+#: weights expression raises loudly past it instead of silently
+#: inverting the selection (non-ANSI Spark wraps multiplication, so
+#: the hottest target buckets would get the most NEGATIVE weights and
+#: ``importance_resample`` would keep the LEAST target-like docs).
+#: Size ``n_buckets`` so buckets stay under the bound: a 100 TB
+#: corpus is ~2e13 bigram occurrences, so 4096+ buckets keeps even a
+#: pathologically hot bucket orders of magnitude clear of it.
+MAX_SAFE_BUCKET_COUNT = (2**63 - 1) // WEIGHT_SCALE
+
 
 def word_bigrams_col(text: F.Column | str) -> F.Column:
     """All consecutive word-pair grams of ``text`` WITH multiplicity
@@ -139,8 +150,15 @@ def importance_weights(
             F.coalesce("raw_cnt", F.lit(0)).alias("raw_cnt"),
             F.coalesce("target_cnt", F.lit(0)).alias("target_cnt"),
             F.expr(
-                f"coalesce(target_cnt, 0) * CAST({WEIGHT_SCALE} AS BIGINT)"
-                " div (coalesce(raw_cnt, 0) + 1)"
+                f"CASE WHEN coalesce(target_cnt, 0)"
+                f" > {MAX_SAFE_BUCKET_COUNT} THEN"
+                " raise_error(concat('importance bucket count ',"
+                " CAST(target_cnt AS STRING),"
+                " ' overflows the BIGINT weight scale —"
+                " increase n_buckets'))"
+                f" ELSE coalesce(target_cnt, 0)"
+                f" * CAST({WEIGHT_SCALE} AS BIGINT)"
+                " div (coalesce(raw_cnt, 0) + 1) END"
             ).alias("weight"),
         )
     )

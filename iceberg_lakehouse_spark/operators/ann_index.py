@@ -442,7 +442,7 @@ def ann_recall_sample(
     catalog: LakehouseCatalog,
     name: str,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     sample: int = 8,
 ) -> dict:
     """MEASURED routing recall@k for the plain IVF index (r10, the
@@ -459,6 +459,14 @@ def ann_recall_sample(
     from pyspark.sql import Window
 
     at, _ct, _n, _dim = _load(catalog, name)
+    # nprobe=None resolves to the PINNED width, exactly like the
+    # production probe — a recall floor measured at a narrower width
+    # than production probes actually use would fire rebuilds the
+    # users never experience (r14 review: the auto_rebuild_index /
+    # auto_tune_nprobe combination churned on this). Old behavior
+    # (fixed width 2) is still available by passing nprobe=2.
+    if nprobe is None:
+        nprobe = int(at.properties().get("ivf.nprobe", 2))
     space = at.scan().select("id", F.col("vec").alias("_v")).persist()
     try:
         qrows = (

@@ -515,7 +515,7 @@ def ivfpq_recall_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     sample: int = 8,
     refine_factor: int = 4,
 ) -> dict:
@@ -546,6 +546,12 @@ def ivfpq_recall_sample(
     from pyspark.sql import Window
 
     at, ct, bt, _n, m, _k, _dim = _load(catalog, name)
+    # nprobe=None resolves to the PINNED width, matching the
+    # production probe's default — a recall floor measured narrower
+    # than production would fire rebuilds users never experience
+    # (r14 review: auto_rebuild_index + auto_tune_nprobe churned).
+    if nprobe is None:
+        nprobe = int(at.properties().get("ivfpq.nprobe", 2))
     if corpus_df is not None:
         space = corpus_df.select(
             F.col(id_col).cast("long").alias("id"),

@@ -231,12 +231,17 @@ def deterministic_shuffle(
         hash-hex, id)`` — per-shard windows run in parallel (one
         shuffle keyed on the shard), nothing ever sees a global sort.
 
-    At 100 TB: the one shuffle moves each row once to its shard;
-    shards are written as separate partitions (see
-    ``shuffle_to_table``) so training readers stream shard files
-    sequentially.  Skew-free by construction (md5 is uniform).
-    Deleting/adding rows changes only positions in the affected
-    shards — re-shuffling an epoch is one job, no global state.
+    The scale contract: each shard is numbered by ONE window task, so
+    ``n_shards`` is the parallelism unit and must scale with the
+    corpus — size it so one shard ≈ one training file (hundreds of MB
+    to a few GB: ``corpus_bytes / target_file_bytes``), exactly the
+    granularity a training loader wants anyway.  At 100 TB that is
+    O(100k) shards → O(100k) parallel window tasks of a few hundred
+    MB each, one shuffle total; the default of 8 is a small-data
+    convenience, NOT a 100 TB setting.  Skew-free by construction
+    (md5 is uniform).  Deleting/adding rows changes only positions in
+    the affected shards — re-shuffling an epoch is one job, no global
+    state.
     """
     from pyspark.sql import Window
 
@@ -265,16 +270,28 @@ def shuffle_to_table(
     n_shards: int = 8,
 ) -> dict:
     """Materialize a deterministic epoch shuffle: the shuffled rows
-    land partitioned by ``shard`` (one directory per shard, rows
-    sorted by ``pos`` within each file) so a training loader reads
-    the permutation with zero further sorting."""
+    land partitioned by ``shard`` — ONE pos-sorted file per shard —
+    so a training loader reads the permutation with zero further
+    sorting.
+
+    The file layout needs ``write.distribution.mode=hash`` WITH the
+    sort order: the hash branch clusters each shard into one task and
+    sorts (shard, pos) within it, so the written file is genuinely
+    pos-ordered.  Sort-order alone would range-shuffle on ``pos``
+    (each task holding a pos-slice of EVERY shard) and leave the
+    in-file order to the file writer's own partition sort — the
+    pos-sorted promise would silently not hold (r14 review).  One
+    task per shard is the same sizing contract as the numbering
+    window: ``n_shards`` scales with the corpus so a shard is one
+    training-file-sized unit."""
     src = catalog.load_table(source)
     shuffled = deterministic_shuffle(src.scan(), id_col, seed, n_shards)
     t = catalog.create_table(
         target,
         shuffled.schema,
         partition_by=["shard"],
-        properties={"write.sort.order": "pos"},
+        properties={"write.sort.order": "pos",
+                    "write.distribution.mode": "hash"},
     )
     t.append(shuffled)
     return {

@@ -1497,10 +1497,18 @@ class LakehouseServer:
             if checkpoint_dir is None:
                 # one checkpoint lineage per curated table: repeat
                 # calls resume the same batch_id identity, so replays
-                # reconcile exactly (see the sink's accounting notes)
+                # reconcile exactly (see the sink's accounting notes).
+                # The readable prefix is NOT collision-free ('a-b' and
+                # 'a_b' both squash to 'a_b' — the second table would
+                # silently resume the first's FileStreamSource log and
+                # skip its input), so the exact name is hashed in.
+                import hashlib as _hl
+
                 safe = "".join(
                     ch if ch.isalnum() else "_" for ch in table)
-                checkpoint_dir = self._store(f"curation_ckpt_{safe}")
+                tag = _hl.md5(table.encode()).hexdigest()[:8]
+                checkpoint_dir = self._store(
+                    f"curation_ckpt_{safe}_{tag}")
             q = curate_multimodal_stream_to_table(
                 self.spark.readStream.schema(CURATED_SCHEMA)
                 .parquet(source_dir),
@@ -2416,16 +2424,21 @@ class LakehouseServer:
                   "n-gram importance (deterministic id tie-break) — the "
                   "data-selection step between curation and training",
                   {"table": _S, "id_column": _S, "text_column": _S,
-                   "target_predicate": _S, "quota": _I, "n_buckets": _I},
+                   "target_predicate": _S, "quota": _I, "n_buckets": _I,
+                   "max_rows": _I},
                   ["table", "id_column", "text_column", "target_predicate",
                    "quota"]),
+            # the RPC response is capped like every row-returning tool
+            # (an uncapped quota-sized collect is a driver-memory risk);
+            # quota-scale selections land via sample_to_table-style
+            # materialization, not a tool payload
             lambda table, id_column, text_column, target_predicate, quota,
-                   n_buckets=256: rows_of(
+                   n_buckets=256, max_rows=1000: rows_of(
                 _imp.importance_resample(
                     T(table).scan(), id_column, text_column,
                     target_predicate, quota, n_buckets,
                 ),
-                cap=quota,
+                cap=min(int(quota), int(max_rows)),
             ),
         )
         self._add(

@@ -880,7 +880,13 @@ def importance_filter_stream_to_table(
     def land(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        batch = _collapse_batch(batch, [id_col])
+        # pin the bounded collapsed batch once: it feeds the scoring
+        # explosion AND the restoring join, and the emptiness peek +
+        # append are two actions — without this the micro-batch read
+        # and the collapse groupBy re-execute per consumer per action
+        # (the exact cost r13 VERDICT #4 removed from the media/video
+        # landing bodies)
+        batch = _collapse_batch(batch, [id_col]).localCheckpoint()
         scored = (
             score_against_weights(
                 batch, weights, id_col, text_col, n_buckets)
@@ -892,6 +898,7 @@ def importance_filter_stream_to_table(
         if key_columns:
             existing = table.scan().select(*key_columns)
             scored = scored.join(existing, key_columns, "left_anti")
+        scored = scored.localCheckpoint()
         if not scored.isEmpty():
             table.append(scored)
 

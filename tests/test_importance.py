@@ -191,6 +191,24 @@ def test_shuffle_to_table_lands_sharded(spark, docs, tmp_warehouse):
     # landed partitioned by shard: partition stats list shard=N dirs
     parts = {p["partition"] for p in t.partition_stats()}
     assert parts == {f"_p_shard={r[1]}" for r in want}
+    # the layout promise (r14 review): ONE file per shard, and the
+    # rows INSIDE each file are pos-ascending as written — read each
+    # data file raw (no sort) and check physical order
+    import duckdb as _dk
+    import os as _os
+
+    snap = t.current_snapshot()
+    by_shard: dict[str, list[str]] = {}
+    for f in snap.files:
+        d = [p for p in f.split(_os.sep) if p.startswith("_p_shard=")][0]
+        by_shard.setdefault(d, []).append(f)
+    assert all(len(v) == 1 for v in by_shard.values()), by_shard
+    con = _dk.connect()
+    for d, fs in by_shard.items():
+        path = _os.path.join(t.root, fs[0])
+        poss = [r[0] for r in con.execute(
+            f"SELECT pos FROM '{path}'").fetchall()]
+        assert poss == sorted(poss) and poss[0] == 1, (d, poss)
 
 
 def test_persisted_weights_scoring_matches_direct(spark, docs, tmp_warehouse):
@@ -265,3 +283,17 @@ def test_importance_filter_stream(spark, docs, tmp_warehouse, tmp_path):
         checkpoint_dir=str(tmp_path / "imp_ck2"), available_now=True)
     q2.awaitTermination(180)
     assert landed.scan().count() == len(keep)
+
+
+def test_weight_overflow_raises_loudly(spark, docs, monkeypatch):
+    """r14 review: past ~9.2e9 gram occurrences per bucket the BIGINT
+    weight multiply would wrap negative under non-ANSI Spark and
+    silently INVERT the selection — the expression must raise
+    instead (threshold shrunk via monkeypatch to trigger on toy
+    data)."""
+    import iceberg_lakehouse_spark.functions.importance as imp
+
+    monkeypatch.setattr(imp, "MAX_SAFE_BUCKET_COUNT", 1)
+    with pytest.raises(Exception, match="overflows the BIGINT weight"):
+        imp.hashed_ngram_importance(
+            docs, "doc_id", "text", "lang = 'en'").collect()

@@ -825,3 +825,47 @@ def test_auto_tune_nprobe_policy(spark, tmp_warehouse, tmp_path):
     assert not mm_.check_needed(qidx)["needs_nprobe_tune"]
     top = ivfpq.probe_ivfpq_index(cat, "default.tnq", q, k=3).collect()
     assert len(top) == 3
+
+
+def test_recall_samplers_measure_at_pinned_width(
+        spark, tmp_warehouse, tmp_path):
+    """r14 review: the auto_rebuild_index recall floor must be
+    measured at the SAME probe width production uses — with a pinned
+    ivf.nprobe, the samplers' default resolves to it (not the old
+    fixed 2), so auto_tune_nprobe + auto_rebuild_index can't churn
+    (tune meets the target at width 6, floor measured at width 2
+    fires a pointless rebuild every cycle)."""
+    import math
+
+    from iceberg_lakehouse_spark.operators import ivfpq
+
+    cat = LakehouseCatalog(spark, tmp_warehouse)
+    vecs = [(i, [math.sin(i * 1.7 + d) for d in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    t = cat.create_table("default.rsw_vecs", df.schema)
+    t.append(df)
+
+    ai.build_ann_index(cat, "default.rsw", t.scan(), "vec_id",
+                       "embedding", n_cells=4, kmeans_iters=2)
+    idx = cat.load_table("default.rsw")
+    # unpinned: default stays the historical width 2
+    assert ai.ann_recall_sample(cat, "default.rsw", sample=4)["nprobe"] == 2
+    idx.set_properties({"ivf.nprobe": "4"})
+    rec = ai.ann_recall_sample(cat, "default.rsw", sample=4)
+    assert rec["nprobe"] == 4
+    # full width on a 4-cell index is exhaustive: recall is exact
+    assert rec["recall_at_k"] == 1.0
+    # explicit width still overrides
+    assert ai.ann_recall_sample(
+        cat, "default.rsw", sample=4, nprobe=1)["nprobe"] == 1
+
+    ivfpq.build_ivfpq_index(cat, "default.rswq", t.scan(), "vec_id",
+                            "embedding", n_cells=4, m=4, ksub=8,
+                            kmeans_iters=1)
+    qidx = cat.load_table("default.rswq")
+    assert ivfpq.ivfpq_recall_sample(
+        cat, "default.rswq", sample=4)["nprobe"] == 2
+    qidx.set_properties({"ivfpq.nprobe": "3"})
+    assert ivfpq.ivfpq_recall_sample(
+        cat, "default.rswq", sample=4)["nprobe"] == 3
