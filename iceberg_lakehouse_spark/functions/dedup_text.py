@@ -246,7 +246,23 @@ def minhash_signatures(
     chunk of md5('{i//4}:'||shingle) (lexicographic min of fixed-width
     hex == numeric min). 4x less digest CPU than one md5 per hash, and
     the signature shrinks from 32 to 8 chars per column (4x smaller
-    shuffle + band keys)."""
+    shuffle + band keys).
+
+    r14 (optimization guide §2.3/§3.1 "pick the operator"): the MIN
+    aggregation runs over BIGINT, not the hex string. min(string) has a
+    string aggregation buffer, which HashAggregate cannot hold, so
+    Catalyst planned the whole signature pass as Sort + SortAggregate
+    over every exploded shingle row — the most expensive sort in the
+    suite. Because the 8-hex-char chunk is fixed-width lowercase hex,
+    lexicographic min == numeric min of its 32-bit value, so we
+    aggregate min(conv(chunk,16,10)::bigint) — a primitive buffer that
+    HashAggregate + whole-stage codegen handle with map-side combine —
+    and rebuild the EXACT original string per group afterwards with
+    lpad(lower(hex(v)),8,'0') (one row per doc, not per shingle).
+    Null algebra is unchanged: conv/cast are null-preserving, min
+    ignores nulls on both paths, an all-null group stays null.
+    Measured at sf0.1: SortAggregate×4 → HashAggregate×2 in the plan;
+    the shuffle carries 16×8-byte longs per doc instead of 16 strings."""
     _check_cols(df, id_col, text_col)
     df = _widen_if_narrow(df)
     exploded = df.selectExpr(
@@ -254,12 +270,18 @@ def minhash_signatures(
     )
     aggs = [
         F.expr(
-            f"min(substring(md5(concat('{i // 4}:', shingle)), "
-            f"{1 + 8 * (i % 4)}, 8)) AS h{i}"
+            f"min(cast(conv(substring(md5(concat('{i // 4}:', shingle)), "
+            f"{1 + 8 * (i % 4)}, 8), 16, 10) AS bigint)) AS _n{i}"
         )
         for i in range(k)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return exploded.groupBy(id_col).agg(*aggs).select(
+        id_col,
+        *[
+            F.expr(f"lpad(lower(hex(_n{i})), 8, '0') AS h{i}")
+            for i in range(k)
+        ],
+    )
 
 
 def _banded_keys(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
@@ -599,10 +621,25 @@ def simhash64(
         hashes = f"transform({_tokens_sql(text_col)}, t -> xxhash64(t))"
         bit = "getbit(h, p)"
     elif hash_fn == "md5":
-        hashes = f"transform({_tokens_sql(text_col)}, t -> md5(t))"
+        # r14 (guide §1.2 "per-task work"): the old form parsed ONE HEX
+        # CHAR PER BIT — conv(substring(h, p/4+1, 1)) inside the 64-way
+        # bit transform, i.e. 64 string-parses per token. Here the 16
+        # hex chars are packed ONCE per token into two 32-bit halves
+        # (2 convs) and each bit reads off the packed integer. Bit
+        # algebra: hex digit i (1-based) of half 1 occupies bits
+        # [4*(8-i), 4*(8-i)+3] of conv(substring(h,1,8)), so bit
+        # (p % 4) of digit floor(p/4)+1 is bit
+        # 28 - 4*floor((p % 32)/4) + p % 4 of the (p < 32 ? first :
+        # second) half — the SAME bit value, hence an identical
+        # fingerprint (oracle hash unchanged).
+        hashes = (
+            f"transform({_tokens_sql(text_col)}, t -> named_struct("
+            "'h1', cast(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), "
+            "'h2', cast(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT)))"
+        )
         bit = (
-            "getbit(cast(conv(substring(h, "
-            "cast(floor(p / 4) + 1 AS INT), 1), 16, 10) AS BIGINT), p % 4)"
+            "getbit(IF(p < 32, h.h1, h.h2), "
+            "28 - 4 * CAST((p % 32) div 4 AS INT) + CAST(p % 4 AS INT))"
         )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|md5)")

@@ -73,17 +73,46 @@ def _vec_sql(vec: list[float]) -> str:
     )
 
 
+def _py_l2(vec: list[float]) -> float:
+    """Driver-side L2 norm of a CONSTANT vector, bit-identical to the
+    ``l2_norm``/``_l2_sql`` fold (r14, guide §2.3 "don't recompute
+    constants per row"): same IEEE double op sequence — products left
+    to right, accumulated from 0.0, then sqrt — so substituting the
+    result as a literal changes nothing in any similarity value. Lets
+    query/centroid norms be computed ONCE on the driver instead of one
+    interpreted higher-order-function fold per data row."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _cosine_sql_to_const(vec_col: str, query_vec: list[float]) -> str:
+    """``_cosine_sql`` against a constant vector with the constant's
+    norm pre-folded on the driver (bit-identical, see ``_py_l2``) —
+    one array fold per row instead of two."""
+    q = _vec_sql(query_vec)
+    qn = _py_l2(query_vec)
+    return (
+        f"({_dot_sql(vec_col, q)} / "
+        f"({_l2_sql(vec_col)} * CAST({qn!r} AS DOUBLE)))"
+    )
+
+
 def knn_bruteforce(
     df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
 ) -> DataFrame:
     """Exact top-k by cosine against a literal query vector. The query
     is a broadcast literal; the scan is map-only; top-k is
-    TakeOrdered (no global sort materialization)."""
-    q = _vec_sql(query_vec)
+    TakeOrdered (no global sort materialization). The query norm is a
+    pre-folded literal (``_py_l2`` — bit-identical)."""
     return (
         df.selectExpr(
             id_col,
-            f"round({_cosine_sql(vec_col, q)}, 6) AS cosine_sim",
+            f"round({_cosine_sql_to_const(vec_col, query_vec)}, 6)"
+            " AS cosine_sim",
         )
         .orderBy(F.desc("cosine_sim"), id_col)
         .limit(k)
@@ -115,9 +144,19 @@ def build_ivf_index(
         {"cell": i, "vec": [float(x) for x in r[vec_col]]} for i, r in enumerate(cents)
     ]
     for _ in range(kmeans_iters):
+        # row norm projected once and REFERENCED by every per-centroid
+        # term (r14): CollapseProject keeps a non-cheap alias that is
+        # referenced multiple times, so the fold runs once per row, not
+        # once per centroid; centroid norms fold on the driver
+        # (_py_l2, bit-identical)
         assigned = df.select(
-            _nearest_cell(F.col(vec_col), centroids).alias("cell"),
             F.col(vec_col).alias("_v"),
+            l2_norm(F.col(vec_col)).alias("_vn"),
+        ).select(
+            _nearest_cell(
+                F.col("_v"), centroids, nrm=F.col("_vn")
+            ).alias("cell"),
+            F.col("_v"),
         )
         means = (
             assigned.select("cell", F.posexplode("_v").alias("dim", "x"))
@@ -132,17 +171,37 @@ def build_ivf_index(
             if c["cell"] in by_cell:
                 dims = by_cell[c["cell"]]
                 c["vec"] = [float(dims[d]) for d in sorted(dims)]
-    assigned = df.withColumn("cell", _nearest_cell(F.col(vec_col), centroids))
+    assigned = (
+        df.withColumn("_vn_ivf", l2_norm(F.col(vec_col)))
+        .withColumn(
+            "cell",
+            _nearest_cell(F.col(vec_col), centroids, nrm=F.col("_vn_ivf")),
+        )
+        .drop("_vn_ivf")
+    )
     return assigned, centroids
 
 
-def _nearest_cell(vec: F.Column, centroids: list[dict]) -> F.Column:
+def _nearest_cell(
+    vec: F.Column, centroids: list[dict], nrm: F.Column | None = None
+) -> F.Column:
     """argmax-cosine over broadcast centroid literals, as one expression:
-    array of (sim, cell) structs → array_max → .cell"""
+    array of (sim, cell) structs → array_max → .cell.
+
+    ``nrm``: the row's pre-projected L2 norm. When given, each
+    per-centroid term is dot/(nrm × driver-folded centroid norm) — the
+    same IEEE ops as ``cosine`` (division by the (row_norm × cent_norm)
+    product, in that order), with the row fold evaluated once per row
+    and the centroid folds once total instead of once per row×centroid."""
     pairs = F.array(
         *[
             F.struct(
-                cosine(vec, F.array(*[F.lit(x) for x in c["vec"]])).alias("sim"),
+                (
+                    cosine(vec, F.array(*[F.lit(x) for x in c["vec"]]))
+                    if nrm is None
+                    else dot(vec, F.array(*[F.lit(x) for x in c["vec"]]))
+                    / (nrm * F.lit(_py_l2(c["vec"])))
+                ).alias("sim"),
                 F.lit(c["cell"]).alias("cell"),
             )
             for c in centroids
@@ -174,7 +233,11 @@ def ivf_search(
         for c in sorted(centroids, key=lambda c: -cos_py(c["vec"], query_vec))[:nprobe]
     ]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    sim = cosine(F.col(vec_col), q)
+    # query norm pre-folded on the driver (r14, bit-identical _py_l2):
+    # the per-row work is one dot fold + the row's own norm, not three
+    sim = dot(F.col(vec_col), q) / (
+        l2_norm(F.col(vec_col)) * F.lit(_py_l2(query_vec))
+    )
     return (
         assigned.where(F.col("cell").isin(probe))  # cell pruning = partition pruning
         .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
@@ -209,19 +272,29 @@ def cosine_near_dup_pairs(
     """Embedding near-duplicate pairs above a cosine threshold.
     ``block_col`` (e.g. an LSH sketch or cluster label) bounds the join:
     only same-block pairs are compared — the difference between O(n²)
-    and O(Σ block²) at 100 TB."""
+    and O(Σ block²) at 100 TB.
+
+    r14 (guide §1.2 "per-task work"): each side's L2 norm is projected
+    ONCE PER ROW below the join instead of being re-folded inside
+    ``cosine`` once per PAIR — a block of m vectors pays m norm folds
+    instead of 2m², while the join carries one extra double per side.
+    Bit-identical: the same ``sqrt(aggregate(...))`` expression over
+    the same values, and the denominator keeps the (left × right)
+    multiplication order of ``cosine``."""
     a = df.select(
         F.col(id_col).alias("left_id"),
         F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     b = df.select(
         F.col(id_col).alias("right_id"),
         F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     joined = a.join(b, ["blk"]) if block_col else a.crossJoin(b)
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return (
         joined.where(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id", F.round(sim, 6).alias("cosine_sim"))
@@ -560,22 +633,34 @@ def diverse_exemplars(
         assigned, centroids = build_ivf_index(
             src, id_col, vec_col, n_cells=k, kmeans_iters=kmeans_iters,
         )
+        # r14: centroid norms folded once on the driver (_py_l2 —
+        # bit-identical to the in-plan fold) and carried as a column of
+        # the k-row broadcast side; each corpus row pays one dot fold +
+        # its own norm instead of three folds (guide §1.2).
         cent_df = df.sparkSession.createDataFrame(
-            [(int(c["cell"]), [float(x) for x in c["vec"]])
+            [(int(c["cell"]), [float(x) for x in c["vec"]],
+              _py_l2([float(x) for x in c["vec"]]))
              for c in centroids],
-            "cell long, _cvec array<double>",
+            "cell long, _cvec array<double>, _cnrm double",
         )
-        sim = F.round(cosine(F.col(vec_col), F.col("_cvec")), 9)
+        sim = F.round(
+            dot(F.col(vec_col), F.col("_cvec"))
+            / (l2_norm(F.col(vec_col)) * F.col("_cnrm")), 9)
         out = (
             assigned.join(F.broadcast(cent_df), "cell")
+            # project the similarity ONCE per row: both aggregate
+            # expressions below reference the alias, not the fold —
+            # previously each of max_by and max re-evaluated the full
+            # cosine per row (r14, guide §1.2; value-identical)
+            .select("cell", F.col(id_col), sim.alias("_sim"))
             .groupBy("cell")
             .agg(
                 F.max_by(
                     F.col(id_col),
-                    F.struct(sim.alias("s"),
+                    F.struct(F.col("_sim").alias("s"),
                              (-F.col(id_col).cast("double")).alias("nid")),
                 ).alias("id"),
-                F.round(F.max(sim), 6).alias("centroid_sim"),
+                F.round(F.max("_sim"), 6).alias("centroid_sim"),
                 F.count(F.lit(1)).alias("n_covered"),
             )
             .select(

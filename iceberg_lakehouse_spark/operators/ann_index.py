@@ -45,7 +45,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import LakehouseCatalog, LakeTable
-from ..functions.similarity import _nearest_cell, build_ivf_index, cosine
+from ..functions.similarity import (
+    _nearest_cell,
+    _py_l2,
+    build_ivf_index,
+    cosine,
+    dot,
+    l2_norm,
+)
 from .dedup_index import _check_id_type
 
 _PROPS = ("ivf.n_cells", "ivf.dim", "ivf.metric")
@@ -166,13 +173,24 @@ def extend_ann_index(
         {"cell": int(r["cell"]), "vec": [float(x) for x in r["vec"]]}
         for r in ct.scan().collect()
     ]
-    rows = new_df.select(
-        F.col(id_col).cast("long").alias("id"),
-        _nearest_cell(F.col(vec_col).cast("array<double>"), centroids)
-        .cast("long")
-        .alias("cell"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).persist()
+    rows = (
+        new_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        # row norm projected once; referenced by every per-centroid
+        # term of the argmax (r14 hoist, bit-identical — see
+        # _nearest_cell)
+        .withColumn("_vn", l2_norm(F.col("vec")))
+        .select(
+            "id",
+            _nearest_cell(F.col("vec"), centroids, nrm=F.col("_vn"))
+            .cast("long")
+            .alias("cell"),
+            "vec",
+        )
+        .persist()
+    )
     try:
         n_rows = rows.count()
         at.append(rows)
@@ -220,9 +238,15 @@ def probe_ann_index(
     )[:nprobe]
     cells = ", ".join(str(int(r["cell"])) for r in probe)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
+    # r14: the query norm is a driver-folded literal (_py_l2 —
+    # bit-identical to the in-plan fold); each probed row pays one dot
+    # fold + its own norm instead of three folds (guide §1.2).
+    sim = dot(F.col("vec"), q) / (
+        l2_norm(F.col("vec")) * F.lit(_py_l2(query_vec))
+    )
     return (
         at.scan(filter=f"cell IN ({cells})")
-        .select("id", F.round(cosine(F.col("vec"), q), 6).alias("cosine_sim"))
+        .select("id", F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), "id")
         .limit(k)
     )
@@ -350,8 +374,13 @@ def rebalance_ann_index(
             continue  # degenerate single-row cell slipped the n>=2 gate
         for _ in range(max(kmeans_iters, 0)):
             assigned = cell_rows.select(
-                _nearest_cell(F.col("vec"), cents).alias("sub"),
                 F.col("vec").alias("_v"),
+                l2_norm(F.col("vec")).alias("_vn"),
+            ).select(
+                _nearest_cell(
+                    F.col("_v"), cents, nrm=F.col("_vn")
+                ).alias("sub"),
+                F.col("_v"),
             )
             means = (
                 assigned.select("sub", F.posexplode("_v").alias("dim", "x"))
@@ -369,14 +398,23 @@ def rebalance_ann_index(
         new_id = next_cell
         # reassign BEFORE mutating: the df is bound to the pinned
         # snapshot's files, which CoW leaves on disk
-        reassigned = cell_rows.select(
-            "id",
-            F.when(_nearest_cell(F.col("vec"), cents) == 1, F.lit(new_id))
-            .otherwise(F.lit(c))
-            .cast("long")
-            .alias("cell"),
-            "vec",
-        ).persist()
+        reassigned = (
+            cell_rows.withColumn("_vn", l2_norm(F.col("vec")))
+            .select(
+                "id",
+                F.when(
+                    _nearest_cell(
+                        F.col("vec"), cents, nrm=F.col("_vn")
+                    ) == 1,
+                    F.lit(new_id),
+                )
+                .otherwise(F.lit(c))
+                .cast("long")
+                .alias("cell"),
+                "vec",
+            )
+            .persist()
+        )
         try:
             half = {int(r["cell"]): int(r["n"]) for r in
                     reassigned.groupBy("cell")
@@ -478,8 +516,13 @@ def ann_recall_sample(
         if not queries:
             return {"k": k, "nprobe": nprobe, "sample": 0,
                     "recall_at_k": None, "per_query": {}}
+        # r14: per-query norms folded once on the driver (_py_l2 —
+        # bit-identical to the in-plan fold) and carried as a column,
+        # so the exact pass pays one dot fold + the data row's own
+        # norm per (row, query) instead of three folds (guide §1.2).
         qdf = catalog.spark.createDataFrame(
-            queries, "qid long, qv array<double>")
+            [(qid, qv, _py_l2(qv)) for qid, qv in queries],
+            "qid long, qv array<double>, qn double")
         # rank ground truth EXACTLY like the probe ranks (round to
         # 6 dp, id tiebreak) — unrounded ranking reported spurious
         # recall misses on 6-dp ties at the rank-k boundary (r10
@@ -489,8 +532,9 @@ def ann_recall_sample(
         exact_rows = (
             space.crossJoin(F.broadcast(qdf))  # sample-row broadcast
             .select("qid", "id",
-                    F.round(cosine(F.col("_v"),
-                                   F.col("qv")), 6).alias("_s"))
+                    F.round(dot(F.col("_v"), F.col("qv"))
+                            / (l2_norm(F.col("_v")) * F.col("qn")),
+                            6).alias("_s"))
             .withColumn("_rk", F.row_number().over(wn))
             .where(F.col("_rk") <= k)
             .select("qid", "id")

@@ -55,7 +55,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import LakehouseCatalog, LakeTable
-from ..functions.similarity import _nearest_cell, build_ivf_index, cosine
+from ..functions.similarity import (
+    _nearest_cell,
+    _py_l2,
+    build_ivf_index,
+    cosine,
+    dot,
+    l2_norm,
+)
 from .dedup_index import _check_id_type
 from .pq import (
     _book_df,
@@ -111,8 +118,12 @@ def _assign_and_residual(
     residual against the assigned centroid via a broadcast DATA join
     (vectors never leave the executors)."""
     assigned = src.select(
+        "id", "_v", l2_norm(F.col("_v")).alias("_vn")
+    ).select(
         "id", "_v",
-        _nearest_cell(F.col("_v"), cents).cast("long").alias("cell"),
+        _nearest_cell(F.col("_v"), cents, nrm=F.col("_vn"))
+        .cast("long")
+        .alias("cell"),
     )
     return assigned.join(
         F.broadcast(centroids_df.withColumnRenamed("vec", "_c")), "cell"
@@ -440,7 +451,11 @@ def probe_ivfpq_index(
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
         .join(F.broadcast(cand), "id", "left_semi")
-        .select("id", F.round(cosine(F.col("_v"), qcol), 6)
+        # r14: query norm pre-folded on the driver (_py_l2 —
+        # bit-identical); one fold saved per refined candidate.
+        .select("id", F.round(dot(F.col("_v"), qcol)
+                              / (l2_norm(F.col("_v"))
+                                 * F.lit(_py_l2(query_vec))), 6)
                 .alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), "id")
         .limit(k)
@@ -575,10 +590,12 @@ def ivfpq_recall_sample(
         if not queries:
             return {"k": k, "nprobe": nprobe, "sample": 0,
                     "recall_at_k": None, "per_query": {}}
-        from ..functions.similarity import cosine
-
+        # r14: per-query norms folded once on the driver (_py_l2 —
+        # bit-identical), one fold saved per (row, query) in the
+        # exact pass (guide §1.2).
         qdf = catalog.spark.createDataFrame(
-            queries, "qid long, qv array<double>")
+            [(qid, qv, _py_l2(qv)) for qid, qv in queries],
+            "qid long, qv array<double>, qn double")
         # one job for every query's exact top-k: sample-row broadcast
         # (bounded, like the one-row aggregate crossJoins elsewhere)
         # rank ground truth EXACTLY like the probe ranks (round to
@@ -590,8 +607,9 @@ def ivfpq_recall_sample(
         exact_rows = (
             space.crossJoin(F.broadcast(qdf))
             .select("qid", "id",
-                    F.round(cosine(F.col("_vhat"),
-                                   F.col("qv")), 6).alias("_s"))
+                    F.round(dot(F.col("_vhat"), F.col("qv"))
+                            / (l2_norm(F.col("_vhat")) * F.col("qn")),
+                            6).alias("_s"))
             .withColumn("_rk", F.row_number().over(wn))
             .where(F.col("_rk") <= k)
             .select("qid", "id")
@@ -867,7 +885,12 @@ def rebalance_ivfpq_index(
                 # inner field aliases (Spark generator-rewrite quirk)
                 means = (
                     recon.select(
-                        _nearest_cell(F.col("_vhat"), cents).alias("sub"),
+                        "_vhat", l2_norm(F.col("_vhat")).alias("_vhn")
+                    )
+                    .select(
+                        _nearest_cell(
+                            F.col("_vhat"), cents, nrm=F.col("_vhn")
+                        ).alias("sub"),
                         "_vhat",
                     )
                     .select("sub", F.posexplode("_vhat").alias("dim", "x"))
@@ -892,9 +915,15 @@ def rebalance_ivfpq_index(
             # frozen codebook — all before the delete (the df binds to
             # pre-delete files)
             routed = recon.select(
+                "id", "_vhat", l2_norm(F.col("_vhat")).alias("_vhn")
+            ).select(
                 "id", "_vhat",
-                F.when(_nearest_cell(F.col("_vhat"), cents) == 1,
-                       F.lit(new_id)).otherwise(F.lit(c))
+                F.when(
+                    _nearest_cell(
+                        F.col("_vhat"), cents, nrm=F.col("_vhn")
+                    ) == 1,
+                    F.lit(new_id),
+                ).otherwise(F.lit(c))
                 .cast("long").alias("cell"),
             ).persist()
             try:

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import LakehouseCatalog, LakeTable
-from ..functions.similarity import cosine
+from ..functions.similarity import _py_l2, cosine, dot, l2_norm
 from .dedup_index import _check_id_type
 
 _PROPS = ("pq.m", "pq.ksub", "pq.dim")
@@ -366,7 +366,11 @@ def probe_pq_index(
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
         .join(F.broadcast(cand), "id", "left_semi")
-        .select("id", F.round(cosine(F.col("_v"), qcol), 6)
+        # r14: query norm pre-folded on the driver (_py_l2 —
+        # bit-identical); one fold saved per refined candidate.
+        .select("id", F.round(dot(F.col("_v"), qcol)
+                              / (l2_norm(F.col("_v"))
+                                 * F.lit(_py_l2(query_vec))), 6)
                 .alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), "id")
         .limit(k)

@@ -29,13 +29,28 @@ from . import register
 def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles — Spark's percentile() matches
     PERCENTILE_CONT semantics (linear interpolation); rounded to 4dp to
-    absorb last-ulp interpolation-formula differences."""
+    absorb last-ulp interpolation-formula differences.
+
+    r14 (guide §1.2 "per-task work"): ONE percentile aggregate over an
+    array of percentages instead of four separate aggregates — each
+    Percentile buffers a value→count map of the whole group, so the
+    four-aggregate form built four identical maps per group (4× the
+    aggregation state, merge traffic and final sort); the array form
+    builds one and reads the four quantiles off it. Per-element
+    interpolation is the same code path — values identical."""
     li = load_sf_tables(spark, sf_dir)["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.percentile("l_quantity", F.lit(q)), 4).alias(f"p{int(q * 100)}")
-            for q in (0.25, 0.50, 0.75, 0.90)
-        ]
+    qs = (0.25, 0.50, 0.75, 0.90)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile(
+            "l_quantity", F.array(*[F.lit(q) for q in qs])).alias("_p"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.col("_p")[i], 4).alias(f"p{int(q * 100)}")
+                for i, q in enumerate(qs)
+            ],
+        )
     )
 
 

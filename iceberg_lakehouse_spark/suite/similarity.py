@@ -43,11 +43,18 @@ def cosine_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     # one-row dimension side: crossJoin(broadcast(q)) — replicated to every
     # task, the fact side never moves. At 100 TB this is the right plan.
-    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # r14 (guide §1.2): the query vector's norm is folded ONCE on the
+    # one-row broadcast side (same sqrt(dot) expression — bit-identical)
+    # instead of being re-folded for every probe row; each probe row now
+    # pays one dot fold + its own norm, not three folds.
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("_qn"),
+    )
     e = emb.where(F.col("vec_id") != 0)
     joined = e.crossJoin(F.broadcast(q))
     a, b = F.col("embedding"), F.col("qv")
-    sim = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    sim = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.col("_qn"))
     return (
         joined.select(
             "vec_id", "label", F.round(sim, 6).alias("cosine_sim")

@@ -84,3 +84,45 @@ def test_guard_respects_wait_env_default(fake_load, monkeypatch):
     fake_load(0.2, 2.0, 9.0)
     guard = wait_for_quiet_host()  # wait_sec=None -> env
     assert guard["headline_trusted"] is False
+
+
+# ---- r14: memory-pressure guard (loadavg-blind host storms) ----------------
+
+from bench import memory_touch_gbps, wait_for_memory_calm  # noqa: E402
+
+
+def test_fake_touch_gbps_injection(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_TOUCH_GBPS", "0.3")
+    assert memory_touch_gbps() == 0.3
+
+
+def test_memory_calm_passes_when_fast(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_TOUCH_GBPS", "8.0")
+    guard = wait_for_memory_calm(wait_sec=0)
+    assert guard["memory_pressured"] is False
+    assert guard["touch_gbps"] == 8.0
+
+
+def test_memory_calm_flags_pressure(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_TOUCH_GBPS", "0.2")
+    guard = wait_for_memory_calm(wait_sec=0)
+    assert guard["memory_pressured"] is True
+
+
+def test_memory_calm_waits_for_recovery(monkeypatch):
+    readings = iter(["0.3", "0.4", "5.0"])
+
+    def fake_sleep(_s):
+        os.environ["SPARK_GRAFT_FAKE_TOUCH_GBPS"] = next(readings)
+
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_TOUCH_GBPS", "0.2")
+    monkeypatch.setattr("time.sleep", fake_sleep)
+    guard = wait_for_memory_calm(wait_sec=600, poll_sec=5)
+    assert guard["memory_pressured"] is False
+    assert guard["waited_sec"] == 15.0
+    assert guard["touch_gbps"] == 5.0
+
+
+def test_real_probe_returns_positive():
+    os.environ.pop("SPARK_GRAFT_FAKE_TOUCH_GBPS", None)
+    assert memory_touch_gbps(size_mb=16) > 0

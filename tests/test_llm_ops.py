@@ -1765,3 +1765,38 @@ def test_multimodal_funnel_reconciles_with_lane_operators(spark):
         assert got["rows_removed"] == losers, modality
         # planted structure: 50 groups x 4 variants -> 150 losers
         assert got["rows_in"] == 200 and got["rows_removed"] == 150
+
+
+def test_simhash64_md5_matches_pure_python_reference(spark):
+    """r14 focused test for the two-halves packing rewrite: the md5
+    path now parses each token's leading 16 hex chars into two 32-bit
+    integers (2 convs/token) instead of one conv PER BIT (64/token).
+    The fingerprint must be BIT-IDENTICAL to the definition 'bit p =
+    bit (p % 4) of hex digit floor(p/4) of md5(token)', majority-voted
+    over tokens — computed here independently in pure Python."""
+    import hashlib
+    import re
+
+    texts = {
+        1: "spark table join merge",
+        2: "Entirely   unrelated WORDS here\ttabbed",
+        3: "one",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in dt.simhash64(df, "doc_id", "text",
+                                 hash_fn="md5").collect()}
+
+    def ref(text: str) -> str:
+        toks = re.split(r"\s+", text.strip().lower())
+        votes = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for p in range(64):
+                bit = (int(h[p // 4], 16) >> (p % 4)) & 1
+                votes[p] += 1 if bit == 1 else -1
+        return "".join("1" if v > 0 else "0" for v in votes)
+
+    for doc_id, text in texts.items():
+        assert got[doc_id] == ref(text), doc_id

@@ -911,3 +911,28 @@ def test_curation_media_lane_is_blocked_and_blob_free(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signatures_hash_aggregates_not_sort(spark):
+    """r14: the signature MIN runs over BIGINT chunk values (primitive
+    agg buffer → HashAggregate with map-side combine), never over the
+    hex STRING chunks (string buffer → SortAggregate, which sorted the
+    whole exploded shingle set four times — the most expensive sort in
+    the r13 suite)."""
+    plan = plan_of(spark, "minhash_signatures")
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_minhash_pair_pipeline_no_sort_aggregate(spark):
+    plan = plan_of(spark, "minhash_near_dup_pairs")
+    assert "SortAggregate" not in plan
+
+
+def test_quantity_percentiles_single_shared_buffer(spark):
+    """r14: ONE percentile(col, array(...)) aggregate (one value→count
+    buffer per group) instead of four independent percentile functions
+    building four identical buffers."""
+    plan = plan_of(spark, "quantity_percentiles")
+    # exactly one percentile aggregate function in the partial agg
+    assert plan.count("partial_percentile") == 1
