@@ -180,24 +180,48 @@ def _shingle_pair_join(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: int
 ) -> DataFrame:
     """(left_id, right_id, _sh): one row per shared RARE shingle
-    occurrence — the raw self-join both candidate surfaces reduce."""
+    occurrence — the raw pair surface both candidate surfaces reduce.
+
+    r14 (guide §2.4 remove shuffles outright): a bounded bucket-gather,
+    not a self-join. The old rare-⋈-rare equality self-join evaluated
+    the whole explode→dfreq→filter-join subtree ONCE PER SIDE (Spark
+    shares no common subtrees — the entry plan showed 10 corpus scans
+    and 7 exchanges); instead the rare (doc, shingle) stream is
+    gathered per shingle and in-bucket pairs expand with an array
+    transform (the lsh_candidate_pairs shape). The gather is bounded
+    BY CONSTRUCTION: the df ≤ max_df filter runs before it, so no
+    array exceeds max_df elements, and it reuses the rare join's
+    hashpartitioning(shingle) — no exchange of its own. Entry plan
+    (plans/r14/ngram_jaccard_pairs_*.txt): 10 → 6 corpus scans, the
+    self-join gone; measured 8.1s → 3.0s clean-min at sf0.1.
+
+    Hot-key safety is unchanged: df still comes from a partial-agg
+    hash aggregation (a Zipfian shingle combines map-side — never a
+    Window over the raw shingle key, the curation_funnel lesson), and
+    hot-shingle rows stream through the join probe and drop without
+    ever being gathered."""
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
     )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     rare = (
-        sh.join(dfreq.where(F.col("_df") <= max_df), "shingle")
+        sh.join(
+            dfreq.where((F.col("_df") >= 2) & (F.col("_df") <= max_df)),
+            "shingle",
+        )
         .select(id_col, "shingle")
     )
-    a, b = rare.alias("a"), rare.alias("b")
-    return a.join(
-        b,
-        (F.col("a.shingle") == F.col("b.shingle"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("left_id"),
-        F.col(f"b.{id_col}").alias("right_id"),
-        F.col("a.shingle").alias("_sh"),
+    # per-doc shingles are distinct (shingles_col) and ids are
+    # non-null, so the sorted gather reproduces the self-join's
+    # (a.id < b.id per shared shingle) pair multiset exactly
+    buckets = rare.groupBy("shingle").agg(
+        F.expr(f"array_sort(collect_set({_qname(id_col)})) AS _ids")
+    )
+    return buckets.selectExpr(
+        "inline(flatten(transform(_ids, (x, i) -> transform("
+        "slice(_ids, i + 2, size(_ids)), "
+        "y -> struct(x AS left_id, y AS right_id)))))",
+        "shingle AS _sh",
     )
 
 

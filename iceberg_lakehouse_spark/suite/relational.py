@@ -24,12 +24,50 @@ S = "decimal(4,2)"    # multiplier terms (1-disc, 1+tax): keeps products ≤ sca
 
 
 
-def _dsum(col: str | F.Column, alias: str) -> F.Column:
-    """Exact decimal SUM → double. A string arg is a raw double column and
-    gets the (12,2) cast; a Column arg is already exact decimal (e.g. a
-    price×(1-disc) product at scale 4/6) and must NOT be re-rounded."""
-    c = F.col(col).cast(D) if isinstance(col, str) else col
-    return F.sum(c).cast("double").alias(alias)
+# --- r14 fixed-point money aggregation (OPTIMIZATION_r14.md; guide
+# §1.2 per-task work / §2.3 narrower types) --------------------------
+# These rollups used to SUM wide decimals — buffers of DECIMAL(22,2) /
+# (28,4) / (32,6), none of which is long-backed, so every input row
+# updated a 16-byte Decimal128/BigDecimal aggregation buffer through
+# the object path. The allocation churn was the dominant per-row cost
+# (measured interleaved at sf0.1: pricing_summary noop-sink 1.07s
+# decimal vs 0.63s fixed-point on a quiet host, and the decimal path
+# inflates 7-10x under this host's memory-pressure storms while the
+# long path stays flat). The exact replacement:
+#   * per row: the SAME double→DECIMAL(12,2)/(4,2) cast the oracle
+#     defines (the single rounding step), then ×100 → BIGINT — exact;
+#     money products are integer multiplies at scale 4/6;
+#   * SUM over BIGINT — codegen hash aggregation, map-side combine,
+#     8-byte buffers;
+#   * at the end: BIGINT → DECIMAL(38,0), exact decimal division by
+#     10^scale (the quotient has ≤ `scale` decimals and the division
+#     result scale stays ≥ 6, so the division never rounds), then ONE
+#     decimal→double cast — bit-identical to CAST(SUM(decimal) AS
+#     DOUBLE), verified repr-exact at sf0.1 and by the oracle hash at
+#     every SF.
+# Overflow discipline: a scaled-long sum may only aggregate a BOUNDED
+# row set. Per-order groups (≤ 7 lineitems) are safe at any scale;
+# unbounded groups (pricing_summary's flag/status groups own a quarter
+# of the table each) sum per (group, scan partition) first — ≤ ~1.3e6
+# rows/partition × ≤ ~1.2e12 max per-row scaled value ≈ 1.6e18 < 2^63
+# — and the per-partition partials re-sum in DECIMAL(38,0), which
+# cannot overflow.
+
+
+def _cents(col: str, typ: str = D) -> str:
+    """SQL: exact ×100 scaled-integer value of CAST(col AS typ) — the
+    decimal cast is the oracle's own rounding step; ×100 of a scale-2
+    decimal is integral, so the BIGINT cast loses nothing."""
+    return f"CAST(CAST({col} AS {typ}) * 100 AS BIGINT)"
+
+
+def _unscale(sum_sql: str, scale: int) -> str:
+    """SQL: scaled-integer sum → DOUBLE via exact decimal division
+    (works for BIGINT sums and DECIMAL(38,0) re-sums alike)."""
+    return (
+        f"CAST(CAST({sum_sql} AS DECIMAL(38,0)) / {10 ** scale}"
+        " AS DOUBLE)"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -56,26 +94,58 @@ def _dsum(col: str | F.Column, alias: str) -> F.Column:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (reference runs this class of SQL
-    through DuckDB passthrough, reference query.py:153-167)."""
+    through DuckDB passthrough, reference query.py:153-167).
+
+    r14: fixed-point money pipeline (block comment above ``_cents``),
+    two-level because the flag/status groups are table-sized: scaled
+    longs sum per (group, scan partition) — bounded by partition size —
+    then the tiny per-partition partials re-sum in DECIMAL(38,0)."""
     li = load_sf_tables(spark, sf_dir)["lineitem"]
-    one = F.lit(1).cast(S)
-    price, disc, tax = (
-        F.col("l_extendedprice").cast(D),
-        F.col("l_discount").cast(S),
-        F.col("l_tax").cast(S),
+    part = (
+        li.where(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .selectExpr(
+            "l_returnflag", "l_linestatus",
+            "spark_partition_id() AS _pid",
+            f"{_cents('l_quantity')} AS q2",
+            f"{_cents('l_extendedprice')} AS p2",
+            f"{_cents('l_discount', S)} AS d2",
+            f"{_cents('l_tax', S)} AS t2",
+        )
+        .selectExpr(
+            "l_returnflag", "l_linestatus", "_pid", "q2", "p2", "d2",
+            "p2 * (100 - d2) AS dp4",
+            "p2 * (100 - d2) * (100 + t2) AS ch6",
+        )
+        .groupBy("l_returnflag", "l_linestatus", "_pid")
+        .agg(
+            F.expr("SUM(q2) AS sq2"),
+            F.expr("SUM(p2) AS sp2"),
+            F.expr("SUM(dp4) AS sdp4"),
+            F.expr("SUM(ch6) AS sch6"),
+            F.expr("SUM(d2) AS sd2"),
+            F.expr("COUNT(*) AS n"),
+        )
     )
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        part.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity", "sum_qty"),
-            _dsum("l_extendedprice", "sum_base_price"),
-            _dsum(price * (one - disc), "sum_disc_price"),
-            _dsum(price * (one - disc) * (one + tax), "sum_charge"),
-            (F.sum(F.col("l_quantity").cast(D)).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.expr("SUM(CAST(sq2 AS DECIMAL(38,0))) AS sq2"),
+            F.expr("SUM(CAST(sp2 AS DECIMAL(38,0))) AS sp2"),
+            F.expr("SUM(CAST(sdp4 AS DECIMAL(38,0))) AS sdp4"),
+            F.expr("SUM(CAST(sch6 AS DECIMAL(38,0))) AS sch6"),
+            F.expr("SUM(CAST(sd2 AS DECIMAL(38,0))) AS sd2"),
+            F.expr("SUM(n) AS n"),
+        )
+        .selectExpr(
+            "l_returnflag", "l_linestatus",
+            f"{_unscale('sq2', 2)} AS sum_qty",
+            f"{_unscale('sp2', 2)} AS sum_base_price",
+            f"{_unscale('sdp4', 4)} AS sum_disc_price",
+            f"{_unscale('sch6', 6)} AS sum_charge",
+            f"{_unscale('sq2', 2)} / n AS avg_qty",
+            f"{_unscale('sp2', 2)} / n AS avg_price",
+            f"{_unscale('sd2', 2)} / n AS avg_disc",
+            "n AS count_order",
         )
     )
 
@@ -105,11 +175,19 @@ def revenue_by_nation_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: lineitem⋈orders shuffles on orderkey (both huge);
     customer arrives via AQE-chosen strategy; nation/region are
     explicit broadcasts so they never move the fact table.
+
+    r14: the count(DISTINCT o_orderkey) ladder Spark planned anyway —
+    aggregate by (group keys, o_orderkey) first, then by group keys —
+    is written out explicitly so the first level can sum scaled LONGS
+    (per-order groups hold ≤ 7 lineitems: no overflow at any scale)
+    and the distinct count falls out as COUNT(*) of the per-order
+    rows; the second level re-sums in DECIMAL(38,0). Same two
+    exchanges, but the wide shuffle now carries one long per order
+    instead of a Decimal128 buffer + flags.
     """
     t = load_sf_tables(spark, sf_dir)
-    one = F.lit(1).cast(S)
     lo = F.col("o_orderdate")
-    return (
+    per_order = (
         t["lineitem"]
         .join(
             t["orders"].where(
@@ -121,19 +199,32 @@ def revenue_by_nation_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.col("r_name").alias("region"),
-            F.year("o_orderdate").alias("order_year"),
-            F.month("o_orderdate").alias("order_month"),
+        .selectExpr(
+            "n_name AS nation",
+            "r_name AS region",
+            "year(o_orderdate) AS order_year",
+            "month(o_orderdate) AS order_month",
+            "o_orderkey",
+            f"{_cents('l_extendedprice')} AS p2",
+            f"{_cents('l_discount', S)} AS d2",
         )
+        .selectExpr(
+            "nation", "region", "order_year", "order_month",
+            "o_orderkey", "p2 * (100 - d2) AS dp4",
+        )
+        .groupBy("nation", "region", "order_year", "order_month", "o_orderkey")
+        .agg(F.expr("SUM(dp4) AS r4"))
+    )
+    return (
+        per_order.groupBy("nation", "region", "order_year", "order_month")
         .agg(
-            _dsum(
-                F.col("l_extendedprice").cast(D)
-                * (one - F.col("l_discount").cast(S)),
-                "revenue",
-            ),
-            F.countDistinct("o_orderkey").alias("order_count"),
+            F.expr("SUM(CAST(r4 AS DECIMAL(38,0))) AS s4"),
+            F.expr("COUNT(*) AS order_count"),
+        )
+        .selectExpr(
+            "nation", "region", "order_year", "order_month",
+            f"{_unscale('s4', 4)} AS revenue",
+            "order_count",
         )
     )
 
@@ -159,9 +250,13 @@ def revenue_by_nation_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: filtered 3-way join, grouped revenue, top-10 with a
-    deterministic tie-break (LIMIT-with-ORDER-BY, reference §2.7)."""
+    deterministic tie-break (LIMIT-with-ORDER-BY, reference §2.7).
+
+    r14: fixed-point revenue (block comment above ``_cents``) —
+    per-order groups hold ≤ 7 lineitems, so the scaled-long sum is
+    exact at any scale; one decimal division + double cast at the
+    end reproduces the oracle's value bit-for-bit."""
     t = load_sf_tables(spark, sf_dir)
-    one = F.lit(1).cast(S)
     cut = F.lit("1996-03-15 00:00:00").cast("timestamp")
     return (
         t["customer"].where(F.col("c_mktsegment") == "BUILDING")
@@ -169,17 +264,21 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("c_custkey") == F.col("o_custkey"))
         .join(t["lineitem"].where(F.col("l_shipdate") > cut),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            _dsum(
-                F.col("l_extendedprice").cast(D) * (one - F.col("l_discount").cast(S)),
-                "revenue",
-            )
+        .selectExpr(
+            "l_orderkey", "o_orderdate", "o_orderpriority",
+            f"{_cents('l_extendedprice')} AS p2",
+            f"{_cents('l_discount', S)} AS d2",
         )
-        .select(
+        .selectExpr(
+            "l_orderkey", "o_orderdate", "o_orderpriority",
+            "p2 * (100 - d2) AS dp4",
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr("SUM(dp4) AS r4"))
+        .selectExpr(
             "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            f"{_unscale('r4', 4)} AS revenue",
+            "date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate",
             "o_orderpriority",
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -338,13 +437,20 @@ def customers_with_orders_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="J1 (left outer), A1",
 )
 def order_fulfillment_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: fixed-point shipped_qty (block comment above ``_cents``) —
+    per-order groups are bounded, scaled-long sum exact at any scale."""
     t = load_sf_tables(spark, sf_dir)
     per_order = (
         t["lineitem"]
+        .selectExpr("l_orderkey", f"{_cents('l_quantity')} AS q2")
         .groupBy("l_orderkey")
         .agg(
             F.count("*").alias("line_count"),
-            _dsum("l_quantity", "shipped_qty"),
+            F.expr("SUM(q2) AS sq2"),
+        )
+        .selectExpr(
+            "l_orderkey", "line_count",
+            f"{_unscale('sq2', 2)} AS shipped_qty",
         )
     )
     return (
