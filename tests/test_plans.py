@@ -311,12 +311,52 @@ def test_decontamination_broadcasts_benchmark(spark):
 
 
 def test_ngram_jaccard_candidate_join_df_capped(spark):
-    """VERDICT r4 #1: exact-Jaccard candidate generation must filter
-    hot shingles by document frequency before the equality self-join —
-    the `_df <= 64` filter has to sit in the plan feeding the join."""
+    """VERDICT r4 #1 + r14 gather rework: exact-Jaccard candidate
+    generation must filter hot shingles by document frequency BEFORE
+    any gather (the `_df <= 64` filter in the plan bounds every
+    collected bucket), and since r14 the pair surface is a bounded
+    bucket-gather — the rare-⋈-rare shingle-equality self-join (which
+    evaluated the whole explode→dfreq subtree once per side: 10 corpus
+    scans in the entry plan) must STAY gone. The only joins on
+    `shingle` allowed are the single rare df-filter attach."""
+    import re
+
     plan = plan_of(spark, "ngram_jaccard_pairs")
     assert "_df" in plan
     assert "<= 64" in plan
+    # the bounded gather replaced the self-join
+    assert "collect_set" in plan
+    # corpus scans: 6 (2 per mutant-union corpus evaluation × dfreq +
+    # rare + the verify melt) — the self-join's extra 4 must not return
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans <= 6, f"corpus re-evaluation crept back: {scans} scans"
+
+
+def test_money_rollups_aggregate_longs_not_wide_decimals(spark):
+    """r14 fixed-point money pipeline: the four TPC-H-shaped rollups
+    must aggregate scaled BIGINTs (codegen hash-agg, 8-byte buffers),
+    never a wide decimal — `partial_sum(cast(... as decimal(12,2)))`
+    and friends churned a Decimal128/BigDecimal buffer per input row.
+    Decimal appears only BELOW the aggregate (the per-row cast that
+    defines rounding) and ABOVE it (the exact re-scale / re-sum of
+    per-partition or per-order partials, DECIMAL(38,0))."""
+    import re
+
+    for name in (
+        "pricing_summary", "revenue_by_nation_month",
+        "shipping_priority", "order_fulfillment_outer",
+    ):
+        plan = plan_of(spark, name)
+        first_level = [
+            m.group(0)
+            for m in re.finditer(r"partial_sum\([^)]*\)", plan)
+            if "decimal(1" in m.group(0) or "decimal(2" in m.group(0)
+            or "decimal(3" in m.group(0)
+        ]
+        # the only decimal partial_sums allowed are the DECIMAL(38,0)
+        # re-sums of already-bounded long partials
+        bad = [s for s in first_level if "decimal(38,0)" not in s]
+        assert not bad, f"{name}: wide-decimal aggregation returned: {bad}"
 
 
 def test_weighted_sample_is_shuffle_free_topk(spark):

@@ -25,7 +25,10 @@ SHOW = [
      "Top-K: TakeOrderedAndProject, not a global sort."),
     ("pricing_summary",
      "Aggregation: partial_sum map-side combine before the exchange; "
-     "decimal sums keep the result shuffle-order-independent."),
+     "r14 fixed-point pipeline — scaled-BIGINT sums per (group, scan "
+     "partition), DECIMAL(38,0) re-sum, one exact decimal division at "
+     "the end (no wide-decimal aggregation buffers; exact integer "
+     "arithmetic keeps the result shuffle-order-independent)."),
     ("hash_sample_lineitem",
      "Deterministic sampling: zero-exchange plan — a pure filter over the scan."),
     ("minhash_near_dup_pairs",
