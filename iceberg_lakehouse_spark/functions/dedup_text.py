@@ -376,7 +376,28 @@ def lsh_candidate_pairs(
     the verdict charged here was dominated by per-call plan
     CONSTRUCTION (Py4J + Catalyst over the duplicated-branch tree),
     addressed by the single-``F.expr`` constructors below, not by the
-    runtime shape. The window stays."""
+    runtime shape. The window stays.
+
+    r15 (guide §2.4/§7.2 duplicated subtrees): the small and overflow
+    paths used to be a UNION of two consumers of ``sized`` — and Spark
+    shares no common subtrees, so the whole signature pipeline
+    upstream (explode → md5 × k → min-agg shuffle → band keys →
+    window) was evaluated TWICE per run even when zero buckets
+    overflowed (the r14 entry plan shows both complete subtrees).
+    Now both pair kinds are emitted from ONE pass: a second window
+    over the same (band, band_key) partitioning (no new exchange, no
+    re-sort) gathers each bucket's ids GATED INSIDE the aggregate —
+    ``collect_list(CASE WHEN _n <= max_bucket THEN id END)`` collects
+    nothing for overflow buckets, so the memory bound is unchanged —
+    and a single projection expands pairs on the bucket-min row
+    (small) or a star edge per member row (overflow). Pair set is
+    identical: per small bucket the keeper row emits exactly the
+    sorted-gather expansion (ids are unique per bucket, so
+    collect_list ≡ collect_set), per overflow bucket each non-min
+    member emits its star edge, and the trailing distinct is
+    unchanged. Plan delta at sf0.1: one signature subtree instead of
+    two (entry scans 4 → 2 on the cand side), ObjectHashAggregate
+    gather 2 → 0."""
     banded = _banded_keys(sigs, id_col, k, bands)
     wn = Window.partitionBy("band", "band_key")
     sized = banded.select(
@@ -386,26 +407,26 @@ def lsh_candidate_pairs(
         F.count("*").over(wn).alias("_n"),
         F.min(F.col(id_col)).over(wn).alias("_mn"),
     ).where(F.col("_n") >= 2)
-    # small buckets: exact quadratic expansion over the bounded gather
-    # (the groupBy reuses the window's (band, band_key) partitioning —
-    # no second exchange)
-    buckets = (
-        sized.where(F.col("_n") <= max_bucket)
-        .groupBy("band", "band_key")
-        .agg(F.expr(f"array_sort(collect_set({_qname(id_col)})) AS _ids"))
+    gathered = sized.select(
+        id_col,
+        "_n",
+        "_mn",
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_n") <= max_bucket, F.col(id_col))
+            ).over(wn)
+        ).alias("_ids"),
     )
-    small = buckets.selectExpr(
-        "inline(flatten(transform(_ids, (x, i) -> transform("
+    edges = (
+        f"CASE WHEN _n <= {max_bucket} AND {_qname(id_col)} = _mn THEN "
+        "flatten(transform(_ids, (x, i) -> transform("
         "slice(_ids, i + 2, size(_ids)), "
-        "y -> struct(x AS left_id, y AS right_id)))))"
+        "y -> struct(x AS left_id, y AS right_id)))) "
+        f"WHEN _n > {max_bucket} AND {_qname(id_col)} != _mn THEN "
+        f"array(struct(_mn AS left_id, {_qname(id_col)} AS right_id)) "
+        "END"
     )
-    # overflow buckets: linear star edges to the bucket min — streaming,
-    # no array ever materializes
-    big = (
-        sized.where((F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_mn")))
-        .select(F.col("_mn").alias("left_id"), F.col(id_col).alias("right_id"))
-    )
-    return small.unionByName(big).distinct()
+    return gathered.selectExpr(f"inline({edges})").distinct()
 
 
 def lsh_bucket_stats(
@@ -767,39 +788,50 @@ def simhash_hamming_pairs(
     # bucket-gather, not a self-join: a self-join would evaluate the
     # simhash fold (the dominant cost) once per side — same pitfall
     # lsh_candidate_pairs documents. One pass + one shuffle instead.
-    buckets = (
-        sized.where(F.col("_n") <= max_bucket)
-        .groupBy("seg", "seg_key")
-        .agg(
-            F.expr(
-                "array_sort(collect_set("
-                f"struct({_qname(id_col)} AS id, _hi, _lo))) AS _m"
-            )
-        )
+    #
+    # r15 (guide §2.4, same rework as lsh_candidate_pairs): small and
+    # overflow paths emit from ONE pass instead of a union of two
+    # consumers of ``sized`` (which re-evaluated the whole fingerprint
+    # fold + window pipeline once per branch — the r14 plan shows two
+    # complete subtrees). The gather is gated INSIDE the window
+    # aggregate (overflow buckets collect nothing — memory bound
+    # unchanged); the bucket-min row expands the sorted small-bucket
+    # pairs, every non-min overflow row emits its star edge, the
+    # trailing distinct + distance filter are unchanged. Pair set
+    # identical: ids are unique per (seg, seg_key), so
+    # collect_list ≡ collect_set and the keeper-row expansion equals
+    # the old groupBy gather.
+    gathered = sized.select(
+        id_col,
+        "_hi",
+        "_lo",
+        "_n",
+        "_mn",
+        "_mn_fp",
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_n") <= max_bucket,
+                    F.struct(
+                        F.col(id_col).alias("id"), "_hi", "_lo"
+                    ),
+                )
+            ).over(wn)
+        ).alias("_m"),
     )
-
-    small = buckets.selectExpr(
-        "inline(flatten(transform(_m, (x, i) -> transform("
-        "slice(_m, i + 2, size(_m)), y -> struct(x AS a, y AS b)))))"
-    ).selectExpr(
-        "a.id AS left_id",
-        "b.id AS right_id",
-        f"{hamming.format(a='a.', b='b.')} AS hamming",
-    )
-    # overflow buckets: streaming star edges to the bucket min, hamming
-    # computed row-wise against the min's fingerprint — no gather
-    big = (
-        sized.where(
-            (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_mn"))
-        )
-        .selectExpr(
-            "_mn AS left_id",
-            f"{_qname(id_col)} AS right_id",
-            f"{hamming.format(a='_mn_fp.', b='')} AS hamming",
-        )
+    edges = (
+        f"CASE WHEN _n <= {max_bucket} AND {_qname(id_col)} = _mn THEN "
+        "flatten(transform(_m, (x, i) -> transform("
+        "slice(_m, i + 2, size(_m)), y -> struct("
+        "x.id AS left_id, y.id AS right_id, "
+        f"{hamming.format(a='x.', b='y.')} AS hamming)))) "
+        f"WHEN _n > {max_bucket} AND {_qname(id_col)} != _mn THEN "
+        f"array(struct(_mn AS left_id, {_qname(id_col)} AS right_id, "
+        f"{hamming.format(a='_mn_fp.', b='')} AS hamming)) "
+        "END"
     )
     return (
-        small.unionByName(big)
+        gathered.selectExpr(f"inline({edges})")
         .distinct()
         .where(F.col("hamming") <= max_distance)
     )

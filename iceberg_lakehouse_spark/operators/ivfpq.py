@@ -184,7 +184,7 @@ def _fit(
             resid, "_r", dim, m, ksub, kmeans_iters, normalize=False
         )
         bdf = _book_df(spark, book)
-        codes = _encode(resid, "_r", bdf, dim, m,
+        codes = _encode(resid, "_r", book, dim, m,
                         keys=("id", "cell"), normalize=False)
         # localCheckpoint cuts the lineage back to materialized blocks
         # so the caller can unpersist src/resid and still write codes
@@ -349,7 +349,7 @@ def extend_ivfpq_index(
         _normalize(F.col(vec_col).cast("array<double>")).alias("_v"),
     )
     resid = _assign_and_residual(src, centroids_df, cents)
-    rows = _encode(resid, "_r", bt.scan(), dim, m,
+    rows = _encode(resid, "_r", _collect_book(bt, m), dim, m,
                    keys=("id", "cell"), normalize=False).persist()
     try:
         n = rows.count()
@@ -835,6 +835,7 @@ def rebalance_ivfpq_index(
                  for r in ct.scan().collect()}
     next_cell = max(set(cent_rows) | set(counts), default=0) + 1
     book_df = bt.scan()
+    book = _collect_book(bt, m)  # codebook-sized; feeds both re-encodes
     spark = catalog.spark
     for c in hot:
         cvec = cent_rows[c]
@@ -944,7 +945,7 @@ def rebalance_ivfpq_index(
                     ).alias("_r"),
                 )
                 moved_codes = _encode(
-                    moved, "_r", book_df, dim, m,
+                    moved, "_r", book, dim, m,
                     keys=("id", "cell"), normalize=False,
                 ).select("id", "cell", "codes")
                 if src_norm is not None:
@@ -960,7 +961,7 @@ def rebalance_ivfpq_index(
                         ).alias("_r"),
                     )
                     stay_codes = _encode(
-                        stay, "_r", book_df, dim, m,
+                        stay, "_r", book, dim, m,
                         keys=("id", "cell"), normalize=False,
                     ).select("id", "cell", "codes")
                 else:

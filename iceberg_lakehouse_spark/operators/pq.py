@@ -110,19 +110,34 @@ def _book_df(spark, book: list[list[list[float]]]) -> DataFrame:
     )
 
 
-def _assign_codes(subs: DataFrame, book_df: DataFrame,
-                  keys: list[str]) -> DataFrame:
-    """argmin-L2 code per (keys..., sub): broadcast-join the codebook
-    (m x ksub rows) and min_by with a deterministic (distance, code)
-    tie-break. The join multiplies rows by ksub, map-side, then the
-    aggregate collapses them — no shuffle grows beyond the subvector
-    explosion itself."""
-    j = subs.join(F.broadcast(book_df), "sub")
-    return (
-        j.withColumn("_d", _l2sq_cols(F.col("sv"), F.col("vec")))
-        .groupBy(*keys, "sub")
-        .agg(F.min_by("code", F.struct("_d", "code")).alias("code"))
+def _cands_df(spark, book: list[list[list[float]]]) -> DataFrame:
+    """m rows of (sub, cands array<array<double>>), code-ordered — the
+    per-sub codebook as broadcast DATA (never expression literals; see
+    ``_l2sq_cols``). One row per subspace instead of one per (sub,
+    code): joining it multiplies nothing, so the per-row argmin runs
+    map-side over the candidate ARRAY instead of needing a ×ksub row
+    blow-up + groupBy collapse (r15, guide §2.4)."""
+    return spark.createDataFrame(
+        [(s, ents) for s, ents in enumerate(book)],
+        "sub int, _cands array<array<double>>",
     )
+
+
+def _argmin_code(sv: F.Column, cands: F.Column) -> F.Column:
+    """argmin-L2 code of subvector ``sv`` against the code-ordered
+    candidate array — one map-side expression. ``array_min`` over
+    (distance, code) structs compares lexicographically: smallest
+    distance first, smallest code on ties — exactly the
+    ``min_by(code, struct(_d, code))`` tie-break the old broadcast-
+    join argmin used, over the same ``_l2sq_cols`` distances, so the
+    assigned codes are bit-identical."""
+    return F.array_min(
+        F.transform(
+            cands,
+            lambda v, i: F.struct(
+                _l2sq_cols(sv, v).alias("d"), i.alias("c")),
+        )
+    )["c"].cast("int")
 
 
 def _train_codebook(
@@ -130,15 +145,23 @@ def _train_codebook(
     normalize: bool = True,
 ) -> list[list[list[float]]]:
     """codebook[sub][code] = centroid (subdim floats). One subvector
-    explode, persisted; each Lloyd iteration is ONE job (broadcast
-    codebook join -> argmin -> codebook-sized mean update) regardless
-    of m."""
+    explode, persisted; each Lloyd iteration is ONE job regardless of
+    m — and, since r15, ONE tiny shuffle: the per-row code is an
+    argmin expression against the m-row broadcast candidate table
+    (``_argmin_code``), so the iteration is scan → map → partial-agg
+    → codebook-sized exchange → collect. The old shape paid a ×ksub
+    broadcast-join row blow-up, a corpus-sized groupBy(_rid, sub)
+    argmin shuffle AND a corpus-sized re-join back to ``subs`` to
+    recover the subvectors (3 exchanges per iteration, 2 of them
+    corpus-sized — see plans/r15/pq_build_iteration_{before,after}).
+    Assigned codes are bit-identical (same distances, same tie-break);
+    the (sub, code, dim) means are the same values averaged under the
+    same grouping."""
     subdim = dim // m
     spark = df.sparkSession
     subs = _explode_subvectors(
-        df.select(F.monotonically_increasing_id().alias("_rid"),
-                  F.col(vec_col)),
-        vec_col, m, subdim, keep=["_rid"], normalize=normalize,
+        df.select(F.col(vec_col)),
+        vec_col, m, subdim, keep=[], normalize=normalize,
     ).persist()
     try:
         # deterministic seeds: per sub, the ksub hash-smallest rows
@@ -159,9 +182,17 @@ def _train_codebook(
                 raise ValueError("cannot train a PQ codebook on an "
                                  "empty corpus")
         for _ in range(max(iters, 0)):
-            assigned = _assign_codes(subs, _book_df(spark, book), ["_rid"])
+            coded = (
+                subs.join(F.broadcast(_cands_df(spark, book)), "sub")
+                .select(
+                    "sub",
+                    _argmin_code(F.col("sv"), F.col("_cands"))
+                    .alias("code"),
+                    "sv",
+                )
+            )
             means = (
-                assigned.join(subs, ["_rid", "sub"])
+                coded
                 .select("sub", "code", F.posexplode("sv").alias("dim", "x"))
                 .groupBy("sub", "code", "dim")
                 .agg(F.avg("x").alias("mu"))
@@ -179,27 +210,37 @@ def _train_codebook(
         subs.unpersist()
 
 
-def _encode(df: DataFrame, vec_col: str, book_df: DataFrame,
+def _encode(df: DataFrame, vec_col: str, book: list[list[list[float]]],
             dim: int, m: int, keys: tuple[str, ...] = ("id",),
             normalize: bool = True) -> DataFrame:
-    """(keys..., codes array<int>) via the same broadcast-join argmin
-    as training, then codes gathered in subspace order. ``keys`` lets
-    the IVFADC composition carry the coarse cell id through encoding
-    without a corpus-sized re-join."""
+    """(keys..., codes array<int>) — MAP-ONLY since r15 (guide §2.4):
+    the whole codebook rides as one broadcast DATA row (array indexed
+    by sub — never expression literals, the r8 lesson), and each row's
+    m codes are a single zip_with of its subvector slices against the
+    per-sub candidate arrays (``_argmin_code`` per pair — bit-identical
+    distances and tie-break). The old shape exploded every vector into
+    m rows, broadcast-joined ×ksub, and paid TWO corpus-sized shuffles
+    (argmin groupBy + codes re-gather); this one has zero exchanges.
+    ``keys`` lets the IVFADC composition carry the coarse cell id
+    through encoding without a corpus-sized re-join. Callers that only
+    hold the codebook TABLE collect it first (``_collect_book`` —
+    codebook-sized, the probe path already does this)."""
     subdim = dim // m
-    keep = list(keys)
-    subs = _explode_subvectors(df, vec_col, m, subdim, keep=keep,
-                               normalize=normalize)
-    assigned = _assign_codes(subs, book_df, keep)
+    spark = df.sparkSession
+    book_row = spark.createDataFrame(
+        [(book,)], "_book array<array<array<double>>>")
+    nv = _normalize(F.col(vec_col)) if normalize else F.col(vec_col)
+    codes = F.zip_with(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.slice(nv, s * subdim + 1, subdim),
+        ),
+        F.col("_book"),
+        lambda sv, cands: _argmin_code(sv, cands),
+    )
     return (
-        assigned.groupBy(*keep)
-        .agg(F.array_sort(
-            F.collect_list(F.struct("sub", "code"))).alias("_sc"))
-        .select(
-            *keep,
-            F.transform(F.col("_sc"), lambda x: x["code"].cast("int"))
-            .alias("codes"),
-        )
+        df.crossJoin(F.broadcast(book_row))
+        .select(*keys, codes.alias("codes"))
     )
 
 
@@ -243,9 +284,8 @@ def build_pq_index(
     codes_t = catalog.create_table(name, _CODES_SCHEMA, properties=props)
     book_t = catalog.create_table(_codebook_name(name), _CODEBOOK_SCHEMA)
     spark = df.sparkSession
-    bdf = _book_df(spark, book)
-    book_t.append(bdf)
-    codes_t.append(_encode(src, "_v", bdf, dim, m))
+    book_t.append(_book_df(spark, book))
+    codes_t.append(_encode(src, "_v", book, dim, m))
     return codes_t
 
 
@@ -291,7 +331,7 @@ def extend_pq_index(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    rows = _encode(src, "_v", bt.scan(), dim, m)
+    rows = _encode(src, "_v", _collect_book(bt, m), dim, m)
     rows = rows.persist()
     try:
         n = rows.count()

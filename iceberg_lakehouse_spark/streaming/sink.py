@@ -1040,20 +1040,28 @@ def curate_multimodal_stream_to_table(
             return
         batch = _collapse_batch(batch, ["modality", "item_id"]) \
             .persist()
-        stats: list[tuple[int, str, int, int]] = []
         try:
             landed_ids = table.scan().select("modality", "item_id")
-            for modality, index in lanes.items():
-                if index is None:
-                    continue
+
+            # r15 (guide §2.6 overlap independent jobs): the lanes are
+            # INDEPENDENT — each filters to its own modality, probes
+            # and extends its own index, and its anti-join/appends
+            # touch only its own (modality, item_id) slice, so no
+            # lane's output can change another's decisions. Running
+            # them from a small thread pool back-fills executors freed
+            # by another lane's stragglers instead of serializing
+            # three job chains; catalog commits stay safe because
+            # LakeTable commits serialize on the flock commit mutex
+            # (catalog._commit_lock excludes threads too). Per-batch
+            # wall drops from Σ(lane) to ~max(lane) + commit overlap.
+            def _run_lane(modality: str, index) -> tuple[str, int, int]:
                 lane_rows = batch.where(F.col("modality") == modality)
                 # the arrived/landed counts are accounting-only jobs:
                 # with no accounting table wired, the sink schedules
                 # none of them (sweep-latency discipline, r12 #6 class)
                 arrived = lane_rows.count() if want_acct else -1
                 if arrived == 0:
-                    stats.append((batch_id, modality, 0, 0))
-                    continue
+                    return (modality, 0, 0)
                 fresh = lane_rows.join(
                     landed_ids.where(F.col("modality") == modality),
                     ["modality", "item_id"], "left_anti")
@@ -1119,7 +1127,24 @@ def curate_multimodal_stream_to_table(
                             media, index, media_d[modality],
                             deterministic_fake, _append_media,
                             count_landed=want_acct)
-                stats.append((batch_id, modality, arrived, n_landed))
+                return (modality, arrived, n_landed)
+
+            active = [(m, idx) for m, idx in lanes.items()
+                      if idx is not None]
+            if len(active) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                        max_workers=len(active)) as pool:
+                    results = list(pool.map(
+                        lambda mi: _run_lane(*mi), active))
+            else:
+                results = [_run_lane(*mi) for mi in active]
+            # accounting rows appended AFTER all lanes, in the fixed
+            # lane order (unchanged semantics; the pool only overlaps
+            # the per-lane compute)
+            stats = [(batch_id, m, arrived, n_landed)
+                     for m, arrived, n_landed in results]
             if want_acct and stats:
                 rows = batch.sparkSession.createDataFrame(
                     stats, CURATION_ACCOUNTING_SCHEMA)

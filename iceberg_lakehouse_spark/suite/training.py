@@ -5629,10 +5629,13 @@ def streaming_attribution_loss_outer_join(
     from ..streaming.events import correlate_event_streams
 
     batch = load_sf_tables(spark, sf_dir)["events"]
-    mv = (batch.where(F.col("event_type") == "view")
-          .agg(F.max("ts")).first()[0])
-    mp = (batch.where(F.col("event_type") == "purchase")
-          .agg(F.max("ts")).first()[0])
+    # r15 (guide §1.2): ONE aggregation job for both stream-end marks —
+    # max over a CASE-filtered column equals max over the filtered
+    # stream (two scans → one; values identical)
+    mv, mp = batch.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+    ).first()
     wm = min(mv, mp) - _dt.timedelta(hours=1)
     cutoff = wm - _dt.timedelta(minutes=31)
     views = (_events_stream(spark, sf_dir)

@@ -976,3 +976,27 @@ def test_quantity_percentiles_single_shared_buffer(spark):
     plan = plan_of(spark, "quantity_percentiles")
     # exactly one percentile aggregate function in the partial agg
     assert plan.count("partial_percentile") == 1
+
+
+def test_lsh_pair_single_pass_no_duplicated_signature_subtree(spark):
+    """r15 (guide §2.4): lsh_candidate_pairs emits small-bucket pairs
+    and overflow star edges from ONE windowed pass. The old
+    small ∪ overflow union re-evaluated the entire signature pipeline
+    once per branch (the r14 plan shows 12 parquet scans and 4
+    ObjectHashAggregate gather nodes; the single-pass plan shows 8 / 0
+    — plans/r15/minhash_near_dup_pairs_{before,after}.txt). The gather
+    is gated inside the window aggregate, so no groupBy collect
+    (ObjectHashAggregate) should reappear and the scan count must not
+    regress to the duplicated-subtree shape."""
+    plan = plan_of(spark, "minhash_near_dup_pairs")
+    assert "ObjectHashAggregate" not in plan
+    assert plan.count("Scan parquet") <= 8
+
+
+def test_simhash_pair_single_pass(spark):
+    """r15: same single-pass rework for simhash_hamming_pairs — one
+    fingerprint-fold subtree instead of two (scans 8 → 4, gather
+    ObjectHashAggregate 4 → 0; plans/r15/simhash_near_dup_pairs_*)."""
+    plan = plan_of(spark, "simhash_near_dup_pairs")
+    assert "ObjectHashAggregate" not in plan
+    assert plan.count("Scan parquet") <= 4

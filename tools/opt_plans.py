@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for named registry queries to plans/r14/.
+"""Dump .explain("formatted") for named registry queries to plans/r15/.
 
-    python tools/opt_plans.py before [query ...]   # plans/r14/<q>_before.txt
-    python tools/opt_plans.py after  [query ...]   # plans/r14/<q>_after.txt
+    python tools/opt_plans.py before [query ...]   # plans/r15/<q>_before.txt
+    python tools/opt_plans.py after  [query ...]   # plans/r15/<q>_after.txt
 
 Default query set: the bench.py HEADLINE list.
 """
@@ -38,7 +38,7 @@ def main() -> None:
     spark = get_spark("opt_plans")
     registry = load_all()
     load_sf_tables(spark, sf)
-    outdir = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    outdir = Path(__file__).resolve().parent.parent / "plans" / "r15"
     outdir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = registry[name].fn(spark, sf)
