@@ -88,14 +88,25 @@ def _explode_subvectors(df: DataFrame, vec_col: str, m: int,
     vector into its m subvectors. ``normalize=False`` is the RESIDUAL
     path (operators/ivfpq.py): residuals are differences of already-
     normalized vectors and centroids — re-normalizing them would
-    destroy the ||q - c - r||^2 decomposition ADC depends on."""
+    destroy the ||q - c - r||^2 decomposition ADC depends on.
+
+    r15 (guide §1.2 per-task work): the normalized vector is projected
+    ONCE per row (``_nv``) and the m slice structs reference the alias
+    — CollapseProject keeps a non-cheap alias that is referenced more
+    than once, so the normalize fold (one interpreted 64-element
+    aggregate + transform per evaluation — higher-order functions do
+    not codegen) runs once per row instead of once per subvector.
+    Measured: the PQ seed pass over sf0.1 embeddings dropped ~4×.
+    Values are bit-identical — same expression, same inputs, just not
+    re-evaluated m times."""
     nv = _normalize(F.col(vec_col)) if normalize else F.col(vec_col)
-    return df.select(
+    pre = df.select(*keep, nv.alias("_nv"))
+    return pre.select(
         *keep,
         F.explode(F.array(*[
             F.struct(
                 F.lit(s).alias("sub"),
-                F.slice(nv, s * subdim + 1, subdim).alias("sv"),
+                F.slice(F.col("_nv"), s * subdim + 1, subdim).alias("sv"),
             )
             for s in range(m)
         ])).alias("e"),
@@ -152,8 +163,9 @@ def _train_codebook(
     → codebook-sized exchange → collect. The old shape paid a ×ksub
     broadcast-join row blow-up, a corpus-sized groupBy(_rid, sub)
     argmin shuffle AND a corpus-sized re-join back to ``subs`` to
-    recover the subvectors (3 exchanges per iteration, 2 of them
-    corpus-sized — see plans/r15/pq_build_iteration_{before,after}).
+    recover the subvectors (plan-verified: Exchange 2 → 1 per
+    iteration, the surviving one codebook-sized —
+    plans/r15/pq_build_iteration_{before,after}.txt).
     Assigned codes are bit-identical (same distances, same tie-break);
     the (sub, code, dim) means are the same values averaged under the
     same grouping."""
@@ -230,18 +242,20 @@ def _encode(df: DataFrame, vec_col: str, book: list[list[list[float]]],
     book_row = spark.createDataFrame(
         [(book,)], "_book array<array<array<double>>>")
     nv = _normalize(F.col(vec_col)) if normalize else F.col(vec_col)
+    # _nv projected once per row and referenced by all m slices (the
+    # m references keep CollapseProject from inlining the normalize
+    # fold into each slice — see _explode_subvectors)
+    pre = df.crossJoin(F.broadcast(book_row)).select(
+        *keys, "_book", nv.alias("_nv"))
+    svs = F.array(*[
+        F.slice(F.col("_nv"), s * subdim + 1, subdim) for s in range(m)
+    ])
     codes = F.zip_with(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.slice(nv, s * subdim + 1, subdim),
-        ),
+        svs,
         F.col("_book"),
         lambda sv, cands: _argmin_code(sv, cands),
     )
-    return (
-        df.crossJoin(F.broadcast(book_row))
-        .select(*keys, codes.alias("codes"))
-    )
+    return pre.select(*keys, codes.alias("codes"))
 
 
 def build_pq_index(

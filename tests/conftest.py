@@ -16,7 +16,18 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    # r15 (driver pytest-gate runtime, VERDICT item 2): cap
+    # default.parallelism at 8 — every tiny createDataFrame/parallelize
+    # in the suite otherwise fans out to local[32]'s 32 slices, so each
+    # of the suite's thousands of small writes paid 32 tasks + 32 part
+    # files + 32 footer-stat reads. Semantics are the 4-shard
+    # SPARK_GRAFT_CPUS=8 configuration the suite has always passed
+    # under (local[8] implies defaultParallelism 8); thread count
+    # stays at the local[N] master for concurrent-job tests.
+    s = get_spark("tests", extra_conf={
+        "spark.sql.shuffle.partitions": "8",
+        "spark.default.parallelism": "8",
+    })
     yield s
 
 

